@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory: one place for the engine's Spark tuning so
+  * Verify, Bench, and tests run identical configs.
+  *
+  * Scale posture (SURVEY §7.5 #5): AQE on (runtime coalesce + skew-join),
+  * shuffle partitions sized to local cores here but meant to be set to
+  * cluster width in production, session TZ pinned UTC (the reference does
+  * all window math in explicit JST offsets from UTC,
+  * reference pkg/utils/time_utils.go:100-156).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

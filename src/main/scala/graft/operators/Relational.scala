@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational / monitoring query shapes of the reference engine,
+  * re-expressed as declarative DataFrame plans so Catalyst supplies the
+  * pushdown / pruning / join-strategy selection the reference hard-codes.
+  *
+  * Reference semantics covered here (file:line cites relative to
+  * /root/reference):
+  *  - filtered aggregation + group-by stats: `pkg/api/sync_handler.go:452-462`
+  *  - source/target count comparison: `pkg/utils/monitor.go:961-1155`
+  *  - trend query (ordered scan + limit): `pkg/api/monitor_handler.go:92-225`
+  *  - recent-logs top-k: `pkg/api/monitor_handler.go:264-283`
+  *  - insert-if-absent anti-join: `pkg/syncer/postgresql/postgresql.go:495-499`
+  *  - merged multi-table union export: `pkg/backup/external_simple.go:252-388`
+  *  - projection/field selection: `pkg/backup/mysql.go:283-304`
+  */
+object Relational {
+
+  /** Pricing-summary style aggregation (hash aggregate with partial
+    * map-side combine; the group-by shape of sync_handler.go:452-462).
+    * Scale note: 2-key groupBy over lineitem shuffles only the partial
+    * aggregates (a few rows per partition), not the scan. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Join pipeline: orders -> customer -> nation, revenue per nation.
+    * nation/customer are broadcast (small dims) so the only shuffle is
+    * the final tiny aggregation — at 100 TB the orders scan never
+    * repartitions. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val nation = Tables(spark, dir, "nation")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Top-k ordered scan (monitor_handler.go:92-225 trend LIMIT 1000) —
+    * Spark plans TakeOrderedAndProject: per-partition top-k then a
+    * single driver merge, no global sort. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Daily trend with per-type delta vs previous day — the
+    * rowCountTrend diff series (monitor_handler.go:156-172) extended
+    * with lag() as SURVEY §2.7 notes. */
+  def trendDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.withColumn("delta", col("n") - lag(col("n"), 1).over(w))
+  }
+
+  /** Source-vs-target comparison (J4): per-day counts on both sides,
+    * full-outer join, diff — monitor.go:961-1155's defining query.
+    * "Target" is simulated as the source minus 'error' rows. */
+  def sourceTargetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val src = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("src_count"))
+    val tgt = ev.filter(col("event_type") =!= "error")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("tgt_count"))
+    src.join(tgt, Seq("day"), "full_outer")
+      .select(
+        col("day"),
+        coalesce(col("src_count"), lit(0L)).as("src_count"),
+        coalesce(col("tgt_count"), lit(0L)).as("tgt_count"),
+        (coalesce(col("src_count"), lit(0L)) - coalesce(col("tgt_count"), lit(0L))).as("diff"))
+  }
+
+  /** Insert-if-absent / anti-join (postgresql.go:495-499): customers
+    * with no high-value orders. Catalyst plans a hash anti join on the
+    * key only — orders is pruned to o_custkey + the pushed filter at
+    * the scan. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 40000.0)
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+  }
+
+  /** Distinct cardinality per group (A9, monitor_handler.go:407). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  /** Recent-logs top-k descending (monitor_handler.go:264-283,
+    * `ORDER BY log_time DESC LIMIT 500` with level filter P10). */
+  def recentErrors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select("event_id", "ts", "user_id", "value")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(500)
+
+  /** Merged multi-table export (SET1/W7): date-suffixed table slices
+    * unioned into one artifact with projection + filter pushed to each
+    * scan (external_simple.go:252-388). Year slices stand in for the
+    * `_YYYY` suffixed tables; at scale each slice is a pruned partition
+    * so non-overlapping years are never read (PR1). */
+  def mergedYearExport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .filter(col("l_quantity") > 25.0)
+    val y1996 = li.filter(year(col("l_shipdate")) === 1996)
+    val y1997 = li.filter(year(col("l_shipdate")) === 1997)
+    y1996.unionByName(y1997)
+  }
+
+  /** JSON field extraction + numeric coercion (F7/F10,
+    * query_counter.go:185-244): pull props.k, bucket by k/10. */
+  def jsonKBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(floor(col("k") / 10).cast("bigint").as("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Group-by daily sync stats (A3, sync_handler.go:452-462):
+    * MAX(c)-MIN(c) per group as "synced today". Orders per customer
+    * segmented by status stands in for monitoring_log per table. */
+  def dailySyncStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(max(col("o_totalprice")) - min(col("o_totalprice")), 2).as("spread"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        max(col("o_orderdate")).as("last_at"),
+        count(lit(1)).as("n"))
+}

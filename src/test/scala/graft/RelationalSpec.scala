@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("pricing summary groups by flag+status and counts all rows") {
+    val rows = Relational.pricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("revenue by nation covers every nation with orders") {
+    val df = Relational.revenueByNation(spark, sf)
+    assert(df.count() > 0 && df.count() <= 25)
+    assert(df.filter(col("revenue") <= 0).count() == 0)
+  }
+
+  test("top orders is sorted desc and limited") {
+    val rows = Relational.topOrders(spark, sf).collect()
+    assert(rows.length == 100)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("source/target diff equals the error count per day") {
+    val rows = Relational.sourceTargetDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("diff") >= 0))
+    val totalDiff = rows.map(_.getAs[Long]("diff")).sum
+    val errors = Tables(spark, sf, "events").filter(col("event_type") === "error").count()
+    assert(totalDiff == errors)
+  }
+
+  test("trend daily delta is null only on each type's first day") {
+    val df = Relational.trendDaily(spark, sf)
+    val nullDeltas = df.filter(col("delta").isNull).count()
+    val types = Tables(spark, sf, "events").select("event_type").distinct().count()
+    assert(nullDeltas == types)
+  }
+
+  test("events.ts nanos->micros conversion yields sane timestamps") {
+    val r = Tables(spark, sf, "events")
+      .agg(min(col("ts")).cast("string").as("lo"), max(col("ts")).cast("string").as("hi"))
+      .head()
+    assert(r.getAs[String]("lo").startsWith("2024-01-01"))
+    assert(r.getAs[String]("hi").startsWith("2024-01-3"))
+  }
+
+  test("anti-join finds customers lacking high-value orders") {
+    val df = Relational.customersWithoutOrders(spark, sf)
+    assert(df.columns.toSeq == Seq("c_custkey", "c_name", "c_mktsegment"))
+    assert(df.count() >= 0)
+  }
+
+  test("union merge only contains 1996/1997 rows over the quantity floor") {
+    val df = Relational.mergedYearExport(spark, sf)
+    assert(df.filter(!year(col("l_shipdate")).isin(1996, 1997)).count() == 0)
+    assert(df.filter(col("l_quantity") <= 25.0).count() == 0)
+  }
+}

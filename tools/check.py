@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only driver simulator: compare Verify.scala parquet dumps against
+DuckDB oracle results on the same testdata. Mirrors the driver's compare
+(sort columns by name, sort rows, compare values). Not part of the
+shipped library."""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{SF_DIR}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+fails = 0
+for qname in sorted(oracle):
+    res_dir = f"{OUT_DIR}/{qname}"
+    if not os.path.isdir(res_dir):
+        print(f"FAIL {qname}: no result dir")
+        fails += 1
+        continue
+    try:
+        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+        want = con.execute(oracle[qname])
+        wcols = [d[0] for d in want.description]
+        wrows = want.fetchall()
+    except Exception as e:
+        print(f"FAIL {qname}: {e}")
+        fails += 1
+        continue
+    gc, gr = canon(gcols, grows)
+    wc, wr = canon(wcols, wrows)
+    if gc != wc:
+        print(f"FAIL {qname}: columns {gc} != {wc}")
+        fails += 1
+    elif gr != wr:
+        diff = [(a, b) for a, b in zip(gr, wr) if a != b]
+        print(f"FAIL {qname}: rows {len(gr)} vs {len(wr)}; first diffs: {diff[:3]}")
+        fails += 1
+    else:
+        print(f"OK   {qname} ({len(gr)} rows)")
+
+# queries without oracle: rows-only check
+for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
+    qname = os.path.basename(d.rstrip("/"))
+    if qname in oracle:
+        continue
+    n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+    print(f"{'OK  ' if n > 0 else 'FAIL'} {qname} (rows-only: {n} rows)")
+    if n == 0:
+        fails += 1
+
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)

@@ -22,12 +22,17 @@ object SparkEntry {
     "q3_top_orders" -> (Relational.topOrders _),
     "q4_trend_daily" -> (Relational.trendDaily _),
     "q5_source_target_diff" -> (Relational.sourceTargetDiff _),
-    "q7_anti_join" -> (Relational.customersWithoutOrders _),
+    "q7_anti_join" -> (Relational.partsNotShipped1996 _),
     "q8_distinct_users" -> (Relational.distinctUsers _),
     "q9_recent_errors" -> (Relational.recentErrors _),
     "q10_union_merged" -> (Relational.mergedYearExport _),
     "q12_json_extract" -> (Relational.jsonKBuckets _),
     "q13_daily_sync_stats" -> (Relational.dailySyncStats _),
+    "q11_masked_projection" -> (Pii.maskedProjection _),
+    "q14_encrypt_roundtrip" -> (Pii.encryptRoundtrip _),
+    "q17_nested_mask" -> (Pii.nestedMask _),
+    "q15_conditional_count" -> (Windows.conditionalCount _),
+    "q16_export_window" -> (Windows.exportWindowSlice _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -78,10 +83,10 @@ object SparkEntry {
         |  coalesce(src_count, 0) - coalesce(tgt_count, 0) AS diff
         |FROM src FULL OUTER JOIN tgt ON src.day = tgt.day""".stripMargin,
     "q7_anti_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment
-        |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_totalprice > 40000.0)""".stripMargin,
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND year(l_shipdate) = 1996)""".stripMargin,
     "q8_distinct_users" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_users,
@@ -111,5 +116,29 @@ object SparkEntry {
         |  max(o_orderdate) AS last_at,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q11_masked_projection" ->
+      """SELECT c_custkey,
+        |  repeat('*', length(c_name)) AS name_masked,
+        |  '****' AS acctbal_masked
+        |FROM customer""".stripMargin,
+    "q14_encrypt_roundtrip" ->
+      "SELECT c_custkey, c_name AS name_rt FROM customer",
+    "q17_nested_mask" ->
+      """SELECT c_custkey,
+        |  repeat('*', length(c_name)) AS name_masked,
+        |  repeat('*', length(c_mktsegment)) AS seg_masked,
+        |  c_acctbal AS bal
+        |FROM customer""".stripMargin,
+    "q15_conditional_count" ->
+      """SELECT 'events' AS table_name, count(*) AS cnt
+        |FROM events
+        |WHERE value > 50 AND event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-13 15:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 15:00:00'""".stripMargin,
+    "q16_export_window" ->
+      """SELECT event_id, ts, user_id, event_type
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16 15:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-19 15:00:00'""".stripMargin,
   )
 }

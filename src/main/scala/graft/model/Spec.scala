@@ -1,0 +1,55 @@
+package graft.model
+
+/** Pipeline spec ADT — the Spark-native re-expression of the reference's
+  * JSON config model (reference pkg/config/config.go:15-64).
+  *
+  * One [[SyncTaskSpec]] compiles to a snapshot job + a streaming job;
+  * each [[TableMapping]] drives per-table masking, upsert keys, and
+  * count specs exactly as `TableMapping`/`FieldSecurity`/`CountQuery`
+  * do in the reference.
+  */
+final case class FieldSecurity(
+    field: String,             // dot-path, e.g. "profile.email" (security.go:80-83)
+    securityType: String)      // "mask" | "encrypt" (security.go:99-123)
+
+final case class CountCondition(
+    table: String,             // routing: condition applies only to this table (query_counter.go:88-91)
+    field: String,
+    operator: String,          // = > >= < <= != <> dateRange (query_counter.go:93-263)
+    value: String,             // numerically coerced: long, then double, then string (query_counter.go:185-244)
+    dateRange: Option[String] = None) // daily|today|yesterday|weekly|monthly (query_counter.go:96-181)
+
+final case class AdvancedSettings(
+    syncIndexes: Boolean = false,
+    ignoreDeleteOps: Boolean = false, // delete events dropped, not applied (mongodb.go:1168-1177)
+    uploadToGcs: Boolean = false)
+
+final case class TableMapping(
+    sourceTable: String,
+    targetTable: String,
+    keyColumns: Seq[String],   // PK discovery result (schema_handler.go:287-311)
+    securityEnabled: Boolean = false,
+    fieldSecurity: Seq[FieldSecurity] = Nil,
+    countConditions: Seq[CountCondition] = Nil,
+    advanced: AdvancedSettings = AdvancedSettings())
+
+final case class SyncTaskSpec(
+    id: Int,
+    taskType: String,          // mongodb|mysql|mariadb|postgresql|redis (config.go:44)
+    enabled: Boolean,
+    tables: Seq[TableMapping],
+    checkpointDir: String)
+
+/** Backup/export task spec (reference pkg/backup/executor.go:157-271). */
+final case class BackupTableSpec(
+    tablePattern: String,      // regex over table names (executor.go:421-458)
+    fields: Seq[String],       // "all" sentinel = full projection (external_simple.go:420-425)
+    timeField: Option[String],
+    startOffsetDays: Int = -1, // JST day offsets (time_utils.go:12-16)
+    endOffsetDays: Int = -1)
+
+final case class BackupSpec(
+    id: Int,
+    format: String,            // json | csv | sql
+    tables: Seq[BackupTableSpec],
+    compress: Boolean = true)

@@ -94,16 +94,16 @@ object Relational {
         (coalesce(col("src_count"), lit(0L)) - coalesce(col("tgt_count"), lit(0L))).as("diff"))
   }
 
-  /** Insert-if-absent / anti-join (postgresql.go:495-499): customers
-    * with no high-value orders. Catalyst plans a hash anti join on the
-    * key only — orders is pruned to o_custkey + the pushed filter at
-    * the scan. */
-  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables(spark, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
-    val o = Tables(spark, dir, "orders")
-      .filter(col("o_totalprice") > 40000.0)
-      .select("o_custkey")
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+  /** Insert-if-absent / anti-join (postgresql.go:495-499): parts never
+    * shipped in 1996. Catalyst plans a hash anti join on the key only —
+    * lineitem is pruned to l_partkey + the pushed year filter at the
+    * scan. */
+  def partsNotShipped1996(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_name", "p_brand")
+    val l = Tables(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .select("l_partkey")
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
   }
 
   /** Distinct cardinality per group (A9, monitor_handler.go:407). */

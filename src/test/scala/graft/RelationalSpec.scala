@@ -52,10 +52,10 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[String]("hi").startsWith("2024-01-3"))
   }
 
-  test("anti-join finds customers lacking high-value orders") {
-    val df = Relational.customersWithoutOrders(spark, sf)
-    assert(df.columns.toSeq == Seq("c_custkey", "c_name", "c_mktsegment"))
-    assert(df.count() >= 0)
+  test("anti-join finds parts never shipped in 1996") {
+    val df = Relational.partsNotShipped1996(spark, sf)
+    assert(df.columns.toSeq == Seq("p_partkey", "p_name", "p_brand"))
+    assert(df.count() > 0) // sf0.001 has 2 such parts
   }
 
   test("union merge only contains 1996/1997 rows over the quantity floor") {

@@ -33,6 +33,17 @@ object SparkEntry {
     "q17_nested_mask" -> (Pii.nestedMask _),
     "q15_conditional_count" -> (Windows.conditionalCount _),
     "q16_export_window" -> (Windows.exportWindowSlice _),
+    "q20_token_stats" -> (TextOps.tokenStats _),
+    "q21_quality_scores" -> (TextOps.qualityScores _),
+    "q22_lang_id" -> (TextOps.langIdRollup _),
+    "q23_fingerprint" -> (TextOps.fingerprints _),
+    "q24_dedup_exact" -> (Dedup.exactLatestEvents _),
+    "q25_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "q26_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q27_token_jaccard" -> ((s, d) => Dedup.tokenJaccardPairs(s, d)),
+    "q28_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
+    "q29_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q30_lsh_ann" -> ((s, d) => Similarity.lshTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -140,5 +151,82 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-16 15:00:00'
         |  AND ts <  TIMESTAMP '2024-01-19 15:00:00'""".stripMargin,
+    "q20_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+        |  round(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q21_quality_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','and','of'))) AS DOUBLE) AS sw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio,
+        |  round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |      + 0.4 * (1.0 - sw / len(toks))
+        |      + 0.2 * least(len(toks) / 100.0, 1.0), 4) AS quality
+        |FROM t""".stripMargin,
+    "q22_lang_id" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','and','of'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ratio
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN ratio > 0.03 THEN 'en' ELSE 'und' END AS guess,
+        |  count(*) AS n_docs,
+        |  round(avg(ratio), 4) AS avg_stopword_ratio
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q23_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) >= 8 THEN
+        |    list_min(list_transform(range(0, len(toks) - 7),
+        |      i -> md5(array_to_string(toks[i+1:i+8], ' '))))
+        |  ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+        |FROM t""".stripMargin,
+    "q24_dedup_exact" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q27_token_jaccard" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             list_distinct(string_split(text, ' ')) AS s
+        |           FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+        |  FROM d x JOIN d y ON x.source = y.source AND x.doc_id < y.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "q28_embedding_neardups" ->
+      """SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))), 6) AS sim
+        |FROM embeddings x JOIN embeddings y
+        |  ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))), 6) >= 0.4""".stripMargin,
+    "q29_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        | s AS (
+        |  SELECT query_id, e.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), 6) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        | r AS (SELECT query_id, cand_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, cand_id ASC) AS rank
+        |       FROM s)
+        |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Similarity}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count and shingles") {
+    val df = Seq("a b c d e").toDF("text")
+    assert(df.select(Text.tokenCount(col("text"))).head().getInt(0) == 5)
+    val sh = df.select(Text.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+    // short doc falls back to a single whole-text shingle
+    val short = Seq("a b").toDF("text").select(Text.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint is stable under an edit far from the minimal shingle") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq(base).toDF("text")
+    val fp1 = df.select(Text.fingerprint(col("text"))).head().getString(0)
+    // find where the minimal shingle is NOT, then edit elsewhere:
+    // appending a tail changes only trailing shingles
+    val edited = Seq(base + " zzz").toDF("text")
+    val fp2 = edited.select(Text.fingerprint(col("text"))).head().getString(0)
+    // min-hash property: appending can only add shingles, so the min
+    // either stays or decreases; equality holds unless a new minimum appears
+    assert(fp2 <= fp1)
+  }
+
+  test("identical texts collide on simhash; disjoint texts do not") {
+    val df = Seq(
+      (1L, "spark window merge join batch"),
+      (2L, "spark window merge join batch"),
+      (3L, "qq ww ee rr tt yy uu ii")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
+  }
+
+  test("minhash estimate approximates exact jaccard on candidates") {
+    val rows = Dedup.minhashPairs(spark, sf, threshold = 0.1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("token_jaccard")
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+    }
+  }
+
+  test("exact dedup keeps exactly one row per (user, type)") {
+    val out = Dedup.exactLatestEvents(spark, sf)
+    val dupKeys = out.groupBy("user_id", "event_type").count().filter(col("count") > 1).count()
+    assert(dupKeys == 0)
+  }
+
+  test("cosine of a unit vector with itself is 1") {
+    val df = Tables(spark, sf, "embeddings").limit(5)
+    val sims = df.select(round(Vectors.cosine(col("embedding"), col("embedding")), 6)).collect()
+    assert(sims.forall(_.getDouble(0) == 1.0))
+  }
+
+  test("lsh ann recall vs brute force is nontrivial") {
+    val brute = Similarity.bruteForceTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(s"LSH recall vs brute force: $recall")
+    assert(recall > 0.2) // 16-bit sig, 4-bit bands: approximate by design
+  }
+}

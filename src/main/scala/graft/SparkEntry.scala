@@ -44,6 +44,8 @@ object SparkEntry {
     "q28_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
     "q29_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q30_lsh_ann" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q31_cdc_state" -> (Cdc.finalState _),
+    "q32_cdc_state_keep_deletes" -> (Cdc.finalStateIgnoreDeletes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -228,5 +230,29 @@ object SparkEntry {
         |                            ORDER BY sim DESC, cand_id ASC) AS rank
         |       FROM s)
         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q31_cdc_state" ->
+      """WITH log AS (
+        |  SELECT CASE event_type WHEN 'signup' THEN 'insert'
+        |                         WHEN 'error' THEN 'delete'
+        |                         ELSE 'update' END AS op,
+        |    user_id, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    ts, event_id AS off
+        |  FROM events)
+        |SELECT user_id, value, k, ts AS updated_at FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, off DESC) AS rn
+        |  FROM log) WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+    "q32_cdc_state_keep_deletes" ->
+      """WITH log AS (
+        |  SELECT CASE event_type WHEN 'signup' THEN 'insert'
+        |                         WHEN 'error' THEN 'delete'
+        |                         ELSE 'update' END AS op,
+        |    user_id, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    ts, event_id AS off
+        |  FROM events)
+        |SELECT user_id, value, k, ts AS updated_at FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, off DESC) AS rn
+        |  FROM log WHERE op <> 'delete') WHERE rn = 1""".stripMargin,
   )
 }

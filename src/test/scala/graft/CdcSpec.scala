@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Upsert}
+import graft.streaming.{CdcPipeline, ChangeEvents}
+
+class CdcSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_cdc").toString
+
+  private def normalize(df: DataFrame): Set[(Long, Double, Long)] =
+    df.select(col("user_id").cast("long"), col("value"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+  test("batch upsert applies last-writer-wins with deletes") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("key", "value", "k", "updated_at")
+    val batch = Seq(
+      ("update", 1L, 20.0, 2L, "2024-01-02 00:00:00", 1L),
+      ("update", 1L, 30.0, 3L, "2024-01-03 00:00:00", 2L), // later: wins
+      ("insert", 2L, 5.0, 9L, "2024-01-02 00:00:00", 3L),
+      ("delete", 3L, 0.0, 0L, "2024-01-02 00:00:00", 4L))
+      .toDF("op", "key", "value", "k", "ts_s", "offset")
+      .select(col("op"), col("key"), struct(col("value"), col("k")).as("after"),
+        col("ts_s").cast("timestamp").as("ts"), col("offset"))
+    val out = Upsert.applyBatch(target, batch, "key")
+      .select(col("key"), col("value"), col("k")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 30.0, 3L), (2L, 5.0, 9L)))
+  }
+
+  test("streaming pipeline converges to the declarative final state and is restart-idempotent") {
+    val src = tmp(); val cfg = CdcPipeline.Config(
+      sourceDir = src, targetDir = tmp() + "/target",
+      checkpointDir = tmp() + "/ckpt", dlqDir = tmp() + "/dlq")
+
+    // split the change log into 3 "CDC files" by offset ranges (arrival order)
+    val changes = ChangeEvents.fromEvents(spark, sf).persist()
+    val maxOff = changes.agg(max(col("offset"))).head().getLong(0)
+    Seq((0L, maxOff / 3), (maxOff / 3 + 1, 2 * maxOff / 3), (2 * maxOff / 3 + 1, maxOff))
+      .zipWithIndex.foreach { case ((lo, hi), i) =>
+        changes.filter(col("offset").between(lo, hi))
+          .coalesce(1).write.mode("append").json(src)
+      }
+
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    val got = spark.read.parquet(cfg.targetDir)
+    val want = Cdc.finalState(spark, sf)
+    assert(normalize(got.withColumnRenamed("key", "user_id")) == normalize(want))
+
+    // restart with no new input: checkpoint prevents re-processing; state unchanged
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    val again = spark.read.parquet(cfg.targetDir)
+    assert(normalize(again.withColumnRenamed("key", "user_id")) == normalize(want))
+
+    // replay the FULL log through a fresh checkpoint (simulated duplicate
+    // delivery): merge idempotence keeps the state identical
+    val cfg2 = cfg.copy(checkpointDir = tmp() + "/ckpt2")
+    CdcPipeline.start(spark, cfg2).awaitTermination()
+    val replayed = spark.read.parquet(cfg.targetDir)
+    assert(normalize(replayed.withColumnRenamed("key", "user_id")) == normalize(want))
+    changes.unpersist()
+  }
+
+  test("ignoreDeleteOps keeps last non-delete payload") {
+    val src = tmp(); val cfg = CdcPipeline.Config(
+      sourceDir = src, targetDir = tmp() + "/target",
+      checkpointDir = tmp() + "/ckpt", dlqDir = tmp() + "/dlq",
+      ignoreDeleteOps = true)
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(src)
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    val got = spark.read.parquet(cfg.targetDir)
+    val want = Cdc.finalStateIgnoreDeletes(spark, sf)
+    assert(normalize(got.withColumnRenamed("key", "user_id")) == normalize(want))
+  }
+
+  test("snapshot is skipped when target is non-empty (idempotence check)") {
+    import spark.implicits._
+    val dir = tmp() + "/snap"
+    val s1 = Seq((1L, 1.0)).toDF("key", "v")
+    assert(Upsert.snapshot(spark, s1, "key", dir))
+    val s2 = Seq((2L, 2.0)).toDF("key", "v")
+    assert(!Upsert.snapshot(spark, s2, "key", dir)) // skipped
+    assert(spark.read.parquet(dir).select("key").head().getLong(0) == 1L)
+  }
+}

@@ -46,6 +46,10 @@ object SparkEntry {
     "q30_lsh_ann" -> ((s, d) => Similarity.lshTopK(s, d)),
     "q31_cdc_state" -> (Cdc.finalState _),
     "q32_cdc_state_keep_deletes" -> (Cdc.finalStateIgnoreDeletes _),
+    "q33_backup_pruned_export" -> (Backup.prunedMergedExport _),
+    "q34_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "q35_sql_passthrough" -> (SqlGateway.regionRollup _),
+    "q36_schema_infer" -> (SchemaInfer.inferEventDoc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,5 +258,31 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |                               ORDER BY ts DESC, off DESC) AS rn
         |  FROM log WHERE op <> 'delete') WHERE rn = 1""".stripMargin,
+    "q33_backup_pruned_export" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'""".stripMargin,
+    "q34_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+    "q35_sql_passthrough" ->
+      """SELECT r_name,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q36_schema_infer" ->
+      """SELECT * FROM (VALUES
+        |  ('key', 'int'), ('after', 'object'), ('after.value', 'float'),
+        |  ('after.props', 'object'), ('after.props.k', 'int')
+        |) AS t(field, type)""".stripMargin,
   )
 }

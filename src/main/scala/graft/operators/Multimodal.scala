@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus a feature-extraction pass shaped
+  * like a production decode pipeline.
+  *
+  * The actual codec step is a clearly-marked STUB (no image/audio libs
+  * in this container): `stubDecode` derives deterministic pseudo
+  * features from the bytes. Everything around it — the binary schema,
+  * the partition-wise batched iteration (the Scala analog of
+  * `mapInPandas`), the feature schema — is real and tested, so swapping
+  * the stub for an actual decoder is a one-function change.
+  */
+object Multimodal {
+
+  final case class MediaRecord(media_id: Long, content: Array[Byte],
+      mime: String, meta_lang: String, meta_chars: Long)
+
+  final case class MediaFeatures(media_id: Long, n_bytes: Long,
+      checksum: String, n_frames: Int, frame_digest: String)
+
+  /** Media-shaped view over `documents`: text bytes stand in for an
+    * encoded payload; metadata rides along as typed columns. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      lit("application/octet-stream").as("mime"),
+      col("lang").as("meta_lang"),
+      col("n_chars").as("meta_chars"))
+
+  /** STUB decoder: deterministic fake features from raw bytes. A real
+    * deployment replaces ONLY this function with e.g. a JNI image
+    * decoder; the signature (bytes -> features) is the contract. */
+  def stubDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val frameSize = 256 // "frame sample": fixed-stride chunks of the payload
+    val frames = bytes.grouped(frameSize).toSeq
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    MediaFeatures(
+      media_id = id,
+      n_bytes = bytes.length.toLong,
+      checksum = digest.digest(bytes).map("%02x".format(_)).mkString,
+      n_frames = frames.length,
+      frame_digest = frames.headOption
+        .map(f => java.security.MessageDigest.getInstance("MD5")
+          .digest(f).map("%02x".format(_)).mkString).getOrElse(""))
+  }
+
+  /** Partition-parallel feature extraction — the Scala analog of
+    * `mapInPandas`: one decoder instance per partition, records
+    * streamed through it (no per-row setup cost, no driver collect). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder setup would go here (codec contexts etc.)
+        it.map { case (id, bytes) => stubDecode(id, bytes) }
+      }
+  }
+
+  /** Oracle-checked query: byte-level metadata of the media table.
+    * n_bytes/checksum are computable by DuckDB over the same text
+    * payload, proving the binary plumbing preserves content. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, mediaTable(spark, dir)).toDF()
+      .select("media_id", "n_bytes", "checksum", "n_frames")
+}

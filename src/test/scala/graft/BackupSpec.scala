@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Backup
+
+class BackupSpec extends SparkSpec {
+
+  test("suffix parsing: year, month, day, none") {
+    assert(Backup.parseSuffixRange("orders_2024") ==
+      Some((LocalDate.parse("2024-01-01"), LocalDate.parse("2025-01-01"))))
+    assert(Backup.parseSuffixRange("orders_202403") ==
+      Some((LocalDate.parse("2024-03-01"), LocalDate.parse("2024-04-01"))))
+    assert(Backup.parseSuffixRange("orders_20240315") ==
+      Some((LocalDate.parse("2024-03-15"), LocalDate.parse("2024-03-16"))))
+    assert(Backup.parseSuffixRange("orders") == None)
+    assert(Backup.extractPrefix("orders_202403") == "orders")
+    assert(Backup.extractPrefix("lineitem") == "lineitem")
+  }
+
+  test("regex discovery and prefix grouping") {
+    val tables = Seq("orders_2023", "orders_2024", "lineitem_2024", "users")
+    assert(Backup.discover(tables, "orders_\\d{4}") == Seq("orders_2023", "orders_2024"))
+    val groups = Backup.groupByPrefix(tables)
+    assert(groups("orders") == Seq("orders_2023", "orders_2024"))
+    assert(groups("users") == Seq("users"))
+  }
+
+  test("pruning keeps overlapping slices and unparseable ones") {
+    val slices = (1995 to 2001).map(y =>
+      Backup.TableSlice(s"t_$y", () => null, Backup.parseSuffixRange(s"t_$y"))) :+
+      Backup.TableSlice("t_misc", () => null, None)
+    val kept = Backup.pruneSlices(slices, LocalDate.parse("1997-06-01"), LocalDate.parse("1999-01-01"))
+    assert(kept.map(_.name) == Seq("t_1997", "t_1998", "t_misc"))
+  }
+
+  test("merged export equals a direct filtered scan (pruning is invisible)") {
+    val viaExport = operators.Backup.prunedMergedExport(spark, sf)
+    val direct = Tables(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(viaExport.count() == direct.count())
+    assert(viaExport.exceptAll(direct).count() == 0)
+  }
+
+  test("jsonl and quoted-csv writers round-trip") {
+    import spark.implicits._
+    val df = Seq((1L, "a,b", null.asInstanceOf[String]), (2L, "c\"d", "x"))
+      .toDF("id", "s", "maybe")
+    val jdir = Files.createTempDirectory("graft_jsonl").toString + "/out"
+    Backup.writeJsonl(df, jdir)
+    assert(spark.read.json(jdir).count() == 2)
+    val cdir = Files.createTempDirectory("graft_csv").toString + "/out"
+    Backup.writeCsv(df, cdir)
+    val back = spark.read.option("header", "true").option("nullValue", "\\N").csv(cdir)
+    assert(back.count() == 2)
+    assert(back.filter(col("maybe").isNull).count() == 1)
+    // gzip artifacts actually produced (the zip/GCS analog)
+    val files = new java.io.File(cdir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")))
+  }
+}

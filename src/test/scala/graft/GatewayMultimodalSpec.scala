@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, SchemaInfer, SqlGateway}
+import graft.streaming.{CdcPipeline, ChangeEvents, Metrics}
+
+class GatewayMultimodalSpec extends SparkSpec {
+
+  test("sql gateway executes reads and rejects writes by plan type") {
+    SqlGateway.registerTables(spark, sf)
+    assert(SqlGateway.execute(spark, "SELECT count(*) AS n FROM region").head().getLong(0) == 5L)
+    // keyword-in-a-literal is read-only (the reference's keyword sniffing
+    // would have misrouted this, auth_handler.go:1310-1316)
+    assert(SqlGateway.execute(spark, "SELECT 'insert into x' AS s FROM region LIMIT 1").count() == 1)
+    intercept[SqlGateway.WriteRejectedException] {
+      SqlGateway.execute(spark, "INSERT INTO region VALUES (99, 'X')")
+    }
+    intercept[SqlGateway.WriteRejectedException] {
+      SqlGateway.execute(spark, "DROP TABLE region")
+    }
+  }
+
+  test("multimodal features match the payload bytes") {
+    val row = Multimodal.mediaMeta(spark, sf).filter(col("media_id") === 0).head()
+    val text = Tables(spark, sf, "documents").filter(col("doc_id") === 0)
+      .select("text").head().getString(0)
+    assert(row.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("checksum") == md5)
+    assert(row.getAs[Int]("n_frames") == (text.getBytes("UTF-8").length + 255) / 256)
+  }
+
+  test("schema inference flattens nested dot paths with reference type names") {
+    val got = SchemaInfer.inferEventDoc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("key", "int"), ("after", "object"), ("after.value", "float"),
+      ("after.props", "object"), ("after.props.k", "int")))
+  }
+
+  test("metrics listener records progress; rollup aggregates it") {
+    val metricsDir = Files.createTempDirectory("graft_metrics").toString + "/m"
+    val rec = new Metrics.Recorder(spark, metricsDir)
+    spark.streams.addListener(rec)
+    try {
+      val base = Files.createTempDirectory("graft_cdcm").toString
+      val cfg = CdcPipeline.Config(
+        sourceDir = base + "/src", targetDir = base + "/target",
+        checkpointDir = base + "/ckpt", dlqDir = base + "/dlq")
+      ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(cfg.sourceDir)
+      CdcPipeline.start(spark, cfg).awaitTermination()
+      // listener events are async; wait for delivery
+      spark.streams.awaitAnyTermination(1)
+      Thread.sleep(2000)
+      assert(rec.flush() > 0)
+      val rollup = Metrics.streamStatsRollup(spark, metricsDir).collect()
+      assert(rollup.nonEmpty)
+      assert(rollup.map(_.getAs[Long]("rows_received")).sum > 0)
+    } finally spark.streams.removeListener(rec)
+  }
+}

@@ -6,7 +6,10 @@ object Bench {
     val spark = GraftSession.local()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write: executes the FULL plan (every projection,
+      // mask, encrypt — nothing pruned the way .count() prunes), and a
+      // failing query fails the bench instead of recording -1.
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

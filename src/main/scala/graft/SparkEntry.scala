@@ -16,6 +16,74 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.sourceTargetDiff(spark, "/root/testdata/sf0.001")
 
+  // ---- DuckDB twins of the md5-based signatures (q25/q26/q30) --------
+  // Generated from the same constants the Spark operators use, so the
+  // oracle replays signature + banding + verification bit-for-bit.
+
+  /** q25: minhash signature + 16×2 banding + exact shingle-jaccard. */
+  private lazy val q25Sql: String = {
+    val sigElems = Dedup.perms.map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % ${Dedup.P}))" }.mkString(",\n    ")
+    val bandCond = (0 until Dedup.NumBands).map { j =>
+      val r0 = Dedup.BandRows * j + 1; val r1 = r0 + 1
+      s"(x.mh[$r0] = y.mh[$r0] AND x.mh[$r1] = y.mh[$r1])" }.mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))
+       |    ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+       | h AS (SELECT doc_id, shs,
+       |    list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % ${Dedup.P}) AS hs FROM sh),
+       | sig AS (SELECT doc_id, shs, [$sigElems] AS mh FROM h),
+       | cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.shs AS sa, y.shs AS sb
+       |   FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond))
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+       |  FROM cand)
+       |WHERE jaccard >= 0.8""".stripMargin
+  }
+
+  /** q26: 60-bit simhash + 4×15-bit chunk banding + Hamming filter. */
+  private lazy val q26Sql: String = {
+    val chunkCond = (0 until Dedup.SimhashChunks).map { j =>
+      s"((x.sh >> ${j * 15}) & 32767 = (y.sh >> ${j * 15}) & 32767)" }.mkString(" OR ")
+    s"""WITH h AS (SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs FROM documents),
+       | s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, ${Dedup.SimhashBits}),
+       |    i -> CASE WHEN CAST(list_sum(list_transform(hs,
+       |           h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+       |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh FROM h)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.sh, y.sh)) AS hamming
+       |  FROM s x JOIN s y ON x.doc_id < y.doc_id AND ($chunkCond))
+       |WHERE hamming <= 16""".stripMargin
+  }
+
+  /** q30: 16-bit hyperplane signature + 4×4-bit bands + top-k. */
+  private lazy val q30Sql: String = {
+    val sigExpr = (0 until 16).map { j =>
+      s"""CASE WHEN round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN
+         |        (CAST('0x' || substr(md5('$j-' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1) = 0
+         |        THEN 1.0 ELSE -1.0 END))), 6) > 0
+         |    THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin }.mkString(" +\n    ")
+    val bandCond = (0 until 4).map { j =>
+      s"((qsig >> ${j * 4}) & 15 = (csig >> ${j * 4}) & 15)" }.mkString(" OR ")
+    s"""WITH sig AS (SELECT vec_id, embedding, ($sigExpr) AS sig FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig FROM sig WHERE vec_id < 10),
+       | c AS (SELECT vec_id AS cand_id, embedding AS cv, sig AS csig FROM sig),
+       | s AS (SELECT query_id, cand_id,
+       |   round(list_sum(list_transform(range(1, 65),
+       |     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 6) AS sim
+       |   FROM q JOIN c ON cand_id <> query_id AND ($bandCond)),
+       | r AS (SELECT query_id, cand_id, sim,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank FROM s)
+       |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q2_revenue_by_nation" -> (Relational.revenueByNation _),
@@ -203,6 +271,9 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "q25_minhash_pairs" -> q25Sql,
+    "q26_simhash_pairs" -> q26Sql,
+    "q30_lsh_ann" -> q30Sql,
     "q27_token_jaccard" ->
       """WITH d AS (SELECT doc_id, source,
         |             list_distinct(string_split(text, ' ')) AS s

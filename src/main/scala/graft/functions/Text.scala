@@ -65,4 +65,12 @@ object Text {
     * shingles — stable under local edits elsewhere in the document. */
   def fingerprint(text: Column): Column =
     array_min(transform(shingles(text, 8), s => md5(s)))
+
+  /** Portable 60-bit hash: the first 15 hex digits of md5 as a Long.
+    * Chosen over xxhash64 because BOTH engines compute it identically
+    * (DuckDB: `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`), which is
+    * what lets the MinHash/SimHash/LSH signatures have exact DuckDB
+    * oracle twins. 60 bits keeps the value positive in a signed int64. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

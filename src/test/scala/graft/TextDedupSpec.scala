@@ -42,14 +42,30 @@ class TextDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
   }
 
-  test("minhash estimate approximates exact jaccard on candidates") {
-    val rows = Dedup.minhashPairs(spark, sf, threshold = 0.1).collect()
+  test("minhash pairs are exact-verified above the threshold") {
+    val rows = Dedup.minhashPairs(spark, sf, threshold = 0.8).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val est = r.getAs[Double]("est_jaccard")
-      val exact = r.getAs[Double]("token_jaccard")
-      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.8 && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
     }
+  }
+
+  test("minhash banding has total recall vs exact shingle-jaccard here") {
+    // exact all-pairs at this sf is cheap; the banded op must find
+    // every pair the exact computation finds (candidate superset)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("s"))
+    val exact = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+          size(array_union(col("x.s"), col("y.s"))).cast("double")).as("j"))
+      .filter(round(col("j"), 4) >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.minhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact)
   }
 
   test("exact dedup keeps exactly one row per (user, type)") {

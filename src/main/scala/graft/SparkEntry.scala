@@ -118,7 +118,37 @@ object SparkEntry {
     "q34_multimodal_meta" -> (Multimodal.mediaMeta _),
     "q35_sql_passthrough" -> (SqlGateway.regionRollup _),
     "q36_schema_infer" -> (SchemaInfer.inferEventDoc _),
+    "q37_kv_snapshot" -> (KvStore.snapshot _),
+    "q38_kv_state" -> (KvStore.finalState _),
+    "q39_kv_stream_msgs" -> (KvStore.streamMessages _),
   )
+
+  /** Shared CTE for the KV oracles: the deterministic keyspace-op log
+    * (mirrors [[KvStore.keyspaceOps]]) reduced to the last effective op
+    * per key (expired copies are no-ops, reference redis.go:130-133). */
+  private val kvEffSql: String =
+    """WITH ops AS (
+      |  SELECT CASE WHEN event_type = 'error' THEN 'del'
+      |              WHEN event_type IN ('signup','purchase') THEN 'set'
+      |              ELSE 'copy' END AS op,
+      |    'user:' || user_id AS key,
+      |    CASE WHEN user_id % 3 = 0 THEN 'hash' ELSE 'string' END AS kind,
+      |    CASE WHEN user_id % 3 = 0 THEN NULL ELSE CAST(k AS VARCHAR) END AS value,
+      |    CASE WHEN user_id % 3 = 0 THEN CAST(k AS VARCHAR) END AS f_k,
+      |    CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS VARCHAR) END AS f_uid,
+      |    CASE WHEN event_type IN ('view','click') THEN
+      |      CASE WHEN k % 5 = 0 THEN -2 WHEN k % 5 = 1 THEN (k+1)*1000 ELSE -1 END
+      |    ELSE -1 END AS ttl_ms,
+      |    ts, event_id AS off
+      |  FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |        FROM events)
+      |), eff AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY key
+      |                                 ORDER BY ts DESC, off DESC) AS rn
+      |    FROM ops WHERE NOT (op = 'copy' AND ttl_ms < 0 AND ttl_ms <> -1))
+      |  WHERE rn = 1
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -355,5 +385,22 @@ object SparkEntry {
         |  ('key', 'int'), ('after', 'object'), ('after.value', 'float'),
         |  ('after.props', 'object'), ('after.props.k', 'int')
         |) AS t(field, type)""".stripMargin,
+    "q37_kv_snapshot" ->
+      s"""$kvEffSql
+         |SELECT key, kind, value, f_k, f_uid,
+         |  CASE WHEN ttl_ms = -1 THEN 0 ELSE greatest(ttl_ms, 0) END AS expire_ms
+         |FROM eff
+         |WHERE op <> 'del' AND (ttl_ms = -1 OR ttl_ms >= 0)""".stripMargin,
+    "q38_kv_state" ->
+      s"""$kvEffSql
+         |SELECT key, kind, value, f_k, f_uid,
+         |  CASE WHEN op = 'set' THEN -1 ELSE ttl_ms END AS ttl_ms,
+         |  ts AS updated_at
+         |FROM eff WHERE op <> 'del'""".stripMargin,
+    "q39_kv_stream_msgs" ->
+      """SELECT 'msg:' || event_id AS hash_key,
+        |  CAST(user_id AS VARCHAR) AS f_user,
+        |  json_extract_string(props, '$.k') AS f_amount
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
   )
 }

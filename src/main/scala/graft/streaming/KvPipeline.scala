@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.KvStore
+
+/** Redis keyspace-notification / stream-consumer pipeline (SURVEY S9/S10,
+  * ST8): a file-based stream of KV ops → checkpointed foreachBatch KV
+  * merge.
+  *
+  * Checkpointing: the reference persists the last XACK'd stream id per
+  * message (reference redis.go:266-269,319-343) and replays from it;
+  * Structured Streaming's offset/commit log is the same contract at
+  * batch granularity. The keyspace-notification path in the reference
+  * has NO checkpoint (full resync on restart, README.md:63-65) — our
+  * file-stream upgrade gives it one for free; `mergeKvIntoParquet`'s
+  * idempotence covers the at-least-once window either way (ST9).
+  */
+object KvPipeline {
+
+  val opSchema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),       // del|set|copy
+    StructField("key", StringType, nullable = false),
+    StructField("kind", StringType),                       // string|hash
+    StructField("value", StringType),
+    StructField("f_k", StringType),
+    StructField("f_uid", StringType),
+    StructField("ttlMs", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("offset", LongType, nullable = false)))
+
+  final case class Config(
+      sourceDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1000)
+
+  /** Start the KV replication stream; AvailableNow drains-and-stops
+    * (the reference's XReadGroup Count=10/Block=2s poll loop collapses
+    * into micro-batch triggers). */
+  def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery =
+    spark.readStream
+      .schema(opSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .json(cfg.sourceDir)
+      .writeStream
+      .queryName(s"kv->${cfg.targetDir}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("2 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        KvStore.mergeKvIntoParquet(spark, cfg.targetDir, batch)
+      }
+      .start()
+}

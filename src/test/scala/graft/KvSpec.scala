@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.KvStore
+import graft.streaming.KvPipeline
+
+class KvSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_kv").toString
+
+  private def normalize(df: DataFrame): Set[(String, String, String, String, String, Long)] =
+    df.select("key", "kind", "value", "f_k", "f_uid", "ttlMs").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).orNull, Option(r.getString(3)).orNull,
+        Option(r.getString(4)).orNull, r.getLong(5))).toSet
+
+  private def kvOps(rows: Seq[(String, String, String, String, Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("op", "key", "kind", "value", "ttl", "ts_s", "offset")
+      .select(col("op"), col("key"), col("kind"), col("value"),
+        lit(null).cast("string").as("f_k"), lit(null).cast("string").as("f_uid"),
+        col("ttl").as("ttlMs"), col("ts_s").cast("timestamp").as("ts"), col("offset"))
+  }
+
+  test("applyKvBatch: del removes, set forces persistent TTL, copy preserves TTL") {
+    val empty = kvOps(Nil).drop("op", "ts", "offset")
+      .withColumn("updated_at", lit(null).cast("timestamp"))
+      .select("key", "kind", "value", "f_k", "f_uid", "ttlMs", "updated_at").limit(0)
+    val batch = kvOps(Seq(
+      ("set", "a", "string", "1", 99999L, "2024-01-01 00:00:00", 1L), // set → ttl -1 regardless
+      ("copy", "b", "string", "2", 5000L, "2024-01-01 00:00:00", 2L), // copy keeps source ttl
+      ("set", "c", "string", "3", -1L, "2024-01-01 00:00:00", 3L),
+      ("del", "c", "string", null, -1L, "2024-01-01 00:01:00", 4L)))  // later del wins
+    val out = normalize(KvStore.applyKvBatch(empty, batch))
+    assert(out == Set(
+      ("a", "string", "1", null, null, -1L),
+      ("b", "string", "2", null, null, 5000L)))
+  }
+
+  test("expired-copy is a no-op: previous target state survives (redis.go:130-133)") {
+    val empty = kvOps(Nil).drop("op", "ts", "offset")
+      .withColumn("updated_at", lit(null).cast("timestamp"))
+      .select("key", "kind", "value", "f_k", "f_uid", "ttlMs", "updated_at").limit(0)
+    val b1 = kvOps(Seq(("set", "a", "string", "old", -1L, "2024-01-01 00:00:00", 1L)))
+    val s1 = KvStore.applyKvBatch(empty, b1)
+    // the source key expired before the copy fired: skip, do NOT delete
+    val b2 = kvOps(Seq(("copy", "a", "string", "new", -2L, "2024-01-02 00:00:00", 2L)))
+    val s2 = KvStore.applyKvBatch(s1, b2)
+    assert(normalize(s2) == Set(("a", "string", "old", null, null, -1L)))
+  }
+
+  test("sequential micro-batch apply == one-shot apply over the full log") {
+    val ops = KvStore.keyspaceOps(spark, sf).persist()
+    try {
+      val empty = ops.select(col("key"), col("kind"), col("value"), col("f_k"),
+        col("f_uid"), col("ttlMs"), col("ts").as("updated_at")).limit(0)
+      val oneShot = KvStore.applyKvBatch(empty, ops)
+      val maxOff = ops.agg(max("offset")).head().getLong(0)
+      val sequential = Seq((0L, maxOff / 2), (maxOff / 2 + 1, maxOff))
+        .foldLeft(empty) { case (state, (lo, hi)) =>
+          KvStore.applyKvBatch(state, ops.filter(col("offset").between(lo, hi)))
+        }
+      assert(normalize(sequential) == normalize(oneShot))
+      assert(oneShot.count() > 0)
+    } finally ops.unpersist()
+  }
+
+  test("snapshot applies the TTL skip rule (P9) and RESTORE expireMs mapping") {
+    val snap = KvStore.snapshot(spark, sf)
+    // no expired keys survive, and persistent keys map to expireMs 0
+    assert(snap.filter(col("expire_ms") < 0).count() == 0)
+    assert(snap.count() > 0)
+    // a concrete TTL passes through: (k+1)*1000 for k%5==1 copies
+    val concrete = snap.filter(col("expire_ms") > 0)
+    assert(concrete.count() == 0 ||
+      concrete.filter(col("expire_ms") % 1000 =!= 0).count() == 0)
+  }
+
+  test("KV streaming pipeline converges and is restart-idempotent (ST8)") {
+    val src = tmp()
+    val cfg = KvPipeline.Config(src, tmp() + "/target", tmp() + "/ckpt")
+    val ops = KvStore.keyspaceOps(spark, sf).persist()
+    try {
+      val maxOff = ops.agg(max("offset")).head().getLong(0)
+      Seq((0L, maxOff / 2), (maxOff / 2 + 1, maxOff)).foreach { case (lo, hi) =>
+        ops.filter(col("offset").between(lo, hi))
+          .coalesce(1).write.mode("append").json(src)
+      }
+      KvPipeline.start(spark, cfg).awaitTermination()
+      val want = KvStore.finalState(spark, sf)
+        .withColumnRenamed("ttl_ms", "ttlMs")
+      val got = spark.read.parquet(cfg.targetDir)
+      assert(normalize(got) == normalize(want))
+
+      // restart with no new input: checkpoint prevents reprocessing
+      KvPipeline.start(spark, cfg).awaitTermination()
+      assert(normalize(spark.read.parquet(cfg.targetDir)) == normalize(want))
+    } finally ops.unpersist()
+  }
+}

@@ -385,12 +385,37 @@ object SparkEntry {
         |  ('key', 'int'), ('after', 'object'), ('after.value', 'float'),
         |  ('after.props', 'object'), ('after.props.k', 'int')
         |) AS t(field, type)""".stripMargin,
+    // q37 ranks ALL raw ops (SCAN sees the source's *current* key state,
+    // so an expired copy hides the key even if an older live value would
+    // have survived notification replay) — unlike kvEffSql, which drops
+    // expired-copy no-ops before ranking (replay semantics, q38 only).
     "q37_kv_snapshot" ->
-      s"""$kvEffSql
-         |SELECT key, kind, value, f_k, f_uid,
-         |  CASE WHEN ttl_ms = -1 THEN 0 ELSE greatest(ttl_ms, 0) END AS expire_ms
-         |FROM eff
-         |WHERE op <> 'del' AND (ttl_ms = -1 OR ttl_ms >= 0)""".stripMargin,
+      """WITH ops AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN 'del'
+        |              WHEN event_type IN ('signup','purchase') THEN 'set'
+        |              ELSE 'copy' END AS op,
+        |    'user:' || user_id AS key,
+        |    CASE WHEN user_id % 3 = 0 THEN 'hash' ELSE 'string' END AS kind,
+        |    CASE WHEN user_id % 3 = 0 THEN NULL ELSE CAST(k AS VARCHAR) END AS value,
+        |    CASE WHEN user_id % 3 = 0 THEN CAST(k AS VARCHAR) END AS f_k,
+        |    CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS VARCHAR) END AS f_uid,
+        |    CASE WHEN event_type IN ('view','click') THEN
+        |      CASE WHEN k % 5 = 0 THEN -2 WHEN k % 5 = 1 THEN (k+1)*1000 ELSE -1 END
+        |    ELSE -1 END AS ttl_ms,
+        |    ts, event_id AS off
+        |  FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        FROM events)
+        |), cur AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |                                 ORDER BY ts DESC, off DESC) AS rn
+        |    FROM ops)
+        |  WHERE rn = 1
+        |)
+        |SELECT key, kind, value, f_k, f_uid,
+        |  CASE WHEN ttl_ms = -1 THEN 0 ELSE greatest(ttl_ms, 0) END AS expire_ms
+        |FROM cur
+        |WHERE op <> 'del' AND (ttl_ms = -1 OR ttl_ms >= 0)""".stripMargin,
     "q38_kv_state" ->
       s"""$kvEffSql
          |SELECT key, kind, value, f_k, f_uid,

@@ -89,7 +89,15 @@ object KvStore {
 
   /** W6: apply a keyspace-op batch to a KV state. `set` rewrites the
     * TTL to persistent (reference Set/HSet pass expiry 0); `copy`
-    * preserves the source TTL through RESTORE. */
+    * preserves the source TTL through RESTORE.
+    *
+    * Known simplification vs the reference: an HSet (redis.go:216-222)
+    * merges fields into the target hash and leaves the key's existing
+    * TTL untouched, whereas this model replaces the whole row and
+    * resets the TTL to persistent. The synthetic op log always carries
+    * the full field set and its hash ops never mix with TTL-carrying
+    * copies on the same key, so both semantics agree here; a production
+    * hash-merge would map-side combine fields per key before the merge. */
   def applyKvBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val eff = effectiveOps(batch)
     val upserts = eff.filter(col("op") =!= "del").select(
@@ -116,8 +124,12 @@ object KvStore {
       val empty = batched.select(
         col("key"), col("kind"), col("value"), col("f_k"), col("f_uid"),
         col("ttlMs"), col("ts").as("updated_at")).limit(0)
+      // Hadoop FS existence probe (not java.io.File) so the merge works
+      // on distributed storage (HDFS/S3) exactly as on local disk.
+      val path = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val target =
-        if (!new java.io.File(targetDir).exists) empty
+        if (!fs.exists(path)) empty
         else spark.read.parquet(targetDir)
           .filter(col("bucket").isin(touched.toSeq: _*)).drop("bucket")
       val merged = applyKvBatch(target, batched.drop("bucket"))

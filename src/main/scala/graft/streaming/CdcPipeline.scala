@@ -48,7 +48,7 @@ object CdcPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("2 seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        try Upsert.mergeIntoParquet(spark, cfg.targetDir, batch, cfg.keyCol, cfg.ignoreDeleteOps)
+        try Upsert.mergeIntoParquet(batch.sparkSession, cfg.targetDir, batch, cfg.keyCol, cfg.ignoreDeleteOps)
         catch {
           case e: Exception => // DLQ'd batch counts as processed (ST10)
             batch.withColumn("dlq_batch_id", lit(batchId))

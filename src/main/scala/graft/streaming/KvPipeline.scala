@@ -50,7 +50,9 @@ object KvPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("2 seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        KvStore.mergeKvIntoParquet(spark, cfg.targetDir, batch)
+        // batch.sparkSession, not the captured outer session: correct
+        // under Spark Connect and multi-session deployments.
+        KvStore.mergeKvIntoParquet(batch.sparkSession, cfg.targetDir, batch)
       }
       .start()
 }

@@ -1,8 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 import graft.functions.Security
 import graft.model.FieldSecurity
@@ -31,7 +33,8 @@ object CdcPipeline {
       keyCol: String = "key",
       ignoreDeleteOps: Boolean = false,      // mongodb.go:1168-1177
       fieldSecurity: Seq[FieldSecurity] = Nil,
-      maxFilesPerTrigger: Int = 1000)        // apply-batch cap, mongodb.go:258
+      maxFilesPerTrigger: Int = 1000,        // apply-batch cap, mongodb.go:258
+      maxDlqAttempts: Int = 3)               // mongodb.go:261 maxRetryAttempts
 
   /** Start the stream. With `availableNow=true` it drains all pending
     * input then stops (test/batch-catchup mode); otherwise it runs on a
@@ -51,27 +54,75 @@ object CdcPipeline {
         try Upsert.mergeIntoParquet(batch.sparkSession, cfg.targetDir, batch, cfg.keyCol, cfg.ignoreDeleteOps)
         catch {
           case e: Exception => // DLQ'd batch counts as processed (ST10)
+            // One directory per failed batch (mongodb.go parks one file
+            // per batch) so a successful retry can delete it atomically;
+            // overwrite keeps a re-delivered batchId idempotent.
             batch.withColumn("dlq_batch_id", lit(batchId))
               .withColumn("dlq_error", lit(e.getMessage))
-              .write.mode(SaveMode.Append).json(cfg.dlqDir)
+              .withColumn("dlq_retry_count", lit(0))
+              .write.mode(SaveMode.Overwrite).json(batchDir(cfg, batchId))
         }
       }
       .start()
     q
   }
 
-  /** DLQ retry (reference processDeadLetterQueue, mongodb.go:1836-1969):
-    * re-apply parked batches in offset order; idempotent merge makes
-    * retries safe. Returns the number of retried events. */
-  def retryDlq(spark: SparkSession, cfg: Config): Long = {
-    val dlq = try spark.read.schema(
-      ChangeEvents.schema.add("dlq_batch_id", "long").add("dlq_error", "string"))
-      .json(cfg.dlqDir)
-    catch { case _: Exception => return 0L }
-    val events = dlq.drop("dlq_batch_id", "dlq_error")
-    val n = events.count()
-    if (n > 0)
-      Upsert.mergeIntoParquet(spark, cfg.targetDir, events, cfg.keyCol, cfg.ignoreDeleteOps)
-    n
+  private def batchDir(cfg: Config, batchId: Long): String =
+    s"${cfg.dlqDir}/batch_$batchId"
+
+  private def dlqSchema = ChangeEvents.schema
+    .add("dlq_batch_id", LongType).add("dlq_error", StringType)
+    .add("dlq_retry_count", IntegerType)
+
+  /** Outcome of one DLQ pass: batches re-applied successfully (and
+    * deleted), batches that failed again (retry count bumped), and
+    * batches parked for good (attempts exhausted). */
+  final case class DlqStats(succeeded: Long = 0, failed: Long = 0, parked: Long = 0)
+
+  /** DLQ retry (reference processDeadLetterBatch, mongodb.go:1876-1969):
+    * one pass over the parked batches in batch-id (offset) order.
+    * Per batch: skip when `dlq_retry_count` has reached
+    * `cfg.maxDlqAttempts` (parked for good — the reference never
+    * retries ops past maxRetryAttempts); otherwise re-apply via the
+    * idempotent merge, DELETE the batch dir on success
+    * (mongodb.go:1938-1950), or rewrite it with the retry count
+    * incremented on failure (mongodb.go:1952-1966). */
+  def retryDlq(spark: SparkSession, cfg: Config): DlqStats = {
+    val dlqPath = new Path(cfg.dlqDir)
+    val fs = dlqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dlqPath)) return DlqStats()
+    val batchDirs = fs.listStatus(dlqPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .sortBy(_.getPath.getName.stripPrefix("batch_").toLong)
+    var stats = DlqStats()
+    batchDirs.foreach { st =>
+      val dir = st.getPath
+      val parked = spark.read.schema(dlqSchema).json(dir.toString)
+      val attempts = parked.agg(max(col("dlq_retry_count"))).head() match {
+        case r if r.isNullAt(0) => 0
+        case r => r.getInt(0)
+      }
+      if (attempts >= cfg.maxDlqAttempts) stats = stats.copy(parked = stats.parked + 1)
+      else {
+        val events = parked.drop("dlq_batch_id", "dlq_error", "dlq_retry_count")
+        try {
+          Upsert.mergeIntoParquet(spark, cfg.targetDir, events, cfg.keyCol, cfg.ignoreDeleteOps)
+          fs.delete(dir, true) // consumed — the DLQ must not re-apply it
+          stats = stats.copy(succeeded = stats.succeeded + 1)
+        } catch {
+          case e: Exception =>
+            // failed again: bump the count via tmp-dir + atomic swap so a
+            // crash mid-rewrite never loses the parked events
+            val tmp = new Path(dir.getParent, dir.getName + ".tmp")
+            parked.withColumn("dlq_retry_count", lit(attempts + 1))
+              .withColumn("dlq_error", lit(e.getMessage))
+              .write.mode(SaveMode.Overwrite).json(tmp.toString)
+            fs.delete(dir, true)
+            fs.rename(tmp, dir)
+            stats = stats.copy(failed = stats.failed + 1)
+        }
+      }
+    }
+    stats
   }
 }

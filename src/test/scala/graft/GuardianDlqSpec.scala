@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cdc
+import graft.streaming.{CdcPipeline, ChangeEvents, Guardian}
+
+/** ST10 (bounded DLQ retry) + S3 (restart guardian) coverage, including
+  * real failure injection into the merge path. */
+class GuardianDlqSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_dlq").toString
+
+  private def normalize(df: DataFrame): Set[(Long, Double, Long)] =
+    df.select(col("key").cast("long"), col("value"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+  /** Make targetDir unusable: a regular FILE at the path makes both the
+    * parquet read and the directory creation in the merge throw. */
+  private def breakTarget(targetDir: String): Unit =
+    Files.write(Paths.get(targetDir), Array[Byte](1, 2, 3))
+
+  private def fixTarget(targetDir: String): Unit =
+    Files.deleteIfExists(Paths.get(targetDir))
+
+  test("failed batch lands in the DLQ with retry count 0 and the stream commits") {
+    val root = tmp()
+    val cfg = CdcPipeline.Config(
+      sourceDir = s"$root/src", targetDir = s"$root/target",
+      checkpointDir = s"$root/ckpt", dlqDir = s"$root/dlq")
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(cfg.sourceDir)
+    breakTarget(cfg.targetDir)
+
+    CdcPipeline.start(spark, cfg).awaitTermination()
+
+    val dlq = spark.read.json(s"${cfg.dlqDir}/batch_0")
+    assert(dlq.count() > 0)
+    assert(dlq.agg(max("dlq_retry_count")).head().getLong(0) == 0L)
+    assert(dlq.select("dlq_error").head().getString(0) != null)
+
+    // the failed batch was COMMITTED: a restart with no new input is a no-op
+    fixTarget(cfg.targetDir)
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    assert(!Files.exists(Paths.get(cfg.targetDir))) // nothing re-applied by the stream
+  }
+
+  test("DLQ retry applies parked batches, clears them, and bounds attempts") {
+    val root = tmp()
+    val cfg = CdcPipeline.Config(
+      sourceDir = s"$root/src", targetDir = s"$root/target",
+      checkpointDir = s"$root/ckpt", dlqDir = s"$root/dlq", maxDlqAttempts = 3)
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(cfg.sourceDir)
+    breakTarget(cfg.targetDir)
+    CdcPipeline.start(spark, cfg).awaitTermination()
+
+    // target still broken: each pass fails and bumps the retry count …
+    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(failed = 1))
+    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(failed = 1))
+    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(failed = 1))
+    // … until the batch is parked for good (reference maxRetryAttempts)
+    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(parked = 1))
+    assert(spark.read.json(s"${cfg.dlqDir}/batch_0")
+      .agg(max("dlq_retry_count")).head().getLong(0) == 3L)
+
+    // fresh DLQ cycle with a healthy target: retry applies and CLEARS the queue
+    val cfg2 = cfg.copy(checkpointDir = s"$root/ckpt2", dlqDir = s"$root/dlq2")
+    CdcPipeline.start(spark, cfg2).awaitTermination() // target still broken → DLQ'd
+    fixTarget(cfg.targetDir)
+    assert(CdcPipeline.retryDlq(spark, cfg2) == CdcPipeline.DlqStats(succeeded = 1))
+    assert(!Files.exists(Paths.get(s"${cfg2.dlqDir}/batch_0"))) // consumed
+    val got = normalize(spark.read.parquet(cfg.targetDir))
+    val want = normalize(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+    assert(got == want)
+    // second pass: nothing left to do
+    assert(CdcPipeline.retryDlq(spark, cfg2) == CdcPipeline.DlqStats())
+  }
+
+  test("guardian retries recoverable failures with capped exponential backoff") {
+    var calls = 0
+    var slept = Vector.empty[Long]
+    val b = Guardian.Backoff(maxRetries = 10, baseDelayMs = 5000, factor = 1.5, maxDelayMs = 12000)
+    val sup = Guardian.run(b, slept :+= _) { () =>
+      calls += 1
+      if (calls <= 4) throw new RuntimeException("connection reset by peer")
+    }
+    assert(calls == 5 && sup.attempts == 5)
+    assert(slept == Vector(5000L, 7500L, 11250L, 12000L)) // ×1.5, capped
+  }
+
+  test("guardian gives up after maxRetries and rethrows") {
+    var calls = 0
+    val b = Guardian.Backoff(maxRetries = 2, baseDelayMs = 1, maxDelayMs = 10)
+    val e = intercept[RuntimeException] {
+      Guardian.run(b, _ => ()) { () => calls += 1; throw new RuntimeException("i/o timeout") }
+    }
+    assert(e.getMessage.contains("timeout"))
+    assert(calls == 3) // initial + 2 retries
+  }
+
+  test("guardian does not retry fatal errors") {
+    var calls = 0
+    intercept[IllegalStateException] {
+      Guardian.run(Guardian.Backoff(), _ => fail("should not sleep")) { () =>
+        calls += 1; throw new IllegalStateException("schema mismatch: key column missing")
+      }
+    }
+    assert(calls == 1)
+  }
+
+  test("guardian classifies nested causes") {
+    val nested = new RuntimeException("stream failed",
+      new java.io.IOException("broken pipe"))
+    assert(Guardian.isRecoverable(nested))
+    assert(!Guardian.isRecoverable(new RuntimeException("bad config")))
+  }
+
+  test("supervised stream resumes from the checkpoint across restarts") {
+    val root = tmp()
+    val cfg = CdcPipeline.Config(
+      sourceDir = s"$root/src", targetDir = s"$root/target",
+      checkpointDir = s"$root/ckpt", dlqDir = s"$root/dlq")
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(cfg.sourceDir)
+
+    // first attempt fails before the query even starts (transient), the
+    // guardian restarts and the second attempt drains to completion
+    var attempt = 0
+    val sup = Guardian.superviseStream(Guardian.Backoff(baseDelayMs = 1), _ => ()) { () =>
+      attempt += 1
+      if (attempt == 1) throw new RuntimeException("connection refused")
+      CdcPipeline.start(spark, cfg)
+    }
+    assert(sup.attempts == 2)
+    val got = normalize(spark.read.parquet(cfg.targetDir))
+    val want = normalize(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+    assert(got == want)
+  }
+}

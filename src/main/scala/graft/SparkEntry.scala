@@ -121,6 +121,7 @@ object SparkEntry {
     "q37_kv_snapshot" -> (KvStore.snapshot _),
     "q38_kv_state" -> (KvStore.finalState _),
     "q39_kv_stream_msgs" -> (KvStore.streamMessages _),
+    "q40_keyless_state" -> (Keyless.finalStateCounts _),
   )
 
   /** Shared CTE for the KV oracles: the deterministic keyspace-op log
@@ -427,5 +428,21 @@ object SparkEntry {
         |  CAST(user_id AS VARCHAR) AS f_user,
         |  json_extract_string(props, '$.k') AS f_amount
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // q40 replays a keyless (REPLICA IDENTITY FULL) log: a delete wipes
+    // every duplicate of the row value; survivors are the inserts after
+    // each value's last delete (position = event_id, the LSN analogue).
+    "q40_keyless_state" ->
+      """WITH log AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+        |    user_id % 20 AS row_a,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS row_b,
+        |    event_id AS off
+        |  FROM events),
+        | del AS (SELECT row_a, row_b, max(off) AS last_del
+        |         FROM log WHERE op = 'delete' GROUP BY 1, 2)
+        |SELECT l.row_a, l.row_b, count(*) AS cnt
+        |FROM log l LEFT JOIN del d ON l.row_a = d.row_a AND l.row_b = d.row_b
+        |WHERE l.op = 'insert' AND (d.last_del IS NULL OR l.off > d.last_del)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

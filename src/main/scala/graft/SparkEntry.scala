@@ -122,6 +122,8 @@ object SparkEntry {
     "q38_kv_state" -> (KvStore.finalState _),
     "q39_kv_stream_msgs" -> (KvStore.streamMessages _),
     "q40_keyless_state" -> (Keyless.finalStateCounts _),
+    "q41_json_doc_mask" -> (Pii.jsonDocMask _),
+    "q42_map_mask" -> (Pii.mapMask _),
   )
 
   /** Shared CTE for the KV oracles: the deterministic keyspace-op log
@@ -444,5 +446,14 @@ object SparkEntry {
         |FROM log l LEFT JOIN del d ON l.row_a = d.row_a AND l.row_b = d.row_b
         |WHERE l.op = 'insert' AND (d.last_del IS NULL OR l.off > d.last_del)
         |GROUP BY 1, 2""".stripMargin,
+    "q41_json_doc_mask" ->
+      """SELECT doc_id,
+        |  repeat('*', length(source)) AS source_masked,
+        |  lang AS lang_rt
+        |FROM documents""".stripMargin,
+    "q42_map_mask" ->
+      """SELECT event_id,
+        |  repeat('*', length(json_extract_string(props, '$.k'))) AS k_masked
+        |FROM events""".stripMargin,
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{DoubleType, MapType, StringType}
 
 import graft.Tables
 import graft.functions.Security
@@ -46,5 +46,37 @@ object Pii {
       col("doc.name").as("name_masked"),
       col("doc.profile.seg").as("seg_masked"),
       col("doc.profile.bal").as("bal"))
+  }
+
+  /** q41 — F3 over schemaless documents: build a JSON doc per row (the
+    * stand-in for a dynamic `bson.M`), mask the nested `meta.source`
+    * path inside the JSON text via [[Security.maskJsonDoc]], and read
+    * the leaves back out to prove the rewrite touched exactly the
+    * target path (security.go:133-287). */
+  def jsonDocMask(spark: SparkSession, dir: String): DataFrame = {
+    val doc = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      to_json(struct(
+        col("doc_id").as("id"),
+        struct(col("source").as("source"), col("lang").as("lang")).as("meta"))).as("doc"))
+    doc.select(
+      col("doc_id"),
+      Security.maskJsonDoc(col("doc"), Seq(FieldSecurity("meta.source", "mask"))).as("masked"))
+      .select(
+        col("doc_id"),
+        get_json_object(col("masked"), "$.meta.source").as("source_masked"),
+        get_json_object(col("masked"), "$.meta.lang").as("lang_rt"))
+  }
+
+  /** q42 — F3 over MapType: parse the events `props` JSON into a
+    * runtime map and mask key `k` through the `transform_values` path
+    * (the typed face of dynamic-doc masking; key selection happens
+    * per row, not in the schema). */
+  def mapMask(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables(spark, dir, "events").select(
+      col("event_id"),
+      from_json(col("props"), MapType(StringType, StringType)).as("m"))
+    Security.applyFieldSecurity(m, Seq(FieldSecurity("m.k", "mask")))
+      .select(col("event_id"), element_at(col("m"), "k").as("k_masked"))
   }
 }

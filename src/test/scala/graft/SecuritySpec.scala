@@ -63,4 +63,44 @@ class SecuritySpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[String]("name_masked").forall(_ == '*')))
     assert(rows.forall(r => r.getAs[String]("acctbal_masked") == "****"))
   }
+
+  test("map-typed documents mask the targeted key per row, others untouched") {
+    val df = spark.sql(
+      "SELECT map('email', 'a@b.c', 'city', 'Tokyo') AS m UNION ALL SELECT map('city', 'Kyoto')")
+    val out = Security.applyFieldSecurity(df, Seq(FieldSecurity("m.email", "mask")))
+      .select(expr("m['email']").as("e"), expr("m['city']").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("*****", "Tokyo"), (null, "Kyoto"))) // absent key: no-op
+  }
+
+  test("json-doc mask rewrites only the dot-path leaf, by length for strings") {
+    val df = Seq(
+      """{"name":"alice","meta":{"source":"webcrawl","n":7}}""",
+      """{"meta":{"n":1}}""",           // path absent: untouched
+      """not json at all""").toDF("doc") // malformed: passes through
+    val out = df.select(Security.maskJsonDoc(col("doc"), Seq(
+      FieldSecurity("meta.source", "mask"), FieldSecurity("meta.n", "mask"))).as("m"))
+      .collect().map(_.getString(0))
+    assert(out(0).contains("\"source\":\"********\"")) // len("webcrawl") = 8
+    assert(out(0).contains("\"n\":\"****\""))          // non-string leaf
+    assert(out(0).contains("\"name\":\"alice\""))      // untouched sibling
+    assert(out(1) == """{"meta":{"n":"****"}}""")
+    assert(out(2) == "not json at all")
+  }
+
+  test("json-doc mask applies through arrays on the path") {
+    val df = Seq("""{"contacts":[{"email":"a@b.c","n":1},{"email":"xy@z","n":2}]}""").toDF("doc")
+    val out = df.select(Security.maskJsonDoc(col("doc"),
+      Seq(FieldSecurity("contacts.email", "mask"))).as("m")).head().getString(0)
+    assert(out == """{"contacts":[{"email":"*****","n":1},{"email":"****","n":2}]}""")
+  }
+
+  test("json-doc encrypt is decryptable by the column-level decrypt") {
+    val df = Seq("""{"secret":"top secret value","keep":"x"}""").toDF("doc")
+    val out = df.select(
+      get_json_object(Security.maskJsonDoc(col("doc"),
+        Seq(FieldSecurity("secret", "encrypt"))), "$.secret").as("enc"))
+      .select(Security.decrypt(col("enc")).as("dec")).head().getString(0)
+    assert(out == "top secret value")
+  }
 }

@@ -75,11 +75,13 @@ object Dedup {
 
   /** Band buckets for a signature: NumBands rows of BandRows min-hashes
     * each, joined into one string bucket key. Cardinality of (band,
-    * bucket) grows with the corpus — the scale-safe join key. */
-  private def explodeBands(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+    * bucket) grows with the corpus — the scale-safe join key. `carry`
+    * columns ride along through the explode (cheaper than re-joining
+    * them onto 16× the rows afterwards). */
+  private def explodeBands(df: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    df.select(col("doc_id") +: carry.map(col) :+
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-        b => concat_ws("-", slice(col("mh"), b * BandRows + 1, lit(BandRows))))))
+        b => concat_ws("-", slice(col("mh"), b * BandRows + 1, lit(BandRows))))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
   /** Near-dup pairs: MinHash over 3-token shingles → LSH banding →
@@ -93,9 +95,9 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
       k: Int = 3): DataFrame = {
     val hashed = Tables(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), k)).as("shingles"))
-      .withColumn("hs", elementHashes(col("shingles")))
-      .persist() // hs computed once; signature/banding are passes over the cache
+      .select(col("doc_id"),
+        elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs"))
+      .persist() // hs computed once; signature/banding/verify all read the cache
     try {
       val docs = hashed.select(col("doc_id"), minhashFromHashes(col("hs")).as("mh"))
       val bands = explodeBands(docs)
@@ -104,10 +106,15 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
-      val sh = hashed.select(col("doc_id"), col("shingles"))
+      // Exact verify over the 60-bit ELEMENT HASHES, not the shingle
+      // strings: set identity is preserved (injective modulo a ~2⁻⁶⁰
+      // collision), and the pair join ships 8-byte longs instead of
+      // ~30-byte strings — at 600k+ candidate pairs the array shuffle
+      // is the dominant cost of the whole query.
+      val sh = hashed.select(col("doc_id"), col("hs"))
       cand
-        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "set_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "set_b"), "doc_b")
+        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "set_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "set_b"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
             size(array_union(col("set_a"), col("set_b"))).cast("double"), 4).as("jaccard"))
@@ -178,22 +185,22 @@ object Dedup {
     * oracle stays the pure exact semantics. */
   def tokenJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val hashed = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), array_distinct(Text.tokens(col("text"))).as("tokset"))
-      .withColumn("hs", elementHashes(col("tokset")))
+      .select(col("doc_id"), col("source"),
+        elementHashes(array_distinct(Text.tokens(col("text")))).as("hs"))
       .persist()
     try {
       val docs = hashed.select(col("doc_id"), col("source"), minhashFromHashes(col("hs")).as("mh"))
-      val bands = explodeBands(docs)
-        .join(hashed.select(col("doc_id"), col("source")), "doc_id")
+      val bands = explodeBands(docs, carry = Seq("source"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
-      val sh = hashed.select(col("doc_id"), col("tokset"))
+      // verify over element hashes, not token strings — see minhashPairs
+      val sh = hashed.select(col("doc_id"), col("hs"))
       cand
-        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "set_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tokset", "set_b"), "doc_b")
+        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "set_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "set_b"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
             size(array_union(col("set_a"), col("set_b"))).cast("double"), 4).as("jaccard"))

@@ -50,8 +50,11 @@ object Upsert {
     * only when the target is empty — the reference's skip-if-nonempty
     * idempotence check (mongodb.go:459-465). Returns true if loaded. */
   def snapshot(spark: SparkSession, state: DataFrame, keyCol: String, targetDir: String): Boolean = {
-    val exists = try { spark.read.parquet(targetDir).limit(1).count() > 0 }
-    catch { case _: Exception => false }
+    // FS-existence probe, not catch-all: an existing-but-unreadable
+    // target must surface, not be silently overwritten by the snapshot.
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(path) && spark.read.parquet(targetDir).limit(1).count() > 0
     if (!exists) {
       state.withColumn("bucket", bucketOf(keyCol))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)
@@ -68,13 +71,17 @@ object Upsert {
       val touched = batched.select("bucket").distinct()
         .collect().map(_.getInt(0)) // bounded by NumBuckets, never by data size
       if (touched.isEmpty) return
-      val target = try {
-        spark.read.parquet(targetDir).filter(col("bucket").isin(touched.toSeq: _*))
-          .drop("bucket")
-      } catch {
-        case _: Exception => // first batch, no snapshot yet: empty target
+      // Existence probe via the Hadoop FS API: ONLY a genuinely absent
+      // target (first batch, no snapshot yet) maps to an empty state —
+      // a corrupt or transiently unreadable table must FAIL the batch
+      // (→ DLQ), never silently drop the existing buckets.
+      val path = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val target =
+        if (!fs.exists(path))
           batched.select(col(keyCol), col("after.*"), col("ts").as("updated_at")).limit(0)
-      }
+        else spark.read.parquet(targetDir).filter(col("bucket").isin(touched.toSeq: _*))
+          .drop("bucket")
       val merged = applyBatch(target, batched.drop("bucket"), keyCol, ignoreDeleteOps)
         .withColumn("bucket", bucketOf(keyCol))
       // dynamic partition overwrite: only the touched bucket dirs change

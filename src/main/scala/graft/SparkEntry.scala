@@ -124,6 +124,8 @@ object SparkEntry {
     "q40_keyless_state" -> (Keyless.finalStateCounts _),
     "q41_json_doc_mask" -> (Pii.jsonDocMask _),
     "q42_map_mask" -> (Pii.mapMask _),
+    "q43_log_search" -> ((s, d) =>
+      Relational.recentLogs(s, d, level = Some("Error"), search = Some("1}"))),
   )
 
   /** Shared CTE for the KV oracles: the deterministic keyspace-op log
@@ -455,5 +457,11 @@ object SparkEntry {
       """SELECT event_id,
         |  repeat('*', length(json_extract_string(props, '$.k'))) AS k_masked
         |FROM events""".stripMargin,
+    "q43_log_search" ->
+      """SELECT event_id, ts, user_id, props
+        |FROM events
+        |WHERE lower(event_type) = 'error' AND contains(lower(props), '1}')
+        |ORDER BY ts DESC, event_id DESC
+        |LIMIT 500""".stripMargin,
   )
 }

@@ -121,6 +121,23 @@ object Relational {
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(500)
 
+  /** P10 complete — level + case-insensitive substring search + top-k
+    * (monitor_handler.go:245-321): level matches case-insensitively,
+    * search is a lowercased substring test over the message body
+    * (`props` plays the log message). Compiles to one
+    * TakeOrderedAndProject over the filtered scan — no global sort. */
+  def recentLogs(spark: SparkSession, dir: String, level: Option[String] = None,
+      search: Option[String] = None, k: Int = 500): DataFrame = {
+    val base = Tables(spark, dir, "events")
+    val byLevel = level.map(v =>
+      base.filter(lower(col("event_type")) === v.toLowerCase)).getOrElse(base)
+    val bySearch = search.map(v =>
+      byLevel.filter(lower(col("props")).contains(v.toLowerCase))).getOrElse(byLevel)
+    bySearch.select("event_id", "ts", "user_id", "props")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(k)
+  }
+
   /** Merged multi-table export (SET1/W7): date-suffixed table slices
     * unioned into one artifact with projection + filter pushed to each
     * scan (external_simple.go:252-388). Year slices stand in for the

@@ -34,17 +34,30 @@ object CdcPipeline {
       ignoreDeleteOps: Boolean = false,      // mongodb.go:1168-1177
       fieldSecurity: Seq[FieldSecurity] = Nil,
       maxFilesPerTrigger: Int = 1000,        // apply-batch cap, mongodb.go:258
-      maxDlqAttempts: Int = 3)               // mongodb.go:261 maxRetryAttempts
+      maxDlqAttempts: Int = 3,               // mongodb.go:261 maxRetryAttempts
+      nsFilter: Option[(String, String)] = None, // P2: (db, table) $match, mongodb.go:550-556
+      includeTableRegex: Seq[String] = Nil,  // P3: binlog include regexes, mysql.go:52-58
+      maxBytesPerTrigger: Option[Long] = None) // ST3: byte-based batch cap, mongodb.go:256
 
   /** Start the stream. With `availableNow=true` it drains all pending
     * input then stops (test/batch-catchup mode); otherwise it runs on a
     * 2 s cadence like the reference's flush timer (mongodb.go:698-699). */
   def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(ChangeEvents.schema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .json(cfg.sourceDir)
-    val secured = Security.applyFieldSecurity(raw, cfg.fieldSecurity)
+    // ST3: the reference's smart batch controller caps a batch by bytes
+    // (256 MB default) or by count; Spark's file source exposes the
+    // same two knobs but only one may be active — the byte cap wins
+    // when configured (it is the one that tracks memory, not file
+    // count, which is what the controller is actually protecting).
+    val reader = spark.readStream.schema(ChangeEvents.schema)
+    cfg.maxBytesPerTrigger match {
+      case Some(b) => reader.option("maxBytesPerTrigger", b)
+      case None    => reader.option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+    }
+    val raw = reader.json(cfg.sourceDir)
+    val matched = cfg.nsFilter.map { case (db, t) =>
+      ChangeEvents.matchStage(raw, db, t) }.getOrElse(raw)
+    val included = ChangeEvents.includeTables(matched, cfg.includeTableRegex)
+    val secured = Security.applyFieldSecurity(included, cfg.fieldSecurity)
 
     val q = secured.writeStream
       .queryName(s"cdc->${cfg.targetDir}")

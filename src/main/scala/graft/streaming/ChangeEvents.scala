@@ -31,6 +31,24 @@ object ChangeEvents {
     StructField("ts", TimestampType, nullable = false),
     StructField("offset", LongType, nullable = false)))
 
+  /** P2 — the watch $match stage (mongodb.go:550-556): namespace
+    * equality plus the operation whitelist. In Mongo this filter runs
+    * server-side inside the change stream; here it sits directly on
+    * the stream scan, so Catalyst pushes it into the source read. */
+  def matchStage(df: DataFrame, db: String, table: String): DataFrame =
+    df.filter(col("sourceDb") === db && col("sourceTable") === table &&
+      col("op").isin("insert", "update", "replace", "delete"))
+
+  /** P3 — binlog include-table regexes (mysql.go:52-58): keep events
+    * whose `db.table` matches ANY configured pattern (canal's
+    * IncludeTableRegex semantics). Empty pattern list = include all. */
+  def includeTables(df: DataFrame, patterns: Seq[String]): DataFrame =
+    if (patterns.isEmpty) df
+    else {
+      val ns = concat(col("sourceDb"), lit("."), col("sourceTable"))
+      df.filter(patterns.map(ns.rlike).reduce(_ || _))
+    }
+
   /** Deterministic change stream derived from the `events` table:
     * signup→insert, error→delete, purchase/view/click→update. The
     * event's `props.k` and `value` become the row payload; `event_id`

@@ -79,6 +79,49 @@ class CdcSpec extends SparkSpec {
     assert(normalize(got.withColumnRenamed("key", "user_id")) == normalize(want))
   }
 
+  test("match stage filters by namespace and operation whitelist") {
+    import spark.implicits._
+    val df = Seq(
+      ("insert", 1L, "graft", "events"),
+      ("update", 2L, "graft", "other"),   // wrong table
+      ("delete", 3L, "shadow", "events"), // wrong db
+      ("invalidate", 4L, "graft", "events")) // op outside whitelist
+      .toDF("op", "key", "sourceDb", "sourceTable")
+    val kept = ChangeEvents.matchStage(df, "graft", "events")
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("include-table regexes keep any-match, empty list keeps all") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "app", "orders_2024"), (2L, "app", "users"), (3L, "tmp", "orders_2024"))
+      .toDF("key", "sourceDb", "sourceTable")
+    val kept = ChangeEvents.includeTables(df, Seq("app\\.orders_.*", "app\\.users"))
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    assert(ChangeEvents.includeTables(df, Nil).count() == 3)
+  }
+
+  test("pipeline drops events outside the configured namespace") {
+    val src = tmp(); val cfg = CdcPipeline.Config(
+      sourceDir = src, targetDir = tmp() + "/target",
+      checkpointDir = tmp() + "/ckpt", dlqDir = tmp() + "/dlq",
+      nsFilter = Some(("graft", "events")),
+      maxBytesPerTrigger = Some(64L * 1024 * 1024))
+    val changes = ChangeEvents.fromEvents(spark, sf)
+    changes.coalesce(1).write.mode("append").json(src)
+    // a second table's events, shifted keys: must NOT reach the target
+    changes.withColumn("sourceTable", lit("other"))
+      .withColumn("key", col("key") + 1000000L)
+      .coalesce(1).write.mode("append").json(src)
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    val got = spark.read.parquet(cfg.targetDir)
+    assert(got.filter(col("key") >= 1000000L).count() == 0)
+    val want = Cdc.finalState(spark, sf)
+    assert(normalize(got.withColumnRenamed("key", "user_id")) == normalize(want))
+  }
+
   test("snapshot is skipped when target is non-empty (idempotence check)") {
     import spark.implicits._
     val dir = tmp() + "/snap"

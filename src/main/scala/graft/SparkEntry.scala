@@ -126,6 +126,8 @@ object SparkEntry {
     "q42_map_mask" -> (Pii.mapMask _),
     "q43_log_search" -> ((s, d) =>
       Relational.recentLogs(s, d, level = Some("Error"), search = Some("1}"))),
+    "q44_yesterday_diff" -> (Relational.yesterdayDiff _),
+    "q45_meta_scan" -> ((s, d) => Relational.metaScan(s, d, graft.Tables.all)),
   )
 
   /** Shared CTE for the KV oracles: the deterministic keyspace-op log
@@ -463,5 +465,19 @@ object SparkEntry {
         |WHERE lower(event_type) = 'error' AND contains(lower(props), '1}')
         |ORDER BY ts DESC, event_id DESC
         |LIMIT 500""".stripMargin,
+    // yesterday in JST anchored at 2024-01-16T00:00Z → [01-14 15:00Z,
+    // 01-15 15:00Z], inclusive end (count semantics)
+    "q44_yesterday_diff" ->
+      """SELECT count(*) AS src_count,
+        |  count(CASE WHEN event_type <> 'error' THEN 1 END) AS tgt_count,
+        |  count(*) - count(CASE WHEN event_type <> 'error' THEN 1 END) AS diff
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-14 15:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 15:00:00'""".stripMargin,
+    "q45_meta_scan" -> graft.Tables.all.map { t =>
+      s"""SELECT '$t' AS table_name, count(*) AS n_rows,
+         |  CAST((SELECT count(*) FROM (DESCRIBE $t)) AS INTEGER) AS n_cols
+         |FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n"),
   )
 }

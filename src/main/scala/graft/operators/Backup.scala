@@ -91,6 +91,15 @@ object Backup {
     (if (compress) w.option("compression", "gzip") else w).csv(path)
   }
 
+  /** F9 read side — load a [[writeCsv]] artifact back with the same
+    * conventions (header, \N nulls, quotes); pass the original schema
+    * to round-trip types exactly (CSV carries no type info). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true").option("nullValue", "\\N")
+      .schema(schema).csv(path)
+
   /** Year-sliced view of a TESTDATA table, standing in for the
     * reference's date-suffixed physical tables. */
   def yearSlices(spark: SparkSession, dir: String, table: String, tsCol: String,

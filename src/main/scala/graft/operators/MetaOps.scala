@@ -136,6 +136,59 @@ object MetaOps {
       case _     => Some(now.minus(10, ChronoUnit.HOURS))
     }
 
+  // ---- F14: DSN build/parse (pkg/config connection strings) ----------
+
+  final case class Dsn(scheme: String, user: Option[String], password: Option[String],
+      host: String, port: Option[Int], database: Option[String],
+      params: Map[String, String] = Map.empty)
+
+  // Parse scheme://[user[:pass]@]host[:port][/db][?k=v&...] — the
+  // connection-string shape every reference engine config carries.
+  // Returns None when the string has no scheme separator.
+  def parseDsn(s: String): Option[Dsn] =
+    s.split("://", 2) match {
+      case Array(scheme, rest) if scheme.nonEmpty =>
+        val (credPart, hostPart) = rest.lastIndexOf('@') match {
+          case -1 => (None, rest)
+          case i  => (Some(rest.substring(0, i)), rest.substring(i + 1))
+        }
+        val (user, pass) = credPart match {
+          case None => (None, None)
+          case Some(c) => c.split(":", 2) match {
+            case Array(u)    => (Some(u), None)
+            case Array(u, p) => (Some(u), Some(p))
+          }
+        }
+        val (hp, dbq) = hostPart.indexOf('/') match {
+          case -1 => (hostPart, "")
+          case i  => (hostPart.substring(0, i), hostPart.substring(i + 1))
+        }
+        val (host, port) = hp.lastIndexOf(':') match {
+          case -1 => (hp, None)
+          case i  => (hp.substring(0, i), hp.substring(i + 1).toIntOption)
+        }
+        val (db, query) = dbq.indexOf('?') match {
+          case -1 => (if (dbq.isEmpty) None else Some(dbq), "")
+          case i  => (if (i == 0) None else Some(dbq.substring(0, i)), dbq.substring(i + 1))
+        }
+        val params = query.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        Some(Dsn(scheme, user, pass, host, port, db, params))
+      case _ => None
+    }
+
+  /** Rebuild the connection string; parse ∘ build is identity for
+    * well-formed DSNs. */
+  def buildDsn(d: Dsn): String = {
+    val cred = d.user.map(u => u + d.password.map(":" + _).getOrElse("") + "@").getOrElse("")
+    val port = d.port.map(":" + _).getOrElse("")
+    val db = d.database.map("/" + _).getOrElse("")
+    val q = if (d.params.isEmpty) ""
+      else "?" + d.params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
+    s"${d.scheme}://$cred${d.host}$port$db$q"
+  }
+
   // ---- F15: size formatting (executor.go/external_simple.go logs) ----
 
   /** Human-readable byte size with two decimals, 1024 base — the

@@ -138,6 +138,34 @@ object Relational {
       .limit(k)
   }
 
+  /** A7 — yesterday volume summary: the source↔target comparison (J4)
+    * restricted to the JST "yesterday" window (query_counter.go:117-127
+    * + sync_handler.go daily rows). The anchor is pinned so the window
+    * folds to literals that reach both scans; count semantics use the
+    * reference's inclusive end. */
+  def yesterdayDiff(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+    val w = graft.functions.TimeWindows.dateRangeWindow("yesterday", anchor)
+    val in = Tables(spark, dir, "events")
+      .filter(graft.functions.TimeWindows.countPredicate(col("ts"), w))
+    in.agg(
+      count(lit(1)).as("src_count"),
+      count(when(col("event_type") =!= "error", 1)).as("tgt_count"),
+      (count(lit(1)) - count(when(col("event_type") =!= "error", 1))).as("diff"))
+  }
+
+  /** S13 — metadata scan: the schema/row-count inventory the reference
+    * serves from its metadata endpoints (schema_handler.go, db_utils.go
+    * row counts). The table list is config-bounded, so the driver loop
+    * is metadata-sized; each count is a distributed scan. */
+  def metaScan(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame =
+    tables.map { t =>
+      val df = Tables(spark, dir, t)
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          lit(df.schema.fields.length).as("n_cols"))
+    }.reduce(_ unionByName _)
+
   /** Merged multi-table export (SET1/W7): date-suffixed table slices
     * unioned into one artifact with projection + filter pushed to each
     * scan (external_simple.go:252-388). Year slices stand in for the

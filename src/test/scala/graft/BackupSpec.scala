@@ -63,5 +63,25 @@ class BackupSpec extends SparkSpec {
     // gzip artifacts actually produced (the zip/GCS analog)
     val files = new java.io.File(cdir).listFiles().map(_.getName)
     assert(files.exists(_.endsWith(".csv.gz")))
+    // F9 read side: schema-true round trip through the library reader
+    val typed = Backup.readCsv(spark, cdir, df.schema)
+    // CSV reads are nullable-by-construction; types/names must match
+    assert(typed.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(typed.exceptAll(df).count() == 0 && df.exceptAll(typed).count() == 0)
+  }
+
+  test("A8: exported file record count matches the source count") {
+    import spark.implicits._
+    val df = (1 to 257).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    val dir = Files.createTempDirectory("graft_cnt").toString + "/out"
+    Backup.writeJsonl(df, dir, compress = false)
+    // the reference counts lines in the merged artifact
+    // (executor.go:514-531); JSONL = one record per line
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .map(f => java.nio.file.Files.readAllLines(f.toPath).size()).sum
+    assert(lines == 257)
+    assert(spark.read.json(dir).count() == 257)
   }
 }

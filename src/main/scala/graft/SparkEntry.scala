@@ -128,6 +128,7 @@ object SparkEntry {
       Relational.recentLogs(s, d, level = Some("Error"), search = Some("1}"))),
     "q44_yesterday_diff" -> (Relational.yesterdayDiff _),
     "q45_meta_scan" -> ((s, d) => Relational.metaScan(s, d, graft.Tables.all)),
+    "q46_ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   /** Shared CTE for the KV oracles: the deterministic keyspace-op log
@@ -479,5 +480,34 @@ object SparkEntry {
          |  CAST((SELECT count(*) FROM (DESCRIBE $t)) AS INTEGER) AS n_cols
          |FROM $t""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // IVF replay: fixed centroids (vec_id < 16), nearest-cell
+    // assignment, 4-cell probes, exact top-5 on cell members
+    "q46_ivf_ann" ->
+      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+        |               FROM embeddings WHERE vec_id < 16),
+        | sims AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6) AS cent_sim
+        |  FROM embeddings e CROSS JOIN cents c),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY cent_sim DESC, centroid_id ASC) AS cell_rank
+        |  FROM sims),
+        | assigned AS (SELECT vec_id AS cand_id, embedding AS cv, centroid_id
+        |              FROM ranked WHERE cell_rank = 1),
+        | probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        |            FROM ranked WHERE vec_id < 10 AND cell_rank <= 4),
+        | scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 6) AS sim
+        |  FROM probes JOIN assigned USING (centroid_id)
+        |  WHERE query_id <> cand_id),
+        | r AS (SELECT query_id, cand_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, cand_id ASC) AS rank
+        |       FROM scored)
+        |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
   )
 }

@@ -83,6 +83,48 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** IVF ANN (the coarse-quantizer scale path): every vector is
+    * assigned to its nearest of `numCentroids` coarse centroids; a
+    * query probes its `nprobe` nearest cells and scores only their
+    * members. Centroids are a deterministic fixed subset of the
+    * corpus (vec_id < numCentroids) rather than k-means iterates, so
+    * the whole index build is one broadcast-join pass and the DuckDB
+    * oracle can replay assignment, probing, and scoring bit-for-bit —
+    * a trained quantizer would drop in by swapping the centroid set.
+    *
+    * Scale shape: centroids broadcast (tiny), assignment is one
+    * map-side argmax over the corpus scan, and the probe join's key
+    * (centroid_id) has cardinality that grows with the configured
+    * index size — candidates per query ≈ nprobe/numCentroids of the
+    * corpus instead of all of it. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    def nearestCells(df: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_sim").desc, col("centroid_id").asc)
+      df.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          round(Vectors.dot(col("embedding"), col("cent")), 6).as("cent_sim"))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= n)
+    }
+    val assigned = nearestCells(emb, 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("centroid_id"))
+    val probes = nearestCells(emb.filter(col("vec_id") < 10), nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("centroid_id"))
+    val scored = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** LSH-bucketed ANN (scale path): 16-bit hyperplane signature, then
     * multi-probe via 4-bit bands — only same-band candidates are
     * scored, then per-query top-k. Approximate by design; the DuckDB

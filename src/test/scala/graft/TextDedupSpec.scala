@@ -89,4 +89,21 @@ class TextDedupSpec extends SparkSpec {
     info(s"LSH recall vs brute force: $recall")
     assert(recall > 0.2) // 16-bit sig, 4-bit bands: approximate by design
   }
+
+  test("ivf ann probes nprobe cells and beats single-cell recall") {
+    val brute = Similarity.bruteForceTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(nprobe: Int): Double = {
+      val ivf = Similarity.ivfTopK(spark, sf, nprobe = nprobe)
+        .select("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect ivf).size.toDouble / brute.size
+    }
+    val r1 = recallOf(1); val r4 = recallOf(4)
+    info(s"IVF recall nprobe=1: $r1, nprobe=4: $r4")
+    assert(r4 >= r1)   // more probes never hurt recall
+    assert(r4 > 0.3)   // 16 cells, 4 probed: approximate by design
+    // each query emits exactly k rows (cells are never empty here)
+    assert(Similarity.ivfTopK(spark, sf).count() == 50)
+  }
 }

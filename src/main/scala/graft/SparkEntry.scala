@@ -129,6 +129,7 @@ object SparkEntry {
     "q44_yesterday_diff" -> (Relational.yesterdayDiff _),
     "q45_meta_scan" -> ((s, d) => Relational.metaScan(s, d, graft.Tables.all)),
     "q46_ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q47_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
 
   /** Shared CTE for the KV oracles: the deterministic keyspace-op log
@@ -509,5 +510,17 @@ object SparkEntry {
         |                            ORDER BY sim DESC, cand_id ASC) AS rank
         |       FROM scored)
         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // ASCII payloads: char offsets == byte offsets, so the string
+    // substring replays the frame slicing exactly
+    "q47_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(ceil(length(text) / 256.0) AS INTEGER) AS nf
+        |  FROM documents),
+        | e AS (SELECT media_id, text, unnest(range(0, nf)) AS frame_idx FROM f)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_md5
+        |FROM e
+        |WHERE frame_idx % 4 = 0""".stripMargin,
   )
 }

@@ -67,4 +67,26 @@ object Multimodal {
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, mediaTable(spark, dir)).toDF()
       .select("media_id", "n_bytes", "checksum", "n_frames")
+
+  /** q47 — frame sampling as a pure Column pipeline (no UDF): the
+    * payload splits into fixed-size frames, every `stride`-th frame
+    * becomes its own row with a content digest — the video-keyframe /
+    * audio-window sampling shape, on the same opaque payloads the
+    * decoder stub consumes. The explode produces rows proportional to
+    * payload size ÷ frameSize, each row carrying one frame, never the
+    * whole payload — the memory shape that matters when a "frame" is
+    * megabytes at production scale. */
+  def sampleFrames(spark: SparkSession, dir: String, frameSize: Int = 256,
+      stride: Int = 4): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents").select(
+      col("doc_id").as("media_id"), col("text"),
+      ceil(length(col("text")) / frameSize.toDouble).cast("int").as("nf"))
+    docs
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(0), col("nf") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("text").substr(col("frame_idx") * frameSize + 1, lit(frameSize)))
+          .as("frame_md5"))
+  }
 }

@@ -29,4 +29,39 @@ object Tables {
       else d
     }
   }
+
+  /** Time-window scan with REAL parquet pushdown for a nanos-Long
+    * timestamp column: a range predicate on the CONVERTED timestamp
+    * cannot cross the conversion expression (only IsNotNull reaches
+    * the scan), so this filters the raw epoch-nanos Long first — the
+    * bounds reach the parquet reader and prune row groups — and
+    * converts after. Bounds are UTC LocalDateTimes; end inclusive per
+    * count semantics or exclusive per export semantics (SURVEY §7.5).
+    * Falls back to a post-conversion filter for real timestamp
+    * columns, where pushdown works natively. */
+  def tsWindowScan(spark: SparkSession, sfDir: String, name: String, tsCol: String,
+      window: (java.time.LocalDateTime, java.time.LocalDateTime),
+      inclusiveEnd: Boolean): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    def nanos(t: java.time.LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L + t.getNano
+    raw.schema.fields.find(_.name == tsCol).map(_.dataType) match {
+      case Some(LongType) =>
+        val lo = nanos(window._1); val hi = nanos(window._2)
+        val bounded = raw.filter(
+          col(tsCol) >= lo && (if (inclusiveEnd) col(tsCol) <= hi else col(tsCol) < hi))
+        // same conversion as apply(), on the pruned scan
+        bounded.schema.fields.foldLeft(bounded) { (d, f) =>
+          if (f.dataType == LongType && (f.name == "ts" || f.name.endsWith("date")))
+            d.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+          else d
+        }
+      case _ =>
+        val df = apply(spark, sfDir, name)
+        val w = (window._1, window._2)
+        df.filter(if (inclusiveEnd)
+          graft.functions.TimeWindows.countPredicate(col(tsCol), w)
+        else graft.functions.TimeWindows.exportPredicate(col(tsCol), w))
+    }
+  }
 }

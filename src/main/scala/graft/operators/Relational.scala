@@ -146,8 +146,7 @@ object Relational {
   def yesterdayDiff(spark: SparkSession, dir: String): DataFrame = {
     val anchor = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
     val w = graft.functions.TimeWindows.dateRangeWindow("yesterday", anchor)
-    val in = Tables(spark, dir, "events")
-      .filter(graft.functions.TimeWindows.countPredicate(col("ts"), w))
+    val in = Tables.tsWindowScan(spark, dir, "events", "ts", w, inclusiveEnd = true)
     in.agg(
       count(lit(1)).as("src_count"),
       count(when(col("event_type") =!= "error", 1)).as("tgt_count"),

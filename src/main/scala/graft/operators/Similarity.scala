@@ -100,22 +100,29 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
-    def nearestCells(df: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cent_sim").desc, col("centroid_id").asc)
-      df.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("embedding"), col("centroid_id"),
-          round(Vectors.dot(col("embedding"), col("cent")), 6).as("cent_sim"))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= n)
-    }
-    val assigned = nearestCells(emb, 1)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("centroid_id"))
-    val probes = nearestCells(emb.filter(col("vec_id") < 10), nprobe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("centroid_id"))
-    val scored = probes.join(assigned, Seq("centroid_id"))
+    // The coarse codebook is metadata-sized (16 × 64 floats): collect
+    // it once and fold it into the projection as literals, so cell
+    // assignment is a SHUFFLE-FREE map pass over the corpus — no
+    // explode×centroids, no per-vector window. (With a window instead,
+    // assignment would shuffle numCentroids·N rows.)
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // struct(sim, -cid): array_max/sort order by sim, then by SMALLEST
+    // centroid id on ties (negation flips the tiebreak direction)
+    def cellSims = array(cents.map { case (cid, cv) =>
+      struct(
+        round(Vectors.dot(col("embedding"), array(cv.map(lit).toIndexedSeq: _*)), 6).as("sim"),
+        lit(-cid).as("negid"))
+    }.toIndexedSeq: _*)
+    val assigned = emb.select(
+      col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      (-array_max(cellSims).getField("negid")).as("centroid_id"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(slice(reverse(array_sort(cellSims)), 1, nprobe)).as("cell"))
+      .select(col("query_id"), col("qv"), (-col("cell.negid")).as("centroid_id"))
+    val scored = broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))

@@ -41,8 +41,8 @@ object Windows {
     * (export semantics, external_simple.go:573-580), offsets -3..-1. */
   def exportWindowSlice(spark: SparkSession, dir: String): DataFrame = {
     val w = TimeWindows.jstDayWindow(ExportAnchor, -3, -1)
-    Tables(spark, dir, "events")
-      .filter(TimeWindows.exportPredicate(col("ts"), w))
+    // nanos-pushdown scan: the window bounds reach the parquet reader
+    Tables.tsWindowScan(spark, dir, "events", "ts", w, inclusiveEnd = false)
       .select("event_id", "ts", "user_id", "event_type")
   }
 }

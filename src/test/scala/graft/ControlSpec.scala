@@ -65,6 +65,20 @@ class ControlSpec extends SparkSpec {
     assert(runs == Vector((1, "a"), (1, "a"), (2, "b")))
   }
 
+  test("a fired cron job executes a real backup export") {
+    val out = tmp() + "/export"
+    val job = Cron.Job(7, "0 3 * * *", () =>
+      graft.operators.Backup.writeJsonl(
+        graft.operators.Backup.prunedMergedExport(spark, sf), out, compress = false))
+    val sched = new Cron.Scheduler(Seq(job))
+    assert(sched.tick(t("2024-03-01T02:59:00")).isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(out)))
+    assert(sched.tick(t("2024-03-01T03:00:00")) == Seq(7))
+    val exported = spark.read.json(out)
+    assert(exported.count() ==
+      graft.operators.Backup.prunedMergedExport(spark, sf).count())
+  }
+
   // ---- Hot-reload supervisor -----------------------------------------
 
   private def normalize(df: DataFrame): Set[(Long, Double, Long)] =

@@ -35,15 +35,19 @@ object KvPipeline {
       sourceDir: String,
       targetDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 1000)
+      maxFilesPerTrigger: Int = 1000,
+      maxBytesPerTrigger: Option[Long] = None) // ST3 parity with CdcPipeline
 
   /** Start the KV replication stream; AvailableNow drains-and-stops
     * (the reference's XReadGroup Count=10/Block=2s poll loop collapses
     * into micro-batch triggers). */
-  def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery =
-    spark.readStream
-      .schema(opSchema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+  def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery = {
+    val reader = spark.readStream.schema(opSchema)
+    cfg.maxBytesPerTrigger match {
+      case Some(b) => reader.option("maxBytesPerTrigger", b)
+      case None    => reader.option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+    }
+    reader
       .json(cfg.sourceDir)
       .writeStream
       .queryName(s"kv->${cfg.targetDir}")
@@ -55,4 +59,5 @@ object KvPipeline {
         KvStore.mergeKvIntoParquet(batch.sparkSession, cfg.targetDir, batch)
       }
       .start()
+  }
 }

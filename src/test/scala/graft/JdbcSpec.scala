@@ -61,6 +61,17 @@ class JdbcSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("guardian self-heals a transiently failing JDBC read (ST12)") {
+    var attempts = 0
+    val sup = graft.streaming.Guardian.run(
+      graft.streaming.Guardian.Backoff(baseDelayMs = 1), _ => ()) { () =>
+      attempts += 1
+      if (attempts == 1) throw new RuntimeException("connection reset by peer")
+      assert(Jdbc.snapshot(spark, cfg("users")).count() == 100)
+    }
+    assert(sup.attempts == 2) // reconnect-and-retry, not fail-fast
+  }
+
   test("batched append round-trips through the JDBC sink") {
     import spark.implicits._
     val conn = DriverManager.getConnection(url)

@@ -75,6 +75,31 @@ class KeylessSpec extends SparkSpec {
     assert(multiset(out) == Map((Some(1L), Some("x")) -> 1L, (Some(2L), Some("y")) -> 1L))
   }
 
+  test("property: random keyless logs match a row-by-row multiset replay") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val opGen = for {
+      op <- Gen.frequency(3 -> Gen.const("insert"), 1 -> Gen.const("delete"))
+      a <- Gen.oneOf[java.lang.Long](Seq[java.lang.Long](0L, 1L, 2L, null))
+      b <- Gen.oneOf("x", "y", null)
+    } yield (op, a, b)
+    val logGen = Gen.listOfN(40, opGen)
+    (0 until 8).foreach { seed =>
+      val ops = logGen(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case ((op, a, b), i) => (op, a, b, i.toLong) }
+      // reference replay: multiset keyed on (a, b); delete wipes the key
+      var state = Map.empty[(Option[Long], Option[String]), Long]
+      ops.foreach { case (op, a, b, _) =>
+        val key = (Option(a).map(_.longValue), Option(b))
+        if (op == "delete") state -= key
+        else state = state.updated(key, state.getOrElse(key, 0L) + 1L)
+      }
+      val target = rows() // empty
+      val out = Keyless.applyKeylessBatch(target, batch(ops: _*), Seq("a", "b"))
+      assert(multiset(out) == state.filter(_._2 > 0), s"seed=$seed")
+    }
+  }
+
   test("q40 derivation matches a row-by-row replay at sf0.001") {
     val log = Keyless.keylessLog(spark, sf).orderBy("offset").collect()
     var state = Map.empty[(Long, Long), Long]

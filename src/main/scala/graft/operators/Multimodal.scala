@@ -82,6 +82,10 @@ object Multimodal {
       col("doc_id").as("media_id"), col("text"),
       ceil(length(col("text")) / frameSize.toDouble).cast("int").as("nf"))
     docs
+      // nf=0 (empty payload) must yield zero frames; without the guard
+      // `sequence(0, -1)` is Spark's descending sequence [0, -1] and the
+      // explode emits a spurious frame row the oracle's range(0, 0) lacks.
+      .filter(col("nf") > 0)
       .select(col("media_id"), col("text"),
         explode(sequence(lit(0), col("nf") - 1)).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)

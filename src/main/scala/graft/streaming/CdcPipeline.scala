@@ -104,8 +104,20 @@ object CdcPipeline {
     val dlqPath = new Path(cfg.dlqDir)
     val fs = dlqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dlqPath)) return DlqStats()
+    // Recover from a crash inside the tmp-swap window below: a
+    // `batch_N.tmp` whose `batch_N` is gone holds the only copy of the
+    // parked events (the crash hit between delete and rename) — rename
+    // it back; one whose `batch_N` survived is a stale duplicate — drop
+    // it. Without this sweep a single orphan would also poison the
+    // numeric sort on every later pass.
+    val entries = fs.listStatus(dlqPath).toSeq.filter(_.isDirectory)
+    entries.filter(_.getPath.getName.matches("""batch_\d+\.tmp""")).foreach { st =>
+      val original = new Path(dlqPath, st.getPath.getName.stripSuffix(".tmp"))
+      if (fs.exists(original)) fs.delete(st.getPath, true)
+      else fs.rename(st.getPath, original)
+    }
     val batchDirs = fs.listStatus(dlqPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("""batch_\d+"""))
       .sortBy(_.getPath.getName.stripPrefix("batch_").toLong)
     var stats = DlqStats()
     batchDirs.foreach { st =>

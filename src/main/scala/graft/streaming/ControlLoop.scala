@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.{Failure, Success, Try}
+
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** ST11 — config hot-reload: the control loop that turns the query
@@ -18,7 +20,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object ControlLoop {
 
-  final case class Reconcile(started: Set[String], stopped: Set[String], kept: Set[String])
+  /** `failed` carries specs whose `start` threw this round: the
+    * supervisor does NOT hold them as running, so the next reconcile
+    * retries them — one poisoned spec must never take healthy
+    * pipelines down with it (the reference restarts each syncer
+    * independently, cmd/sync/main.go:148-188). */
+  final case class Reconcile(started: Set[String], stopped: Set[String],
+      kept: Set[String], failed: Map[String, Throwable] = Map.empty)
 
   /** Supervises a set of named pipelines. `start` compiles a spec into
     * a running StreamingQuery (typically CdcPipeline/KvPipeline.start
@@ -33,18 +41,30 @@ object ControlLoop {
 
     /** Bring the running set in line with `specs`: stop removed/changed
       * pipelines (graceful — offsets already committed stay committed),
-      * start added/changed ones, leave identical ones alone. */
+      * start added/changed ones, leave identical ones alone. Each start
+      * is isolated in `Try`: a throwing spec is reported in
+      * [[Reconcile.failed]] and the remaining starts still happen. */
     def reconcile(specs: Map[String, S]): Reconcile = synchronized {
+      // A pipeline whose query is no longer active (crashed, or drained
+      // under AvailableNow) is treated like a changed spec: removed here
+      // and restarted below from its checkpoint — the poll-loop face of
+      // the guardian's restart envelope (mongodb.go:613-691).
       val stopped = running.collect {
-        case (name, (spec, q)) if !specs.get(name).contains(spec) =>
-          q.stop(); name
+        case (name, (spec, q)) if !specs.get(name).contains(spec) || !q.isActive =>
+          q.stop(); name // stop() on a terminated query is a no-op
       }.toSet
       running --= stopped
-      val started = specs.collect {
-        case (name, spec) if !running.contains(name) =>
-          running += name -> (spec, start(spec)); name
-      }.toSet
-      Reconcile(started, stopped, specs.keySet -- started -- stopped)
+      val attempts = specs.collect {
+        case (name, spec) if !running.contains(name) => name -> Try(start(spec))
+      }
+      attempts.foreach {
+        case (name, Success(q)) => running += name -> (specs(name), q)
+        case _ => ()
+      }
+      val started = attempts.collect { case (n, Success(_)) => n }.toSet
+      val failed = attempts.collect { case (n, Failure(e)) => n -> e }.toMap
+      Reconcile(started, stopped,
+        specs.keySet -- started -- stopped -- failed.keySet, failed)
     }
 
     def stopAll(): Unit = synchronized {

@@ -123,6 +123,55 @@ class ControlSpec extends SparkSpec {
     } finally sup.stopAll()
   }
 
+  test("reconcile restarts a no-longer-active pipeline from its checkpoint") {
+    val root = tmp()
+    val cfg = CdcPipeline.Config(
+      sourceDir = s"$root/src", targetDir = s"$root/target",
+      checkpointDir = s"$root/ckpt", dlqDir = s"$root/dlq")
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(cfg.sourceDir)
+    // AvailableNow: the query drains and terminates on its own — the
+    // supervisor must treat the dead query like a changed spec and
+    // restart it (crash restart = the guardian contract, poll-loop face)
+    val sup = new ControlLoop.Supervisor[CdcPipeline.Config](
+      c => CdcPipeline.start(spark, c, availableNow = true))
+    try {
+      val r1 = sup.reconcile(Map("cdc" -> cfg))
+      assert(r1.started == Set("cdc"))
+      sup.activeQueries("cdc").awaitTermination() // drained, terminated
+      val r2 = sup.reconcile(Map("cdc" -> cfg))
+      assert(r2.started == Set("cdc") && r2.stopped == Set("cdc")) // restarted, same spec
+      sup.activeQueries("cdc").awaitTermination()
+      // checkpoint honored: the restart re-processed nothing
+      val got = normalize(spark.read.parquet(cfg.targetDir))
+      val want = normalize(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+      assert(got == want)
+    } finally sup.stopAll()
+  }
+
+  test("a throwing start fails alone; healthy pipelines start and are retried next round") {
+    val root = tmp()
+    // a real (tiny) streaming query for the healthy spec: rate source → noop sink
+    def healthy(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ckpt_${java.util.UUID.randomUUID()}")
+        .start()
+    val sup = new ControlLoop.Supervisor[String](s =>
+      if (s == "boom") throw new RuntimeException("bad spec") else healthy())
+    try {
+      val r = sup.reconcile(Map("good" -> "ok", "bad" -> "boom"))
+      assert(r.started == Set("good") && r.failed.keySet == Set("bad") && r.kept.isEmpty)
+      assert(r.failed("bad").getMessage == "bad spec")
+      assert(sup.activeQueries.keySet == Set("good") && sup.activeQueries("good").isActive)
+      // the failed spec is NOT held as running: the next poll retries it
+      // while the healthy pipeline is kept untouched
+      val q1 = sup.activeQueries("good")
+      val r2 = sup.reconcile(Map("good" -> "ok", "bad" -> "boom"))
+      assert(r2.kept == Set("good") && r2.failed.keySet == Set("bad") && r2.started.isEmpty)
+      assert(sup.activeQueries("good") eq q1)
+    } finally sup.stopAll()
+  }
+
   test("poll loop reconciles on every round") {
     var loads = 0
     val sup = new ControlLoop.Supervisor[Unit](_ => fail("no specs, nothing to start"))

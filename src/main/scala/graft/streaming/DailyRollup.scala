@@ -34,17 +34,21 @@ object DailyRollup {
       .select(col("w.start").as("day_start"), col("event_type"), col("n"))
 
   /** Run the rollup over a file stream of change events into an
-    * in-memory sink (complete mode: every trigger re-emits the full
-    * per-day table, the streaming analogue of reading the reference's
-    * counter snapshot). */
-  def start(spark: SparkSession, sourceDir: String, queryName: String): StreamingQuery =
+    * in-memory sink. UPDATE mode, deliberately: each trigger emits only
+    * the day-windows whose counts changed, and — unlike complete mode,
+    * where watermarks never evict aggregation state — a window whose end
+    * falls below the watermark is finalized, its state dropped, and late
+    * events for it discarded. That eviction IS the daily reset: per-day
+    * state is bounded by the lateness horizon, not by stream lifetime. */
+  def start(spark: SparkSession, sourceDir: String, queryName: String,
+      availableNow: Boolean = true): StreamingQuery =
     dailyCounts(
       spark.readStream.schema(ChangeEvents.schema).json(sourceDir)
         .select(col("ts"), col("op").as("event_type")))
       .writeStream
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
-      .trigger(Trigger.AvailableNow())
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
       .start()
 }

@@ -31,4 +31,36 @@ class DailyRollupSpec extends SparkSpec {
     assert(streamed.forall { case (ts, _, _) =>
       ts.toInstant.atZone(java.time.ZoneOffset.UTC).getHour == 15 })
   }
+
+  test("watermark evicts finalized day windows: late events are dropped, not re-counted") {
+    import org.apache.spark.sql.{Row, SaveMode}
+    val src = Files.createTempDirectory("graft_roll_evict").toString
+    def writeEvents(ts: String*): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(ts.map(t => Row("update", 1L,
+          Row(1.0, 1L), "graft", "events",
+          java.sql.Timestamp.valueOf(t), 1L)): _*),
+        ChangeEvents.schema)
+        .coalesce(1).write.mode(SaveMode.Append).json(src)
+
+    // day A (two events), then day A+9 — after this batch the watermark
+    // (max ts − 1 day) is far past day A's window end, so day A's state
+    // is evicted from the store
+    writeEvents("2024-01-01 10:00:00", "2024-01-01 11:00:00", "2024-01-10 10:00:00")
+    val q = DailyRollup.start(spark, src, "roll_evict", availableNow = false)
+    try {
+      q.processAllAvailable()
+      // a late straggler for the evicted day A: dropped by the watermark —
+      // no updated row for day A may appear (in the pre-fix complete mode
+      // the state was still live and the count would have grown to 3)
+      writeEvents("2024-01-01 12:00:00")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val updates = spark.sql("SELECT day_start, n FROM roll_evict")
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+    val dayA = updates.filter(_._1.startsWith("2023-12-31")) // JST day A = [12-31 15:00Z, …)
+    assert(dayA.toSet == Set(("2023-12-31T15:00:00Z", 2L))) // count 2 emitted once, never 3
+    assert(updates.exists(_._1.startsWith("2024-01-09")))   // the live day landed
+  }
 }

@@ -153,6 +153,23 @@ object Relational {
       (count(lit(1)) - count(when(col("event_type") =!= "error", 1))).as("diff"))
   }
 
+  /** Alert hook for the J4/A7 comparisons (monitor.go:1158-1203 →
+    * slack.go): fire one alert per row whose |diff| exceeds
+    * `threshold`, e.g. over [[sourceTargetDiff]] or [[yesterdayDiff]].
+    * Returns the number of alerts fired. The collect is bounded by the
+    * comparison's group count (per-day rows), capped defensively at
+    * 1000 — an alert fan-out is metadata, never data. */
+  def alertOnMismatch(diff: DataFrame, threshold: Long,
+      alerts: graft.streaming.Alerts.Sink, source: String): Long = {
+    val bad = diff.filter(abs(col("diff")) > threshold).limit(1000).collect()
+    val names = diff.schema.fieldNames
+    bad.foreach { r =>
+      val body = names.zip(r.toSeq).map { case (n, v) => s"$n=$v" }.mkString(", ")
+      alerts.send(graft.streaming.Alerts.Alert("count_mismatch", source, body))
+    }
+    bad.length.toLong
+  }
+
   /** S13 — metadata scan: the schema/row-count inventory the reference
     * serves from its metadata endpoints (schema_handler.go, db_utils.go
     * row counts). The table list is config-bounded, so the driver loop

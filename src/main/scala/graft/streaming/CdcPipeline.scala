@@ -99,8 +99,11 @@ object CdcPipeline {
     * retries ops past maxRetryAttempts); otherwise re-apply via the
     * idempotent merge, DELETE the batch dir on success
     * (mongodb.go:1938-1950), or rewrite it with the retry count
-    * incremented on failure (mongodb.go:1952-1966). */
-  def retryDlq(spark: SparkSession, cfg: Config): DlqStats = {
+    * incremented on failure (mongodb.go:1952-1966). A pass that leaves
+    * batches parked for good fires ONE alert (the reference notifies
+    * Slack when dead-letter ops exhaust retries, mongodb.go:1311-1408). */
+  def retryDlq(spark: SparkSession, cfg: Config,
+      alerts: Alerts.Sink = Alerts.Log): DlqStats = {
     val dlqPath = new Path(cfg.dlqDir)
     val fs = dlqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dlqPath)) return DlqStats()
@@ -148,6 +151,9 @@ object CdcPipeline {
         }
       }
     }
+    if (stats.parked > 0)
+      alerts.send(Alerts.Alert("dlq_parked", cfg.dlqDir,
+        s"${stats.parked} batch(es) parked after ${cfg.maxDlqAttempts} attempts"))
     stats
   }
 }

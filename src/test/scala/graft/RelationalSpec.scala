@@ -63,4 +63,22 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(!year(col("l_shipdate")).isin(1996, 1997)).count() == 0)
     assert(df.filter(col("l_quantity") <= 25.0).count() == 0)
   }
+
+  test("mismatch alert fires once per offending comparison row, silent under threshold") {
+    val alerts = new graft.streaming.Alerts.Buffer
+    val diff = Relational.sourceTargetDiff(spark, sf)
+    val offending = diff.filter(abs(col("diff")) > 5).count()
+    assert(offending > 0) // the fixture drops 'error' rows target-side every day
+    assert(Relational.alertOnMismatch(diff, 5, alerts, "events") == offending)
+    val fired = alerts.drain()
+    assert(fired.size == offending)
+    assert(fired.forall(a => a.kind == "count_mismatch" && a.source == "events"
+      && a.message.contains("diff=")))
+    // below-threshold: nothing fires
+    assert(Relational.alertOnMismatch(diff, Long.MaxValue, alerts, "events") == 0)
+    assert(alerts.drain().isEmpty)
+    // A7 yesterday summary plugs into the same hook
+    assert(Relational.alertOnMismatch(Relational.yesterdayDiff(spark, sf), 0, alerts, "yesterday") == 1)
+    assert(alerts.drain().map(_.source) == Seq("yesterday"))
+  }
 }

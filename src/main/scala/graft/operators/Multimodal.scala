@@ -77,9 +77,19 @@ object Multimodal {
     * whole payload — the memory shape that matters when a "frame" is
     * megabytes at production scale. */
   def sampleFrames(spark: SparkSession, dir: String, frameSize: Int = 256,
+      stride: Int = 4): DataFrame =
+    sampleFramesOf(
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text")),
+      frameSize, stride)
+
+  /** [[sampleFrames]] over an arbitrary `(media_id, text)` frame — the
+    * unit-testable core (the parquet fixture has no empty payloads, so
+    * the nf=0 guard is only exercisable through this entry). */
+  def sampleFramesOf(media: DataFrame, frameSize: Int = 256,
       stride: Int = 4): DataFrame = {
-    val docs = graft.Tables(spark, dir, "documents").select(
-      col("doc_id").as("media_id"), col("text"),
+    val docs = media.select(
+      col("media_id"), col("text"),
       ceil(length(col("text")) / frameSize.toDouble).cast("int").as("nf"))
     docs
       // nf=0 (empty payload) must yield zero frames; without the guard

@@ -34,6 +34,17 @@ class GatewayMultimodalSpec extends SparkSpec {
     assert(row.getAs[Int]("n_frames") == (text.getBytes("UTF-8").length + 255) / 256)
   }
 
+  test("frame sampling yields zero frames for an empty payload") {
+    import spark.implicits._
+    val media = Seq((1L, "a" * 600), (2L, ""), (3L, "xyz")).toDF("media_id", "text")
+    val frames = Multimodal.sampleFramesOf(media, frameSize = 256, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 600 chars → frames 0,1,2 → stride keeps 0; "" → NONE (the nf=0
+    // guard: unguarded, sequence(0, -1) emits a spurious [0,-1] frame);
+    // "xyz" → frame 0
+    assert(frames == Set((1L, 0L), (3L, 0L)))
+  }
+
   test("schema inference flattens nested dot paths with reference type names") {
     val got = SchemaInfer.inferEventDoc(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet

@@ -56,12 +56,18 @@ class GuardianDlqSpec extends SparkSpec {
     breakTarget(cfg.targetDir)
     CdcPipeline.start(spark, cfg).awaitTermination()
 
-    // target still broken: each pass fails and bumps the retry count …
-    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(failed = 1))
-    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(failed = 1))
-    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(failed = 1))
-    // … until the batch is parked for good (reference maxRetryAttempts)
-    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(parked = 1))
+    // target still broken: each pass fails and bumps the retry count —
+    // failing-but-retryable passes do NOT alert …
+    val alerts = new graft.streaming.Alerts.Buffer
+    assert(CdcPipeline.retryDlq(spark, cfg, alerts) == CdcPipeline.DlqStats(failed = 1))
+    assert(CdcPipeline.retryDlq(spark, cfg, alerts) == CdcPipeline.DlqStats(failed = 1))
+    assert(CdcPipeline.retryDlq(spark, cfg, alerts) == CdcPipeline.DlqStats(failed = 1))
+    assert(alerts.drain().isEmpty)
+    // … until the batch is parked for good (reference maxRetryAttempts),
+    // which fires the park alert (mongodb.go:1311-1408 → slack.go)
+    assert(CdcPipeline.retryDlq(spark, cfg, alerts) == CdcPipeline.DlqStats(parked = 1))
+    val fired = alerts.drain()
+    assert(fired.map(_.kind) == Seq("dlq_parked") && fired.head.source == cfg.dlqDir)
     assert(spark.read.json(s"${cfg.dlqDir}/batch_0")
       .agg(max("dlq_retry_count")).head().getLong(0) == 3L)
 
@@ -76,6 +82,65 @@ class GuardianDlqSpec extends SparkSpec {
     assert(got == want)
     // second pass: nothing left to do
     assert(CdcPipeline.retryDlq(spark, cfg2) == CdcPipeline.DlqStats())
+  }
+
+  test("DLQ orphan sweep: stale tmp beside a surviving batch dir is dropped") {
+    val root = tmp()
+    val cfg = CdcPipeline.Config(
+      sourceDir = s"$root/src", targetDir = s"$root/target",
+      checkpointDir = s"$root/ckpt", dlqDir = s"$root/dlq")
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(cfg.sourceDir)
+    breakTarget(cfg.targetDir)
+    CdcPipeline.start(spark, cfg).awaitTermination() // parks batch_0
+
+    // crash window A: tmp written, original rewritten — tmp is a stale
+    // duplicate that must be dropped, and the original retried
+    val tmpDir = Paths.get(s"${cfg.dlqDir}/batch_0.tmp")
+    Files.createDirectories(tmpDir)
+    Files.write(tmpDir.resolve("junk.json"), "{\"not\":\"an event\"}".getBytes)
+
+    fixTarget(cfg.targetDir)
+    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(succeeded = 1))
+    assert(!Files.exists(tmpDir))                            // stale tmp swept
+    assert(!Files.exists(Paths.get(s"${cfg.dlqDir}/batch_0"))) // batch consumed
+    val got = normalize(spark.read.parquet(cfg.targetDir))
+    val want = normalize(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+    assert(got == want)
+  }
+
+  test("DLQ orphan sweep: tmp holding the only copy is renamed back and retried") {
+    val root = tmp()
+    val cfg = CdcPipeline.Config(
+      sourceDir = s"$root/src", targetDir = s"$root/target",
+      checkpointDir = s"$root/ckpt", dlqDir = s"$root/dlq")
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(cfg.sourceDir)
+    breakTarget(cfg.targetDir)
+    CdcPipeline.start(spark, cfg).awaitTermination() // parks batch_0
+
+    // crash window B: original deleted, rename to batch_0 never happened —
+    // batch_0.tmp holds the ONLY copy of the parked events
+    Files.move(Paths.get(s"${cfg.dlqDir}/batch_0"), Paths.get(s"${cfg.dlqDir}/batch_0.tmp"))
+
+    fixTarget(cfg.targetDir)
+    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats(succeeded = 1))
+    assert(!Files.exists(Paths.get(s"${cfg.dlqDir}/batch_0.tmp")))
+    assert(!Files.exists(Paths.get(s"${cfg.dlqDir}/batch_0")))
+    val got = normalize(spark.read.parquet(cfg.targetDir))
+    val want = normalize(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+    assert(got == want)
+  }
+
+  test("DLQ retry ignores stray non-batch directories instead of throwing") {
+    val root = tmp()
+    val cfg = CdcPipeline.Config(
+      sourceDir = s"$root/src", targetDir = s"$root/target",
+      checkpointDir = s"$root/ckpt", dlqDir = s"$root/dlq")
+    Files.createDirectories(Paths.get(s"${cfg.dlqDir}/batch_abc"))
+    Files.createDirectories(Paths.get(s"${cfg.dlqDir}/notes"))
+    // pre-fix this threw NumberFormatException on "abc" and poisoned
+    // every subsequent DLQ pass
+    assert(CdcPipeline.retryDlq(spark, cfg) == CdcPipeline.DlqStats())
+    assert(Files.exists(Paths.get(s"${cfg.dlqDir}/batch_abc"))) // untouched
   }
 
   test("guardian retries recoverable failures with capped exponential backoff") {

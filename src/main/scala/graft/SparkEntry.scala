@@ -132,10 +132,13 @@ object SparkEntry {
     "q47_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
 
-  /** Shared CTE for the KV oracles: the deterministic keyspace-op log
-    * (mirrors [[KvStore.keyspaceOps]]) reduced to the last effective op
-    * per key (expired copies are no-ops, reference redis.go:130-133). */
-  private val kvEffSql: String =
+  /** q38's oracle: replay the keyspace-op log with the reference's
+    * per-op semantics (mirrors [[KvStore.applyKvBatch]] on an empty
+    * state). Segment logic: the last authoritative op per key (del /
+    * copy / string-set) plus every hash-HSET after it; HSETs merge
+    * fields per-field and leave the TTL of a base `copy` untouched
+    * (redis.go:166-232; HSET merge redis.go:216-222). */
+  private val kvReplaySql: String =
     """WITH ops AS (
       |  SELECT CASE WHEN event_type = 'error' THEN 'del'
       |              WHEN event_type IN ('signup','purchase') THEN 'set'
@@ -151,12 +154,29 @@ object SparkEntry {
       |    ts, event_id AS off
       |  FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |        FROM events)
-      |), eff AS (
-      |  SELECT * FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY key
-      |                                 ORDER BY ts DESC, off DESC) AS rn
-      |    FROM ops WHERE NOT (op = 'copy' AND ttl_ms < 0 AND ttl_ms <> -1))
-      |  WHERE rn = 1
+      |), alive AS (
+      |  SELECT * FROM ops WHERE NOT (op = 'copy' AND ttl_ms < 0 AND ttl_ms <> -1)
+      |), seq AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts, off) AS ord,
+      |    CASE WHEN op IN ('del','copy') OR (op = 'set' AND kind <> 'hash')
+      |         THEN 1 ELSE 0 END AS auth
+      |  FROM alive
+      |), ranked AS (
+      |  SELECT *, sum(auth) OVER (PARTITION BY key ORDER BY ord) AS auth_rank FROM seq
+      |), seg AS (
+      |  SELECT * FROM ranked
+      |  QUALIFY auth_rank = max(auth_rank) OVER (PARTITION BY key)
+      |), agg AS (
+      |  SELECT key,
+      |    arg_max(op, ord) AS last_op,
+      |    arg_max(kind, ord) AS kind,
+      |    arg_max(op, ord) FILTER (WHERE auth = 1) AS base_op,
+      |    arg_max(ttl_ms, ord) FILTER (WHERE auth = 1) AS ttl_base,
+      |    arg_max(value, ord) FILTER (WHERE value IS NOT NULL) AS value,
+      |    arg_max(f_k, ord) FILTER (WHERE f_k IS NOT NULL) AS f_k,
+      |    arg_max(f_uid, ord) FILTER (WHERE f_uid IS NOT NULL) AS f_uid,
+      |    max(ts) AS updated_at
+      |  FROM seg GROUP BY key
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -426,11 +446,11 @@ object SparkEntry {
         |FROM cur
         |WHERE op <> 'del' AND (ttl_ms = -1 OR ttl_ms >= 0)""".stripMargin,
     "q38_kv_state" ->
-      s"""$kvEffSql
+      s"""$kvReplaySql
          |SELECT key, kind, value, f_k, f_uid,
-         |  CASE WHEN op = 'set' THEN -1 ELSE ttl_ms END AS ttl_ms,
-         |  ts AS updated_at
-         |FROM eff WHERE op <> 'del'""".stripMargin,
+         |  CASE WHEN base_op = 'copy' THEN ttl_base ELSE -1 END AS ttl_ms,
+         |  updated_at
+         |FROM agg WHERE last_op <> 'del'""".stripMargin,
     "q39_kv_stream_msgs" ->
       """SELECT 'msg:' || event_id AS hash_key,
         |  CAST(user_id AS VARCHAR) AS f_user,
@@ -439,17 +459,23 @@ object SparkEntry {
     // q40 replays a keyless (REPLICA IDENTITY FULL) log: a delete wipes
     // every duplicate of the row value; survivors are the inserts after
     // each value's last delete (position = event_id, the LSN analogue).
+    // row_b is NULL for k%7=3 and the join is IS NOT DISTINCT FROM:
+    // null-safe matching, the oracle twin of the implementation's
+    // struct-key equality (Keyless.scala:44).
     "q40_keyless_state" ->
       """WITH log AS (
         |  SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
         |    user_id % 20 AS row_a,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS row_b,
+        |    CASE WHEN k % 7 = 3 THEN NULL ELSE k % 10 END AS row_b,
         |    event_id AS off
-        |  FROM events),
+        |  FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        FROM events)),
         | del AS (SELECT row_a, row_b, max(off) AS last_del
         |         FROM log WHERE op = 'delete' GROUP BY 1, 2)
         |SELECT l.row_a, l.row_b, count(*) AS cnt
-        |FROM log l LEFT JOIN del d ON l.row_a = d.row_a AND l.row_b = d.row_b
+        |FROM log l LEFT JOIN del d
+        |  ON l.row_a IS NOT DISTINCT FROM d.row_a
+        | AND l.row_b IS NOT DISTINCT FROM d.row_b
         |WHERE l.op = 'insert' AND (d.last_del IS NULL OR l.off > d.last_del)
         |GROUP BY 1, 2""".stripMargin,
     "q41_json_doc_mask" ->

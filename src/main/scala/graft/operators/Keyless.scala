@@ -83,7 +83,10 @@ object Keyless {
     Tables(spark, dir, "events").select(
       when(col("event_type") === "error", "delete").otherwise("insert").as("op"),
       (col("user_id") % 20).as("row_a"),
-      (k % 10).as("row_b"),
+      // k%7==3 → NULL: keyless rows carry null columns in practice, and
+      // REPLICA IDENTITY FULL matches them IS-NULL-safely — the null path
+      // must be exercised by the oracle-checked replay, not just specs
+      when(k % 7 === 3, lit(null).cast(LongType)).otherwise(k % 10).as("row_b"),
       col("event_id").as("offset"))
   }
 

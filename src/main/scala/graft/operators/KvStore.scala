@@ -77,34 +77,71 @@ object KvStore {
       col("event_id").as("offset"))
   }
 
-  /** Reduce an op log/batch to one *effective* op per key: expired-copy
-    * no-ops are dropped first (they change nothing, redis.go:130-133),
-    * then the latest surviving op wins. Window is over the batch, which
-    * is micro-batch-sized — never over the accumulated state. */
-  def effectiveOps(ops: DataFrame): DataFrame = {
-    val alive = ops.filter(!(col("op") === "copy" && !ttlAlive(col("ttlMs"))))
-    val w = Window.partitionBy(col("key")).orderBy(col("ts").desc, col("offset").desc)
-    alive.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-  }
-
-  /** W6: apply a keyspace-op batch to a KV state. `set` rewrites the
-    * TTL to persistent (reference Set/HSet pass expiry 0); `copy`
-    * preserves the source TTL through RESTORE.
+  /** W6: apply a keyspace-op batch to a KV state, op-faithful to
+    * handleKeyspaceChange (redis.go:166-232):
+    *  - `del` removes the key; `copy` (DUMP/RESTORE REPLACE) replaces
+    *    the whole value and carries the source TTL; a string `set`
+    *    replaces the value with no expiry (ttl → -1).
+    *  - a hash `set` is an HSET (redis.go:216-222): it MERGES fields
+    *    into the existing hash and leaves the key's TTL untouched —
+    *    it does not replace the row.
     *
-    * Known simplification vs the reference: an HSet (redis.go:216-222)
-    * merges fields into the target hash and leaves the key's existing
-    * TTL untouched, whereas this model replaces the whole row and
-    * resets the TTL to persistent. The synthetic op log always carries
-    * the full field set and its hash ops never mix with TTL-carrying
-    * copies on the same key, so both semantics agree here; a production
-    * hash-merge would map-side combine fields per key before the merge. */
+    * Distributed shape: the batch collapses per key into its final
+    * "segment" — the last authoritative op (del / copy / string-set)
+    * plus every hash-set after it — with one window + one aggregate,
+    * both over the micro-batch only. The segment then resolves against
+    * the state with a single keyed full-outer join: base `copy` keeps
+    * its TTL under later HSETs, a hash-set-only segment inherits the
+    * state row's TTL and merges fields per-field (coalesce), and a
+    * fresh hash materializes persistent. Never a window over the
+    * accumulated state. */
   def applyKvBatch(state: DataFrame, batch: DataFrame): DataFrame = {
-    val eff = effectiveOps(batch)
-    val upserts = eff.filter(col("op") =!= "del").select(
-      col("key"), col("kind"), col("value"), col("f_k"), col("f_uid"),
-      when(col("op") === "set", -1L).otherwise(col("ttlMs")).as("ttlMs"),
-      col("ts").as("updated_at"))
-    state.join(eff.select("key"), Seq("key"), "left_anti").unionByName(upserts)
+    val alive = batch.filter(!(col("op") === "copy" && !ttlAlive(col("ttlMs"))))
+    val wAsc = Window.partitionBy(col("key")).orderBy(col("ts").asc, col("offset").asc)
+    val marked = alive
+      .withColumn("ord", row_number().over(wAsc))
+      .withColumn("auth", // ops that REPLACE the key (vs HSET, which merges)
+        col("op").isin("del", "copy") || (col("op") === "set" && col("kind") =!= "hash"))
+      .withColumn("auth_rank", sum(when(col("auth"), 1).otherwise(0)).over(wAsc))
+    val seg = marked
+      .withColumn("max_rank", max(col("auth_rank")).over(Window.partitionBy(col("key"))))
+      .filter(col("auth_rank") === col("max_rank"))
+    // max_by ignores rows whose ordering expression is null: each
+    // when(...) below selects "the last row satisfying <cond>"
+    val agg = seg.groupBy("key").agg(
+      max_by(col("op"), col("ord")).as("last_op"),
+      max_by(col("kind"), col("ord")).as("b_kind"),
+      max_by(col("op"), when(col("auth"), col("ord"))).as("base_op"),
+      max_by(col("ttlMs"), when(col("auth"), col("ord"))).as("ttl_base"),
+      max_by(col("value"), when(col("value").isNotNull, col("ord"))).as("value_new"),
+      max_by(col("f_k"), when(col("f_k").isNotNull, col("ord"))).as("f_k_new"),
+      max_by(col("f_uid"), when(col("f_uid").isNotNull, col("ord"))).as("f_uid_new"),
+      max(col("ts")).as("ts_new"))
+    val s = state.withColumnRenamed("kind", "s_kind")
+      .withColumnRenamed("value", "s_value").withColumnRenamed("f_k", "s_f_k")
+      .withColumnRenamed("f_uid", "s_f_uid").withColumnRenamed("ttlMs", "s_ttl")
+      .withColumnRenamed("updated_at", "s_updated_at")
+    val mergeOnly = col("base_op").isNull // hash-set-only segment: merge into state
+    s.join(agg, Seq("key"), "full_outer")
+      .filter(col("last_op").isNull || col("last_op") =!= "del")
+      .select(
+        col("key"),
+        coalesce(col("b_kind"), col("s_kind")).as("kind"),
+        when(col("last_op").isNull, col("s_value"))
+          .when(mergeOnly, coalesce(col("value_new"), col("s_value")))
+          .otherwise(col("value_new")).as("value"),
+        when(col("last_op").isNull, col("s_f_k"))
+          .when(mergeOnly, coalesce(col("f_k_new"), col("s_f_k")))
+          .otherwise(col("f_k_new")).as("f_k"),
+        when(col("last_op").isNull, col("s_f_uid"))
+          .when(mergeOnly, coalesce(col("f_uid_new"), col("s_f_uid")))
+          .otherwise(col("f_uid_new")).as("f_uid"),
+        when(col("last_op").isNull, col("s_ttl"))
+          .when(col("base_op") === "copy", col("ttl_base"))       // RESTORE carries source TTL
+          .when(mergeOnly, coalesce(col("s_ttl"), lit(-1L)))      // HSET leaves TTL untouched
+          .otherwise(lit(-1L)).as("ttlMs"),                       // SET/fresh hash: persistent
+        when(col("last_op").isNull, col("s_updated_at"))
+          .otherwise(col("ts_new")).as("updated_at"))
   }
 
   // --- bucketed parquet state (the "target Redis") --------------------

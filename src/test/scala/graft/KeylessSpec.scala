@@ -100,16 +100,19 @@ class KeylessSpec extends SparkSpec {
     }
   }
 
-  test("q40 derivation matches a row-by-row replay at sf0.001") {
+  test("q40 derivation matches a row-by-row replay at sf0.001, nulls included") {
+    def rowB(r: Row, i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
     val log = Keyless.keylessLog(spark, sf).orderBy("offset").collect()
-    var state = Map.empty[(Long, Long), Long]
+    // the derived log must actually exercise the null-column path
+    assert(log.exists(_.isNullAt(2)))
+    var state = Map.empty[(Long, Option[Long]), Long]
     log.foreach { r =>
-      val key = (r.getLong(1), r.getLong(2))
+      val key = (r.getLong(1), rowB(r, 2))
       if (r.getString(0) == "delete") state -= key
       else state = state.updated(key, state.getOrElse(key, 0L) + 1L)
     }
     val got = Keyless.finalStateCounts(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getLong(0), rowB(r, 1)) -> r.getLong(2)).toMap
     assert(got == state)
   }
 }

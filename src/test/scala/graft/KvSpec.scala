@@ -41,6 +41,44 @@ class KvSpec extends SparkSpec {
       ("b", "string", "2", null, null, 5000L)))
   }
 
+  test("hash set is an HSET: merges fields and preserves the key's TTL (redis.go:216-222)") {
+    import spark.implicits._
+    def ops(rows: Seq[(String, String, String, String, String, String, Long, String, Long)]): DataFrame =
+      rows.toDF("op", "key", "kind", "value", "f_k", "f_uid", "ttl", "ts_s", "off")
+        .select(col("op"), col("key"), col("kind"), col("value"), col("f_k"),
+          col("f_uid"), col("ttl").as("ttlMs"), col("ts_s").cast("timestamp").as("ts"),
+          col("off").as("offset"))
+    val empty = ops(Nil).drop("op", "ts", "offset")
+      .withColumn("updated_at", lit(null).cast("timestamp"))
+      .select("key", "kind", "value", "f_k", "f_uid", "ttlMs", "updated_at").limit(0)
+    def full(df: DataFrame): Set[(String, String, String, String, String, Long)] =
+      df.select("key", "kind", "value", "f_k", "f_uid", "ttlMs").collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).orNull,
+          Option(r.getString(3)).orNull, Option(r.getString(4)).orNull, r.getLong(5))).toSet
+
+    // DUMP/RESTORE'd hash with a concrete TTL, fields {f_k=1, f_uid=u1}
+    val copyOp = Seq(("copy", "h", "hash", null: String, "1", "u1", 60000L, "2024-01-01 00:00:00", 1L))
+    // later HSET carrying ONLY f_uid: must merge, not replace, and must
+    // NOT touch the TTL (the pre-fix model replaced the row and reset
+    // the TTL to persistent)
+    val hset = Seq(("set", "h", "hash", null: String, null: String, "u2", -1L, "2024-01-02 00:00:00", 2L))
+    val want = Set(("h", "hash", null: String, "1", "u2", 60000L))
+
+    // across micro-batches: copy applied, then the HSET batch
+    val acrossBatches = KvStore.applyKvBatch(KvStore.applyKvBatch(empty, ops(copyOp)), ops(hset))
+    assert(full(acrossBatches) == want)
+    // within ONE batch: same composition law
+    assert(full(KvStore.applyKvBatch(empty, ops(copyOp ++ hset))) == want)
+    // fresh hash (no base, no state): persistent, only the HSET's fields
+    assert(full(KvStore.applyKvBatch(empty, ops(hset))) ==
+      Set(("h", "hash", null: String, null: String, "u2", -1L)))
+    // a STRING set still resets the TTL (Set with expiry 0)
+    val sset = Seq(("set", "s", "string", "v2", null: String, null: String, -1L, "2024-01-02 00:00:00", 3L))
+    val scopy = Seq(("copy", "s", "string", "v1", null: String, null: String, 9000L, "2024-01-01 00:00:00", 4L))
+    assert(full(KvStore.applyKvBatch(KvStore.applyKvBatch(empty, ops(scopy)), ops(sset))) ==
+      Set(("s", "string", "v2", null: String, null: String, -1L)))
+  }
+
   test("expired-copy is a no-op: previous target state survives (redis.go:130-133)") {
     val empty = kvOps(Nil).drop("op", "ts", "offset")
       .withColumn("updated_at", lit(null).cast("timestamp"))

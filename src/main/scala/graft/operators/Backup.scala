@@ -91,6 +91,131 @@ object Backup {
     (if (compress) w.option("compression", "gzip") else w).csv(path)
   }
 
+  // --- W7: SQL-dump format ---------------------------------------------
+  // The reference's "sql" backup format shells out to mysqldump
+  // (pkg/backup/mysql.go:105-164) and merges the per-table dumps
+  // (mysql.go:380-516). Re-expressed distributed: each partition emits
+  // mysqldump-shaped multi-row INSERT statements through the text sink —
+  // no driver materialization, artifact size streams through executors.
+
+  /** MySQL string-literal escaping, the mysqldump conventions. */
+  def sqlEscape(s: String): String = s.flatMap {
+    case '\''     => "\\'"
+    case '\\'     => "\\\\"
+    case '\n'     => "\\n"
+    case '\r'     => "\\r"
+    case '\u0000'   => "\\0"
+    case '\u001A'   => "\\Z"
+    case c        => c.toString
+  }
+
+  /** mysqldump renders NTZ timestamps as `yyyy-MM-dd HH:mm:ss[.ffffff]`. */
+  private val ntzFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def sqlLiteral(v: Any): String = v match {
+    case null                     => "NULL"
+    case s: String                => "'" + sqlEscape(s) + "'"
+    case t: java.sql.Timestamp    => "'" + t.toString + "'"
+    case t: java.time.LocalDateTime => "'" + t.format(ntzFmt) + "'"
+    case d: java.sql.Date         => "'" + d.toString + "'"
+    case d: java.time.LocalDate   => "'" + d.toString + "'"
+    case b: Boolean               => if (b) "1" else "0"
+    case bytes: Array[Byte]       => if (bytes.isEmpty) "''"
+                                     else "0x" + bytes.map("%02x".format(_)).mkString
+    case n: java.math.BigDecimal  => n.toPlainString
+    case other                    => other.toString // integral / floating
+  }
+
+  /** Write `df` as a SQL-dump artifact: multi-row
+    * `INSERT INTO \`table\` (cols…) VALUES (…),(…);` statements, one
+    * statement line per `rowsPerInsert` rows, optionally gzipped. */
+  def writeSql(df: DataFrame, table: String, path: String, compress: Boolean = true,
+      rowsPerInsert: Int = 500): Unit = {
+    val colList = df.schema.fieldNames.map(n => s"`$n`").mkString(", ")
+    val header = s"INSERT INTO `$table` ($colList) VALUES "
+    val stmts = df.mapPartitions { it =>
+      it.map { r => (0 until r.length).map(i => sqlLiteral(r.get(i))).mkString("(", ",", ")") }
+        .grouped(rowsPerInsert).map(g => header + g.mkString(",") + ";")
+    }(org.apache.spark.sql.Encoders.STRING)
+    val w = stmts.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).text(path)
+  }
+
+  /** Read a [[writeSql]] artifact back (round-trip verification + the
+    * restore half of W7): parse each INSERT's value tuples with a
+    * quote-aware scanner, un-escape, and cast to `schema`. */
+  def readSql(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = spark.read.textFile(path).flatMap { line =>
+      parseInsertTuples(line).map { tuple =>
+        require(tuple.length == schema.fields.length,
+          s"tuple arity ${tuple.length} != schema arity ${schema.fields.length}")
+        Row.fromSeq(tuple.zip(schema.fields).map { case ((text, quoted), f) =>
+          if (!quoted && text == "NULL") null
+          else f.dataType match {
+            case StringType    => text
+            case LongType      => text.toLong
+            case IntegerType   => text.toInt
+            case ShortType     => text.toShort
+            case ByteType      => text.toByte
+            case DoubleType    => text.toDouble
+            case FloatType     => text.toFloat
+            case BooleanType   => text == "1"
+            case TimestampType => java.sql.Timestamp.valueOf(text)
+            case TimestampNTZType =>
+              java.time.LocalDateTime.parse(text, ntzFmt)
+            case DateType      => java.sql.Date.valueOf(text)
+            case _: DecimalType => new java.math.BigDecimal(text)
+            case other => throw new IllegalArgumentException(s"readSql: unsupported $other")
+          }
+        })
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    spark.createDataFrame(rows.rdd, schema)
+  }
+
+  /** Scan one INSERT statement line into value tuples of
+    * (unescaped-text, was-quoted). Quote-aware: commas and parens inside
+    * string literals are data, `\'` never closes a literal. */
+  private[operators] def parseInsertTuples(line: String): Seq[Seq[(String, Boolean)]] = {
+    val start = line.indexOf(" VALUES ")
+    require(start >= 0, s"not an INSERT statement: ${line.take(80)}")
+    val body = line.substring(start + 8).stripSuffix(";")
+    val tuples = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Boolean)]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val sb = new StringBuilder
+    var quoted = false   // current value was a string literal
+    var inQuote = false
+    var inTuple = false
+    var i = 0
+    def pushValue(): Unit = { cur += ((sb.toString, quoted)); sb.clear(); quoted = false }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < body.length) {
+          sb.append(body.charAt(i + 1) match {
+            case 'n' => '\n'; case 'r' => '\r'; case '0' => '\u0000'
+            case 'Z' => '\u001A'; case other => other // \' \\ and any passthrough
+          })
+          i += 1
+        } else if (c == '\'') inQuote = false
+        else sb.append(c)
+      } else c match {
+        case '('  => inTuple = true
+        case ')'  => pushValue(); tuples += cur.toSeq
+                     cur = scala.collection.mutable.ArrayBuffer.empty; inTuple = false
+        case ','  => if (inTuple) pushValue() // else: separator between tuples
+        case '\'' => inQuote = true; quoted = true
+        case _    => if (inTuple) sb.append(c)
+      }
+      i += 1
+    }
+    tuples.toSeq
+  }
+
   /** F9 read side — load a [[writeCsv]] artifact back with the same
     * conventions (header, \N nulls, quotes); pass the original schema
     * to round-trip types exactly (CSV carries no type info). */

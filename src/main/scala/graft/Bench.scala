@@ -16,6 +16,10 @@ object Bench {
       // mask, encrypt — nothing pruned the way .count() prunes), and a
       // failing query fails the bench instead of recording -1.
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // caller-managed persistence: the bench owns the cache lifetime of
+      // the dedup/ANN intermediates — released per query so no query
+      // benefits from (or pays for) a predecessor's cache
+      graft.operators.PlanCache.release()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -94,35 +94,31 @@ object Dedup {
     * 124,750 possible pairs. */
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
       k: Int = 3): DataFrame = {
-    val hashed = Tables(spark, dir, "documents")
+    // hs computed once; signature/banding/verify all read the tracked
+    // cache — lifetime is the caller's (PlanCache.release), plan stays lazy
+    val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
       .select(col("doc_id"),
-        elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs"))
-      .persist() // hs computed once; signature/banding/verify all read the cache
-    try {
-      val docs = hashed.select(col("doc_id"), minhashFromHashes(col("hs")).as("mh"))
-      val bands = explodeBands(docs)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      // Exact verify over the 60-bit ELEMENT HASHES, not the shingle
-      // strings: set identity is preserved (injective modulo a ~2⁻⁶⁰
-      // collision), and the pair join ships 8-byte longs instead of
-      // ~30-byte strings — at 600k+ candidate pairs the array shuffle
-      // is the dominant cost of the whole query.
-      val sh = hashed.select(col("doc_id"), col("hs"))
-      cand
-        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "set_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "set_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-            size(array_union(col("set_a"), col("set_b"))).cast("double"), 4).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-        // materialize before unpersist: the caller's action must not
-        // re-read the unpersisted plan
-        .localCheckpoint()
-    } finally hashed.unpersist()
+        elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs")))
+    val docs = hashed.select(col("doc_id"), minhashFromHashes(col("hs")).as("mh"))
+    val bands = explodeBands(docs)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Exact verify over the 60-bit ELEMENT HASHES, not the shingle
+    // strings: set identity is preserved (injective modulo a ~2⁻⁶⁰
+    // collision), and the pair join ships 8-byte longs instead of
+    // ~30-byte strings — at 600k+ candidate pairs the array shuffle
+    // is the dominant cost of the whole query.
+    val sh = hashed.select(col("doc_id"), col("hs"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "set_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "set_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -152,25 +148,22 @@ object Dedup {
     * The DuckDB oracle replays simhash + chunk condition + Hamming
     * filter exactly. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 16): DataFrame = {
-    val hashed = Tables(spark, dir, "documents")
+    // token hashes computed once; the vote passes read the tracked cache
+    val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
       .select(col("doc_id"),
-        transform(Text.tokens(col("text")), t => Text.md5Hash60(t)).as("hs"))
-      .persist() // token hashes computed once; 60 vote passes read the cache
-    try {
-      val docs = hashed.select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
-      val chunks = docs.select(col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(SimhashChunks - 1)),
-          j => call_function("shiftright", col("sh"), j * 15).bitwiseAND(lit(0x7FFFL)))))
-        .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
-      chunks.as("x").join(chunks.as("y"),
-          col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-        .dropDuplicates("doc_a", "doc_b")
-        .filter(col("hamming") <= maxHamming)
-        .localCheckpoint()
-    } finally hashed.unpersist()
+        transform(Text.tokens(col("text")), t => Text.md5Hash60(t)).as("hs")))
+    val docs = hashed.select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
+    val chunks = docs.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(SimhashChunks - 1)),
+        j => call_function("shiftright", col("sh"), j * 15).bitwiseAND(lit(0x7FFFL)))))
+      .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ---- token-set Jaccard ---------------------------------------------
@@ -184,28 +177,24 @@ object Dedup {
     * testdata (0 of 30,328 global ≥0.8 pairs missed at sf0.01). The
     * oracle stays the pure exact semantics. */
   def tokenJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val hashed = Tables(spark, dir, "documents")
+    val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        elementHashes(array_distinct(Text.tokens(col("text")))).as("hs"))
-      .persist()
-    try {
-      val docs = hashed.select(col("doc_id"), col("source"), minhashFromHashes(col("hs")).as("mh"))
-      val bands = explodeBands(docs, carry = Seq("source"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      // verify over element hashes, not token strings — see minhashPairs
-      val sh = hashed.select(col("doc_id"), col("hs"))
-      cand
-        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "set_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "set_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-            size(array_union(col("set_a"), col("set_b"))).cast("double"), 4).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-        .localCheckpoint()
-    } finally hashed.unpersist()
+        elementHashes(array_distinct(Text.tokens(col("text")))).as("hs")))
+    val docs = hashed.select(col("doc_id"), col("source"), minhashFromHashes(col("hs")).as("mh"))
+    val bands = explodeBands(docs, carry = Seq("source"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // verify over element hashes, not token strings — see minhashPairs
+    val sh = hashed.select(col("doc_id"), col("hs"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "set_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "set_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 }

@@ -138,29 +138,27 @@ object Similarity {
     * oracle replays signature + banding + top-k exactly, and recall
     * vs brute force is asserted in the spec. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
+    // signature feeds the band explode on both sides — tracked cache,
+    // lazy plan, caller-managed lifetime (PlanCache.release)
+    val emb = PlanCache.tracked(Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        Vectors.hyperplaneSignature(col("embedding")).as("sig"))
-      .persist() // signature feeds the band explode on both sides
-    try {
-      def bands(df: DataFrame, idCol: String, vCol: String): DataFrame =
-        df.select(col("vec_id").as(idCol), col("embedding").as(vCol),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            j => call_function("shiftright", col("sig"), j * 4).bitwiseAND(lit(0xFL)))))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val q = bands(emb.filter(col("vec_id") < 10), "query_id", "qv")
-      val c = bands(emb, "cand_id", "cv")
-      val scored = q.join(c,
-          Seq("band", "bucket")).filter(col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
-        .dropDuplicates("query_id", "cand_id")
-        .select(col("query_id"), col("cand_id"),
-          round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "cand_id", "sim", "rank")
-        .localCheckpoint()
-    } finally emb.unpersist()
+        Vectors.hyperplaneSignature(col("embedding")).as("sig")))
+    def bands(df: DataFrame, idCol: String, vCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding").as(vCol),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          j => call_function("shiftright", col("sig"), j * 4).bitwiseAND(lit(0xFL)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val q = bands(emb.filter(col("vec_id") < 10), "query_id", "qv")
+    val c = bands(emb, "cand_id", "cv")
+    val scored = q.join(c,
+        Seq("band", "bucket")).filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
   }
 }

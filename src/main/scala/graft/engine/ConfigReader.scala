@@ -1,0 +1,151 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.model._
+
+/** JSON config loader — the engine's re-expression of the reference's
+  * `sync_tasks.config_json` parser (reference pkg/config/config.go:175-344)
+  * plus the backup-task config (pkg/backup/executor.go:157-271,
+  * cronjob.go:107-125).
+  *
+  * Shape:
+  * {{{
+  * { "syncTasks": [ { "id": 1, "type": "mongodb", "enabled": true,
+  *     "sourceDir": "...", "targetDir": "...", "checkpointDir": "...",
+  *     "snapshotDir": "...",
+  *     "securityEnabled": true,
+  *     "tables": [ { "sourceTable": "events", "targetTable": "events",
+  *         "keyColumns": ["key"],
+  *         "fieldSecurity": [ {"field": "after.k", "securityType": "mask"} ],
+  *         "advancedSettings": {"ignoreDeleteOps": true} } ] } ],
+  *   "backupTasks": [ { "id": 10, "schedule": "0 2 * * *", "format": "sql",
+  *     "sourceDir": "...", "outDir": "...", "compress": false,
+  *     "tables": [ {"tablePattern": "orders_\\d+", "fields": ["all"],
+  *                  "timeField": "o_orderdate",
+  *                  "startOffsetDays": -1, "endOffsetDays": -1} ] } ] }
+  * }}}
+  *
+  * Field names follow the reference JSON (`type`, `sourceTable`,
+  * `advancedSettings`, task-level `securityEnabled` pushed down to every
+  * table — config.go:268-276). Parsing is deliberately tree-walking and
+  * per-task fault-isolated like the reference: one malformed task is
+  * skipped with a warning, the rest of the config still loads
+  * (config.go:229-231 `[WARN] parse config_json`).
+  */
+object ConfigReader {
+
+  final case class EngineConfig(
+      syncTasks: Seq[SyncTaskSpec] = Nil,
+      backupTasks: Seq[BackupSpec] = Nil)
+
+  private val mapper = new ObjectMapper()
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.config")
+
+  def load(path: String): EngineConfig =
+    parse(new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8))
+
+  def parse(json: String): EngineConfig = {
+    val root = mapper.readTree(json)
+    EngineConfig(
+      syncTasks = root.path("syncTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseSyncTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed sync task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      backupTasks = root.path("backupTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseBackupTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed backup task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      })
+  }
+
+  private def reqText(n: JsonNode, field: String): String = {
+    val v = n.path(field)
+    require(v.isTextual && v.asText.nonEmpty, s"missing/empty '$field'")
+    v.asText
+  }
+
+  private def optText(n: JsonNode, field: String): Option[String] = {
+    val v = n.path(field)
+    if (v.isTextual && v.asText.nonEmpty) Some(v.asText) else None
+  }
+
+  private def parseSyncTask(n: JsonNode): SyncTaskSpec = {
+    val taskType = reqText(n, "type").toLowerCase
+    require(Set("mongodb", "mysql", "mariadb", "postgresql", "redis")(taskType),
+      s"unknown sync type: $taskType") // main.go:180-182
+    // task-level securityEnabled propagates to every table (config.go:268-276)
+    val securityEnabled = n.path("securityEnabled").asBoolean(false)
+    SyncTaskSpec(
+      id = n.path("id").asInt(0),
+      taskType = taskType,
+      enabled = n.path("enabled").asBoolean(n.path("enable").asBoolean(true)),
+      tables = n.path("tables").elements.asScala.toSeq.map(parseTable(_, securityEnabled)),
+      checkpointDir = reqText(n, "checkpointDir"),
+      sourceDir = reqText(n, "sourceDir"),
+      targetDir = reqText(n, "targetDir"),
+      dlqDir = optText(n, "dlqDir").getOrElse(reqText(n, "targetDir") + "_dlq"),
+      sourceDb = optText(n, "sourceDb").getOrElse("graft"),
+      snapshotDir = optText(n, "snapshotDir"))
+  }
+
+  private def parseTable(n: JsonNode, securityEnabled: Boolean): TableMapping = {
+    val sourceTable = reqText(n, "sourceTable")
+    TableMapping(
+      sourceTable = sourceTable,
+      targetTable = optText(n, "targetTable").getOrElse(sourceTable),
+      keyColumns = n.path("keyColumns").elements.asScala.map(_.asText).toSeq,
+      securityEnabled = securityEnabled,
+      fieldSecurity = n.path("fieldSecurity").elements.asScala.toSeq.map { f =>
+        FieldSecurity(reqText(f, "field"), reqText(f, "securityType"))
+      },
+      countConditions = n.path("countQuery").path("conditions").elements.asScala.toSeq.map { c =>
+        CountCondition(
+          table = optText(c, "table").getOrElse(sourceTable),
+          field = reqText(c, "field"),
+          operator = reqText(c, "operator"),
+          value = c.path("value").asText(""),
+          dateRange = optText(c, "dateRange"))
+      },
+      advanced = {
+        val a = n.path("advancedSettings")
+        AdvancedSettings(
+          syncIndexes = a.path("syncIndexes").asBoolean(false),
+          ignoreDeleteOps = a.path("ignoreDeleteOps").asBoolean(false),
+          uploadToGcs = a.path("uploadToGcs").asBoolean(false))
+      })
+  }
+
+  private def parseBackupTask(n: JsonNode): BackupSpec = {
+    val schedule = optText(n, "schedule").getOrElse("0 2 * * *")
+    graft.operators.Cron.parse(schedule) // validate here: a bad schedule skips THIS task only
+    BackupSpec(
+      id = n.path("id").asInt(0),
+      format = optText(n, "format").getOrElse("json"),
+      tables = n.path("tables").elements.asScala.toSeq.map { t =>
+        BackupTableSpec(
+          tablePattern = reqText(t, "tablePattern"),
+          fields = {
+            val fs = t.path("fields").elements.asScala.map(_.asText).toSeq
+            if (fs.isEmpty) Seq("all") else fs
+          },
+          timeField = optText(t, "timeField"),
+          startOffsetDays = t.path("startOffsetDays").asInt(-1),
+          endOffsetDays = t.path("endOffsetDays").asInt(-1))
+      },
+      compress = n.path("compress").asBoolean(true),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      outDir = reqText(n, "outDir"))
+  }
+}

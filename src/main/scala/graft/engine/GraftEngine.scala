@@ -1,0 +1,196 @@
+package graft.engine
+
+import java.time.{LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TimeWindows
+import graft.model.BackupSpec
+import graft.operators.{Backup, Cron, Upsert}
+import graft.streaming.{Alerts, CdcPipeline, ControlLoop, Guardian, KvPipeline}
+
+/** The composed engine — config file in, running pipelines out: the
+  * Spark-native `cmd/sync/main.go` (reference main.go:91-188).
+  *
+  * One [[pollOnce]] is the reference's 10 s reload tick: load the JSON
+  * config, compile every enabled task to per-table pipeline defs
+  * ([[Compiler]]), and reconcile the running set per pipeline
+  * ([[ControlLoop.Supervisor]] — only added/changed/dead pipelines
+  * restart; checkpoints make each swap lossless). Backup tasks compile
+  * to [[Cron]] jobs fired by [[tickCron]] (cronjob.go:100-192), and
+  * [[retryDlq]] sweeps every CDC pipeline's dead-letter queue, alerting
+  * on parked batches (mongodb.go:1876-1969). [[Guardian]] wraps each
+  * pipeline start (transient start failures back off and retry);
+  * crash-during-run is covered by the supervisor's restart-on-death.
+  *
+  * Scale posture: the engine itself only moves metadata — specs, names,
+  * cron fires. All data movement happens inside the checkpointed
+  * streaming pipelines and the distributed export writers it launches.
+  */
+final class GraftEngine(
+    spark: SparkSession,
+    configPath: String,
+    availableNow: Boolean = false,
+    alerts: Alerts.Sink = Alerts.Log,
+    backoff: Guardian.Backoff = Guardian.Backoff(maxRetries = 2, baseDelayMs = 1000L),
+    sleep: Long => Unit = Thread.sleep,
+    clock: () => LocalDateTime = () => LocalDateTime.now(ZoneOffset.UTC)) {
+
+  private val supervisor = new ControlLoop.Supervisor[Compiler.PipelineDef](startPipeline)
+  @volatile private var pipelineDefs = Map.empty[String, Compiler.PipelineDef]
+  @volatile private var backupSpecs: Seq[BackupSpec] = Nil
+  @volatile private var scheduler = new Cron.Scheduler(Nil)
+
+  private def startPipeline(d: Compiler.PipelineDef): StreamingQuery = d match {
+    case Compiler.CdcDef(_, cfg, snapshotDir) =>
+      // S1 initial sync before the stream: skip-if-nonempty makes a
+      // restart (or an unchanged reconcile) a no-op (mongodb.go:459-465)
+      snapshotDir.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+          val snap = spark.read.parquet(dir)
+          Upsert.snapshot(spark, snap.withColumn("updated_at", lit(null).cast("timestamp")),
+            cfg.keyCol, cfg.targetDir)
+        }
+      }
+      guarded(() => CdcPipeline.start(spark, cfg, availableNow))
+    case Compiler.KvDef(_, cfg) =>
+      guarded(() => KvPipeline.start(spark, cfg, availableNow))
+  }
+
+  /** Guardian envelope on the START path: a recoverable failure (e.g. a
+    * storage hiccup while opening the checkpoint) retries with backoff
+    * instead of failing the whole reconcile. */
+  private def guarded(start: () => StreamingQuery): StreamingQuery = {
+    var q: StreamingQuery = null
+    Guardian.run(backoff, sleep) { () => q = start() }
+    q
+  }
+
+  /** One reload tick (main.go:92-145): parse config, rebuild the cron
+    * schedule if the backup set changed (an unchanged reload must keep
+    * the fired-this-minute dedup state), reconcile pipelines. */
+  def pollOnce(): ControlLoop.Reconcile = {
+    val cfg = ConfigReader.load(configPath)
+    if (cfg.backupTasks != backupSpecs) {
+      backupSpecs = cfg.backupTasks
+      scheduler = new Cron.Scheduler(backupSpecs.map(toJob))
+    }
+    pipelineDefs = Compiler.compileAll(cfg.syncTasks)
+    supervisor.reconcile(pipelineDefs)
+  }
+
+  private def toJob(spec: BackupSpec): Cron.Job =
+    Cron.Job(spec.id, spec.schedule, () =>
+      // a failing export alerts and yields the tick — it must not abort
+      // the scheduler pass for the other due jobs
+      try { GraftEngine.runBackup(spark, spec, clock()); () }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("backup_failed", s"backup${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  /** Minute tick for scheduled backups; returns fired job ids. */
+  def tickCron(now: LocalDateTime = clock()): Seq[Int] = scheduler.tick(now)
+
+  /** DLQ sweep across every compiled CDC pipeline (ST10); parked
+    * batches alert through the engine's sink. */
+  def retryDlq(): Map[String, CdcPipeline.DlqStats] =
+    pipelineDefs.collect { case (name, Compiler.CdcDef(_, cfg, _)) =>
+      name -> CdcPipeline.retryDlq(spark, cfg, alerts)
+    }
+
+  def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries
+
+  /** Block until every running pipeline has consumed its available
+    * input (test/drain aid). */
+  def processAllAvailable(): Unit = activeQueries.values.foreach(_.processAllAvailable())
+
+  /** AvailableNow mode: wait for every pipeline to drain and stop. */
+  def awaitDrained(): Unit = activeQueries.values.foreach(_.awaitTermination())
+
+  def stop(): Unit = supervisor.stopAll()
+}
+
+object GraftEngine {
+
+  /** Execute one backup task now (the cron target, executor.go:157-271):
+    * list the tables under `sourceDir`, regex-discover, group by prefix,
+    * prune date-suffixed slices against the task's JST window, and write
+    * one merged artifact per logical table in the configured format. */
+  def runBackup(spark: SparkSession, spec: BackupSpec,
+      anchorUtc: LocalDateTime): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(spec.sourceDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val available = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    val jstDate = anchorUtc.atZone(ZoneOffset.UTC)
+      .withZoneSameInstant(TimeWindows.JST).toLocalDate
+    spec.tables.flatMap { bt =>
+      val discovered = Backup.discover(available, bt.tablePattern)
+      Backup.groupByPrefix(discovered).toSeq.sortBy(_._1).map { case (prefix, members) =>
+        val slices = members.sorted.map { name =>
+          Backup.TableSlice(name, () => spark.read.parquet(s"${spec.sourceDir}/$name"),
+            Backup.parseSuffixRange(name))
+        }
+        val start = jstDate.plusDays(bt.startOffsetDays.toLong)
+        val endExcl = jstDate.plusDays(bt.endOffsetDays.toLong + 1L)
+        val predicate = bt.timeField match {
+          case Some(f) => // export semantics: exclusive end (external_simple.go:573-580)
+            TimeWindows.exportPredicate(org.apache.spark.sql.functions.col(f),
+              TimeWindows.jstDayWindow(anchorUtc, bt.startOffsetDays, bt.endOffsetDays))
+          case None => lit(true)
+        }
+        val df = Backup.mergedExport(slices, start, endExcl, predicate, bt.fields)
+        // artifact naming: {prefix}_{window-start-date}.{format}, the
+        // reference's `base_YYYY-MM-DD.ext` merged file (mysql.go:399-416)
+        val out = s"${spec.outDir}/${prefix}_$start.${spec.format}"
+        spec.format match {
+          case "sql" => Backup.writeSql(df, prefix, out, spec.compress)
+          case "csv" => Backup.writeCsv(df, out, spec.compress)
+          case _     => Backup.writeJsonl(df, out, spec.compress)
+        }
+        out
+      }
+    }
+  }
+
+  /** `GraftEngine <config.json> [--once] [--interval-ms N] [--rounds N]`
+    *
+    * `--once`: compile and run every pipeline in AvailableNow mode,
+    * drain, run one DLQ pass, stop — the batch-catchup entry. Default:
+    * the reference's resident loop — reload+reconcile every interval,
+    * cron-tick each pass, forever (or `--rounds`). */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: GraftEngine <config.json> [--once] [--interval-ms N] [--rounds N]")
+    val configPath = args(0)
+    def intArg(flag: String, default: Long): Long =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v.toLong }.getOrElse(default)
+    val once = args.contains("--once")
+    val spark = graft.GraftSession.local()
+    val engine = new GraftEngine(spark, configPath, availableNow = once)
+    if (once) {
+      val r = engine.pollOnce()
+      engine.awaitDrained()
+      val dlq = engine.retryDlq()
+      println(s"[engine] started=${r.started.size} failed=${r.failed.size} " +
+        s"dlq=${dlq.values.map(s => s.succeeded + s.failed + s.parked).sum}")
+      engine.stop()
+    } else {
+      val intervalMs = intArg("--interval-ms", 10000L)
+      val rounds = intArg("--rounds", Long.MaxValue)
+      var i = 0L
+      try while (i < rounds) {
+        val r = engine.pollOnce()
+        if (r.started.nonEmpty || r.stopped.nonEmpty || r.failed.nonEmpty)
+          println(s"[engine] reconcile started=${r.started} stopped=${r.stopped} " +
+            s"failed=${r.failed.keySet}")
+        engine.tickCron()
+        i += 1
+        if (i < rounds) Thread.sleep(intervalMs)
+      } finally engine.stop()
+    }
+  }
+}

@@ -38,7 +38,15 @@ final case class SyncTaskSpec(
     taskType: String,          // mongodb|mysql|mariadb|postgresql|redis (config.go:44)
     enabled: Boolean,
     tables: Seq[TableMapping],
-    checkpointDir: String)
+    checkpointDir: String,
+    // Connection stand-ins (the reference carries DSNs built by
+    // buildDSNByType, config.go:330-370; the Spark engine's sources and
+    // sinks are stream/table roots — one subdirectory per table):
+    sourceDir: String = "",        // change-event stream root
+    targetDir: String = "",        // bucketed parquet target root
+    dlqDir: String = "",           // parked-batch root (defaults beside target)
+    sourceDb: String = "graft",    // DatabaseMapping.SourceDatabase (config.go:36-41)
+    snapshotDir: Option[String] = None) // initial-sync parquet root (S1 skip-if-nonempty)
 
 /** Backup/export task spec (reference pkg/backup/executor.go:157-271). */
 final case class BackupTableSpec(
@@ -52,4 +60,7 @@ final case class BackupSpec(
     id: Int,
     format: String,            // json | csv | sql
     tables: Seq[BackupTableSpec],
-    compress: Boolean = true)
+    compress: Boolean = true,
+    schedule: String = "0 2 * * *", // five-field cron (cronjob.go:100-192)
+    sourceDir: String = "",         // table root the export scans
+    outDir: String = "")            // artifact root

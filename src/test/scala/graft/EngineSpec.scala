@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Compiler, ConfigReader, GraftEngine}
+import graft.operators.{Backup, Cdc, KvStore}
+import graft.streaming.{Alerts, ChangeEvents}
+
+/** The composed engine (round-6 #1): JSON config → compiled pipelines →
+  * one entry point running snapshot + streams + scheduled backups, with
+  * per-pipeline hot reload. */
+class EngineSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_engine").toString
+
+  private def writeConfig(path: String, json: String): Unit =
+    Files.write(Paths.get(path), json.getBytes("UTF-8"))
+
+  // ---- config reader ---------------------------------------------------
+
+  test("config reader parses the reference JSON shape; malformed tasks are skipped") {
+    val cfg = ConfigReader.parse(
+      """{ "syncTasks": [
+        |  { "id": 1, "type": "mongodb", "enabled": true, "securityEnabled": true,
+        |    "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
+        |    "tables": [ { "sourceTable": "events", "keyColumns": ["custom_id"],
+        |        "fieldSecurity": [ {"field": "after.k", "securityType": "mask"} ],
+        |        "advancedSettings": {"ignoreDeleteOps": true} } ] },
+        |  { "id": 2, "type": "warp-drive",
+        |    "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c", "tables": [] },
+        |  { "id": 3, "type": "redis", "enabled": false,
+        |    "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
+        |    "tables": [ {"sourceTable": "kv"} ] } ],
+        | "backupTasks": [
+        |  { "id": 10, "schedule": "0 3 * * *", "format": "sql", "compress": false,
+        |    "sourceDir": "/b", "outDir": "/o",
+        |    "tables": [ {"tablePattern": "orders.*", "fields": ["all"]} ] },
+        |  { "id": 11, "schedule": "61 99 * * *", "sourceDir": "/b", "outDir": "/o",
+        |    "tables": [] } ] }""".stripMargin)
+
+    // task 2 (unknown type) skipped; task 11 (bad cron) skipped — fault isolation
+    assert(cfg.syncTasks.map(_.id) == Seq(1, 3))
+    assert(cfg.backupTasks.map(_.id) == Seq(10))
+    val t1 = cfg.syncTasks.head
+    assert(t1.dlqDir == "/t_dlq") // defaulted beside the target
+    val m = t1.tables.head
+    assert(m.securityEnabled && m.fieldSecurity.head.field == "after.k") // task-level pushdown
+    assert(m.advanced.ignoreDeleteOps)
+    // disabled task compiles to nothing = stop-at-reconcile
+    assert(Compiler.compile(cfg.syncTasks(1)).isEmpty)
+    // keyColumns reaches the pipeline config
+    Compiler.compile(t1).head match {
+      case Compiler.CdcDef(name, c, _) =>
+        assert(name == "task1/events" && c.keyCol == "custom_id")
+        assert(c.ignoreDeleteOps && c.fieldSecurity.nonEmpty)
+        assert(c.nsFilter.contains(("graft", "events"))) // mongodb watches one ns
+      case other => fail(s"expected CdcDef, got $other")
+    }
+  }
+
+  // ---- end-to-end ------------------------------------------------------
+
+  private def normCdc(df: DataFrame): Set[(Long, Double, Long)] =
+    df.select(col("key").cast("long"), col("value"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+  private def syncTaskJson(id: Int, table: String, root: String,
+      ignoreDeletes: Boolean = false,
+      security: String = "false", fieldSec: String = "[]"): String =
+    s"""{ "id": $id, "type": "mongodb", "enabled": true, "securityEnabled": $security,
+       |  "sourceDir": "$root/src", "targetDir": "$root/tgt",
+       |  "checkpointDir": "$root/ckpt", "dlqDir": "$root/dlq",
+       |  "tables": [ { "sourceTable": "$table", "keyColumns": ["key"],
+       |      "fieldSecurity": $fieldSec,
+       |      "advancedSettings": {"ignoreDeleteOps": $ignoreDeletes} } ] }""".stripMargin
+
+  test("end-to-end: one config drives CDC + KV streams and a scheduled SQL backup; reconcile is per-pipeline and lossless") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    val kvTaskJson =
+      s"""{ "id": 2, "type": "redis", "enabled": true,
+         |  "sourceDir": "$root/kvsrc", "targetDir": "$root/kvtgt",
+         |  "checkpointDir": "$root/kvckpt",
+         |  "tables": [ { "sourceTable": "kv" } ] }""".stripMargin
+    val backupJson =
+      s"""{ "id": 10, "schedule": "0 3 * * *", "format": "sql", "compress": false,
+         |  "sourceDir": "$root/bsrc", "outDir": "$root/bout",
+         |  "tables": [ { "tablePattern": "orders", "fields": ["all"] } ] }""".stripMargin
+    def configJson(syncTasks: String) =
+      s"""{ "syncTasks": [ $syncTasks ], "backupTasks": [ $backupJson ] }"""
+
+    // source data: a CDC change log, a KV op log, a backup source table
+    val events = ChangeEvents.fromEvents(spark, sf)
+    events.coalesce(1).write.mode("append").json(s"$root/src/events")
+    KvStore.keyspaceOps(spark, sf).coalesce(1).write.mode("append").json(s"$root/kvsrc/kv")
+    val orders = Tables(spark, sf, "orders")
+    orders.write.parquet(s"$root/bsrc/orders")
+
+    writeConfig(cfgPath, configJson(syncTaskJson(1, "events", root) + ", " + kvTaskJson))
+    val alerts = new Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts,
+      clock = () => LocalDateTime.parse("2024-03-01T03:00:00"))
+    try {
+      // ---- first reconcile: both pipelines start from one entry point
+      val r1 = engine.pollOnce()
+      assert(r1.started == Set("task1/events", "task2/kv") && r1.failed.isEmpty)
+      engine.processAllAvailable()
+
+      val cdcWant = normCdc(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+      assert(normCdc(spark.read.parquet(s"$root/tgt/events")) == cdcWant)
+      val kvGot = spark.read.parquet(s"$root/kvtgt/kv")
+        .select("key", "kind", "value", "ttlMs").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) -99L else r.getLong(3))).toSet
+      val kvWant = KvStore.finalState(spark, sf)
+        .select("key", "kind", "value", "ttl_ms").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) -99L else r.getLong(3))).toSet
+      assert(kvGot == kvWant)
+
+      // ---- scheduled backup: fires at its cron minute, SQL round-trips
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T02:59:00")).isEmpty)
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T03:00:00")) == Seq(10))
+      val artifacts = Files.list(Paths.get(s"$root/bout")).toArray.map(_.toString)
+      assert(artifacts.length == 1 && artifacts.head.endsWith(".sql"))
+      val restored = Backup.readSql(spark, artifacts.head, orders.schema)
+      assert(restored.count() == orders.count())
+      val key = (df: DataFrame) => df.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect().map(_.toSeq).toSet
+      assert(key(restored) == key(orders))
+
+      // ---- config edit: task1 changes (ignoreDeleteOps), task3 appears
+      // (masked fresh table); the untouched KV pipeline must keep running
+      val eventsB = events.withColumn("sourceTable", lit("events2"))
+      eventsB.coalesce(1).write.mode("append").json(s"$root/src/events2")
+      val task3 = syncTaskJson(3, "events2", root, security = "true",
+        fieldSec = """[ {"field": "after.k", "securityType": "mask"} ]""")
+      writeConfig(cfgPath, configJson(
+        syncTaskJson(1, "events", root, ignoreDeletes = true) + ", " +
+          task3 + ", " + kvTaskJson))
+      val kvQuery = engine.activeQueries("task2/kv")
+      val r2 = engine.pollOnce()
+      assert(r2.stopped == Set("task1/events"))
+      assert(r2.started == Set("task1/events", "task3/events2"))
+      assert(r2.kept == Set("task2/kv"))
+      assert(engine.activeQueries("task2/kv") eq kvQuery) // same query object: never restarted
+      engine.processAllAvailable()
+
+      // task3: fieldSecurity flowed from JSON into the stream — every k masked
+      val masked = spark.read.parquet(s"$root/tgt/events2")
+      assert(masked.count() == cdcWant.size)
+      assert(masked.select("k").distinct().collect().map(_.getString(0)).toSet == Set("****"))
+
+      // ---- checkpoint survival: only NEW input is processed after the
+      // swap, and the swapped pipeline honors its new ignoreDeleteOps —
+      // deletes for two live keys arrive and are ignored
+      val victims = spark.read.parquet(s"$root/tgt/events").select("key")
+        .limit(2).collect().map(_.getLong(0))
+      import org.apache.spark.sql.Row
+      val lateDeletes = spark.createDataFrame(
+        java.util.Arrays.asList(victims.zipWithIndex.map { case (k, i) =>
+          Row("delete", k, null, "graft", "events",
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 100000000L + i)
+        }: _*), ChangeEvents.schema)
+      lateDeletes.coalesce(1).write.mode("append").json(s"$root/src/events")
+      engine.processAllAvailable()
+      val after = normCdc(spark.read.parquet(s"$root/tgt/events"))
+      assert(after == cdcWant) // state unchanged: deletes ignored, nothing re-replayed
+      assert(alerts.drain().isEmpty) // healthy run: no alerts fired
+    } finally engine.stop()
+  }
+}

@@ -126,16 +126,41 @@ object Dedup {
   val SimhashBits = 60 // md5Hash60 is 60-bit; 4 chunks × 15 bits
   val SimhashChunks = 4
 
+  /** Per-token bit-vote accumulation: ONE pass over the token hashes,
+    * each token adding its ±1 contribution to all 60 bit counters at
+    * once (`zip_with` over the vote vector). The naive form — 60
+    * independent `aggregate` passes, one per bit — re-walks the token
+    * array 60×; this is the transposed single-walk. */
+  def simhashVotes(hs: Column): Column =
+    aggregate(hs, array_repeat(lit(0L), SimhashBits), (acc, h) =>
+      zip_with(acc,
+        transform(sequence(lit(0), lit(SimhashBits - 1)), i =>
+          when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))),
+        (a, v) => a + v))
+
+  /** Fold a vote vector into the 60-bit signature. `votes` is consumed
+    * exactly once (the zip_with), so composing over [[simhashVotes]]
+    * never re-evaluates the accumulation. */
+  def simhashFromVotes(votes: Column): Column =
+    aggregate(
+      zip_with(votes,
+        array((0 until SimhashBits).map(i => lit(1L << i)): _*),
+        (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+
   /** SimHash from pre-hashed tokens: bit i set iff the ±1 majority vote
     * of bit i across token hashes is positive. */
   def simhashFromHashes(hs: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(SimhashBits - 1)), i =>
-        when(aggregate(hs, lit(0L), (acc, h) =>
-          acc + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))) > 0,
-          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+    simhashFromVotes(simhashVotes(hs))
+
+  /** ±1 vote of token-hash bit `i` for the exploded bit-matrix form
+    * (explode_outer pads tokenless docs with one null hash, which votes
+    * 0 everywhere → signature 0, same as the array form on []). */
+  private def voteOf(i: Int): Column =
+    when(col("h").isNull, lit(0L))
+      .when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(lit(1L)) === 1L, lit(1L))
+      .otherwise(lit(-1L))
 
   /** 60-bit SimHash of a text column (token multiset, md5-based).
     * Hot paths should materialize the token hashes first. */
@@ -148,11 +173,23 @@ object Dedup {
     * The DuckDB oracle replays simhash + chunk condition + Hamming
     * filter exactly. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 16): DataFrame = {
-    // token hashes computed once; the vote passes read the tracked cache
-    val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
+    // Signature via the exploded bit matrix: one row per (doc, token
+    // hash), then 60 columnar ±1-vote sums per doc in a single hash
+    // aggregate — codegen-friendly long accumulators, no per-token array
+    // allocation (the array-aggregate form re-walks or re-allocates a
+    // 60-wide array per token and measures ~2× slower). Partial
+    // aggregation combines map-side, so the shuffle carries one 60-long
+    // row per doc, not one row per token.
+    val exploded = Tables(spark, dir, "documents")
       .select(col("doc_id"),
-        transform(Text.tokens(col("text")), t => Text.md5Hash60(t)).as("hs")))
-    val docs = hashed.select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
+        explode_outer(transform(Text.tokens(col("text")), t => Text.md5Hash60(t))).as("h"))
+    val votes = exploded.groupBy("doc_id").agg(
+      sum(voteOf(0)).as("v0"),
+      (1 until SimhashBits).map(i => sum(voteOf(i)).as(s"v$i")): _*)
+    val docs = votes.select(col("doc_id"),
+      (0 until SimhashBits).map(i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
     val chunks = docs.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(SimhashChunks - 1)),
         j => call_function("shiftright", col("sh"), j * 15).bitwiseAND(lit(0x7FFFL)))))

@@ -40,9 +40,14 @@ import graft.model._
   */
 object ConfigReader {
 
+  /** `metricsDir` enables the engine's stream-progress recorder — the
+    * monitoring loop of cmd/sync/main.go:104-109 (config_global's
+    * enable_table_row_count_monitoring) with the metrics parquet table
+    * standing in for SQLite `monitoring_log`. */
   final case class EngineConfig(
       syncTasks: Seq[SyncTaskSpec] = Nil,
-      backupTasks: Seq[BackupSpec] = Nil)
+      backupTasks: Seq[BackupSpec] = Nil,
+      metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
   private val logger = org.slf4j.LoggerFactory.getLogger("graft.config")
@@ -66,7 +71,8 @@ object ConfigReader {
           logger.warn(s"skipping malformed backup task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
-      })
+      },
+      metricsDir = optText(root, "metricsDir"))
   }
 
   private def reqText(n: JsonNode, field: String): String = {

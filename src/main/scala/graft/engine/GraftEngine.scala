@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.functions.TimeWindows
 import graft.model.BackupSpec
 import graft.operators.{Backup, Cron, Upsert}
-import graft.streaming.{Alerts, CdcPipeline, ControlLoop, Guardian, KvPipeline}
+import graft.streaming.{Alerts, CdcPipeline, ControlLoop, Guardian, KvPipeline, Metrics}
 
 /** The composed engine — config file in, running pipelines out: the
   * Spark-native `cmd/sync/main.go` (reference main.go:91-188).
@@ -42,6 +42,7 @@ final class GraftEngine(
   @volatile private var pipelineDefs = Map.empty[String, Compiler.PipelineDef]
   @volatile private var backupSpecs: Seq[BackupSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
+  @volatile private var recorder: Option[Metrics.Recorder] = None
 
   private def startPipeline(d: Compiler.PipelineDef): StreamingQuery = d match {
     case Compiler.CdcDef(_, cfg, snapshotDir) =>
@@ -74,6 +75,17 @@ final class GraftEngine(
     * the fired-this-minute dedup state), reconcile pipelines. */
   def pollOnce(): ControlLoop.Reconcile = {
     val cfg = ConfigReader.load(configPath)
+    // monitoring (main.go:104-109): register the progress recorder once
+    // when configured; every poll flushes buffered rows to the metrics
+    // table (the reference upserts counters into SQLite on its ticker)
+    cfg.metricsDir.foreach { dir =>
+      if (recorder.isEmpty) {
+        val r = new Metrics.Recorder(spark, dir)
+        spark.streams.addListener(r)
+        recorder = Some(r)
+      }
+    }
+    recorder.foreach(_.flush())
     if (cfg.backupTasks != backupSpecs) {
       backupSpecs = cfg.backupTasks
       scheduler = new Cron.Scheduler(backupSpecs.map(toJob))
@@ -111,7 +123,14 @@ final class GraftEngine(
   /** AvailableNow mode: wait for every pipeline to drain and stop. */
   def awaitDrained(): Unit = activeQueries.values.foreach(_.awaitTermination())
 
-  def stop(): Unit = supervisor.stopAll()
+  def stop(): Unit = {
+    supervisor.stopAll()
+    recorder.foreach { r =>
+      r.flush()
+      spark.streams.removeListener(r)
+    }
+    recorder = None
+  }
 }
 
 object GraftEngine {

@@ -91,7 +91,8 @@ class EngineSpec extends SparkSpec {
          |  "sourceDir": "$root/bsrc", "outDir": "$root/bout",
          |  "tables": [ { "tablePattern": "orders", "fields": ["all"] } ] }""".stripMargin
     def configJson(syncTasks: String) =
-      s"""{ "syncTasks": [ $syncTasks ], "backupTasks": [ $backupJson ] }"""
+      s"""{ "metricsDir": "$root/metrics",
+         |  "syncTasks": [ $syncTasks ], "backupTasks": [ $backupJson ] }""".stripMargin
 
     // source data: a CDC change log, a KV op log, a backup source table
     val events = ChangeEvents.fromEvents(spark, sf)
@@ -171,6 +172,13 @@ class EngineSpec extends SparkSpec {
       val after = normCdc(spark.read.parquet(s"$root/tgt/events"))
       assert(after == cdcWant) // state unchanged: deletes ignored, nothing re-replayed
       assert(alerts.drain().isEmpty) // healthy run: no alerts fired
+
+      // ---- monitoring composed: the engine's recorder captured stream
+      // progress into the metrics table (listener delivery is async)
+      Thread.sleep(2000)
+      engine.pollOnce() // flushes buffered progress rows
+      val stats = graft.streaming.Metrics.streamStatsRollup(spark, s"$root/metrics")
+      assert(stats.agg(sum("rows_received")).head().getLong(0) > 0)
     } finally engine.stop()
   }
 }

@@ -152,6 +152,7 @@ object ConfigReader {
       compress = n.path("compress").asBoolean(true),
       schedule = schedule,
       sourceDir = reqText(n, "sourceDir"),
-      outDir = reqText(n, "outDir"))
+      outDir = reqText(n, "outDir"),
+      uploadDir = optText(n, "uploadDir"))
   }
 }

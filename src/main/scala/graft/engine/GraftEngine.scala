@@ -171,6 +171,13 @@ object GraftEngine {
           case "csv" => Backup.writeCsv(df, out, spec.compress)
           case _     => Backup.writeJsonl(df, out, spec.compress)
         }
+        // W8: zip the part files into one artifact and hand it to the
+        // store (the reference's zip → GCS steps, mysql.go:485-500)
+        spec.uploadDir.foreach { dst =>
+          val zipName = s"${prefix}_$start.zip"
+          val zip = Backup.zipArtifact(spark, out, s"${spec.outDir}/$zipName")
+          new Backup.LocalArtifactStore(dst).put(spark, zip, zipName)
+        }
         out
       }
     }

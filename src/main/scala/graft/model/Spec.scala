@@ -63,4 +63,5 @@ final case class BackupSpec(
     compress: Boolean = true,
     schedule: String = "0 2 * * *", // five-field cron (cronjob.go:100-192)
     sourceDir: String = "",         // table root the export scans
-    outDir: String = "")            // artifact root
+    outDir: String = "",            // artifact root
+    uploadDir: Option[String] = None) // zip + store destination (≙ gcsAddress)

@@ -91,6 +91,54 @@ object Backup {
     (if (compress) w.option("compression", "gzip") else w).csv(path)
   }
 
+  // --- W8: zip + upload ------------------------------------------------
+
+  /** Pluggable artifact destination — the upload seam of the reference's
+    * GCS step (pkg/utils/gcs_upload.go:17-119; executeExternalGCSUpload,
+    * pkg/backup/mysql.go:490-500). No GCS egress exists in the sandbox,
+    * so production wires a GCS implementation as a drop-in;
+    * [[LocalArtifactStore]] is the tested stand-in with the same
+    * contract (put overwrites, returns the stored URI). */
+  trait ArtifactStore { def put(spark: SparkSession, localPath: String, remoteName: String): String }
+
+  final class LocalArtifactStore(rootDir: String) extends ArtifactStore {
+    def put(spark: SparkSession, localPath: String, remoteName: String): String = {
+      val src = new org.apache.hadoop.fs.Path(localPath)
+      val dst = new org.apache.hadoop.fs.Path(rootDir, remoteName)
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(spark.sparkContext.hadoopConfiguration), src,
+        fs, dst, false, true, spark.sparkContext.hadoopConfiguration)
+      dst.toString
+    }
+  }
+
+  /** Zip an export directory's part files into ONE artifact — the
+    * reference's external-zip step (executeExternalZip, merged-file
+    * packaging mysql.go:485-489). Streams file-by-file through
+    * ZipOutputStream over Hadoop FS streams: driver-side IO bounded by
+    * artifact bytes, never a row collect; works on distributed storage
+    * the same as on local disk. Returns `zipPath`. */
+  def zipArtifact(spark: SparkSession, exportDir: String, zipPath: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(exportDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.util.zip.ZipOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(zipPath), true))
+    try fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .sortBy(_.getName)
+      .foreach { p =>
+        out.putNextEntry(new java.util.zip.ZipEntry(p.getName))
+        val in = fs.open(p)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        finally in.close()
+        out.closeEntry()
+      }
+    finally out.close()
+    zipPath
+  }
+
   // --- W7: SQL-dump format ---------------------------------------------
   // The reference's "sql" backup format shells out to mysqldump
   // (pkg/backup/mysql.go:105-164) and merges the per-table dumps

@@ -105,6 +105,36 @@ class BackupSpec extends SparkSpec {
     assert(norm(Backup.readSql(spark, gzDir, schema)) == norm(df))
   }
 
+  test("zip artifact packages part files and the store puts it (W8)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_zip").toString
+    val df = (1 to 300).map(i => (i.toLong, s"row$i")).toDF("id", "s").repartition(3)
+    Backup.writeCsv(df, s"$root/export", compress = false)
+    val zip = Backup.zipArtifact(spark, s"$root/export", s"$root/export.zip")
+
+    // one entry per data part file, checksummed content intact
+    val zin = new java.util.zip.ZipInputStream(new java.io.FileInputStream(zip))
+    var entries = Vector.empty[String]
+    var lines = 0
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        entries :+= e.getName
+        lines += scala.io.Source.fromInputStream(zin).getLines().size
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    assert(entries.size == 3 && entries.forall(_.endsWith(".csv")))
+    assert(lines == 300 + 3) // 300 rows + one header per part
+
+    // the upload seam: put copies the zip under the store root
+    val stored = new Backup.LocalArtifactStore(s"$root/uploads")
+      .put(spark, zip, "export_2024-01-01.zip")
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/uploads/export_2024-01-01.zip")))
+    assert(Files.size(java.nio.file.Paths.get(new java.net.URI(stored).getPath)) ==
+      Files.size(java.nio.file.Paths.get(zip)))
+  }
+
   test("A8: exported file record count matches the source count") {
     import spark.implicits._
     val df = (1 to 257).map(i => (i.toLong, s"row$i")).toDF("id", "s")

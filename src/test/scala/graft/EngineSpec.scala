@@ -88,7 +88,7 @@ class EngineSpec extends SparkSpec {
          |  "tables": [ { "sourceTable": "kv" } ] }""".stripMargin
     val backupJson =
       s"""{ "id": 10, "schedule": "0 3 * * *", "format": "sql", "compress": false,
-         |  "sourceDir": "$root/bsrc", "outDir": "$root/bout",
+         |  "sourceDir": "$root/bsrc", "outDir": "$root/bout", "uploadDir": "$root/uploads",
          |  "tables": [ { "tablePattern": "orders", "fields": ["all"] } ] }""".stripMargin
     def configJson(syncTasks: String) =
       s"""{ "metricsDir": "$root/metrics",
@@ -127,8 +127,12 @@ class EngineSpec extends SparkSpec {
       assert(engine.tickCron(LocalDateTime.parse("2024-03-01T02:59:00")).isEmpty)
       assert(engine.tickCron(LocalDateTime.parse("2024-03-01T03:00:00")) == Seq(10))
       val artifacts = Files.list(Paths.get(s"$root/bout")).toArray.map(_.toString)
-      assert(artifacts.length == 1 && artifacts.head.endsWith(".sql"))
-      val restored = Backup.readSql(spark, artifacts.head, orders.schema)
+      assert(artifacts.exists(_.endsWith(".sql")))
+      // W8 composed: the artifact was zipped and put through the store
+      val uploads = Files.list(Paths.get(s"$root/uploads")).toArray.map(_.toString)
+        .filterNot(p => Paths.get(p).getFileName.toString.startsWith(".")) // hadoop .crc sidecars
+      assert(uploads.length == 1 && uploads.head.endsWith(".zip"))
+      val restored = Backup.readSql(spark, artifacts.filter(_.endsWith(".sql")).head, orders.schema)
       assert(restored.count() == orders.count())
       val key = (df: DataFrame) => df.select("o_orderkey", "o_totalprice", "o_orderdate")
         .collect().map(_.toSeq).toSet

@@ -116,6 +116,34 @@ object MetaOps {
     (toCreate, existing.size)
   }
 
+  // ---- SET3 apply half: DDL replay -----------------------------------
+
+  /** Render CREATE INDEX DDL for [[indexDiff]]'s toCreate set — the
+    * apply half of index sync (copyIndexes, postgresql.go:377-457; the
+    * Mongo createIndexes replay, mongodb.go:399-430). Key direction
+    * follows the Mongo convention: 1 → ASC, -1 → DESC. Identifiers are
+    * double-quoted, so callers pass them in the target engine's stored
+    * case. Applied through any JDBC connection (JdbcSpec runs them
+    * against embedded Derby). */
+  def createIndexDdl(table: String, toCreate: Seq[IndexSpec]): Seq[String] =
+    toCreate.map { ix =>
+      val unique = if (ix.unique) "UNIQUE " else ""
+      val cols = ix.keys.map { case (c, dir) =>
+        s""""$c" ${if (dir < 0) "DESC" else "ASC"}""" }.mkString(", ")
+      s"""CREATE ${unique}INDEX "${ix.name}" ON "$table" ($cols)"""
+    }
+
+  /** PG sequence replay (postgresql.go:344-365): the sequence behind a
+    * `nextval('…'::regclass)` column default. */
+  def extractSequenceName(defaultVal: String): Option[String] =
+    "nextval\\('([^']+)'(?:::regclass)?\\)".r
+      .findFirstMatchIn(defaultVal).map(_.group(1))
+
+  /** CREATE statements for the distinct sequences of a table's column
+    * defaults (postgresql.go:350-356). */
+  def createSequenceDdl(names: Seq[String]): Seq[String] =
+    names.distinct.map(n => s"""CREATE SEQUENCE IF NOT EXISTS "$n"""")
+
   // ---- O6: "since" range bucketing (monitor_handler.go:335-363) ------
 
   /** Map a UI range token to its since-instant: the fixed buckets the

@@ -72,6 +72,35 @@ class JdbcSpec extends SparkSpec {
     assert(sup.attempts == 2) // reconnect-and-retry, not fail-fast
   }
 
+  test("DDL replay: index diff renders CREATE INDEX and applies on a real database") {
+    import graft.operators.MetaOps
+    val conn = DriverManager.getConnection(url)
+    try {
+      def targetNames: Set[String] = {
+        val rs = conn.getMetaData.getIndexInfo(null, null, "USERS", false, false)
+        val b = Set.newBuilder[String]
+        while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(b += _)
+        b.result()
+      }
+      val source = Seq(
+        MetaOps.IndexSpec("_id_", Seq(("ID", 1))), // implicit index: never syncs
+        MetaOps.IndexSpec("IDX_NAME", Seq(("NAME", 1))),
+        MetaOps.IndexSpec("IDX_SCORE_DESC", Seq(("SCORE", -1))))
+      val (toCreate, skipped0) = MetaOps.indexDiff(source, targetNames)
+      assert(toCreate.map(_.name) == Seq("IDX_NAME", "IDX_SCORE_DESC") && skipped0 == 0)
+      val ddl = MetaOps.createIndexDdl("USERS", toCreate)
+      assert(ddl == Seq(
+        """CREATE INDEX "IDX_NAME" ON "USERS" ("NAME" ASC)""",
+        """CREATE INDEX "IDX_SCORE_DESC" ON "USERS" ("SCORE" DESC)"""))
+      val st = conn.createStatement()
+      ddl.foreach(st.executeUpdate)
+      assert(Set("IDX_NAME", "IDX_SCORE_DESC").subsetOf(targetNames))
+      // re-diff against the applied target: idempotent, all skipped
+      val (again, skipped) = MetaOps.indexDiff(source, targetNames)
+      assert(again.isEmpty && skipped == 2)
+    } finally conn.close()
+  }
+
   test("batched append round-trips through the JDBC sink") {
     import spark.implicits._
     val conn = DriverManager.getConnection(url)

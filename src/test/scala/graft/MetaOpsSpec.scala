@@ -63,6 +63,20 @@ class MetaOpsSpec extends AnyFunSuite {
     assert(skipped == 1)
   }
 
+  test("sequence replay extracts nextval defaults and renders distinct CREATEs") {
+    assert(MetaOps.extractSequenceName("nextval('orders_id_seq'::regclass)")
+      .contains("orders_id_seq"))
+    assert(MetaOps.extractSequenceName("nextval('s1')").contains("s1"))
+    assert(MetaOps.extractSequenceName("42").isEmpty)
+    assert(MetaOps.createSequenceDdl(Seq("s1", "s1", "s2")) == Seq(
+      """CREATE SEQUENCE IF NOT EXISTS "s1"""",
+      """CREATE SEQUENCE IF NOT EXISTS "s2""""))
+    // unique index DDL carries the UNIQUE modifier
+    assert(MetaOps.createIndexDdl("t",
+      Seq(MetaOps.IndexSpec("uniq_email", Seq("email" -> 1), unique = true))) ==
+      Seq("""CREATE UNIQUE INDEX "uniq_email" ON "t" ("email" ASC)"""))
+  }
+
   test("since bucketing maps known ranges, empty to None, unknown to -10h") {
     val now = Instant.parse("2024-06-01T12:00:00Z")
     assert(MetaOps.parseRangeToSince("1h", now).contains(Instant.parse("2024-06-01T11:00:00Z")))

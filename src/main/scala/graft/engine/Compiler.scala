@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.model.{SyncTaskSpec, TableMapping}
+import graft.model.{CountCondition, SyncTaskSpec, TableMapping}
 import graft.streaming.{CdcPipeline, KvPipeline}
 
 /** Spec→pipeline compiler: turns one [[SyncTaskSpec]] into the per-table
@@ -17,9 +17,12 @@ object Compiler {
   sealed trait PipelineDef { def name: String }
 
   /** mongodb|mysql|mariadb|postgresql → CDC pipeline (+ optional initial
-    * snapshot, applied once via skip-if-nonempty before the stream). */
+    * snapshot, applied once via skip-if-nonempty before the stream).
+    * `counts` carries the mapping's countQuery conditions for the
+    * engine's monitoring report (query_counter.go:59-280). */
   final case class CdcDef(name: String, cfg: CdcPipeline.Config,
-      snapshotDir: Option[String]) extends PipelineDef
+      snapshotDir: Option[String], sourceTable: String = "",
+      counts: Seq[CountCondition] = Nil) extends PipelineDef
 
   /** redis → KV pipeline. */
   final case class KvDef(name: String, cfg: KvPipeline.Config) extends PipelineDef
@@ -59,7 +62,9 @@ object Compiler {
               if (t == "mysql" || t == "mariadb")
                 Seq(s"^${java.util.regex.Pattern.quote(spec.sourceDb)}\\.${m.sourceTable}$$")
               else Nil),
-            snapshotDir = spec.snapshotDir.map(s => s"$s/${m.sourceTable}"))
+            snapshotDir = spec.snapshotDir.map(s => s"$s/${m.sourceTable}"),
+            sourceTable = m.sourceTable,
+            counts = m.countConditions)
       }
     }
 

@@ -45,7 +45,7 @@ final class GraftEngine(
   @volatile private var recorder: Option[Metrics.Recorder] = None
 
   private def startPipeline(d: Compiler.PipelineDef): StreamingQuery = d match {
-    case Compiler.CdcDef(_, cfg, snapshotDir) =>
+    case Compiler.CdcDef(_, cfg, snapshotDir, _, _) =>
       // S1 initial sync before the stream: skip-if-nonempty makes a
       // restart (or an unchanged reconcile) a no-op (mongodb.go:459-465)
       snapshotDir.foreach { dir =>
@@ -107,11 +107,24 @@ final class GraftEngine(
   /** Minute tick for scheduled backups; returns fired job ids. */
   def tickCron(now: LocalDateTime = clock()): Seq[Int] = scheduler.tick(now)
 
+  /** A2/P6 composed — the config's countQuery conditions run against
+    * each pipeline's TARGET table (the reference's count monitoring,
+    * query_counter.go:59-280 driven from monitor.go): one conditional
+    * count per table that declares conditions. */
+  def countReport(anchorUtc: LocalDateTime = clock()): Map[String, Long] =
+    pipelineDefs.collect {
+      case (name, d: Compiler.CdcDef) if d.counts.nonEmpty =>
+        val p = new org.apache.hadoop.fs.Path(d.cfg.targetDir)
+        val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        val pred = graft.functions.Conditions.compile(d.counts, d.sourceTable, anchorUtc)
+        name -> (if (exists) spark.read.parquet(d.cfg.targetDir).filter(pred).count() else 0L)
+    }
+
   /** DLQ sweep across every compiled CDC pipeline (ST10); parked
     * batches alert through the engine's sink. */
   def retryDlq(): Map[String, CdcPipeline.DlqStats] =
-    pipelineDefs.collect { case (name, Compiler.CdcDef(_, cfg, _)) =>
-      name -> CdcPipeline.retryDlq(spark, cfg, alerts)
+    pipelineDefs.collect { case (name, d: Compiler.CdcDef) =>
+      name -> CdcPipeline.retryDlq(spark, d.cfg, alerts)
     }
 
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries

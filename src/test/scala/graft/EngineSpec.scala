@@ -29,6 +29,8 @@ class EngineSpec extends SparkSpec {
         |    "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
         |    "tables": [ { "sourceTable": "events", "keyColumns": ["custom_id"],
         |        "fieldSecurity": [ {"field": "after.k", "securityType": "mask"} ],
+        |        "countQuery": { "conditions": [
+        |          {"field": "value", "operator": ">", "value": "50"} ] },
         |        "advancedSettings": {"ignoreDeleteOps": true} } ] },
         |  { "id": 2, "type": "warp-drive",
         |    "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c", "tables": [] },
@@ -54,10 +56,14 @@ class EngineSpec extends SparkSpec {
     assert(Compiler.compile(cfg.syncTasks(1)).isEmpty)
     // keyColumns reaches the pipeline config
     Compiler.compile(t1).head match {
-      case Compiler.CdcDef(name, c, _) =>
+      case Compiler.CdcDef(name, c, _, _, counts) =>
         assert(name == "task1/events" && c.keyCol == "custom_id")
         assert(c.ignoreDeleteOps && c.fieldSecurity.nonEmpty)
         assert(c.nsFilter.contains(("graft", "events"))) // mongodb watches one ns
+        // countQuery conditions ride into the compiled def (routing
+        // table defaults to the mapping's sourceTable)
+        assert(counts.map(cc => (cc.table, cc.field, cc.operator, cc.value)) ==
+          Seq(("events", "value", ">", "50")))
       case other => fail(s"expected CdcDef, got $other")
     }
   }
@@ -76,6 +82,8 @@ class EngineSpec extends SparkSpec {
        |  "checkpointDir": "$root/ckpt", "dlqDir": "$root/dlq",
        |  "tables": [ { "sourceTable": "$table", "keyColumns": ["key"],
        |      "fieldSecurity": $fieldSec,
+       |      "countQuery": { "conditions": [
+       |        {"field": "value", "operator": ">", "value": "50"} ] },
        |      "advancedSettings": {"ignoreDeleteOps": $ignoreDeletes} } ] }""".stripMargin
 
   test("end-to-end: one config drives CDC + KV streams and a scheduled SQL backup; reconcile is per-pipeline and lossless") {
@@ -122,6 +130,11 @@ class EngineSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1), r.getString(2),
           if (r.isNullAt(3)) -99L else r.getLong(3))).toSet
       assert(kvGot == kvWant)
+
+      // ---- count monitoring: the config's countQuery runs on the target
+      val wantCount = spark.read.parquet(s"$root/tgt/events")
+        .filter(col("value") > 50).count()
+      assert(engine.countReport() == Map("task1/events" -> wantCount) && wantCount > 0)
 
       // ---- scheduled backup: fires at its cron minute, SQL round-trips
       assert(engine.tickCron(LocalDateTime.parse("2024-03-01T02:59:00")).isEmpty)
@@ -184,5 +197,20 @@ class EngineSpec extends SparkSpec {
       val stats = graft.streaming.Metrics.streamStatsRollup(spark, s"$root/metrics")
       assert(stats.agg(sum("rows_received")).head().getLong(0) > 0)
     } finally engine.stop()
+  }
+
+  test("--once mode drains pending input through the main entry point and exits") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(s"$root/src/events")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [ ${syncTaskJson(1, "events", root)} ], "backupTasks": [] }""")
+    GraftEngine.main(Array(cfgPath, "--once"))
+    val got = normCdc(spark.read.parquet(s"$root/tgt/events"))
+    val want = normCdc(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+    assert(got == want)
+    // second --once with no new input: checkpointed no-op, state intact
+    GraftEngine.main(Array(cfgPath, "--once"))
+    assert(normCdc(spark.read.parquet(s"$root/tgt/events")) == want)
   }
 }

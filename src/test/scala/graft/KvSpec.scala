@@ -12,6 +12,9 @@ class KvSpec extends SparkSpec {
 
   private def tmp(): String = Files.createTempDirectory("graft_kv").toString
 
+  /** Reference-replay state row for the property test. */
+  private case class V(kind: String, value: String, fk: String, fuid: String, ttl: Long)
+
   private def normalize(df: DataFrame): Set[(String, String, String, String, String, Long)] =
     df.select("key", "kind", "value", "f_k", "f_uid", "ttlMs").collect()
       .map(r => (r.getString(0), r.getString(1),
@@ -89,6 +92,74 @@ class KvSpec extends SparkSpec {
     val b2 = kvOps(Seq(("copy", "a", "string", "new", -2L, "2024-01-02 00:00:00", 2L)))
     val s2 = KvStore.applyKvBatch(s1, b2)
     assert(normalize(s2) == Set(("a", "string", "old", null, null, -1L)))
+  }
+
+  test("property: random op logs match a sequential per-op reference replay") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // kinds fixed per key, like a real keyspace: a/b strings, c/d hashes
+    val kindOf = Map("a" -> "string", "b" -> "string", "c" -> "hash", "d" -> "hash")
+    val opGen = for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      kind = kindOf(key)
+      op <- Gen.frequency(1 -> Gen.const("del"), 2 -> Gen.const("copy"), 3 -> Gen.const("set"))
+      value <- Gen.oneOf("1", "2", "3")
+      fk <- Gen.oneOf(null: String, "x", "y")
+      fuid <- Gen.oneOf(null: String, "u", "v")
+      ttl <- Gen.oneOf(-2L, -1L, 5000L, 60000L)
+    } yield (op, key, kind,
+      if (kind == "string") value else null,
+      if (kind == "hash") fk else null,
+      if (kind == "hash") fuid else null,
+      if (op == "copy") ttl else -1L)
+
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("key", StringType),
+      StructField("kind", StringType), StructField("value", StringType),
+      StructField("f_k", StringType), StructField("f_uid", StringType),
+      StructField("ttlMs", LongType), StructField("ts", TimestampType),
+      StructField("offset", LongType)))
+    def toDf(ops: Seq[(String, String, String, String, String, String, Long)]) =
+      spark.createDataFrame(java.util.Arrays.asList(ops.zipWithIndex.map {
+        case ((op, k, kind, v, fk, fu, ttl), i) =>
+          Row(op, k, kind, v, fk, fu, ttl,
+            new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong)
+      }: _*), schema)
+    val empty = toDf(Nil).drop("op", "ts", "offset")
+      .withColumn("updated_at", lit(null).cast("timestamp"))
+      .select("key", "kind", "value", "f_k", "f_uid", "ttlMs", "updated_at").limit(0)
+
+    (0 until 8).foreach { seed =>
+      val ops = Gen.listOfN(40, opGen)(Gen.Parameters.default, Seed(seed.toLong)).get
+      // reference replay: one op at a time, redis.go:125-232 semantics
+      var state = Map.empty[String, V]
+      ops.foreach { case (op, key, kind, v, fk, fu, ttl) => op match {
+        case "del" => state -= key
+        case "copy" =>
+          if (!(ttl < 0 && ttl != -1L)) state += key -> V(kind, v, fk, fu, ttl)
+        case "set" =>
+          if (kind == "string") state += key -> V(kind, v, null, null, -1L)
+          else { // HSET: per-field merge, TTL untouched (fresh key → persistent)
+            val old = state.get(key)
+            state += key -> V(kind, null,
+              Option(fk).getOrElse(old.map(_.fk).orNull),
+              Option(fu).getOrElse(old.map(_.fuid).orNull),
+              old.map(_.ttl).getOrElse(-1L))
+          }
+      }}
+      val want = state.map { case (k, s) => (k, s.kind, s.value, s.fk, s.fuid, s.ttl) }.toSet
+
+      // one-shot apply AND a 3-way micro-batch split must both match
+      val oneShot = normalize(KvStore.applyKvBatch(empty, toDf(ops)))
+      assert(oneShot == want, s"one-shot seed=$seed")
+      val df = toDf(ops)
+      val split = Seq((0, 13), (13, 27), (27, 40)).foldLeft(empty) { case (st, (lo, hi)) =>
+        KvStore.applyKvBatch(st, df.filter(col("offset") >= lo && col("offset") < hi))
+      }
+      assert(normalize(split) == want, s"split seed=$seed")
+    }
   }
 
   test("sequential micro-batch apply == one-shot apply over the full log") {

@@ -15,6 +15,9 @@ object GraftSession {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // custom Catalyst expressions register through the extensions
+      // hook, so they resolve like built-ins (codegen'd, no UDF)
+      .withExtensions(_.injectFunction(graft.functions.SetCard.injection))
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

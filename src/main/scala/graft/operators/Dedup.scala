@@ -52,12 +52,15 @@ object Dedup {
     Seq.fill(NumPerms)((next(), next()))
   }
 
-  /** Element hashes for a set column: md5-60-bit mod p. Materialize this
-    * ONCE (behind a cache barrier) before computing the signature —
-    * referencing the raw expression inside the per-perm lambda would
-    * re-evaluate it NumPerms times (no CSE across lambda bodies). */
+  /** Element hashes for a set column: md5-60-bit mod p, deduplicated
+    * and SORTED — the contract [[graft.functions.SetCard]]'s merge-walk
+    * verify kernel requires (sorting changes neither the min-hash nor
+    * set cardinalities). Materialize this ONCE (behind a cache barrier)
+    * before computing the signature — referencing the raw expression
+    * inside the per-perm lambda would re-evaluate it NumPerms times
+    * (no CSE across lambda bodies). */
   def elementHashes(elems: Column): Column =
-    transform(elems, e => pmod(Text.md5Hash60(e), lit(P)))
+    array_sort(array_distinct(transform(elems, e => pmod(Text.md5Hash60(e), lit(P)))))
 
   /** MinHash signature from pre-hashed elements:
     * sig_i = min_x (a_i·x + b_i) mod p. */
@@ -111,13 +114,24 @@ object Dedup {
     // collision), and the pair join ships 8-byte longs instead of
     // ~30-byte strings — at 600k+ candidate pairs the array shuffle
     // is the dominant cost of the whole query.
-    val sh = hashed.select(col("doc_id"), col("hs"))
+    verifyJaccard(cand, hashed.select(col("doc_id"), col("hs")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs over sorted-distinct
+    * element-hash arrays: one allocation-free merge-walk per pair
+    * (SetCard kernel) instead of array_intersect + array_union, which
+    * build a hash set and two throwaway arrays per pair. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val inter = graft.functions.SetCard.sortedIntersectCard(col("set_a"), col("set_b"))
     cand
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "set_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "set_b"), "doc_b")
+      // two-step select: `inter` feeds numerator and denominator — keep
+      // it a named column so the merge-walk runs once per pair
+      .select(col("doc_a"), col("doc_b"), inter.cast("double").as("_inter"),
+        (size(col("set_a")) + size(col("set_b"))).cast("double").as("_total"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"), 4).as("jaccard"))
+        round(col("_inter") / (col("_total") - col("_inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -225,13 +239,6 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // verify over element hashes, not token strings — see minhashPairs
-    val sh = hashed.select(col("doc_id"), col("hs"))
-    cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "set_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "set_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, hashed.select(col("doc_id"), col("hs")), threshold)
   }
 }

@@ -42,6 +42,40 @@ class TextDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
   }
 
+  test("sorted-intersect kernel matches array_intersect under codegen, incl. edges") {
+    import spark.implicits._
+    import graft.functions.SetCard
+    // random sorted-distinct long arrays + edges: empty, disjoint,
+    // identical, null (expression is null-safe → null out)
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(50)(
+      (Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted,
+        Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted)) ++
+      Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 3L), Seq(2L, 4L)),
+        (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)))
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      SetCard.sortedIntersectCard(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)))
+    // executed through whole-stage codegen, not the interpreted path
+    // (repartition forces a real exec stage — a LocalTableScan would
+    // evaluate driver-side and prove nothing about doGenCode)
+    val wsDf = df.repartition(2).select(SetCard.sortedIntersectCard(col("a"), col("b")).as("n"))
+    val viaCodegen = wsDf.collect().map(_.getInt(0)).sum
+    // AQE finalizes the plan on execution; the kernel's Project must sit
+    // inside a WholeStageCodegen span — rendered as the `*(n)` prefix —
+    // proving the doGenCode path ran, not interpreted eval
+    assert(wsDf.queryExecution.executedPlan.toString
+      .matches("(?s).*\\*\\(\\d+\\) Project \\[sorted_long_intersect_card.*"))
+    assert(viaCodegen ==
+      df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+        .collect().map(_.getInt(0)).sum)
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(withNull.select(SetCard.sortedIntersectCard(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("minhash pairs are exact-verified above the threshold") {
     val rows = Dedup.minhashPairs(spark, sf, threshold = 0.8).collect()
     assert(rows.nonEmpty)

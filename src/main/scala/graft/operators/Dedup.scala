@@ -76,6 +76,26 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 3): Column =
     minhashFromHashes(elementHashes(array_distinct(Text.shingles(text, k))))
 
+  /** Signatures via the exploded form: one row per (doc, element hash),
+    * then the 32 per-permutation mins as columnar aggregates — the same
+    * shape as the simhash bit matrix (no 32 re-walks/allocations of the
+    * hash array per doc; map-side partial agg ships one 32-long row per
+    * doc). `carry` columns ride the groupBy key. Docs with EMPTY element
+    * sets get no signature row — they can never candidate anyway (their
+    * banding keys are null-derived on every path, including the oracle's). */
+  private def minhashSignatures(hashed: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val exploded = hashed.select(
+      (col("doc_id") +: carry.map(col)) :+ explode(col("hs")).as("h"): _*)
+    def minExpr(i: Int) = {
+      val (a, b) = perms(i)
+      min(pmod(lit(a) * col("h") + lit(b), lit(P)))
+    }
+    exploded.groupBy("doc_id", carry: _*).agg(
+      minExpr(0).as("m0"), (1 until NumPerms).map(i => minExpr(i).as(s"m$i")): _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("mh"): _*)
+  }
+
   /** Band buckets for a signature: NumBands rows of BandRows min-hashes
     * each, joined into one string bucket key. Cardinality of (band,
     * bucket) grows with the corpus — the scale-safe join key. `carry`
@@ -102,7 +122,7 @@ object Dedup {
     val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
       .select(col("doc_id"),
         elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs")))
-    val docs = hashed.select(col("doc_id"), minhashFromHashes(col("hs")).as("mh"))
+    val docs = minhashSignatures(hashed)
     val bands = explodeBands(docs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -231,7 +251,7 @@ object Dedup {
     val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         elementHashes(array_distinct(Text.tokens(col("text")))).as("hs")))
-    val docs = hashed.select(col("doc_id"), col("source"), minhashFromHashes(col("hs")).as("mh"))
+    val docs = minhashSignatures(hashed, carry = Seq("source"))
     val bands = explodeBands(docs, carry = Seq("source"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

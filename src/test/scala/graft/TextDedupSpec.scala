@@ -76,6 +76,19 @@ class TextDedupSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("scalar minhash signature matches a pure-Scala affine-min replay") {
+    import spark.implicits._
+    val df = Seq((1L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val sig = df.select(Dedup.minhashSignature(col("text")).as("mh"))
+      .head().getSeq[Long](0)
+    val hs = df.select(Dedup.elementHashes(
+        array_distinct(Text.shingles(col("text"), 3))).as("hs"))
+      .head().getSeq[Long](0)
+    val want = Dedup.perms.map { case (a, b) =>
+      hs.map(x => math.floorMod(a * x + b, Dedup.P)).min }
+    assert(sig == want && sig.length == Dedup.NumPerms)
+  }
+
   test("minhash pairs are exact-verified above the threshold") {
     val rows = Dedup.minhashPairs(spark, sf, threshold = 0.8).collect()
     assert(rows.nonEmpty)

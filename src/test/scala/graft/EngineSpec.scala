@@ -199,6 +199,66 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("initial snapshot loads once before the stream; restart does not re-apply it") {
+    import spark.implicits._
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // snapshot rows use a key range disjoint from the stream's user_ids
+    Seq((9001L, 1.0, 11L), (9002L, 2.0, 12L)).toDF("key", "value", "k")
+      .write.parquet(s"$root/snap/events")
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(s"$root/src/events")
+    def cfg(extra: String = "") = s"""{ "syncTasks": [
+      { "id": 5, "type": "mongodb", "enabled": true,
+        "sourceDir": "$root/src", "targetDir": "$root/tgt",
+        "checkpointDir": "$root/ckpt", "snapshotDir": "$root/snap", $extra
+        "tables": [ {"sourceTable": "events", "keyColumns": ["key"]} ] } ], "backupTasks": [] }"""
+    writeConfig(cfgPath, cfg())
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      engine.pollOnce()
+      engine.processAllAvailable()
+      val got = normCdc(spark.read.parquet(s"$root/tgt/events"))
+      val stream = normCdc(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+      assert(got == stream ++ Set((9001L, 1.0, 11L), (9002L, 2.0, 12L)))
+
+      // S1 skip-if-nonempty: a CHANGED snapshot must not re-apply on a
+      // pipeline restart — the target is already populated
+      spark.read.parquet(s"$root/snap/events").count() // (sanity: still readable)
+      Seq((9009L, 9.0, 99L)).toDF("key", "value", "k")
+        .write.mode("overwrite").parquet(s"$root/snap/events")
+      writeConfig(cfgPath, cfg(s""" "dlqDir": "$root/dlq2", """)) // spec change → restart
+      val r = engine.pollOnce()
+      assert(r.stopped == Set("task5/events") && r.started == Set("task5/events"))
+      engine.processAllAvailable()
+      assert(normCdc(spark.read.parquet(s"$root/tgt/events")) ==
+        stream ++ Set((9001L, 1.0, 11L), (9002L, 2.0, 12L))) // 9009 NOT applied
+    } finally engine.stop()
+  }
+
+  test("runBackup prunes date-suffixed slices against the task's JST window") {
+    import spark.implicits._
+    val root = tmp()
+    // two day-sliced physical tables; only 1997-07-01 overlaps the window
+    Seq((1L, java.sql.Timestamp.valueOf("1997-07-01 05:00:00")),
+        (2L, java.sql.Timestamp.valueOf("1997-07-01 23:00:00"))) // 23:00Z = next JST day
+      .toDF("id", "ts").write.parquet(s"$root/bsrc/tx_19970701")
+    Seq((3L, java.sql.Timestamp.valueOf("1997-07-02 05:00:00")))
+      .toDF("id", "ts").write.parquet(s"$root/bsrc/tx_19970702")
+    val spec = graft.model.BackupSpec(
+      id = 1, format = "json", compress = false,
+      tables = Seq(graft.model.BackupTableSpec(
+        tablePattern = "tx_\\d+", fields = Seq("all"), timeField = Some("ts"),
+        startOffsetDays = -1, endOffsetDays = -1)),
+      sourceDir = s"$root/bsrc", outDir = s"$root/bout")
+    // anchor 1997-07-02 UTC → JST "yesterday" = [06-30 15:00Z, 07-01 15:00Z)
+    val out = GraftEngine.runBackup(spark, spec,
+      LocalDateTime.parse("1997-07-02T00:00:00"))
+    assert(out == Seq(s"$root/bout/tx_1997-07-01.json"))
+    val rows = spark.read.json(out.head).select("id").collect().map(_.getLong(0)).toSet
+    // id 1 in-window; id 2 is the NEXT JST day (23:00Z); id 3 pruned with its slice
+    assert(rows == Set(1L))
+  }
+
   test("--once mode drains pending input through the main entry point and exits") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

@@ -72,9 +72,21 @@ final class GraftEngine(
 
   /** One reload tick (main.go:92-145): parse config, rebuild the cron
     * schedule if the backup set changed (an unchanged reload must keep
-    * the fired-this-minute dedup state), reconcile pipelines. */
+    * the fired-this-minute dedup state), reconcile pipelines.
+    *
+    * A config file that fails to LOAD (unreadable / syntactically
+    * invalid — e.g. caught mid-edit, since config writes are not
+    * atomic) must not take the engine down: the running set is kept
+    * untouched, an alert fires, and the next poll retries. Per-task
+    * malformed entries are already isolated inside ConfigReader. */
   def pollOnce(): ControlLoop.Reconcile = {
-    val cfg = ConfigReader.load(configPath)
+    val cfg = try ConfigReader.load(configPath)
+    catch {
+      case e: Exception =>
+        alerts.send(Alerts.Alert("config_error", configPath, String.valueOf(e.getMessage)))
+        return ControlLoop.Reconcile(Set.empty, Set.empty,
+          supervisor.activeQueries.keySet, Map(configPath -> e))
+    }
     // monitoring (main.go:104-109): register the progress recorder once
     // when configured; every poll flushes buffered rows to the metrics
     // table (the reference upserts counters into SQLite on its ticker)
@@ -227,6 +239,9 @@ object GraftEngine {
           println(s"[engine] reconcile started=${r.started} stopped=${r.stopped} " +
             s"failed=${r.failed.keySet}")
         engine.tickCron()
+        // periodic dead-letter pass (the reference retries parked
+        // batches on its monitor cadence); a no-op when DLQs are empty
+        engine.retryDlq()
         i += 1
         if (i < rounds) Thread.sleep(intervalMs)
       } finally engine.stop()

@@ -199,6 +199,31 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("a corrupt config file keeps the running set alive and alerts; recovery resumes") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(s"$root/src/events")
+    val good = s"""{ "syncTasks": [ ${syncTaskJson(8, "events", root)} ], "backupTasks": [] }"""
+    writeConfig(cfgPath, good)
+    val alerts = new Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      assert(engine.pollOnce().started == Set("task8/events"))
+      val q = engine.activeQueries("task8/events")
+      // mid-edit window: the file is momentarily invalid JSON
+      writeConfig(cfgPath, """{ "syncTasks": [ { "id": """)
+      val r = engine.pollOnce()
+      assert(r.stopped.isEmpty && r.started.isEmpty && r.kept == Set("task8/events"))
+      assert(r.failed.keySet == Set(cfgPath))
+      assert(engine.activeQueries("task8/events") eq q) // untouched, still running
+      assert(alerts.drain().map(_.kind) == Seq("config_error"))
+      // the edit completes: next poll is a normal no-change reconcile
+      writeConfig(cfgPath, good)
+      assert(engine.pollOnce().kept == Set("task8/events"))
+      assert(alerts.drain().isEmpty)
+    } finally engine.stop()
+  }
+
   test("initial snapshot loads once before the stream; restart does not re-apply it") {
     import spark.implicits._
     val root = tmp()

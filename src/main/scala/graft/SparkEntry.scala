@@ -172,9 +172,9 @@ object SparkEntry {
       |    arg_max(kind, ord) AS kind,
       |    arg_max(op, ord) FILTER (WHERE auth = 1) AS base_op,
       |    arg_max(ttl_ms, ord) FILTER (WHERE auth = 1) AS ttl_base,
-      |    arg_max(value, ord) FILTER (WHERE value IS NOT NULL) AS value,
-      |    arg_max(f_k, ord) FILTER (WHERE f_k IS NOT NULL) AS f_k,
-      |    arg_max(f_uid, ord) FILTER (WHERE f_uid IS NOT NULL) AS f_uid,
+      |    arg_max(value, ord) FILTER (WHERE value IS NOT NULL AND op <> 'del') AS value,
+      |    arg_max(f_k, ord) FILTER (WHERE f_k IS NOT NULL AND op <> 'del') AS f_k,
+      |    arg_max(f_uid, ord) FILTER (WHERE f_uid IS NOT NULL AND op <> 'del') AS f_uid,
       |    max(ts) AS updated_at
       |  FROM seg GROUP BY key
       |)""".stripMargin

@@ -107,15 +107,19 @@ object KvStore {
       .withColumn("max_rank", max(col("auth_rank")).over(Window.partitionBy(col("key"))))
       .filter(col("auth_rank") === col("max_rank"))
     // max_by ignores rows whose ordering expression is null: each
-    // when(...) below selects "the last row satisfying <cond>"
+    // when(...) below selects "the last row satisfying <cond>". Payload
+    // aggregates EXCLUDE `del` rows: a delete removes the value — any
+    // payload riding on the del record must not leak into a hash
+    // rebuilt by later HSETs (a del base starts from nothing).
+    val notDel = col("op") =!= "del"
     val agg = seg.groupBy("key").agg(
       max_by(col("op"), col("ord")).as("last_op"),
       max_by(col("kind"), col("ord")).as("b_kind"),
       max_by(col("op"), when(col("auth"), col("ord"))).as("base_op"),
       max_by(col("ttlMs"), when(col("auth"), col("ord"))).as("ttl_base"),
-      max_by(col("value"), when(col("value").isNotNull, col("ord"))).as("value_new"),
-      max_by(col("f_k"), when(col("f_k").isNotNull, col("ord"))).as("f_k_new"),
-      max_by(col("f_uid"), when(col("f_uid").isNotNull, col("ord"))).as("f_uid_new"),
+      max_by(col("value"), when(col("value").isNotNull && notDel, col("ord"))).as("value_new"),
+      max_by(col("f_k"), when(col("f_k").isNotNull && notDel, col("ord"))).as("f_k_new"),
+      max_by(col("f_uid"), when(col("f_uid").isNotNull && notDel, col("ord"))).as("f_uid_new"),
       max(col("ts")).as("ts_new"))
     val s = state.withColumnRenamed("kind", "s_kind")
       .withColumnRenamed("value", "s_value").withColumnRenamed("f_k", "s_f_k")

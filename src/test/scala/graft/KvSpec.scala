@@ -75,6 +75,13 @@ class KvSpec extends SparkSpec {
     // fresh hash (no base, no state): persistent, only the HSET's fields
     assert(full(KvStore.applyKvBatch(empty, ops(hset))) ==
       Set(("h", "hash", null: String, null: String, "u2", -1L)))
+    // del then HSET in one batch: the rebuild starts from NOTHING — the
+    // deleted row's payload (del records carry the old fields in CDC
+    // shapes) must not resurrect into the fresh hash
+    val delWithPayload = Seq(("del", "h", "hash", null: String, "x", "uOld", -1L, "2024-01-01 12:00:00", 9L))
+    assert(full(KvStore.applyKvBatch(KvStore.applyKvBatch(empty, ops(copyOp)),
+        ops(delWithPayload ++ hset.map(t => t.copy(_8 = "2024-01-02 00:00:00"))))) ==
+      Set(("h", "hash", null: String, null: String, "u2", -1L)))
     // a STRING set still resets the TTL (Set with expiry 0)
     val sset = Seq(("set", "s", "string", "v2", null: String, null: String, -1L, "2024-01-02 00:00:00", 3L))
     val scopy = Seq(("copy", "s", "string", "v1", null: String, null: String, 9000L, "2024-01-01 00:00:00", 4L))
@@ -131,7 +138,7 @@ class KvSpec extends SparkSpec {
       .withColumn("updated_at", lit(null).cast("timestamp"))
       .select("key", "kind", "value", "f_k", "f_uid", "ttlMs", "updated_at").limit(0)
 
-    (0 until 8).foreach { seed =>
+    (0 until 24).foreach { seed =>
       val ops = Gen.listOfN(40, opGen)(Gen.Parameters.default, Seed(seed.toLong)).get
       // reference replay: one op at a time, redis.go:125-232 semantics
       var state = Map.empty[String, V]

@@ -59,8 +59,12 @@ object Compiler {
               if (t == "mongodb" || t == "postgresql") Some((spec.sourceDb, m.sourceTable))
               else None,
             includeTableRegex =
+              // both parts quoted: sourceTable is a LITERAL name in this
+              // compiler (it is also the source/checkpoint directory), so
+              // a dot or paren in the name must not act as regex syntax
               if (t == "mysql" || t == "mariadb")
-                Seq(s"^${java.util.regex.Pattern.quote(spec.sourceDb)}\\.${m.sourceTable}$$")
+                Seq("^" + java.util.regex.Pattern.quote(spec.sourceDb) + "\\." +
+                  java.util.regex.Pattern.quote(m.sourceTable) + "$")
               else Nil),
             snapshotDir = spec.snapshotDir.map(s => s"$s/${m.sourceTable}"),
             sourceTable = m.sourceTable,

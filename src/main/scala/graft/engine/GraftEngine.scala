@@ -42,7 +42,7 @@ final class GraftEngine(
   @volatile private var pipelineDefs = Map.empty[String, Compiler.PipelineDef]
   @volatile private var backupSpecs: Seq[BackupSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
-  @volatile private var recorder: Option[Metrics.Recorder] = None
+  @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
   private def startPipeline(d: Compiler.PipelineDef): StreamingQuery = d match {
     case Compiler.CdcDef(_, cfg, snapshotDir, _, _) =>
@@ -87,17 +87,19 @@ final class GraftEngine(
         return ControlLoop.Reconcile(Set.empty, Set.empty,
           supervisor.activeQueries.keySet, Map(configPath -> e))
     }
-    // monitoring (main.go:104-109): register the progress recorder once
-    // when configured; every poll flushes buffered rows to the metrics
-    // table (the reference upserts counters into SQLite on its ticker)
-    cfg.metricsDir.foreach { dir =>
-      if (recorder.isEmpty) {
+    // monitoring (main.go:104-109): reconcile the progress recorder
+    // against the config — register when metricsDir appears, swap when
+    // it changes, drop when removed (the reference restarts monitoring
+    // on config change, main.go:124-136) — then flush buffered rows
+    if (recorder.map(_._1) != cfg.metricsDir) {
+      recorder.foreach { case (_, r) => r.flush(); spark.streams.removeListener(r) }
+      recorder = cfg.metricsDir.map { dir =>
         val r = new Metrics.Recorder(spark, dir)
         spark.streams.addListener(r)
-        recorder = Some(r)
+        (dir, r)
       }
     }
-    recorder.foreach(_.flush())
+    recorder.foreach(_._2.flush())
     if (cfg.backupTasks != backupSpecs) {
       backupSpecs = cfg.backupTasks
       scheduler = new Cron.Scheduler(backupSpecs.map(toJob))
@@ -133,11 +135,35 @@ final class GraftEngine(
     }
 
   /** DLQ sweep across every compiled CDC pipeline (ST10); parked
-    * batches alert through the engine's sink. */
+    * batches alert through the engine's sink. For DRAINED contexts
+    * (--once after awaitDrained): the retry merge must not run beside
+    * the live stream's own merges — see [[sweepDlq]] for the resident
+    * loop's stop-first variant. */
   def retryDlq(): Map[String, CdcPipeline.DlqStats] =
     pipelineDefs.collect { case (name, d: Compiler.CdcDef) =>
       name -> CdcPipeline.retryDlq(spark, d.cfg, alerts)
     }
+
+  /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
+    * with PENDING dead-letter batches is stopped first — a retry merge
+    * concurrent with the live stream's foreachBatch merge on the same
+    * bucketed target is a lost-update race — then swept; the next
+    * reconcile restarts it from its checkpoint (restart-on-death).
+    * Healthy pipelines are untouched, and permanently parked batches
+    * (`parked_*`) cost nothing here. */
+  def sweepDlq(): Map[String, CdcPipeline.DlqStats] =
+    pipelineDefs.toSeq.collect {
+      case (name, d: Compiler.CdcDef) if hasPendingDlq(d.cfg) =>
+        supervisor.activeQueries.get(name).foreach(_.stop())
+        name -> CdcPipeline.retryDlq(spark, d.cfg, alerts)
+    }.toMap
+
+  private def hasPendingDlq(cfg: CdcPipeline.Config): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(cfg.dlqDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.matches("""batch_\d+(\.tmp)?"""))
+  }
 
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries
 
@@ -150,7 +176,7 @@ final class GraftEngine(
 
   def stop(): Unit = {
     supervisor.stopAll()
-    recorder.foreach { r =>
+    recorder.foreach { case (_, r) =>
       r.flush()
       spark.streams.removeListener(r)
     }
@@ -174,36 +200,43 @@ object GraftEngine {
       .withZoneSameInstant(TimeWindows.JST).toLocalDate
     spec.tables.flatMap { bt =>
       val discovered = Backup.discover(available, bt.tablePattern)
-      Backup.groupByPrefix(discovered).toSeq.sortBy(_._1).map { case (prefix, members) =>
+      Backup.groupByPrefix(discovered).toSeq.sortBy(_._1).flatMap { case (prefix, members) =>
         val slices = members.sorted.map { name =>
           Backup.TableSlice(name, () => spark.read.parquet(s"${spec.sourceDir}/$name"),
             Backup.parseSuffixRange(name))
         }
         val start = jstDate.plusDays(bt.startOffsetDays.toLong)
         val endExcl = jstDate.plusDays(bt.endOffsetDays.toLong + 1L)
-        val predicate = bt.timeField match {
-          case Some(f) => // export semantics: exclusive end (external_simple.go:573-580)
-            TimeWindows.exportPredicate(org.apache.spark.sql.functions.col(f),
-              TimeWindows.jstDayWindow(anchorUtc, bt.startOffsetDays, bt.endOffsetDays))
-          case None => lit(true)
+        def export(): String = {
+          val predicate = bt.timeField match {
+            case Some(f) => // export semantics: exclusive end (external_simple.go:573-580)
+              TimeWindows.exportPredicate(org.apache.spark.sql.functions.col(f),
+                TimeWindows.jstDayWindow(anchorUtc, bt.startOffsetDays, bt.endOffsetDays))
+            case None => lit(true)
+          }
+          val df = Backup.mergedExport(slices, start, endExcl, predicate, bt.fields)
+          // artifact naming: {prefix}_{window-start-date}.{format}, the
+          // reference's `base_YYYY-MM-DD.ext` merged file (mysql.go:399-416)
+          val out = s"${spec.outDir}/${prefix}_$start.${spec.format}"
+          spec.format match {
+            case "sql" => Backup.writeSql(df, prefix, out, spec.compress)
+            case "csv" => Backup.writeCsv(df, out, spec.compress)
+            case _     => Backup.writeJsonl(df, out, spec.compress)
+          }
+          // W8: zip the part files into one artifact and hand it to the
+          // store (the reference's zip → GCS steps, mysql.go:485-500)
+          spec.uploadDir.foreach { dst =>
+            val zipName = s"${prefix}_$start.zip"
+            val zip = Backup.zipArtifact(spark, out, s"${spec.outDir}/$zipName")
+            new Backup.LocalArtifactStore(dst).put(spark, zip, zipName)
+          }
+          out
         }
-        val df = Backup.mergedExport(slices, start, endExcl, predicate, bt.fields)
-        // artifact naming: {prefix}_{window-start-date}.{format}, the
-        // reference's `base_YYYY-MM-DD.ext` merged file (mysql.go:399-416)
-        val out = s"${spec.outDir}/${prefix}_$start.${spec.format}"
-        spec.format match {
-          case "sql" => Backup.writeSql(df, prefix, out, spec.compress)
-          case "csv" => Backup.writeCsv(df, out, spec.compress)
-          case _     => Backup.writeJsonl(df, out, spec.compress)
-        }
-        // W8: zip the part files into one artifact and hand it to the
-        // store (the reference's zip → GCS steps, mysql.go:485-500)
-        spec.uploadDir.foreach { dst =>
-          val zipName = s"${prefix}_$start.zip"
-          val zip = Backup.zipArtifact(spark, out, s"${spec.outDir}/$zipName")
-          new Backup.LocalArtifactStore(dst).put(spark, zip, zipName)
-        }
-        out
+        // a group with no slice in the window is SKIPPED, not an error —
+        // one stale table must not abort its sibling exports (the
+        // reference skips and continues, mysql.go:446-449)
+        if (Backup.pruneSlices(slices, start, endExcl).isEmpty) None
+        else Some(export())
       }
     }
   }
@@ -240,8 +273,9 @@ object GraftEngine {
             s"failed=${r.failed.keySet}")
         engine.tickCron()
         // periodic dead-letter pass (the reference retries parked
-        // batches on its monitor cadence); a no-op when DLQs are empty
-        engine.retryDlq()
+        // batches on its monitor cadence): stop-first per affected
+        // pipeline, no-op when every DLQ is empty
+        engine.sweepDlq()
         i += 1
         if (i < rounds) Thread.sleep(intervalMs)
       } finally engine.stop()

@@ -99,9 +99,17 @@ object CdcPipeline {
     * retries ops past maxRetryAttempts); otherwise re-apply via the
     * idempotent merge, DELETE the batch dir on success
     * (mongodb.go:1938-1950), or rewrite it with the retry count
-    * incremented on failure (mongodb.go:1952-1966). A pass that leaves
-    * batches parked for good fires ONE alert (the reference notifies
-    * Slack when dead-letter ops exhaust retries, mongodb.go:1311-1408). */
+    * incremented on failure (mongodb.go:1952-1966). A batch that has
+    * exhausted its attempts is renamed `parked_N` — retained for manual
+    * replay, invisible to later passes — and the pass fires ONE alert
+    * (the reference notifies Slack when dead-letter ops exhaust
+    * retries, mongodb.go:1311-1408).
+    *
+    * Concurrency contract: run only when the pipeline's own stream is
+    * NOT applying batches (drained, stopped, or before start) — the
+    * retry merge and the live foreachBatch merge on the same buckets
+    * would race. [[graft.engine.GraftEngine]]'s sweep stops the
+    * pipeline first and lets the reconcile restart it. */
   def retryDlq(spark: SparkSession, cfg: Config,
       alerts: Alerts.Sink = Alerts.Log): DlqStats = {
     val dlqPath = new Path(cfg.dlqDir)
@@ -130,8 +138,14 @@ object CdcPipeline {
         case r if r.isNullAt(0) => 0
         case r => r.getInt(0)
       }
-      if (attempts >= cfg.maxDlqAttempts) stats = stats.copy(parked = stats.parked + 1)
-      else {
+      if (attempts >= cfg.maxDlqAttempts) {
+        // park for good under a name later passes IGNORE: the batch's
+        // data is retained for manual replay, but it no longer costs a
+        // Spark read per pass and the park alert fires exactly once
+        // (a pager sink must not receive the same park every 10 s)
+        fs.rename(dir, new Path(dlqPath, "parked_" + dir.getName.stripPrefix("batch_")))
+        stats = stats.copy(parked = stats.parked + 1)
+      } else {
         val events = parked.drop("dlq_batch_id", "dlq_error", "dlq_retry_count")
         try {
           Upsert.mergeIntoParquet(spark, cfg.targetDir, events, cfg.keyCol, cfg.ignoreDeleteOps)

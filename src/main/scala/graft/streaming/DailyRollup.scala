@@ -40,6 +40,17 @@ object DailyRollup {
     * falls below the watermark is finalized, its state dropped, and late
     * events for it discarded. That eviction IS the daily reset: per-day
     * state is bounded by the lateness horizon, not by stream lifetime. */
+  /** Snapshot face over the update log: update mode appends one row per
+    * CHANGED (day, event_type) per trigger, so the memory table is a
+    * log, not a snapshot — and a windowed COUNT only ever grows, so the
+    * live value per key is `max(n)`. Readers must come through here
+    * (selecting the raw table double-counts keys touched by multiple
+    * triggers). */
+  def currentCounts(spark: SparkSession, queryName: String): DataFrame =
+    spark.table(queryName)
+      .groupBy(col("day_start"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+
   def start(spark: SparkSession, sourceDir: String, queryName: String,
       availableNow: Boolean = true): StreamingQuery =
     dailyCounts(

@@ -32,16 +32,37 @@ class DailyRollupSpec extends SparkSpec {
       ts.toInstant.atZone(java.time.ZoneOffset.UTC).getHour == 15 })
   }
 
-  test("watermark evicts finalized day windows: late events are dropped, not re-counted") {
+  private def writeEventsTo(src: String)(ts: String*): Unit = {
     import org.apache.spark.sql.{Row, SaveMode}
+    spark.createDataFrame(
+      java.util.Arrays.asList(ts.map(t => Row("update", 1L,
+        Row(1.0, 1L), "graft", "events",
+        java.sql.Timestamp.valueOf(t), 1L)): _*),
+      ChangeEvents.schema)
+      .coalesce(1).write.mode(SaveMode.Append).json(src)
+  }
+
+  test("currentCounts reads the live value per key from the multi-trigger update log") {
+    val src = Files.createTempDirectory("graft_roll_cur").toString
+    val q = DailyRollup.start(spark, src, "roll_cur", availableNow = false)
+    try {
+      writeEventsTo(src)("2024-02-01 10:00:00", "2024-02-01 11:00:00")
+      q.processAllAvailable()
+      writeEventsTo(src)("2024-02-01 12:00:00") // same day, second trigger
+      q.processAllAvailable()
+    } finally q.stop()
+    // the raw memory table is an update LOG: day counted once per trigger
+    val raw = spark.sql("SELECT n FROM roll_cur").collect().map(_.getLong(0)).toSet
+    assert(raw == Set(2L, 3L))
+    // the snapshot face resolves to the live value
+    val cur = DailyRollup.currentCounts(spark, "roll_cur")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(cur.toSeq == Seq(("update", 3L)))
+  }
+
+  test("watermark evicts finalized day windows: late events are dropped, not re-counted") {
     val src = Files.createTempDirectory("graft_roll_evict").toString
-    def writeEvents(ts: String*): Unit =
-      spark.createDataFrame(
-        java.util.Arrays.asList(ts.map(t => Row("update", 1L,
-          Row(1.0, 1L), "graft", "events",
-          java.sql.Timestamp.valueOf(t), 1L)): _*),
-        ChangeEvents.schema)
-        .coalesce(1).write.mode(SaveMode.Append).json(src)
+    def writeEvents(ts: String*): Unit = writeEventsTo(src)(ts: _*)
 
     // day A (two events), then day A+9 — after this batch the watermark
     // (max ts − 1 day) is far past day A's window end, so day A's state

@@ -284,6 +284,38 @@ class EngineSpec extends SparkSpec {
     assert(rows == Set(1L))
   }
 
+  test("sweepDlq stops only the affected pipeline, applies its parked batch, and the next poll restarts it") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(s"$root/src/events")
+    // a regular FILE at the target path breaks the merge → batch lands in the DLQ
+    Files.createDirectories(Paths.get(s"$root/tgt"))
+    Files.write(Paths.get(s"$root/tgt/events"), Array[Byte](1, 2, 3))
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [ ${syncTaskJson(9, "events", root)} ], "backupTasks": [] }""")
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      engine.pollOnce()
+      engine.processAllAvailable() // merge fails, batch_0 parked in the DLQ
+      assert(Files.exists(Paths.get(s"$root/dlq/events/batch_0")))
+
+      Files.delete(Paths.get(s"$root/tgt/events")) // target healed
+      val stats = engine.sweepDlq()
+      assert(stats == Map("task9/events" -> graft.streaming.CdcPipeline.DlqStats(succeeded = 1)))
+      // the sweep stopped the pipeline first (no concurrent-merge race)…
+      assert(!engine.activeQueries("task9/events").isActive)
+      // …and the DLQ'd batch is now applied
+      val want = normCdc(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
+      assert(normCdc(spark.read.parquet(s"$root/tgt/events")) == want)
+      // next poll restarts it from the checkpoint (restart-on-death)
+      val r = engine.pollOnce()
+      assert(r.started == Set("task9/events"))
+      assert(engine.activeQueries("task9/events").isActive)
+      // an engine with healthy DLQs sweeps nothing and touches no query
+      assert(engine.sweepDlq().isEmpty && engine.activeQueries("task9/events").isActive)
+    } finally engine.stop()
+  }
+
   test("--once mode drains pending input through the main entry point and exits") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

@@ -64,12 +64,17 @@ class GuardianDlqSpec extends SparkSpec {
     assert(CdcPipeline.retryDlq(spark, cfg, alerts) == CdcPipeline.DlqStats(failed = 1))
     assert(alerts.drain().isEmpty)
     // … until the batch is parked for good (reference maxRetryAttempts),
-    // which fires the park alert (mongodb.go:1311-1408 → slack.go)
+    // which fires the park alert (mongodb.go:1311-1408 → slack.go) and
+    // renames it out of the retry set, data retained for manual replay
     assert(CdcPipeline.retryDlq(spark, cfg, alerts) == CdcPipeline.DlqStats(parked = 1))
     val fired = alerts.drain()
     assert(fired.map(_.kind) == Seq("dlq_parked") && fired.head.source == cfg.dlqDir)
-    assert(spark.read.json(s"${cfg.dlqDir}/batch_0")
+    assert(!Files.exists(Paths.get(s"${cfg.dlqDir}/batch_0")))
+    assert(spark.read.json(s"${cfg.dlqDir}/parked_0")
       .agg(max("dlq_retry_count")).head().getLong(0) == 3L)
+    // parked batches cost nothing on later passes: no stats, NO re-alert
+    assert(CdcPipeline.retryDlq(spark, cfg, alerts) == CdcPipeline.DlqStats())
+    assert(alerts.drain().isEmpty)
 
     // fresh DLQ cycle with a healthy target: retry applies and CLEARS the queue
     val cfg2 = cfg.copy(checkpointDir = s"$root/ckpt2", dlqDir = s"$root/dlq2")

@@ -19,6 +19,11 @@ final case class CountCondition(
     value: String,             // numerically coerced: long, then double, then string (query_counter.go:185-244)
     dateRange: Option[String] = None) // daily|today|yesterday|weekly|monthly (query_counter.go:96-181)
 
+/** `ignoreDeleteOps` compiles into the CDC pipeline. `syncIndexes` and
+  * `uploadToGcs` are accepted (reference config shape) but inert for
+  * the engine's parquet targets: index replay exists as DDL generation
+  * for JDBC targets ([[graft.operators.MetaOps.createIndexDdl]]), and
+  * artifact upload is the backup task's `uploadDir` (zip + store). */
 final case class AdvancedSettings(
     syncIndexes: Boolean = false,
     ignoreDeleteOps: Boolean = false, // delete events dropped, not applied (mongodb.go:1168-1177)

@@ -92,16 +92,28 @@ object ConfigReader {
       s"unknown sync type: $taskType") // main.go:180-182
     // task-level securityEnabled propagates to every table (config.go:268-276)
     val securityEnabled = n.path("securityEnabled").asBoolean(false)
+    // Both table shapes are accepted: the engine's flat `tables` array,
+    // and the reference's `mappings: [{sourceDatabase, tables: [...]}]`
+    // (config.go:225-240) — mappings flatten, and the first mapping's
+    // sourceDatabase becomes the task's source namespace.
+    val mappings = n.path("mappings").elements.asScala.toSeq
+    val tables =
+      if (mappings.nonEmpty)
+        mappings.flatMap(_.path("tables").elements.asScala.toSeq.map(parseTable(_, securityEnabled)))
+      else n.path("tables").elements.asScala.toSeq.map(parseTable(_, securityEnabled))
+    val sourceDb = optText(n, "sourceDb")
+      .orElse(mappings.headOption.flatMap(optText(_, "sourceDatabase")))
+      .getOrElse("graft")
     SyncTaskSpec(
       id = n.path("id").asInt(0),
       taskType = taskType,
       enabled = n.path("enabled").asBoolean(n.path("enable").asBoolean(true)),
-      tables = n.path("tables").elements.asScala.toSeq.map(parseTable(_, securityEnabled)),
+      tables = tables,
       checkpointDir = reqText(n, "checkpointDir"),
       sourceDir = reqText(n, "sourceDir"),
       targetDir = reqText(n, "targetDir"),
       dlqDir = optText(n, "dlqDir").getOrElse(reqText(n, "targetDir") + "_dlq"),
-      sourceDb = optText(n, "sourceDb").getOrElse("graft"),
+      sourceDb = sourceDb,
       snapshotDir = optText(n, "snapshotDir"))
   }
 

@@ -68,6 +68,38 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("config reader accepts the reference's mappings shape verbatim") {
+    // the sync_tasks.config_json layout (config.go:225-240): tables
+    // nested under mappings[] with sourceDatabase, enable as 0/1
+    val cfg = ConfigReader.parse(
+      """{ "syncTasks": [
+        |  { "id": 7, "type": "mysql", "enable": 1, "securityEnabled": true,
+        |    "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
+        |    "mappings": [ { "sourceDatabase": "shop", "targetDatabase": "shop_replica",
+        |      "tables": [
+        |        { "sourceTable": "orders", "targetTable": "orders_r", "keyColumns": ["id"],
+        |          "fieldSecurity": [ {"field": "email", "securityType": "encrypt"} ] },
+        |        { "sourceTable": "users", "keyColumns": ["uid"] } ] } ] } ] }""".stripMargin)
+    val t = cfg.syncTasks.head
+    assert(t.enabled && t.sourceDb == "shop")
+    assert(t.tables.map(m => (m.sourceTable, m.targetTable)) ==
+      Seq(("orders", "orders_r"), ("users", "users")))
+    assert(t.tables.head.securityEnabled && t.tables.head.fieldSecurity.nonEmpty)
+    val defs = Compiler.compile(t)
+    assert(defs.map(_.name) == Seq("task7/orders", "task7/users"))
+    defs.head match {
+      case Compiler.CdcDef(_, c, _, _, _) =>
+        assert(c.includeTableRegex == Seq("^\\Qshop\\E\\.\\Qorders\\E$"))
+      case other => fail(s"expected CdcDef, got $other")
+    }
+    // enable: 0 disables like the reference's int flag
+    val off = ConfigReader.parse(
+      """{ "syncTasks": [ { "id": 8, "type": "mysql", "enable": 0,
+        |  "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
+        |  "mappings": [] } ] }""".stripMargin)
+    assert(!off.syncTasks.head.enabled && Compiler.compile(off.syncTasks.head).isEmpty)
+  }
+
   // ---- end-to-end ------------------------------------------------------
 
   private def normCdc(df: DataFrame): Set[(Long, Double, Long)] =

@@ -27,8 +27,26 @@ object Compiler {
   /** redis → KV pipeline. */
   final case class KvDef(name: String, cfg: KvPipeline.Config) extends PipelineDef
 
+  /** Namespace + storage-path derivation. A table whose mapping-level
+    * sourceDb DIFFERS from the task default gets db-prefixed paths and
+    * a db-qualified pipeline name, so a multi-database task's tables
+    * never collide on name, checkpoint, target, or DLQ — and its ns
+    * filter matches ITS database, not the first mapping's. Tables of
+    * the default database keep the flat layout. */
+  private def sourceNs(spec: SyncTaskSpec, m: TableMapping): String =
+    m.sourceDb.getOrElse(spec.sourceDb)
+
+  private def srcSub(spec: SyncTaskSpec, m: TableMapping): String =
+    if (m.sourceDb.exists(_ != spec.sourceDb)) s"${m.sourceDb.get}/${m.sourceTable}"
+    else m.sourceTable
+
+  private def tgtSub(spec: SyncTaskSpec, m: TableMapping): String =
+    if (m.sourceDb.exists(_ != spec.sourceDb))
+      s"${m.targetDb.getOrElse(m.sourceDb.get)}/${m.targetTable}"
+    else m.targetTable
+
   def pipelineName(spec: SyncTaskSpec, m: TableMapping): String =
-    s"task${spec.id}/${m.sourceTable}"
+    s"task${spec.id}/${srcSub(spec, m)}"
 
   /** Compile one task; a disabled task compiles to nothing, which makes
     * disable-in-config == stop-at-reconcile (main.go:149-151). */
@@ -36,18 +54,19 @@ object Compiler {
     if (!spec.enabled) Nil
     else spec.tables.map { m =>
       val name = pipelineName(spec, m)
+      val src = srcSub(spec, m); val tgt = tgtSub(spec, m)
       spec.taskType match {
         case "redis" =>
           KvDef(name, KvPipeline.Config(
-            sourceDir = s"${spec.sourceDir}/${m.sourceTable}",
-            targetDir = s"${spec.targetDir}/${m.targetTable}",
-            checkpointDir = s"${spec.checkpointDir}/${m.sourceTable}"))
+            sourceDir = s"${spec.sourceDir}/$src",
+            targetDir = s"${spec.targetDir}/$tgt",
+            checkpointDir = s"${spec.checkpointDir}/$src"))
         case t =>
           CdcDef(name, CdcPipeline.Config(
-            sourceDir = s"${spec.sourceDir}/${m.sourceTable}",
-            targetDir = s"${spec.targetDir}/${m.targetTable}",
-            checkpointDir = s"${spec.checkpointDir}/${m.sourceTable}",
-            dlqDir = s"${spec.dlqDir}/${m.sourceTable}",
+            sourceDir = s"${spec.sourceDir}/$src",
+            targetDir = s"${spec.targetDir}/$tgt",
+            checkpointDir = s"${spec.checkpointDir}/$src",
+            dlqDir = s"${spec.dlqDir}/$src",
             keyCol = m.keyColumns.headOption.getOrElse("key"),
             ignoreDeleteOps = m.advanced.ignoreDeleteOps,
             // task-level securityEnabled gates the per-field rules,
@@ -56,17 +75,17 @@ object Compiler {
             // mongodb/postgresql watch one namespace (the $match stage /
             // publication); mysql binlog filters by include-table regex
             nsFilter =
-              if (t == "mongodb" || t == "postgresql") Some((spec.sourceDb, m.sourceTable))
+              if (t == "mongodb" || t == "postgresql") Some((sourceNs(spec, m), m.sourceTable))
               else None,
             includeTableRegex =
               // both parts quoted: sourceTable is a LITERAL name in this
               // compiler (it is also the source/checkpoint directory), so
               // a dot or paren in the name must not act as regex syntax
               if (t == "mysql" || t == "mariadb")
-                Seq("^" + java.util.regex.Pattern.quote(spec.sourceDb) + "\\." +
+                Seq("^" + java.util.regex.Pattern.quote(sourceNs(spec, m)) + "\\." +
                   java.util.regex.Pattern.quote(m.sourceTable) + "$")
               else Nil),
-            snapshotDir = spec.snapshotDir.map(s => s"$s/${m.sourceTable}"),
+            snapshotDir = spec.snapshotDir.map(s => s"$s/$src"),
             sourceTable = m.sourceTable,
             counts = m.countConditions)
       }

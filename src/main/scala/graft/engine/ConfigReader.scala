@@ -99,7 +99,12 @@ object ConfigReader {
     val mappings = n.path("mappings").elements.asScala.toSeq
     val tables =
       if (mappings.nonEmpty)
-        mappings.flatMap(_.path("tables").elements.asScala.toSeq.map(parseTable(_, securityEnabled)))
+        mappings.flatMap { m =>
+          val mDb = optText(m, "sourceDatabase")
+          val mTgtDb = optText(m, "targetDatabase")
+          m.path("tables").elements.asScala.toSeq.map(
+            parseTable(_, securityEnabled).copy(sourceDb = mDb, targetDb = mTgtDb))
+        }
       else n.path("tables").elements.asScala.toSeq.map(parseTable(_, securityEnabled))
     val sourceDb = optText(n, "sourceDb")
       .orElse(mappings.headOption.flatMap(optText(_, "sourceDatabase")))

@@ -152,18 +152,11 @@ final class GraftEngine(
     * Healthy pipelines are untouched, and permanently parked batches
     * (`parked_*`) cost nothing here. */
   def sweepDlq(): Map[String, CdcPipeline.DlqStats] =
-    pipelineDefs.toSeq.collect {
-      case (name, d: Compiler.CdcDef) if hasPendingDlq(d.cfg) =>
+    pipelineDefs.collect {
+      case (name, d: Compiler.CdcDef) if CdcPipeline.hasPendingBatches(spark, d.cfg) =>
         supervisor.activeQueries.get(name).foreach(_.stop())
         name -> CdcPipeline.retryDlq(spark, d.cfg, alerts)
-    }.toMap
-
-  private def hasPendingDlq(cfg: CdcPipeline.Config): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(cfg.dlqDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isDirectory && s.getPath.getName.matches("""batch_\d+(\.tmp)?"""))
-  }
+    }
 
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries
 

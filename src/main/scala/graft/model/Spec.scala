@@ -36,7 +36,12 @@ final case class TableMapping(
     securityEnabled: Boolean = false,
     fieldSecurity: Seq[FieldSecurity] = Nil,
     countConditions: Seq[CountCondition] = Nil,
-    advanced: AdvancedSettings = AdvancedSettings())
+    advanced: AdvancedSettings = AdvancedSettings(),
+    // DatabaseMapping context (config.go:36-41): set when the table came
+    // from a mappings[] entry, overriding the task-level sourceDb — so a
+    // multi-database task keeps each table's namespace and storage paths
+    sourceDb: Option[String] = None,
+    targetDb: Option[String] = None)
 
 final case class SyncTaskSpec(
     id: Int,

@@ -30,16 +30,34 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** Apply a change batch to an in-memory target state; both sides keyed
-    * by `keyCol`. Batch columns: op, <keyCol>, after (struct), ts, offset. */
+    * by `keyCol`. Batch columns: op, <keyCol>, after (struct), ts, offset.
+    *
+    * Last-writer-wins against the TARGET, not just within the batch: a
+    * key whose target row is strictly newer (`updated_at` > the batch
+    * op's ts) keeps the target row and the batch op is discarded as
+    * stale. An ordered stream never hits this (each batch's ts ≥ the
+    * applied state, and a tie re-applies — the at-least-once replay
+    * idempotence of ST9); what it protects is OUT-OF-ORDER re-apply,
+    * the DLQ retry that runs after newer live batches already merged
+    * (a stale retried upsert must not regress the key, a stale retried
+    * delete must not kill a later re-created row). Snapshot rows carry
+    * a null updated_at and always lose to a real change event. */
   def applyBatch(target: DataFrame, batch: DataFrame, keyCol: String,
       ignoreDeleteOps: Boolean = false): DataFrame = {
     val b = if (ignoreDeleteOps) batch.filter(col("op") =!= "delete") else batch
     val w = Window.partitionBy(col(keyCol)).orderBy(col("ts").desc, col("offset").desc)
     val latest = b.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    val upserts = latest.filter(col("op") =!= "delete")
+    // key-only projection of the target's recency; the extra join is
+    // batch-sized × (pruned) target keys — same scale class as the
+    // anti-join below
+    val stale = latest
+      .join(target.select(col(keyCol), col("updated_at").as("_t_ts")), Seq(keyCol), "left")
+      .filter(col("_t_ts").isNotNull && col("_t_ts") > col("ts"))
+      .select(keyCol)
+    val eff = latest.join(stale, Seq(keyCol), "left_anti")
+    val upserts = eff.filter(col("op") =!= "delete")
       .select(col(keyCol), col("after.*"), col("ts").as("updated_at"))
-    val touched = latest.select(keyCol)
-    target.join(touched, Seq(keyCol), "left_anti").unionByName(upserts)
+    target.join(eff.select(keyCol), Seq(keyCol), "left_anti").unionByName(upserts)
   }
 
   val NumBuckets = 64 // sized for local tests; 4096 at production scale

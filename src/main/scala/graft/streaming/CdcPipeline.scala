@@ -87,6 +87,17 @@ object CdcPipeline {
     .add("dlq_batch_id", LongType).add("dlq_error", StringType)
     .add("dlq_retry_count", IntegerType)
 
+  /** True when the DLQ holds batches a [[retryDlq]] pass would touch
+    * (pending `batch_N` dirs or recoverable `.tmp` orphans; permanently
+    * `parked_*` batches don't count). Lives here, next to the layout it
+    * describes, so callers never hardcode the naming. */
+  def hasPendingBatches(spark: SparkSession, cfg: Config): Boolean = {
+    val p = new Path(cfg.dlqDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.matches("""batch_\d+(\.tmp)?"""))
+  }
+
   /** Outcome of one DLQ pass: batches re-applied successfully (and
     * deleted), batches that failed again (retry count bumped), and
     * batches parked for good (attempts exhausted). */
@@ -142,9 +153,17 @@ object CdcPipeline {
         // park for good under a name later passes IGNORE: the batch's
         // data is retained for manual replay, but it no longer costs a
         // Spark read per pass and the park alert fires exactly once
-        // (a pager sink must not receive the same park every 10 s)
-        fs.rename(dir, new Path(dlqPath, "parked_" + dir.getName.stripPrefix("batch_")))
-        stats = stats.copy(parked = stats.parked + 1)
+        // (a pager sink must not receive the same park every 10 s).
+        // The destination must not pre-exist (batch ids restart after a
+        // checkpoint reset; rename INTO an existing dir would nest) —
+        // probe for a free name, and on a failed rename leave the batch
+        // in place (degraded re-alerts, never corruption).
+        val idx = dir.getName.stripPrefix("batch_")
+        var dest = new Path(dlqPath, s"parked_$idx")
+        var j = 1
+        while (fs.exists(dest)) { dest = new Path(dlqPath, s"parked_${idx}_$j"); j += 1 }
+        if (fs.rename(dir, dest)) stats = stats.copy(parked = stats.parked + 1)
+        else stats = stats.copy(failed = stats.failed + 1)
       } else {
         val events = parked.drop("dlq_batch_id", "dlq_error", "dlq_retry_count")
         try {

@@ -33,13 +33,6 @@ object DailyRollup {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("day_start"), col("event_type"), col("n"))
 
-  /** Run the rollup over a file stream of change events into an
-    * in-memory sink. UPDATE mode, deliberately: each trigger emits only
-    * the day-windows whose counts changed, and — unlike complete mode,
-    * where watermarks never evict aggregation state — a window whose end
-    * falls below the watermark is finalized, its state dropped, and late
-    * events for it discarded. That eviction IS the daily reset: per-day
-    * state is bounded by the lateness horizon, not by stream lifetime. */
   /** Snapshot face over the update log: update mode appends one row per
     * CHANGED (day, event_type) per trigger, so the memory table is a
     * log, not a snapshot — and a windowed COUNT only ever grows, so the
@@ -51,6 +44,13 @@ object DailyRollup {
       .groupBy(col("day_start"), col("event_type"))
       .agg(max(col("n")).as("n"))
 
+  /** Run the rollup over a file stream of change events into an
+    * in-memory sink. UPDATE mode, deliberately: each trigger emits only
+    * the day-windows whose counts changed, and — unlike complete mode,
+    * where watermarks never evict aggregation state — a window whose end
+    * falls below the watermark is finalized, its state dropped, and late
+    * events for it discarded. That eviction IS the daily reset: per-day
+    * state is bounded by the lateness horizon, not by stream lifetime. */
   def start(spark: SparkSession, sourceDir: String, queryName: String,
       availableNow: Boolean = true): StreamingQuery =
     dailyCounts(

@@ -79,17 +79,29 @@ class EngineSpec extends SparkSpec {
         |      "tables": [
         |        { "sourceTable": "orders", "targetTable": "orders_r", "keyColumns": ["id"],
         |          "fieldSecurity": [ {"field": "email", "securityType": "encrypt"} ] },
-        |        { "sourceTable": "users", "keyColumns": ["uid"] } ] } ] } ] }""".stripMargin)
+        |        { "sourceTable": "users", "keyColumns": ["uid"] } ] },
+        |      { "sourceDatabase": "warehouse",
+        |        "tables": [ { "sourceTable": "orders", "keyColumns": ["id"] } ] } ] } ] }""".stripMargin)
     val t = cfg.syncTasks.head
     assert(t.enabled && t.sourceDb == "shop")
     assert(t.tables.map(m => (m.sourceTable, m.targetTable)) ==
-      Seq(("orders", "orders_r"), ("users", "users")))
+      Seq(("orders", "orders_r"), ("users", "users"), ("orders", "orders")))
     assert(t.tables.head.securityEnabled && t.tables.head.fieldSecurity.nonEmpty)
     val defs = Compiler.compile(t)
-    assert(defs.map(_.name) == Seq("task7/orders", "task7/users"))
+    // a second mapping's same-named table neither collides nor inherits
+    // the first mapping's database
+    assert(defs.map(_.name) == Seq("task7/orders", "task7/users", "task7/warehouse/orders"))
     defs.head match {
       case Compiler.CdcDef(_, c, _, _, _) =>
         assert(c.includeTableRegex == Seq("^\\Qshop\\E\\.\\Qorders\\E$"))
+        assert(c.sourceDir == "/s/orders" && c.targetDir == "/t/orders_r")
+      case other => fail(s"expected CdcDef, got $other")
+    }
+    defs.last match {
+      case Compiler.CdcDef(_, c, _, _, _) =>
+        assert(c.includeTableRegex == Seq("^\\Qwarehouse\\E\\.\\Qorders\\E$"))
+        assert(c.sourceDir == "/s/warehouse/orders" && c.targetDir == "/t/warehouse/orders")
+        assert(c.checkpointDir == "/c/warehouse/orders" && c.dlqDir == "/t_dlq/warehouse/orders")
       case other => fail(s"expected CdcDef, got $other")
     }
     // enable: 0 disables like the reference's int flag

@@ -89,6 +89,28 @@ class GuardianDlqSpec extends SparkSpec {
     assert(CdcPipeline.retryDlq(spark, cfg2) == CdcPipeline.DlqStats())
   }
 
+  test("a stale DLQ replay cannot regress keys already advanced by newer batches") {
+    import spark.implicits._
+    val tgt = tmp() + "/target"
+    def mkBatch(rows: (String, Long, Double, Long, String, Long)*) =
+      rows.toSeq.toDF("op", "key", "value", "k", "ts_s", "offset")
+        .select(col("op"), col("key"), struct(col("value"), col("k")).as("after"),
+          col("ts_s").cast("timestamp").as("ts"), col("offset"))
+    val older = mkBatch( // the batch that failed and sat in the DLQ
+      ("update", 1L, 10.0, 1L, "2024-01-01 00:00:00", 1L),
+      ("insert", 5L, 50.0, 5L, "2024-01-01 00:00:00", 2L),
+      ("delete", 7L, 0.0, 0L, "2024-01-01 00:00:00", 3L))
+    val newer = mkBatch( // applied by the live stream in the meantime
+      ("update", 1L, 99.0, 9L, "2024-02-01 00:00:00", 10L),
+      ("insert", 7L, 70.0, 7L, "2024-02-01 00:00:00", 11L))
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt, newer, "key")
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt, older, "key") // the late retry
+    // the stale update must not regress key 1; the stale delete must not
+    // kill the later re-created key 7; the DLQ-only insert still lands
+    assert(normalize(spark.read.parquet(tgt)) ==
+      Set((1L, 99.0, 9L), (7L, 70.0, 7L), (5L, 50.0, 5L)))
+  }
+
   test("DLQ orphan sweep: stale tmp beside a surviving batch dir is dropped") {
     val root = tmp()
     val cfg = CdcPipeline.Config(

@@ -41,9 +41,13 @@ object Compiler {
     else m.sourceTable
 
   private def tgtSub(spec: SyncTaskSpec, m: TableMapping): String =
-    if (m.sourceDb.exists(_ != spec.sourceDb))
-      s"${m.targetDb.getOrElse(m.sourceDb.get)}/${m.targetTable}"
-    else m.targetTable
+    // an EXPLICIT targetDatabase always namespaces the target (the
+    // reference maps source db → target db, config.go:36-41); without
+    // one, a non-default source db namespaces it, default stays flat
+    m.targetDb.orElse(m.sourceDb.filter(_ != spec.sourceDb)) match {
+      case Some(db) => s"$db/${m.targetTable}"
+      case None     => m.targetTable
+    }
 
   def pipelineName(spec: SyncTaskSpec, m: TableMapping): String =
     s"task${spec.id}/${srcSub(spec, m)}"
@@ -92,7 +96,27 @@ object Compiler {
     }
 
   /** The supervisor's desired state: every enabled task's pipelines,
-    * keyed by [[pipelineName]]. */
-  def compileAll(specs: Seq[SyncTaskSpec]): Map[String, PipelineDef] =
-    specs.flatMap(compile).map(d => d.name -> d).toMap
+    * keyed by [[pipelineName]]. Rejects silent-loss configurations:
+    * duplicate pipeline names (the Map would drop one) and storage
+    * roots that nest inside each other (a flat table named like
+    * another mapping's database would put one table's files INSIDE
+    * another's parquet/checkpoint root). A rejected config keeps the
+    * previous running set (the engine treats this like a config load
+    * failure). */
+  def compileAll(specs: Seq[SyncTaskSpec]): Map[String, PipelineDef] = {
+    val defs = specs.flatMap(compile)
+    val dupNames = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dupNames.isEmpty, s"pipeline name collision: ${dupNames.mkString(", ")}")
+    val roots = defs.flatMap {
+      case CdcDef(n, c, _, _, _) => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
+      case KvDef(n, c)           => Seq(c.sourceDir, c.targetDir, c.checkpointDir).map((n, _))
+    }.sortBy(_._2)
+    roots.sliding(2).foreach {
+      case Seq((na, a), (nb, b)) =>
+        require(b != a && !b.startsWith(a + "/"),
+          s"storage roots nest: '$a' ($na) contains '$b' ($nb)")
+      case _ => ()
+    }
+    defs.map(d => d.name -> d).toMap
+  }
 }

@@ -97,6 +97,12 @@ object ConfigReader {
     // (config.go:225-240) — mappings flatten, and the first mapping's
     // sourceDatabase becomes the task's source namespace.
     val mappings = n.path("mappings").elements.asScala.toSeq
+    // a db-less mapping beside others would silently inherit the FIRST
+    // mapping's namespace (and collide with its same-named tables) —
+    // reject the task instead, fault-isolated like any malformed entry
+    require(mappings.size <= 1 ||
+      mappings.forall(m => optText(m, "sourceDatabase").isDefined),
+      "multi-mapping task needs sourceDatabase on every mapping")
     val tables =
       if (mappings.nonEmpty)
         mappings.flatMap { m =>

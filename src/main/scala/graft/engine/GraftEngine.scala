@@ -80,8 +80,12 @@ final class GraftEngine(
     * untouched, an alert fires, and the next poll retries. Per-task
     * malformed entries are already isolated inside ConfigReader. */
   def pollOnce(): ControlLoop.Reconcile = {
-    val cfg = try ConfigReader.load(configPath)
-    catch {
+    // compile inside the guard too: a config that parses but compiles
+    // to a colliding/nesting pipeline set must also keep the old state
+    val (cfg, defs) = try {
+      val c = ConfigReader.load(configPath)
+      (c, Compiler.compileAll(c.syncTasks))
+    } catch {
       case e: Exception =>
         alerts.send(Alerts.Alert("config_error", configPath, String.valueOf(e.getMessage)))
         return ControlLoop.Reconcile(Set.empty, Set.empty,
@@ -104,7 +108,7 @@ final class GraftEngine(
       backupSpecs = cfg.backupTasks
       scheduler = new Cron.Scheduler(backupSpecs.map(toJob))
     }
-    pipelineDefs = Compiler.compileAll(cfg.syncTasks)
+    pipelineDefs = defs
     supervisor.reconcile(pipelineDefs)
   }
 

@@ -33,31 +33,60 @@ object Upsert {
     * by `keyCol`. Batch columns: op, <keyCol>, after (struct), ts, offset.
     *
     * Last-writer-wins against the TARGET, not just within the batch: a
-    * key whose target row is strictly newer (`updated_at` > the batch
-    * op's ts) keeps the target row and the batch op is discarded as
-    * stale. An ordered stream never hits this (each batch's ts ≥ the
-    * applied state, and a tie re-applies — the at-least-once replay
-    * idempotence of ST9); what it protects is OUT-OF-ORDER re-apply,
-    * the DLQ retry that runs after newer live batches already merged
-    * (a stale retried upsert must not regress the key, a stale retried
-    * delete must not kill a later re-created row). Snapshot rows carry
-    * a null updated_at and always lose to a real change event. */
+    * key whose target row is strictly newer — by `updated_at`, then by
+    * the persisted change position `updated_off` on a timestamp tie —
+    * keeps the target row and the batch op is discarded as stale. An
+    * ordered stream never hits this (each batch's (ts, offset) ≥ the
+    * applied state; re-applying the SAME op compares equal and applies,
+    * the at-least-once idempotence of ST9); what it protects is
+    * OUT-OF-ORDER re-apply, the DLQ retry that runs after newer live
+    * batches already merged: a stale retried upsert must not regress
+    * the key, a stale retried delete must not kill a later re-created
+    * row. Snapshot rows carry null recency and always lose to a real
+    * change event.
+    *
+    * One keyed full-outer join resolves everything — the target's
+    * pruned buckets are scanned once (no separate anti-join pass).
+    *
+    * Documented limitation (no delete tombstones): a key DELETED by a
+    * newer batch leaves no target row to compare against, so a stale
+    * retried upsert of that key resurrects it. Bounding that window
+    * needs tombstone retention or a transactional table format's
+    * MERGE; within this engine, deletes are final only once the DLQ
+    * for the pipeline is drained. */
   def applyBatch(target: DataFrame, batch: DataFrame, keyCol: String,
       ignoreDeleteOps: Boolean = false): DataFrame = {
     val b = if (ignoreDeleteOps) batch.filter(col("op") =!= "delete") else batch
     val w = Window.partitionBy(col(keyCol)).orderBy(col("ts").desc, col("offset").desc)
     val latest = b.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    // key-only projection of the target's recency; the extra join is
-    // batch-sized × (pruned) target keys — same scale class as the
-    // anti-join below
-    val stale = latest
-      .join(target.select(col(keyCol), col("updated_at").as("_t_ts")), Seq(keyCol), "left")
-      .filter(col("_t_ts").isNotNull && col("_t_ts") > col("ts"))
-      .select(keyCol)
-    val eff = latest.join(stale, Seq(keyCol), "left_anti")
-    val upserts = eff.filter(col("op") =!= "delete")
-      .select(col(keyCol), col("after.*"), col("ts").as("updated_at"))
-    target.join(eff.select(keyCol), Seq(keyCol), "left_anti").unionByName(upserts)
+      .select(col(keyCol), col("op").as("_b_op"), col("after").as("_b_after"),
+        col("ts").as("_b_ts"), col("offset").as("_b_off"))
+    val afterFields = b.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fields
+    // target side, prefixed to avoid collisions with after-field names;
+    // targets written before the recency column existed read it as null
+    val tOff = if (target.columns.contains("updated_off")) col("updated_off")
+               else lit(null).cast("long")
+    val t = target.select(
+      col(keyCol) +: afterFields.map(f => col(f.name).as(s"_t_${f.name}")) :+
+        col("updated_at").as("_t_ts") :+ tOff.as("_t_off"): _*)
+    val joined = t.join(latest, Seq(keyCol), "full_outer")
+    val stale = col("_t_ts").isNotNull &&
+      (col("_t_ts") > col("_b_ts") ||
+        (col("_t_ts") === col("_b_ts") &&
+          coalesce(col("_t_off"), lit(Long.MinValue)) > col("_b_off")))
+    val takeTarget = col("_b_op").isNull || stale
+    joined
+      // a live (non-stale) delete removes the key; target-only rows and
+      // stale-delete rows survive via takeTarget
+      .filter(takeTarget || col("_b_op") =!= "delete")
+      .select(
+        col(keyCol) +:
+          afterFields.map(f =>
+            when(takeTarget, col(s"_t_${f.name}"))
+              .otherwise(col(s"_b_after.${f.name}")).as(f.name)) :+
+          when(takeTarget, col("_t_ts")).otherwise(col("_b_ts")).as("updated_at") :+
+          when(takeTarget, col("_t_off")).otherwise(col("_b_off")).as("updated_off"): _*)
   }
 
   val NumBuckets = 64 // sized for local tests; 4096 at production scale

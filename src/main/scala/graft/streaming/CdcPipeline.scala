@@ -163,7 +163,13 @@ object CdcPipeline {
         var j = 1
         while (fs.exists(dest)) { dest = new Path(dlqPath, s"parked_${idx}_$j"); j += 1 }
         if (fs.rename(dir, dest)) stats = stats.copy(parked = stats.parked + 1)
-        else stats = stats.copy(failed = stats.failed + 1)
+        else {
+          // persistent rename failure (permissions?): the operator must
+          // still be paged about the dead batch, every pass, until fixed
+          alerts.send(Alerts.Alert("dlq_park_failed", dir.toString,
+            s"exhausted batch could not be renamed to $dest"))
+          stats = stats.copy(failed = stats.failed + 1)
+        }
       } else {
         val events = parked.drop("dlq_batch_id", "dlq_error", "dlq_retry_count")
         try {

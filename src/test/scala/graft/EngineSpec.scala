@@ -94,7 +94,8 @@ class EngineSpec extends SparkSpec {
     defs.head match {
       case Compiler.CdcDef(_, c, _, _, _) =>
         assert(c.includeTableRegex == Seq("^\\Qshop\\E\\.\\Qorders\\E$"))
-        assert(c.sourceDir == "/s/orders" && c.targetDir == "/t/orders_r")
+        // explicit targetDatabase namespaces the target (shop→shop_replica)
+        assert(c.sourceDir == "/s/orders" && c.targetDir == "/t/shop_replica/orders_r")
       case other => fail(s"expected CdcDef, got $other")
     }
     defs.last match {
@@ -104,6 +105,28 @@ class EngineSpec extends SparkSpec {
         assert(c.checkpointDir == "/c/warehouse/orders" && c.dlqDir == "/t_dlq/warehouse/orders")
       case other => fail(s"expected CdcDef, got $other")
     }
+
+    // a db-less mapping beside others would inherit the first mapping's
+    // namespace and collide — the task is rejected (skipped), siblings load
+    val mixed = ConfigReader.parse(
+      """{ "syncTasks": [
+        |  { "id": 1, "type": "mysql",
+        |    "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
+        |    "mappings": [ { "sourceDatabase": "shop", "tables": [ {"sourceTable": "a"} ] },
+        |                  { "tables": [ {"sourceTable": "a"} ] } ] },
+        |  { "id": 2, "type": "redis", "sourceDir": "/s2", "targetDir": "/t2",
+        |    "checkpointDir": "/c2", "tables": [ {"sourceTable": "kv"} ] } ] }""".stripMargin)
+    assert(mixed.syncTasks.map(_.id) == Seq(2))
+
+    // compileAll rejects silent-loss shapes: duplicate pipeline names
+    // and storage roots nesting inside each other
+    val dup = t.copy(tables = Seq(t.tables.head, t.tables.head))
+    intercept[IllegalArgumentException](Compiler.compileAll(Seq(dup)))
+    val nested = t.copy(tables = Seq(
+      t.tables.head.copy(sourceTable = "warehouse", targetTable = "warehouse",
+        sourceDb = None, targetDb = None),
+      t.tables.last)) // flat table "warehouse" + db "warehouse" table
+    intercept[IllegalArgumentException](Compiler.compileAll(Seq(nested)))
     // enable: 0 disables like the reference's int flag
     val off = ConfigReader.parse(
       """{ "syncTasks": [ { "id": 8, "type": "mysql", "enable": 0,

@@ -109,6 +109,16 @@ class GuardianDlqSpec extends SparkSpec {
     // kill the later re-created key 7; the DLQ-only insert still lands
     assert(normalize(spark.read.parquet(tgt)) ==
       Set((1L, 99.0, 9L), (7L, 70.0, 7L), (5L, 50.0, 5L)))
+
+    // same-second CDC timestamps: recency falls back to the persisted
+    // change position, so a ts-tied lower-offset retry is still stale —
+    // and re-applying the SAME op (equal ts AND offset) stays idempotent
+    val tieStale = mkBatch(("update", 1L, 11.0, 1L, "2024-02-01 00:00:00", 4L)) // offset 4 < 10
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt, tieStale, "key")
+    val replaySame = mkBatch(("update", 1L, 99.0, 9L, "2024-02-01 00:00:00", 10L))
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt, replaySame, "key")
+    assert(normalize(spark.read.parquet(tgt)) ==
+      Set((1L, 99.0, 9L), (7L, 70.0, 7L), (5L, 50.0, 5L)))
   }
 
   test("DLQ orphan sweep: stale tmp beside a surviving batch dir is dropped") {

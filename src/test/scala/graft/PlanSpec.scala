@@ -1,0 +1,61 @@
+package graft
+
+/** Plan-shape regression guard: the scale properties this engine is
+  * designed around are asserted on the PLANS, not just the results —
+  * a refactor that silently turns a pruned scan into a full scan or a
+  * hash join into a nested loop passes every value-level test and
+  * fails only at 100 TB. (Plans inspected pre-execution: join
+  * strategies, top-k operators, and scan pushdowns are all decided by
+  * then; AQE only re-optimizes exchanges at runtime.)
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // q29 is the DELIBERATE brute-force ANN baseline: broadcast queries ×
+  // all candidates with a non-equi predicate is its definition (the
+  // scale path is q30/q46). Everything else must never plan a product.
+  private val bruteForceBaseline = Set("q29_ann_topk")
+
+  test("no query plans a cartesian product; only the brute-force baseline nested-loops") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bruteForceBaseline(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, never a global sort") {
+    Seq("q3_top_orders", "q9_recent_errors", "q43_log_search").foreach { name =>
+      assert(plan(name).contains("TakeOrderedAndProject"), name)
+    }
+  }
+
+  test("dimension joins broadcast the small side") {
+    Seq("q2_revenue_by_nation", "q35_sql_passthrough").foreach { name =>
+      assert(plan(name).contains("BroadcastHashJoin"), name)
+    }
+    // the anti-join ships only the key column and broadcasts it
+    assert(plan("q7_anti_join").contains("BroadcastHashJoin"))
+  }
+
+  test("the windowed export pushes its time bounds into the parquet scan") {
+    // tsWindowScan filters on the RAW nanos column pre-conversion, so
+    // the range predicate reaches the scan as PushedFilters (row-group
+    // pruning); a filter on the converted timestamp would push IsNotNull
+    // only (verify skill gotcha)
+    val p = plan("q16_export_window")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThanOrEqual(`ts")), p)
+  }
+
+  test("dedup verification runs the codegen'd kernel, not array_intersect") {
+    Seq("q25_minhash_pairs", "q27_token_jaccard").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("sorted_long_intersect_card"), name)
+      assert(!p.contains("array_intersect"), name)
+    }
+  }
+}

@@ -262,6 +262,9 @@ object GraftEngine {
     } else {
       val intervalMs = intArg("--interval-ms", 10000L)
       val rounds = intArg("--rounds", Long.MaxValue)
+      // graceful SIGTERM: stop every query (offsets already committed
+      // stay committed) before the JVM exits — main.go:76-88
+      sys.addShutdownHook(engine.stop())
       var i = 0L
       try while (i < rounds) {
         val r = engine.pollOnce()

@@ -43,7 +43,11 @@ object Compiler {
   private def tgtSub(spec: SyncTaskSpec, m: TableMapping): String =
     // an EXPLICIT targetDatabase always namespaces the target (the
     // reference maps source db → target db, config.go:36-41); without
-    // one, a non-default source db namespaces it, default stays flat
+    // one, a non-default source db namespaces it, default stays flat.
+    // Layout note: adding/removing targetDatabase on a RUNNING config
+    // relocates the target root while the checkpoint (source-keyed)
+    // resumes committed offsets against the new, empty location — move
+    // or re-snapshot the old target when changing this field.
     m.targetDb.orElse(m.sourceDb.filter(_ != spec.sourceDb)) match {
       case Some(db) => s"$db/${m.targetTable}"
       case None     => m.targetTable
@@ -107,13 +111,17 @@ object Compiler {
     val defs = specs.flatMap(compile)
     val dupNames = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dupNames.isEmpty, s"pipeline name collision: ${dupNames.mkString(", ")}")
+    // slash-appended before sorting: strings sharing prefix "a/" form a
+    // contiguous sorted range, so the adjacent-pair check is sound — a
+    // bare sort is not (a sibling like "a-old" sorts BETWEEN "a" and
+    // "a/x" because '-' < '/')
     val roots = defs.flatMap {
       case CdcDef(n, c, _, _, _) => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
       case KvDef(n, c)           => Seq(c.sourceDir, c.targetDir, c.checkpointDir).map((n, _))
-    }.sortBy(_._2)
+    }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {
       case Seq((na, a), (nb, b)) =>
-        require(b != a && !b.startsWith(a + "/"),
+        require(b != a && !b.startsWith(a),
           s"storage roots nest: '$a' ($na) contains '$b' ($nb)")
       case _ => ()
     }

@@ -39,6 +39,7 @@ final class GraftEngine(
     clock: () => LocalDateTime = () => LocalDateTime.now(ZoneOffset.UTC)) {
 
   private val supervisor = new ControlLoop.Supervisor[Compiler.PipelineDef](startPipeline)
+  @volatile private var stopping = false
   @volatile private var pipelineDefs = Map.empty[String, Compiler.PipelineDef]
   @volatile private var backupSpecs: Seq[BackupSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
@@ -52,7 +53,13 @@ final class GraftEngine(
         val p = new org.apache.hadoop.fs.Path(dir)
         if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
           val snap = spark.read.parquet(dir)
-          Upsert.snapshot(spark, snap.withColumn("updated_at", lit(null).cast("timestamp")),
+          // BOTH recency columns, null: snapshot rows lose to any real
+          // change event, and every bucket carries the same schema —
+          // a snapshot-only footer must never make a later target read
+          // drop updated_off and disable the tie-break
+          Upsert.snapshot(spark, snap
+            .withColumn("updated_at", lit(null).cast("timestamp"))
+            .withColumn("updated_off", lit(null).cast("long")),
             cfg.keyCol, cfg.targetDir)
         }
       }
@@ -80,6 +87,10 @@ final class GraftEngine(
     * untouched, an alert fires, and the next poll retries. Per-task
     * malformed entries are already isolated inside ConfigReader. */
   def pollOnce(): ControlLoop.Reconcile = {
+    // once stop() ran (e.g. the SIGTERM hook), a racing loop iteration
+    // must not restart the world it just tore down
+    if (stopping)
+      return ControlLoop.Reconcile(Set.empty, Set.empty, Set.empty)
     // compile inside the guard too: a config that parses but compiles
     // to a colliding/nesting pipeline set must also keep the old state
     val (cfg, defs) = try {
@@ -171,14 +182,22 @@ final class GraftEngine(
   /** AvailableNow mode: wait for every pipeline to drain and stop. */
   def awaitDrained(): Unit = activeQueries.values.foreach(_.awaitTermination())
 
-  def stop(): Unit = {
-    supervisor.stopAll()
-    recorder.foreach { case (_, r) =>
-      r.flush()
-      spark.streams.removeListener(r)
+  /** Idempotent and race-safe: the SIGTERM hook and the loop's
+    * `finally` may both arrive here. */
+  def stop(): Unit = synchronized {
+    if (!stopping) {
+      stopping = true
+      supervisor.stopAll()
+      recorder.foreach { case (_, r) =>
+        r.flush()
+        spark.streams.removeListener(r)
+      }
+      recorder = None
     }
-    recorder = None
   }
+
+  /** True after [[stop]] — the resident loop exits on it. */
+  def isStopping: Boolean = stopping
 }
 
 object GraftEngine {
@@ -266,7 +285,7 @@ object GraftEngine {
       // stay committed) before the JVM exits — main.go:76-88
       sys.addShutdownHook(engine.stop())
       var i = 0L
-      try while (i < rounds) {
+      try while (i < rounds && !engine.isStopping) {
         val r = engine.pollOnce()
         if (r.started.nonEmpty || r.stopped.nonEmpty || r.failed.nonEmpty)
           println(s"[engine] reconcile started=${r.started} stopped=${r.stopped} " +

@@ -63,6 +63,14 @@ object Upsert {
         col("ts").as("_b_ts"), col("offset").as("_b_off"))
     val afterFields = b.schema("after").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fields
+    // the target must not carry data columns the change schema lacks:
+    // projecting them away here would silently REWRITE every touched
+    // bucket without them — fail loudly instead (the foreachBatch
+    // wrapper routes this to the DLQ and the operator is alerted)
+    val expected = (keyCol +: afterFields.map(_.name)) ++ Seq("updated_at", "updated_off")
+    val unexpected = target.columns.filterNot(expected.contains)
+    require(unexpected.isEmpty,
+      s"target columns absent from the change schema: ${unexpected.mkString(", ")}")
     // target side, prefixed to avoid collisions with after-field names;
     // targets written before the recency column existed read it as null
     val tOff = if (target.columns.contains("updated_off")) col("updated_off")

@@ -130,6 +130,7 @@ object SparkEntry {
     "q45_meta_scan" -> ((s, d) => Relational.metaScan(s, d, graft.Tables.all)),
     "q46_ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q47_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "q48_cdc_tombstones" -> (Cdc.finalStateWithTombstones _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -536,6 +537,26 @@ object SparkEntry {
         |                            ORDER BY sim DESC, cand_id ASC) AS rank
         |       FROM scored)
         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // the MERGE's tombstone contract: a key whose last change is a
+    // delete keeps a (null payload, deleted=true) guard row carrying
+    // the delete's recency — what a stale DLQ retry loses against
+    "q48_cdc_tombstones" ->
+      """WITH log AS (
+        |  SELECT CASE event_type WHEN 'signup' THEN 'insert'
+        |                         WHEN 'error' THEN 'delete'
+        |                         ELSE 'update' END AS op,
+        |    user_id, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    ts, event_id AS off
+        |  FROM events)
+        |SELECT user_id,
+        |  CASE WHEN op = 'delete' THEN NULL ELSE value END AS value,
+        |  CASE WHEN op = 'delete' THEN NULL ELSE k END AS k,
+        |  ts AS updated_at,
+        |  op = 'delete' AS deleted
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, off DESC) AS rn
+        |  FROM log) WHERE rn = 1""".stripMargin,
     // ASCII payloads: char offsets == byte offsets, so the string
     // substring replays the frame slicing exactly
     "q47_frame_sample" ->

@@ -25,6 +25,24 @@ object Cdc {
         col("after.k").as("k"), col("ts").as("updated_at"))
   }
 
+  /** q48 — tombstone semantics of the MERGE itself: replay the whole
+    * change log through [[graft.operators.Upsert.applyBatch]] from an
+    * empty target and KEEP the tombstone rows. A key whose last change
+    * is a delete surfaces as `(key, null payload, delete's ts,
+    * deleted=true)` — the resurrect-guard row a stale DLQ retry loses
+    * against. Oracle-checked so the tombstone contract is pinned
+    * cross-engine, not just by unit tests. */
+  def finalStateWithTombstones(spark: SparkSession, dir: String): DataFrame = {
+    val changes = ChangeEvents.fromEvents(spark, dir)
+    val empty = changes.select(
+      col("key"), col("after.value").as("value"), col("after.k").as("k"),
+      col("ts").as("updated_at"), col("offset").as("updated_off"),
+      lit(false).as("deleted")).limit(0)
+    Upsert.applyBatch(empty, changes, "key")
+      .select(col("key").as("user_id"), col("value"), col("k"),
+        col("updated_at"), col("deleted"))
+  }
+
   /** Same, with ignoreDeleteOps=true (mongodb.go:1168-1177): deletes are
     * dropped from the log BEFORE the last-writer-wins fold, so a key
     * whose last op was delete keeps its last non-delete payload. */

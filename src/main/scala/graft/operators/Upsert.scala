@@ -48,12 +48,16 @@ object Upsert {
     * One keyed full-outer join resolves everything — the target's
     * pruned buckets are scanned once (no separate anti-join pass).
     *
-    * Documented limitation (no delete tombstones): a key DELETED by a
-    * newer batch leaves no target row to compare against, so a stale
-    * retried upsert of that key resurrects it. Bounding that window
-    * needs tombstone retention or a transactional table format's
-    * MERGE; within this engine, deletes are final only once the DLQ
-    * for the pipeline is drained. */
+    * Delete TOMBSTONES close the out-of-order resurrect window: a live
+    * delete does not remove the key's row — it rewrites it as
+    * `(key, null payload, updated_at, updated_off, deleted=true)`, so
+    * a stale DLQ-retried upsert of a deleted key still has a recency
+    * row to lose against and the key stays dead. Tombstones are
+    * retained until [[sweepTombstones]] reclaims them, which is safe
+    * once the pipeline's DLQ is drained (no stale retry can arrive
+    * anymore) — the engine drives that cadence. Readers that want live
+    * rows go through [[liveRows]]. Targets written before the
+    * `deleted` column existed read it as false. */
   def applyBatch(target: DataFrame, batch: DataFrame, keyCol: String,
       ignoreDeleteOps: Boolean = false): DataFrame = {
     val b = if (ignoreDeleteOps) batch.filter(col("op") =!= "delete") else batch
@@ -67,35 +71,49 @@ object Upsert {
     // projecting them away here would silently REWRITE every touched
     // bucket without them — fail loudly instead (the foreachBatch
     // wrapper routes this to the DLQ and the operator is alerted)
-    val expected = (keyCol +: afterFields.map(_.name)) ++ Seq("updated_at", "updated_off")
+    val expected = (keyCol +: afterFields.map(_.name)) ++
+      Seq("updated_at", "updated_off", "deleted")
     val unexpected = target.columns.filterNot(expected.contains)
     require(unexpected.isEmpty,
       s"target columns absent from the change schema: ${unexpected.mkString(", ")}")
     // target side, prefixed to avoid collisions with after-field names;
-    // targets written before the recency column existed read it as null
+    // targets written before the recency/tombstone columns existed read
+    // them as null/false
     val tOff = if (target.columns.contains("updated_off")) col("updated_off")
                else lit(null).cast("long")
+    val tDel = if (target.columns.contains("deleted"))
+                 coalesce(col("deleted"), lit(false))
+               else lit(false)
     val t = target.select(
       col(keyCol) +: afterFields.map(f => col(f.name).as(s"_t_${f.name}")) :+
-        col("updated_at").as("_t_ts") :+ tOff.as("_t_off"): _*)
+        col("updated_at").as("_t_ts") :+ tOff.as("_t_off") :+ tDel.as("_t_del"): _*)
     val joined = t.join(latest, Seq(keyCol), "full_outer")
     val stale = col("_t_ts").isNotNull &&
       (col("_t_ts") > col("_b_ts") ||
         (col("_t_ts") === col("_b_ts") &&
           coalesce(col("_t_off"), lit(Long.MinValue)) > col("_b_off")))
     val takeTarget = col("_b_op").isNull || stale
+    val bDel = col("_b_op") === "delete"
     joined
-      // a live (non-stale) delete removes the key; target-only rows and
-      // stale-delete rows survive via takeTarget
-      .filter(takeTarget || col("_b_op") =!= "delete")
+      // a live (non-stale) delete becomes a tombstone row, not a
+      // removal: null payload, the delete's recency, deleted=true
       .select(
         col(keyCol) +:
           afterFields.map(f =>
             when(takeTarget, col(s"_t_${f.name}"))
+              .when(bDel, lit(null).cast(f.dataType))
               .otherwise(col(s"_b_after.${f.name}")).as(f.name)) :+
           when(takeTarget, col("_t_ts")).otherwise(col("_b_ts")).as("updated_at") :+
-          when(takeTarget, col("_t_off")).otherwise(col("_b_off")).as("updated_off"): _*)
+          when(takeTarget, col("_t_off")).otherwise(col("_b_off")).as("updated_off") :+
+          when(takeTarget, col("_t_del")).otherwise(bDel).as("deleted"): _*)
   }
+
+  /** The live (non-tombstoned) rows of a merged target. Safe on targets
+    * written before tombstones existed (no `deleted` column → all live). */
+  def liveRows(df: DataFrame): DataFrame =
+    if (df.columns.contains("deleted"))
+      df.filter(!coalesce(col("deleted"), lit(false)))
+    else df
 
   val NumBuckets = 64 // sized for local tests; 4096 at production scale
 
@@ -111,7 +129,11 @@ object Upsert {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(path) && spark.read.parquet(targetDir).limit(1).count() > 0
     if (!exists) {
-      state.withColumn("bucket", bucketOf(keyCol))
+      // every bucket footer carries the tombstone column from day one —
+      // a snapshot-only footer must never make a later read drop it
+      val withDel = if (state.columns.contains("deleted")) state
+                    else state.withColumn("deleted", lit(false))
+      withDel.withColumn("bucket", bucketOf(keyCol))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)
       true
     } else false
@@ -144,5 +166,42 @@ object Upsert {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)
     } finally batched.unpersist()
+  }
+
+  /** Reclaim delete tombstones — rewrite only the buckets that hold
+    * `deleted=true` rows, dropping them; a bucket left with no live row
+    * is removed outright (dynamic overwrite can't write an empty
+    * partition). Safe to call once the pipeline's DLQ is drained: no
+    * stale retry can arrive, so deletes are final and the rows exist
+    * only as resurrect-guards. Returns the number of buckets swept.
+    * The tombstone filter is pushed to the parquet scan; clean buckets
+    * cost only row-group stats (min=max=false skips them). Works for
+    * both the CDC and KV bucketed layouts. */
+  def sweepTombstones(spark: SparkSession, targetDir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    val t = spark.read.parquet(targetDir)
+    if (!t.columns.contains("deleted")) return 0
+    val touched = t.filter(col("deleted") === true)
+      .select("bucket").distinct().collect().map(_.getInt(0)) // ≤ NumBuckets
+    if (touched.isEmpty) return 0
+    val cleaned = t.filter(col("bucket").isin(touched.toSeq: _*))
+      .filter(!coalesce(col("deleted"), lit(false)))
+    val liveBuckets = cleaned.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    if (liveBuckets.nonEmpty)
+      cleaned.write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)
+    touched.filterNot(liveBuckets).foreach { bk =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"bucket=$bk"), true)
+    }
+    // a target swept down to zero buckets must not linger as a
+    // file-less dir (unreadable as parquet): remove it — the next
+    // merge's first-batch path recreates it from the batch schema
+    val anyBucketLeft = fs.listStatus(path)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    if (!anyBucketLeft) fs.delete(path, true)
+    touched.length
   }
 }

@@ -13,7 +13,7 @@ class CdcSpec extends SparkSpec {
   private def tmp(): String = Files.createTempDirectory("graft_cdc").toString
 
   private def normalize(df: DataFrame): Set[(Long, Double, Long)] =
-    df.select(col("user_id").cast("long"), col("value"), col("k"))
+    Upsert.liveRows(df).select(col("user_id").cast("long"), col("value"), col("k"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
 
   test("batch upsert applies last-writer-wins with deletes") {
@@ -28,10 +28,15 @@ class CdcSpec extends SparkSpec {
       .toDF("op", "key", "value", "k", "ts_s", "offset")
       .select(col("op"), col("key"), struct(col("value"), col("k")).as("after"),
         col("ts_s").cast("timestamp").as("ts"), col("offset"))
-    val out = Upsert.applyBatch(target, batch, "key")
+    val merged = Upsert.applyBatch(target, batch, "key")
+    val out = Upsert.liveRows(merged)
       .select(col("key"), col("value"), col("k")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(out == Set((1L, 30.0, 3L), (2L, 5.0, 9L)))
+    // the delete of key 3 left a tombstone guard row, not a removal
+    val tomb = merged.filter(col("deleted")).select("key", "value", "k").collect()
+    assert(tomb.map(_.getLong(0)).toSet == Set(3L))
+    assert(tomb.forall(r => r.isNullAt(1) && r.isNullAt(2)))
   }
 
   test("streaming pipeline converges to the declarative final state and is restart-idempotent") {

@@ -82,7 +82,8 @@ class ControlSpec extends SparkSpec {
   // ---- Hot-reload supervisor -----------------------------------------
 
   private def normalize(df: DataFrame): Set[(Long, Double, Long)] =
-    df.select(col("key").cast("long"), col("value"), col("k"))
+    graft.operators.Upsert.liveRows(df)
+      .select(col("key").cast("long"), col("value"), col("k"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
 
   test("reconcile starts, keeps, swaps, and stops pipelines; checkpoint survives a swap") {

@@ -138,7 +138,8 @@ class EngineSpec extends SparkSpec {
   // ---- end-to-end ------------------------------------------------------
 
   private def normCdc(df: DataFrame): Set[(Long, Double, Long)] =
-    df.select(col("key").cast("long"), col("value"), col("k"))
+    graft.operators.Upsert.liveRows(df)
+      .select(col("key").cast("long"), col("value"), col("k"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
 
   private def syncTaskJson(id: Int, table: String, root: String,
@@ -236,14 +237,15 @@ class EngineSpec extends SparkSpec {
       engine.processAllAvailable()
 
       // task3: fieldSecurity flowed from JSON into the stream — every k masked
-      val masked = spark.read.parquet(s"$root/tgt/events2")
+      val masked = graft.operators.Upsert.liveRows(spark.read.parquet(s"$root/tgt/events2"))
       assert(masked.count() == cdcWant.size)
       assert(masked.select("k").distinct().collect().map(_.getString(0)).toSet == Set("****"))
 
       // ---- checkpoint survival: only NEW input is processed after the
       // swap, and the swapped pipeline honors its new ignoreDeleteOps —
       // deletes for two live keys arrive and are ignored
-      val victims = spark.read.parquet(s"$root/tgt/events").select("key")
+      val victims = graft.operators.Upsert.liveRows(
+          spark.read.parquet(s"$root/tgt/events")).select("key")
         .limit(2).collect().map(_.getLong(0))
       import org.apache.spark.sql.Row
       val lateDeletes = spark.createDataFrame(

@@ -15,7 +15,8 @@ class GuardianDlqSpec extends SparkSpec {
   private def tmp(): String = Files.createTempDirectory("graft_dlq").toString
 
   private def normalize(df: DataFrame): Set[(Long, Double, Long)] =
-    df.select(col("key").cast("long"), col("value"), col("k"))
+    graft.operators.Upsert.liveRows(df)
+      .select(col("key").cast("long"), col("value"), col("k"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
 
   /** Make targetDir unusable: a regular FILE at the path makes both the
@@ -119,6 +120,50 @@ class GuardianDlqSpec extends SparkSpec {
     graft.operators.Upsert.mergeIntoParquet(spark, tgt, replaySame, "key")
     assert(normalize(spark.read.parquet(tgt)) ==
       Set((1L, 99.0, 9L), (7L, 70.0, 7L), (5L, 50.0, 5L)))
+  }
+
+  test("tombstones: a stale DLQ retry cannot resurrect a deleted key; sweep reclaims them") {
+    import spark.implicits._
+    val tgt = tmp() + "/target"
+    def mkBatch(rows: (String, Long, Double, Long, String, Long)*) =
+      rows.toSeq.toDF("op", "key", "value", "k", "ts_s", "offset")
+        .select(col("op"), col("key"), struct(col("value"), col("k")).as("after"),
+          col("ts_s").cast("timestamp").as("ts"), col("offset"))
+    // live history: key 9 created, then DELETED by a newer batch
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt,
+      mkBatch(("insert", 9L, 90.0, 9L, "2024-01-01 00:00:00", 1L)), "key")
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt,
+      mkBatch(("delete", 9L, 0.0, 0L, "2024-03-01 00:00:00", 20L)), "key")
+    // the DLQ retries an OLDER upsert of the same key — before
+    // tombstones this was the documented resurrect window
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt,
+      mkBatch(("update", 9L, 91.0, 9L, "2024-02-01 00:00:00", 10L)), "key")
+    assert(normalize(spark.read.parquet(tgt)) == Set.empty)
+    val guard = spark.read.parquet(tgt).filter(col("deleted"))
+    assert(guard.select("key").collect().map(_.getLong(0)).toSet == Set(9L))
+    // replaying the delete itself (equal recency) keeps the tombstone
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt,
+      mkBatch(("delete", 9L, 0.0, 0L, "2024-03-01 00:00:00", 20L)), "key")
+    assert(spark.read.parquet(tgt).filter(col("deleted")).count() == 1)
+    // a genuinely NEWER upsert re-creates the key over the tombstone
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt,
+      mkBatch(("insert", 9L, 99.0, 9L, "2024-04-01 00:00:00", 30L)), "key")
+    assert(normalize(spark.read.parquet(tgt)) == Set((9L, 99.0, 9L)))
+    assert(spark.read.parquet(tgt).filter(col("deleted")).count() == 0)
+
+    // sweep: delete again, then reclaim — tombstone gone, bucket dir too
+    // (key 9 was this target's only key, so its bucket has no live rows)
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt,
+      mkBatch(("delete", 9L, 0.0, 0L, "2024-05-01 00:00:00", 40L)), "key")
+    assert(graft.operators.Upsert.sweepTombstones(spark, tgt) == 1)
+    // the only key is gone → the whole target dir is reclaimed (a
+    // file-less parquet dir would be unreadable), and a fresh merge
+    // recreates it from the batch schema
+    assert(!Files.exists(Paths.get(tgt)))
+    assert(graft.operators.Upsert.sweepTombstones(spark, tgt) == 0)
+    graft.operators.Upsert.mergeIntoParquet(spark, tgt,
+      mkBatch(("insert", 9L, 1.0, 1L, "2024-06-01 00:00:00", 50L)), "key")
+    assert(normalize(spark.read.parquet(tgt)) == Set((9L, 1.0, 1L)))
   }
 
   test("DLQ orphan sweep: stale tmp beside a surviving batch dir is dropped") {

@@ -94,7 +94,18 @@ object KvStore {
     * its TTL under later HSETs, a hash-set-only segment inherits the
     * state row's TTL and merges fields per-field (coalesce), and a
     * fresh hash materializes persistent. Never a window over the
-    * accumulated state. */
+    * accumulated state.
+    *
+    * Same tombstone + staleness contract as [[Upsert.applyBatch]]: a
+    * `del` rewrites the key as `(key, null payload, ttlMs=-2,
+    * deleted=true)` carrying the delete's (ts, offset) recency, and a
+    * whole batch segment whose max (ts, offset) is OLDER than the
+    * state row is discarded — an out-of-order DLQ retry can neither
+    * resurrect a deleted key nor regress a newer value. A tombstoned
+    * state row counts as ABSENT for HSET merging (HSET on a deleted
+    * key builds a fresh persistent hash, like Redis). Tombstones are
+    * reclaimed by [[Upsert.sweepTombstones]] (same bucketed layout)
+    * once the pipeline's retry queue is drained. */
   def applyKvBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val alive = batch.filter(!(col("op") === "copy" && !ttlAlive(col("ttlMs"))))
     val wAsc = Window.partitionBy(col("key")).orderBy(col("ts").asc, col("offset").asc)
@@ -120,32 +131,56 @@ object KvStore {
       max_by(col("value"), when(col("value").isNotNull && notDel, col("ord"))).as("value_new"),
       max_by(col("f_k"), when(col("f_k").isNotNull && notDel, col("ord"))).as("f_k_new"),
       max_by(col("f_uid"), when(col("f_uid").isNotNull && notDel, col("ord"))).as("f_uid_new"),
-      max(col("ts")).as("ts_new"))
+      max(col("ts")).as("ts_new"),
+      max_by(col("offset"), struct(col("ts"), col("offset"))).as("off_new"))
+    // states written before the recency/tombstone columns read as null/false
+    val sOff = if (state.columns.contains("updated_off")) col("updated_off")
+               else lit(null).cast("long")
+    val sDel = if (state.columns.contains("deleted"))
+                 coalesce(col("deleted"), lit(false))
+               else lit(false)
     val s = state.withColumnRenamed("kind", "s_kind")
       .withColumnRenamed("value", "s_value").withColumnRenamed("f_k", "s_f_k")
       .withColumnRenamed("f_uid", "s_f_uid").withColumnRenamed("ttlMs", "s_ttl")
       .withColumnRenamed("updated_at", "s_updated_at")
+      .withColumn("s_off", sOff).withColumn("s_deleted", sDel)
+      .drop("updated_off", "deleted")
+    val stale = col("s_updated_at").isNotNull &&
+      (col("s_updated_at") > col("ts_new") ||
+        (col("s_updated_at") === col("ts_new") &&
+          coalesce(col("s_off"), lit(Long.MinValue)) > col("off_new")))
+    val keepState = col("last_op").isNull || stale
+    val isDel = col("last_op") === "del"
     val mergeOnly = col("base_op").isNull // hash-set-only segment: merge into state
+    // a tombstoned state row is ABSENT for merge purposes: its stored
+    // payload is already null, but its TTL must not leak into a rebuilt
+    // hash (fresh hash → persistent)
+    val sLiveTtl = when(!col("s_deleted"), col("s_ttl"))
     s.join(agg, Seq("key"), "full_outer")
-      .filter(col("last_op").isNull || col("last_op") =!= "del")
       .select(
         col("key"),
-        coalesce(col("b_kind"), col("s_kind")).as("kind"),
-        when(col("last_op").isNull, col("s_value"))
+        when(keepState, col("s_kind"))
+          .otherwise(coalesce(col("b_kind"), col("s_kind"))).as("kind"),
+        when(keepState, col("s_value"))
+          .when(isDel, lit(null).cast(StringType))
           .when(mergeOnly, coalesce(col("value_new"), col("s_value")))
           .otherwise(col("value_new")).as("value"),
-        when(col("last_op").isNull, col("s_f_k"))
+        when(keepState, col("s_f_k"))
+          .when(isDel, lit(null).cast(StringType))
           .when(mergeOnly, coalesce(col("f_k_new"), col("s_f_k")))
           .otherwise(col("f_k_new")).as("f_k"),
-        when(col("last_op").isNull, col("s_f_uid"))
+        when(keepState, col("s_f_uid"))
+          .when(isDel, lit(null).cast(StringType))
           .when(mergeOnly, coalesce(col("f_uid_new"), col("s_f_uid")))
           .otherwise(col("f_uid_new")).as("f_uid"),
-        when(col("last_op").isNull, col("s_ttl"))
+        when(keepState, col("s_ttl"))
+          .when(isDel, lit(-2L))                                  // tombstone: gone
           .when(col("base_op") === "copy", col("ttl_base"))       // RESTORE carries source TTL
-          .when(mergeOnly, coalesce(col("s_ttl"), lit(-1L)))      // HSET leaves TTL untouched
+          .when(mergeOnly, coalesce(sLiveTtl, lit(-1L)))          // HSET leaves TTL untouched
           .otherwise(lit(-1L)).as("ttlMs"),                       // SET/fresh hash: persistent
-        when(col("last_op").isNull, col("s_updated_at"))
-          .otherwise(col("ts_new")).as("updated_at"))
+        when(keepState, col("s_updated_at")).otherwise(col("ts_new")).as("updated_at"),
+        when(keepState, col("s_off")).otherwise(col("off_new")).as("updated_off"),
+        when(keepState, col("s_deleted")).otherwise(isDel).as("deleted"))
   }
 
   // --- bucketed parquet state (the "target Redis") --------------------
@@ -164,7 +199,8 @@ object KvStore {
       if (touched.isEmpty) return
       val empty = batched.select(
         col("key"), col("kind"), col("value"), col("f_k"), col("f_uid"),
-        col("ttlMs"), col("ts").as("updated_at")).limit(0)
+        col("ttlMs"), col("ts").as("updated_at"),
+        col("offset").as("updated_off"), lit(false).as("deleted")).limit(0)
       // Hadoop FS existence probe (not java.io.File) so the merge works
       // on distributed storage (HDFS/S3) exactly as on local disk.
       val path = new org.apache.hadoop.fs.Path(targetDir)
@@ -200,12 +236,13 @@ object KvStore {
   }
 
   /** q38 — S9/W6 final KV state after replaying the whole keyspace-
-    * notification log in (ts, offset) order. */
+    * notification log in (ts, offset) order. The live view: tombstone
+    * guard rows (kept for stale-retry protection) are filtered out. */
   def finalState(spark: SparkSession, dir: String): DataFrame = {
     val empty = keyspaceOps(spark, dir).select(
       col("key"), col("kind"), col("value"), col("f_k"), col("f_uid"),
       col("ttlMs"), col("ts").as("updated_at")).limit(0)
-    applyKvBatch(empty, keyspaceOps(spark, dir))
+    Upsert.liveRows(applyKvBatch(empty, keyspaceOps(spark, dir)))
       .select("key", "kind", "value", "f_k", "f_uid", "ttlMs", "updated_at")
       .withColumnRenamed("ttlMs", "ttl_ms")
   }

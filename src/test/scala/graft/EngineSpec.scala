@@ -189,7 +189,7 @@ class EngineSpec extends SparkSpec {
 
       val cdcWant = normCdc(Cdc.finalState(spark, sf).withColumnRenamed("user_id", "key"))
       assert(normCdc(spark.read.parquet(s"$root/tgt/events")) == cdcWant)
-      val kvGot = spark.read.parquet(s"$root/kvtgt/kv")
+      val kvGot = graft.operators.Upsert.liveRows(spark.read.parquet(s"$root/kvtgt/kv"))
         .select("key", "kind", "value", "ttlMs").collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2),
           if (r.isNullAt(3)) -99L else r.getLong(3))).toSet

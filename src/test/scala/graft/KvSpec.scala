@@ -16,7 +16,8 @@ class KvSpec extends SparkSpec {
   private case class V(kind: String, value: String, fk: String, fuid: String, ttl: Long)
 
   private def normalize(df: DataFrame): Set[(String, String, String, String, String, Long)] =
-    df.select("key", "kind", "value", "f_k", "f_uid", "ttlMs").collect()
+    graft.operators.Upsert.liveRows(df)
+      .select("key", "kind", "value", "f_k", "f_uid", "ttlMs").collect()
       .map(r => (r.getString(0), r.getString(1),
         Option(r.getString(2)).orNull, Option(r.getString(3)).orNull,
         Option(r.getString(4)).orNull, r.getLong(5))).toSet
@@ -55,7 +56,8 @@ class KvSpec extends SparkSpec {
       .withColumn("updated_at", lit(null).cast("timestamp"))
       .select("key", "kind", "value", "f_k", "f_uid", "ttlMs", "updated_at").limit(0)
     def full(df: DataFrame): Set[(String, String, String, String, String, Long)] =
-      df.select("key", "kind", "value", "f_k", "f_uid", "ttlMs").collect()
+      graft.operators.Upsert.liveRows(df)
+        .select("key", "kind", "value", "f_k", "f_uid", "ttlMs").collect()
         .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).orNull,
           Option(r.getString(3)).orNull, Option(r.getString(4)).orNull, r.getLong(5))).toSet
 
@@ -87,6 +89,40 @@ class KvSpec extends SparkSpec {
     val scopy = Seq(("copy", "s", "string", "v1", null: String, null: String, 9000L, "2024-01-01 00:00:00", 4L))
     assert(full(KvStore.applyKvBatch(KvStore.applyKvBatch(empty, ops(scopy)), ops(sset))) ==
       Set(("s", "string", "v2", null: String, null: String, -1L)))
+  }
+
+  test("tombstones: a stale KV retry cannot resurrect a deleted key; newer ops re-create it") {
+    val empty = kvOps(Nil).drop("op", "ts", "offset")
+      .withColumn("updated_at", lit(null).cast("timestamp"))
+      .select("key", "kind", "value", "f_k", "f_uid", "ttlMs", "updated_at").limit(0)
+    // live history: set @t1, del @t3 (newer batch applied first)
+    val s1 = KvStore.applyKvBatch(empty,
+      kvOps(Seq(("set", "a", "string", "v1", -1L, "2024-01-01 00:00:00", 1L))))
+    val s2 = KvStore.applyKvBatch(s1,
+      kvOps(Seq(("del", "a", "string", null, -1L, "2024-03-01 00:00:00", 20L))))
+    assert(normalize(s2) == Set.empty) // live view: key gone
+    assert(s2.filter(col("deleted")).select("key").collect().map(_.getString(0)).toSet == Set("a"))
+    // the DLQ retries an OLDER set of the same key: the tombstone wins
+    val s3 = KvStore.applyKvBatch(s2,
+      kvOps(Seq(("set", "a", "string", "vStale", -1L, "2024-02-01 00:00:00", 10L))))
+    assert(normalize(s3) == Set.empty)
+    // an HSET retry older than the delete loses too (hash variant)
+    val s3h = KvStore.applyKvBatch(s2, kvOps(Seq(
+      ("set", "a", "hash", null, -1L, "2024-02-01 00:00:00", 11L))))
+    assert(normalize(s3h) == Set.empty)
+    // a genuinely NEWER set re-creates the key over the tombstone …
+    val s4 = KvStore.applyKvBatch(s3,
+      kvOps(Seq(("set", "a", "string", "v2", -1L, "2024-04-01 00:00:00", 30L))))
+    assert(normalize(s4) == Set(("a", "string", "v2", null, null, -1L)))
+    // … and a newer HSET on the tombstone builds a FRESH persistent hash
+    // (deleted state is absent: no payload or TTL leaks from before)
+    val h1 = KvStore.applyKvBatch(empty,
+      kvOps(Seq(("copy", "h", "hash", null, 60000L, "2024-01-01 00:00:00", 0L))).withColumn("f_k", lit("0")))
+    val h2 = KvStore.applyKvBatch(h1,
+      kvOps(Seq(("del", "h", "hash", null, -1L, "2024-01-02 00:00:00", 2L))))
+    val h3 = KvStore.applyKvBatch(h2, kvOps(Seq(
+      ("set", "h", "hash", null, -1L, "2024-01-03 00:00:00", 3L))).withColumn("f_uid", lit("u")))
+    assert(normalize(h3) == Set(("h", "hash", null, null, "u", -1L)))
   }
 
   test("expired-copy is a no-op: previous target state survives (redis.go:130-133)") {

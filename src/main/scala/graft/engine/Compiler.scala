@@ -68,7 +68,8 @@ object Compiler {
           KvDef(name, KvPipeline.Config(
             sourceDir = s"${spec.sourceDir}/$src",
             targetDir = s"${spec.targetDir}/$tgt",
-            checkpointDir = s"${spec.checkpointDir}/$src"))
+            checkpointDir = s"${spec.checkpointDir}/$src",
+            dlqDir = s"${spec.dlqDir}/$src"))
         case t =>
           CdcDef(name, CdcPipeline.Config(
             sourceDir = s"${spec.sourceDir}/$src",
@@ -117,7 +118,7 @@ object Compiler {
     // "a/x" because '-' < '/')
     val roots = defs.flatMap {
       case CdcDef(n, c, _, _, _) => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
-      case KvDef(n, c)           => Seq(c.sourceDir, c.targetDir, c.checkpointDir).map((n, _))
+      case KvDef(n, c)           => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {
       case Seq((na, a), (nb, b)) =>

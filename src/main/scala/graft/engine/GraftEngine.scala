@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.functions.TimeWindows
 import graft.model.BackupSpec
 import graft.operators.{Backup, Cron, Upsert}
-import graft.streaming.{Alerts, CdcPipeline, ControlLoop, Guardian, KvPipeline, Metrics}
+import graft.streaming.{Alerts, CdcPipeline, ControlLoop, Dlq, Guardian, KvPipeline, Metrics}
 
 /** The composed engine — config file in, running pipelines out: the
   * Spark-native `cmd/sync/main.go` (reference main.go:91-188).
@@ -149,15 +149,26 @@ final class GraftEngine(
         name -> (if (exists) spark.read.parquet(d.cfg.targetDir).filter(pred).count() else 0L)
     }
 
-  /** DLQ sweep across every compiled CDC pipeline (ST10); parked
-    * batches alert through the engine's sink. For DRAINED contexts
-    * (--once after awaitDrained): the retry merge must not run beside
-    * the live stream's own merges — see [[sweepDlq]] for the resident
-    * loop's stop-first variant. */
-  def retryDlq(): Map[String, CdcPipeline.DlqStats] =
-    pipelineDefs.collect { case (name, d: Compiler.CdcDef) =>
-      name -> CdcPipeline.retryDlq(spark, d.cfg, alerts)
+  /** DLQ sweep across every compiled pipeline, CDC and KV alike (ST10);
+    * parked batches alert through the engine's sink. For DRAINED
+    * contexts (--once after awaitDrained): the retry merge must not run
+    * beside the live stream's own merges — see [[sweepDlq]] for the
+    * resident loop's stop-first variant. */
+  def retryDlq(): Map[String, Dlq.Stats] =
+    pipelineDefs.map {
+      case (name, d: Compiler.CdcDef) => name -> CdcPipeline.retryDlq(spark, d.cfg, alerts)
+      case (name, d: Compiler.KvDef)  => name -> KvPipeline.retryDlq(spark, d.cfg, alerts)
     }
+
+  private def hasPendingDlq(d: Compiler.PipelineDef): Boolean = d match {
+    case c: Compiler.CdcDef => CdcPipeline.hasPendingBatches(spark, c.cfg)
+    case k: Compiler.KvDef  => KvPipeline.hasPendingBatches(spark, k.cfg)
+  }
+
+  private def targetDirOf(d: Compiler.PipelineDef): String = d match {
+    case c: Compiler.CdcDef => c.cfg.targetDir
+    case k: Compiler.KvDef  => k.cfg.targetDir
+  }
 
   /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
     * with PENDING dead-letter batches is stopped first — a retry merge
@@ -166,11 +177,38 @@ final class GraftEngine(
     * reconcile restarts it from its checkpoint (restart-on-death).
     * Healthy pipelines are untouched, and permanently parked batches
     * (`parked_*`) cost nothing here. */
-  def sweepDlq(): Map[String, CdcPipeline.DlqStats] =
+  def sweepDlq(): Map[String, Dlq.Stats] =
     pipelineDefs.collect {
-      case (name, d: Compiler.CdcDef) if CdcPipeline.hasPendingBatches(spark, d.cfg) =>
+      case (name, d) if hasPendingDlq(d) =>
         supervisor.activeQueries.get(name).foreach(_.stop())
-        name -> CdcPipeline.retryDlq(spark, d.cfg, alerts)
+        name -> (d match {
+          case c: Compiler.CdcDef => CdcPipeline.retryDlq(spark, c.cfg, alerts)
+          case k: Compiler.KvDef  => KvPipeline.retryDlq(spark, k.cfg, alerts)
+        })
+    }
+
+  /** Tombstone reclamation: deletes become FINAL once the pipeline's
+    * DLQ is drained — no stale retry can arrive anymore — so any
+    * pipeline with an empty retry queue gets its target's delete
+    * tombstones swept. The probe is a pushed-down `deleted=true` scan
+    * (clean buckets are skipped on row-group stats); only when guard
+    * rows exist is the pipeline stopped (same no-concurrent-merge
+    * contract as [[sweepDlq]]) and its touched buckets rewritten; the
+    * next reconcile restarts it from the checkpoint. */
+  def sweepTombstones(): Map[String, Int] =
+    pipelineDefs.collect {
+      case (name, d) if !hasPendingDlq(d) && {
+            val dir = targetDirOf(d)
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
+              val t = spark.read.parquet(dir)
+              t.columns.contains("deleted") &&
+                t.filter(org.apache.spark.sql.functions.col("deleted") === true)
+                  .limit(1).count() > 0
+            }
+          } =>
+        supervisor.activeQueries.get(name).foreach(_.stop())
+        name -> Upsert.sweepTombstones(spark, targetDirOf(d))
     }
 
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries
@@ -275,12 +313,19 @@ object GraftEngine {
       val r = engine.pollOnce()
       engine.awaitDrained()
       val dlq = engine.retryDlq()
+      // the catch-up is drained and the DLQ pass just ran: any pipeline
+      // whose queue is now empty has its deletes finalized
+      engine.sweepTombstones()
       println(s"[engine] started=${r.started.size} failed=${r.failed.size} " +
         s"dlq=${dlq.values.map(s => s.succeeded + s.failed + s.parked).sum}")
       engine.stop()
     } else {
       val intervalMs = intArg("--interval-ms", 10000L)
       val rounds = intArg("--rounds", Long.MaxValue)
+      // tombstone reclamation is maintenance, not correctness: default
+      // hourly at the 10 s cadence (sweeping stops/restarts the swept
+      // pipeline, so it must not run every tick)
+      val sweepEvery = intArg("--tombstone-sweep-every", 360L)
       // graceful SIGTERM: stop every query (offsets already committed
       // stay committed) before the JVM exits — main.go:76-88
       sys.addShutdownHook(engine.stop())
@@ -296,6 +341,7 @@ object GraftEngine {
         // pipeline, no-op when every DLQ is empty
         engine.sweepDlq()
         i += 1
+        if (sweepEvery > 0 && i % sweepEvery == 0) engine.sweepTombstones()
         if (i < rounds) Thread.sleep(intervalMs)
       } finally engine.stop()
     }

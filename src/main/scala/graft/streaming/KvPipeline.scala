@@ -35,12 +35,17 @@ object KvPipeline {
       sourceDir: String,
       targetDir: String,
       checkpointDir: String,
+      dlqDir: String,
       maxFilesPerTrigger: Int = 1000,
+      maxDlqAttempts: Int = 3,                 // CDC parity (mongodb.go:261)
       maxBytesPerTrigger: Option[Long] = None) // ST3 parity with CdcPipeline
 
   /** Start the KV replication stream; AvailableNow drains-and-stops
     * (the reference's XReadGroup Count=10/Block=2s poll loop collapses
-    * into micro-batch triggers). */
+    * into micro-batch triggers). A failing KV merge parks the batch in
+    * the DLQ and COMMITS — same bounded-retry contract as the CDC
+    * pillar (the reference's Redis path has no DLQ and wedges on a
+    * poisoned batch; the upgrade is symmetric with [[CdcPipeline]]). */
   def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery = {
     val reader = spark.readStream.schema(opSchema)
     cfg.maxBytesPerTrigger match {
@@ -53,11 +58,27 @@ object KvPipeline {
       .queryName(s"kv->${cfg.targetDir}")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("2 seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch.sparkSession, not the captured outer session: correct
         // under Spark Connect and multi-session deployments.
-        KvStore.mergeKvIntoParquet(batch.sparkSession, cfg.targetDir, batch)
+        try KvStore.mergeKvIntoParquet(batch.sparkSession, cfg.targetDir, batch)
+        catch {
+          case e: Exception => Dlq.park(batch, batchId, e, cfg.dlqDir)
+        }
       }
       .start()
   }
+
+  /** True when the DLQ holds batches a [[retryDlq]] pass would touch. */
+  def hasPendingBatches(spark: SparkSession, cfg: Config): Boolean =
+    Dlq.hasPendingBatches(spark, cfg.dlqDir)
+
+  /** Bounded DLQ retry for the KV pillar — [[Dlq.retry]] with the KV op
+    * schema and the idempotent KV merge. Same concurrency contract as
+    * the CDC variant: never run beside the live stream's merges. */
+  def retryDlq(spark: SparkSession, cfg: Config,
+      alerts: Alerts.Sink = Alerts.Log): Dlq.Stats =
+    Dlq.retry(spark, cfg.dlqDir, opSchema, cfg.maxDlqAttempts,
+      events => KvStore.mergeKvIntoParquet(spark, cfg.targetDir, events),
+      alerts)
 }

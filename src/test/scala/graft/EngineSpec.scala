@@ -265,6 +265,20 @@ class EngineSpec extends SparkSpec {
       engine.pollOnce() // flushes buffered progress rows
       val stats = graft.streaming.Metrics.streamStatsRollup(spark, s"$root/metrics")
       assert(stats.agg(sum("rows_received")).head().getLong(0) > 0)
+
+      // ---- tombstone reclamation: every DLQ is empty so deletes are
+      // final — the sweep drops the guard rows (CDC and KV targets
+      // both saw deletes) without disturbing the live state
+      assert(spark.read.parquet(s"$root/tgt/events").filter(col("deleted")).count() > 0)
+      assert(spark.read.parquet(s"$root/kvtgt/kv").filter(col("deleted")).count() > 0)
+      val swept = engine.sweepTombstones()
+      assert(swept.getOrElse("task1/events", 0) > 0 && swept.getOrElse("task2/kv", 0) > 0)
+      assert(spark.read.parquet(s"$root/tgt/events").filter(col("deleted")).count() == 0)
+      assert(spark.read.parquet(s"$root/kvtgt/kv").filter(col("deleted")).count() == 0)
+      assert(normCdc(spark.read.parquet(s"$root/tgt/events")) == cdcWant)
+      // the swept pipelines were stopped; the next poll restarts them
+      val r3 = engine.pollOnce()
+      assert(Set("task1/events", "task2/kv").subsetOf(r3.started))
     } finally engine.stop()
   }
 

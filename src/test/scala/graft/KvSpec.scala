@@ -221,6 +221,41 @@ class KvSpec extends SparkSpec {
     } finally ops.unpersist()
   }
 
+  test("KV DLQ parity: a poisoned batch parks with bounded retries, stream commits, retry re-applies") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = tmp()
+    val cfg = KvPipeline.Config(s"$root/src", s"$root/target", s"$root/ckpt", s"$root/dlq")
+    KvStore.keyspaceOps(spark, sf).coalesce(1).write.mode("append").json(cfg.sourceDir)
+    // a regular FILE at the target path breaks the KV merge → DLQ
+    JFiles.write(Paths.get(cfg.targetDir), Array[Byte](1, 2, 3))
+    KvPipeline.start(spark, cfg).awaitTermination()
+    assert(JFiles.exists(Paths.get(s"${cfg.dlqDir}/batch_0")))
+    // the batch was COMMITTED: restart with no new input applies nothing
+    JFiles.delete(Paths.get(cfg.targetDir))
+    KvPipeline.start(spark, cfg).awaitTermination()
+    assert(!JFiles.exists(Paths.get(cfg.targetDir)))
+    // bounded retries: CDC-parity park-after-3 with one alert
+    JFiles.write(Paths.get(cfg.targetDir), Array[Byte](1, 2, 3)) // break again
+    val alerts = new graft.streaming.Alerts.Buffer
+    (1 to 3).foreach { _ =>
+      assert(KvPipeline.retryDlq(spark, cfg, alerts) == graft.streaming.Dlq.Stats(failed = 1))
+    }
+    assert(alerts.drain().isEmpty)
+    assert(KvPipeline.retryDlq(spark, cfg, alerts) == graft.streaming.Dlq.Stats(parked = 1))
+    assert(alerts.drain().map(_.kind) == Seq("dlq_parked"))
+    assert(JFiles.exists(Paths.get(s"${cfg.dlqDir}/parked_0")))
+    // a healed target + a fresh DLQ cycle: retry applies and clears
+    JFiles.delete(Paths.get(cfg.targetDir))
+    val cfg2 = cfg.copy(checkpointDir = s"$root/ckpt2", dlqDir = s"$root/dlq2")
+    JFiles.write(Paths.get(cfg.targetDir), Array[Byte](1, 2, 3))
+    KvPipeline.start(spark, cfg2).awaitTermination() // → dlq2/batch_0
+    JFiles.delete(Paths.get(cfg.targetDir))
+    assert(KvPipeline.retryDlq(spark, cfg2) == graft.streaming.Dlq.Stats(succeeded = 1))
+    assert(!JFiles.exists(Paths.get(s"${cfg2.dlqDir}/batch_0")))
+    val want = KvStore.finalState(spark, sf).withColumnRenamed("ttl_ms", "ttlMs")
+    assert(normalize(spark.read.parquet(cfg.targetDir)) == normalize(want))
+  }
+
   test("snapshot applies the TTL skip rule (P9) and RESTORE expireMs mapping") {
     val snap = KvStore.snapshot(spark, sf)
     // no expired keys survive, and persistent keys map to expireMs 0
@@ -234,7 +269,7 @@ class KvSpec extends SparkSpec {
 
   test("KV streaming pipeline converges and is restart-idempotent (ST8)") {
     val src = tmp()
-    val cfg = KvPipeline.Config(src, tmp() + "/target", tmp() + "/ckpt")
+    val cfg = KvPipeline.Config(src, tmp() + "/target", tmp() + "/ckpt", tmp() + "/dlq")
     val ops = KvStore.keyspaceOps(spark, sf).persist()
     try {
       val maxOff = ops.agg(max("offset")).head().getLong(0)

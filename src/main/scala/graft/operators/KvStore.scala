@@ -207,10 +207,13 @@ object KvStore {
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val target =
         if (!fs.exists(path)) empty
-        else spark.read.parquet(targetDir)
+        else Upsert.readTarget(spark, targetDir)
           .filter(col("bucket").isin(touched.toSeq: _*)).drop("bucket")
       val merged = applyKvBatch(target, batched.drop("bucket"))
         .withColumn("bucket", bucketOf(col("key")))
+      // canonical-schema sidecar before the data (same crash-ordering
+      // contract as Upsert.mergeIntoParquet)
+      Upsert.writeSchemaSidecar(spark, targetDir, merged.schema)
       merged.write
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)

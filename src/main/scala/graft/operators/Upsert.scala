@@ -78,14 +78,22 @@ object Upsert {
       s"target columns absent from the change schema: ${unexpected.mkString(", ")}")
     // target side, prefixed to avoid collisions with after-field names;
     // targets written before the recency/tombstone columns existed read
-    // them as null/false
+    // them as null/false. ADDITIVE evolution: an after-field the target
+    // has never seen null-fills on the target side (the reference
+    // recreates target DDL from the source schema,
+    // postgresql.go:275-338) — existing rows carry null, the merge
+    // writes the widened schema, and the schema sidecar makes later
+    // reads of untouched buckets see the new column as null too.
+    val tField = (f: org.apache.spark.sql.types.StructField) =>
+      if (target.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType)
     val tOff = if (target.columns.contains("updated_off")) col("updated_off")
                else lit(null).cast("long")
     val tDel = if (target.columns.contains("deleted"))
                  coalesce(col("deleted"), lit(false))
                else lit(false)
     val t = target.select(
-      col(keyCol) +: afterFields.map(f => col(f.name).as(s"_t_${f.name}")) :+
+      col(keyCol) +: afterFields.map(f => tField(f).as(s"_t_${f.name}")) :+
         col("updated_at").as("_t_ts") :+ tOff.as("_t_off") :+ tDel.as("_t_del"): _*)
     val joined = t.join(latest, Seq(keyCol), "full_outer")
     val stale = col("_t_ts").isNotNull &&
@@ -119,6 +127,56 @@ object Upsert {
 
   private def bucketOf(keyCol: String) = pmod(hash(col(keyCol)), lit(NumBuckets))
 
+  // --- canonical-schema sidecar --------------------------------------
+  // Dynamic partition overwrite rewrites only touched buckets, so after
+  // an additive schema evolution the untouched buckets' footers lack
+  // the new column — and a footer-inferred read may nondeterministically
+  // DROP it. The `_graft_schema.json` sidecar (underscore-prefixed:
+  // invisible to Spark's file index) pins the canonical schema; reads
+  // pass it explicitly and parquet null-fills files that predate a
+  // column. Written BEFORE the data (a crash between the two leaves a
+  // sidecar that's wider than the data — harmless null-fill — never a
+  // sidecar that's narrower, which would drop committed columns).
+  // The same contract a transactional table format keeps in its log.
+
+  private val SchemaSidecar = "_graft_schema.json"
+
+  private[graft] def writeSchemaSidecar(spark: SparkSession, targetDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, SchemaSidecar)
+    val json = schema.json
+    val current = if (fs.exists(p)) {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    } else None
+    if (!current.contains(json)) { // one PUT per schema CHANGE, not per batch
+      val tmp = new org.apache.hadoop.fs.Path(dir, SchemaSidecar + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
+  }
+
+  /** Read a bucketed target with its canonical schema: deterministic
+    * across mixed bucket footers, null-filling files written before a
+    * column existed. Falls back to footer inference for targets that
+    * predate the sidecar. */
+  def readTarget(spark: SparkSession, targetDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, SchemaSidecar)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(targetDir)
+    } else spark.read.parquet(targetDir)
+  }
+
   /** Initial snapshot load (S1/S4/S6): write the snapshot bucketed, but
     * only when the target is empty — the reference's skip-if-nonempty
     * idempotence check (mongodb.go:459-465). Returns true if loaded. */
@@ -133,8 +191,9 @@ object Upsert {
       // a snapshot-only footer must never make a later read drop it
       val withDel = if (state.columns.contains("deleted")) state
                     else state.withColumn("deleted", lit(false))
-      withDel.withColumn("bucket", bucketOf(keyCol))
-        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)
+      val bucketed = withDel.withColumn("bucket", bucketOf(keyCol))
+      writeSchemaSidecar(spark, targetDir, bucketed.schema)
+      bucketed.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)
       true
     } else false
   }
@@ -157,11 +216,13 @@ object Upsert {
       val target =
         if (!fs.exists(path))
           batched.select(col(keyCol), col("after.*"), col("ts").as("updated_at")).limit(0)
-        else spark.read.parquet(targetDir).filter(col("bucket").isin(touched.toSeq: _*))
+        else readTarget(spark, targetDir).filter(col("bucket").isin(touched.toSeq: _*))
           .drop("bucket")
       val merged = applyBatch(target, batched.drop("bucket"), keyCol, ignoreDeleteOps)
         .withColumn("bucket", bucketOf(keyCol))
-      // dynamic partition overwrite: only the touched bucket dirs change
+      // sidecar first (see its crash-ordering note), then dynamic
+      // partition overwrite: only the touched bucket dirs change
+      writeSchemaSidecar(spark, targetDir, merged.schema)
       merged.write
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)
@@ -181,7 +242,7 @@ object Upsert {
     val path = new org.apache.hadoop.fs.Path(targetDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0
-    val t = spark.read.parquet(targetDir)
+    val t = readTarget(spark, targetDir)
     if (!t.columns.contains("deleted")) return 0
     val touched = t.filter(col("deleted") === true)
       .select("bucket").distinct().collect().map(_.getInt(0)) // ≤ NumBuckets

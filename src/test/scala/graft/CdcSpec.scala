@@ -39,6 +39,51 @@ class CdcSpec extends SparkSpec {
     assert(tomb.forall(r => r.isNullAt(1) && r.isNullAt(2)))
   }
 
+  test("additive schema evolution: a new after-field merges; existing rows null-fill; reads stay deterministic") {
+    import spark.implicits._
+    val tgt = tmp() + "/target"
+    val b1 = Seq(("insert", 1L, 10.0, 1L, "2024-01-01 00:00:00", 1L),
+        ("insert", 2L, 20.0, 2L, "2024-01-01 00:00:00", 2L))
+      .toDF("op", "key", "value", "k", "ts_s", "offset")
+      .select(col("op"), col("key"), struct(col("value"), col("k")).as("after"),
+        col("ts_s").cast("timestamp").as("ts"), col("offset"))
+    Upsert.mergeIntoParquet(spark, tgt, b1, "key")
+    // the change schema gains `v2` (the reference recreates target DDL
+    // from source); the batch touches only key 2's bucket
+    val b2 = Seq(("update", 2L, 21.0, 2L, "x", "2024-01-02 00:00:00", 3L))
+      .toDF("op", "key", "value", "k", "v2", "ts_s", "offset")
+      .select(col("op"), col("key"),
+        struct(col("value"), col("k"), col("v2")).as("after"),
+        col("ts_s").cast("timestamp").as("ts"), col("offset"))
+    Upsert.mergeIntoParquet(spark, tgt, b2, "key")
+    // key 1's bucket was never rewritten (its footer lacks v2), yet the
+    // sidecar-pinned read surfaces the column everywhere, null-filled
+    val got = Upsert.readTarget(spark, tgt)
+      .select("key", "value", "k", "v2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(got == Set((1L, 10.0, 1L, null), (2L, 21.0, 2L, "x")))
+    // a third batch in the WIDE schema merges against the evolved target
+    val b3 = Seq(("update", 1L, 11.0, 1L, "y", "2024-01-03 00:00:00", 4L))
+      .toDF("op", "key", "value", "k", "v2", "ts_s", "offset")
+      .select(col("op"), col("key"),
+        struct(col("value"), col("k"), col("v2")).as("after"),
+        col("ts_s").cast("timestamp").as("ts"), col("offset"))
+    Upsert.mergeIntoParquet(spark, tgt, b3, "key")
+    val after = Upsert.readTarget(spark, tgt)
+      .select("key", "value", "v2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(after == Set((1L, 11.0, "y"), (2L, 21.0, "x")))
+    // the reverse direction still fails LOUDLY: a change schema that
+    // LOST a column must not silently rewrite buckets without it
+    val narrow = Seq(("update", 2L, 22.0, "2024-01-04 00:00:00", 5L))
+      .toDF("op", "key", "value", "ts_s", "offset")
+      .select(col("op"), col("key"), struct(col("value")).as("after"),
+        col("ts_s").cast("timestamp").as("ts"), col("offset"))
+    intercept[Exception](Upsert.mergeIntoParquet(spark, tgt, narrow, "key"))
+  }
+
   test("streaming pipeline converges to the declarative final state and is restart-idempotent") {
     val src = tmp(); val cfg = CdcPipeline.Config(
       sourceDir = src, targetDir = tmp() + "/target",

@@ -136,18 +136,148 @@ final class GraftEngine(
   /** Minute tick for scheduled backups; returns fired job ids. */
   def tickCron(now: LocalDateTime = clock()): Seq[Int] = scheduler.tick(now)
 
+  // --- incremental count monitoring ----------------------------------
+  // The reference re-issues a full COUNT(*) per table per monitor tick
+  // (query_counter.go:59-280); at 100 TB that is the first thing an
+  // operator turns off. The engine instead caches one live-row count
+  // per bucket, keyed by the bucket directory's file signature
+  // (count/bytes/max-mtime — pure namenode metadata, ≤ NumBuckets
+  // listings per tick), and re-counts ONLY buckets whose signature
+  // changed since the last tick. A tick over an untouched target runs
+  // zero Spark jobs. The cache also keys on the compiled predicate
+  // text, so a dateRange window rolling over (new JST day) recounts
+  // everything once. Counts taken while a merge is mid-write may be
+  // transiently off by the in-flight batch — monitoring tolerance, the
+  // same razor the reference's 60 s polling accepts.
+
+  private final case class BucketSig(files: Int, bytes: Long, maxMtime: Long)
+  private val countCache =
+    scala.collection.mutable.Map.empty[String, (String, Map[Int, (BucketSig, Long)])]
+
+  private def bucketSigs(dir: String): Map[Int, BucketSig] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq
+          .filterNot(f => { val n = f.getPath.getName; n.startsWith("_") || n.startsWith(".") })
+        d.getPath.getName.stripPrefix("bucket=").toInt -> BucketSig(
+          files.length, files.map(_.getLen).sum,
+          files.map(_.getModificationTime).maxOption.getOrElse(0L))
+      }.toMap
+  }
+
+  private def incrementalLiveCount(name: String, targetDir: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val sigs = bucketSigs(targetDir)
+    if (sigs.isEmpty) { countCache.remove(name); return 0L }
+    val predKey = pred.toString
+    val valid = countCache.get(name) match {
+      case Some((k, m)) if k == predKey => m
+      case _ => Map.empty[Int, (BucketSig, Long)]
+    }
+    val stale = sigs.collect {
+      case (id, sig) if !valid.get(id).exists(_._1 == sig) => id }.toSeq
+    val fresh: Map[Int, Long] =
+      if (stale.isEmpty) Map.empty
+      else Upsert.liveRows(
+          Upsert.readTarget(spark, targetDir)
+            .filter(org.apache.spark.sql.functions.col("bucket").isin(stale: _*)))
+        .filter(pred)
+        .groupBy("bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = sigs.map { case (id, sig) =>
+      id -> (sig, if (stale.contains(id)) fresh.getOrElse(id, 0L) else valid(id)._2) }
+    countCache(name) = (predKey, merged)
+    merged.values.iterator.map(_._2).sum
+  }
+
   /** A2/P6 composed — the config's countQuery conditions run against
     * each pipeline's TARGET table (the reference's count monitoring,
     * query_counter.go:59-280 driven from monitor.go): one conditional
-    * count per table that declares conditions. */
-  def countReport(anchorUtc: LocalDateTime = clock()): Map[String, Long] =
+    * live-row count per table that declares conditions, incrementally
+    * maintained per bucket (see the cache note above). */
+  def countReport(anchorUtc: LocalDateTime = clock()): Map[String, Long] = {
+    countCache.keys.toSeq.filterNot(pipelineDefs.contains).foreach(countCache.remove)
     pipelineDefs.collect {
       case (name, d: Compiler.CdcDef) if d.counts.nonEmpty =>
-        val p = new org.apache.hadoop.fs.Path(d.cfg.targetDir)
-        val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
         val pred = graft.functions.Conditions.compile(d.counts, d.sourceTable, anchorUtc)
-        name -> (if (exists) spark.read.parquet(d.cfg.targetDir).filter(pred).count() else 0L)
+        name -> incrementalLiveCount(name, d.cfg.targetDir, pred)
     }
+  }
+
+  /** What the SOURCE currently holds for this pipeline, under the same
+    * conditions: the declarative replay of snapshot ⊕ change log — the
+    * engine's analogue of the reference's COUNT(*) against the source
+    * connection (monitor.go:281-305). A full log scan, priced like the
+    * reference's source-DB count (the source side has no bucket cache);
+    * run it on the MONITOR cadence (minutes), not per reconcile tick. */
+  private def sourceLiveCount(d: Compiler.CdcDef,
+      pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val cfg = d.cfg
+    val srcPath = new org.apache.hadoop.fs.Path(cfg.sourceDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val haveLog = fs.exists(srcPath)
+    val log = if (!haveLog) None else {
+      val raw = spark.read.schema(graft.streaming.ChangeEvents.schema).json(cfg.sourceDir)
+      val matched = cfg.nsFilter.map { case (db, t) =>
+        graft.streaming.ChangeEvents.matchStage(raw, db, t) }.getOrElse(raw)
+      Some(graft.streaming.ChangeEvents.includeTables(matched, cfg.includeTableRegex))
+    }
+    val logLive = log.map { l =>
+      val base = if (cfg.ignoreDeleteOps) l.filter(col("op") =!= "delete") else l
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(cfg.keyCol)).orderBy(col("ts").desc, col("offset").desc)
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "delete")
+        .select(col(cfg.keyCol), col("after.*"), col("ts").as("updated_at"))
+    }
+    val logCount = logLive.map(_.filter(pred).count()).getOrElse(0L)
+    // snapshot keys the log never touched still exist at the source
+    val snapCount = d.snapshotDir.map { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) 0L
+      else {
+        val snap = spark.read.parquet(dir)
+        val unTouched = log match {
+          case Some(l) => snap.join(l.select(col(cfg.keyCol)).distinct(),
+            Seq(cfg.keyCol), "left_anti")
+          case None => snap
+        }
+        unTouched.filter(pred).count()
+      }
+    }.getOrElse(0L)
+    logCount + snapCount
+  }
+
+  /** Two-sided count monitoring — the reference's core monitor loop
+    * (monitor.go:281-305, Slack notify monitor.go:1158-1203): per
+    * mapping with countQuery conditions, count source AND target under
+    * the same compiled predicate and fire a `count_mismatch` alert
+    * through the engine's sink for any |src−tgt| above `threshold`.
+    * Returns name → (src, tgt). Cadence contract: the target side is
+    * the incremental cached count; the source side scans the log —
+    * call on the monitor cadence (the reference uses 60 s), not every
+    * reconcile tick. */
+  def monitorCounts(anchorUtc: LocalDateTime = clock(),
+      threshold: Long = 0L): Map[String, (Long, Long)] = {
+    val rows = pipelineDefs.toSeq.collect {
+      case (name, d: Compiler.CdcDef) if d.counts.nonEmpty =>
+        val pred = graft.functions.Conditions.compile(d.counts, d.sourceTable, anchorUtc)
+        (name, sourceLiveCount(d, pred), incrementalLiveCount(name, d.cfg.targetDir, pred))
+    }
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      val diff = rows.toDF("table_name", "src_count", "tgt_count")
+        .withColumn("diff", org.apache.spark.sql.functions.col("src_count")
+          - org.apache.spark.sql.functions.col("tgt_count"))
+      graft.operators.Relational.alertOnMismatch(diff, threshold, alerts, configPath)
+    }
+    rows.map { case (n, s, t) => n -> (s, t) }.toMap
+  }
 
   /** DLQ sweep across every compiled pipeline, CDC and KV alike (ST10);
     * parked batches alert through the engine's sink. For DRAINED
@@ -326,6 +456,9 @@ object GraftEngine {
       // hourly at the 10 s cadence (sweeping stops/restarts the swept
       // pipeline, so it must not run every tick)
       val sweepEvery = intArg("--tombstone-sweep-every", 360L)
+      // two-sided count monitoring on the reference's 60 s cadence
+      // (monitor.go): the source side scans the log, so not every tick
+      val monitorEvery = intArg("--monitor-every", 6L)
       // graceful SIGTERM: stop every query (offsets already committed
       // stay committed) before the JVM exits — main.go:76-88
       sys.addShutdownHook(engine.stop())
@@ -341,6 +474,7 @@ object GraftEngine {
         // pipeline, no-op when every DLQ is empty
         engine.sweepDlq()
         i += 1
+        if (monitorEvery > 0 && i % monitorEvery == 0) engine.monitorCounts()
         if (sweepEvery > 0 && i % sweepEvery == 0) engine.sweepTombstones()
         if (i < rounds) Thread.sleep(intervalMs)
       } finally engine.stop()

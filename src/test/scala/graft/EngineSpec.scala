@@ -203,6 +203,19 @@ class EngineSpec extends SparkSpec {
       val wantCount = spark.read.parquet(s"$root/tgt/events")
         .filter(col("value") > 50).count()
       assert(engine.countReport() == Map("task1/events" -> wantCount) && wantCount > 0)
+      // incremental: a tick over an UNTOUCHED target is answered from
+      // the per-bucket cache — zero Spark jobs
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(engine.countReport() == Map("task1/events" -> wantCount))
+        Thread.sleep(500) // listener delivery is async
+        assert(jobs.get() == 0)
+      } finally spark.sparkContext.removeSparkListener(listener)
 
       // ---- scheduled backup: fires at its cron minute, SQL round-trips
       assert(engine.tickCron(LocalDateTime.parse("2024-03-01T02:59:00")).isEmpty)
@@ -279,6 +292,42 @@ class EngineSpec extends SparkSpec {
       // the swept pipelines were stopped; the next poll restarts them
       val r3 = engine.pollOnce()
       assert(Set("task1/events", "task2/kv").subsetOf(r3.started))
+    } finally engine.stop()
+  }
+
+  test("two-sided count monitoring: src==tgt is silent; forced divergence fires count_mismatch") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(s"$root/src/events")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [ ${syncTaskJson(4, "events", root)} ], "backupTasks": [] }""")
+    val alerts = new Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      engine.processAllAvailable()
+      // caught up: source replay and target agree under the conditions
+      val m1 = engine.monitorCounts()
+      val (src1, tgt1) = m1("task4/events")
+      assert(src1 == tgt1 && tgt1 > 0)
+      assert(alerts.drain().isEmpty)
+
+      // stop the stream, then land NEW qualifying source events the
+      // pipeline never processes — the reference's drift scenario
+      engine.activeQueries.values.foreach(_.stop())
+      import org.apache.spark.sql.Row
+      val extra = spark.createDataFrame(
+        java.util.Arrays.asList((1 to 5).map { i =>
+          Row("insert", 800000L + i, Row(100.0 + i, i.toLong), "graft", "events",
+            java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 200000000L + i)
+        }: _*), ChangeEvents.schema)
+      extra.coalesce(1).write.mode("append").json(s"$root/src/events")
+      val m2 = engine.monitorCounts()
+      val (src2, tgt2) = m2("task4/events")
+      assert(src2 == src1 + 5 && tgt2 == tgt1) // value>50 matches all 5
+      val fired = alerts.drain()
+      assert(fired.map(_.kind) == Seq("count_mismatch"))
+      assert(fired.head.message.contains("task4/events") && fired.head.message.contains("diff=5"))
     } finally engine.stop()
   }
 

@@ -16,13 +16,22 @@ object Compiler {
 
   sealed trait PipelineDef { def name: String }
 
+  /** The syncIndexes compilation: replay these index specs (diffed
+    * against the target's existing names, then CREATE INDEX) on the
+    * JDBC connection at pipeline start — copyIndexes,
+    * reference mongodb.go:313-321. The key-column index is the one
+    * structural spec the engine knows for its file-based sources. */
+  final case class IndexSync(jdbcUrl: String, table: String,
+      indexes: Seq[graft.operators.MetaOps.IndexSpec])
+
   /** mongodb|mysql|mariadb|postgresql → CDC pipeline (+ optional initial
     * snapshot, applied once via skip-if-nonempty before the stream).
     * `counts` carries the mapping's countQuery conditions for the
     * engine's monitoring report (query_counter.go:59-280). */
   final case class CdcDef(name: String, cfg: CdcPipeline.Config,
       snapshotDir: Option[String], sourceTable: String = "",
-      counts: Seq[CountCondition] = Nil) extends PipelineDef
+      counts: Seq[CountCondition] = Nil,
+      indexSync: Option[IndexSync] = None) extends PipelineDef
 
   /** redis → KV pipeline. */
   final case class KvDef(name: String, cfg: KvPipeline.Config) extends PipelineDef
@@ -96,7 +105,14 @@ object Compiler {
               else Nil),
             snapshotDir = spec.snapshotDir.map(s => s"$s/$src"),
             sourceTable = m.sourceTable,
-            counts = m.countConditions)
+            counts = m.countConditions,
+            indexSync = (spec.targetJdbcUrl, m.advanced.syncIndexes) match {
+              case (Some(url), true) if m.keyColumns.nonEmpty =>
+                Some(IndexSync(url, m.targetTable, Seq(graft.operators.MetaOps.IndexSpec(
+                  s"idx_${m.targetTable}_${m.keyColumns.mkString("_")}",
+                  m.keyColumns.map((_, 1)), unique = false))))
+              case _ => None
+            })
       }
     }
 
@@ -117,7 +133,7 @@ object Compiler {
     // bare sort is not (a sibling like "a-old" sorts BETWEEN "a" and
     // "a/x" because '-' < '/')
     val roots = defs.flatMap {
-      case CdcDef(n, c, _, _, _) => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
+      case CdcDef(n, c, _, _, _, _) => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
       case KvDef(n, c)           => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {

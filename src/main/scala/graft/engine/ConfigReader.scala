@@ -115,6 +115,17 @@ object ConfigReader {
     val sourceDb = optText(n, "sourceDb")
       .orElse(mappings.headOption.flatMap(optText(_, "sourceDatabase")))
       .getOrElse("graft")
+    // honor-or-reject, never accept-and-ignore (config.go:15-24):
+    // syncIndexes compiles to DDL replay and needs a JDBC connection;
+    // uploadToGcs has no sync-side behavior even in the reference (no
+    // syncer consumes it) — point the user at the backup task's store
+    val targetJdbcUrl = optText(n, "targetJdbcUrl")
+    require(targetJdbcUrl.isDefined || tables.forall(!_.advanced.syncIndexes),
+      "syncIndexes=true requires targetJdbcUrl: index DDL is replayed " +
+        "on a JDBC target (parquet targets have no indexes)")
+    require(tables.forall(!_.advanced.uploadToGcs),
+      "uploadToGcs is a backup-task concern: use backupTasks[].uploadDir " +
+        "(or its gcsAddress alias) for zip + artifact-store upload")
     SyncTaskSpec(
       id = n.path("id").asInt(0),
       taskType = taskType,
@@ -125,7 +136,8 @@ object ConfigReader {
       targetDir = reqText(n, "targetDir"),
       dlqDir = optText(n, "dlqDir").getOrElse(reqText(n, "targetDir") + "_dlq"),
       sourceDb = sourceDb,
-      snapshotDir = optText(n, "snapshotDir"))
+      snapshotDir = optText(n, "snapshotDir"),
+      targetJdbcUrl = targetJdbcUrl)
   }
 
   private def parseTable(n: JsonNode, securityEnabled: Boolean): TableMapping = {
@@ -176,6 +188,8 @@ object ConfigReader {
       schedule = schedule,
       sourceDir = reqText(n, "sourceDir"),
       outDir = reqText(n, "outDir"),
-      uploadDir = optText(n, "uploadDir"))
+      // gcsAddress is the reference's field name for the upload
+      // destination (config.go:19); uploadDir wins when both appear
+      uploadDir = optText(n, "uploadDir").orElse(optText(n, "gcsAddress")))
   }
 }

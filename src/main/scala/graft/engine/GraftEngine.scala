@@ -46,7 +46,30 @@ final class GraftEngine(
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
   private def startPipeline(d: Compiler.PipelineDef): StreamingQuery = d match {
-    case Compiler.CdcDef(_, cfg, snapshotDir, _, _) =>
+    case Compiler.CdcDef(name, cfg, snapshotDir, _, _, indexSync) =>
+      // SET3 apply half, honoring syncIndexes (copyIndexes,
+      // mongodb.go:313-321): diff the compiled index specs against the
+      // target's existing names via JDBC metadata, replay the missing
+      // CREATE INDEX statements. A failure alerts and the pipeline
+      // still starts — the reference logs copyIndexes errors and
+      // continues (mongodb.go:315-317).
+      indexSync.foreach { ix =>
+        try {
+          val conn = java.sql.DriverManager.getConnection(ix.jdbcUrl)
+          try {
+            val rs = conn.getMetaData.getIndexInfo(null, null, ix.table, false, false)
+            val existing = Set.newBuilder[String]
+            while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(existing += _)
+            val (toCreate, _) = graft.operators.MetaOps.indexDiff(ix.indexes, existing.result())
+            val st = conn.createStatement()
+            graft.operators.MetaOps.createIndexDdl(ix.table, toCreate)
+              .foreach(st.executeUpdate)
+          } finally conn.close()
+        } catch {
+          case e: Exception =>
+            alerts.send(Alerts.Alert("index_sync_failed", name, String.valueOf(e.getMessage)))
+        }
+      }
       // S1 initial sync before the stream: skip-if-nonempty makes a
       // restart (or an unchanged reconcile) a no-op (mongodb.go:459-465)
       snapshotDir.foreach { dir =>

@@ -19,11 +19,16 @@ final case class CountCondition(
     value: String,             // numerically coerced: long, then double, then string (query_counter.go:185-244)
     dateRange: Option[String] = None) // daily|today|yesterday|weekly|monthly (query_counter.go:96-181)
 
-/** `ignoreDeleteOps` compiles into the CDC pipeline. `syncIndexes` and
-  * `uploadToGcs` are accepted (reference config shape) but inert for
-  * the engine's parquet targets: index replay exists as DDL generation
-  * for JDBC targets ([[graft.operators.MetaOps.createIndexDdl]]), and
-  * artifact upload is the backup task's `uploadDir` (zip + store). */
+/** `ignoreDeleteOps` compiles into the CDC pipeline. `syncIndexes`
+  * compiles into a key-column index replay on the task's
+  * `targetJdbcUrl` at pipeline start (copyIndexes,
+  * reference mongodb.go:313-321, postgresql.go:377-457) — a task that
+  * sets it without a JDBC target is REJECTED at config load (parquet
+  * targets have no indexes; accept-and-ignore would lie). So is one
+  * that sets `uploadToGcs`: the reference parses that flag on sync
+  * mappings but no syncer consumes it (only the backup executor
+  * uploads, via its own destination) — artifact upload belongs to
+  * `backupTasks[].uploadDir` / `gcsAddress` here. */
 final case class AdvancedSettings(
     syncIndexes: Boolean = false,
     ignoreDeleteOps: Boolean = false, // delete events dropped, not applied (mongodb.go:1168-1177)
@@ -56,7 +61,8 @@ final case class SyncTaskSpec(
     targetDir: String = "",        // bucketed parquet target root
     dlqDir: String = "",           // parked-batch root (defaults beside target)
     sourceDb: String = "graft",    // DatabaseMapping.SourceDatabase (config.go:36-41)
-    snapshotDir: Option[String] = None) // initial-sync parquet root (S1 skip-if-nonempty)
+    snapshotDir: Option[String] = None, // initial-sync parquet root (S1 skip-if-nonempty)
+    targetJdbcUrl: Option[String] = None) // DDL-replay connection for syncIndexes mappings
 
 /** Backup/export task spec (reference pkg/backup/executor.go:157-271). */
 final case class BackupTableSpec(

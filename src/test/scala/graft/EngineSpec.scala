@@ -56,7 +56,7 @@ class EngineSpec extends SparkSpec {
     assert(Compiler.compile(cfg.syncTasks(1)).isEmpty)
     // keyColumns reaches the pipeline config
     Compiler.compile(t1).head match {
-      case Compiler.CdcDef(name, c, _, _, counts) =>
+      case Compiler.CdcDef(name, c, _, _, counts, _) =>
         assert(name == "task1/events" && c.keyCol == "custom_id")
         assert(c.ignoreDeleteOps && c.fieldSecurity.nonEmpty)
         assert(c.nsFilter.contains(("graft", "events"))) // mongodb watches one ns
@@ -92,14 +92,14 @@ class EngineSpec extends SparkSpec {
     // the first mapping's database
     assert(defs.map(_.name) == Seq("task7/orders", "task7/users", "task7/warehouse/orders"))
     defs.head match {
-      case Compiler.CdcDef(_, c, _, _, _) =>
+      case Compiler.CdcDef(_, c, _, _, _, _) =>
         assert(c.includeTableRegex == Seq("^\\Qshop\\E\\.\\Qorders\\E$"))
         // explicit targetDatabase namespaces the target (shop→shop_replica)
         assert(c.sourceDir == "/s/orders" && c.targetDir == "/t/shop_replica/orders_r")
       case other => fail(s"expected CdcDef, got $other")
     }
     defs.last match {
-      case Compiler.CdcDef(_, c, _, _, _) =>
+      case Compiler.CdcDef(_, c, _, _, _, _) =>
         assert(c.includeTableRegex == Seq("^\\Qwarehouse\\E\\.\\Qorders\\E$"))
         assert(c.sourceDir == "/s/warehouse/orders" && c.targetDir == "/t/warehouse/orders")
         assert(c.checkpointDir == "/c/warehouse/orders" && c.dlqDir == "/t_dlq/warehouse/orders")
@@ -328,6 +328,79 @@ class EngineSpec extends SparkSpec {
       val fired = alerts.drain()
       assert(fired.map(_.kind) == Seq("count_mismatch"))
       assert(fired.head.message.contains("task4/events") && fired.head.message.contains("diff=5"))
+    } finally engine.stop()
+  }
+
+  test("syncIndexes replays index DDL on the task's JDBC target; flag shapes with no behavior are rejected at load") {
+    // honor-or-reject (config.go:15-24): syncIndexes without a JDBC
+    // target and uploadToGcs anywhere are config errors — the task is
+    // skipped like any malformed entry, siblings still load
+    val rejected = ConfigReader.parse(
+      """{ "syncTasks": [
+        |  { "id": 1, "type": "mysql", "sourceDir": "/s", "targetDir": "/t",
+        |    "checkpointDir": "/c", "tables": [ { "sourceTable": "a",
+        |      "advancedSettings": {"syncIndexes": true} } ] },
+        |  { "id": 2, "type": "mysql", "sourceDir": "/s2", "targetDir": "/t2",
+        |    "checkpointDir": "/c2", "tables": [ { "sourceTable": "b",
+        |      "advancedSettings": {"uploadToGcs": true} } ] },
+        |  { "id": 3, "type": "redis", "sourceDir": "/s3", "targetDir": "/t3",
+        |    "checkpointDir": "/c3", "tables": [ {"sourceTable": "kv"} ] } ] }""".stripMargin)
+    assert(rejected.syncTasks.map(_.id) == Seq(3))
+    // backup upload destination accepts the reference's field name
+    val aliased = ConfigReader.parse(
+      """{ "backupTasks": [ { "id": 1, "sourceDir": "/b", "outDir": "/o",
+        |  "gcsAddress": "/uploads", "tables": [] } ] }""".stripMargin)
+    assert(aliased.backupTasks.head.uploadDir.contains("/uploads"))
+
+    val root = tmp()
+    val url = "jdbc:derby:memory:graftix;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    try setup.createStatement().executeUpdate(
+      """CREATE TABLE "events" ("key" BIGINT, "value" DOUBLE, "k" BIGINT)""")
+    finally setup.close()
+    def indexNames(): Set[String] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.getMetaData.getIndexInfo(null, null, "events", false, false)
+        val b = Set.newBuilder[String]
+        while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(b += _)
+        b.result()
+      } finally c.close()
+    }
+    assert(!indexNames().contains("idx_events_key"))
+
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(s"$root/src/events")
+    val cfgPath = s"$root/engine.json"
+    def cfgJson(jdbcUrl: String) =
+      s"""{ "syncTasks": [
+         |  { "id": 6, "type": "mongodb", "enabled": true,
+         |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+         |    "checkpointDir": "$root/ckpt", "targetJdbcUrl": "$jdbcUrl",
+         |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"],
+         |        "advancedSettings": {"syncIndexes": true} } ] } ], "backupTasks": [] }""".stripMargin
+    writeConfig(cfgPath, cfgJson(url))
+    val alerts = new Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      // SET3 apply half composed: pipeline start replayed the key-column
+      // index on the JDBC target (copyIndexes, mongodb.go:313-321)
+      assert(engine.pollOnce().started == Set("task6/events"))
+      engine.processAllAvailable()
+      assert(indexNames().contains("idx_events_key"))
+      assert(alerts.drain().isEmpty)
+      // restart-on-death replays the diff, which now SKIPS the existing
+      // index: no duplicate-DDL failure, no alert
+      engine.activeQueries.values.foreach(_.stop())
+      assert(engine.pollOnce().started == Set("task6/events"))
+      assert(indexNames().contains("idx_events_key") && alerts.drain().isEmpty)
+      // an unreachable JDBC target alerts and the pipeline still starts
+      // — the reference logs copyIndexes errors and continues
+      engine.activeQueries.values.foreach(_.stop())
+      writeConfig(cfgPath, cfgJson("jdbc:derby:memory:no_such_db"))
+      val r = engine.pollOnce()
+      assert(r.started == Set("task6/events") && r.failed.isEmpty)
+      assert(alerts.drain().map(_.kind) == Seq("index_sync_failed"))
+      assert(engine.activeQueries("task6/events").isActive)
     } finally engine.stop()
   }
 

@@ -122,11 +122,12 @@ object Dedup {
     val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
       .select(col("doc_id"),
         elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs")))
-    val docs = minhashSignatures(hashed)
-    val bands = explodeBands(docs)
+    val docs = minhashSignatures(hashed.withColumn("n", size(col("hs"))),
+      carry = Seq("n"))
+    val bands = explodeBands(docs, carry = Seq("n"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && sizeRatioOk(threshold))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Exact verify over the 60-bit ELEMENT HASHES, not the shingle
@@ -136,6 +137,17 @@ object Dedup {
     // is the dominant cost of the whole query.
     verifyJaccard(cand, hashed.select(col("doc_id"), col("hs")), threshold)
   }
+
+  /** Size-ratio prefilter on a banded candidate join: J(A,B) ≥ t forces
+    * |A∩B| ≥ t·|A∪B|, and |A∩B| ≤ min(|A|,|B|) ≤ max(|A|,|B|) ≤ |A∪B|,
+    * so min(|A|,|B|) ≥ t·max(|A|,|B|). Checking the two set SIZES (a
+    * long each, carried through banding) inside the join condition
+    * prunes pairs BEFORE the verify join ships their hash arrays — at
+    * scale the array shuffle is the dominant cost, and a skewed corpus
+    * (many sizes) drops most bucket-mates here. Lossless: a pruned pair
+    * is exactly one the final `jaccard >= t` filter would drop. */
+  private def sizeRatioOk(threshold: Double): Column =
+    col("x.n") * threshold <= col("y.n") && col("y.n") * threshold <= col("x.n")
 
   /** Exact-Jaccard verification of candidate pairs over sorted-distinct
     * element-hash arrays: one allocation-free merge-walk per pair
@@ -251,11 +263,13 @@ object Dedup {
     val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         elementHashes(array_distinct(Text.tokens(col("text")))).as("hs")))
-    val docs = minhashSignatures(hashed, carry = Seq("source"))
-    val bands = explodeBands(docs, carry = Seq("source"))
+    val docs = minhashSignatures(hashed.withColumn("n", size(col("hs"))),
+      carry = Seq("source", "n"))
+    val bands = explodeBands(docs, carry = Seq("source", "n"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id") &&
+          sizeRatioOk(threshold))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // verify over element hashes, not token strings — see minhashPairs

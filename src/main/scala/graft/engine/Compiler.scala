@@ -36,6 +36,16 @@ object Compiler {
   /** redis → KV pipeline. */
   final case class KvDef(name: String, cfg: KvPipeline.Config) extends PipelineDef
 
+  /** A6 composed: the task-level `dailyRollup` opt-in runs a
+    * [[graft.streaming.DailyRollup]] stream per table beside its CDC
+    * pipeline — the reference's per-table daily counters
+    * (monitor.go daily reset) as a supervised windowed aggregation.
+    * Reads the SAME change-event source as the sibling CDC pipeline
+    * (read-only: no storage roots of its own); `queryName` is the
+    * in-memory sink's SQL-safe table name. */
+  final case class RollupDef(name: String, sourceDir: String,
+      queryName: String) extends PipelineDef
+
   /** Namespace + storage-path derivation. A table whose mapping-level
     * sourceDb DIFFERS from the task default gets db-prefixed paths and
     * a db-qualified pipeline name, so a multi-database task's tables
@@ -69,10 +79,17 @@ object Compiler {
     * disable-in-config == stop-at-reconcile (main.go:149-151). */
   def compile(spec: SyncTaskSpec): Seq[PipelineDef] =
     if (!spec.enabled) Nil
-    else spec.tables.map { m =>
+    else spec.tables.flatMap { m =>
       val name = pipelineName(spec, m)
       val src = srcSub(spec, m); val tgt = tgtSub(spec, m)
-      spec.taskType match {
+      // the rollup consumes change events, so it rides CDC tasks only
+      // (the KV op log has a different schema)
+      val rollup =
+        if (spec.dailyRollup && spec.taskType != "redis")
+          Seq(RollupDef(s"$name#rollup", s"${spec.sourceDir}/$src",
+            s"rollup_task${spec.id}_$src".replaceAll("[^A-Za-z0-9_]", "_")))
+        else Nil
+      rollup :+ (spec.taskType match {
         case "redis" =>
           KvDef(name, KvPipeline.Config(
             sourceDir = s"${spec.sourceDir}/$src",
@@ -113,7 +130,7 @@ object Compiler {
                   m.keyColumns.map((_, 1)), unique = false))))
               case _ => None
             })
-      }
+      })
     }
 
   /** The supervisor's desired state: every enabled task's pipelines,
@@ -135,6 +152,7 @@ object Compiler {
     val roots = defs.flatMap {
       case CdcDef(n, c, _, _, _, _) => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
       case KvDef(n, c)           => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
+      case _: RollupDef          => Nil // read-only rider: owns no storage roots
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {
       case Seq((na, a), (nb, b)) =>

@@ -137,7 +137,8 @@ object ConfigReader {
       dlqDir = optText(n, "dlqDir").getOrElse(reqText(n, "targetDir") + "_dlq"),
       sourceDb = sourceDb,
       snapshotDir = optText(n, "snapshotDir"),
-      targetJdbcUrl = targetJdbcUrl)
+      targetJdbcUrl = targetJdbcUrl,
+      dailyRollup = n.path("dailyRollup").asBoolean(false))
   }
 
   private def parseTable(n: JsonNode, securityEnabled: Boolean): TableMapping = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.functions.TimeWindows
 import graft.model.BackupSpec
 import graft.operators.{Backup, Cron, Upsert}
-import graft.streaming.{Alerts, CdcPipeline, ControlLoop, Dlq, Guardian, KvPipeline, Metrics}
+import graft.streaming.{Alerts, CdcPipeline, ControlLoop, DailyRollup, Dlq, Guardian, KvPipeline, Metrics}
 
 /** The composed engine — config file in, running pipelines out: the
   * Spark-native `cmd/sync/main.go` (reference main.go:91-188).
@@ -89,6 +89,12 @@ final class GraftEngine(
       guarded(() => CdcPipeline.start(spark, cfg, availableNow))
     case Compiler.KvDef(_, cfg) =>
       guarded(() => KvPipeline.start(spark, cfg, availableNow))
+    case Compiler.RollupDef(_, sourceDir, queryName) =>
+      // A6 under the supervisor: restart-on-death and config
+      // hot-reload apply to the rollup like any pipeline. Its sink is
+      // an in-memory table (the reference's counters are in-memory
+      // too) — a restart re-derives the horizon from the stream.
+      guarded(() => DailyRollup.start(spark, sourceDir, queryName, availableNow))
   }
 
   /** Guardian envelope on the START path: a recoverable failure (e.g. a
@@ -308,7 +314,7 @@ final class GraftEngine(
     * beside the live stream's own merges — see [[sweepDlq]] for the
     * resident loop's stop-first variant. */
   def retryDlq(): Map[String, Dlq.Stats] =
-    pipelineDefs.map {
+    pipelineDefs.collect {
       case (name, d: Compiler.CdcDef) => name -> CdcPipeline.retryDlq(spark, d.cfg, alerts)
       case (name, d: Compiler.KvDef)  => name -> KvPipeline.retryDlq(spark, d.cfg, alerts)
     }
@@ -316,11 +322,13 @@ final class GraftEngine(
   private def hasPendingDlq(d: Compiler.PipelineDef): Boolean = d match {
     case c: Compiler.CdcDef => CdcPipeline.hasPendingBatches(spark, c.cfg)
     case k: Compiler.KvDef  => KvPipeline.hasPendingBatches(spark, k.cfg)
+    case _: Compiler.RollupDef => false // no writer, no DLQ
   }
 
-  private def targetDirOf(d: Compiler.PipelineDef): String = d match {
-    case c: Compiler.CdcDef => c.cfg.targetDir
-    case k: Compiler.KvDef  => k.cfg.targetDir
+  private def targetDirOf(d: Compiler.PipelineDef): Option[String] = d match {
+    case c: Compiler.CdcDef => Some(c.cfg.targetDir)
+    case k: Compiler.KvDef  => Some(k.cfg.targetDir)
+    case _: Compiler.RollupDef => None
   }
 
   /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
@@ -337,6 +345,8 @@ final class GraftEngine(
         name -> (d match {
           case c: Compiler.CdcDef => CdcPipeline.retryDlq(spark, c.cfg, alerts)
           case k: Compiler.KvDef  => KvPipeline.retryDlq(spark, k.cfg, alerts)
+          case r: Compiler.RollupDef => // unreachable: hasPendingDlq is false
+            throw new IllegalStateException(s"rollup ${r.name} has no DLQ")
         })
     }
 
@@ -350,8 +360,7 @@ final class GraftEngine(
     * next reconcile restarts it from the checkpoint. */
   def sweepTombstones(): Map[String, Int] =
     pipelineDefs.collect {
-      case (name, d) if !hasPendingDlq(d) && {
-            val dir = targetDirOf(d)
+      case (name, d) if !hasPendingDlq(d) && targetDirOf(d).exists { dir =>
             val p = new org.apache.hadoop.fs.Path(dir)
             p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
               val t = spark.read.parquet(dir)
@@ -361,7 +370,17 @@ final class GraftEngine(
             }
           } =>
         supervisor.activeQueries.get(name).foreach(_.stop())
-        name -> Upsert.sweepTombstones(spark, targetDirOf(d))
+        name -> Upsert.sweepTombstones(spark, targetDirOf(d).get)
+    }
+
+  /** Snapshot face of a `dailyRollup` pipeline's counters — current
+    * per-(JST day, event type) counts (A6 through the config path). */
+  def rollupCounts(name: String): org.apache.spark.sql.DataFrame =
+    pipelineDefs.get(name) match {
+      case Some(Compiler.RollupDef(_, _, queryName)) =>
+        DailyRollup.currentCounts(spark, queryName)
+      case other => throw new IllegalArgumentException(
+        s"$name is not a rollup pipeline (got $other)")
     }
 
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries

@@ -62,7 +62,8 @@ final case class SyncTaskSpec(
     dlqDir: String = "",           // parked-batch root (defaults beside target)
     sourceDb: String = "graft",    // DatabaseMapping.SourceDatabase (config.go:36-41)
     snapshotDir: Option[String] = None, // initial-sync parquet root (S1 skip-if-nonempty)
-    targetJdbcUrl: Option[String] = None) // DDL-replay connection for syncIndexes mappings
+    targetJdbcUrl: Option[String] = None, // DDL-replay connection for syncIndexes mappings
+    dailyRollup: Boolean = false)  // A6: run a per-table daily-counter rollup stream
 
 /** Backup/export task spec (reference pkg/backup/executor.go:157-271). */
 final case class BackupTableSpec(

@@ -465,6 +465,58 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("dailyRollup on a task runs a supervised per-day counter stream beside the CDC pipeline") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // a 2-JST-day event stream: day boundary is 15:00 UTC
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row("insert", 1L, Row(10.0, 1L), "graft", "events",
+        java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 1L),
+      Row("update", 1L, Row(11.0, 2L), "graft", "events",
+        java.sql.Timestamp.valueOf("2024-03-01 11:00:00"), 2L),
+      Row("insert", 2L, Row(20.0, 3L), "graft", "events",
+        java.sql.Timestamp.valueOf("2024-03-01 16:00:00"), 3L), // next JST day
+      Row("insert", 3L, Row(30.0, 4L), "graft", "events",
+        java.sql.Timestamp.valueOf("2024-03-01 17:00:00"), 4L))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), ChangeEvents.schema)
+      .coalesce(1).write.mode("append").json(s"$root/src/events")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [
+         |  { "id": 12, "type": "mongodb", "enabled": true, "dailyRollup": true,
+         |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+         |    "checkpointDir": "$root/ckpt",
+         |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ],
+         | "backupTasks": [] }""".stripMargin)
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      val r = engine.pollOnce()
+      assert(r.started == Set("task12/events", "task12/events#rollup"))
+      engine.processAllAvailable()
+      val got = engine.rollupCounts("task12/events#rollup")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      // JST day 1 (starts 02-29 15:00 UTC): 1 insert + 1 update;
+      // JST day 2 (starts 03-01 15:00 UTC): 2 inserts
+      assert(got == Set(
+        (java.sql.Timestamp.valueOf("2024-02-29 15:00:00"), "insert", 1L),
+        (java.sql.Timestamp.valueOf("2024-02-29 15:00:00"), "update", 1L),
+        (java.sql.Timestamp.valueOf("2024-03-01 15:00:00"), "insert", 2L)))
+      // the CDC sibling ran over the same source unperturbed
+      assert(graft.operators.Upsert.liveRows(
+        spark.read.parquet(s"$root/tgt/events")).count() == 3)
+      // removing the flag stops ONLY the rollup on the next reconcile
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [
+           |  { "id": 12, "type": "mongodb", "enabled": true,
+           |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+           |    "checkpointDir": "$root/ckpt",
+           |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ],
+           | "backupTasks": [] }""".stripMargin)
+      val r2 = engine.pollOnce()
+      assert(r2.stopped == Set("task12/events#rollup") && r2.kept == Set("task12/events"))
+    } finally engine.stop()
+  }
+
   test("runBackup prunes date-suffixed slices against the task's JST window") {
     import spark.implicits._
     val root = tmp()

@@ -115,9 +115,13 @@ final class GraftEngine(
     * atomic) must not take the engine down: the running set is kept
     * untouched, an alert fires, and the next poll retries. Per-task
     * malformed entries are already isolated inside ConfigReader. */
-  def pollOnce(): ControlLoop.Reconcile = {
+  def pollOnce(): ControlLoop.Reconcile = synchronized {
     // once stop() ran (e.g. the SIGTERM hook), a racing loop iteration
-    // must not restart the world it just tore down
+    // must not restart the world it just tore down. The whole tick runs
+    // under the engine's monitor — the same one stop() takes — so a
+    // SIGTERM arriving mid-reconcile waits for the tick to finish and
+    // then tears down everything it (re)started; it can never land in
+    // the window between this guard and the reconcile.
     if (stopping)
       return ControlLoop.Reconcile(Set.empty, Set.empty, Set.empty)
     // compile inside the guard too: a config that parses but compiles
@@ -146,7 +150,9 @@ final class GraftEngine(
     recorder.foreach(_._2.flush())
     if (cfg.backupTasks != backupSpecs) {
       backupSpecs = cfg.backupTasks
-      scheduler = new Cron.Scheduler(backupSpecs.map(toJob))
+      // carry the fired-this-minute state forward: a config edit landing
+      // during a job's fire minute must not double-run surviving jobs
+      scheduler = new Cron.Scheduler(backupSpecs.map(toJob), scheduler.firedState)
     }
     pipelineDefs = defs
     supervisor.reconcile(pipelineDefs)
@@ -338,7 +344,8 @@ final class GraftEngine(
     * reconcile restarts it from its checkpoint (restart-on-death).
     * Healthy pipelines are untouched, and permanently parked batches
     * (`parked_*`) cost nothing here. */
-  def sweepDlq(): Map[String, Dlq.Stats] =
+  def sweepDlq(): Map[String, Dlq.Stats] = synchronized {
+    if (stopping) return Map.empty
     pipelineDefs.collect {
       case (name, d) if hasPendingDlq(d) =>
         supervisor.activeQueries.get(name).foreach(_.stop())
@@ -349,6 +356,7 @@ final class GraftEngine(
             throw new IllegalStateException(s"rollup ${r.name} has no DLQ")
         })
     }
+  }
 
   /** Tombstone reclamation: deletes become FINAL once the pipeline's
     * DLQ is drained — no stale retry can arrive anymore — so any
@@ -358,7 +366,8 @@ final class GraftEngine(
     * rows exist is the pipeline stopped (same no-concurrent-merge
     * contract as [[sweepDlq]]) and its touched buckets rewritten; the
     * next reconcile restarts it from the checkpoint. */
-  def sweepTombstones(): Map[String, Int] =
+  def sweepTombstones(): Map[String, Int] = synchronized {
+    if (stopping) return Map.empty
     pipelineDefs.collect {
       case (name, d) if !hasPendingDlq(d) && targetDirOf(d).exists { dir =>
             val p = new org.apache.hadoop.fs.Path(dir)
@@ -372,6 +381,7 @@ final class GraftEngine(
         supervisor.activeQueries.get(name).foreach(_.stop())
         name -> Upsert.sweepTombstones(spark, targetDirOf(d).get)
     }
+  }
 
   /** Snapshot face of a `dailyRollup` pipeline's counters — current
     * per-(JST day, event type) counts (A6 through the config path). */
@@ -393,17 +403,19 @@ final class GraftEngine(
   def awaitDrained(): Unit = activeQueries.values.foreach(_.awaitTermination())
 
   /** Idempotent and race-safe: the SIGTERM hook and the loop's
-    * `finally` may both arrive here. */
+    * `finally` may both arrive here. No first-call-only gate — every
+    * call stops whatever is active, so even if a reconcile slipped in
+    * between two stop() calls (impossible now that pollOnce holds the
+    * same monitor, but cheap to keep safe), the later call still tears
+    * it down. stopAll on an empty supervisor is a no-op. */
   def stop(): Unit = synchronized {
-    if (!stopping) {
-      stopping = true
-      supervisor.stopAll()
-      recorder.foreach { case (_, r) =>
-        r.flush()
-        spark.streams.removeListener(r)
-      }
-      recorder = None
+    stopping = true
+    supervisor.stopAll()
+    recorder.foreach { case (_, r) =>
+      r.flush()
+      spark.streams.removeListener(r)
     }
+    recorder = None
   }
 
   /** True after [[stop]] — the resident loop exits on it. */
@@ -467,6 +479,26 @@ object GraftEngine {
     }
   }
 
+  /** The `--once` body, exit code out (0 = clean catch-up): compile and
+    * run every pipeline in AvailableNow mode, drain, one DLQ pass,
+    * finalize deletes, stop. Non-zero when the config failed to load, a
+    * pipeline failed to start, or the DLQ pass left batches behind —
+    * separated from [[main]] so the contract is testable without
+    * `sys.exit`. */
+  def runOnce(engine: GraftEngine): Int = {
+    val r = engine.pollOnce()
+    engine.awaitDrained()
+    val dlq = engine.retryDlq()
+    // the catch-up is drained and the DLQ pass just ran: any pipeline
+    // whose queue is now empty has its deletes finalized
+    engine.sweepTombstones()
+    println(s"[engine] started=${r.started.size} failed=${r.failed.size} " +
+      s"dlq=${dlq.values.map(s => s.succeeded + s.failed + s.parked).sum}")
+    engine.stop()
+    if (r.failed.nonEmpty || dlq.values.exists(s => s.failed > 0 || s.parked > 0)) 1
+    else 0
+  }
+
   /** `GraftEngine <config.json> [--once] [--interval-ms N] [--rounds N]`
     *
     * `--once`: compile and run every pipeline in AvailableNow mode,
@@ -482,15 +514,11 @@ object GraftEngine {
     val spark = graft.GraftSession.local()
     val engine = new GraftEngine(spark, configPath, availableNow = once)
     if (once) {
-      val r = engine.pollOnce()
-      engine.awaitDrained()
-      val dlq = engine.retryDlq()
-      // the catch-up is drained and the DLQ pass just ran: any pipeline
-      // whose queue is now empty has its deletes finalized
-      engine.sweepTombstones()
-      println(s"[engine] started=${r.started.size} failed=${r.failed.size} " +
-        s"dlq=${dlq.values.map(s => s.succeeded + s.failed + s.parked).sum}")
-      engine.stop()
+      // a batch orchestrator (cron / k8s Job) reads the exit code: a
+      // config or start failure, or a DLQ pass that left batches
+      // failed/parked, is NOT a successful catch-up run
+      val code = runOnce(engine)
+      if (code != 0) sys.exit(code)
     } else {
       val intervalMs = intArg("--interval-ms", 10000L)
       val rounds = intArg("--rounds", Long.MaxValue)

@@ -217,6 +217,16 @@ object Backup {
               java.time.LocalDateTime.parse(text, ntzFmt)
             case DateType      => java.sql.Date.valueOf(text)
             case _: DecimalType => new java.math.BigDecimal(text)
+            case BinaryType    =>
+              // writeSql renders bytes as unquoted 0x-hex, empty as ''
+              if (quoted) { require(text.isEmpty,
+                s"readSql: quoted binary must be empty, got '$text'"); Array.empty[Byte] }
+              else {
+                require(text.startsWith("0x") && text.length % 2 == 0,
+                  s"readSql: bad binary literal '$text'")
+                text.drop(2).grouped(2)
+                  .map(Integer.parseInt(_, 16).toByte).toArray
+              }
             case other => throw new IllegalArgumentException(s"readSql: unsupported $other")
           }
         })

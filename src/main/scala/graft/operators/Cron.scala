@@ -69,9 +69,15 @@ object Cron {
 
   /** Minute-tick scheduler. `tick(now)` fires every job due at `now`
     * and returns the fired ids; a job fires at most once per matching
-    * minute even if ticked repeatedly (crontab's firing contract). */
-  final class Scheduler(jobs: Seq[Job]) {
-    private var lastFired = Map.empty[Int, LocalDateTime]
+    * minute even if ticked repeatedly (crontab's firing contract).
+    *
+    * `previousFired` seeds the dedup state from a predecessor scheduler
+    * ([[firedState]]): a config edit that rebuilds the schedule DURING
+    * a job's fire minute must not double-run jobs that survived the
+    * edit — the at-most-once contract spans rebuilds, keyed by job id. */
+  final class Scheduler(jobs: Seq[Job],
+      previousFired: Map[Int, LocalDateTime] = Map.empty) {
+    private var lastFired = previousFired
 
     def tick(now: LocalDateTime): Seq[Int] = synchronized {
       val minute = now.withSecond(0).withNano(0)
@@ -81,5 +87,9 @@ object Cron {
       due.foreach { j => j.run(); lastFired += j.id -> minute }
       due.map(_.id)
     }
+
+    /** Current fired-this-minute dedup state, for carry-forward into a
+      * rebuilt scheduler. */
+    def firedState: Map[Int, LocalDateTime] = synchronized(lastFired)
   }
 }

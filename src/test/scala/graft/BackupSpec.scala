@@ -105,6 +105,25 @@ class BackupSpec extends SparkSpec {
     assert(norm(Backup.readSql(spark, gzDir, schema)) == norm(df))
   }
 
+  test("sql dump round-trips binary columns (0x-hex and empty)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val data = Seq(
+      Row(1L, Array[Byte](0, 1, 127, -128, -1, 0x5a)),
+      Row(2L, Array.empty[Byte]), // renders as ''
+      Row(3L, null))              // renders as NULL
+    val df = spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
+    val dir = Files.createTempDirectory("graft_sqlbin").toString + "/out"
+    Backup.writeSql(df, "blobs", dir, compress = false)
+    val restored = Backup.readSql(spark, dir, schema)
+    def norm(d: org.apache.spark.sql.DataFrame): Set[(Long, Option[Seq[Byte]])] =
+      d.collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Array[Byte]].toSeq))).toSet
+    assert(norm(restored) == norm(df))
+  }
+
   test("zip artifact packages part files and the store puts it (W8)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_zip").toString

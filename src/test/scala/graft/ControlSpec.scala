@@ -65,6 +65,26 @@ class ControlSpec extends SparkSpec {
     assert(runs == Vector((1, "a"), (1, "a"), (2, "b")))
   }
 
+  test("rebuilt scheduler carries fired-state: no double run in the fire minute") {
+    var runs = 0
+    def job(body: => Unit) = Cron.Job(1, "5 * * * *", () => body)
+    val first = new Cron.Scheduler(Seq(job { runs += 1 }))
+    assert(first.tick(t("2024-03-01T08:05:00")) == Seq(1) && runs == 1)
+
+    // a config edit lands DURING the fire minute: the schedule rebuilds
+    // with the surviving job (same id) plus a new one — the survivor
+    // must not re-run this minute; the new job fires if due
+    var newRuns = 0
+    val rebuilt = new Cron.Scheduler(
+      Seq(job { runs += 1 }, Cron.Job(2, "5 * * * *", () => newRuns += 1)),
+      first.firedState)
+    assert(rebuilt.tick(t("2024-03-01T08:05:30")) == Seq(2))
+    assert(runs == 1 && newRuns == 1)
+    // next matching minute: both fire again
+    assert(rebuilt.tick(t("2024-03-01T09:05:00")) == Seq(1, 2))
+    assert(runs == 2 && newRuns == 2)
+  }
+
   test("a fired cron job executes a real backup export") {
     val out = tmp() + "/export"
     val job = Cron.Job(7, "0 3 * * *", () =>

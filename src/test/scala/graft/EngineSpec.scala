@@ -573,6 +573,47 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("stop racing a reconcile tick never leaves pipelines running; stop is idempotent") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(s"$root/src/events")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [ ${syncTaskJson(1, "events", root)} ], "backupTasks": [] }""")
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      // SIGTERM-shaped race: a poll tick and stop() contend for the
+      // engine monitor. Either interleaving must end with nothing
+      // running — stop-first makes the tick inert, tick-first means
+      // stop tears down what the tick just started. The old entry-only
+      // `stopping` check lost the tick-straddles-stop case.
+      val poller = new Thread(() => { engine.pollOnce(); () })
+      poller.start()
+      engine.stop()
+      poller.join()
+      assert(engine.activeQueries.isEmpty)
+      // after stop, further loop iterations are inert…
+      val r = engine.pollOnce()
+      assert(r.started.isEmpty && engine.activeQueries.isEmpty)
+      assert(engine.sweepDlq().isEmpty && engine.sweepTombstones().isEmpty)
+      // …and a second stop (hook + finally both arrive) is a safe no-op
+      engine.stop()
+    } finally engine.stop()
+  }
+
+  test("runOnce exit code: clean catch-up is 0, a failed config load is non-zero") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(s"$root/src/events")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [ ${syncTaskJson(1, "events", root)} ], "backupTasks": [] }""")
+    assert(GraftEngine.runOnce(
+      new GraftEngine(spark, cfgPath, availableNow = true)) == 0)
+    // a config caught mid-edit: the orchestrator must see a failure
+    writeConfig(cfgPath, """{ "syncTasks": [ truncated""")
+    assert(GraftEngine.runOnce(
+      new GraftEngine(spark, cfgPath, availableNow = true)) == 1)
+  }
+
   test("--once mode drains pending input through the main entry point and exits") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

@@ -50,4 +50,42 @@ object Metrics {
         max(col("batchId")).as("last_batch"),
         count(lit(1)).as("n_batches"),
         round(avg(col("procRowsPerSec")), 2).as("avg_rows_per_sec"))
+
+  // --- A5: accumulating per-stream op counters --------------------------
+  // The reference's AccumulateChangeStreamActivity (monitor.go:96-110)
+  // keeps in-memory `+=` counters per change stream, by op kind, for the
+  // monitoring UI. The Spark-native shape is a stateful streaming
+  // aggregation in update mode: running totals per (table, op) maintained
+  // by the engine's aggregation state, exactly-once across restarts when
+  // checkpointed. State size is |tables| x |op kinds| — a few rows per
+  // stream regardless of data volume, so no watermark is needed (unlike
+  // the day-windowed A6 rollup, nothing here grows with time).
+
+  /** Running totals per (table, op) over a change stream. */
+  def opCounters(stream: DataFrame): DataFrame =
+    stream
+      .groupBy(col("sourceTable").as("table_name"), col("op"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Run the accumulating counters over a file stream of change events
+    * into an in-memory sink. Update mode: each trigger emits only the
+    * (table, op) rows whose totals changed, so the memory table is an
+    * update LOG — read it through [[currentOpCounters]]. */
+  def startOpCounters(spark: SparkSession, sourceDir: String, queryName: String,
+      availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+    opCounters(spark.readStream.schema(ChangeEvents.schema).json(sourceDir))
+      .writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .format("memory")
+      .trigger(if (availableNow) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+               else org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+
+  /** Snapshot face over [[startOpCounters]]'s update log: a running
+    * COUNT only ever grows, so the live value per key is `max(n)`. */
+  def currentOpCounters(spark: SparkSession, queryName: String): DataFrame =
+    spark.table(queryName)
+      .groupBy(col("table_name"), col("op"))
+      .agg(max(col("n")).as("n"))
 }

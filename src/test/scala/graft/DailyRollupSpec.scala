@@ -60,6 +60,30 @@ class DailyRollupSpec extends SparkSpec {
     assert(cur.toSeq == Seq(("update", 3L)))
   }
 
+  test("A5: accumulating op counters are a stateful streaming agg matching the batch totals") {
+    val src = Files.createTempDirectory("graft_opctr").toString
+    ChangeEvents.fromEvents(spark, sf).coalesce(1).write.mode("append").json(src)
+    val q = graft.streaming.Metrics.startOpCounters(spark, src, "op_ctr",
+      availableNow = false)
+    try {
+      q.processAllAvailable()
+      val mid = graft.streaming.Metrics.currentOpCounters(spark, "op_ctr")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = ChangeEvents.fromEvents(spark, sf)
+        .groupBy("sourceTable", "op").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(mid.nonEmpty && mid == batch)
+      // counters ACCUMULATE across triggers (the reference's `+=`,
+      // monitor.go:96-110): new input adds to the running totals
+      writeEventsTo(src)("2024-02-01 10:00:00", "2024-02-01 11:00:00")
+      q.processAllAvailable()
+      val after = graft.streaming.Metrics.currentOpCounters(spark, "op_ctr")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(after(("events", "update")) == batch(("events", "update")) + 2)
+      assert((after - (("events", "update"))) == (batch - (("events", "update"))))
+    } finally q.stop()
+  }
+
   test("watermark evicts finalized day windows: late events are dropped, not re-counted") {
     val src = Files.createTempDirectory("graft_roll_evict").toString
     def writeEvents(ts: String*): Unit = writeEventsTo(src)(ts: _*)

@@ -145,6 +145,15 @@ object Compiler {
     val defs = specs.flatMap(compile)
     val dupNames = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dupNames.isEmpty, s"pipeline name collision: ${dupNames.mkString(", ")}")
+    // rollup queryNames are sanitized ([^A-Za-z0-9_] → _), which can
+    // collide names that differ only in separators (db2/orders vs
+    // db2_orders) — the second memory-sink stream would then fail to
+    // start on EVERY reconcile; reject the config instead
+    val dupQueryNames = defs.collect { case r: RollupDef => r }
+      .groupBy(_.queryName).collect { case (q, rs) if rs.size > 1 =>
+        s"$q (${rs.map(_.name).mkString(" vs ")})" }
+    require(dupQueryNames.isEmpty,
+      s"rollup query-name collision after sanitization: ${dupQueryNames.mkString(", ")}")
     // slash-appended before sorting: strings sharing prefix "a/" form a
     // contiguous sorted range, so the adjacent-pair check is sound — a
     // bare sort is not (a sibling like "a-old" sorts BETWEEN "a" and

@@ -126,6 +126,12 @@ object ConfigReader {
     require(tables.forall(!_.advanced.uploadToGcs),
       "uploadToGcs is a backup-task concern: use backupTasks[].uploadDir " +
         "(or its gcsAddress alias) for zip + artifact-store upload")
+    require(tables.forall(t => !t.advanced.syncIndexes || t.keyColumns.nonEmpty),
+      "syncIndexes=true requires keyColumns: the replayed index is the " +
+        "key-column index — without keys there is nothing to create")
+    require(!(n.path("dailyRollup").asBoolean(false) && taskType == "redis"),
+      "dailyRollup requires a change-event (CDC) task: the KV op log has " +
+        "no change events to roll up")
     SyncTaskSpec(
       id = n.path("id").asInt(0),
       taskType = taskType,

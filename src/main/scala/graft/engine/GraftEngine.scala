@@ -234,8 +234,14 @@ final class GraftEngine(
     * query_counter.go:59-280 driven from monitor.go): one conditional
     * live-row count per table that declares conditions, incrementally
     * maintained per bucket (see the cache note above). */
-  def countReport(anchorUtc: LocalDateTime = clock()): Map[String, Long] = {
+  /** Drop cache entries for pipelines no longer in the config — must
+    * run on EVERY monitoring entry point, or config churn (tasks
+    * removed/renamed over weeks) leaks per-bucket maps forever. */
+  private def pruneCountCache(): Unit =
     countCache.keys.toSeq.filterNot(pipelineDefs.contains).foreach(countCache.remove)
+
+  def countReport(anchorUtc: LocalDateTime = clock()): Map[String, Long] = {
+    pruneCountCache()
     pipelineDefs.collect {
       case (name, d: Compiler.CdcDef) if d.counts.nonEmpty =>
         val pred = graft.functions.Conditions.compile(d.counts, d.sourceTable, anchorUtc)
@@ -262,8 +268,14 @@ final class GraftEngine(
         graft.streaming.ChangeEvents.matchStage(raw, db, t) }.getOrElse(raw)
       Some(graft.streaming.ChangeEvents.includeTables(matched, cfg.includeTableRegex))
     }
-    val logLive = log.map { l =>
-      val base = if (cfg.ignoreDeleteOps) l.filter(col("op") =!= "delete") else l
+    // the ops the PIPELINE applies: with ignoreDeleteOps the synced
+    // world treats deletes as nonexistent, so the source replay must
+    // too — a snapshot key whose only log ops are deletes still exists
+    // in that world (the target keeps it live; counting it out here
+    // would fire a permanent false count_mismatch)
+    val applied = log.map { l =>
+      if (cfg.ignoreDeleteOps) l.filter(col("op") =!= "delete") else l }
+    val logLive = applied.map { base =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(cfg.keyCol)).orderBy(col("ts").desc, col("offset").desc)
       base.withColumn("rn", row_number().over(w))
@@ -271,14 +283,14 @@ final class GraftEngine(
         .select(col(cfg.keyCol), col("after.*"), col("ts").as("updated_at"))
     }
     val logCount = logLive.map(_.filter(pred).count()).getOrElse(0L)
-    // snapshot keys the log never touched still exist at the source
+    // snapshot keys no APPLIED op ever touched still exist at the source
     val snapCount = d.snapshotDir.map { dir =>
       val p = new org.apache.hadoop.fs.Path(dir)
       if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) 0L
       else {
         val snap = spark.read.parquet(dir)
-        val unTouched = log match {
-          case Some(l) => snap.join(l.select(col(cfg.keyCol)).distinct(),
+        val unTouched = applied match {
+          case Some(base) => snap.join(base.select(col(cfg.keyCol)).distinct(),
             Seq(cfg.keyCol), "left_anti")
           case None => snap
         }
@@ -299,6 +311,7 @@ final class GraftEngine(
     * reconcile tick. */
   def monitorCounts(anchorUtc: LocalDateTime = clock(),
       threshold: Long = 0L): Map[String, (Long, Long)] = {
+    pruneCountCache()
     val rows = pipelineDefs.toSeq.collect {
       case (name, d: Compiler.CdcDef) if d.counts.nonEmpty =>
         val pred = graft.functions.Conditions.compile(d.counts, d.sourceTable, anchorUtc)
@@ -372,7 +385,11 @@ final class GraftEngine(
       case (name, d) if !hasPendingDlq(d) && targetDirOf(d).exists { dir =>
             val p = new org.apache.hadoop.fs.Path(dir)
             p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
-              val t = spark.read.parquet(dir)
+              // readTarget, not footer inference: a sidecar-only dir (a
+              // crashed sweep's residue) reads as empty instead of
+              // throwing, and mixed-footer targets see the canonical
+              // schema deterministically
+              val t = Upsert.readTarget(spark, dir)
               t.columns.contains("deleted") &&
                 t.filter(org.apache.spark.sql.functions.col("deleted") === true)
                   .limit(1).count() > 0
@@ -506,7 +523,8 @@ object GraftEngine {
     * the reference's resident loop — reload+reconcile every interval,
     * cron-tick each pass, forever (or `--rounds`). */
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: GraftEngine <config.json> [--once] [--interval-ms N] [--rounds N]")
+    require(args.nonEmpty, "usage: GraftEngine <config.json> [--once] [--interval-ms N] " +
+      "[--rounds N] [--monitor-every N] [--monitor-threshold N] [--tombstone-sweep-every N]")
     val configPath = args(0)
     def intArg(flag: String, default: Long): Long =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v.toLong }.getOrElse(default)
@@ -527,11 +545,23 @@ object GraftEngine {
       // pipeline, so it must not run every tick)
       val sweepEvery = intArg("--tombstone-sweep-every", 360L)
       // two-sided count monitoring on the reference's 60 s cadence
-      // (monitor.go): the source side scans the log, so not every tick
+      // (monitor.go): the source side scans the log, so not every tick.
+      // --monitor-threshold allows |src−tgt| up to N before alerting —
+      // on a busy pipeline the in-flight micro-batch makes a nonzero
+      // diff NORMAL at any instant; 0 (the reference's behavior) only
+      // stays quiet when monitoring outpaces ingest.
       val monitorEvery = intArg("--monitor-every", 6L)
+      val monitorThreshold = intArg("--monitor-threshold", 0L)
       // graceful SIGTERM: stop every query (offsets already committed
       // stay committed) before the JVM exits — main.go:76-88
       sys.addShutdownHook(engine.stop())
+      // maintenance steps alert-and-continue like every other tick step:
+      // a transient storage error in a monitor pass must not take the
+      // resident engine down
+      def guardTick(step: String)(body: => Unit): Unit =
+        try body catch {
+          case e: Exception => println(s"[engine] $step failed: ${e.getMessage}")
+        }
       var i = 0L
       try while (i < rounds && !engine.isStopping) {
         val r = engine.pollOnce()
@@ -542,10 +572,12 @@ object GraftEngine {
         // periodic dead-letter pass (the reference retries parked
         // batches on its monitor cadence): stop-first per affected
         // pipeline, no-op when every DLQ is empty
-        engine.sweepDlq()
+        guardTick("dlq sweep")(engine.sweepDlq())
         i += 1
-        if (monitorEvery > 0 && i % monitorEvery == 0) engine.monitorCounts()
-        if (sweepEvery > 0 && i % sweepEvery == 0) engine.sweepTombstones()
+        if (monitorEvery > 0 && i % monitorEvery == 0)
+          guardTick("count monitor")(engine.monitorCounts(threshold = monitorThreshold))
+        if (sweepEvery > 0 && i % sweepEvery == 0)
+          guardTick("tombstone sweep")(engine.sweepTombstones())
         if (i < rounds) Thread.sleep(intervalMs)
       } finally engine.stop()
     }

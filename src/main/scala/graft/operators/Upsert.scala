@@ -181,19 +181,29 @@ object Upsert {
     * only when the target is empty — the reference's skip-if-nonempty
     * idempotence check (mongodb.go:459-465). Returns true if loaded. */
   def snapshot(spark: SparkSession, state: DataFrame, keyCol: String, targetDir: String): Boolean = {
-    // FS-existence probe, not catch-all: an existing-but-unreadable
-    // target must surface, not be silently overwritten by the snapshot.
+    // Existence probe through readTarget, not catch-all: an
+    // existing-but-unreadable target must surface, not be silently
+    // overwritten — but a dir holding ONLY the schema sidecar (a crashed
+    // tombstone sweep's residue; underscore files are invisible to the
+    // file index) reads as empty and is correctly re-snapshotted.
     val path = new org.apache.hadoop.fs.Path(targetDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(path) && spark.read.parquet(targetDir).limit(1).count() > 0
+    val exists = fs.exists(path) && readTarget(spark, targetDir).limit(1).count() > 0
     if (!exists) {
       // every bucket footer carries the tombstone column from day one —
       // a snapshot-only footer must never make a later read drop it
       val withDel = if (state.columns.contains("deleted")) state
                     else state.withColumn("deleted", lit(false))
       val bucketed = withDel.withColumn("bucket", bucketOf(keyCol))
-      writeSchemaSidecar(spark, targetDir, bucketed.schema)
+      // data FIRST here — opposite of the merge's sidecar-first rule:
+      // this write is a STATIC overwrite, which clears the target dir
+      // (sidecar included), so a sidecar written first would not
+      // survive it. The crash window (data committed, no sidecar) is
+      // benign: a uniform snapshot's footers all agree, and readTarget
+      // falls back to footer inference until the first merge writes
+      // the sidecar.
       bucketed.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(targetDir)
+      writeSchemaSidecar(spark, targetDir, bucketed.schema)
       true
     } else false
   }

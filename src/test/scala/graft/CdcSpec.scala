@@ -181,4 +181,24 @@ class CdcSpec extends SparkSpec {
     assert(!Upsert.snapshot(spark, s2, "key", dir)) // skipped
     assert(spark.read.parquet(dir).select("key").head().getLong(0) == 1L)
   }
+
+  test("snapshot's schema sidecar survives its static overwrite; a sidecar-only dir re-snapshots") {
+    import spark.implicits._
+    val dir = tmp() + "/snap_sc"
+    assert(Upsert.snapshot(spark, Seq((1L, 1.0)).toDF("key", "v"), "key", dir))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the sidecar is written AFTER the data (a static overwrite clears
+    // the dir, so sidecar-first would not survive) and must be present
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_schema.json")))
+    assert(Upsert.readTarget(spark, dir).columns.contains("deleted"))
+    // crashed-sweep residue: all buckets gone, only the sidecar left —
+    // the existence probe must read it as EMPTY (not throw on footer
+    // inference) and load the new snapshot
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach(s => fs.delete(s.getPath, true))
+    assert(Upsert.snapshot(spark, Seq((2L, 2.0)).toDF("key", "v"), "key", dir))
+    assert(Upsert.liveRows(Upsert.readTarget(spark, dir))
+      .select("key").head().getLong(0) == 2L)
+  }
 }

@@ -573,6 +573,72 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("monitorCounts under ignoreDeleteOps: a snapshot key whose only log op is a delete stays counted on BOTH sides") {
+    import spark.implicits._
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // snapshot: two keys matching the countQuery (value > 50)
+    Seq((9001L, 60.0, 1L), (9002L, 70.0, 2L)).toDF("key", "value", "k")
+      .write.parquet(s"$root/snap/events")
+    // the log holds ONLY a delete for 9001 — which the pipeline ignores
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(java.util.Arrays.asList(
+        Row("delete", 9001L, null, "graft", "events",
+          java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 1L)),
+      ChangeEvents.schema).coalesce(1).write.mode("append").json(s"$root/src/events")
+    writeConfig(cfgPath, s"""{ "syncTasks": [
+      { "id": 9, "type": "mongodb", "enabled": true,
+        "sourceDir": "$root/src", "targetDir": "$root/tgt",
+        "checkpointDir": "$root/ckpt", "snapshotDir": "$root/snap",
+        "tables": [ { "sourceTable": "events", "keyColumns": ["key"],
+          "countQuery": { "conditions": [
+            {"field": "value", "operator": ">", "value": "50"} ] },
+          "advancedSettings": {"ignoreDeleteOps": true} } ] } ], "backupTasks": [] }""")
+    val alerts = new Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      engine.processAllAvailable()
+      // in the ignore-deletes world 9001 exists on both sides: the
+      // target kept it live AND the source replay must not let the
+      // ignored delete knock it out of the snapshot count
+      val (src, tgt) = engine.monitorCounts()("task9/events")
+      assert((src, tgt) == (2L, 2L))
+      assert(alerts.drain().isEmpty) // no permanent false count_mismatch
+    } finally engine.stop()
+  }
+
+  test("config rejections: syncIndexes without keyColumns, dailyRollup on redis, colliding rollup query names") {
+    // syncIndexes=true with a JDBC target but no keyColumns: nothing to
+    // replay — reject (accept-and-ignore would lie to the operator)
+    val noKeys = ConfigReader.parse(
+      """{ "syncTasks": [ { "id": 1, "type": "mysql",
+        |  "targetJdbcUrl": "jdbc:derby:memory:x",
+        |  "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
+        |  "tables": [ { "sourceTable": "a",
+        |    "advancedSettings": {"syncIndexes": true} } ] } ] }""".stripMargin)
+    assert(noKeys.syncTasks.isEmpty)
+    // dailyRollup on a redis task: the KV op log has no change events
+    val redisRollup = ConfigReader.parse(
+      """{ "syncTasks": [ { "id": 2, "type": "redis", "dailyRollup": true,
+        |  "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
+        |  "tables": [ { "sourceTable": "kv" } ] } ] }""".stripMargin)
+    assert(redisRollup.syncTasks.isEmpty)
+    // rollup query names collide after sanitization (db2/orders vs
+    // db2_orders): compileAll must reject, not fail every reconcile
+    val collide = ConfigReader.parse(
+      """{ "syncTasks": [ { "id": 3, "type": "mongodb", "dailyRollup": true,
+        |  "sourceDir": "/s", "targetDir": "/t", "checkpointDir": "/c",
+        |  "mappings": [
+        |    { "sourceDatabase": "shop",
+        |      "tables": [ { "sourceTable": "db2_orders", "keyColumns": ["id"] } ] },
+        |    { "sourceDatabase": "db2",
+        |      "tables": [ { "sourceTable": "orders", "keyColumns": ["id"] } ] } ] } ] }""".stripMargin)
+    assert(collide.syncTasks.nonEmpty)
+    val e = intercept[IllegalArgumentException](Compiler.compileAll(collide.syncTasks))
+    assert(e.getMessage.contains("rollup query-name collision"))
+  }
+
   test("stop racing a reconcile tick never leaves pipelines running; stop is idempotent") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

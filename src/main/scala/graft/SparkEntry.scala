@@ -20,14 +20,15 @@ object SparkEntry {
   // Generated from the same constants the Spark operators use, so the
   // oracle replays signature + banding + verification bit-for-bit.
 
-  /** q25: minhash signature + 16×2 banding + exact shingle-jaccard. */
-  private lazy val q25Sql: String = {
+  /** q25's CTE chain ending in a `pairs` relation — shared verbatim by
+    * q25 (the pair list) and q49 (clusters over the same pairs). */
+  private lazy val q25Ctes: String = {
     val sigElems = Dedup.perms.map { case (a, b) =>
       s"list_min(list_transform(hs, x -> ($a * x + $b) % ${Dedup.P}))" }.mkString(",\n    ")
     val bandCond = (0 until Dedup.NumBands).map { j =>
       val r0 = Dedup.BandRows * j + 1; val r1 = r0 + 1
       s"(x.mh[$r0] = y.mh[$r0] AND x.mh[$r1] = y.mh[$r1])" }.mkString(" OR ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
        |    THEN list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))
        |    ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
@@ -35,14 +36,32 @@ object SparkEntry {
        |    list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % ${Dedup.P}) AS hs FROM sh),
        | sig AS (SELECT doc_id, shs, [$sigElems] AS mh FROM h),
        | cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.shs AS sa, y.shs AS sb
-       |   FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond))
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b,
-       |    round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-       |          / len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
-       |  FROM cand)
-       |WHERE jaccard >= 0.8""".stripMargin
+       |   FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)),
+       | pairs AS (SELECT doc_a, doc_b, jaccard FROM (
+       |   SELECT doc_a, doc_b,
+       |     round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |           / len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+       |   FROM cand)
+       |  WHERE jaccard >= 0.8)""".stripMargin
   }
+
+  /** q25: minhash signature + 16×2 banding + exact shingle-jaccard. */
+  private lazy val q25Sql: String =
+    s"WITH $q25Ctes SELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** q49: connected components over q25's pair graph via a recursive
+    * transitive closure; cluster id = min reachable doc_id — the exact
+    * fixpoint the Spark side's min-label propagation converges to. */
+  private lazy val q49Sql: String =
+    s"""WITH RECURSIVE $q25Ctes,
+       | edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+       | reach(a, b) AS (
+       |   SELECT a, b FROM edges
+       |   UNION
+       |   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin
 
   /** q26: 60-bit simhash + 4×15-bit chunk banding + Hamming filter. */
   private lazy val q26Sql: String = {
@@ -131,6 +150,7 @@ object SparkEntry {
     "q46_ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q47_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "q48_cdc_tombstones" -> (Cdc.finalStateWithTombstones _),
+    "q49_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -557,6 +577,7 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |                               ORDER BY ts DESC, off DESC) AS rn
         |  FROM log) WHERE rn = 1""".stripMargin,
+    "q49_dedup_clusters" -> q49Sql,
     // ASCII payloads: char offsets == byte offsets, so the string
     // substring replays the frame slicing exactly
     "q47_frame_sample" ->

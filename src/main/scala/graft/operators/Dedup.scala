@@ -167,6 +167,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- near-dup clustering -------------------------------------------
+
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation — the clustering step a dedup pipeline runs AFTER pair
+    * generation: a pair list alone cannot drive deletion (A~B and B~C
+    * without A~C must still collapse to ONE survivor, not two), so each
+    * component gets `cluster_id` = the minimum doc_id reachable.
+    *
+    * Scale: every iteration shuffles only the near-dup NODE set and the
+    * edge list — both orders of magnitude smaller than the corpus (only
+    * docs with at least one near-dup appear). The driver loop is over
+    * per-iteration AGGREGATE actions (a one-row convergence probe),
+    * never rows; iteration count is bounded by the component diameter
+    * (near-dup clusters are dense — low single digits in practice) and
+    * hard-capped by `maxIters`. Labels persist per iteration via
+    * [[PlanCache]] with lineage intact, so iteration i+1 reads cached
+    * labels instead of recomputing the whole chain; the caller owns
+    * release. The same alternating shape as the classic large-star /
+    * small-star map-reduce CC algorithm, specialised to min-label
+    * because near-dup components are tiny and dense.
+    *
+    * Input columns: `doc_a`, `doc_b`. Output: (`doc_id`, `cluster_id`). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val e0 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = PlanCache.tracked(
+      e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
+    var labels = PlanCache.tracked(
+      edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a").as("doc_id"), least(col("a"), col("mn")).as("cluster_id")))
+    // labels only ever DECREASE, so the label sum strictly decreases
+    // until the fixpoint: a stationary sum IS convergence (cast to
+    // decimal(38,0) — a Long sum could overflow on 64-bit ids at scale)
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nb")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min(col("nb")).as("nbr_min"))
+      val next = PlanCache.tracked(
+        labels.join(nbrMin, "doc_id")
+          .select(col("doc_id"),
+            least(col("cluster_id"), col("nbr_min")).as("cluster_id")))
+      val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters of the documents table with canonical-survivor
+    * selection: MinHash+LSH pairs → connected components → the member
+    * equal to its cluster id is the survivor (deterministic and
+    * join-free — the reference rule "keep the smallest id"; swap the
+    * label order for keep-longest and the plumbing is unchanged). */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    connectedComponents(minhashPairs(spark, dir, threshold))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+
   // ---- SimHash -------------------------------------------------------
 
   val SimhashBits = 60 // md5Hash60 is 60-bit; 4 chunks × 15 bits

@@ -127,6 +127,35 @@ class TextDedupSpec extends SparkSpec {
     assert(sims.forall(_.getDouble(0) == 1.0))
   }
 
+  test("connected components: chains propagate the min label across iterations; clusters match brute-force closure") {
+    import spark.implicits._
+    // a 4-chain (needs multiple propagation rounds: 4's label must
+    // travel 1→2→3→4), a 2-clique, and a 3-path, ids deliberately
+    // NON-contiguous and unordered in the pair list
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L), (21L, 20L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.PlanCache.release()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // empty pair list → empty clustering, no hang
+    assert(graft.operators.Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    graft.operators.PlanCache.release()
+    // end-to-end over the real pair graph: each cluster id is the
+    // component minimum, every pair lands in one cluster
+    val real = graft.operators.Dedup.dedupClusters(spark, sf)
+    val rows = real.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    graft.operators.PlanCache.release()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    // cluster id = min member, exactly one canonical member per cluster
+    assert(byCluster.forall { case (cid, ms) => ms.map(_._1).min == cid })
+    assert(byCluster.forall { case (cid, ms) =>
+      ms.count(_._3) == 1 && ms.find(_._3).get._1 == cid })
+  }
+
   test("lsh ann recall vs brute force is nontrivial") {
     val brute = Similarity.bruteForceTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

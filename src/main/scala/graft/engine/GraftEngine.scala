@@ -229,17 +229,17 @@ final class GraftEngine(
     merged.values.iterator.map(_._2).sum
   }
 
-  /** A2/P6 composed — the config's countQuery conditions run against
-    * each pipeline's TARGET table (the reference's count monitoring,
-    * query_counter.go:59-280 driven from monitor.go): one conditional
-    * live-row count per table that declares conditions, incrementally
-    * maintained per bucket (see the cache note above). */
   /** Drop cache entries for pipelines no longer in the config — must
     * run on EVERY monitoring entry point, or config churn (tasks
     * removed/renamed over weeks) leaks per-bucket maps forever. */
   private def pruneCountCache(): Unit =
     countCache.keys.toSeq.filterNot(pipelineDefs.contains).foreach(countCache.remove)
 
+  /** A2/P6 composed — the config's countQuery conditions run against
+    * each pipeline's TARGET table (the reference's count monitoring,
+    * query_counter.go:59-280 driven from monitor.go): one conditional
+    * live-row count per table that declares conditions, incrementally
+    * maintained per bucket (see the cache note above). */
   def countReport(anchorUtc: LocalDateTime = clock()): Map[String, Long] = {
     pruneCountCache()
     pipelineDefs.collect {

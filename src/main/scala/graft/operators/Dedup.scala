@@ -193,9 +193,9 @@ object Dedup {
     val e0 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = PlanCache.tracked(
       e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
-    var labels = PlanCache.tracked(
-      edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
-        .select(col("a").as("doc_id"), least(col("a"), col("mn")).as("cluster_id")))
+    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a").as("doc_id"), least(col("a"), col("mn")).as("cluster_id"))
+      .persist()
     // labels only ever DECREASE, so the label sum strictly decreases
     // until the fixpoint: a stationary sum IS convergence (cast to
     // decimal(38,0) — a Long sum could overflow on 64-bit ids at scale)
@@ -206,17 +206,31 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nb")), "b")
         .groupBy(col("a").as("doc_id")).agg(min(col("nb")).as("nbr_min"))
-      val next = PlanCache.tracked(
-        labels.join(nbrMin, "doc_id")
-          .select(col("doc_id"),
-            least(col("cluster_id"), col("nbr_min")).as("cluster_id")))
+      val next = labels.join(nbrMin, "doc_id")
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .persist()
       val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
       converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
+      // the probe just materialized `next`, so the superseded generation
+      // is dead weight — release it now instead of pinning maxIters
+      // label snapshots until the caller's PlanCache.release (an evicted
+      // `next` recomputes through lineage back to the cached edges)
+      labels.unpersist()
       labels = next
       i += 1
     }
-    labels
+    // a silent non-converged return would break the contract downstream
+    // dedup relies on (cluster_id = component min ⇒ exactly one
+    // canonical member): a chain longer than maxIters must surface
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "a component's diameter exceeds the cap; raise maxIters")
+    }
+    PlanCache.tracked(labels) // same frame, caller-released like `edges`
   }
 
   /** Near-dup clusters of the documents table with canonical-survivor

@@ -143,6 +143,12 @@ class TextDedupSpec extends SparkSpec {
     assert(graft.operators.Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
     graft.operators.PlanCache.release()
+    // a diameter beyond the iteration cap SURFACES instead of returning
+    // phantom clusters whose id is no member's doc_id
+    val e = intercept[IllegalStateException](graft.operators.Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b"), maxIters = 1))
+    assert(e.getMessage.contains("did not converge"))
+    graft.operators.PlanCache.release()
     // end-to-end over the real pair graph: each cluster id is the
     // component minimum, every pair lands in one cluster
     val real = graft.operators.Dedup.dedupClusters(spark, sf)

@@ -190,47 +190,77 @@ object Dedup {
     *
     * Input columns: `doc_a`, `doc_b`. Output: (`doc_id`, `cluster_id`). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val e0 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = PlanCache.tracked(
-      e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
+    // both edge orientations from ONE pass over the pair plan (explode,
+    // not self-union): pairs is typically an UNCACHED near-dup pipeline,
+    // and a self-union roots two copies of it — everything past the last
+    // exchange (candidate join, dedup, the verify joins) would run twice
+    // on first materialization
+    val edges = PlanCache.tracked(pairs.select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b")))
     var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
       .select(col("a").as("doc_id"), least(col("a"), col("mn")).as("cluster_id"))
       .persist()
     // labels only ever DECREASE, so the label sum strictly decreases
-    // until the fixpoint: a stationary sum IS convergence (cast to
-    // decimal(38,0) — a Long sum could overflow on 64-bit ids at scale)
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nb")), "b")
-        .groupBy(col("a").as("doc_id")).agg(min(col("nb")).as("nbr_min"))
-      val next = labels.join(nbrMin, "doc_id")
-        .select(col("doc_id"),
-          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
-        .persist()
-      val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first().getDecimal(0)
-      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
-      prevSum = s
-      // the probe just materialized `next`, so the superseded generation
-      // is dead weight — release it now instead of pinning maxIters
-      // label snapshots until the caller's PlanCache.release (an evicted
-      // `next` recomputes through lineage back to the cached edges)
-      labels.unpersist()
-      labels = next
-      i += 1
+    // until the fixpoint: an iteration whose sum equals the previous
+    // generation's IS convergence (decimal(38,0) — a Long sum could
+    // overflow on 64-bit ids at scale). A null sum with rows present
+    // means the DECIMAL overflowed (non-ANSI sum returns null): that
+    // must not read as "converged" — it would return non-fixpoint labels
+    def probe(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)")), count(lit(1))).first()
+      if (r.isNullAt(0) && r.getLong(1) > 0)
+        throw new IllegalStateException(
+          "connectedComponents: label-sum overflow in the convergence probe")
+      r.getDecimal(0)
     }
-    // a silent non-converged return would break the contract downstream
-    // dedup relies on (cluster_id = component min ⇒ exactly one
-    // canonical member): a chain longer than maxIters must surface
-    if (!converged) {
-      labels.unpersist()
-      throw new IllegalStateException(
+    try {
+      // baseline from the initial labels (this also materializes the
+      // cache), so an already-converged graph is detected on its FIRST
+      // iteration rather than needing two probes to see a repeat
+      var prevSum = probe(labels)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        // next(x) = min(label(x), min over neighbors b of label(b)) in
+        // ONE join + ONE aggregate: union the node's own label under the
+        // neighbor labels and take the group min — the label-refresh
+        // join the naive form runs afterwards is a third shuffle of the
+        // node set per iteration that this shape never pays
+        val nbr = edges
+          .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("lbl")), "b")
+          .select(col("a").as("doc_id"), col("lbl"))
+        val next = labels.select(col("doc_id"), col("cluster_id").as("lbl"))
+          .union(nbr)
+          .groupBy("doc_id").agg(min(col("lbl")).as("cluster_id"))
+          .persist()
+        val s = try probe(next) catch { case t: Throwable => next.unpersist(); throw t }
+        converged = (s == null && prevSum == null) ||
+          (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+        prevSum = s
+        // the probe just materialized `next`, so the superseded
+        // generation is dead weight — release it now instead of pinning
+        // maxIters label snapshots until the caller's PlanCache.release
+        // (an evicted `next` recomputes through lineage back to the
+        // cached edges)
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      // a silent non-converged return would break the contract
+      // downstream dedup relies on (cluster_id = component min ⇒ exactly
+      // one canonical member): a chain longer than maxIters must surface
+      if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations — " +
           "a component's diameter exceeds the cap; raise maxIters")
+      PlanCache.tracked(labels) // same frame, caller-released like `edges`
+    } catch {
+      // error paths (probe failure, non-convergence) must not strand the
+      // current generation in the block manager where the caller's
+      // PlanCache.release cannot reach it
+      case t: Throwable => labels.unpersist(); throw t
     }
-    PlanCache.tracked(labels) // same frame, caller-released like `edges`
   }
 
   /** Near-dup clusters of the documents table with canonical-survivor

@@ -149,6 +149,13 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b"), maxIters = 1))
     assert(e.getMessage.contains("did not converge"))
     graft.operators.PlanCache.release()
+    // ...but a graph whose INITIAL labels are already the fixpoint
+    // converges within maxIters = 1 (detection baselines on the initial
+    // sum, not on two in-loop repeats)
+    assert(graft.operators.Dedup.connectedComponents(
+        Seq((1L, 2L)).toDF("doc_a", "doc_b"), maxIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 1L))
+    graft.operators.PlanCache.release()
     // end-to-end over the real pair graph: each cluster id is the
     // component minimum, every pair lands in one cluster
     val real = graft.operators.Dedup.dedupClusters(spark, sf)

@@ -151,6 +151,9 @@ object SparkEntry {
     "q47_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "q48_cdc_tombstones" -> (Cdc.finalStateWithTombstones _),
     "q49_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "q50_incremental_dedup" -> ((s, d) => Dedup.incrementalPairs(s, d)),
+    "q51_weighted_mix" -> ((s, d) => TextOps.weightedSample(s, d)),
+    "q52_seq_pack" -> ((s, d) => TextOps.packSequences(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -578,6 +581,38 @@ object SparkEntry {
         |                               ORDER BY ts DESC, off DESC) AS rn
         |  FROM log) WHERE rn = 1""".stripMargin,
     "q49_dedup_clusters" -> q49Sql,
+    // incremental dedup == the full pair set restricted to pairs with a
+    // batch member: the oracle replays the WHOLE pipeline and filters,
+    // proving the index-probe shortcut loses nothing
+    "q50_incremental_dedup" ->
+      s"""WITH $q25Ctes
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin,
+    "q51_weighted_mix" -> {
+      val cases = graft.operators.TextOps.DefaultMixRates.toSeq.sortBy(_._1)
+        .map { case (s, r) => s"WHEN '$s' THEN ${(r * 10000).toInt}" }.mkString(" ")
+      s"""SELECT doc_id, source, mix_bp FROM (
+         |  SELECT doc_id, source,
+         |    CAST('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 10000 AS mix_bp
+         |  FROM documents)
+         |WHERE mix_bp < CASE source $cases ELSE 0 END""".stripMargin
+    },
+    "q52_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('pack-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % ${graft.operators.TextOps.PackGroups} AS pack_group,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         | c AS (SELECT doc_id, pack_group, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, pack_group, n_tokens,
+         |  (cum - n_tokens) // 512 AS chunk_id,
+         |  (cum - n_tokens) % 512 + n_tokens > 512 AS spans_boundary
+         |FROM c""".stripMargin,
     // ASCII payloads: char offsets == byte offsets, so the string
     // substring replays the frame slicing exactly
     "q47_frame_sample" ->

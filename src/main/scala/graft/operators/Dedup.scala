@@ -138,6 +138,44 @@ object Dedup {
     verifyJaccard(cand, hashed.select(col("doc_id"), col("hs")), threshold)
   }
 
+  /** Incremental near-dup detection — the steady-state shape of corpus
+    * dedup at 100 TB: when a NEW BATCH of documents arrives (a crawl
+    * increment, typically ≪1% of the corpus), re-pairing the whole
+    * corpus is O(corpus²-ish) wasted work. Instead, band ONLY against
+    * the batch: candidates = batch-bands ⋈ all-bands on (band, bucket),
+    * so the join probes the full band index with the small batch side —
+    * cost O(batch × bucket-mates), independent of corpus-pair count.
+    * In a productionized pipeline the corpus's (band, bucket, n) index
+    * and element hashes are persisted once and appended per batch
+    * (exactly the `bands`/`hashed` frames here); signatures are never
+    * recomputed for old docs.
+    *
+    * Returns exactly the subset of [[minhashPairs]] with at least one
+    * member in the batch (same banding, same verify), oriented
+    * doc_a < doc_b — which is what the q50 oracle checks.
+    *
+    * `isBatch` marks the new documents; default: doc_id % 10 = 0. */
+  def incrementalPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      k: Int = 3, isBatch: Column = col("doc_id") % 10 === 0): DataFrame = {
+    val hashed = PlanCache.tracked(Tables(spark, dir, "documents")
+      .select(col("doc_id"), isBatch.as("is_batch"),
+        elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs")))
+    val docs = minhashSignatures(hashed.withColumn("n", size(col("hs"))),
+      carry = Seq("is_batch", "n"))
+    val bands = PlanCache.tracked(explodeBands(docs, carry = Seq("is_batch", "n")))
+    // batch side probes the full index; a corpus↔corpus bucket pair
+    // never forms a candidate here. doc_id inequality (not <) because
+    // orientation is fixed AFTER the join — a batch doc must also pair
+    // with lower-id corpus docs.
+    val cand = bands.filter(col("is_batch")).as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id") && sizeRatioOk(threshold))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cand, hashed.select(col("doc_id"), col("hs")), threshold)
+  }
+
   /** Size-ratio prefilter on a banded candidate join: J(A,B) ≥ t forces
     * |A∩B| ≥ t·|A∪B|, and |A∩B| ≤ min(|A|,|B|) ≤ max(|A|,|B|) ≤ |A∪B|,
     * so min(|A|,|B|) ≥ t·max(|A|,|B|). Checking the two set SIZES (a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -49,4 +49,73 @@ object TextOps {
     Tables(spark, dir, "documents").select(
       col("doc_id"),
       Text.fingerprint(col("text")).as("fingerprint"))
+
+  // ---- dataset mixing -------------------------------------------------
+
+  /** Default mix for the 20-source testdata: rates cycle ¼, ½, ¾, 1 by
+    * numeric source suffix — exercises every rate class incl. keep-all. */
+  val DefaultMixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
+
+  /** Deterministic per-row sampling decision in basis points (0..9999):
+    * a 60-bit md5 of the salted doc id, mod 10⁴. Pure function of the
+    * id — re-running the mixer on a grown corpus keeps every previously
+    * selected document selected (stable training mixes), unlike
+    * `rand()`-based `DataFrame.sample`. */
+  private def mixHash(docId: Column, salt: String): Column =
+    pmod(Text.md5Hash60(concat(lit(salt), docId.cast("string"))), lit(10000))
+
+  /** Weighted dataset mixer — stratified downsampling by source with
+    * per-source keep rates, the "data mixture" step of a training-data
+    * pipeline (e.g. upweight curated sources, downweight crawl).
+    *
+    * Scale: a pure per-row filter — no shuffle, no per-source pass; the
+    * rate lookup folds into a CASE expression so one scan handles any
+    * number of sources, and the parquet scan prunes to the 3 used
+    * columns. Deterministic hash sampling also makes the mix
+    * REPRODUCIBLE across runs and engines (the DuckDB oracle replays
+    * the same md5 decision bit-for-bit). */
+  def weightedSample(spark: SparkSession, dir: String,
+      rates: Map[String, Double] = DefaultMixRates,
+      salt: String = "mix-"): DataFrame = {
+    // unknown source ⇒ rate 0 (drop): a mixer must never silently pass
+    // through a source the mix spec doesn't mention
+    val rateBp = rates.foldLeft(lit(0)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit((r * 10000).toInt)).otherwise(acc) }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), mixHash(col("doc_id"), salt).as("mix_bp"))
+      .filter(col("mix_bp") < rateBp)
+  }
+
+  // ---- sequence packing ----------------------------------------------
+
+  val PackGroups = 8
+
+  /** Sequence packing — assign documents to fixed-capacity training
+    * sequences by concatenation order (GPT-style "concat then chop"):
+    * documents are laid head-to-tail in deterministic (group, doc_id)
+    * order; a document starting at running offset `o` with `n` tokens
+    * occupies chunk ⌊o/capacity⌋ and spans a boundary iff
+    * o mod capacity + n > capacity.
+    *
+    * Scale: the running sum is a window per PACK GROUP, and groups are
+    * assigned by document hash — so parallelism is `PackGroups` (set ∝
+    * cluster size in production; 8 here), never one global sort. Each
+    * group's window sorts only its own partition; no stage sees the
+    * whole corpus in one task. */
+  def packSequences(spark: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_group")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        pmod(Text.md5Hash60(concat(lit("pack-"), col("doc_id").cast("string"))),
+          lit(PackGroups)).as("pack_group"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("pack_group"), col("n_tokens"),
+        ((col("_cum") - col("n_tokens")) / capacity).cast("long").as("chunk_id"),
+        (pmod(col("_cum") - col("n_tokens"), lit(capacity.toLong)) + col("n_tokens")
+          > capacity).as("spans_boundary"))
+  }
 }

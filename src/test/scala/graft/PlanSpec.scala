@@ -52,10 +52,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup verification runs the codegen'd kernel, not array_intersect") {
-    Seq("q25_minhash_pairs", "q27_token_jaccard").foreach { name =>
+    Seq("q25_minhash_pairs", "q27_token_jaccard", "q50_incremental_dedup").foreach { name =>
       val p = plan(name)
       assert(p.contains("sorted_long_intersect_card"), name)
       assert(!p.contains("array_intersect"), name)
     }
+  }
+
+  test("the weighted mix is a pure scan+filter — zero exchanges") {
+    // the mixer's whole point at 100 TB: a per-row hash decision that
+    // never shuffles; a refactor that introduces a per-source join or
+    // aggregate would still pass the value check
+    val p = plan("q51_weighted_mix")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("sequence packing plans one partitioned window, no global sort") {
+    val p = plan("q52_seq_pack")
+    assert(p.contains("Window"), p)
+    // exactly one exchange: the hash partition by pack_group. A GLOBAL
+    // running sum would plan a single-partition exchange — the
+    // one-task-sees-everything shape this op is designed to avoid.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 }

@@ -195,4 +195,70 @@ class TextDedupSpec extends SparkSpec {
     // each query emits exactly k rows (cells are never empty here)
     assert(Similarity.ivfTopK(spark, sf).count() == 50)
   }
+
+  test("incremental dedup finds exactly the full pair set's batch-touching pairs") {
+    // the batch-probes-index shortcut must lose nothing relative to
+    // re-pairing the whole corpus: same banding, same verify, so the
+    // result is the full pair list filtered to ≥1 batch member
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.minhashPairs(spark, sf))
+    graft.operators.PlanCache.release()
+    val inc = pairs(Dedup.incrementalPairs(spark, sf))
+    graft.operators.PlanCache.release()
+    val expected = full.filter { case (a, b, _) => a % 10 == 0 || b % 10 == 0 }
+    assert(inc == expected)
+    assert(full.exists { case (a, b, _) => a % 10 != 0 && b % 10 != 0 },
+      "fixture has corpus-only pairs, so the filter is actually exercised")
+  }
+
+  test("weighted mix is deterministic, rate-monotone, and drops unlisted sources") {
+    import graft.operators.TextOps
+    val once = TextOps.weightedSample(spark, sf).collect().map(_.getLong(0)).toSet
+    val again = TextOps.weightedSample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(once == again) // hash decision, not rand(): reproducible mixes
+    // rate 1.0 keeps every doc of that source; rate 0 ⇒ absent
+    val keepAll = TextOps.DefaultMixRates.filter(_._2 == 1.0).keySet
+    val bySrc = TextOps.weightedSample(spark, sf)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables(spark, sf, "documents")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keepAll.foreach(s => assert(bySrc.get(s) == totals.get(s)))
+    // raising a source's rate only ever ADDS documents (hash thresholds nest)
+    val low = TextOps.weightedSample(spark, sf, Map("src0" -> 0.25))
+      .collect().map(_.getLong(0)).toSet
+    val high = TextOps.weightedSample(spark, sf, Map("src0" -> 0.75))
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    // a source missing from the mix spec contributes nothing
+    assert(TextOps.weightedSample(spark, sf, Map("src1" -> 1.0))
+      .filter(col("source") =!= "src1").count() == 0)
+  }
+
+  test("sequence packing matches a sequential per-group replay") {
+    import graft.operators.TextOps
+    val cap = 512
+    val got = TextOps.packSequences(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // every document packed exactly once
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.length == Tables(spark, sf, "documents").count())
+    // replay each group's concat-then-chop layout sequentially in Scala
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, chunk, spans) =>
+        assert(chunk == cum / cap)
+        assert(spans == (cum % cap + n > cap))
+        cum += n
+      }
+    }
+    // chunk ids are dense per group: a chunk boundary is only ever
+    // crossed by adjacent documents (no empty chunks... except when one
+    // doc longer than cap skips chunks — allowed by concat-chop; assert
+    // monotone non-decreasing instead)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val chunks = rows.sortBy(_._1).map(_._4)
+      assert(chunks.zip(chunks.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
 }

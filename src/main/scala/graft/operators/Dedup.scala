@@ -100,8 +100,10 @@ object Dedup {
     * each, joined into one string bucket key. Cardinality of (band,
     * bucket) grows with the corpus — the scale-safe join key. `carry`
     * columns ride along through the explode (cheaper than re-joining
-    * them onto 16× the rows afterwards). */
-  private def explodeBands(df: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    * them onto 16× the rows afterwards). Package-visible: the streaming
+    * dedup pipeline bands with the identical expression so its buckets
+    * line up with the batch index. */
+  private[graft] def explodeBands(df: DataFrame, carry: Seq[String] = Nil): DataFrame =
     df.select(col("doc_id") +: carry.map(col) :+
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
         b => concat_ws("-", slice(col("mh"), b * BandRows + 1, lit(BandRows))))): _*)

@@ -49,19 +49,40 @@ object SparkEntry {
   private lazy val q25Sql: String =
     s"WITH $q25Ctes SELECT doc_a, doc_b, jaccard FROM pairs"
 
-  /** q49: connected components over q25's pair graph via a recursive
-    * transitive closure; cluster id = min reachable doc_id — the exact
-    * fixpoint the Spark side's min-label propagation converges to. */
+  /** Transitive-closure CTEs over a `pairs(doc_a, doc_b)` relation,
+    * ending in `clus(doc_id, cluster_id)` — cluster id = min reachable
+    * id, the exact fixpoint the Spark side's min-label propagation
+    * converges to. Shared by q49 (text clusters), q53 (curation), and —
+    * with renamed columns — q54 (embedding clusters). */
+  private val ccCtes: String =
+    """edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+      | reach(a, b) AS (
+      |   SELECT a, b FROM edges
+      |   UNION
+      |   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      | clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |          FROM reach GROUP BY a)""".stripMargin
+
+  /** q49: connected components over q25's pair graph. */
   private lazy val q49Sql: String =
     s"""WITH RECURSIVE $q25Ctes,
-       | edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |           UNION ALL SELECT doc_b, doc_a FROM pairs),
-       | reach(a, b) AS (
-       |   SELECT a, b FROM edges
-       |   UNION
-       |   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM (
-       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+       | $ccCtes
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM clus""".stripMargin
+
+  /** DuckDB twin of [[graft.functions.Text.qualityScore]] /
+    * [[graft.functions.Text.langId]] given `toks` + stopword count `sw`. */
+  private val qualityExpr: String =
+    """round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      + 0.4 * (1.0 - sw / len(toks))
+      |      + 0.2 * least(len(toks) / 100.0, 1.0), 4)""".stripMargin
+  private val docMetricsCte: String =
+    s"""m AS (SELECT doc_id, source, $qualityExpr AS quality,
+       |    CASE WHEN sw / len(toks) > 0.03 THEN 'en' ELSE 'und' END AS guess
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        x -> x IN ('the','a','and','of'))) AS DOUBLE) AS sw
+       |    FROM documents))""".stripMargin
 
   /** q26: 60-bit simhash + 4×15-bit chunk banding + Hamming filter. */
   private lazy val q26Sql: String = {
@@ -154,6 +175,9 @@ object SparkEntry {
     "q50_incremental_dedup" -> ((s, d) => Dedup.incrementalPairs(s, d)),
     "q51_weighted_mix" -> ((s, d) => TextOps.weightedSample(s, d)),
     "q52_seq_pack" -> ((s, d) => TextOps.packSequences(s, d)),
+    "q53_curate" -> ((s, d) => TextOps.curate(s, d)),
+    "q54_embedding_clusters" -> ((s, d) => Similarity.embeddingClusters(s, d)),
+    "q55_top_quality" -> ((s, d) => TextOps.topQualityPerSource(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -598,6 +622,39 @@ object SparkEntry {
          |  FROM documents)
          |WHERE mix_bp < CASE source $cases ELSE 0 END""".stripMargin
     },
+    // the curation chain: quality bar + langID + near-dup survivors —
+    // the full q25 pipeline, the closure, AND the metric expressions
+    // replayed in one statement
+    "q53_curate" ->
+      s"""WITH RECURSIVE $q25Ctes,
+         | $ccCtes,
+         | $docMetricsCte
+         |SELECT doc_id, source, quality FROM m
+         |WHERE quality >= 0.66 AND guess = 'en'
+         |  AND doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)""".stripMargin,
+    "q54_embedding_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        |  FROM embeddings x JOIN embeddings y
+        |    ON x.label = y.label AND x.vec_id < y.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))), 6) >= 0.4),
+        | edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+        | reach(a, b) AS (
+        |   SELECT a, b FROM edges
+        |   UNION
+        |   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical FROM (
+        |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin,
+    "q55_top_quality" ->
+      s"""WITH $docMetricsCte
+         |SELECT doc_id, source, quality, rank FROM (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality DESC, doc_id ASC) AS rank
+         |  FROM m)
+         |WHERE rank <= 5""".stripMargin,
     "q52_seq_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -132,6 +132,20 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
+  /** Embedding near-dup CLUSTERS: the exact pair graph from
+    * [[embeddingNearDups]] collapsed by connected components — semantic
+    * dedup's clustering step, sharing [[Dedup.connectedComponents]]
+    * with the text pipeline (the component algebra doesn't care whether
+    * edges came from Jaccard or cosine). `cluster_id` = min vec_id
+    * reachable; the member equal to it is the canonical survivor. */
+  def embeddingClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame =
+    Dedup.connectedComponents(
+        embeddingNearDups(spark, dir, threshold)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+
   /** LSH-bucketed ANN (scale path): 16-bit hyperplane signature, then
     * multi-probe via 4-bit bands — only same-band candidates are
     * scored, then per-query top-k. Approximate by design; the DuckDB

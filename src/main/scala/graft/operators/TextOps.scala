@@ -50,6 +50,46 @@ object TextOps {
       col("doc_id"),
       Text.fingerprint(col("text")).as("fingerprint"))
 
+  // ---- corpus curation ------------------------------------------------
+
+  /** End-to-end curation — the composed filter chain a training-data
+    * pipeline runs before mixing: keep documents that (1) clear the
+    * quality bar, (2) language-ID as English, and (3) survive near-dup
+    * clustering (a document in a cluster is kept only if it is the
+    * cluster's canonical member; documents with no near-dup are
+    * implicitly canonical and never enter the cluster list).
+    *
+    * Scale: (1) and (2) are per-row expressions fused into the scan;
+    * (3) is an anti-join against the cluster LOSERS only — a set that
+    * is small relative to the corpus (near-dup victims), broadcast-able
+    * in practice, and Catalyst picks that up from stats/AQE. */
+  def curate(spark: SparkSession, dir: String, minQuality: Double = 0.66): DataFrame = {
+    val losers = Dedup.dedupClusters(spark, dir)
+      .filter(!col("is_canonical")).select(col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.langId(col("text")).as("guess"))
+      .filter(col("quality") >= minQuality && col("guess") === "en")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "quality")
+  }
+
+  /** Per-source quality cap: the best `n` documents of each source by
+    * quality score (ties broken by doc_id for cross-engine
+    * determinism) — the "keep the best K per domain" curation rule.
+    * One window partitioned by source; at scale partition count =
+    * source count, so pair with a salted pre-aggregation if a single
+    * source dominates the corpus. */
+  def topQualityPerSource(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id").asc)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), Text.qualityScore(col("text")).as("quality"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
   // ---- dataset mixing -------------------------------------------------
 
   /** Default mix for the 20-source testdata: rates cycle ¼, ½, ¾, 1 by

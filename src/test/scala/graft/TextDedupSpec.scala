@@ -235,6 +235,77 @@ class TextDedupSpec extends SparkSpec {
       .filter(col("source") =!= "src1").count() == 0)
   }
 
+  test("curation keeps exactly: quality bar + langID + near-dup survivors") {
+    import graft.operators.TextOps
+    val kept = TextOps.curate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    graft.operators.PlanCache.release()
+    val metrics = Tables(spark, sf, "documents").select(col("doc_id"),
+        Text.qualityScore(col("text")).as("q"), Text.langId(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    graft.operators.PlanCache.release()
+    val expected = metrics.collect {
+      case (id, (q, g)) if q >= 0.66 && g == "en" && clusters.getOrElse(id, true) => id -> q
+    }
+    assert(kept == expected.toMap)
+    // the chain actually prunes on every leg here
+    assert(metrics.exists { case (_, (q, _)) => q < 0.66 })
+    assert(metrics.exists { case (_, (_, g)) => g != "en" })
+    assert(clusters.exists(!_._2))
+  }
+
+  test("embedding clusters are the components of the near-dup pair graph") {
+    val pairs = Similarity.embeddingNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Similarity.embeddingClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    graft.operators.PlanCache.release()
+    // brute-force closure on the driver (tiny pair graph)
+    var label = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(n => n -> n).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      pairs.foreach { case (a, b) =>
+        val m = math.min(label(a), label(b))
+        if (label(a) != m || label(b) != m) {
+          label += a -> m; label += b -> m; changed = true
+        }
+      }
+    }
+    assert(got.map(g => g._1 -> g._2).toMap == label)
+    assert(got.forall(g => g._3 == (g._1 == g._2)))
+    assert(got.nonEmpty)
+  }
+
+  test("per-source quality cap keeps the best n with deterministic ties") {
+    import graft.operators.TextOps
+    val n = 5
+    val got = TextOps.topQualityPerSource(spark, sf, n).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(2), r.getInt(3)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= n)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+      // rank order follows (quality desc, doc_id asc)
+      val byRank = rows.sortBy(_._4)
+      byRank.zip(byRank.drop(1)).foreach { case (hi, lo) =>
+        assert(hi._3 > lo._3 || (hi._3 == lo._3 && hi._2 < lo._2))
+      }
+    }
+    // nothing outside the top-n: every excluded doc of a source is no
+    // better than the worst kept one
+    val worstKept = got.groupBy(_._1).view.mapValues(_.map(r => (r._3, r._2)).min).toMap
+    Tables(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .filterNot(d => got.exists(g => g._2 == d._2))
+      .foreach { case (src, id, q) =>
+        val (wq, wid) = worstKept(src)
+        assert(q < wq || (q == wq && id > wid))
+      }
+  }
+
   test("sequence packing matches a sequential per-group replay") {
     import graft.operators.TextOps
     val cap = 512

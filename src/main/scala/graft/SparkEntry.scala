@@ -178,6 +178,8 @@ object SparkEntry {
     "q53_curate" -> ((s, d) => TextOps.curate(s, d)),
     "q54_embedding_clusters" -> ((s, d) => Similarity.embeddingClusters(s, d)),
     "q55_top_quality" -> ((s, d) => TextOps.topQualityPerSource(s, d)),
+    "q56_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q57_repetition" -> ((s, d) => TextOps.repetitionScores(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -682,5 +684,26 @@ object SparkEntry {
         |  md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_md5
         |FROM e
         |WHERE frame_idx % 4 = 0""".stripMargin,
+    // q56: replay shingling + 60-bit md5 hashing, then the eval↔train
+    // n-gram collision count (eval slice = doc_id % 10 = 0, k = 4)
+    "q56_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+        |    THEN list_transform(range(0, len(toks) - 3), i -> array_to_string(toks[i+1:i+4], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+        | h AS (SELECT doc_id,
+        |    list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs FROM sh),
+        | ev AS (SELECT DISTINCT unnest(hs) AS hsh FROM h WHERE doc_id % 10 = 0),
+        | tr AS (SELECT doc_id, unnest(hs) AS hsh FROM h WHERE doc_id % 10 <> 0)
+        |SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (hsh)
+        |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
+    "q57_repetition" ->
+      """WITH sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT doc_id, len(shs) AS n_shingles,
+        |  round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs), 4) AS dup_shingle_frac
+        |FROM sh""".stripMargin,
   )
 }

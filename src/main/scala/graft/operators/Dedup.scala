@@ -420,4 +420,35 @@ object Dedup {
     // verify over element hashes, not token strings — see minhashPairs
     verifyJaccard(cand, hashed.select(col("doc_id"), col("hs")), threshold)
   }
+
+  // ---- eval-set decontamination ---------------------------------------
+
+  /** Benchmark decontamination: flag training documents that share at
+    * least `minHits` distinct k-token shingles with an eval/benchmark
+    * set — the n-gram-collision rule used to scrub test-set leakage out
+    * of a training corpus before mixing. The sandbox has no separate
+    * benchmark table, so the "eval set" is the deterministic
+    * `doc_id % evalMod == 0` slice of the corpus; in production it is a
+    * tiny external table and only the eval branch changes.
+    *
+    * Scale: the eval shingle set is benchmark-sized (MBs even for a
+    * full eval suite), so it BROADCASTS — the training side is one
+    * corpus scan + explode feeding a map-side hash join; nothing
+    * shuffles until the per-doc hit count, which groups only the
+    * matched (doc, shingle) rows, a vanishing fraction of the corpus.
+    * Shingles are compared as 60-bit md5 hashes (8 bytes shipped per
+    * shingle, and the DuckDB oracle replays the same hash exactly). */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 4,
+      minHits: Int = 2, evalMod: Int = 10): DataFrame = {
+    val hashed = Tables(spark, dir, "documents").select(col("doc_id"),
+      array_distinct(transform(Text.shingles(col("text"), k), s => Text.md5Hash60(s))).as("hs"))
+    val eval = hashed.filter(col("doc_id") % evalMod === 0)
+      .select(explode(col("hs")).as("hsh")).distinct()
+    val train = hashed.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(col("hs")).as("hsh"))
+    // hs is distinct per doc, so count(*) counts DISTINCT matched shingles
+    train.join(broadcast(eval), "hsh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
 }

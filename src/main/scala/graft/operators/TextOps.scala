@@ -50,6 +50,22 @@ object TextOps {
       col("doc_id"),
       Text.fingerprint(col("text")).as("fingerprint"))
 
+  /** Within-document repetition signal (the Gopher-rules "repeated
+    * n-gram fraction"): the share of a document's k-token shingles that
+    * duplicate an earlier shingle in the SAME document — loops,
+    * boilerplate, and template spam score high and get filtered before
+    * training. Pure per-row expression: fuses into the scan, no
+    * shuffle, whole-stage codegen. */
+  def repetitionScores(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val shs = Text.shingles(col("text"), k)
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(shs).as("n_shingles"),
+      round(lit(1.0) -
+        size(array_distinct(shs)).cast("double") / size(shs).cast("double"), 4)
+        .as("dup_shingle_frac"))
+  }
+
   // ---- corpus curation ------------------------------------------------
 
   /** End-to-end curation — the composed filter chain a training-data

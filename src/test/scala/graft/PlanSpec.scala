@@ -51,6 +51,13 @@ class PlanSpec extends SparkSpec {
       (p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThanOrEqual(`ts")), p)
   }
 
+  test("decontamination broadcasts the eval shingle set") {
+    // the training side must stream map-side past a broadcast of the
+    // benchmark hashes — a shuffled join here would reshuffle the whole
+    // exploded corpus at 100 TB
+    assert(plan("q56_decontaminate").contains("BroadcastHashJoin"))
+  }
+
   test("dedup verification runs the codegen'd kernel, not array_intersect") {
     Seq("q25_minhash_pairs", "q27_token_jaccard", "q50_incremental_dedup").foreach { name =>
       val p = plan(name)

@@ -332,4 +332,40 @@ class TextDedupSpec extends SparkSpec {
       assert(chunks.zip(chunks.drop(1)).forall { case (a, b) => a <= b })
     }
   }
+
+  test("decontamination flags exactly the docs sharing >=2 eval shingles") {
+    val flagged = Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay on the driver from the raw shingle sets
+    val shs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 4)).as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val evalShingles = shs.collect { case (id, s) if id % 10 == 0 => s }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = shs.collect {
+      case (id, s) if id % 10 != 0 && (s & evalShingles).size >= 2 =>
+        id -> (s & evalShingles).size.toLong
+    }.toMap
+    assert(flagged == expected)
+    assert(flagged.nonEmpty, "fixture has eval-overlapping docs")
+    assert(flagged.keySet.forall(_ % 10 != 0), "eval docs never flag themselves")
+  }
+
+  test("repetition score is the duplicate-shingle fraction") {
+    import graft.operators.TextOps
+    val got = TextOps.repetitionScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val raw = Tables(spark, sf, "documents")
+      .select(col("doc_id"), Text.shingles(col("text"), 3).as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    got.foreach { case (id, n, frac) =>
+      val shs = raw(id)
+      assert(n == shs.length)
+      val expect = BigDecimal(1.0 - shs.distinct.length.toDouble / shs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(frac - expect) < 1e-9)
+      assert(frac >= 0.0 && frac < 1.0)
+    }
+    assert(got.exists(_._3 > 0.0), "fixture has docs with repeated shingles")
+  }
 }

@@ -440,8 +440,11 @@ object Dedup {
     * shingle, and the DuckDB oracle replays the same hash exactly). */
   def decontaminate(spark: SparkSession, dir: String, k: Int = 4,
       minHits: Int = 2, evalMod: Int = 10): DataFrame = {
-    val hashed = Tables(spark, dir, "documents").select(col("doc_id"),
-      array_distinct(transform(Text.shingles(col("text"), k), s => Text.md5Hash60(s))).as("hs"))
+    // cached: the eval and train branches are disjoint filters of this
+    // frame — without the cache each branch re-runs the scan and the
+    // shingle+md5 work (the dominant cost) once more
+    val hashed = PlanCache.tracked(Tables(spark, dir, "documents").select(col("doc_id"),
+      array_distinct(transform(Text.shingles(col("text"), k), s => Text.md5Hash60(s))).as("hs")))
     val eval = hashed.filter(col("doc_id") % evalMod === 0)
       .select(explode(col("hs")).as("hsh")).distinct()
     val train = hashed.filter(col("doc_id") % evalMod =!= 0)

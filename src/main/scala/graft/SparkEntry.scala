@@ -180,6 +180,7 @@ object SparkEntry {
     "q55_top_quality" -> ((s, d) => TextOps.topQualityPerSource(s, d)),
     "q56_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q57_repetition" -> ((s, d) => TextOps.repetitionScores(s, d)),
+    "q58_corpus_stats" -> (TextOps.corpusStats _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -705,5 +706,19 @@ object SparkEntry {
         |SELECT doc_id, len(shs) AS n_shingles,
         |  round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs), 4) AS dup_shingle_frac
         |FROM sh""".stripMargin,
+    "q58_corpus_stats" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN ('the','a','and','of'))) AS DOUBLE) AS sw
+         |  FROM documents),
+         | d AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    $qualityExpr AS quality,
+         |    CASE WHEN sw / len(toks) > 0.03 THEN 1 ELSE 0 END AS is_en
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |  round(avg(n_tokens), 2) AS avg_tokens,
+         |  round(avg(quality), 4) AS avg_quality,
+         |  round(avg(is_en), 4) AS en_frac
+         |FROM d GROUP BY source""".stripMargin,
   )
 }

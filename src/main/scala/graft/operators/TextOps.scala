@@ -66,6 +66,24 @@ object TextOps {
         .as("dup_shingle_frac"))
   }
 
+  /** Per-source corpus report — the health summary a curation pipeline
+    * emits after each build: volume, token mass, mean quality, and
+    * language mix per source. One scan, one partial-aggregated
+    * hash-agg on `source`; every metric is algebraic (sum/count/avg),
+    * so the map-side combine ships one row per (task, source). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.qualityScore(col("text")).as("quality"),
+        (Text.langId(col("text")) === "en").cast("int").as("is_en"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        round(avg(col("is_en")), 4).as("en_frac"))
+
   // ---- corpus curation ------------------------------------------------
 
   /** End-to-end curation — the composed filter chain a training-data

@@ -351,6 +351,28 @@ class TextDedupSpec extends SparkSpec {
     assert(flagged.keySet.forall(_ % 10 != 0), "eval docs never flag themselves")
   }
 
+  test("corpus stats aggregate the per-doc metrics exactly") {
+    import graft.operators.TextOps
+    val got = TextOps.corpusStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val perDoc = Tables(spark, sf, "documents").select(col("source"),
+        Text.tokenCount(col("text")).as("n"), Text.qualityScore(col("text")).as("q"),
+        Text.langId(col("text")).as("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getDouble(2), r.getString(3)))
+    def r2(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    perDoc.groupBy(_._1).foreach { case (src, docs) =>
+      val (n, tot, avgT, avgQ, enF) = got(src)
+      assert(n == docs.length)
+      assert(tot == docs.map(_._2).sum)
+      assert(math.abs(avgT - r2(docs.map(_._2).sum.toDouble / docs.length, 2)) < 1e-9)
+      assert(math.abs(avgQ - r2(docs.map(_._3).sum / docs.length, 4)) < 1e-9)
+      assert(math.abs(enF - r2(docs.count(_._4 == "en").toDouble / docs.length, 4)) < 1e-9)
+    }
+    assert(got.keySet == perDoc.map(_._1).toSet)
+  }
+
   test("repetition score is the duplicate-shingle fraction") {
     import graft.operators.TextOps
     val got = TextOps.repetitionScores(spark, sf).collect()

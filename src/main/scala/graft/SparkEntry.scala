@@ -617,7 +617,7 @@ object SparkEntry {
          |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin,
     "q51_weighted_mix" -> {
       val cases = graft.operators.TextOps.DefaultMixRates.toSeq.sortBy(_._1)
-        .map { case (s, r) => s"WHEN '$s' THEN ${(r * 10000).toInt}" }.mkString(" ")
+        .map { case (s, r) => s"WHEN '$s' THEN ${math.round(r * 10000).toInt}" }.mkString(" ")
       s"""SELECT doc_id, source, mix_bp FROM (
          |  SELECT doc_id, source,
          |    CAST('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)

@@ -55,6 +55,10 @@ final class GraftEngine(
       // continues (mongodb.go:315-317).
       indexSync.foreach { ix =>
         try {
+          // bounded connect: this runs under the engine monitor (pollOnce
+          // is synchronized), so a black-holed JDBC target must fail the
+          // tick, not wedge every reconcile and block stop()/SIGTERM
+          java.sql.DriverManager.setLoginTimeout(15)
           val conn = java.sql.DriverManager.getConnection(ix.jdbcUrl)
           try {
             val rs = conn.getMetaData.getIndexInfo(null, null, ix.table, false, false)
@@ -273,31 +277,37 @@ final class GraftEngine(
     // too — a snapshot key whose only log ops are deletes still exists
     // in that world (the target keeps it live; counting it out here
     // would fire a permanent false count_mismatch)
+    // cached for the tick: the last-writer-wins count AND the snapshot
+    // anti-join both read this frame — uncached, the second consumer
+    // re-scans the whole JSON log (the dominant cost here) per monitor
+    // pass; released before return, the lifetime is this function
     val applied = log.map { l =>
-      if (cfg.ignoreDeleteOps) l.filter(col("op") =!= "delete") else l }
-    val logLive = applied.map { base =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(cfg.keyCol)).orderBy(col("ts").desc, col("offset").desc)
-      base.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") =!= "delete")
-        .select(col(cfg.keyCol), col("after.*"), col("ts").as("updated_at"))
-    }
-    val logCount = logLive.map(_.filter(pred).count()).getOrElse(0L)
-    // snapshot keys no APPLIED op ever touched still exist at the source
-    val snapCount = d.snapshotDir.map { dir =>
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) 0L
-      else {
-        val snap = spark.read.parquet(dir)
-        val unTouched = applied match {
-          case Some(base) => snap.join(base.select(col(cfg.keyCol)).distinct(),
-            Seq(cfg.keyCol), "left_anti")
-          case None => snap
-        }
-        unTouched.filter(pred).count()
+      (if (cfg.ignoreDeleteOps) l.filter(col("op") =!= "delete") else l).persist() }
+    try {
+      val logLive = applied.map { base =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(cfg.keyCol)).orderBy(col("ts").desc, col("offset").desc)
+        base.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "delete")
+          .select(col(cfg.keyCol), col("after.*"), col("ts").as("updated_at"))
       }
-    }.getOrElse(0L)
-    logCount + snapCount
+      val logCount = logLive.map(_.filter(pred).count()).getOrElse(0L)
+      // snapshot keys no APPLIED op ever touched still exist at the source
+      val snapCount = d.snapshotDir.map { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) 0L
+        else {
+          val snap = spark.read.parquet(dir)
+          val unTouched = applied match {
+            case Some(base) => snap.join(base.select(col(cfg.keyCol)).distinct(),
+              Seq(cfg.keyCol), "left_anti")
+            case None => snap
+          }
+          unTouched.filter(pred).count()
+        }
+      }.getOrElse(0L)
+      logCount + snapCount
+    } finally applied.foreach(_.unpersist())
   }
 
   /** Two-sided count monitoring — the reference's core monitor loop

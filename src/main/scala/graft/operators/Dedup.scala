@@ -184,10 +184,18 @@ object Dedup {
     * long each, carried through banding) inside the join condition
     * prunes pairs BEFORE the verify join ships their hash arrays — at
     * scale the array shuffle is the dominant cost, and a skewed corpus
-    * (many sizes) drops most bucket-mates here. Lossless: a pruned pair
-    * is exactly one the final `jaccard >= t` filter would drop. */
-  private def sizeRatioOk(threshold: Double): Column =
-    col("x.n") * threshold <= col("y.n") && col("y.n") * threshold <= col("x.n")
+    * (many sizes) drops most bucket-mates here. Lossless against the
+    * verify contract: the final filter keeps `round(J, 4) >= t`, which
+    * admits raw J down to t − 0.00005, so the ratio test uses that
+    * rounded-down threshold — pruning with the raw t would drop
+    * boundary pairs (raw J ∈ [t−0.00005, t)) that the verify (and the
+    * DuckDB oracle, which applies the same round-then-filter) keeps. */
+  private[graft] val RoundSlack = 0.00005
+
+  private def sizeRatioOk(threshold: Double): Column = {
+    val t = threshold - RoundSlack
+    col("x.n") * t <= col("y.n") && col("y.n") * t <= col("x.n")
+  }
 
   /** Exact-Jaccard verification of candidate pairs over sorted-distinct
     * element-hash arrays: one allocation-free merge-walk per pair

@@ -153,9 +153,11 @@ object TextOps {
       rates: Map[String, Double] = DefaultMixRates,
       salt: String = "mix-"): DataFrame = {
     // unknown source ⇒ rate 0 (drop): a mixer must never silently pass
-    // through a source the mix spec doesn't mention
+    // through a source the mix spec doesn't mention. round, don't
+    // truncate: 0.29 * 10000 is 2899.999… in binary — .toInt would
+    // under-sample every binary-unrepresentable rate by a basis point
     val rateBp = rates.foldLeft(lit(0)) { case (acc, (src, r)) =>
-      when(col("source") === src, lit((r * 10000).toInt)).otherwise(acc) }
+      when(col("source") === src, lit(math.round(r * 10000).toInt)).otherwise(acc) }
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), mixHash(col("doc_id"), salt).as("mix_bp"))
       .filter(col("mix_bp") < rateBp)

@@ -73,7 +73,10 @@ object StreamingDedup {
       if (!members.exists(_.docId == d.docId)) { // replayed batch: idempotent
         members.foreach { m =>
           val (small, big) = if (d.hs.length < m.hs.length) (d.hs, m.hs) else (m.hs, d.hs)
-          if (small.length >= threshold * big.length) {
+          // rounded-down threshold: jaccard() below rounds HALF_UP to 4
+          // decimals before the >= compare, so raw J slightly under the
+          // threshold can still pass — the prefilter must not drop it
+          if (small.length >= (threshold - Dedup.RoundSlack) * big.length) {
             val j = jaccard(d.hs, m.hs)
             if (j >= threshold)
               out += DupPair(math.min(d.docId, m.docId), math.max(d.docId, m.docId), j)

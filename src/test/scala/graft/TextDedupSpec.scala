@@ -333,6 +333,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("size-ratio prefilter honors the ROUNDED verify threshold on boundary pairs") {
+    // raw J = 3750/4808 = 0.779950… < 0.78, but the verify (and the
+    // DuckDB oracle) filter on round(J,4) = 0.7800 >= t and KEEP the
+    // pair — a prefilter on the raw threshold (0.78·4808 = 3750.24 >
+    // 3750) would prune it before verification ever runs
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boundary").toString
+    val a = (0 until 3750).map(i => s"w$i").mkString(" ")
+    val b = (0 until 4808).map(i => s"w$i").mkString(" ")
+    Seq((1L, "s", a), (2L, "s", b)).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.tokenJaccardPairs(spark, tmp, threshold = 0.78).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    graft.operators.PlanCache.release()
+    assert(got == Seq((1L, 2L, 0.78)))
+  }
+
   test("decontamination flags exactly the docs sharing >=2 eval shingles") {
     val flagged = Dedup.decontaminate(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -181,6 +181,8 @@ object SparkEntry {
     "q56_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q57_repetition" -> ((s, d) => TextOps.repetitionScores(s, d)),
     "q58_corpus_stats" -> (TextOps.corpusStats _),
+    "q59_asof_join" -> (EventFlow.asofViewBeforePurchase _),
+    "q60_sessions" -> ((s, d) => EventFlow.sessionize(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -720,5 +722,31 @@ object SparkEntry {
          |  round(avg(quality), 4) AS avg_quality,
          |  round(avg(is_en), 4) AS en_frac
          |FROM d GROUP BY source""".stripMargin,
+    // q59/q60: window replays with the same (ts, event_id) tie-break
+    "q59_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events
+        |            WHERE event_type IN ('purchase','view')),
+        | w AS (SELECT *,
+        |    last_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS view_id,
+        |    last_value(CASE WHEN event_type='view' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS view_ts
+        |  FROM ev)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, view_id, view_ts
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "q60_sessions" -> {
+      val gapUs = 12 * 3600L * 1000000L
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         | g AS (SELECT *, CASE WHEN lag(us) OVER win IS NULL
+         |        OR us - lag(us) OVER win > $gapUs
+         |      THEN 1 ELSE 0 END AS new_s
+         |   FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end
+         |FROM s GROUP BY user_id, session_seq""".stripMargin
+    },
   )
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-sequence analytics: as-of join and gap sessionization.
+  *
+  * Both are ONE window over user-partitioned, time-ordered events —
+  * the Spark-native shape for point-in-time semantics. The naive
+  * range join (`events × events ON v.ts <= p.ts AND same user`)
+  * explodes quadratically inside dense users and gives Catalyst
+  * nothing to hash on beyond user_id; the union-window form is a
+  * single shuffle on user_id and a linear pass per partition, and
+  * survives a 100× scale-up as long as no single user's history
+  * outgrows a partition (the usual contract for per-entity windows).
+  */
+object EventFlow {
+
+  /** Deterministic event order: ties on ts broken by event_id, so
+    * results are identical cross-engine and across reruns. */
+  private def byTime =
+    Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  /** As-of join: each purchase matched to the same user's most recent
+    * view at-or-before it ("what was the user looking at when they
+    * bought?"). Implemented as last-non-null over the UNION of both
+    * event kinds — the purchase row itself contributes null, so the
+    * match is the latest view strictly earlier in (ts, event_id)
+    * order. Purchases with no preceding view keep null (left as-of). */
+  def asofViewBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = byTime.rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("view_id"), col("view_ts"))
+  }
+
+  /** Gap sessionization: a user's session breaks after `gapHours` of
+    * inactivity; one output row per session with bounds and size.
+    * session_seq = running count of gap-breaks — the classic
+    * lag-compare + prefix-sum. The final aggregate groups by
+    * (user_id, session_seq): hash(user_id) from the window shuffle
+    * already clusters those keys, so the agg adds NO second exchange
+    * (PlanSpec pins this). */
+  def sessionize(spark: SparkSession, dir: String, gapHours: Int = 12): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(byTime)
+    val gapUs = gapHours * 3600L * 1000000L
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_s", when(prev.isNull || us - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+  }
+}

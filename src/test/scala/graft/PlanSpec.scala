@@ -51,6 +51,18 @@ class PlanSpec extends SparkSpec {
       (p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThanOrEqual(`ts")), p)
   }
 
+  test("event-sequence ops shuffle once on user_id, never range-join") {
+    // as-of + sessionization are single-window shapes: one exchange
+    // (hash on user_id) feeds everything — the session aggregate's
+    // (user_id, session_seq) grouping reuses the window's clustering
+    Seq("q59_asof_join", "q60_sessions").foreach { name =>
+      val p = plan(name)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$name plans $exchanges exchanges:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), name)
+    }
+  }
+
   test("decontamination broadcasts the eval shingle set") {
     // the training side must stream map-side past a broadcast of the
     // benchmark hashes — a shuffled join here would reshuffle the whole

@@ -735,7 +735,7 @@ object SparkEntry {
         |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, view_id, view_ts
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
     "q60_sessions" -> {
-      val gapUs = 12 * 3600L * 1000000L
+      val gapUs = EventFlow.DefaultGapUs
       s"""WITH e AS (SELECT user_id, event_id, ts,
          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
          | g AS (SELECT *, CASE WHEN lag(us) OVER win IS NULL

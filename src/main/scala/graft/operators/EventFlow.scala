@@ -19,6 +19,12 @@ import graft.Tables
   */
 object EventFlow {
 
+  /** One source of truth for the session gap: the batch default, the
+    * q60 oracle SQL, and the streaming twin all interpolate this —
+    * the oracle-shares-operator-constants pattern (cf. Dedup.perms). */
+  val DefaultGapHours = 12
+  val DefaultGapUs: Long = DefaultGapHours * 3600L * 1000000L
+
   /** Deterministic event order: ties on ts broken by event_id, so
     * results are identical cross-engine and across reruns. */
   private def byTime =
@@ -51,7 +57,8 @@ object EventFlow {
     * (user_id, session_seq): hash(user_id) from the window shuffle
     * already clusters those keys, so the agg adds NO second exchange
     * (PlanSpec pins this). */
-  def sessionize(spark: SparkSession, dir: String, gapHours: Int = 12): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String,
+      gapHours: Int = DefaultGapHours): DataFrame = {
     val us = unix_micros(col("ts"))
     val prev = lag(us, 1).over(byTime)
     val gapUs = gapHours * 3600L * 1000000L

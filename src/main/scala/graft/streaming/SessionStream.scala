@@ -34,7 +34,8 @@ object SessionStream {
 
   /** Sessions over an event-time stream. `late` bounds both lateness
     * tolerance and aggregation-state size. */
-  def sessions(stream: DataFrame, gap: String = "12 hours",
+  def sessions(stream: DataFrame,
+      gap: String = s"${graft.operators.EventFlow.DefaultGapHours} hours",
       late: String = "1 hour"): DataFrame =
     stream
       .withWatermark("ts", late)

@@ -32,7 +32,7 @@ class EventFlowSpec extends SparkSpec {
   }
 
   test("sessionization matches a per-user gap replay") {
-    val gapUs = 12 * 3600L * 1000000L
+    val gapUs = EventFlow.DefaultGapUs
     val got = EventFlow.sessionize(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getTimestamp(3), r.getTimestamp(4)))).toMap

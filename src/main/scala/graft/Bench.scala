@@ -19,12 +19,13 @@ object Bench {
     // a query is added, which silently reassigns residual-warmup cost to
     // different queries between rounds and breaks per-query comparison.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Two timed executions, per-query MINIMUM reported: the host shows
-      // intermittent multi-second stalls that land on a random query per
-      // run (same query swings 0.7 s ↔ 10 s across identical runs); the
+      // Three timed executions, per-query MINIMUM reported: the host
+      // shows intermittent multi-second stalls that land on a random
+      // query per run (same query swings 0.7 s ↔ 10 s across identical
+      // runs), and a stall can span two back-to-back executions; the
       // min isolates the query's actual cost from the stall. Each
       // execution is full and independent (caches released between).
-      val secs = (1 to 2).map { _ =>
+      val secs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // noop-format write: executes the FULL plan (every projection,
         // mask, encrypt — nothing pruned the way .count() prunes), and a

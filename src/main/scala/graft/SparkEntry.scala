@@ -183,6 +183,7 @@ object SparkEntry {
     "q58_corpus_stats" -> (TextOps.corpusStats _),
     "q59_asof_join" -> (EventFlow.asofViewBeforePurchase _),
     "q60_sessions" -> ((s, d) => EventFlow.sessionize(s, d)),
+    "q61_vocabulary" -> ((s, d) => TextOps.vocabulary(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -748,5 +749,11 @@ object SparkEntry {
          |  min(ts) AS session_start, max(ts) AS session_end
          |FROM s GROUP BY user_id, session_seq""".stripMargin
     },
+    "q61_vocabulary" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY tf DESC, token ASC
+        |LIMIT 100""".stripMargin,
   )
 }

@@ -124,6 +124,20 @@ object TextOps {
       .filter(col("rank") <= n)
   }
 
+  /** Vocabulary mining — term frequency + document frequency for the
+    * top-k corpus tokens (count desc, token asc for deterministic
+    * ties): the stats a tokenizer-training / idf-weighting step reads.
+    * One explode + hash-agg (map-side combined; distinct-doc count
+    * expands to the usual two-phase agg) and a TakeOrdered top-k —
+    * never a global sort. */
+  def vocabulary(spark: SparkSession, dir: String, topK: Int = 100): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topK)
+
   // ---- dataset mixing -------------------------------------------------
 
   /** Default mix for the 20-source testdata: rates cycle ¼, ½, ¾, 1 by

@@ -28,7 +28,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("top-k queries plan TakeOrderedAndProject, never a global sort") {
-    Seq("q3_top_orders", "q9_recent_errors", "q43_log_search").foreach { name =>
+    Seq("q3_top_orders", "q9_recent_errors", "q43_log_search",
+        "q61_vocabulary").foreach { name =>
       assert(plan(name).contains("TakeOrderedAndProject"), name)
     }
   }

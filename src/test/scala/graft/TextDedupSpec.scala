@@ -389,6 +389,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got.keySet == perDoc.map(_._1).toSet)
   }
 
+  test("vocabulary mining matches a driver-side tf/df replay") {
+    import graft.operators.TextOps
+    val got = TextOps.vocabulary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val tf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = tf.toSeq.map { case (t, n) => (t, n, df(t)) }
+      .sortBy { case (t, n, _) => (-n, t) }.take(100)
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty && got.length <= 100)
+  }
+
   test("repetition score is the duplicate-shingle fraction") {
     import graft.operators.TextOps
     val got = TextOps.repetitionScores(spark, sf).collect()

@@ -132,6 +132,50 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
+  /** Int8 scalar-quantized brute-force top-k — the memory lever for
+    * 100 TB embedding search: per-vector (min, scale) + 64 one-byte
+    * codes replace 64 floats (~4× smaller scans, and the candidate-side
+    * shuffle ships bytes, not floats). Estimated dot product decomposes
+    * EXACTLY into integer sums —
+    *   Σ(mnₐ+qaᵢ·sₐ)(mn_b+qbᵢ·s_b) =
+    *   d·mnₐ·mn_b + mnₐ·s_b·Σqb + mn_b·sₐ·Σqa + sₐ·s_b·Σqaᵢqbᵢ
+    * — so both engines compute identical int64 components and one
+    * identical float expression (rounded): the oracle replays the
+    * quantizer bit-for-bit, and the spec asserts recall vs the exact
+    * baseline. Constant vectors (scale 0) quantize to code 0 and the
+    * formula degrades to the min-only term on both sides. */
+  def quantizedTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    def asD(v: org.apache.spark.sql.Column) = transform(v, x => x.cast("double"))
+    val stats = emb.select(col("vec_id"), col("embedding").as("v"),
+      array_min(asD(col("embedding"))).as("mn"),
+      ((array_max(asD(col("embedding"))) - array_min(asD(col("embedding")))) / 255.0)
+        .as("scale"))
+    val quant = stats.select(col("vec_id"), col("mn"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(round((x.cast("double") - col("mn")) / col("scale"), 0)
+              .cast("long"))).as("qv"))
+      .withColumn("sq", aggregate(col("qv"), lit(0L), (acc, q) => acc + q))
+    val dims = lit(64.0)
+    val queries = quant.select(col("vec_id").as("query_id"), col("mn").as("mn_a"),
+      col("scale").as("s_a"), col("qv").as("qa"), col("sq").as("sqa"))
+      .filter(col("query_id") < 10)
+    val scored = quant.select(col("vec_id").as("cand_id"), col("mn").as("mn_b"),
+        col("scale").as("s_b"), col("qv").as("qb"), col("sq").as("sqb"))
+      .join(broadcast(queries), col("cand_id") =!= col("query_id"))
+      .withColumn("sab",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, p) => acc + p))
+      .select(col("query_id"), col("cand_id"),
+        round(dims * col("mn_a") * col("mn_b") + col("mn_a") * col("s_b") * col("sqb") +
+          col("mn_b") * col("s_a") * col("sqa") + col("s_a") * col("s_b") * col("sab"), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** Embedding near-dup CLUSTERS: the exact pair graph from
     * [[embeddingNearDups]] collapsed by connected components — semantic
     * dedup's clustering step, sharing [[Dedup.connectedComponents]]

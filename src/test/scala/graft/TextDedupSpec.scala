@@ -367,6 +367,19 @@ class TextDedupSpec extends SparkSpec {
     assert(flagged.keySet.forall(_ % 10 != 0), "eval docs never flag themselves")
   }
 
+  test("int8-quantized ann tracks the exact baseline: high recall, small sim error") {
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val quant = Similarity.quantizedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recall = quant.keySet.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 $recall")
+    // the estimate is close where both agree (int8 over unit-norm dims)
+    val errs = quant.keySet.filter(exact.contains)
+      .map(k => math.abs(quant(k) - exact(k)))
+    assert(errs.max < 0.05, s"max |sim error| ${errs.max}")
+  }
+
   test("corpus stats aggregate the per-doc metrics exactly") {
     import graft.operators.TextOps
     val got = TextOps.corpusStats(spark, sf).collect()

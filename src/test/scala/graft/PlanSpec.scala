@@ -15,8 +15,10 @@ class PlanSpec extends SparkSpec {
 
   // q29 is the DELIBERATE brute-force ANN baseline: broadcast queries ×
   // all candidates with a non-equi predicate is its definition (the
-  // scale path is q30/q46). Everything else must never plan a product.
-  private val bruteForceBaseline = Set("q29_ann_topk")
+  // scale path is q30/q46). q62 is the same scan shape over int8 codes —
+  // its lever is scan/shuffle WIDTH (bytes vs floats), not candidate
+  // pruning. Everything else must never plan a product.
+  private val bruteForceBaseline = Set("q29_ann_topk", "q62_quantized_ann")
 
   test("no query plans a cartesian product; only the brute-force baseline nested-loops") {
     SparkEntry.queries.keys.foreach { name =>

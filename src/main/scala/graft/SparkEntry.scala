@@ -756,7 +756,8 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY tf DESC, token ASC
         |LIMIT 100""".stripMargin,
-    // q62: replay the int8 quantizer + decomposed integer dot exactly
+    // q62: replay the int8 quantizer (stored code = level − 128, TINYINT)
+    // + decomposed integer dot exactly
     "q62_quantized_ann" ->
       """WITH st AS (SELECT vec_id, embedding,
         |    list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
@@ -764,18 +765,20 @@ object SparkEntry {
         |     - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0 AS scale
         |  FROM embeddings),
         | z AS (SELECT vec_id, mn, scale,
-        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
-        |      ELSE CAST(round((CAST(x AS DOUBLE) - mn) / scale) AS BIGINT) END) AS qv
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(-128 AS TINYINT)
+        |      ELSE CAST(round((CAST(x AS DOUBLE) - mn) / scale) - 128 AS TINYINT) END) AS qv
         |  FROM st),
-        | w AS (SELECT vec_id, mn, scale, qv, CAST(list_sum(qv) AS BIGINT) AS sq FROM z),
+        | w AS (SELECT vec_id, mn, scale, qv,
+        |    CAST(list_sum(list_transform(qv, c -> CAST(c AS BIGINT) + 128)) AS BIGINT) AS sq
+        |  FROM z),
         | qq AS (SELECT vec_id AS query_id, mn AS mn_a, scale AS s_a, qv AS qa,
         |    sq AS sqa FROM w WHERE vec_id < 10),
         | cc AS (SELECT vec_id AS cand_id, mn AS mn_b, scale AS s_b, qv AS qb,
         |    sq AS sqb FROM w),
         | s AS (SELECT query_id, cand_id,
-        |    round(64.0 * mn_a * mn_b + mn_a * s_b * sqb + mn_b * s_a * sqa
+        |    round(CAST(len(qa) AS DOUBLE) * mn_a * mn_b + mn_a * s_b * sqb + mn_b * s_a * sqa
         |      + s_a * s_b * CAST(list_sum(list_transform(range(1, 65),
-        |          i -> qa[i] * qb[i])) AS BIGINT), 6) AS sim
+        |          i -> (CAST(qa[i] AS BIGINT) + 128) * (CAST(qb[i] AS BIGINT) + 128))) AS BIGINT), 6) AS sim
         |  FROM cc JOIN qq ON cand_id <> query_id),
         | r AS (SELECT query_id, cand_id, sim,
         |    row_number() OVER (PARTITION BY query_id

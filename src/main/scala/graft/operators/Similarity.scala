@@ -22,6 +22,16 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Per-query top-k with the cross-engine tie-break (sim desc,
+    * cand_id asc) — shared by every ANN path so the ordering contract
+    * the oracles replay lives in exactly one place. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** Brute-force cosine top-k for query vectors (vec_id < 10).
     * Ranking key is (rounded sim desc, vec_id) so ordering is stable
     * across engines for the oracle compare. */
@@ -33,10 +43,7 @@ object Similarity {
       .join(broadcast(queries), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         round(Vectors.dot(col("qv"), col("cv")), 6).as("sim")) // unit-norm: dot = cosine
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "sim", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-dup pairs: same label, cosine ≥ threshold, exact.
@@ -126,38 +133,42 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "sim", "rank")
+    topKPerQuery(scored, k)
   }
 
-  /** Int8 scalar-quantized brute-force top-k — the memory lever for
-    * 100 TB embedding search: per-vector (min, scale) + 64 one-byte
-    * codes replace 64 floats (~4× smaller scans, and the candidate-side
-    * shuffle ships bytes, not floats). Estimated dot product decomposes
-    * EXACTLY into integer sums —
+  /** Scalar-quantized brute-force top-k — the memory lever for 100 TB
+    * embedding search: per-vector (min, scale) + 64 SIGNED-BYTE codes
+    * (stored value = quantization level − 128, so [0,255] fits int8).
+    * The code arrays are genuine `ArrayType(ByteType)` — 1 byte per
+    * element in Tungsten rows — so the broadcast query set and every
+    * in-flight candidate row are ~4× narrower than the float pipeline;
+    * the production deployment PERSISTS the (mn, scale, codes) frame
+    * once so scans read bytes too (here codes derive in-plan from the
+    * read-only testdata, so the scan itself still reads floats).
+    *
+    * The estimated dot product decomposes EXACTLY into integer sums
+    * (level qᵢ = cᵢ + 128):
     *   Σ(mnₐ+qaᵢ·sₐ)(mn_b+qbᵢ·s_b) =
     *   d·mnₐ·mn_b + mnₐ·s_b·Σqb + mn_b·sₐ·Σqa + sₐ·s_b·Σqaᵢqbᵢ
-    * — so both engines compute identical int64 components and one
+    * — both engines compute identical int64 components and one
     * identical float expression (rounded): the oracle replays the
     * quantizer bit-for-bit, and the spec asserts recall vs the exact
-    * baseline. Constant vectors (scale 0) quantize to code 0 and the
+    * baseline. Constant vectors (scale 0) quantize to level 0 and the
     * formula degrades to the min-only term on both sides. */
   def quantizedTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     def asD(v: org.apache.spark.sql.Column) = transform(v, x => x.cast("double"))
+    def level(c: org.apache.spark.sql.Column) = c.cast("long") + 128L
     val stats = emb.select(col("vec_id"), col("embedding").as("v"),
       array_min(asD(col("embedding"))).as("mn"),
       ((array_max(asD(col("embedding"))) - array_min(asD(col("embedding")))) / 255.0)
         .as("scale"))
     val quant = stats.select(col("vec_id"), col("mn"), col("scale"),
         transform(col("v"), x =>
-          when(col("scale") === 0.0, lit(0L))
-            .otherwise(round((x.cast("double") - col("mn")) / col("scale"), 0)
-              .cast("long"))).as("qv"))
-      .withColumn("sq", aggregate(col("qv"), lit(0L), (acc, q) => acc + q))
-    val dims = lit(64.0)
+          when(col("scale") === 0.0, lit(-128).cast("byte"))
+            .otherwise((round((x.cast("double") - col("mn")) / col("scale"), 0) - 128)
+              .cast("byte"))).as("qv"))
+      .withColumn("sq", aggregate(col("qv"), lit(0L), (acc, c) => acc + level(c)))
     val queries = quant.select(col("vec_id").as("query_id"), col("mn").as("mn_a"),
       col("scale").as("s_a"), col("qv").as("qa"), col("sq").as("sqa"))
       .filter(col("query_id") < 10)
@@ -165,15 +176,14 @@ object Similarity {
         col("scale").as("s_b"), col("qv").as("qb"), col("sq").as("sqb"))
       .join(broadcast(queries), col("cand_id") =!= col("query_id"))
       .withColumn("sab",
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, p) => acc + p))
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => level(x) * level(y)),
+          lit(0L), (acc, p) => acc + p))
       .select(col("query_id"), col("cand_id"),
-        round(dims * col("mn_a") * col("mn_b") + col("mn_a") * col("s_b") * col("sqb") +
+        round(size(col("qa")).cast("double") * col("mn_a") * col("mn_b") +
+          col("mn_a") * col("s_b") * col("sqb") +
           col("mn_b") * col("s_a") * col("sqa") + col("s_a") * col("s_b") * col("sab"), 6)
           .as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "sim", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-dup CLUSTERS: the exact pair graph from
@@ -214,9 +224,6 @@ object Similarity {
       .dropDuplicates("query_id", "cand_id")
       .select(col("query_id"), col("cand_id"),
         round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "sim", "rank")
+    topKPerQuery(scored, k)
   }
 }

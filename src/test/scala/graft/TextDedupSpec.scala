@@ -406,8 +406,10 @@ class TextDedupSpec extends SparkSpec {
     import graft.operators.TextOps
     val got = TextOps.vocabulary(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // split(sep, -1): Spark's split keeps trailing empty tokens; Java's
+    // default drops them — the replay must match Spark's semantics
     val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
-      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
     val tf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
     val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
       .groupBy(_._1).view.mapValues(_.length.toLong).toMap

@@ -670,11 +670,11 @@ object SparkEntry {
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |  FROM documents),
          | c AS (SELECT doc_id, pack_group, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
-         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
          |  FROM t)
          |SELECT doc_id, pack_group, n_tokens,
-         |  (cum - n_tokens) // 512 AS chunk_id,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id,
          |  (cum - n_tokens) % 512 + n_tokens > 512 AS spans_boundary
          |FROM c""".stripMargin,
     // ASCII payloads: char offsets == byte offsets, so the string
@@ -719,7 +719,7 @@ object SparkEntry {
          |    $qualityExpr AS quality,
          |    CASE WHEN sw / len(toks) > 0.03 THEN 1 ELSE 0 END AS is_en
          |  FROM t)
-         |SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  round(avg(n_tokens), 2) AS avg_tokens,
          |  round(avg(quality), 4) AS avg_quality,
          |  round(avg(is_en), 4) AS en_frac
@@ -744,8 +744,8 @@ object SparkEntry {
          |        OR us - lag(us) OVER win > $gapUs
          |      THEN 1 ELSE 0 END AS new_s
          |   FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         | s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                                  ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+         | s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM g)
          |SELECT user_id, session_seq, count(*) AS n_events,
          |  min(ts) AS session_start, max(ts) AS session_end
          |FROM s GROUP BY user_id, session_seq""".stripMargin

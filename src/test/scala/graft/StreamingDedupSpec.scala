@@ -60,4 +60,36 @@ class StreamingDedupSpec extends SparkSpec {
     assert(StreamingDedup.currentPairs(spark, out)
       .filter(col("jaccard") =!= 1.0).count() == 0)
   }
+  test("horizon mode: idle buckets evict, cross-horizon docs do not pair, in-horizon pairs unaffected") {
+    val dir = Files.createTempDirectory("sdedup-ttl-src").toString
+    val out = Files.createTempDirectory("sdedup-ttl-out").toString
+    val ckpt = Files.createTempDirectory("sdedup-ttl-ckpt").toString
+    def doc(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 30).map(i => s"x$i").mkString(" ")
+    val horizon = Some(10L * 60 * 1000) // 10 minutes
+    def run(file: String, lines: Seq[String]): Unit = {
+      Files.write(Paths.get(dir, file), lines.mkString("\n").getBytes)
+      StreamingDedup.start(spark, dir, out, ckpt, horizonMs = horizon).awaitTermination()
+    }
+    def pairs(): Set[(Long, Long)] = StreamingDedup.currentPairs(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two near-dups 5 minutes apart: inside the horizon, they pair
+    run("b1.json", Seq(doc(1, a, "2026-01-01 10:00:00"), doc(2, a, "2026-01-01 10:05:00")))
+    assert(pairs() == Set((1L, 2L)))
+    // an unrelated doc two hours later pushes the watermark past the
+    // (1,2) bucket's horizon — no new pairs
+    run("b2.json", Seq(doc(9, b, "2026-01-01 12:00:00")))
+    assert(pairs() == Set((1L, 2L)))
+    // a duplicate of doc 1 arrives past the horizon: the aged bucket
+    // was evicted/pruned, so NO pair forms against docs 1 or 2
+    run("b3.json", Seq(doc(3, a, "2026-01-01 12:00:01")))
+    assert(pairs() == Set((1L, 2L)))
+    // but a duplicate of the recent doc 9, within the horizon, pairs —
+    // eviction did not damage live state
+    run("b4.json", Seq(doc(4, b, "2026-01-01 12:00:30")))
+    assert(pairs() == Set((1L, 2L), (4L, 9L)))
+  }
+
 }

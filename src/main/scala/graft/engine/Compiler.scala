@@ -46,6 +46,14 @@ object Compiler {
   final case class RollupDef(name: String, sourceDir: String,
       queryName: String) extends PipelineDef
 
+  /** ST14/ST15 composed: the task-level `sessionize` opt-in runs a
+    * [[graft.streaming.SessionStream]] per table beside its CDC
+    * pipeline — gap sessions of per-KEY activity over the same
+    * change-event source, finalized by watermark and landed in a
+    * durable parquet log (`outDir`) with its own checkpoint. */
+  final case class SessionizeDef(name: String, sourceDir: String,
+      outDir: String, checkpointDir: String) extends PipelineDef
+
   /** Namespace + storage-path derivation. A table whose mapping-level
     * sourceDb DIFFERS from the task default gets db-prefixed paths and
     * a db-qualified pipeline name, so a multi-database task's tables
@@ -89,7 +97,14 @@ object Compiler {
           Seq(RollupDef(s"$name#rollup", s"${spec.sourceDir}/$src",
             s"rollup_task${spec.id}_$src".replaceAll("[^A-Za-z0-9_]", "_")))
         else Nil
-      rollup :+ (spec.taskType match {
+      // '#' keeps the session roots SIBLINGS of the table roots (never
+      // nested inside them), so the compileAll nesting check holds
+      val sessions =
+        if (spec.sessionize && spec.taskType != "redis")
+          Seq(SessionizeDef(s"$name#sessions", s"${spec.sourceDir}/$src",
+            s"${spec.targetDir}/$tgt#sessions", s"${spec.checkpointDir}/$src#sessions"))
+        else Nil
+      rollup ++ sessions :+ (spec.taskType match {
         case "redis" =>
           KvDef(name, KvPipeline.Config(
             sourceDir = s"${spec.sourceDir}/$src",
@@ -162,6 +177,8 @@ object Compiler {
       case CdcDef(n, c, _, _, _, _) => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
       case KvDef(n, c)           => Seq(c.sourceDir, c.targetDir, c.checkpointDir, c.dlqDir).map((n, _))
       case _: RollupDef          => Nil // read-only rider: owns no storage roots
+      // reads the shared change stream; owns only its log + checkpoint
+      case SessionizeDef(n, _, out, ckpt) => Seq(out, ckpt).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {
       case Seq((na, a), (nb, b)) =>

@@ -132,6 +132,9 @@ object ConfigReader {
     require(!(n.path("dailyRollup").asBoolean(false) && taskType == "redis"),
       "dailyRollup requires a change-event (CDC) task: the KV op log has " +
         "no change events to roll up")
+    require(!(n.path("sessionize").asBoolean(false) && taskType == "redis"),
+      "sessionize requires a change-event (CDC) task: the KV op log has " +
+        "no change events to sessionize")
     SyncTaskSpec(
       id = n.path("id").asInt(0),
       taskType = taskType,
@@ -144,7 +147,8 @@ object ConfigReader {
       sourceDb = sourceDb,
       snapshotDir = optText(n, "snapshotDir"),
       targetJdbcUrl = targetJdbcUrl,
-      dailyRollup = n.path("dailyRollup").asBoolean(false))
+      dailyRollup = n.path("dailyRollup").asBoolean(false),
+      sessionize = n.path("sessionize").asBoolean(false))
   }
 
   private def parseTable(n: JsonNode, securityEnabled: Boolean): TableMapping = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.functions.TimeWindows
 import graft.model.BackupSpec
 import graft.operators.{Backup, Cron, Upsert}
-import graft.streaming.{Alerts, CdcPipeline, ControlLoop, DailyRollup, Dlq, Guardian, KvPipeline, Metrics}
+import graft.streaming.{Alerts, CdcPipeline, ControlLoop, DailyRollup, Dlq, Guardian, KvPipeline, Metrics, SessionStream}
 
 /** The composed engine — config file in, running pipelines out: the
   * Spark-native `cmd/sync/main.go` (reference main.go:91-188).
@@ -57,8 +57,12 @@ final class GraftEngine(
         try {
           // bounded connect: this runs under the engine monitor (pollOnce
           // is synchronized), so a black-holed JDBC target must fail the
-          // tick, not wedge every reconcile and block stop()/SIGTERM
-          java.sql.DriverManager.setLoginTimeout(15)
+          // tick, not wedge every reconcile and block stop()/SIGTERM.
+          // setLoginTimeout is JVM-GLOBAL (it caps every DriverManager
+          // connect in the process, Jdbc sources included) — imposed
+          // once at engine load (GraftEngine.JdbcConnectBoundSecs), not
+          // re-set on every tick
+          GraftEngine.ensureJdbcConnectBound()
           val conn = java.sql.DriverManager.getConnection(ix.jdbcUrl)
           try {
             val rs = conn.getMetaData.getIndexInfo(null, null, ix.table, false, false)
@@ -99,6 +103,12 @@ final class GraftEngine(
       // an in-memory table (the reference's counters are in-memory
       // too) — a restart re-derives the horizon from the stream.
       guarded(() => DailyRollup.start(spark, sourceDir, queryName, availableNow))
+    case Compiler.SessionizeDef(_, sourceDir, outDir, ckpt) =>
+      // ST14/ST15 under the supervisor: durable parquet log + own
+      // checkpoint, so restart-on-death resumes without losing or
+      // duplicating a finalized session
+      guarded(() => SessionStream.startChangeEvents(spark, sourceDir, outDir, ckpt,
+        availableNow))
   }
 
   /** Guardian envelope on the START path: a recoverable failure (e.g. a
@@ -351,13 +361,15 @@ final class GraftEngine(
   private def hasPendingDlq(d: Compiler.PipelineDef): Boolean = d match {
     case c: Compiler.CdcDef => CdcPipeline.hasPendingBatches(spark, c.cfg)
     case k: Compiler.KvDef  => KvPipeline.hasPendingBatches(spark, k.cfg)
-    case _: Compiler.RollupDef => false // no writer, no DLQ
+    case _: Compiler.RollupDef => false     // no writer, no DLQ
+    case _: Compiler.SessionizeDef => false // append-only file sink, no DLQ
   }
 
   private def targetDirOf(d: Compiler.PipelineDef): Option[String] = d match {
     case c: Compiler.CdcDef => Some(c.cfg.targetDir)
     case k: Compiler.KvDef  => Some(k.cfg.targetDir)
     case _: Compiler.RollupDef => None
+    case _: Compiler.SessionizeDef => None // append-only log: no tombstones to sweep
   }
 
   /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
@@ -375,8 +387,8 @@ final class GraftEngine(
         name -> (d match {
           case c: Compiler.CdcDef => CdcPipeline.retryDlq(spark, c.cfg, alerts)
           case k: Compiler.KvDef  => KvPipeline.retryDlq(spark, k.cfg, alerts)
-          case r: Compiler.RollupDef => // unreachable: hasPendingDlq is false
-            throw new IllegalStateException(s"rollup ${r.name} has no DLQ")
+          case r => // unreachable: hasPendingDlq is false for riders
+            throw new IllegalStateException(s"pipeline ${r.name} has no DLQ")
         })
     }
   }
@@ -420,6 +432,16 @@ final class GraftEngine(
         s"$name is not a rollup pipeline (got $other)")
     }
 
+  /** Snapshot face of a `sessionize` pipeline's durable log — finalized
+    * per-key activity sessions (ST14/ST15 through the config path). */
+  def sessionLog(name: String): org.apache.spark.sql.DataFrame =
+    pipelineDefs.get(name) match {
+      case Some(Compiler.SessionizeDef(_, _, outDir, _)) =>
+        SessionStream.currentSessions(spark, outDir)
+      case other => throw new IllegalArgumentException(
+        s"$name is not a sessionize pipeline (got $other)")
+    }
+
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries
 
   /** Block until every running pipeline has consumed its available
@@ -450,6 +472,16 @@ final class GraftEngine(
 }
 
 object GraftEngine {
+
+  /** Connect bound for the engine's own JDBC touches (index sync).
+    * DriverManager.setLoginTimeout is PROCESS-GLOBAL — it caps every
+    * DriverManager.getConnection in the JVM, including [[graft.sources.Jdbc]]
+    * reads — so it is applied exactly once, here, where that scope is
+    * documented, instead of silently re-imposed per reconcile tick. */
+  val JdbcConnectBoundSecs = 15
+  private lazy val jdbcBoundOnce: Unit =
+    java.sql.DriverManager.setLoginTimeout(JdbcConnectBoundSecs)
+  private[engine] def ensureJdbcConnectBound(): Unit = jdbcBoundOnce
 
   /** Execute one backup task now (the cron target, executor.go:157-271):
     * list the tables under `sourceDir`, regex-discover, group by prefix,

@@ -63,7 +63,8 @@ final case class SyncTaskSpec(
     sourceDb: String = "graft",    // DatabaseMapping.SourceDatabase (config.go:36-41)
     snapshotDir: Option[String] = None, // initial-sync parquet root (S1 skip-if-nonempty)
     targetJdbcUrl: Option[String] = None, // DDL-replay connection for syncIndexes mappings
-    dailyRollup: Boolean = false)  // A6: run a per-table daily-counter rollup stream
+    dailyRollup: Boolean = false,  // A6: run a per-table daily-counter rollup stream
+    sessionize: Boolean = false)   // ST14/ST15: per-key activity sessions off the change stream
 
 /** Backup/export task spec (reference pkg/backup/executor.go:157-271). */
 final case class BackupTableSpec(

@@ -65,4 +65,47 @@ object SessionStream {
       .format("memory")
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
       .start()
+
+  /** Durable twin of [[start]]: finalized sessions land in a parquet
+    * log with a checkpoint — the StreamingDedup sink shape — so a
+    * restarted query resumes from where it left off and a finalized
+    * session survives the process (the memory sink cannot recover).
+    * Exactly-once through the file sink's `_spark_metadata` commit
+    * log; read results through [[currentSessions]]. */
+  def startDurable(spark: SparkSession, sourceDir: String, outDir: String,
+      checkpoint: String, availableNow: Boolean = true,
+      gap: String = s"${graft.operators.EventFlow.DefaultGapHours} hours",
+      late: String = "1 hour"): StreamingQuery =
+    sessions(spark.readStream.schema(schema)
+        .option("timestampFormat", TsFormat).json(sourceDir), gap, late)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
+      .start()
+
+  /** Read face over the durable session log. */
+  def currentSessions(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.schema(
+        "user_id LONG, n_events LONG, session_start TIMESTAMP, session_end TIMESTAMP")
+      .parquet(outDir)
+
+  /** Engine face (the `sessionize` config opt-in): gap sessions of
+    * per-KEY activity over a CHANGE-EVENT stream — the entity key plays
+    * the user, every op is an activity beat — landed durably like
+    * [[startDurable]]. Rides the same source as the sibling CDC
+    * pipeline; owns only its log + checkpoint. */
+  def startChangeEvents(spark: SparkSession, sourceDir: String, outDir: String,
+      checkpoint: String, availableNow: Boolean = true): StreamingQuery =
+    sessions(spark.readStream.schema(ChangeEvents.schema).json(sourceDir)
+        .select(col("key").as("user_id"), col("ts")))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
+      .start()
 }

@@ -694,4 +694,54 @@ class EngineSpec extends SparkSpec {
     GraftEngine.main(Array(cfgPath, "--once"))
     assert(normCdc(spark.read.parquet(s"$root/tgt/events")) == want)
   }
+  test("config sessionize: finalized per-key sessions land in a durable log through the supervisor") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    import org.apache.spark.sql.Row
+    def ev(op: String, key: Long, v: Double, off: Long, ts: String) =
+      Row(op, key, Row(v, off), "graft", "events", java.sql.Timestamp.valueOf(ts), off)
+    def writeEvents(rows: Row*): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), ChangeEvents.schema)
+        .coalesce(1).write.mode("append").json(s"$root/src/events")
+    // key 1: two ops an hour apart (one session); a much later op on
+    // key 9 pushes the watermark past that session's end + gap
+    writeEvents(
+      ev("insert", 1L, 10.0, 1L, "2024-03-01 10:00:00"),
+      ev("update", 1L, 11.0, 2L, "2024-03-01 11:00:00"),
+      ev("insert", 9L, 90.0, 3L, "2024-03-03 00:00:00"))
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [
+         |  { "id": 13, "type": "mongodb", "enabled": true, "sessionize": true,
+         |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+         |    "checkpointDir": "$root/ckpt",
+         |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ],
+         | "backupTasks": [] }""".stripMargin)
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      val r = engine.pollOnce()
+      assert(r.started == Set("task13/events", "task13/events#sessions"))
+      engine.processAllAvailable()
+      // the next batch emits sessions finalized under the advanced
+      // watermark (same two-step flush as the session stream spec)
+      writeEvents(ev("insert", 9L, 91.0, 4L, "2024-03-05 00:00:00"))
+      engine.processAllAvailable()
+      val got = engine.sessionLog("task13/events#sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(got.contains((1L, 2L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"))))
+      // the CDC sibling ran over the same source unperturbed
+      assert(graft.operators.Upsert.liveRows(
+        spark.read.parquet(s"$root/tgt/events")).count() == 2)
+      // removing the flag stops ONLY the session rider on reconcile
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [
+           |  { "id": 13, "type": "mongodb", "enabled": true,
+           |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+           |    "checkpointDir": "$root/ckpt",
+           |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ],
+           | "backupTasks": [] }""".stripMargin)
+      val r2 = engine.pollOnce()
+      assert(r2.stopped == Set("task13/events#sessions") && r2.kept == Set("task13/events"))
+    } finally engine.stop()
+  }
+
 }

@@ -76,4 +76,32 @@ class SessionStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString)).toSet
     assert(u1 == Set((2L, "2024-03-01T10:00:00Z")))
   }
+  test("durable sink: restart mid-stream loses no finalized session and never duplicates one") {
+    val src = Files.createTempDirectory("graft_sess_dur_src").toString
+    val out = Files.createTempDirectory("graft_sess_dur_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_dur_ckpt").toString
+    // run 1: a two-event session for user 1, then a far-later event that
+    // pushes the watermark past its end + gap → the session finalizes
+    // and lands in the parquet log
+    writeEvents(src)((1L, 1L, "2024-03-01 10:00:00"), (1L, 2L, "2024-03-01 11:00:00"),
+      (9L, 3L, "2024-03-04 10:00:00"))
+    val q1 = SessionStream.startDurable(spark, src, out, ckpt)
+    q1.awaitTermination()
+    def sessions(): Set[(Long, Long, String)] =
+      SessionStream.currentSessions(spark, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toInstant.toString)).toSet
+    assert(sessions() == Set((1L, 2L, "2024-03-01T10:00:00Z")))
+    // run 2 (RESTART from the checkpoint): a session for user 2 plus a
+    // further watermark push. The restarted query finalizes user 2's
+    // session AND user 9's first session; user 1's session — finalized
+    // before the restart — survives exactly once (no loss, no re-emit)
+    writeEvents(src)((2L, 4L, "2024-03-05 10:00:00"), (9L, 5L, "2024-03-08 10:00:00"))
+    val q2 = SessionStream.startDurable(spark, src, out, ckpt)
+    q2.awaitTermination()
+    assert(sessions() == Set(
+      (1L, 2L, "2024-03-01T10:00:00Z"),
+      (9L, 1L, "2024-03-04T10:00:00Z"),
+      (2L, 1L, "2024-03-05T10:00:00Z")))
+  }
+
 }

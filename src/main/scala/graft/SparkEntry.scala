@@ -185,6 +185,12 @@ object SparkEntry {
     "q60_sessions" -> ((s, d) => EventFlow.sessionize(s, d)),
     "q61_vocabulary" -> ((s, d) => TextOps.vocabulary(s, d)),
     "q62_quantized_ann" -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    "q63_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
+    "q64_epoch_mix" -> ((s, d) => TextOps.epochMix(s, d)),
+    "q65_unigram_lm" -> ((s, d) => TextOps.unigramLm(s, d)),
+    "q66_keywords" -> ((s, d) => TextOps.keywords(s, d)),
+    "q67_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "q68_shard_manifest" -> ((s, d) => TextOps.shardManifest(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -629,6 +635,85 @@ object SparkEntry {
          |  FROM documents)
          |WHERE mix_bp < CASE source $cases ELSE 0 END""".stripMargin
     },
+    // trunc-to-centitoken mean via integer math: round(avg, 2) half-ties
+    // (71.975) split across engines (HALF_UP vs nearbyint half-even)
+    "q63_length_histogram" ->
+      """SELECT source, (n_tokens // 16) * 16 AS len_bucket, count(*) AS n_docs,
+        |  floor(sum(n_tokens) * 100 / count(*)) / 100.0 AS avg_tokens
+        |FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |GROUP BY source, len_bucket""".stripMargin,
+    // q64: replay the epoch mixer — whole copies per source plus the
+    // fractional md5 draw, expanded to one row per copy
+    "q64_epoch_mix" -> {
+      val whole = graft.operators.TextOps.DefaultEpochRates.toSeq.sortBy(_._1)
+        .map { case (s, r) => s"WHEN '$s' THEN ${math.floor(r).toLong}" }.mkString(" ")
+      val frac = graft.operators.TextOps.DefaultEpochRates.toSeq.sortBy(_._1)
+        .map { case (s, r) =>
+          s"WHEN '$s' THEN ${math.round((r - math.floor(r)) * 10000).toInt}" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST('0x' || substr(md5('epoch-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 10000 AS mix_bp
+         |  FROM documents),
+         | c AS (SELECT doc_id, source,
+         |    CASE source $whole ELSE 0 END
+         |      + CASE WHEN mix_bp < (CASE source $frac ELSE 0 END) THEN 1 ELSE 0 END
+         |      AS n_copies
+         |  FROM t)
+         |SELECT doc_id, source,
+         |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+         |FROM c WHERE n_copies > 0""".stripMargin
+    },
+    // q65: the corpus's own unigram distribution, per-token logp rounded
+    // to 6 dp so both engines average identical inputs
+    "q65_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        | t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM v),
+        | lp AS (SELECT token,
+        |    round(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS logp
+        |  FROM v, t)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 4) AS avg_logp
+        |FROM tok JOIN lp USING (token)
+        |GROUP BY doc_id""".stripMargin,
+    // q66: tf-idf ranking with idf's float replaced by its exact integer
+    // ordering proxy (tf desc, corpus df asc, token asc)
+    "q66_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | pd AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        | dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        | r AS (SELECT doc_id, token, tf, df,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df ASC, token ASC) AS INTEGER) AS rank
+        |  FROM pd JOIN dfq USING (token))
+        |SELECT doc_id, token, tf, df, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q67_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5('strat-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      AS pick_hash
+        |  FROM documents),
+        | r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY pick_hash, doc_id)
+        |      AS INTEGER) AS pick_rank
+        |  FROM h)
+        |SELECT doc_id, source, pick_rank FROM r WHERE pick_rank <= 12""".stripMargin,
+    // q68: windowed SUM cast to BIGINT (DuckDB types it HUGEINT; the
+    // driver hash is type-sensitive — round-7 lesson)
+    "q68_shard_manifest" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |    CAST('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      AS sh
+         |  FROM documents),
+         | s AS (SELECT doc_id, n_chars, sh, sh % ${graft.operators.TextOps.ShardCount}
+         |      AS shard_id FROM h)
+         |SELECT doc_id, shard_id,
+         |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sh, doc_id) AS BIGINT)
+         |    AS position,
+         |  CAST(SUM(n_chars) OVER (PARTITION BY shard_id ORDER BY sh, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_chars
+         |    AS byte_offset,
+         |  n_chars
+         |FROM s""".stripMargin,
     // the curation chain: quality bar + langID + near-dup survivors —
     // the full q25 pipeline, the closure, AND the metric expressions
     // replayed in one statement

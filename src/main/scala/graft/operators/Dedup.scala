@@ -213,6 +213,57 @@ object Dedup {
     verifyJaccard(cand, idx.hashed, threshold)
   }
 
+  // ---- persisted band index ------------------------------------------
+
+  /** Append a (doc_id, text) slice to a PERSISTED band index at
+    * `indexDir` — the durable artifact behind [[incrementalPairs]]'s
+    * steady-state story: at 100 TB the corpus's element hashes and
+    * banded signatures are written once per document (two parquet
+    * tables, `hashed` and `bands`) and each crawl increment appends
+    * only its own rows; no consumer ever recomputes a signature for an
+    * old document. Layout: plain parquet — the probe join hashes on
+    * (band, bucket), which no directory partitioning improves, and the
+    * verify join prunes `hashed` to candidate ids by predicate. */
+  def appendToStoredIndex(docs: DataFrame, indexDir: String, k: Int = 3): Unit = {
+    val hashed = docs.select(col("doc_id"),
+      elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs")).persist()
+    try {
+      hashed.write.mode("append").parquet(s"$indexDir/hashed")
+      val sigs = minhashSignatures(hashed.withColumn("n", size(col("hs"))),
+        carry = Seq("n"))
+      explodeBands(sigs, carry = Seq("n")).write.mode("append")
+        .parquet(s"$indexDir/bands")
+    } finally hashed.unpersist()
+  }
+
+  /** Near-dup pairs of `batch` against the stored index. Contract:
+    * APPEND the batch first, then probe — batch↔batch pairs candidate
+    * through the index like everything else and the verify join finds
+    * every member's hashes in `hashed`. Semantics equal
+    * [[incrementalPairs]] with `batch` as the increment (same banding,
+    * same verify; spec-pinned equality), with cost O(batch ×
+    * bucket-mates) — the corpus side is only ever probed, never
+    * re-paired. */
+  def pairsAgainstStoredIndex(spark: SparkSession, indexDir: String,
+      batch: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    val storedBands = spark.read.parquet(s"$indexDir/bands")
+    val storedHashed = spark.read.parquet(s"$indexDir/hashed")
+    // band the batch fresh: increment-sized work, cheaper than filtering
+    // the full stored index for the batch's rows
+    val hashed = batch.select(col("doc_id"),
+      elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs"))
+    val batchBands = explodeBands(
+      minhashSignatures(hashed.withColumn("n", size(col("hs"))), carry = Seq("n")),
+      carry = Seq("n"))
+    val cand = batchBands.as("x").join(storedBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id") && sizeRatioOk(threshold))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cand, storedHashed, threshold)
+  }
+
   /** Size-ratio prefilter on a banded candidate join: J(A,B) ≥ t forces
     * |A∩B| ≥ t·|A∪B|, and |A∩B| ≤ min(|A|,|B|) ≤ max(|A|,|B|) ≤ |A∪B|,
     * so min(|A|,|B|) ≥ t·max(|A|,|B|). Checking the two set SIZES (a

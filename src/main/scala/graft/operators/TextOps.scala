@@ -138,6 +138,125 @@ object TextOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topK)
 
+  /** Token-length histogram per source — the length-distribution report
+    * a curation pipeline reads before setting min/max-length filters:
+    * documents bucket by ⌊n_tokens/width⌋·width. One scan, one
+    * map-side-combined hash-agg on (source, bucket); result cardinality
+    * is sources × (max-length/width), independent of corpus size.
+    *
+    * The bucket mean is truncated to centitokens via INTEGER math
+    * (⌊100·Σn/count⌋/100) rather than `round(avg, 2)`: a bucket mean
+    * landing on a half-tie (e.g. 71.975) rounds differently in Spark
+    * (HALF_UP on the decimal) vs DuckDB (nearbyint, half-even) — found
+    * at sf0.1 — while trunc-division of exact integers is
+    * bit-deterministic in both engines. */
+  def lengthHistogram(spark: SparkSession, dir: String, width: Int = 16): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("source"), (floor(col("n_tokens") / width) * width).as("len_bucket"),
+        col("n_tokens"))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(sum(col("n_tokens")) * 100 / count(lit(1))).cast("double") / 100.0)
+          .as("avg_tokens"))
+
+  /** Unigram-LM scoring — each document's mean token log-probability
+    * under the corpus's own unigram distribution: the cheap stand-in for
+    * the "KenLM perplexity" quality filter (CCNet-style) that drops
+    * gibberish and keeps fluent text. Two phases: (1) one explode +
+    * hash-agg builds the unigram table (vocabulary-sized — tiny relative
+    * to the corpus); (2) the corpus re-scan joins tokens to their
+    * BROADCAST log-probs and averages per document — map-side only, no
+    * corpus shuffle beyond the per-doc agg on `doc_id` (which the scan's
+    * natural doc-locality makes a near-noop combine). Per-token logp is
+    * rounded to 6 dp so both engines average identical inputs. */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    // corpus total via a global window over the VOCAB side only — the
+    // single-partition WindowExec holds vocabulary-sized data (fine at
+    // any corpus scale), and the plan stays join-free on this branch
+    val logp = vocab
+      .withColumn("total",
+        sum(col("tf")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("token"),
+        round(log(col("tf").cast("double") / col("total").cast("double")), 6).as("logp"))
+    toks.join(broadcast(logp), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("logp")), 4).as("avg_logp"))
+  }
+
+  /** Keyword extraction — each document's top-`k` most distinctive
+    * tokens, ranked by within-doc frequency (desc), then corpus document
+    * frequency (asc: rarer across the corpus = more distinctive), then
+    * token — a tf-idf ranking with the idf float replaced by its exact
+    * integer ordering proxy, so ranks are integer-deterministic
+    * cross-engine. Per-doc tf is one hash-agg on (doc_id, token); df is
+    * the vocabulary-sized side, broadcast into the join; the top-k
+    * window partitions by doc_id — parallelism grows with the corpus. */
+  def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val perDoc = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    perDoc.join(broadcast(df), Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "rank")
+  }
+
+  /** Stratified sampling with EXACT per-source quotas — "give me
+    * exactly n documents per source, uniformly at random but
+    * reproducibly": rank each source's documents by a salted document
+    * hash (ties impossible — doc_id breaks them) and keep rank ≤ n.
+    * Complements [[weightedSample]]: that is Bernoulli (rate, count
+    * varies), this is exact-count (the shape eval-set construction
+    * needs). Deterministic hash order makes the sample stable across
+    * runs and replayable in the oracle. One window per source; for a
+    * corpus-dominating source, pre-thin with a hash-range filter
+    * (keep mix_bp below ~2·quota/size) before ranking. */
+  def stratifiedSample(spark: SparkSession, dir: String, n: Int = 12,
+      salt: String = "strat-"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("pick_hash"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.md5Hash60(concat(lit(salt), col("doc_id").cast("string"))).as("pick_hash"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= n)
+      .select("doc_id", "source", "pick_rank")
+  }
+
+  val ShardCount = 64
+
+  /** Training-shard manifest — the writer-side plan for emitting a
+    * globally-shuffled corpus as `ShardCount` fixed files: each document
+    * lands in shard md5(doc_id) mod N (a deterministic global shuffle —
+    * hash order decorrelates neighboring doc_ids without a global
+    * sort), ordered within its shard by (hash, doc_id), with its
+    * starting byte offset = running sum of earlier documents' sizes.
+    * Exactly the manifest a distributed writer needs to stream each
+    * shard independently. One window per shard; parallelism =
+    * `ShardCount` (set ∝ cluster size in production), byte offsets stay
+    * exact at any scale (BIGINT running sum). */
+  def shardManifest(spark: SparkSession, dir: String,
+      shards: Int = ShardCount): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("shard_hash"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        Text.md5Hash60(concat(lit("shard-"), col("doc_id").cast("string"))).as("shard_hash"))
+      .withColumn("shard_id", pmod(col("shard_hash"), lit(shards.toLong)))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .withColumn("byte_offset", sum(col("n_chars")).over(w) - col("n_chars"))
+      .select("doc_id", "shard_id", "position", "byte_offset", "n_chars")
+  }
+
   // ---- dataset mixing -------------------------------------------------
 
   /** Default mix for the 20-source testdata: rates cycle ¼, ½, ¾, 1 by
@@ -175,6 +294,38 @@ object TextOps {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), mixHash(col("doc_id"), salt).as("mix_bp"))
       .filter(col("mix_bp") < rateBp)
+  }
+
+  /** Epoch rates for the 20-source testdata: ½, 1, 1½, 2½ by numeric
+    * suffix — exercises down-sample, identity, and fractional
+    * up-sample in one mix. */
+  val DefaultEpochRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> Seq(0.5, 1.0, 1.5, 2.5)(i % 4)).toMap
+
+  /** Weighted mixing WITH up-sampling ("epochs"): rate 2.5 emits every
+    * document of the source twice, plus a deterministic half of them a
+    * third time — how a training mix over-weights a small high-quality
+    * source across epochs. Copies are explicit rows (`copy_idx`) so
+    * downstream packing/shuffling sees each repetition. The fractional
+    * decision is the same salted-md5 basis-point draw as
+    * [[weightedSample]]: growth-stable, reproducible, replayable
+    * cross-engine. Scale: a per-row explode of ≤⌈rate⌉ copies fused
+    * into the scan — no shuffle; output mass is Σ rows·rate by
+    * construction. */
+  def epochMix(spark: SparkSession, dir: String,
+      rates: Map[String, Double] = DefaultEpochRates,
+      salt: String = "epoch-"): DataFrame = {
+    val whole = rates.foldLeft(lit(0L)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(math.floor(r).toLong)).otherwise(acc) }
+    val fracBp = rates.foldLeft(lit(0)) { case (acc, (src, r)) =>
+      when(col("source") === src,
+        lit(math.round((r - math.floor(r)) * 10000).toInt)).otherwise(acc) }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), mixHash(col("doc_id"), salt).as("mix_bp"))
+      .withColumn("n_copies", whole + when(col("mix_bp") < fracBp, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
   }
 
   // ---- sequence packing ----------------------------------------------

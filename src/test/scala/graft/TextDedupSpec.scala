@@ -436,4 +436,126 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(got.exists(_._3 > 0.0), "fixture has docs with repeated shingles")
   }
+  test("persisted band index: append corpus then batch; probe equals in-process incremental dedup") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_bandindex").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    // corpus first, the crawl increment second — two appends, no rebuild
+    Dedup.appendToStoredIndex(docs.filter(col("doc_id") % 10 =!= 0), indexDir)
+    Dedup.appendToStoredIndex(docs.filter(col("doc_id") % 10 === 0), indexDir)
+    val got = Dedup.pairsAgainstStoredIndex(spark, indexDir,
+        docs.filter(col("doc_id") % 10 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.incrementalPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.PlanCache.release()
+    graft.operators.Dedup.releaseBandIndex()
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("length histogram partitions every document into exactly one bucket") {
+    val h = graft.operators.TextOps.lengthHistogram(spark, sf).collect()
+    val total = h.map(_.getLong(2)).sum
+    assert(total == Tables(spark, sf, "documents").count())
+    // bucket floors are width-aligned and consistent with the mean
+    assert(h.forall(r => r.getLong(1) % 16 == 0))
+    assert(h.forall(r => {
+      val b = r.getLong(1); val avg = r.getDouble(3)
+      avg >= b && avg < b + 16
+    }))
+  }
+
+  test("epoch mix up-samples deterministically: copy mass matches rates, copies are dense from 1") {
+    val m = graft.operators.TextOps.epochMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // deterministic across runs
+    val m2 = graft.operators.TextOps.epochMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(m.toSet == m2.toSet)
+    // per-doc copies are 1..n with no gaps
+    val byDoc = m.groupBy(_._1)
+    assert(byDoc.values.forall(cs => cs.map(_._3).sorted.sameElements(1L to cs.length)))
+    // a rate-2.5 source yields between 2x and 3x its docs; a rate-0.5
+    // source strictly fewer than its docs; rate-1.0 exactly its docs
+    val docs = Tables(spark, sf, "documents").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val copies = m.groupBy(_._2).map { case (s, cs) => s -> cs.length.toLong }
+    graft.operators.TextOps.DefaultEpochRates.foreach { case (src, rate) =>
+      val n = docs(src); val c = copies.getOrElse(src, 0L)
+      if (rate == 1.0) assert(c == n, s"$src identity")
+      else if (rate < 1.0) assert(c < n && c > 0, s"$src downsample")
+      else assert(c >= math.floor(rate).toLong * n && c <= math.ceil(rate).toLong * n,
+        s"$src upsample mass")
+    }
+  }
+
+  test("unigram LM: every doc scored, logp strictly negative, uniform-corpus bound holds") {
+    val lm = graft.operators.TextOps.unigramLm(spark, sf).collect()
+    assert(lm.length == Tables(spark, sf, "documents").count())
+    // every token's corpus prob < 1 so every mean logp < 0
+    assert(lm.forall(_.getDouble(2) < 0.0))
+    // n_tokens matches the doc's own token count
+    val counts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.Text.tokenCount(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm.forall(r => r.getLong(1) == counts(r.getLong(0))))
+    // no doc can beat the best single token's logp
+    val vocabMax = math.log(
+      Tables(spark, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").count().agg(max("count"), sum("count"))
+        .collect().map(r => r.getLong(0).toDouble / r.getLong(1)).head)
+    assert(lm.forall(_.getDouble(2) <= vocabMax + 1e-6))
+  }
+
+  test("keywords: ranks dense from 1, rank-1 has the doc's max tf, df consistent with vocabulary") {
+    val kw = graft.operators.TextOps.keywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val byDoc = kw.groupBy(_._1)
+    assert(byDoc.size == Tables(spark, sf, "documents").count())
+    assert(byDoc.values.forall(rs => rs.map(_._5).sorted.sameElements(1 to rs.length)))
+    assert(byDoc.values.forall(rs => rs.length <= 3))
+    // rank-1 tf is the max tf among the doc's extracted keywords
+    assert(byDoc.values.forall(rs => rs.find(_._5 == 1).get._3 == rs.map(_._3).max))
+    // df agrees with an independent count for one spot-checked token
+    val (tok, df) = kw.map(r => (r._2, r._4)).head
+    val want = Tables(spark, sf, "documents")
+      .filter(array_contains(split(col("text"), " "), tok)).count()
+    assert(df == want)
+  }
+
+  test("stratified sample: exactly min(n, source size) per source, deterministic, ranks dense") {
+    val s1 = graft.operators.TextOps.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val s2 = graft.operators.TextOps.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(s1.toSet == s2.toSet)
+    val sizes = Tables(spark, sf, "documents").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = s1.groupBy(_._2)
+    sizes.foreach { case (src, n) =>
+      val got = bySrc.getOrElse(src, Array.empty)
+      assert(got.length == math.min(12L, n), s"$src quota")
+      assert(got.map(_._3).sorted.sameElements(1 to got.length), s"$src dense ranks")
+    }
+  }
+
+  test("shard manifest: positions dense, byte offsets chain exactly, all docs present once") {
+    val m = graft.operators.TextOps.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m.map(_._1).distinct.length == m.length)
+    assert(m.length == Tables(spark, sf, "documents").count())
+    m.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).sameElements(1L to rows.length), s"shard $shard dense")
+      // first doc starts at byte 0; each next doc starts where the
+      // previous one ended
+      assert(sorted.head._4 == 0L, s"shard $shard origin")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._5, s"shard $shard chain")
+        case _ =>
+      }
+    }
+  }
+
 }

@@ -191,6 +191,7 @@ object SparkEntry {
     "q66_keywords" -> ((s, d) => TextOps.keywords(s, d)),
     "q67_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "q68_shard_manifest" -> ((s, d) => TextOps.shardManifest(s, d)),
+    "q69_training_export" -> ((s, d) => TextOps.trainingExport(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -724,6 +725,48 @@ object SparkEntry {
          |SELECT doc_id, source, quality FROM m
          |WHERE quality >= 0.66 AND guess = 'en'
          |  AND doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)""".stripMargin,
+    // the whole training-data build replayed in one statement: curation
+    // (q53's chain) → epoch mixing (q64's draw on the survivor set) →
+    // sequence packing (q52's per-group running sum keyed per copy)
+    "q69_training_export" -> {
+      val whole = graft.operators.TextOps.DefaultEpochRates.toSeq.sortBy(_._1)
+        .map { case (s, r) => s"WHEN '$s' THEN ${math.floor(r).toLong}" }.mkString(" ")
+      val frac = graft.operators.TextOps.DefaultEpochRates.toSeq.sortBy(_._1)
+        .map { case (s, r) =>
+          s"WHEN '$s' THEN ${math.round((r - math.floor(r)) * 10000).toInt}" }.mkString(" ")
+      s"""WITH RECURSIVE $q25Ctes,
+         | $ccCtes,
+         | $docMetricsCte,
+         | cur AS (SELECT doc_id, source FROM m
+         |   WHERE quality >= 0.66 AND guess = 'en'
+         |     AND doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)),
+         | mixq AS (SELECT doc_id, source,
+         |    CAST('0x' || substr(md5('epoch-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 10000 AS mix_bp
+         |  FROM cur),
+         | cop AS (SELECT doc_id, source,
+         |    CASE source $whole ELSE 0 END
+         |      + CASE WHEN mix_bp < (CASE source $frac ELSE 0 END) THEN 1 ELSE 0 END
+         |      AS n_copies
+         |  FROM mixq),
+         | expanded AS (SELECT doc_id, source,
+         |    CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+         |  FROM cop WHERE n_copies > 0),
+         | tok AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         | g AS (SELECT e.doc_id, e.copy_idx, e.source, t.n_tokens,
+         |    CAST('0x' || substr(md5('pack-' || CAST(e.doc_id AS VARCHAR) || '#'
+         |        || CAST(e.copy_idx AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % ${graft.operators.TextOps.PackGroups} AS pack_group
+         |  FROM expanded e JOIN tok t USING (doc_id)),
+         | pk AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY pack_group
+         |        ORDER BY doc_id, copy_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM g)
+         |SELECT doc_id, copy_idx, source, n_tokens, pack_group,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id,
+         |  (cum - n_tokens) % 512 + n_tokens > 512 AS spans_boundary
+         |FROM pk""".stripMargin
+    },
     "q54_embedding_clusters" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b

@@ -314,18 +314,64 @@ object TextOps {
     * construction. */
   def epochMix(spark: SparkSession, dir: String,
       rates: Map[String, Double] = DefaultEpochRates,
-      salt: String = "epoch-"): DataFrame = {
+      salt: String = "epoch-"): DataFrame =
+    epochCopies(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
+      rates, salt)
+
+  /** Copy-expansion core of [[epochMix]], applicable to ANY
+    * (doc_id, source) frame — [[trainingExport]] feeds it the curated
+    * survivor set instead of the raw corpus. */
+  private def epochCopies(docs: DataFrame, rates: Map[String, Double],
+      salt: String): DataFrame = {
     val whole = rates.foldLeft(lit(0L)) { case (acc, (src, r)) =>
       when(col("source") === src, lit(math.floor(r).toLong)).otherwise(acc) }
     val fracBp = rates.foldLeft(lit(0)) { case (acc, (src, r)) =>
       when(col("source") === src,
         lit(math.round((r - math.floor(r)) * 10000).toInt)).otherwise(acc) }
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), mixHash(col("doc_id"), salt).as("mix_bp"))
+    docs
+      .withColumn("mix_bp", mixHash(col("doc_id"), salt))
       .withColumn("n_copies", whole + when(col("mix_bp") < fracBp, 1L).otherwise(0L))
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
+  /** The composed TRAINING EXPORT — the whole pipeline a training-data
+    * build runs, as one declarative plan: curate (quality bar + langID
+    * + near-dup survivors, [[curate]]) → epoch-mix the survivors
+    * (per-source up/down-sampling with explicit copies) → pack the
+    * mixed stream into fixed-capacity sequences ([[packSequences]]'s
+    * concat-then-chop, keyed per (doc, copy) so repeated epochs land in
+    * different pack positions). Output: one row per packed document
+    * copy with its source, token count, pack group, chunk id, and
+    * boundary flag — the manifest a sequence-writer consumes.
+    *
+    * Scale: each stage keeps its own posture (anti-join vs broadcast
+    * losers; scan-fused copy explode; per-group windows, parallelism ∝
+    * `PackGroups`); composing them adds ONE join (copies ⋈ token
+    * counts, equi on doc_id) and no new global ordering. */
+  def trainingExport(spark: SparkSession, dir: String,
+      minQuality: Double = 0.66,
+      rates: Map[String, Double] = DefaultEpochRates,
+      capacity: Int = 512): DataFrame = {
+    val copies = epochCopies(
+      curate(spark, dir, minQuality).select(col("doc_id"), col("source")),
+      rates, "epoch-")
+    val tokens = Tables(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_group")).orderBy(col("doc_id"), col("copy_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    copies.join(tokens, Seq("doc_id"))
+      .withColumn("pack_group",
+        pmod(Text.md5Hash60(concat(lit("pack-"), col("doc_id").cast("string"),
+          lit("#"), col("copy_idx").cast("string"))), lit(PackGroups.toLong)))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("copy_idx"), col("source"), col("n_tokens"),
+        col("pack_group"),
+        ((col("_cum") - col("n_tokens")) / capacity).cast("long").as("chunk_id"),
+        (pmod(col("_cum") - col("n_tokens"), lit(capacity.toLong)) + col("n_tokens")
+          > capacity).as("spans_boundary"))
   }
 
   // ---- sequence packing ----------------------------------------------

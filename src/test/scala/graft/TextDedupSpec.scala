@@ -540,6 +540,39 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("training export composes curate -> epoch mix -> pack consistently") {
+    val ex = graft.operators.TextOps.trainingExport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    graft.operators.PlanCache.release()
+    graft.operators.Dedup.releaseBandIndex()
+    assert(ex.nonEmpty)
+    // (doc, copy) is unique
+    assert(ex.map(t => (t._1, t._2)).distinct.length == ex.length)
+    // exported docs = exactly the curated survivor set, minus rate-0
+    // draws (a rate-0.5 source drops docs), and its copies match the
+    // corpus-wide epoch mix restricted to the survivors (same salt)
+    val curated = graft.operators.TextOps.curate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    graft.operators.PlanCache.release()
+    graft.operators.Dedup.releaseBandIndex()
+    assert(ex.map(_._1).toSet.subsetOf(curated))
+    val mixAll = graft.operators.TextOps.epochMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(t => curated.contains(t._1)).map(t => (t._1, t._3)).toSet
+    assert(ex.map(t => (t._1, t._2)).toSet == mixAll)
+    // within each pack group the running sum replays chunk ids and
+    // boundary flags exactly
+    ex.groupBy(_._5).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(t => (t._1, t._2)).foreach { t =>
+        assert(t._6 == cum / 512, s"chunk_id of ${t._1}#${t._2}")
+        assert(t._7 == (cum % 512 + t._4 > 512), s"boundary of ${t._1}#${t._2}")
+        cum += t._4
+      }
+    }
+  }
+
   test("shard manifest: positions dense, byte offsets chain exactly, all docs present once") {
     val m = graft.operators.TextOps.shardManifest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

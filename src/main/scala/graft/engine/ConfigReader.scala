@@ -47,6 +47,7 @@ object ConfigReader {
   final case class EngineConfig(
       syncTasks: Seq[SyncTaskSpec] = Nil,
       backupTasks: Seq[BackupSpec] = Nil,
+      trainingTasks: Seq[TrainingExportSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -69,6 +70,13 @@ object ConfigReader {
         try Some(parseBackupTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed backup task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      trainingTasks = root.path("trainingTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseTrainingTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed training task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -202,5 +210,32 @@ object ConfigReader {
       // gcsAddress is the reference's field name for the upload
       // destination (config.go:19); uploadDir wins when both appear
       uploadDir = optText(n, "uploadDir").orElse(optText(n, "gcsAddress")))
+  }
+
+  private def parseTrainingTask(n: JsonNode): TrainingExportSpec = {
+    val schedule = optText(n, "schedule").getOrElse("0 3 * * *")
+    graft.operators.Cron.parse(schedule) // validate: a bad schedule skips THIS task only
+    val rates = {
+      val r = n.path("rates")
+      if (r.isObject)
+        r.fields.asScala.map { e =>
+          require(e.getValue.isNumber, s"rate for '${e.getKey}' must be numeric")
+          val v = e.getValue.asDouble
+          require(v >= 0, s"rate for '${e.getKey}' must be >= 0")
+          e.getKey -> v
+        }.toMap
+      else Map.empty[String, Double]
+    }
+    TrainingExportSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      outDir = reqText(n, "outDir"),
+      minQuality = n.path("minQuality").asDouble(0.66),
+      capacity = {
+        val c = n.path("capacity").asInt(512)
+        require(c > 0, "capacity must be positive"); c
+      },
+      rates = rates)
   }
 }

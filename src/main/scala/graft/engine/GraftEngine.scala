@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TimeWindows
-import graft.model.BackupSpec
+import graft.model.{BackupSpec, TrainingExportSpec}
 import graft.operators.{Backup, Cron, Upsert}
 import graft.streaming.{Alerts, CdcPipeline, ControlLoop, DailyRollup, Dlq, Guardian, KvPipeline, Metrics, SessionStream}
 
@@ -42,6 +42,7 @@ final class GraftEngine(
   @volatile private var stopping = false
   @volatile private var pipelineDefs = Map.empty[String, Compiler.PipelineDef]
   @volatile private var backupSpecs: Seq[BackupSpec] = Nil
+  @volatile private var trainingSpecs: Seq[TrainingExportSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -162,11 +163,14 @@ final class GraftEngine(
       }
     }
     recorder.foreach(_._2.flush())
-    if (cfg.backupTasks != backupSpecs) {
+    if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs) {
       backupSpecs = cfg.backupTasks
+      trainingSpecs = cfg.trainingTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
-      scheduler = new Cron.Scheduler(backupSpecs.map(toJob), scheduler.firedState)
+      scheduler = new Cron.Scheduler(
+        backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob),
+        scheduler.firedState)
     }
     pipelineDefs = defs
     supervisor.reconcile(pipelineDefs)
@@ -179,6 +183,17 @@ final class GraftEngine(
       try { GraftEngine.runBackup(spark, spec, clock()); () }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("backup_failed", s"backup${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toTrainingJob(spec: TrainingExportSpec): Cron.Job =
+    // id-offset into its own namespace: the scheduler's at-most-once
+    // dedup state is keyed by job id, and a backup task and a training
+    // task that share a numeric id must not share dedup entries
+    Cron.Job(GraftEngine.TrainingJobIdOffset + spec.id, spec.schedule, () =>
+      try { GraftEngine.runTrainingExport(spark, spec); () }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("training_export_failed", s"training${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -482,6 +497,32 @@ object GraftEngine {
   private lazy val jdbcBoundOnce: Unit =
     java.sql.DriverManager.setLoginTimeout(JdbcConnectBoundSecs)
   private[engine] def ensureJdbcConnectBound(): Unit = jdbcBoundOnce
+
+  /** Training-task job ids live [[TrainingJobIdOffset]] above backup ids
+    * so the two task families never share scheduler-dedup keys. */
+  val TrainingJobIdOffset = 1000000
+
+  /** Execute one training-data build now (the training cron target):
+    * run the composed curate → epoch-mix → pack chain over the corpus
+    * and land the packed-sequence manifest under `outDir/manifest`,
+    * partitioned by pack group — each partition is one sequence
+    * writer's independent work list. The write replaces the previous
+    * manifest atomically per partition tree (overwrite mode); the dedup
+    * intermediates are released after the write, but the corpus band
+    * index stays resident on purpose — it is the persistent structure
+    * every dedup consumer shares, rebuilt only when the process
+    * restarts. */
+  def runTrainingExport(spark: SparkSession, spec: TrainingExportSpec): String = {
+    val rates =
+      if (spec.rates.nonEmpty) spec.rates
+      else graft.operators.TextOps.DefaultEpochRates
+    val out = s"${spec.outDir}/manifest"
+    try graft.operators.TextOps
+      .trainingExport(spark, spec.sourceDir, spec.minQuality, rates, spec.capacity)
+      .write.mode("overwrite").partitionBy("pack_group").parquet(out)
+    finally graft.operators.PlanCache.release()
+    out
+  }
 
   /** Execute one backup task now (the cron target, executor.go:157-271):
     * list the tables under `sourceDir`, regex-discover, group by prefix,

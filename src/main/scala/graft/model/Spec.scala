@@ -83,3 +83,17 @@ final case class BackupSpec(
     sourceDir: String = "",         // table root the export scans
     outDir: String = "",            // artifact root
     uploadDir: Option[String] = None) // zip + store destination (≙ gcsAddress)
+
+/** A scheduled training-data build: the curate → epoch-mix → pack
+  * chain ([[graft.operators.TextOps.trainingExport]]) run as a cron
+  * job over a documents corpus, landing the packed-sequence manifest
+  * under `outDir` partitioned by pack group. An empty `rates` map means
+  * the operator's default mix. */
+final case class TrainingExportSpec(
+    id: Int,
+    schedule: String = "0 3 * * *",
+    sourceDir: String = "",    // corpus root (documents.parquet inside)
+    outDir: String = "",       // manifest root
+    minQuality: Double = 0.66,
+    capacity: Int = 512,
+    rates: Map[String, Double] = Map.empty)

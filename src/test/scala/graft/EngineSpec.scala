@@ -744,4 +744,46 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("scheduled training export: fires at its minute, manifest equals the operator, reload drops the job") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "backupTasks": [], "trainingTasks": [
+         |  { "id": 20, "schedule": "30 4 * * *",
+         |    "sourceDir": "$sf", "outDir": "$root/train" } ] }""".stripMargin)
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T04:29:00")).isEmpty)
+      // fires once in its minute (id in the training namespace), and the
+      // at-most-once contract holds on a repeat tick
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T04:30:00")) ==
+        Seq(GraftEngine.TrainingJobIdOffset + 20))
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T04:30:00")).isEmpty)
+      val cols = Seq("doc_id", "copy_idx", "source", "n_tokens",
+        "pack_group", "chunk_id", "spans_boundary")
+      // partitioned layout: one directory per pack group
+      assert(Files.list(Paths.get(s"$root/train/manifest")).toArray.map(_.toString)
+        .count(_.contains("pack_group=")) == graft.operators.TextOps.PackGroups)
+      val got = spark.read.parquet(s"$root/train/manifest")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val want = graft.operators.TextOps.trainingExport(spark, sf)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      graft.operators.PlanCache.release()
+      graft.operators.Dedup.releaseBandIndex()
+      // partitionBy narrows pack_group to int in the written files;
+      // compare on normalized longs
+      def norm(s: Set[Seq[Any]]) = s.map(_.map {
+        case i: Int => i.toLong
+        case x => x
+      })
+      assert(norm(got) == norm(want) && got.nonEmpty)
+      // hot-reload: removing the training task drops its cron job
+      writeConfig(cfgPath,
+        """{ "syncTasks": [], "backupTasks": [], "trainingTasks": [] }""")
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T04:30:00")).isEmpty)
+    } finally engine.stop()
+  }
+
 }

@@ -192,6 +192,9 @@ object SparkEntry {
     "q67_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "q68_shard_manifest" -> ((s, d) => TextOps.shardManifest(s, d)),
     "q69_training_export" -> ((s, d) => TextOps.trainingExport(s, d)),
+    "q70_top_quality_salted" -> ((s, d) => TextOps.topQualityPerSourceSalted(s, d)),
+    "q71_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
+    "q72_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -790,6 +793,52 @@ object SparkEntry {
          |                       ORDER BY quality DESC, doc_id ASC) AS rank
          |  FROM m)
          |WHERE rank <= 5""".stripMargin,
+    // q70: the salted two-phase top-k must produce EXACTLY q55's rows —
+    // same oracle statement
+    "q70_top_quality_salted" ->
+      s"""WITH $docMetricsCte
+         |SELECT doc_id, source, quality, rank FROM (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality DESC, doc_id ASC) AS rank
+         |  FROM m)
+         |WHERE rank <= 5""".stripMargin,
+    // q71: the linear-classifier logit mirrors the Spark expression's
+    // exact operand and association order — every step is a fixed-order
+    // double op, so raw doubles (and the logit > 0 decision) match
+    // bit-for-bit
+    "q71_quality_classifier" -> {
+      val logit =
+        """-2.0 + 3.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+          |      + -1.5 * (sw / len(toks))
+          |      + 0.8 * least(len(toks) / 100.0, 1.0)
+          |      + -2.5 * (1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs))""".stripMargin
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN ('the','a','and','of'))) AS DOUBLE) AS sw
+         |  FROM documents),
+         | s AS (SELECT doc_id, toks, sw, CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))
+         |    ELSE [array_to_string(toks, ' ')] END AS shs
+         |  FROM t)
+         |SELECT doc_id, round($logit, 4) AS logit, ($logit) > 0 AS keep
+         |FROM s""".stripMargin
+    },
+    "q72_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | g AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, len(toks) - 1),
+        |      i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+        |  FROM d WHERE len(toks) >= 2),
+        | c AS (SELECT bigram, count(*) AS cb FROM g GROUP BY bigram),
+        | h AS (SELECT string_split(bigram, ' ')[1] AS head,
+        |    CAST(sum(cb) AS BIGINT) AS ch FROM c GROUP BY head),
+        | lp AS (SELECT bigram, round(ln(CAST(cb AS DOUBLE) / CAST(ch AS DOUBLE)), 6) AS logp
+        |   FROM c JOIN h ON string_split(c.bigram, ' ')[1] = h.head),
+        | s AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
+        |   FROM g JOIN lp USING (bigram) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, s.avg_logp
+        |FROM d LEFT JOIN s USING (doc_id)""".stripMargin,
     "q52_seq_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,

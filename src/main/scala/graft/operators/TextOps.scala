@@ -124,6 +124,86 @@ object TextOps {
       .filter(col("rank") <= n)
   }
 
+  /** Skew-robust variant of [[topQualityPerSource]] — the SAME result
+    * via two-phase top-k: each (source, salt-bucket) slice takes a
+    * local top-n, then the survivors (≤ n·buckets per source) take the
+    * global per-source top-n. A source holding half the corpus never
+    * lands in one window partition — phase 1 spreads it over `buckets`
+    * tasks and ships n rows per bucket, the classic combiner shape for
+    * ORDER-based aggregation. Result equality with the one-window
+    * operator is spec-pinned; use this form whenever one source can
+    * dominate a partition. */
+  def topQualityPerSourceSalted(spark: SparkSession, dir: String, n: Int = 5,
+      buckets: Int = 16): DataFrame = {
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("salt"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id").asc)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), Text.qualityScore(col("text")).as("quality"),
+        pmod(Text.md5Hash60(concat(lit("salt-"), col("doc_id").cast("string"))),
+          lit(buckets.toLong)).as("salt"))
+      .withColumn("_r", row_number().over(local)).filter(col("_r") <= n)
+      .drop("_r", "salt")
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= n)
+  }
+
+  /** Model-based quality filtering — a linear classifier over the
+    * per-document signals (lexical diversity, stopword balance, length
+    * saturation, repetition), the engine-side shape of a
+    * fasttext/logistic quality gate: score = w·x as an exact per-row
+    * expression. Weights are LITERALS folded into the scan (swap in
+    * trained weights the same way); emitting the LOGIT (not the
+    * sigmoid) keeps every arithmetic step a fixed-order double op, so
+    * the score — and the keep/drop decision at logit > 0 — is
+    * bit-deterministic cross-engine. One scan, no shuffle, whole-stage
+    * codegen. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val shs = Text.shingles(col("text"), 3)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = Text.stopwordCount(col("text")).cast("double") / nTok
+    val lenSat = least(nTok / 100.0, lit(1.0))
+    val dupFrac = lit(1.0) - size(array_distinct(shs)).cast("double") /
+      size(shs).cast("double")
+    val logit = lit(-2.0) + lit(3.0) * distinctRatio + lit(-1.5) * stopRatio +
+      lit(0.8) * lenSat + lit(-2.5) * dupFrac
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), round(logit, 4).as("logit"), (logit > 0).as("keep"))
+  }
+
+  /** Bigram-LM scoring — the next rung of the [[unigramLm]] ladder:
+    * each document's mean log p(w₂|w₁) under the corpus's own bigram
+    * model (conditional frequency c(w₁w₂)/c(w₁·), where c(w₁·) counts
+    * w₁ as a bigram head). Same two-phase shape as the unigram scorer:
+    * bigram + head tables are vocabulary²-bounded, broadcast into the
+    * corpus re-scan; per-bigram logp rounded to 6 dp so both engines
+    * average identical inputs. Single-token documents have no bigram —
+    * emitted with n_bigrams = 0 and NULL score rather than dropped. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .filter(Text.tokenCount(col("text")) >= 2)
+      .select(col("doc_id"), explode(Text.shingles(col("text"), 2)).as("bigram"))
+    val counts = grams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val heads = counts
+      .groupBy(split(col("bigram"), " ").getItem(0).as("head"))
+      .agg(sum(col("cb")).as("ch"))
+    val logp = counts
+      .withColumn("head", split(col("bigram"), " ").getItem(0))
+      .join(broadcast(heads), Seq("head"))
+      .select(col("bigram"),
+        round(log(col("cb").cast("double") / col("ch").cast("double")), 6).as("logp"))
+    val scored = grams.join(broadcast(logp), Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 4).as("avg_logp"))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+
   /** Vocabulary mining — term frequency + document frequency for the
     * top-k corpus tokens (count desc, token asc for deterministic
     * ties): the stats a tokenizer-training / idf-weighting step reads.

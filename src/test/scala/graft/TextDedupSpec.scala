@@ -573,6 +573,58 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase top-k equals the one-window top-k exactly") {
+    val plain = graft.operators.TextOps.topQualityPerSource(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    val salted = graft.operators.TextOps.topQualityPerSourceSalted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(salted == plain && plain.nonEmpty)
+    // still holds when buckets exceed source sizes (degenerate salting)
+    val wide = graft.operators.TextOps.topQualityPerSourceSalted(spark, sf, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(wide == plain)
+  }
+
+  test("quality classifier: logit replays the feature weights; keep is the sign decision") {
+    val got = graft.operators.TextOps.qualityClassifier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.length == Tables(spark, sf, "documents").count())
+    assert(got.forall { case (_, logit, keep) => keep == (logit > 0) ||
+      math.abs(logit) < 0.0001 }) // rounded logit may cross 0 only within rounding
+    // both classes occur on the fixture (a one-sided classifier is untestable)
+    assert(got.exists(_._3) && got.exists(!_._3))
+    // spot-check one document against a hand-computed logit
+    val d = Tables(spark, sf, "documents").select("doc_id", "text")
+      .filter(col("doc_id") === 0).collect().head
+    val toks = d.getString(1).split(" ").toSeq
+    val shs = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+              else Seq(toks.mkString(" "))
+    val n = toks.length.toDouble
+    val logit = -2.0 + 3.0 * (toks.distinct.length / n) +
+      -1.5 * (toks.count(Set("the", "a", "and", "of")) / n) +
+      0.8 * math.min(n / 100.0, 1.0) +
+      -2.5 * (1.0 - shs.distinct.length.toDouble / shs.length)
+    val want = BigDecimal(logit).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.find(_._1 == 0L).get._2 - want) < 1e-9)
+  }
+
+  test("bigram LM: single-token docs score NULL, others average the corpus conditional logp") {
+    val lm = graft.operators.TextOps.bigramLm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(lm.length == Tables(spark, sf, "documents").count())
+    // n_bigrams = n_tokens - 1 for multi-token docs; 0 and NULL otherwise
+    val counts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.Text.tokenCount(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lm.foreach { case (id, nb, score) =>
+      if (counts(id) >= 2) assert(nb == counts(id) - 1 && score.isDefined, s"doc $id")
+      else assert(nb == 0 && score.isEmpty, s"doc $id")
+    }
+    // conditional probs <= 1 so logp <= 0
+    assert(lm.forall(_._3.forall(_ <= 0.0)))
+  }
+
   test("shard manifest: positions dense, byte offsets chain exactly, all docs present once") {
     val m = graft.operators.TextOps.shardManifest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -471,10 +471,15 @@ object Dedup {
     val votes = exploded.groupBy("doc_id").agg(
       sum(voteOf(0)).as("v0"),
       (1 until SimhashBits).map(i => sum(voteOf(i)).as(s"v$i")): _*)
-    val docs = votes.select(col("doc_id"),
+    // PlanCache: the self-join below would otherwise compute the whole
+    // signature pipeline TWICE — the two Exchange subtrees fail plan
+    // canonicalization (measured: no ReusedExchange in the executed
+    // plan), so reuse must be explicit. Cached rows are (long, long)
+    // per doc — corpus-count-bounded, tiny next to the token matrix.
+    val docs = PlanCache.tracked(votes.select(col("doc_id"),
       (0 until SimhashBits).map(i =>
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+        .reduce((a, b) => a.bitwiseOR(b)).as("sh")))
     val chunks = docs.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(SimhashChunks - 1)),
         j => call_function("shiftright", col("sh"), j * 15).bitwiseAND(lit(0x7FFFL)))))

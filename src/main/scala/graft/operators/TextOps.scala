@@ -72,7 +72,12 @@ object TextOps {
     * hash-agg on `source`; every metric is algebraic (sum/count/avg),
     * so the map-side combine ships one row per (task, source). */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    corpusStatsOf(Tables(spark, dir, "documents"))
+
+  /** [[corpusStats]] over an arbitrary documents frame — shared with
+    * the streaming monitor's batch-parity contract. */
+  def corpusStatsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         Text.tokenCount(col("text")).cast("long").as("n_tokens"),
         Text.qualityScore(col("text")).as("quality"),
@@ -324,11 +329,49 @@ object TextOps {
     * `ShardCount` (set ∝ cluster size in production), byte offsets stay
     * exact at any scale (BIGINT running sum). */
   def shardManifest(spark: SparkSession, dir: String,
-      shards: Int = ShardCount): DataFrame = {
+      shards: Int = ShardCount): DataFrame =
+    shardManifest0(Tables(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+      shards)
+
+  /** Append a document batch to a PERSISTED shard manifest at
+    * `manifestDir` WITHOUT touching existing rows — the steady-state
+    * face of [[shardManifest]]: at 100 TB the corpus's manifest is
+    * written once and each ingest increment appends only its own rows,
+    * with positions and byte offsets CONTINUING each shard's existing
+    * tail. Ordering semantics are append-order across batches (new
+    * documents land after all earlier ones in their shard), hash-order
+    * within a batch — exactly what a sequential shard writer needs.
+    * The per-shard tails are `shards` rows of pure aggregation
+    * (broadcast side); the batch pays one window over its own rows
+    * only. First call on an empty dir bootstraps shard tails at zero. */
+  def appendToShardManifest(spark: SparkSession, manifestDir: String,
+      batch: DataFrame, shards: Int = ShardCount): Unit = {
+    val fresh = shardManifest0(batch, shards)
+    val dirPath = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(dirPath)) fresh
+      else {
+        val tails = spark.read.parquet(manifestDir)
+          .groupBy(col("shard_id"))
+          .agg(max(col("position")).as("tail_pos"),
+            max(col("byte_offset") + col("n_chars")).as("tail_off"))
+        fresh.join(broadcast(tails), Seq("shard_id"), "left")
+          .select(col("doc_id"), col("shard_id"),
+            (col("position") + coalesce(col("tail_pos"), lit(0L))).as("position"),
+            (col("byte_offset") + coalesce(col("tail_off"), lit(0L))).as("byte_offset"),
+            col("n_chars"))
+      }
+    rows.write.mode("append").parquet(manifestDir)
+  }
+
+  /** [[shardManifest]]'s core over an arbitrary (doc_id, n_chars)
+    * frame. */
+  private def shardManifest0(docs: DataFrame, shards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard_id")).orderBy(col("shard_hash"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("n_chars"),
         Text.md5Hash60(concat(lit("shard-"), col("doc_id").cast("string"))).as("shard_hash"))
       .withColumn("shard_id", pmod(col("shard_hash"), lit(shards.toLong)))

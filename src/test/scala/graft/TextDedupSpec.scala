@@ -625,6 +625,35 @@ class TextDedupSpec extends SparkSpec {
     assert(lm.forall(_._3.forall(_ <= 0.0)))
   }
 
+  test("shard manifest append: increments continue each shard's tail without rewriting old rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardman").toString + "/manifest"
+    val docs = Tables(spark, sf, "documents").select("doc_id", "n_chars")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    graft.operators.TextOps.appendToShardManifest(spark, dir, a)
+    val afterA = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    graft.operators.TextOps.appendToShardManifest(spark, dir, b)
+    val all = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // batch A's rows are byte-identical after the second append
+    assert(afterA.toSet.subsetOf(all.toSet))
+    assert(all.length == docs.count() && all.map(_._1).distinct.length == all.length)
+    val bIds = b.collect().map(_.getLong(0)).toSet
+    all.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).sameElements(1L to rows.length), s"shard $shard dense")
+      assert(sorted.head._4 == 0L, s"shard $shard origin")
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(y._4 == x._4 + x._5, s"shard $shard chain")
+          // append order: a batch-B row never precedes a batch-A row
+          assert(!(bIds(x._1) && !bIds(y._1)), s"shard $shard append order")
+        case _ =>
+      }
+    }
+  }
+
   test("shard manifest: positions dense, byte offsets chain exactly, all docs present once") {
     val m = graft.operators.TextOps.shardManifest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

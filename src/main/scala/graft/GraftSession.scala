@@ -16,8 +16,13 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       // custom Catalyst expressions register through the extensions
-      // hook, so they resolve like built-ins (codegen'd, no UDF)
-      .withExtensions(_.injectFunction(graft.functions.SetCard.injection))
+      // hook, so they resolve like built-ins (codegen'd, no UDF); the
+      // optimizer rule fuses size(array_distinct(_)) into the native
+      // cardinality kernel wherever operators write the composable form
+      .withExtensions { ext =>
+        ext.injectFunction(graft.functions.SetCard.injection)
+        ext.injectOptimizerRule(graft.functions.DistinctCard.injection)
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

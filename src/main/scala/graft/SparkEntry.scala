@@ -13,8 +13,11 @@ import graft.operators._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the composed training-data build — curation (near-dup
+    * clustering + quality + langID), epoch mixing, and sequence packing
+    * in one declarative plan. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.sourceTargetDiff(spark, "/root/testdata/sf0.001")
+    TextOps.trainingExport(spark, "/root/testdata/sf0.001")
 
   // ---- DuckDB twins of the md5-based signatures (q25/q26/q30) --------
   // Generated from the same constants the Spark operators use, so the

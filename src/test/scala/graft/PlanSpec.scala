@@ -29,6 +29,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quality-metric queries run the fused distinct-cardinality kernel, not array_distinct") {
+    Seq("q21_quality_scores", "q57_repetition", "q71_quality_classifier").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("string_distinct_card") && !p.contains("array_distinct"), name)
+    }
+  }
+
   test("top-k queries plan TakeOrderedAndProject, never a global sort") {
     Seq("q3_top_orders", "q9_recent_errors", "q43_log_search",
         "q61_vocabulary").foreach { name =>

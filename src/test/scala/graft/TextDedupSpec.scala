@@ -76,6 +76,37 @@ class TextDedupSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("distinct-cardinality rule fuses size(array_distinct) into the native codegen kernel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Seq("a", "b", "c", "dd", "ee")
+    val cases: Seq[Seq[String]] =
+      Seq.fill(40)(Seq.fill(rnd.nextInt(30))(words(rnd.nextInt(words.length)))) ++
+        Seq(Seq.empty[String], Seq("x", "x", "x"))
+    val df = cases.toDF("a").repartition(2)
+    val q = df.select(size(array_distinct(col("a"))).as("n"))
+    assert(q.collect().map(_.getInt(0)).toSeq.sorted ==
+      cases.map(_.distinct.length).sorted)
+    // the optimizer rewrote the composable form into the kernel, inside
+    // a WholeStageCodegen span (the `*(n)` prefix) — doGenCode ran.
+    // Plan read AFTER collect: AQE finalizes codegen spans on execution
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("string_distinct_card") && !plan.contains("array_distinct"), plan)
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[string_distinct_card.*"), plan)
+    // null ELEMENTS collapse to one distinct member, exactly like
+    // array_distinct; null INPUT stays null (non-legacy size semantics)
+    val withNulls = Seq(Some(Seq(Some("a"), None, Some("a"), None)),
+      Option.empty[Seq[Option[String]]]).toDF("a").repartition(2)
+    val got = withNulls.select(size(array_distinct(col("a"))).as("n")).collect()
+    assert(got.exists(r => !r.isNullAt(0) && r.getInt(0) == 2))
+    assert(got.exists(_.isNullAt(0)))
+    // long arrays are NOT rewritten (kernel is string-specialized)
+    val longs = Seq(Seq(1L, 1L, 2L)).toDF("a").repartition(2)
+      .select(size(array_distinct(col("a"))).as("n"))
+    assert(!longs.queryExecution.executedPlan.toString.contains("string_distinct_card"))
+    assert(longs.collect().head.getInt(0) == 2)
+  }
+
   test("scalar minhash signature matches a pure-Scala affine-min replay") {
     import spark.implicits._
     val df = Seq((1L, "one two three four five six seven eight")).toDF("doc_id", "text")

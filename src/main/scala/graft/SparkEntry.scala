@@ -198,6 +198,8 @@ object SparkEntry {
     "q70_top_quality_salted" -> ((s, d) => TextOps.topQualityPerSourceSalted(s, d)),
     "q71_quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "q72_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
+    "q73_funnel" -> (EventFlow.conversionFunnel _),
+    "q74_retention" -> (EventFlow.retentionCohorts _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -930,6 +932,29 @@ object SparkEntry {
          |  min(ts) AS session_start, max(ts) AS session_end
          |FROM s GROUP BY user_id, session_seq""".stripMargin
     },
+    // q73: three stacked user-partition windows replay the ordered
+    // funnel (each stage's min is at-or-after the previous stage)
+    "q73_funnel" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        | w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts >= t0 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM w1),
+        | w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM w2)
+        |SELECT user_id, max(t0) AS signup_ts, max(t1) AS view_ts, max(t2) AS purchase_ts,
+        |  CASE WHEN max(t2) IS NOT NULL THEN 3 WHEN max(t1) IS NOT NULL THEN 2
+        |       WHEN max(t0) IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM w3 GROUP BY user_id""".stripMargin,
+    "q74_retention" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        | c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |   FROM d)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY cohort_day, day_offset""".stripMargin,
     "q61_vocabulary" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)

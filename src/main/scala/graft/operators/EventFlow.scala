@@ -71,4 +71,47 @@ object EventFlow {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
   }
+
+  /** Ordered conversion funnel (signup → view → purchase): each stage's
+    * timestamp is the user's first qualifying event AT-OR-AFTER the
+    * previous stage — the "did the signup actually convert, in order"
+    * question a plain per-type min cannot answer. Three stacked
+    * user-partitioned windows, and because all three share the same
+    * partitioning, Catalyst plans ONE exchange for the whole chain;
+    * the per-user collapse then reuses that clustering. */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t0",
+        min(when(col("event_type") === "signup", col("ts"))).over(all))
+      .withColumn("t1",
+        min(when(col("event_type") === "view" && col("ts") >= col("t0"), col("ts"))).over(all))
+      .withColumn("t2",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t1"), col("ts"))).over(all))
+      .groupBy(col("user_id"))
+      .agg(max(col("t0")).as("signup_ts"), max(col("t1")).as("view_ts"),
+        max(col("t2")).as("purchase_ts"))
+      .withColumn("stage",
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("view_ts").isNotNull, 2)
+          .when(col("signup_ts").isNotNull, 1).otherwise(0))
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, activity
+    * counted per (cohort day, day offset) — the retention matrix. The
+    * cohort day is a window min over the SAME user partitioning as the
+    * activity scan (no join, one exchange); the final distinct-count
+    * is the standard two-phase expansion. Output cardinality is
+    * days × max-offset, independent of corpus size. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(all))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
 }

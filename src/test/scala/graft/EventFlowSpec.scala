@@ -55,4 +55,53 @@ class EventFlowSpec extends SparkSpec {
     assert(got == expected)
     assert(got.valuesIterator.exists(_._1 > 1), "fixture has multi-event sessions")
   }
+
+  test("conversion funnel: stage timestamps are ordered, stage matches reached depth, scala replay agrees") {
+    val got = graft.operators.EventFlow.conversionFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+        r.getInt(4))).toSeq
+    // ordering invariant: signup <= view <= purchase when present
+    got.foreach { case (u, t0, t1, t2, stage) =>
+      for (a <- t0; b <- t1) assert(!b.before(a), s"user $u view before signup")
+      for (a <- t1; b <- t2) assert(!b.before(a), s"user $u purchase before view")
+      val depth = Seq(t0, t1, t2).takeWhile(_.isDefined).length
+      assert(stage == depth, s"user $u stage")
+      // a later stage requires the earlier one
+      assert(!(t1.isDefined && t0.isEmpty) && !(t2.isDefined && t1.isEmpty))
+    }
+    // scala replay over the raw events
+    val raw = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val want = raw.groupBy(_._1).map { case (u, evs) =>
+      def tsKey(t: java.sql.Timestamp) = (t.getTime, t.getNanos)
+      def minAfter(tpe: String, from: Option[java.sql.Timestamp]) =
+        from.flatMap { f =>
+          evs.filter(e => e._3 == tpe && !e._2.before(f)).map(_._2)
+            .sortBy(tsKey).headOption
+        }
+      val t0 = evs.filter(_._3 == "signup").map(_._2).sortBy(tsKey).headOption
+      val t1 = minAfter("view", t0)
+      val t2 = minAfter("purchase", t1)
+      u -> (t0, t1, t2)
+    }
+    assert(got.map(r => r._1 -> (r._2, r._3, r._4)).toMap == want)
+    // dense fixture: every user has events of all types, so full
+    // conversion dominates; partial depths are covered by the replay
+    assert(got.map(_._5).contains(3) && got.nonEmpty)
+  }
+
+  test("retention cohorts: offsets nonnegative, day-0 row per cohort, user-day mass conserved") {
+    val got = graft.operators.EventFlow.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall(_._2 >= 0))
+    // every cohort has its day-0 row (the first-seen day itself)
+    val cohorts = got.map(_._1).distinct
+    assert(cohorts.forall(c => got.exists(r => r._1 == c && r._2 == 0)))
+    // total user-day mass equals distinct (user, day) pairs in the raw data
+    val want = Tables(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(got.map(_._3).sum == want)
+  }
 }

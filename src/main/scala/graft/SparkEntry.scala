@@ -200,6 +200,11 @@ object SparkEntry {
     "q72_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
     "q73_funnel" -> (EventFlow.conversionFunnel _),
     "q74_retention" -> (EventFlow.retentionCohorts _),
+    "q75_boilerplate" -> ((s, d) => TextOps.boilerplateShingles(s, d)),
+    "q76_boiler_coverage" -> ((s, d) => TextOps.boilerplateCoverage(s, d)),
+    "q77_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
+    "q78_lang_temperature" -> ((s, d) => TextOps.langTemperatureMix(s, d)),
+    "q79_importance_score" -> ((s, d) => TextOps.importanceScores(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -955,6 +960,75 @@ object SparkEntry {
         |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM c GROUP BY cohort_day, day_offset""".stripMargin,
+    // q75/q76: 5-gram spans, distinct within each doc (document
+    // frequency); the coverage face re-derives the same df set
+    "q75_boilerplate" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        |    THEN list_transform(range(0, len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+        |HAVING count(*) >= 2""".stripMargin,
+    "q76_boiler_coverage" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        |    THEN list_transform(range(0, len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | b AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+        | hits AS (SELECT doc_id, count(*) AS n_boiler FROM sh
+        |   WHERE shingle IN (SELECT shingle FROM b) GROUP BY doc_id),
+        | tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+        |SELECT tot.doc_id, n_shingles, CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  round(CAST(coalesce(n_boiler, 0) AS DOUBLE) / n_shingles, 4) AS boiler_frac
+        |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id""".stripMargin,
+    // q77: fixed 32-token windows; both engines clamp a trailing
+    // partial slice the same way
+    "q77_chunk_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(toks) / 32.0) AS INTEGER)),
+        |      i -> md5(array_to_string(toks[i*32+1:i*32+32], ' ')))) AS chunk_md5
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // q78: integer-only rate math (⌊√n·1000⌋ weights, basis-point
+    // integer division) so both engines derive identical rates
+    "q78_lang_temperature" ->
+      """WITH s AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        | w AS (SELECT lang, n_l, CAST(floor(sqrt(n_l) * 1000) AS BIGINT) AS w_l FROM s),
+        | t AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total,
+        |              CAST(sum(w_l) AS BIGINT) AS w_total FROM w),
+        | r AS (SELECT lang, least(CAST(10000 AS BIGINT),
+        |     ((n_total // 2) * w_l * 10000) // (w_total * n_l)) AS rate_bp FROM w, t)
+        |SELECT d.doc_id, d.lang,
+        |  CAST('0x' || substr(md5('temp-' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 10000 AS mix_bp,
+        |  r.rate_bp
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST('0x' || substr(md5('temp-' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 10000 < r.rate_bp""".stripMargin,
+    // q79: add-1-smoothed unigram log-ratio, target = quality ≥ 0.66;
+    // per-token ratios pinned to the 1e-6 grid then summed as INTEGER
+    // micro-units, per-doc mean floor-truncated at 4 dp — round(avg, 4)
+    // of 6 dp values hits half-ties that split HALF_UP vs half-even
+    "q79_importance_score" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN ('the','a','and','of'))) AS DOUBLE) AS sw FROM documents),
+         | q AS (SELECT doc_id, $qualityExpr AS quality, toks FROM d),
+         | tok AS (SELECT doc_id, quality, unnest(toks) AS token FROM q),
+         | c AS (SELECT token, count(*) AS cc FROM tok GROUP BY token),
+         | tc AS (SELECT token, count(*) AS ct FROM tok WHERE quality >= 0.66 GROUP BY token),
+         | s AS (SELECT CAST(sum(cc) AS BIGINT) AS c_tot, CAST(count(*) AS BIGINT) AS vocab FROM c),
+         | st AS (SELECT CAST(sum(ct) AS BIGINT) AS t_tot FROM tc),
+         | lr AS (SELECT c.token, CAST(round(
+         |    round(ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(st.t_tot + s.vocab AS DOUBLE))
+         |        - ln(CAST(c.cc + 1 AS DOUBLE) / CAST(s.c_tot + s.vocab AS DOUBLE)), 6)
+         |    * 1000000, 0) AS BIGINT) AS lr_u
+         |  FROM c LEFT JOIN tc ON c.token = tc.token, s, st)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  floor(sum(lr_u) / (count(*) * 100.0)) / 10000.0 AS score
+         |FROM tok JOIN lr USING (token) GROUP BY doc_id""".stripMargin,
     "q61_vocabulary" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)

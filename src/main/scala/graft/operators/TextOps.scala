@@ -528,4 +528,169 @@ object TextOps {
         (pmod(col("_cum") - col("n_tokens"), lit(capacity.toLong)) + col("n_tokens")
           > capacity).as("spans_boundary"))
   }
+
+  // ---- boilerplate / span-level dedup ---------------------------------
+
+  /** Per-document distinct k-shingle rows — the shared scan under the
+    * boilerplate miner and its per-doc coverage face. Distinct WITHIN
+    * the doc so a shingle repeated inside one document counts that
+    * document once (document frequency, not term frequency). */
+  private def docShingles(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), k))).as("shingle"))
+
+  /** Boilerplate mining — k-token spans appearing in ≥ `minDf` distinct
+    * documents (headers, footers, license blocks, templated spans; the
+    * inter-document repeated-span pass of C4-style cleaning).
+    *
+    * Scale: explode → one shuffle keyed by shingle (cardinality grows
+    * with the corpus — no hot key), map-side partial counts; the
+    * surviving boilerplate set is tiny relative to the corpus. */
+  def boilerplateShingles(spark: SparkSession, dir: String, k: Int = 5,
+      minDf: Int = 2): DataFrame =
+    docShingles(spark, dir, k)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Per-document boilerplate coverage: what fraction of a document's
+    * distinct k-shingles are corpus boilerplate (per
+    * [[boilerplateShingles]]). The removal decision of a cleaning
+    * pipeline keys off this — a doc that is mostly boilerplate is
+    * dropped, one with a boilerplate header is trimmed.
+    *
+    * Scale: the shingle rows are persisted once (PlanCache) and feed
+    * both the df aggregate and the coverage join; the join is keyed by
+    * shingle — same grown cardinality as the aggregate, no broadcast of
+    * anything corpus-sized; the final rollup shuffles on doc_id. */
+  def boilerplateCoverage(spark: SparkSession, dir: String, k: Int = 5,
+      minDf: Int = 2): DataFrame = {
+    val sh = PlanCache.tracked(docShingles(spark, dir, k))
+    val boiler = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("shingle"))
+    val hits = sh.join(boiler, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 4).as("boiler_frac"))
+  }
+
+  /** Sub-document chunk dedup: fixed `width`-token windows hashed and
+    * grouped across the corpus; a chunk hash landing in ≥2 distinct
+    * documents is a duplicated SPAN — the unit content-dedup pipelines
+    * remove when whole-document near-dup misses partial copies.
+    *
+    * Scale: ⌈n/width⌉ chunk rows per doc, one shuffle keyed by chunk
+    * hash (cardinality ∝ corpus tokens — no hot key), count/min all
+    * map-side combined. The md5 chunk key is the same cross-engine
+    * hash the rest of the dedup family uses. */
+  def chunkDedup(spark: SparkSession, dir: String, width: Int = 32): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val chunks = transform(
+      sequence(lit(0), ceil(size(toks).cast("double") / width).cast("int") - 1),
+      i => md5(array_join(slice(toks, i * width + 1, lit(width)), " ")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(chunks).as("chunk_md5"))
+      .groupBy(col("chunk_md5"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  // ---- language temperature rebalancing -------------------------------
+
+  /** Temperature-based language rebalancing (the multilingual α-sampling
+    * step, α = 0.5): per-language keep rates ∝ n_l^α / n_l, so
+    * minority languages keep a larger fraction and the head language is
+    * downsampled, targeting ⌊N/2⌋ total documents. The per-row draw is
+    * the same salted-md5 basis-point decision as [[weightedSample]] —
+    * deterministic, growth-stable, replayable cross-engine.
+    *
+    * All rate math is INTEGER (weights = ⌊√n·1000⌋, rates in basis
+    * points via integer division), so both engines compute identical
+    * rates — no float summation order to drift. The BIGINT products
+    * hold to ~10¹⁸; beyond that rearrange to divide before multiplying.
+    *
+    * Scale: one tiny per-language aggregate, broadcast back over the
+    * scan; the keep decision is a per-row filter — no corpus shuffle. */
+  def langTemperatureMix(spark: SparkSession, dir: String,
+      salt: String = "temp-"): DataFrame = {
+    val stats = Tables(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .withColumn("w_l", floor(sqrt(col("n_l").cast("double")) * 1000).cast("long"))
+    // totals via a global window over the per-LANGUAGE stats frame —
+    // single-partition WindowExec over ≤ #languages rows (languages
+    // don't grow with the corpus), and the plan stays join-free here
+    // (a crossJoin with the 1-row aggregate would plan the banned
+    // BroadcastNestedLoopJoin)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = stats
+      .withColumn("n_total", sum(col("n_l")).over(all))
+      .withColumn("w_total", sum(col("w_l")).over(all))
+      .withColumn("rate_bp", least(lit(10000L),
+        expr("((n_total div 2) * w_l * 10000) div (w_total * n_l)")))
+      .select(col("lang"), col("rate_bp"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        pmod(Text.md5Hash60(concat(lit(salt), col("doc_id").cast("string"))),
+          lit(10000)).as("mix_bp"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("mix_bp") < col("rate_bp"))
+      .select(col("doc_id"), col("lang"), col("mix_bp"), col("rate_bp"))
+  }
+
+  // ---- importance scoring (DSIR-style) --------------------------------
+
+  /** Importance score for data selection: per-document mean
+    * log-likelihood RATIO between a target unigram LM (fit on the
+    * high-quality slice, quality ≥ `minQuality`) and the corpus unigram
+    * LM — DSIR-style "does this doc look like the data I want more of".
+    * Positive = target-like. Both LMs are add-1 smoothed over the
+    * corpus vocabulary; per-token ratios round to 6 dp, then the
+    * per-doc mean is computed in INTEGER micro-units and truncated at
+    * 4 dp — `round(avg, 4)` of 6 dp values HITS half-ties (a 12-token
+    * doc whose ratio sum ends in …50 splits HALF_UP vs half-even
+    * across engines; found at sf0.1), while an integer sum is
+    * order-independent and `floor` is bit-deterministic.
+    *
+    * Scale: two token aggregates (corpus, target — the second a
+    * filtered re-scan, map-side combined), one join keyed by token to
+    * attach ratios (vocab-sized, grows with corpus — no broadcast
+    * assumption), one doc_id rollup. No driver-side state. */
+  def importanceScores(spark: SparkSession, dir: String,
+      minQuality: Double = 0.66): DataFrame = {
+    val toks = PlanCache.tracked(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"),
+          explode(Text.tokens(col("text"))).as("token")))
+    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("cc"))
+    val target = toks.filter(col("quality") >= minQuality)
+      .groupBy(col("token")).agg(count(lit(1)).as("ct"))
+    val lr = round(
+      log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+        (col("t_tot") + col("vocab")).cast("double")) -
+      log((col("cc") + 1).cast("double") /
+        (col("c_tot") + col("vocab")).cast("double")), 6)
+    // totals + vocab size via a global window over the VOCAB-sized
+    // joined frame (the unigramLm shape — single-partition WindowExec
+    // holds vocabulary rows, fine at corpus scale, join-free); target
+    // tokens ⊆ corpus vocab, so sum(ct) here IS the target total
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val ratios = corpus.join(target, Seq("token"), "left")
+      .withColumn("c_tot", sum(col("cc")).over(all))
+      .withColumn("vocab", count(lit(1)).over(all))
+      .withColumn("t_tot", sum(coalesce(col("ct"), lit(0L))).over(all))
+      // exact micro-units: the inner round pins lr to the 1e-6 grid, so
+      // ×1e6 is within ~1e-10 of an integer and the outer round is
+      // tie-free by construction
+      .select(col("token"), round(lr * 1e6, 0).cast("long").as("lr_u"))
+    toks.join(ratios, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(sum(col("lr_u")).cast("double") /
+          (count(lit(1)).cast("double") * 100.0)) / 10000.0).as("score"))
+  }
 }

@@ -703,4 +703,102 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side distinct 5-shingle sets per doc — the replay oracle for
+    * the boilerplate pair of tests. */
+  private def docShingleSets(): Map[Long, Set[String]] =
+    Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        val shs = if (toks.length >= 5) toks.sliding(5).map(_.mkString(" ")).toSet
+                  else Set(toks.mkString(" "))
+        r.getLong(0) -> shs
+      }.toMap
+
+  test("boilerplate shingles match a driver-side document-frequency replay") {
+    val got = graft.operators.TextOps.boilerplateShingles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val df = docShingleSets().values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == df.filter(_._2 >= 2))
+    assert(got.nonEmpty, "fixture has cross-document repeated spans")
+  }
+
+  test("boilerplate coverage: every doc scored, frac consistent, replay agrees") {
+    val sets = docShingleSets()
+    val boiler = sets.values.toSeq.flatten.groupBy(identity)
+      .filter(_._2.size >= 2).keySet
+    val got = graft.operators.TextOps.boilerplateCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == sets.size, "one row per document")
+    got.foreach { case (id, nSh, nB, frac) =>
+      assert(nSh == sets(id).size && nB == (sets(id) & boiler).size, s"doc $id")
+      assert(math.abs(frac - math.rint(nB.toDouble / nSh * 1e4) / 1e4) < 1e-9)
+    }
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0),
+      "fixture covers both boilerplate-hit and clean docs")
+  }
+
+  test("chunk dedup finds exactly the cross-document duplicate 32-token spans") {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = digest.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val chunks = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ")
+        toks.grouped(32).map(c => (r.getLong(0), md5hex(c.mkString(" "))))
+      }
+    val want = chunks.groupBy(_._2).collect {
+      case (h, occ) if occ.map(_._1).distinct.length >= 2 =>
+        h -> (occ.map(_._1).distinct.length.toLong, occ.length.toLong, occ.map(_._1).min)
+    }
+    val got = graft.operators.TextOps.chunkDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture has duplicated spans")
+  }
+
+  test("language temperature mix: minority languages keep a larger fraction, draw is deterministic") {
+    val rows = graft.operators.TextOps.langTemperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val langSizes = Tables(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the integer rate math
+    val w = langSizes.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1000).toLong).toMap
+    val (nTot, wTot) = (langSizes.values.sum, w.values.sum)
+    val rate = langSizes.map { case (l, n) =>
+      l -> math.min(10000L, (nTot / 2) * w(l) * 10000 / (wTot * n)) }
+    rows.foreach { case (_, l, bp, rBp) =>
+      assert(rBp == rate(l), s"lang $l rate"); assert(bp < rBp)
+    }
+    // temperature flattening: smaller language => keep rate at least as large
+    val bySize = langSizes.toSeq.sortBy(_._2)
+    bySize.sliding(2).foreach { case Seq((l1, _), (l2, _)) =>
+      assert(rate(l1) >= rate(l2), s"$l1 vs $l2")
+      case _ =>
+    }
+    // deterministic: a second run returns the identical set
+    val again = graft.operators.TextOps.langTemperatureMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == again.toSet && rows.nonEmpty)
+  }
+
+  test("importance score separates the target slice: high-quality docs score higher on average") {
+    val scores = graft.operators.TextOps.importanceScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val quality = Tables(spark, sf, "documents")
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.length == quality.size, "every doc scored")
+    val (hi, lo) = scores.partition { case (id, _, _) => quality(id) >= 0.66 }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    assert(hi.nonEmpty && lo.nonEmpty, "both slices populated")
+    assert(mean(hi.map(_._3)) > mean(lo.map(_._3)),
+      "target-slice docs must score higher under the target-vs-corpus LM ratio")
+    // n_tokens is the doc's occurrence count (every token scored)
+    val nTok = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    scores.foreach { case (id, n, _) => assert(n == nTok(id), s"doc $id") }
+  }
+
 }

@@ -205,6 +205,8 @@ object SparkEntry {
     "q77_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
     "q78_lang_temperature" -> ((s, d) => TextOps.langTemperatureMix(s, d)),
     "q79_importance_score" -> ((s, d) => TextOps.importanceScores(s, d)),
+    "q80_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q81_cms_frequencies" -> ((s, d) => TextOps.cmsTokenFrequencies(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1007,6 +1009,73 @@ object SparkEntry {
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE CAST('0x' || substr(md5('temp-' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |    % 10000 < r.rate_bp""".stripMargin,
+    // q80: product quantization replayed end to end — per-subspace
+    // nearest-centroid encode (ties to smallest centroid id), ADC
+    // scoring with the 16-term sum pivoted per subspace (so both
+    // engines add the same 6-dp values in the same left-associated
+    // order), shortlist, then exact-dot re-rank
+    "q80_pq_ann" -> {
+      val m = graft.operators.Similarity.PqSubspaces
+      val cb = graft.operators.Similarity.PqCodebook
+      val sl = graft.operators.Similarity.PqShortlist
+      val sub = 64 / m
+      val pivot = (0 until m)
+        .map(s => s"max(CASE WHEN s = $s THEN sim END)").mkString(" + ")
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cent
+         |               FROM embeddings WHERE vec_id < $cb),
+         | sub AS (SELECT unnest(range(0, $m)) AS s),
+         | sims AS (
+         |  SELECT e.vec_id, sub.s, c.cid,
+         |    round(list_sum(list_transform(range(1, ${sub + 1}),
+         |      i -> CAST(e.embedding[sub.s*$sub+i] AS DOUBLE)
+         |         * CAST(c.cent[sub.s*$sub+i] AS DOUBLE))), 6) AS sim
+         |  FROM embeddings e CROSS JOIN sub CROSS JOIN cents c),
+         | ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |                       ORDER BY sim DESC, cid ASC) AS rnk FROM sims),
+         | codes AS (SELECT vec_id AS cand_id, s, cid AS code FROM ranked WHERE rnk = 1),
+         | adc AS (SELECT vec_id AS query_id, s, cid, sim FROM sims WHERE vec_id < 10),
+         | terms AS (
+         |  SELECT a.query_id, k.cand_id, a.s, a.sim
+         |  FROM codes k JOIN adc a ON a.s = k.s AND a.cid = k.code
+         |  WHERE a.query_id <> k.cand_id),
+         | pairsum AS (
+         |  SELECT query_id, cand_id, round($pivot, 6) AS adc_sim
+         |  FROM terms GROUP BY query_id, cand_id),
+         | short AS (SELECT query_id, cand_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_sim DESC, cand_id ASC) AS slr FROM pairsum)
+         |  WHERE slr <= $sl),
+         | rr AS (
+         |  SELECT s.query_id, s.cand_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), 6) AS sim
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings c ON c.vec_id = s.cand_id),
+         | r AS (SELECT query_id, cand_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, cand_id ASC) AS rank
+         |       FROM rr)
+         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    },
+    // q81: count-min sketch replay — md5 cell hashes, cell sums, and
+    // the depth-min estimate; integer aggregates cast to BIGINT
+    "q81_cms_frequencies" -> {
+      val (depth, width) = (graft.operators.TextOps.CmsDepth,
+        graft.operators.TextOps.CmsWidth)
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         | tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+         | cells AS (SELECT token, tf, d.d,
+         |     CAST('0x' || substr(md5('cms' || d.d || '-' || token), 1, 15) AS BIGINT)
+         |       % $width AS cell
+         |   FROM tf, (SELECT unnest(range(0, $depth)) AS d) d),
+         | sketch AS (SELECT d, cell, CAST(sum(tf) AS BIGINT) AS cnt
+         |            FROM cells GROUP BY d, cell),
+         | est AS (SELECT token, min(cnt) AS est
+         |         FROM cells JOIN sketch USING (d, cell) GROUP BY token)
+         |SELECT token, tf, est FROM tf JOIN est USING (token)
+         |ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin
+    },
     // q79: add-1-smoothed unigram log-ratio, target = quality ≥ 0.66;
     // per-token ratios pinned to the 1e-6 grid then summed as INTEGER
     // micro-units, per-doc mean floor-truncated at 4 dp — round(avg, 4)

@@ -200,6 +200,80 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
 
+  /** PQ shape shared by the operator and its oracle builder. */
+  val PqSubspaces = 16
+  val PqCodebook = 64
+  val PqShortlist = 50
+
+  /** Product-quantized ANN with ADC + exact re-rank — the memory lever
+    * BEYOND int8: each vector compresses to [[PqSubspaces]] one-byte
+    * codes (16 bytes vs 64 floats, 16×). Codes are per-subspace
+    * nearest-centroid ids against a deterministic codebook (the first
+    * [[PqCodebook]] corpus vectors' subvectors — same convention as
+    * [[ivfTopK]]; a trained quantizer drops in by swapping it). Query
+    * scoring is ADC (asymmetric distance computation): each query
+    * precomputes its 16×64 table of subspace dot products once, a
+    * candidate's approximate similarity is 16 table lookups summed,
+    * and only the top-[[PqShortlist]] shortlist is re-ranked with
+    * exact float dots — the compressed-domain scan touches no floats.
+    *
+    * Scale shape: the codebook folds into the projection as literals
+    * (encoding is a shuffle-free map pass); the ADC tables ride a
+    * broadcast of the query set; candidate rows in flight carry only
+    * (id, 16 codes); the exact re-rank reads full vectors for
+    * shortlist × queries rows only (constant per query). Like
+    * [[quantizedTopK]], the production deployment PERSISTS the code
+    * frame once — the ADC scan's lever is row WIDTH, not candidate
+    * pruning (compose with [[ivfTopK]] cells for both).
+    *
+    * Determinism contract: per-subspace dots round at 6 dp, the
+    * 16-term ADC sum is an explicit left-associated add on both
+    * engines (a group-by SUM would order terms arbitrarily), code
+    * assignment tie-breaks to the smallest centroid id, and shortlist
+    * rank ties break on cand_id — the DuckDB oracle replays encode +
+    * ADC + re-rank bit-for-bit; the spec asserts recall vs the exact
+    * baseline. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5,
+      dims: Int = 64): DataFrame = {
+    val (subspaces, codebook, shortlist) = (PqSubspaces, PqCodebook, PqShortlist)
+    val sub = dims / subspaces
+    val emb = Tables(spark, dir, "embeddings")
+    // codebook[j][s] = centroid j's subvector for subspace s —
+    // metadata-sized (64×64 floats), folded to literals like ivfTopK's
+    val cents: Array[Array[Array[Float]]] = emb.filter(col("vec_id") < codebook)
+      .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray.grouped(sub).toArray)
+    def subDot(v: org.apache.spark.sql.Column, s: Int, j: Int) =
+      round(Vectors.dot(slice(v, s * sub + 1, sub),
+        array(cents(j)(s).map(lit).toIndexedSeq: _*)), 6)
+    def codeFor(v: org.apache.spark.sql.Column, s: Int) =
+      -array_max(array((0 until codebook).map(j =>
+        struct(subDot(v, s, j).as("sim"), lit(-j).as("negid"))): _*))
+        .getField("negid")
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      array((0 until subspaces).map(s => codeFor(col("embedding"), s)): _*).as("codes"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        array((for (s <- 0 until subspaces; j <- 0 until codebook)
+          yield subDot(col("embedding"), s, j)): _*).as("tbl"))
+    val adc = cands.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round((0 until subspaces).map(s =>
+          expr(s"element_at(tbl, element_at(codes, ${s + 1}) + ${s * codebook} + 1)"))
+          .reduce(_ + _), 6).as("adc_sim"))
+    val slWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("cand_id").asc)
+    val short = adc.withColumn("slr", row_number().over(slWin))
+      .filter(col("slr") <= shortlist).select("query_id", "cand_id")
+    val scored = short
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")), Seq("cand_id"))
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN (scale path): 16-bit hyperplane signature, then
     * multi-probe via 4-bit bands — only same-band candidates are
     * scored, then per-query top-k. Approximate by design; the DuckDB

@@ -642,6 +642,51 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("mix_bp"), col("rate_bp"))
   }
 
+  // ---- count-min sketch -----------------------------------------------
+
+  /** Count-min sketch shape: depth (independent hash rows) × width
+    * (cells per row). Width 16 is deliberately SMALLER than the
+    * testdata vocabulary so hash collisions — the thing the depth-min
+    * corrects for — actually occur under test. */
+  val CmsDepth = 4
+  val CmsWidth = 16
+
+  /** Count-min-sketch token frequencies: every token folds into
+    * [[CmsDepth]] md5-derived cells, cell counts sum occurrences, and
+    * a token's estimate is the MIN over its cells — always ≥ the true
+    * count, tight unless all its cells are collided. The sketch is the
+    * fixed-size (depth × width) frequency summary a 100 TB pipeline
+    * keeps when the vocabulary itself is too large to hold — merging
+    * two corpora's sketches is cell-wise addition.
+    *
+    * Output: per token, true count and sketch estimate, top-`topK` by
+    * count (count desc, token asc — fully deterministic order). The
+    * true count ships alongside the estimate because the testdata
+    * vocabulary IS enumerable — the spec and oracle verify the
+    * estimate's ≥-and-tight contract against it.
+    *
+    * Scale: token counts are one map-side-combined aggregate; the
+    * sketch is depth×width rows regardless of corpus size; estimate
+    * lookup joins vocab-sized frames on (row, cell). The md5 cell hash
+    * is the engine-parity hash the mixers use. */
+  def cmsTokenFrequencies(spark: SparkSession, dir: String,
+      topK: Int = 50): DataFrame = {
+    val tf = PlanCache.tracked(Tables(spark, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf")))
+    def cells(df: DataFrame) = df.select(col("token"), col("tf"),
+        posexplode(array((0 until CmsDepth).map(d =>
+          pmod(Text.md5Hash60(concat(lit(s"cms$d-"), col("token"))),
+            lit(CmsWidth))): _*)))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "cell")
+    val sketch = cells(tf).groupBy(col("d"), col("cell")).agg(sum(col("tf")).as("cnt"))
+    val est = cells(tf).join(sketch, Seq("d", "cell"))
+      .groupBy(col("token")).agg(min(col("cnt")).as("est"))
+    tf.join(est, Seq("token"))
+      .orderBy(col("tf").desc, col("token").asc).limit(topK)
+      .select("token", "tf", "est")
+  }
+
   // ---- importance scoring (DSIR-style) --------------------------------
 
   /** Importance score for data selection: per-document mean

@@ -411,6 +411,43 @@ class TextDedupSpec extends SparkSpec {
     assert(errs.max < 0.05, s"max |sim error| ${errs.max}")
   }
 
+  test("pq ann: recall tracks the exact baseline, re-ranked sims are exact dots") {
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recall = pq.keySet.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 $recall")
+    // re-rank uses EXACT dots, so every agreeing pair matches bit-for-bit
+    pq.keySet.filter(exact.contains).foreach { k =>
+      assert(pq(k) == exact(k), s"pair $k re-ranked sim differs from exact")
+    }
+  }
+
+  test("count-min sketch: estimate >= truth always, collisions visible, exact replay agrees") {
+    val got = graft.operators.TextOps.cmsTokenFrequencies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ground truth + full sketch replay driver-side
+    val tf = Tables(spark, sf, "documents").select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val depth = graft.operators.TextOps.CmsDepth
+    val width = graft.operators.TextOps.CmsWidth
+    val sketch = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    tf.foreach { case (t, n) =>
+      (0 until depth).foreach(d => sketch((d, hash60(s"cms$d-$t") % width)) += n) }
+    val want: Seq[(String, Long, Long)] = tf.toSeq.map { case (t, n) =>
+      (t, n, (0 until depth).map(d => sketch((d, hash60(s"cms$d-$t") % width))).min) }
+    assert(got.toSet == want.sortBy(r => (-r._2, r._1)).take(50).toSet)
+    got.foreach { case (t, n, est) => assert(est >= n, s"token $t underestimated") }
+    assert(got.exists { case (_, n, est) => est > n },
+      "width < vocab must produce at least one visible collision")
+  }
+
   test("corpus stats aggregate the per-doc metrics exactly") {
     import graft.operators.TextOps
     val got = TextOps.corpusStats(spark, sf).collect()

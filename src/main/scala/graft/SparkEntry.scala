@@ -207,6 +207,7 @@ object SparkEntry {
     "q79_importance_score" -> ((s, d) => TextOps.importanceScores(s, d)),
     "q80_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
     "q81_cms_frequencies" -> ((s, d) => TextOps.cmsTokenFrequencies(s, d)),
+    "q82_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1057,6 +1058,47 @@ object SparkEntry {
          |                            ORDER BY sim DESC, cand_id ASC) AS rank
          |       FROM rr)
          |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    },
+    // q82: the full BPE trainer replayed in SQL — k unrolled layers,
+    // each: pair counts over the current vocab, argmax (count desc,
+    // then lexicographic), and the greedy leftmost-first merge as a
+    // per-word recursive scan (position i jumps 2 on a match, the
+    // merged symbol's name differs from lhs so no double-merge)
+    "q82_bpe_merges" -> {
+      val iters = graft.operators.TextOps.BpeIters
+      val layers = Seq(
+        """v0 AS (
+          |  SELECT wf, list_filter(string_split(word, ''), c -> c <> '') AS syms FROM (
+          |    SELECT word, count(*) AS wf FROM
+          |      (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |    GROUP BY word))""".stripMargin) ++
+        (1 to iters).flatMap { i =>
+          val p = i - 1
+          Seq(
+            s"""p$i AS (
+               |  SELECT syms[j] AS lhs, syms[j+1] AS rhs, CAST(sum(wf) AS BIGINT) AS pair_count
+               |  FROM (SELECT wf, syms, unnest(range(1, len(syms))) AS j
+               |        FROM v$p WHERE len(syms) >= 2)
+               |  GROUP BY lhs, rhs)""".stripMargin,
+            s"""t$i AS (
+               |  SELECT $i AS iter, lhs, rhs, pair_count FROM p$i
+               |  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1)""".stripMargin,
+            s"""m$i AS (
+               |  SELECT v.wf, v.syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc, t.lhs, t.rhs
+               |  FROM v$p v, t$i t
+               |  UNION ALL
+               |  SELECT wf, syms,
+               |    CASE WHEN i < len(syms) AND syms[i] = lhs AND syms[i+1] = rhs
+               |         THEN i+2 ELSE i+1 END,
+               |    CASE WHEN i < len(syms) AND syms[i] = lhs AND syms[i+1] = rhs
+               |         THEN list_append(acc, lhs || rhs) ELSE list_append(acc, syms[i]) END,
+               |    lhs, rhs
+               |  FROM m$i WHERE i <= len(syms))""".stripMargin,
+            s"""v$i AS (
+               |  SELECT wf, acc AS syms FROM m$i WHERE i = len(syms) + 1)""".stripMargin)
+        }
+      val union = (1 to iters).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+      "WITH RECURSIVE " + layers.mkString(",\n ") + "\n" + union
     },
     // q81: count-min sketch replay — md5 cell hashes, cell sums, and
     // the depth-min estimate; integer aggregates cast to BIGINT

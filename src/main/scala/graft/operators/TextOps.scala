@@ -687,6 +687,74 @@ object TextOps {
       .select("token", "tf", "est")
   }
 
+  // ---- BPE merge mining -----------------------------------------------
+
+  /** Number of byte-pair merges [[bpeMerges]] learns. */
+  val BpeIters = 8
+
+  /** BPE (byte-pair encoding) merge mining — the tokenizer-training
+    * core: count corpus word frequencies ONCE (the only corpus-scale
+    * pass), split words into character symbols, then repeatedly (a)
+    * count adjacent symbol pairs weighted by word frequency, (b) take
+    * the most frequent pair (ties: lexicographic on left, then right),
+    * (c) apply the merge greedily left-to-right inside every word.
+    * Output: one row per learned merge (iter, lhs, rhs, pair_count).
+    *
+    * Scale: the corpus pass is a map-side-combined word count; every
+    * iteration then works on the VOCABULARY frame (types × weights,
+    * not occurrences) — pair counting is a distributed aggregate over
+    * it, top-1 is TakeOrdered, and the merge applies as a per-row
+    * `aggregate` fold (codegen, no UDF). The per-iteration collect is
+    * exactly one row. k iterations = k small jobs — the standard
+    * distributed-BPE shape (count once, iterate on the weighted
+    * vocab).
+    *
+    * Greedy fold correctness: a merged symbol's NAME (left+right
+    * concatenated) differs from `left`, so "a a a" merges to
+    * [aa, a], never [aa, aa] — the leftmost-first semantics real BPE
+    * trainers use. Words shorter than 2 symbols contribute no pairs
+    * (guarded — `sequence` would otherwise run descending). */
+  def bpeMerges(spark: SparkSession, dir: String,
+      iters: Int = BpeIters): DataFrame = {
+    val chars = filter(split(col("word"), ""), c => c =!= "")
+    var vocab = PlanCache.tracked(
+      Tables(spark, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        .select(col("wf"), chars.as("syms")))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to iters) {
+      val pairs = vocab.select(col("wf"), explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum(col("wf")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+        .collect() // exactly one row per iteration — metadata-bounded
+      if (top.isEmpty) return merges.result().toDF_(spark)
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((it, l, r, cnt))
+      // greedy left-to-right merge: fold symbols, replacing each
+      // (l, r) adjacency with the concatenated symbol
+      vocab = PlanCache.tracked(vocab.select(col("wf"),
+        aggregate(col("syms"), array().cast("array<string>"), (acc, cur) =>
+          when(size(acc) > 0 && element_at(acc, -1) === l && cur === r,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(cur)))).as("syms")))
+    }
+    merges.result().toDF_(spark)
+  }
+
+  /** Builder for the merge-table frame (kept out of the loop so an
+    * early-exhausted pair supply returns the partial table). */
+  private implicit class MergeRows(rows: Seq[(Int, String, String, Long)]) {
+    def toDF_(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      rows.toDF("iter", "lhs", "rhs", "pair_count")
+    }
+  }
+
   // ---- importance scoring (DSIR-style) --------------------------------
 
   /** Importance score for data selection: per-document mean

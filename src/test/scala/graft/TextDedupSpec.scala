@@ -448,6 +448,37 @@ class TextDedupSpec extends SparkSpec {
       "width < vocab must produce at least one visible collision")
   }
 
+  test("bpe merges match a sequential trainer replay; later merges compound earlier symbols") {
+    val got = graft.operators.TextOps.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    // sequential reference trainer over the same corpus
+    val wf = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables(spark, sf, "documents").select("text").collect()
+      .foreach(_.getString(0).split(" ").foreach(w => wf(w) += 1))
+    var vocab: Map[List[String], Long] =
+      wf.groupMapReduce { case (w, _) => w.split("").filter(_.nonEmpty).toList }(_._2)(_ + _)
+    val want = (1 to graft.operators.TextOps.BpeIters).map { it =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => pc(p) += f) }
+      val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+      def merge(syms: List[String]): List[String] = syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: merge(rest)
+        case a :: rest => a :: merge(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.groupMapReduce { case (s, _) => merge(s) }(_._2)(_ + _)
+      (it, l, r, c)
+    }
+    assert(got == want)
+    // the learned table is genuinely hierarchical: some merge consumes
+    // a symbol produced by an earlier merge
+    val produced = got.map(m => m._2 + m._3).toSet
+    assert(got.exists(m => produced.contains(m._2) || produced.contains(m._3)),
+      "no merge builds on an earlier merge — fixture too flat for BPE")
+  }
+
   test("corpus stats aggregate the per-doc metrics exactly") {
     import graft.operators.TextOps
     val got = TextOps.corpusStats(spark, sf).collect()

@@ -31,8 +31,13 @@ object Bench {
     // lost ALL numbers (rc=124, parsed=null). Now the cumulative JSON line
     // re-prints after EVERY completed query — a killed run still leaves the
     // last line parseable with everything finished so far.
+    // Builder-side iteration aid: SPARK_GRAFT_BENCH_ONLY=q80_pq_ann,...
+    // limits the sweep to named queries (the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     var results = Vector.empty[(String, Double)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // Per-query MINIMUM over adaptive attempts: the host shows
       // intermittent multi-second stalls that land on a random query per
       // run (same query swings 0.7 s ↔ 10 s across identical runs), and

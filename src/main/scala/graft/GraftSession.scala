@@ -21,6 +21,7 @@ object GraftSession {
       // cardinality kernel wherever operators write the composable form
       .withExtensions { ext =>
         ext.injectFunction(graft.functions.SetCard.injection)
+        graft.functions.PqCodec.injections.foreach(ext.injectFunction)
         ext.injectOptimizerRule(graft.functions.DistinctCard.injection)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Vectors
+import graft.functions.{PqCodec, Vectors}
 
 /** Approximate-nearest-neighbor search and embedding near-dup detection
   * over the `embeddings` table (64-dim unit-norm Array[Float]).
@@ -243,24 +243,30 @@ object Similarity {
     val cents: Array[Array[Array[Float]]] = emb.filter(col("vec_id") < codebook)
       .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray.grouped(sub).toArray)
-    def subDot(v: org.apache.spark.sql.Column, s: Int, j: Int) =
-      round(Vectors.dot(slice(v, s * sub + 1, sub),
-        array(cents(j)(s).map(lit).toIndexedSeq: _*)), 6)
-    def codeFor(v: org.apache.spark.sql.Column, s: Int) =
-      -array_max(array((0 until codebook).map(j =>
-        struct(subDot(v, s, j).as("sim"), lit(-j).as("negid"))): _*))
-        .getField("negid")
+    // Encode + ADC run as the native PqCodec kernels (see PqCodec's
+    // scaladoc for why: interpreted HOF folds ~9 s, literal-unrolled
+    // janino compile ~27 s, and an ADC JOIN re-copies each query's
+    // 8 KB table into every joined row for ~6.5 s of pure
+    // materialization). The query tables are driver-computed metadata
+    // (10 × 1024 doubles) folded into ONE literal — the FAISS shape —
+    // so ADC is a join-free scan emitting one score vector per
+    // candidate. PqCodecSpec pins kernel-vs-composable bit-equality;
+    // the DuckDB oracle replays the same rounding/tie-break contract.
+    val cbArr = cents.flatMap(_.flatten)
+    val cbFlat = lit(cbArr)
     val cands = emb.select(col("vec_id").as("cand_id"),
-      array((0 until subspaces).map(s => codeFor(col("embedding"), s)): _*).as("codes"))
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"),
-        array((for (s <- 0 until subspaces; j <- 0 until codebook)
-          yield subDot(col("embedding"), s, j)): _*).as("tbl"))
-    val adc = cands.join(broadcast(queries), col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        round((0 until subspaces).map(s =>
-          expr(s"element_at(tbl, element_at(codes, ${s + 1}) + ${s * codebook} + 1)"))
-          .reduce(_ + _), 6).as("adc_sim"))
+      PqCodec.encode(col("embedding"), cbFlat, subspaces).as("codes"))
+    val qRows = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+    val qIds = lit(qRows.map(_.getLong(0)))
+    val tbls = lit(qRows.flatMap(r =>
+      PqCodec.adcTableFlat(r.getSeq[Float](1).toArray, cbArr, subspaces)))
+    val adc = cands
+      .select(col("cand_id"),
+        posexplode(PqCodec.adcScore(col("codes"), tbls, codebook)))
+      .select(element_at(qIds, col("pos") + 1).as("query_id"), col("cand_id"),
+        col("col").as("adc_sim"))
+      .filter(col("cand_id") =!= col("query_id"))
     val slWin = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_sim").desc, col("cand_id").asc)
     val short = adc.withColumn("slr", row_number().over(slWin))

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Probabilistic summaries for corpus-scale statistics: a HyperLogLog
+  * distinct-count sketch and a Bloom-filter semi-join prefilter.
+  *
+  * Both sketches are DETERMINISTIC replays — register/bit positions
+  * come from md5 of the value (no RNG, no JVM hashCode), so the DuckDB
+  * oracle reproduces them bit-for-bit and a re-run on reshuffled data
+  * lands on identical registers. That is also what makes them
+  * MERGEABLE at scale: HLL registers combine by max, Bloom bitmaps by
+  * OR, so partial sketches from 1000 executors fold without ever
+  * seeing each other's raw values (cf. the CMS sketch,
+  * [[TextOps.cmsTokenFrequencies]], built on the same convention).
+  */
+object Sketches {
+
+  /** HLL shape shared with the oracle: 2^8 registers; the 60-bit md5
+    * hash splits into an 8-bit register index and a 52-bit remainder
+    * whose leading-zero count feeds the register. */
+  val HllRegisterBits = 8
+  val HllRegisters: Int = 1 << HllRegisterBits // 256
+  val HllRestBits: Int = 60 - HllRegisterBits // 52
+
+  /** alpha_m · m² · 2^53 — the estimator numerator, folded to one
+    * double literal so the oracle SQL interpolates the IDENTICAL
+    * value (a DuckDB `0.7213` literal would be DECIMAL, not DOUBLE,
+    * and round differently). ·2^53 is exact (power-of-two scale). */
+  val HllNumerator: Double =
+    0.7213 / (1 + 1.079 / HllRegisters) * HllRegisters * HllRegisters * (1L << 53).toDouble
+
+  /** Distinct-token estimate per source via HyperLogLog, next to the
+    * exact count for error inspection.
+    *
+    * Scale shape: the token scan partial-aggregates map-side into at
+    * most `m` = [[HllRegisters]] registers per source (the groupBy's
+    * combine step IS the sketch merge), so the shuffle carries
+    * ≤ sources × m rows no matter the corpus size — this is the
+    * operator to reach for when `count(distinct)`'s two-phase expansion
+    * (cf. q8) stops fitting. The register sum uses INTEGER
+    * `2^(53 − rho)` terms (shifts, not `pow`) so the fold is
+    * order-independent — a double Σ2^−rho loses low bits once the
+    * running sum outgrows the smallest term, and THAT loss would be
+    * shuffle-order-dependent and flap the oracle compare.
+    *
+    * Small-range correction (linear counting when est ≤ 2.5 m with
+    * empty registers) branches on integers — both engines take the
+    * same branch; the final ln/division double is rounded at 2 dp
+    * (cross-engine ties measure-zero, per the verify conventions). */
+  def hllDistinctTokens(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllRegisters
+    val h = Text.md5Hash60(concat(lit("hll-"), col("token")))
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+    // rho = leading zeros of the 52-bit rest + 1; bin() gives the bit
+    // length of a positive long (both engines), rest = 0 ⇒ rho = 53.
+    // The rest is h >> 8, NOT h/256: Column `/` is DOUBLE division,
+    // which is lossy above 2^53 — and h is 60-bit.
+    val regs = tok
+      .select(col("source"), pmod(h, lit(m)).as("reg"),
+        call_function("shiftright", h, lit(HllRegisterBits)).as("rest"))
+      .withColumn("rho",
+        when(col("rest") === 0, lit(HllRestBits + 1))
+          .otherwise(lit(HllRestBits + 1) - length(bin(col("rest")))))
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))
+    val sums = regs.groupBy(col("source")).agg(
+      count(lit(1)).as("m_hit"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(53 - mrho AS INT))")).as("sumpow"))
+    val exact = Tables(spark, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("source")).agg(count_distinct(col("token")).as("true_distinct"))
+    val zeros = lit(m) - col("m_hit")
+    // raw register term for an untouched register is 2^0 = 1 ⇒ 2^53 here
+    val raw = col("sumpow") + zeros * lit(1L << 53)
+    val estRaw = lit(HllNumerator) / raw.cast("double")
+    val est = when(zeros > 0 && estRaw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(estRaw)
+    sums.join(exact, Seq("source"))
+      .select(col("source"), col("m_hit"), round(est, 2).as("est_distinct"),
+        col("true_distinct"))
+  }
+
+  /** Bloom shape shared with the oracle: 4096 bits, 3 hashes. */
+  val BloomBits = 4096
+  val BloomHashes = 3
+
+  private def bloomBit(i: Int, key: Column): Column =
+    pmod(Text.md5Hash60(concat(lit(s"bloom$i-"), key.cast("string"))), lit(BloomBits))
+
+  /** Bloom-filter semi-join prefilter — the runtime-filter pattern: the
+    * small side (BUILDING-segment customers) compresses to a
+    * [[BloomBits]]-bit filter that prunes the big side (orders) BEFORE
+    * its shuffle; the report measures what that buys (rows passed,
+    * true matches, false positives).
+    *
+    * Scale shape: the filter itself is fixed-size metadata — the
+    * distinct-bit collect is ≤ [[BloomBits]] values regardless of how
+    * many customers set them (same bounded-collect contract as the IVF
+    * codebook, Similarity.scala) — and folds into the orders scan as a
+    * 64-word bitmap literal probed with shift/mask arithmetic: O(1)
+    * per row, whole-stage codegen, zero join. The exact semi-join it
+    * emulates runs alongside only to score the filter; a production
+    * pipeline keeps the bitmap and drops the join. */
+  def bloomPrefilterReport(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val bitRows = dims
+      .select(explode(array((0 until BloomHashes).map(i => bloomBit(i, col("c_custkey"))): _*))
+        .as("bit"))
+      .distinct().collect().map(_.getLong(0)) // ≤ BloomBits values: bounded metadata
+    val words = new Array[Long](BloomBits / 64)
+    bitRows.foreach(b => words(b.toInt / 64) |= 1L << (b.toInt % 64))
+    val bitmap = array(words.map(lit).toIndexedSeq: _*)
+    def member(bit: Column): Column =
+      call_function("shiftright",
+        element_at(bitmap, call_function("shiftright", bit, lit(6)).cast("int") + 1),
+        pmod(bit, lit(64)).cast("int")).bitwiseAND(lit(1L)) === 1L
+    val pass = (0 until BloomHashes)
+      .map(i => member(bloomBit(i, col("o_custkey")))).reduce(_ && _)
+    val trueMatch = Tables(spark, dir, "orders")
+      .join(dims.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    Tables(spark, dir, "orders")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_bloom_pass"))
+      .crossJoin(trueMatch)
+      .select(col("n_orders"), col("n_bloom_pass"), col("n_true"),
+        (col("n_bloom_pass") - col("n_true")).as("n_false_pos"))
+  }
+}

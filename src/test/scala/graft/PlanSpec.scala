@@ -18,11 +18,10 @@ class PlanSpec extends SparkSpec {
   // scale path is q30/q46). q62 is the same scan shape over int8 codes —
   // its lever is scan/shuffle WIDTH (bytes vs floats), not candidate
   // pruning. Everything else must never plan a product.
-  // q80 joins 4-byte PQ codes against broadcast ADC tables — the same
-  // scan shape: its lever is that in-flight rows carry four BYTES per
-  // candidate (vs 64 floats), not candidate pruning (IVF cells compose
-  // with it for pruning).
-  private val bruteForceBaseline = Set("q29_ann_topk", "q62_quantized_ann", "q80_pq_ann")
+  // q80 (PQ ANN) is NOT exempt: its ADC pass is a join-free kernel
+  // scan — the query tables ride a literal, so no product, no
+  // nested loop, and in-flight rows carry 16 code bytes per candidate.
+  private val bruteForceBaseline = Set("q29_ann_topk", "q62_quantized_ann")
 
   test("no query plans a cartesian product; only the brute-force baseline nested-loops") {
     SparkEntry.queries.keys.foreach { name =>

@@ -208,6 +208,8 @@ object SparkEntry {
     "q80_pq_ann" -> ((s, d) => Similarity.pqTopK(s, d)),
     "q81_cms_frequencies" -> ((s, d) => TextOps.cmsTokenFrequencies(s, d)),
     "q82_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "q83_hll_distinct" -> (Sketches.hllDistinctTokens _),
+    "q86_bloom_prune" -> (Sketches.bloomPrefilterReport _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1174,5 +1176,60 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |                       ORDER BY sim DESC, cand_id ASC) AS rank FROM s)
         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // q83: full HyperLogLog replay — md5 register/rho split, integer
+    // 2^(53−rho) register sum (order-independent), the numerator
+    // interpolated as ONE double literal (a bare 0.7213 would be
+    // DECIMAL in DuckDB), linear-counting branch on integers
+    "q83_hll_distinct" -> {
+      val m = graft.operators.Sketches.HllRegisters
+      val rb = graft.operators.Sketches.HllRegisterBits
+      val w1 = graft.operators.Sketches.HllRestBits + 1
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         | h AS (SELECT source, token,
+         |    CAST('0x' || substr(md5('hll-' || token), 1, 15) AS BIGINT) AS h FROM tok),
+         | rr AS (SELECT source, h % $m AS reg,
+         |    CASE WHEN (h >> $rb) = 0 THEN $w1
+         |         ELSE $w1 - length(bin(h >> $rb)) END AS rho FROM h),
+         | regs AS (SELECT source, reg, max(rho) AS mrho FROM rr GROUP BY source, reg),
+         | s AS (SELECT source, CAST(count(*) AS BIGINT) AS m_hit,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - mrho)) AS BIGINT) AS sumpow
+         |  FROM regs GROUP BY source),
+         | e AS (SELECT source, m_hit, $m - m_hit AS zeros,
+         |    sumpow + ($m - m_hit) * (CAST(1 AS BIGINT) << 53) AS raw FROM s),
+         | est AS (SELECT source, m_hit,
+         |    CASE WHEN zeros > 0
+         |           AND ${graft.operators.Sketches.HllNumerator} / CAST(raw AS DOUBLE) <= ${2.5 * m}
+         |      THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |      ELSE ${graft.operators.Sketches.HllNumerator} / CAST(raw AS DOUBLE) END AS est
+         |  FROM e),
+         | t AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS true_distinct
+         |  FROM tok GROUP BY source)
+         |SELECT source, m_hit, round(est, 2) AS est_distinct, true_distinct
+         |FROM est JOIN t USING (source)""".stripMargin
+    },
+    // q86: bloom replay — the oracle probes the distinct-bit SET
+    // directly (the engine's 64-word bitmap literal is the same set)
+    "q86_bloom_prune" -> {
+      val bb = graft.operators.Sketches.BloomBits
+      def bit(i: Int, key: String) =
+        s"CAST('0x' || substr(md5('bloom$i-' || CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % $bb"
+      s"""WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         | bits AS (SELECT DISTINCT ${bit(0, "c_custkey")} AS bit FROM dim
+         |   UNION SELECT DISTINCT ${bit(1, "c_custkey")} FROM dim
+         |   UNION SELECT DISTINCT ${bit(2, "c_custkey")} FROM dim),
+         | o AS (SELECT o_orderkey, o_custkey,
+         |    ${bit(0, "o_custkey")} AS b0, ${bit(1, "o_custkey")} AS b1,
+         |    ${bit(2, "o_custkey")} AS b2 FROM orders),
+         | p AS (SELECT o_orderkey FROM o
+         |   WHERE b0 IN (SELECT bit FROM bits) AND b1 IN (SELECT bit FROM bits)
+         |     AND b2 IN (SELECT bit FROM bits)),
+         | tm AS (SELECT count(*) AS n_true FROM orders
+         |   WHERE o_custkey IN (SELECT c_custkey FROM dim))
+         |SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+         |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_bloom_pass,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST((SELECT count(*) FROM p) - n_true AS BIGINT) AS n_false_pos
+         |FROM tm""".stripMargin
+    },
   )
 }

@@ -209,7 +209,11 @@ object SparkEntry {
     "q81_cms_frequencies" -> ((s, d) => TextOps.cmsTokenFrequencies(s, d)),
     "q82_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q83_hll_distinct" -> (Sketches.hllDistinctTokens _),
+    "q84_tfidf" -> ((s, d) => Relevance.tfIdf(s, d)),
+    "q85_pmi_collocations" -> ((s, d) => Relevance.pmiCollocations(s, d)),
     "q86_bloom_prune" -> (Sketches.bloomPrefilterReport _),
+    "q87_token_percentiles" -> (Relevance.tokenPercentiles _),
+    "q88_markov_transitions" -> (EventFlow.markovTransitions _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1231,5 +1235,68 @@ object SparkEntry {
          |  CAST((SELECT count(*) FROM p) - n_true AS BIGINT) AS n_false_pos
          |FROM tm""".stripMargin
     },
+    // q84: TF-IDF replay — idf pinned to the 1e-6 grid, scores as
+    // integer micro-units before the per-doc top-3 rank
+    "q84_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         | tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |   FROM tok GROUP BY doc_id, token),
+         | df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         | n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         | s AS (SELECT doc_id, tf.token AS token, tf,
+         |    CAST(round(CAST(tf AS DOUBLE)
+         |      * round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+         |      * 1000000, 0) AS BIGINT) AS score_u
+         |   FROM tf JOIN df USING (token), n),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_u DESC, token ASC) AS rnk FROM s)
+         |SELECT doc_id, token, tf, score_u FROM r
+         |WHERE rnk <= ${graft.operators.Relevance.TfIdfTopK}""".stripMargin,
+    // q85: PMI replay — same bigram construction as q72, counts
+    // joined on both words, micro-unit score, deterministic top-30
+    "q85_pmi_collocations" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         | uni AS (SELECT unnest(toks) AS token FROM d),
+         | c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY token),
+         | tot AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM uni),
+         | g AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+         |      i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+         |   FROM d WHERE len(toks) >= 2),
+         | cab AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM g GROUP BY bigram
+         |   HAVING count(*) >= ${graft.operators.Relevance.PmiMinCount}),
+         | p AS (SELECT bigram, c_ab,
+         |    CAST(round(round(ln((CAST(c_ab AS DOUBLE) * CAST(t_total AS DOUBLE))
+         |        / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6)
+         |      * 1000000, 0) AS BIGINT) AS pmi_u
+         |   FROM cab, tot
+         |   JOIN c ca ON string_split(cab.bigram, ' ')[1] = ca.token
+         |   JOIN c cb ON string_split(cab.bigram, ' ')[2] = cb.token)
+         |SELECT bigram, c_ab, pmi_u FROM p
+         |ORDER BY pmi_u DESC, bigram ASC
+         |LIMIT ${graft.operators.Relevance.PmiTopK}""".stripMargin,
+    // q87: percentile_disc replay via the explicit rank formula —
+    // value at sorted position ceil(p·n/100), no engine built-in
+    "q87_token_percentiles" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n ASC, doc_id ASC) AS rn FROM d),
+        | c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
+        | q AS (SELECT source, n_docs, unnest([25, 50, 75, 90]) AS pct FROM c),
+        | p AS (SELECT source, pct,
+        |    CAST(ceil(pct * n_docs / 100.0) AS BIGINT) AS pos FROM q)
+        |SELECT r.source, p.pct, r.n AS n_tokens
+        |FROM p JOIN r ON r.source = p.source AND r.rn = p.pos""".stripMargin,
+    // q88: lag-window transition replay; probabilities as integer
+    // micro-units (floor division) — no float in the output row
+    "q88_markov_transitions" ->
+      """WITH l AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        | c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM l
+        |   WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+        | t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS tot FROM c)
+        |SELECT prev_type, next_type, n, CAST(n * 1000000 // tot AS BIGINT) AS prob_u
+        |FROM t""".stripMargin,
   )
 }

@@ -99,6 +99,27 @@ object EventFlow {
           .when(col("signup_ts").isNotNull, 1).otherwise(0))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: counts and probabilities of `prev_type → next_type`
+    * steps in (ts, event_id) order — the behavioral fingerprint a
+    * funnel can't see (loops, back-offs, self-transitions).
+    *
+    * Probabilities are integer micro-units (`n·10⁶ div total`), so the
+    * row is bit-stable cross-engine — no float division in the output.
+    * One window shuffle on user_id (the [[byTime]] shape shared with
+    * q59/q60) plus a metadata-sized aggregate: output cardinality is
+    * |event types|², independent of corpus size. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("CAST((n * CAST(1000000 AS BIGINT)) DIV tot AS BIGINT)").as("prob_u"))
+
   /** Retention cohorts: users grouped by first-seen day, activity
     * counted per (cohort day, day offset) — the retention matrix. The
     * cohort day is a window min over the SAME user partitioning as the

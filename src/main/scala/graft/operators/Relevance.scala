@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Corpus relevance statistics: TF-IDF keyterms, PMI collocations,
+  * and exact per-group quantiles.
+  *
+  * Determinism convention (shared with q79/q81): every cross-engine
+  * double pins to the 1e-6 grid — `ln` rounds at 6 dp, then scores
+  * scale to INTEGER micro-units (`score_u`) before ranking, so order
+  * and output are bit-stable across engines and reruns. */
+object Relevance {
+
+  /** Top [[TfIdfTopK]] terms per document by TF-IDF.
+    *
+    * Scale shape: term frequency and document frequency are two
+    * partial-aggregated groupBys; the tf↔df join keys on token (df is
+    * vocab-sized — Catalyst broadcasts it when it fits, and the join
+    * still hashes correctly when it doesn't); the per-doc top-k is one
+    * window on doc_id. The corpus size N rides a broadcast 1-row
+    * aggregate, not a driver constant. */
+  val TfIdfTopK = 3
+  def tfIdf(spark: SparkSession, dir: String, k: Int = TfIdfTopK): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // corpus size folds in driver-side: parquet metadata answers the
+    // count without a data scan, and a crossJoin with a 1-row
+    // aggregate would plan the banned BroadcastNestedLoopJoin
+    val nDocs = Tables(spark, dir, "documents").count()
+    val idf6 = round(log(lit(nDocs.toDouble) / col("df").cast("double")), 6)
+    val scored = tf.join(df, Seq("token"))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf").cast("double") * idf6 * lit(1000000), 0).cast("long").as("score_u"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= k)
+      .select("doc_id", "token", "tf", "score_u")
+  }
+
+  /** Top collocations by pointwise mutual information:
+    * `pmi = ln(c_ab · T / (c_a · c_b))` over corpus bigrams with
+    * count ≥ [[PmiMinCount]] — the classic "new york"-finder, and the
+    * phrase-mining pass a tokenizer-training pipeline runs before
+    * merging multi-word units.
+    *
+    * Scale shape: bigram and unigram counts partial-aggregate before
+    * their shuffles; both count joins key on token strings whose
+    * cardinality grows with the corpus; the final top-k is
+    * TakeOrdered (no global sort). */
+  val PmiMinCount = 5
+  val PmiTopK = 30
+  def pmiCollocations(spark: SparkSession, dir: String, topK: Int = PmiTopK): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val uni = docs.select(explode(Text.tokens(col("text"))).as("token"))
+    // the unigram-count frame feeds the scalar total AND both count
+    // joins — tracked cache so the corpus aggregates once; the scalar
+    // folds in driver-side (1 row, metadata-bounded) because a
+    // crossJoin with a 1-row aggregate plans the banned
+    // BroadcastNestedLoopJoin
+    val c = PlanCache.tracked(uni.groupBy(col("token")).agg(count(lit(1)).as("c")))
+    val tTotal = c.agg(sum(col("c"))).collect()(0).getLong(0)
+    val grams = docs.filter(Text.tokenCount(col("text")) >= 2)
+      .select(explode(Text.shingles(col("text"), 2)).as("bigram"))
+    val cab = grams.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinCount)
+    val pmi6 = round(log(
+      (col("c_ab").cast("double") * lit(tTotal.toDouble)) /
+        (col("ca").cast("double") * col("cb").cast("double"))), 6)
+    cab
+      .withColumn("lhs", split(col("bigram"), " ").getItem(0))
+      .withColumn("rhs", split(col("bigram"), " ").getItem(1))
+      .join(c.select(col("token").as("lhs"), col("c").as("ca")), Seq("lhs"))
+      .join(c.select(col("token").as("rhs"), col("c").as("cb")), Seq("rhs"))
+      .select(col("bigram"), col("c_ab"),
+        round(pmi6 * lit(1000000), 0).cast("long").as("pmi_u"))
+      .orderBy(col("pmi_u").desc, col("bigram").asc).limit(topK)
+  }
+
+  /** Exact per-source token-count percentiles (p25/p50/p75/p90) via
+    * the rank formula: the value at sorted position ⌈p·n/100⌉ —
+    * `percentile_disc` semantics, replayed identically by the oracle
+    * (no reliance on either engine's percentile built-in).
+    *
+    * Scale shape: one window sort per source partition — the honest
+    * cost of an EXACT quantile; the positions frame is
+    * sources × 4 rows (metadata) and broadcasts into the rank probe.
+    * At 100 TB swap in approx_percentile over the same frame when a
+    * sketch answer is acceptable; this operator is the ground-truth
+    * twin. */
+  val Percentiles: Seq[Int] = Seq(25, 50, 75, 90)
+  def tokenPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), Text.tokenCount(col("text")).cast("long").as("n"))
+    val ranked = d.withColumn("rn",
+      row_number().over(Window.partitionBy(col("source")).orderBy(col("n").asc, col("doc_id").asc)))
+    val pos = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), explode(lit(Percentiles.toArray)).as("pct"), col("n_docs"))
+      .select(col("source"), col("pct"),
+        ceil(col("pct") * col("n_docs") / lit(100.0)).as("pos"))
+    ranked.join(broadcast(pos), ranked("source") === pos("source") && col("rn") === col("pos"))
+      .select(ranked("source"), col("pct"), col("n").as("n_tokens"))
+  }
+}

@@ -121,13 +121,17 @@ object Sketches {
         pmod(bit, lit(64)).cast("int")).bitwiseAND(lit(1L)) === 1L
     val pass = (0 until BloomHashes)
       .map(i => member(bloomBit(i, col("o_custkey")))).reduce(_ && _)
-    val trueMatch = Tables(spark, dir, "orders")
-      .join(dims.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_semi")
-      .agg(count(lit(1)).as("n_true"))
+    // ONE aggregate pass scores the filter: the exact-membership flag
+    // rides a broadcast left join, so bloom-pass and true-match count
+    // in the same scan (two 1-row aggregates cross-joined would plan
+    // the banned BroadcastNestedLoopJoin)
+    val dimKeys = dims.select(col("c_custkey").as("o_custkey"))
+      .distinct().withColumn("in_dim", lit(1L))
     Tables(spark, dir, "orders")
+      .join(broadcast(dimKeys), Seq("o_custkey"), "left")
       .agg(count(lit(1)).as("n_orders"),
-        sum(when(pass, 1L).otherwise(0L)).as("n_bloom_pass"))
-      .crossJoin(trueMatch)
+        sum(when(pass, 1L).otherwise(0L)).as("n_bloom_pass"),
+        sum(coalesce(col("in_dim"), lit(0L))).as("n_true"))
       .select(col("n_orders"), col("n_bloom_pass"), col("n_true"),
         (col("n_bloom_pass") - col("n_true")).as("n_false_pos"))
   }

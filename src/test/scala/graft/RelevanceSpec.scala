@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventFlow, Relevance}
+
+/** Behavioral checks the oracle replay can't express: driver-side
+  * replays of scores/quantiles/transitions on small slices. */
+class RelevanceSpec extends SparkSpec {
+
+  test("tfidf: <=3 terms per doc, scores replay the ln(N/df) formula") {
+    val rows = Relevance.tfIdf(spark, sf).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.nonEmpty && perDoc.values.forall(_.length <= Relevance.TfIdfTopK))
+    // independent replay of one doc's scores
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).collect()
+    val nDocs = docs.length.toDouble
+    val dfMap = docs.flatMap(r => r.getSeq[String](1).distinct.map(_ -> 1))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val someDoc = docs.head
+    val tfMap = someDoc.getSeq[String](1).groupBy(identity).view.mapValues(_.length).toMap
+    val expected = tfMap.map { case (t, tf) =>
+      val idf6 = BigDecimal(math.log(nDocs / dfMap(t)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> BigDecimal(tf.toDouble * idf6 * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    perDoc(someDoc.getLong(0)).foreach { r =>
+      assert(expected(r.getString(1)) == r.getLong(3),
+        s"score mismatch for token ${r.getString(1)}")
+    }
+  }
+
+  test("pmi: all pairs meet the min count; ordering is deterministic desc") {
+    val rows = Relevance.pmiCollocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= Relevance.PmiTopK)
+    assert(rows.forall(_._2 >= Relevance.PmiMinCount))
+    val keys = rows.map(t => (-t._3, t._1))
+    assert(keys.sameElements(keys.sortBy(identity)), "not sorted by (pmi desc, bigram asc)")
+  }
+
+  test("token percentiles: 4 cut points per source, monotone, exact for one source") {
+    val rows = Relevance.tokenPercentiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(Relevance.Percentiles), src)
+      val v = rs.sortBy(_._2).map(_._3)
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"$src not monotone")
+    }
+    // exact replay: sorted token counts, value at ceil(p*n/100)
+    val (src, rs) = bySource.head
+    val counts = Tables(spark, sf, "documents").filter(col("source") === src)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).sorted
+    rs.foreach { case (_, pct, got) =>
+      val pos = math.ceil(pct * counts.length / 100.0).toInt
+      assert(got == counts(pos - 1), s"$src p$pct")
+    }
+  }
+
+  test("markov transitions: totals consistent, probabilities floor-sum to <=1e6 per row source") {
+    val rows = EventFlow.markovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val tot = rs.map(_._3).sum
+      // floor division: per-row prob_u = n*1e6 div tot
+      rs.foreach { case (_, _, n, p) => assert(p == n * 1000000L / tot, s"$prev") }
+      val s = rs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length, s"$prev prob sum $s")
+    }
+  }
+}

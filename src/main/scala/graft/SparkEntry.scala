@@ -214,6 +214,8 @@ object SparkEntry {
     "q86_bloom_prune" -> (Sketches.bloomPrefilterReport _),
     "q87_token_percentiles" -> (Relevance.tokenPercentiles _),
     "q88_markov_transitions" -> (EventFlow.markovTransitions _),
+    "q89_order_cube" -> (Relational.orderCube _),
+    "q90_value_anomalies" -> (EventFlow.dailyAnomalies _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1298,5 +1300,31 @@ object SparkEntry {
         | t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS tot FROM c)
         |SELECT prev_type, next_type, n, CAST(n * 1000000 // tot AS BIGINT) AS prob_u
         |FROM t""".stripMargin,
+    // q89: CUBE replay — revenue in integer cents so the sum is exact
+    "q89_order_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    // q90: z-scores from exact integer moments — daily cents via
+    // floor (tie-free), Σx² exact (HUGEINT here, DECIMAL(38) in the
+    // engine), identical double formula on identical integers
+    "q90_value_anomalies" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, day),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx_d
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, day, x AS x_cents,
+        |  CAST(round(round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * sxx_d - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |    * 1000000, 0) AS BIGINT) AS z_u
+        |FROM daily JOIN st USING (event_type)
+        |WHERE n > 1
+        |  AND CAST(n AS DOUBLE) * sxx_d - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0""".stripMargin,
   )
 }

@@ -120,6 +120,39 @@ object EventFlow {
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("CAST((n * CAST(1000000 AS BIGINT)) DIV tot AS BIGINT)").as("prob_u"))
 
+  /** Daily per-event-type value anomalies as z-scores, fully
+    * deterministic: daily totals are integer cents (`floor(value·100)`
+    * — floor, not round: no cross-engine half-tie), and the variance
+    * comes from the exact integer moments
+    * `(n·Σx² − (Σx)²) / (n·(n−1))` — Σx² accumulates in DECIMAL(38)
+    * so the moment stays EXACT where a double Σ would be
+    * shuffle-order-dependent and an int64 would overflow (cents² at
+    * petabyte scale passes 2⁶³). Both engines then run the identical
+    * double formula on identical integers → identical z. Output pins
+    * to micro-units.
+    *
+    * Scale shape: two partial-aggregated groupBys (day cardinality is
+    * time-bounded, type cardinality fixed) and a broadcast of the
+    * per-type moments back over the daily frame. */
+  def dailyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), cents.as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("x"))
+    val dec = col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(dec * dec).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val varNum = nD * col("sxx").cast("double") - sxD * sxD
+    val z6 = round((col("x").cast("double") - sxD / nD) /
+      sqrt(varNum / (nD * (nD - lit(1.0)))), 6)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .filter(col("n") > 1 && varNum > 0)
+      .select(col("event_type"), col("day"), col("x").as("x_cents"),
+        round(z6 * lit(1000000), 0).cast("long").as("z_u"))
+  }
+
   /** Retention cohorts: users grouped by first-seen day, activity
     * counted per (cohort day, day offset) — the retention matrix. The
     * cohort day is a window min over the SAME user partitioning as the

@@ -215,4 +215,21 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("max_price"),
         max(col("o_orderdate")).as("last_at"),
         count(lit(1)).as("n"))
+
+  /** Multidimensional rollup — `CUBE(status, priority)` with counts
+    * and EXACT revenue: totalprice fixes to integer cents
+    * (`round(p·100)` — 2-dp money, so the product is near-integer and
+    * tie-free) before summing, because a double Σ over a shuffle is
+    * order-dependent in its last ulp and would flap the oracle hash.
+    *
+    * Scale shape: cube over two low-cardinality dims is a single
+    * partial-aggregated pass (Spark expands grouping sets map-side);
+    * output is |status|·|priority| + margins, independent of fact
+    * size. */
+  def orderCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
 }

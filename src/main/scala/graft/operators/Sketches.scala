@@ -52,21 +52,40 @@ object Sketches {
     * empty registers) branches on integers — both engines take the
     * same branch; the final ln/division double is rounded at 2 dp
     * (cross-engine ties measure-zero, per the verify conventions). */
-  def hllDistinctTokens(spark: SparkSession, dir: String): DataFrame = {
-    val m = HllRegisters
+  /** (source, reg, rho) register observations for a documents frame —
+    * shared by the batch sketch and its streaming twin
+    * ([[graft.streaming.SketchStream]]), so their registers line up
+    * exactly. rho = leading zeros of the 52-bit rest + 1; bin() gives
+    * the bit length of a positive long (both engines), rest = 0 ⇒
+    * rho = 53. The rest is h >> 8, NOT h/256: Column `/` is DOUBLE
+    * division, which is lossy above 2^53 — and h is 60-bit. */
+  def registerRows(docs: DataFrame): DataFrame = {
     val h = Text.md5Hash60(concat(lit("hll-"), col("token")))
-    val tok = Tables(spark, dir, "documents")
-      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
-    // rho = leading zeros of the 52-bit rest + 1; bin() gives the bit
-    // length of a positive long (both engines), rest = 0 ⇒ rho = 53.
-    // The rest is h >> 8, NOT h/256: Column `/` is DOUBLE division,
-    // which is lossy above 2^53 — and h is 60-bit.
-    val regs = tok
-      .select(col("source"), pmod(h, lit(m)).as("reg"),
+    docs.select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      .select(col("source"), pmod(h, lit(HllRegisters)).as("reg"),
         call_function("shiftright", h, lit(HllRegisterBits)).as("rest"))
       .withColumn("rho",
         when(col("rest") === 0, lit(HllRestBits + 1))
           .otherwise(lit(HllRestBits + 1) - length(bin(col("rest")))))
+      .select(col("source"), col("reg"), col("rho"))
+  }
+
+  /** Scalar twin of the SQL estimator below (and the oracle's):
+    * identical double operations on identical integers → identical
+    * result, asserted by SketchStreamSpec's batch↔stream parity. */
+  def estimateScalar(mHit: Int, sumpow: Long): Double = {
+    val m = HllRegisters
+    val zeros = m - mHit
+    val raw = sumpow + zeros.toLong * (1L << 53)
+    val estRaw = HllNumerator / raw.toDouble
+    val est = if (zeros > 0 && estRaw <= 2.5 * m)
+      m.toDouble * math.log(m.toDouble / zeros) else estRaw
+    BigDecimal(est).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  def hllDistinctTokens(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllRegisters
+    val regs = registerRows(Tables(spark, dir, "documents"))
       .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))
     val sums = regs.groupBy(col("source")).agg(
       count(lit(1)).as("m_hit"),

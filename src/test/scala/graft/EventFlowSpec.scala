@@ -104,4 +104,32 @@ class EventFlowSpec extends SparkSpec {
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
     assert(got.map(_._3).sum == want)
   }
+
+  test("daily anomalies: z-scores replay the integer-moment formula, mass centers on zero") {
+    val got = graft.operators.EventFlow.dailyAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // driver-side replay from the same daily integer cents
+    val daily = Tables(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    got.foreach { case (et, day, x, zU) =>
+      val xs = byType(et).map(_._3)
+      val n = xs.length.toDouble
+      val sx = xs.sum.toDouble
+      val sxx = xs.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble
+      val z = (x.toDouble - sx / n) / math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+      val z6 = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = BigDecimal(z6 * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(zU == want, s"($et, $day)")
+      assert(daily.contains((et, day, x)))
+    }
+    // z-scores sum to ~0 within each type (mean-centering identity)
+    got.groupBy(_._1).foreach { case (et, rs) =>
+      assert(math.abs(rs.map(_._4).sum) < rs.length * 2L, s"$et z mass off-center")
+    }
+  }
 }

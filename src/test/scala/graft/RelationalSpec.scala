@@ -81,4 +81,23 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.alertOnMismatch(Relational.yesterdayDiff(spark, sf), 0, alerts, "yesterday") == 1)
     assert(alerts.drain().map(_.source) == Seq("yesterday"))
   }
+
+  test("order cube: margins add up — every rollup level conserves count and revenue") {
+    val rows = Relational.orderCube(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    val detail = rows.filter(r => r._1.isDefined && r._2.isDefined)
+    val byStatus = rows.filter(r => r._1.isDefined && r._2.isEmpty)
+    val byPrio = rows.filter(r => r._1.isEmpty && r._2.isDefined)
+    val grand = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    assert(detail.nonEmpty && grand.length == 1)
+    assert(grand.head._3 == detail.map(_._3).sum && grand.head._4 == detail.map(_._4).sum)
+    byStatus.foreach { case (s, _, n, rev) =>
+      val d = detail.filter(_._1 == s)
+      assert(n == d.map(_._3).sum && rev == d.map(_._4).sum, s"status $s margin")
+    }
+    byPrio.foreach { case (_, p, n, rev) =>
+      val d = detail.filter(_._2 == p)
+      assert(n == d.map(_._3).sum && rev == d.map(_._4).sum, s"priority $p margin")
+    }
+  }
 }

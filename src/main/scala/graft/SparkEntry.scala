@@ -216,6 +216,9 @@ object SparkEntry {
     "q88_markov_transitions" -> (EventFlow.markovTransitions _),
     "q89_order_cube" -> (Relational.orderCube _),
     "q90_value_anomalies" -> (EventFlow.dailyAnomalies _),
+    "q91_top_customer_revenue" -> ((s, d) => Relational.topCustomerRevenue(s, d)),
+    "q92_quality_quartiles" -> (Relevance.qualityQuartiles _),
+    "q93_event_pivot" -> (Relational.eventPivot _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1326,5 +1329,36 @@ object SparkEntry {
         |FROM daily JOIN st USING (event_type)
         |WHERE n > 1
         |  AND CAST(n AS DOUBLE) * sxx_d - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0""".stripMargin,
+    // q91: revenue as exact integer cent-percents — price→cents and
+    // discount→percent convert tie-free (2-dp inputs), no double sum
+    "q91_top_customer_revenue" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_cp
+        |  FROM lineitem WHERE year(l_shipdate) = 1996),
+        | j AS (SELECT c.c_custkey, c.c_name, rev_cp
+        |   FROM li JOIN orders o USING (o_orderkey)
+        |   JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(rev_cp) AS BIGINT) AS revenue_cp
+        |FROM j GROUP BY c_custkey, c_name
+        |ORDER BY revenue_cp DESC, c_custkey ASC
+        |LIMIT 10""".stripMargin,
+    // q92: ntile(4) best-quality-first within source, SQL-standard
+    // bucket semantics on both engines
+    "q92_quality_quartiles" ->
+      s"""WITH $docMetricsCte
+         |SELECT doc_id, source, quality,
+         |  CAST(ntile(4) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS quartile
+         |FROM m""".stripMargin,
+    // q93: explicit-value pivot ≡ filtered counts per known type
+    "q93_event_pivot" -> {
+      val cols = graft.operators.Relational.EventTypes.map(t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS $t").mkString(",\n        |  ")
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |  $cols
+         |FROM events GROUP BY day""".stripMargin
+    },
   )
 }

@@ -232,4 +232,45 @@ object Relational {
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+
+  /** Top customers by discounted revenue — the classic 3-way
+    * fact-to-dim chain (lineitem ⋈ orders ⋈ customer) with an exact
+    * money sum: `price·(1−discount)` must NOT round as a double
+    * (4-dp money × 100 lands on .5 ties that split HALF_UP vs
+    * half-even); instead price→cents and discount→whole percent
+    * convert exactly (2-dp inputs, tie-free), and revenue accumulates
+    * as INTEGER cent-percents.
+    *
+    * Scale shape: lineitem⋈orders shuffles on the orderkey both sides
+    * already cluster by; the customer dim broadcasts; the final top-k
+    * is TakeOrdered. Filters (shipped-1996 lines) reach the parquet
+    * scan. */
+  def topCustomerRevenue(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val rev = (round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_cp")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .select(col("l_orderkey").as("o_orderkey"), rev)
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    li.join(ord, Seq("o_orderkey"))
+      .join(broadcast(cust), Seq("o_custkey"))
+      .groupBy(col("o_custkey").as("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_cp")).as("revenue_cp"))
+      .orderBy(col("revenue_cp").desc, col("c_custkey").asc).limit(k)
+  }
+
+  /** Daily event-type pivot: one row per day, one count column per
+    * known type — the wide activity matrix dashboards read. The value
+    * list is EXPLICIT so the plan is a single pass (no
+    * distinct-values discovery job) and the schema is stable when a
+    * type is absent that day (coalesced 0, matching the oracle's
+    * filtered counts). */
+  val EventTypes: Seq[String] = Seq("signup", "view", "click", "purchase", "error")
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day")).pivot("event_type", EventTypes).agg(count(lit(1)))
+      .select(col("day") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
 }

@@ -107,4 +107,19 @@ object Relevance {
     ranked.join(broadcast(pos), ranked("source") === pos("source") && col("rn") === col("pos"))
       .select(ranked("source"), col("pct"), col("n").as("n_tokens"))
   }
+
+  /** Per-source quality quartile assignment (`ntile(4)` best-first,
+    * ties broken by doc_id) — the bucketing a curation pipeline uses
+    * to keep "top-quartile per source" instead of a global threshold
+    * that would empty low-quality sources entirely.
+    *
+    * Scale shape: partitioned window — one shuffle on source, sort
+    * within partitions; ntile semantics (earlier buckets larger by at
+    * most one) are SQL-standard and replay identically in the
+    * oracle. */
+  def qualityQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), Text.qualityScore(col("text")).as("quality"))
+      .withColumn("quartile", ntile(4).over(Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)))
 }

@@ -41,7 +41,7 @@ class PlanSpec extends SparkSpec {
 
   test("top-k queries plan TakeOrderedAndProject, never a global sort") {
     Seq("q3_top_orders", "q9_recent_errors", "q43_log_search",
-        "q61_vocabulary").foreach { name =>
+        "q61_vocabulary", "q91_top_customer_revenue").foreach { name =>
       assert(plan(name).contains("TakeOrderedAndProject"), name)
     }
   }

@@ -100,4 +100,32 @@ class RelationalSpec extends SparkSpec {
       assert(n == d.map(_._3).sum && rev == d.map(_._4).sum, s"priority $p margin")
     }
   }
+
+  test("top customer revenue: integer cent-percents track the double formula within rounding") {
+    val rows = Relational.topCustomerRevenue(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getLong(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not descending")
+    // cent-percent units: cents·(100−pct) ⇒ /10000 ≈ discounted dollars
+    val want = Tables(spark, sf, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val approx = want(r.getLong(0)) * 10000
+      assert(math.abs(r.getLong(3) - approx) < 1e4, s"cust ${r.getLong(0)}")
+    }
+  }
+
+  test("event pivot: one row per day, column mass equals raw type counts") {
+    val rows = Relational.eventPivot(spark, sf).collect()
+    val raw = Tables(spark, sf, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    Relational.EventTypes.zipWithIndex.foreach { case (t, i) =>
+      assert(rows.map(_.getLong(i + 1)).sum == raw.getOrElse(t, 0L), t)
+    }
+  }
 }

@@ -62,6 +62,20 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("quality quartiles: balanced buckets, best quality in quartile 1") {
+    val rows = Relevance.qualityQuartiles(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty && rows.forall(r => r._3 >= 1 && r._3 <= 4))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src buckets unbalanced")
+      // quartile boundaries are monotone in quality
+      val worstQ1 = rs.filter(_._3 == 1).map(_._2).min
+      val bestQ4 = rs.filter(_._3 == 4).map(_._2).max
+      assert(worstQ1 >= bestQ4, s"$src quartile order inverted")
+    }
+  }
+
   test("markov transitions: totals consistent, probabilities floor-sum to <=1e6 per row source") {
     val rows = EventFlow.markovTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -64,4 +64,13 @@ object Tables {
         else graft.functions.TimeWindows.exportPredicate(col(tsCol), w))
     }
   }
+
+  /** Calendar-year predicate AS A RANGE: `year(c) = y` wraps the
+    * column in a function and pushes nothing but IsNotNull to parquet;
+    * the equivalent `[Jan 1 y, Jan 1 y+1)` range pushes both bounds
+    * and prunes row groups on the column's min/max stats. Literals
+    * parse in the session time zone (pinned UTC), matching what
+    * `year()` would have grouped. */
+  def inYear(c: org.apache.spark.sql.Column, y: Int): org.apache.spark.sql.Column =
+    c >= lit(s"$y-01-01 00:00:00") && c < lit(s"${y + 1}-01-01 00:00:00")
 }

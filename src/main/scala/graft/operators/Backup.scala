@@ -289,7 +289,7 @@ object Backup {
       years: Seq[Int]): Seq[TableSlice] =
     years.map { y =>
       TableSlice(s"${table}_$y",
-        () => graft.Tables(spark, dir, table).filter(year(col(tsCol)) === y),
+        () => graft.Tables(spark, dir, table).filter(graft.Tables.inYear(col(tsCol), y)),
         parseSuffixRange(s"${table}_$y"))
     }
 

@@ -101,7 +101,7 @@ object Relational {
   def partsNotShipped1996(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "part").select("p_partkey", "p_name", "p_brand")
     val l = Tables(spark, dir, "lineitem")
-      .filter(year(col("l_shipdate")) === 1996)
+      .filter(graft.Tables.inYear(col("l_shipdate"), 1996))
       .select("l_partkey")
     p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
   }
@@ -191,8 +191,8 @@ object Relational {
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
       .filter(col("l_quantity") > 25.0)
-    val y1996 = li.filter(year(col("l_shipdate")) === 1996)
-    val y1997 = li.filter(year(col("l_shipdate")) === 1997)
+    val y1996 = li.filter(graft.Tables.inYear(col("l_shipdate"), 1996))
+    val y1997 = li.filter(graft.Tables.inYear(col("l_shipdate"), 1997))
     y1996.unionByName(y1997)
   }
 
@@ -249,7 +249,7 @@ object Relational {
     val rev = (round(col("l_extendedprice") * 100, 0).cast("long") *
       (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_cp")
     val li = Tables(spark, dir, "lineitem")
-      .filter(year(col("l_shipdate")) === 1996)
+      .filter(graft.Tables.inYear(col("l_shipdate"), 1996))
       .select(col("l_orderkey").as("o_orderkey"), rev)
     val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
     val cust = Tables(spark, dir, "customer")

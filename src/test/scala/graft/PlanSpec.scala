@@ -64,6 +64,20 @@ class PlanSpec extends SparkSpec {
       (p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThanOrEqual(`ts")), p)
   }
 
+  test("year filters push as ranges: shipdate bounds reach the lineitem scan") {
+    // year(col) = y wraps the column and pushes only IsNotNull;
+    // Tables.inYear rewrites to [Jan1, Jan1+1) so min/max row-group
+    // stats prune (q7 anti-join probe, q10 year slices, q91 revenue)
+    // the PushedFilters list truncates in toString, so assert on the
+    // scan-adjacent Filter bounds + the (possibly cut) pushed-range head
+    Seq("q7_anti_join", "q10_union_merged", "q91_top_customer_revenue").foreach { name =>
+      val p = plan(name)
+      assert(p.contains(">= 1996-01-01") && p.contains("< 1997-01-01")
+        && p.contains("GreaterThanOrEqual(l"),
+        s"$name shipdate bounds not pushed")
+    }
+  }
+
   test("event-sequence ops shuffle once on user_id, never range-join") {
     // as-of + sessionization are single-window shapes: one exchange
     // (hash on user_id) feeds everything — the session aggregate's

@@ -779,9 +779,12 @@ object TextOps {
       Tables(spark, dir, "documents")
         .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"),
           explode(Text.tokens(col("text"))).as("token")))
-    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("cc"))
-    val target = toks.filter(col("quality") >= minQuality)
-      .groupBy(col("token")).agg(count(lit(1)).as("ct"))
+    // ONE aggregation pass carries both counts — a separate
+    // target-slice groupBy would rescan and reshuffle the token
+    // stream for a strict subset of this conditional count
+    val counts = toks.groupBy(col("token")).agg(
+      count(lit(1)).as("cc"),
+      count(when(col("quality") >= minQuality, 1)).as("ct"))
     val lr = round(
       log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
         (col("t_tot") + col("vocab")).cast("double")) -
@@ -792,7 +795,7 @@ object TextOps {
     // holds vocabulary rows, fine at corpus scale, join-free); target
     // tokens ⊆ corpus vocab, so sum(ct) here IS the target total
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    val ratios = corpus.join(target, Seq("token"), "left")
+    val ratios = counts
       .withColumn("c_tot", sum(col("cc")).over(all))
       .withColumn("vocab", count(lit(1)).over(all))
       .withColumn("t_tot", sum(coalesce(col("ct"), lit(0L))).over(all))

@@ -219,6 +219,7 @@ object SparkEntry {
     "q91_top_customer_revenue" -> ((s, d) => Relational.topCustomerRevenue(s, d)),
     "q92_quality_quartiles" -> (Relevance.qualityQuartiles _),
     "q93_event_pivot" -> (Relational.eventPivot _),
+    "q94_event_trigrams" -> ((s, d) => EventFlow.eventTrigrams(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1352,6 +1353,19 @@ object SparkEntry {
          |  CAST(ntile(4) OVER (PARTITION BY source
          |    ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS quartile
          |FROM m""".stripMargin,
+    // q94: two stacked lags over the (ts, event_id)-ordered user
+    // window, |types|³ aggregate, deterministic top-20
+    "q94_event_trigrams" ->
+      """WITH l AS (SELECT event_type,
+        |    lag(event_type, 1) OVER win AS p1,
+        |    lag(event_type, 2) OVER win AS p2
+        |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE p2 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
+        |LIMIT 20""".stripMargin,
     // q93: explicit-value pivot ≡ filtered counts per known type
     "q93_event_pivot" -> {
       val cols = graft.operators.Relational.EventTypes.map(t =>

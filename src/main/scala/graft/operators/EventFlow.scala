@@ -120,6 +120,24 @@ object EventFlow {
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("CAST((n * CAST(1000000 AS BIGINT)) DIV tot AS BIGINT)").as("prob_u"))
 
+  /** Frequent behavior episodes: the top-k event-type TRIGRAMS across
+    * all user sequences — the sequential-pattern sweep that surfaces
+    * "view → view → purchase" style motifs a single-step transition
+    * matrix ([[markovTransitions]]) cannot distinguish from noise.
+    * Two stacked lags on the SAME user window (one exchange), then a
+    * |types|³-bounded aggregate and a deterministic TakeOrdered. */
+  def eventTrigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 1).over(byTime))
+      .withColumn("p2", lag(col("event_type"), 2).over(byTime))
+      .filter(col("p2").isNotNull)
+      .groupBy(col("p2").as("step1"), col("p1").as("step2"),
+        col("event_type").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1").asc, col("step2").asc, col("step3").asc)
+      .limit(k)
+
   /** Daily per-event-type value anomalies as z-scores, fully
     * deterministic: daily totals are integer cents (`floor(value·100)`
     * — floor, not round: no cross-engine half-tie), and the variance

@@ -105,6 +105,23 @@ class EventFlowSpec extends SparkSpec {
     assert(got.map(_._3).sum == want)
   }
 
+  test("event trigrams: counts replay a per-user sequential scan, ordering deterministic") {
+    val got = graft.operators.EventFlow.eventTrigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= 20)
+    val ns = got.map(_._4)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not count-descending")
+    // driver-side replay over (ts, event_id)-ordered per-user sequences
+    val seqs = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4).toSeq)
+    val want = seqs.values.flatMap(_.sliding(3).filter(_.length == 3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (a, b, c, n) => assert(want(Seq(a, b, c)) == n, s"($a,$b,$c)") }
+  }
+
   test("daily anomalies: z-scores replay the integer-moment formula, mass centers on zero") {
     val got = graft.operators.EventFlow.dailyAnomalies(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))

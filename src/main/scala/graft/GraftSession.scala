@@ -23,6 +23,10 @@ object GraftSession {
         ext.injectFunction(graft.functions.SetCard.injection)
         graft.functions.PqCodec.injections.foreach(ext.injectFunction)
         ext.injectOptimizerRule(graft.functions.DistinctCard.injection)
+        // whole-operator fusion: row_number-≤-k window+filter → the
+        // bounded-heap TopKPerGroupExec (rule rewrites, strategy plans)
+        ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+        ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

@@ -220,6 +220,7 @@ object SparkEntry {
     "q92_quality_quartiles" -> (Relevance.qualityQuartiles _),
     "q93_event_pivot" -> (Relational.eventPivot _),
     "q94_event_trigrams" -> ((s, d) => EventFlow.eventTrigrams(s, d)),
+    "q95_log_quantiles" -> (Sketches.logQuantiles _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1373,6 +1374,26 @@ object SparkEntry {
       s"""SELECT CAST(ts AS DATE) AS day,
          |  $cols
          |FROM events GROUP BY day""".stripMargin
+    },
+    // q95: log-bucket quantile sketch replay — bucket, rank and
+    // midpoint all integer-exact, so the only cross-engine risk
+    // (double log/pow) never appears
+    "q95_log_quantiles" -> {
+      val ps = graft.operators.Sketches.QuantilePs.map(p => s"($p)").mkString(",")
+      s"""WITH n AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |   FROM documents),
+         | h AS (SELECT source, CAST(length(bin(n)) - 1 AS INTEGER) AS b,
+         |    CAST(count(*) AS BIGINT) AS c FROM n GROUP BY source, b),
+         | ct AS (SELECT source, b, c,
+         |    CAST(sum(c) OVER (PARTITION BY source ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total FROM h),
+         | pr AS (SELECT source, b, c, cum, total, p
+         |   FROM ct CROSS JOIN (VALUES $ps) AS ps(p))
+         |SELECT source, p, b AS bucket,
+         |  (3 * (CAST(1 AS BIGINT) << b) - 1) // 2 AS est_tokens
+         |FROM pr
+         |WHERE cum >= (p * total + 99) // 100 AND cum - c < (p * total + 99) // 100""".stripMargin
     },
   )
 }

@@ -154,4 +154,52 @@ object Sketches {
       .select(col("n_orders"), col("n_bloom_pass"), col("n_true"),
         (col("n_bloom_pass") - col("n_true")).as("n_false_pos"))
   }
+
+  /** Quantile probes shared with the oracle. */
+  val QuantilePs = Seq(25, 50, 75, 90)
+
+  /** Per-(source) log₂-bucket token-count histogram: `(source, b, c)`
+    * with `b = bit_length(n) − 1` (the `bin()` length trick both
+    * engines share, cf. the HLL rho). The MERGEABLE sketch state:
+    * ≤ 64 buckets per source no matter the corpus size, partial
+    * histograms fold by summing counts — the groupBy's map-side
+    * combine IS the merge. */
+  def logHistogram(docs: DataFrame): DataFrame = {
+    val n = size(Text.tokens(col("text"))).cast("long")
+    docs.select(col("source"), (length(bin(n)) - 1).cast("int").as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile estimates from a (possibly merged) histogram: for each
+    * probe p the target rank is `ceil(p·total/100)` (percentile_disc
+    * semantics, integer-exact as `(p·total + 99) DIV 100`), the
+    * answer bucket is the first whose running count reaches it, and
+    * the estimate is the bucket's integer midpoint
+    * `(3·2^b − 1) DIV 2`. All windows run over the ≤ 64-row-per-source
+    * sketch, not the corpus. */
+  def quantilesFromHistogram(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("source"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("total", sum(col("c")).over(wt))
+      .withColumn("p", explode(array(QuantilePs.map(lit): _*)))
+      .withColumn("r", expr("(p * total + 99) DIV 100"))
+      .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
+      .select(col("source"), col("p"), col("b").as("bucket"),
+        expr("(3 * shiftleft(CAST(1 AS BIGINT), bucket) - 1) DIV 2").as("est_tokens"))
+  }
+
+  /** Per-source approximate token-count quantiles (p25/50/75/90) from
+    * the log-bucket histogram — the fixed-size, mergeable complement
+    * to the exact percentiles ([[Relevance.tokenPercentiles]]): exact
+    * needs a per-source ordering of every row; this shuffles
+    * ≤ sources × 64 sketch rows regardless of corpus size. Estimate
+    * error is bounded by the bucket (midpoint is within 2× of any
+    * value in it — the DDSketch trade at γ=2, here with integer-exact
+    * bucketing and midpoints so the oracle replays bit-for-bit). */
+  def logQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesFromHistogram(logHistogram(Tables(spark, dir, "documents")))
 }

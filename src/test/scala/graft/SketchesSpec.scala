@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Sketches
 
 /** Sketch behavior that the oracle replay can't judge: estimation
-  * error against the HLL error bound, and the Bloom filter's
-  * no-false-negative guarantee. */
+  * error against the HLL error bound, the Bloom filter's
+  * no-false-negative guarantee, and the quantile sketch's bucket
+  * error bound + histogram mergeability. */
 class SketchesSpec extends SparkSpec {
 
   test("hll estimate lands within sketch error of the true distinct count") {
@@ -53,5 +54,38 @@ class SketchesSpec extends SparkSpec {
     assert(nFp == nPass - nTrue && nFp >= 0)
     // k=3, m=4096: fp rate stays far below an unfiltered scan
     assert(nPass < nOrders, "filter admitted everything")
+  }
+
+  test("log-quantile estimates stay within the bucket bound of exact percentiles") {
+    val docs = Tables(spark, sf, "documents")
+    val exact = docs
+      .select(col("source"), size(graft.functions.Text.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sorted }
+    val est = Sketches.logQuantiles(spark, sf).collect()
+    assert(est.length == exact.size * Sketches.QuantilePs.length,
+      "expected exactly one row per (source, probe)")
+    est.foreach { r =>
+      val (src, p, e) = (r.getString(0), r.getInt(1), r.getLong(3))
+      val ns = exact(src)
+      // percentile_disc twin of the sketch's rank: ceil(p·n/100)-th value
+      val truth = ns(((p.toLong * ns.length + 99) / 100).toInt - 1)
+      // the answer bucket CONTAINS the true value, so the midpoint is
+      // within 2x either way
+      assert(e >= truth / 2 && e <= truth * 2,
+        s"$src p$p: est $e truth $truth outside bucket bound")
+    }
+  }
+
+  test("log histograms merge by count-sum: quantiles of merged halves equal the whole") {
+    val docs = Tables(spark, sf, "documents")
+    val whole = Sketches.quantilesFromHistogram(Sketches.logHistogram(docs))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val merged = Sketches.logHistogram(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(Sketches.logHistogram(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy(col("source"), col("b")).agg(sum(col("c")).as("c"))
+    val got = Sketches.quantilesFromHistogram(merged)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == whole)
   }
 }

@@ -164,11 +164,16 @@ object Sketches {
     * ≤ 64 buckets per source no matter the corpus size, partial
     * histograms fold by summing counts — the groupBy's map-side
     * combine IS the merge. */
-  def logHistogram(docs: DataFrame): DataFrame = {
+  /** `(source, b)` bucket observations — shared by the batch histogram
+    * and its streaming twin ([[graft.streaming.QuantileStream]]) so
+    * their buckets line up exactly. */
+  def bucketRows(docs: DataFrame): DataFrame = {
     val n = size(Text.tokens(col("text"))).cast("long")
     docs.select(col("source"), (length(bin(n)) - 1).cast("int").as("b"))
-      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
   }
+
+  def logHistogram(docs: DataFrame): DataFrame =
+    bucketRows(docs).groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
 
   /** Quantile estimates from a (possibly merged) histogram: for each
     * probe p the target rank is `ceil(p·total/100)` (percentile_disc

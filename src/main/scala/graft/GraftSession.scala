@@ -33,6 +33,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are parquet timestamp[us] with
+      // isAdjustedToUTC=false (pyarrow default); without this they'd
+      // infer as TIMESTAMP_NTZ and break every TimestampType operator
+      // (unix_micros & co.). Session TZ is UTC, so reading them as
+      // TimestampType preserves the wall-clock values exactly.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

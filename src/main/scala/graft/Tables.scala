@@ -8,11 +8,14 @@ import org.apache.spark.sql.types.LongType
   * (`<sfDir>/<table>.parquet`). All queries read through here so that
   * column pruning / filter pushdown reach the parquet scans uniformly.
   *
-  * `events.parquet` carries TIMESTAMP(NANOS) which Spark only reads as
-  * Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-  * [[graft.GraftSession]]); any Long-typed `ts`/`*date` column is
-  * normalized to a microsecond TimestampType here. The testdata has no
-  * sub-microsecond components, so the conversion is lossless.
+  * Timestamp columns have shipped in two vintages: TIMESTAMP(NANOS)
+  * (read as Long under `spark.sql.legacy.parquet.nanosAsLong=true`,
+  * normalized to microsecond TimestampType here — lossless, the data
+  * has no sub-microsecond components) and, currently, timestamp[us]
+  * with isAdjustedToUTC=false (read directly as TimestampType because
+  * [[graft.GraftSession]] disables NTZ inference; the normalization
+  * below is then a no-op). Both session flags stay set so either
+  * vintage reads identically.
   */
 object Tables {
   val all: Seq[String] = Seq(

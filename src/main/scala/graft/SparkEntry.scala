@@ -221,6 +221,9 @@ object SparkEntry {
     "q93_event_pivot" -> (Relational.eventPivot _),
     "q94_event_trigrams" -> ((s, d) => EventFlow.eventTrigrams(s, d)),
     "q95_log_quantiles" -> (Sketches.logQuantiles _),
+    "q96_rolling_rates" -> ((s, d) => EventFlow.rollingRates(s, d)),
+    "q97_pii_scrub" -> (TextOps.scrubPii _),
+    "q98_packed_chunks" -> ((s, d) => TextOps.packedChunks(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1394,6 +1397,54 @@ object SparkEntry {
          |  (3 * (CAST(1 AS BIGINT) << b) - 1) // 2 AS est_tokens
          |FROM pr
          |WHERE cum >= (p * total + 99) // 100 AND cum - c < (p * total + 99) // 100""".stripMargin
+    },
+    // q96: RANGE (time-interval) frame over all events, purchase slice
+    // taken AFTER windowing — a WHERE would narrow the frames
+    "q96_rolling_rates" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        | w AS (SELECT user_id, event_id, ts, event_type,
+        |    CAST(count(*) OVER win AS BIGINT) AS n_1h,
+        |    CAST(SUM(cents) OVER win AS BIGINT) AS cents_1h
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts, n_1h, cents_1h
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // q97: the regexes interpolate from TextOps.PiiPatterns (the
+    // RE2 ∩ java.util.regex dialect) — counts against the original
+    // text, replacements applied in the operator's category order,
+    // DuckDB's 'g' flag matching Spark's replace-all default
+    "q97_pii_scrub" -> {
+      val ps = graft.operators.TextOps.PiiPatterns
+      val counts = ps.map { case (name, re, _) =>
+        s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name" }
+        .mkString(",\n        |  ")
+      val cleaned = ps.foldLeft("text") { case (expr, (_, re, token)) =>
+        s"regexp_replace($expr, '$re', '$token', 'g')" }
+      s"""SELECT doc_id,
+        |  $counts,
+        |  $cleaned AS clean_text
+        |FROM documents""".stripMargin
+    },
+    "q98_packed_chunks" -> {
+      val groups = graft.operators.TextOps.PackGroups
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('pack-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % $groups AS pack_group,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         | c AS (SELECT doc_id, pack_group, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT pack_group, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(list_transform(list_sort(list(doc_id)),
+         |    x -> CAST(x AS VARCHAR)), '-') AS doc_ids
+         |FROM (SELECT doc_id, pack_group, n_tokens,
+         |        CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id FROM c) g
+         |GROUP BY pack_group, chunk_id""".stripMargin
     },
   )
 }

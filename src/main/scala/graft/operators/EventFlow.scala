@@ -186,4 +186,34 @@ object EventFlow {
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** Rolling event rate: at each purchase, the user's event count and
+    * integer-cent value mass over the trailing `windowHours` — a RANGE
+    * (time-interval) window frame, not a ROWS frame: the frame holds
+    * every event within the interval regardless of how many there are,
+    * which is the burst/velocity feature a rate limiter or fraud score
+    * reads. Cents are `floor(value·100)` (tie-free cross-engine, cf.
+    * [[dailyAnomalies]]); the frame is computed over ALL the user's
+    * events and only then sliced to purchases, so the rate reflects
+    * total activity, not purchases alone.
+    *
+    * Scale shape: one exchange on user_id, one linear WindowExec pass
+    * per partition (Spark evaluates a RANGE frame with two moving
+    * pointers, never re-scanning the frame per row); the purchase
+    * filter is post-window by necessity but drops ~4/5 of rows before
+    * anything else reads them. Ties in ts join the frame as peers on
+    * both engines (RANGE semantics), so results are deterministic. */
+  def rollingRates(spark: SparkSession, dir: String,
+      windowHours: Int = 1): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val frame = Window.partitionBy(col("user_id")).orderBy(us)
+      .rangeBetween(-(windowHours * 3600L * 1000000L), 0)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(frame))
+      .withColumn("cents_1h", sum(col("cents")).over(frame))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "n_1h", "cents_1h")
+  }
 }

@@ -529,6 +529,70 @@ object TextOps {
           > capacity).as("spans_boundary"))
   }
 
+  /** Materialized pack manifest — [[packSequences]]' per-document
+    * assignment collapsed to one row per training sequence: the
+    * ordered document list (dash-joined, ascending doc_id = the
+    * concatenation order), member count, and exact token mass. This is
+    * the artifact a trainer's data loader actually reads: "sequence
+    * (g, c) = these documents, in this order".
+    *
+    * Scale: reuses the pack window's (pack_group) clustering for the
+    * groupBy — chunk rows are `corpus_tokens / capacity`, ~100-500×
+    * smaller than the document count, and each group's collect is
+    * bounded by capacity / min-doc-length documents, so no group can
+    * outgrow a task. */
+  def packedChunks(spark: SparkSession, dir: String,
+      capacity: Int = 512): DataFrame =
+    packSequences(spark, dir, capacity)
+      .groupBy(col("pack_group"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), "-").as("doc_ids"))
+
+  // ---- PII scrubbing --------------------------------------------------
+
+  /** (name, regex, replacement) per PII category, applied IN ORDER —
+    * emails first (their digit runs must not feed the phone pattern),
+    * then IPv4 (dotted quads are not phone numbers), then phone
+    * numbers over whatever digits remain. The regexes stay in the
+    * RE2 ∩ java.util.regex common dialect (character classes, bounded
+    * repetition, `\b` — no backreferences, no lookaround) so the Spark
+    * scan and the DuckDB oracle compile the identical automaton. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>"))
+
+  /** PII redaction — the pre-training scrub pass: emails, IPv4s, and
+    * phone-shaped digit runs replaced with typed placeholder tokens,
+    * plus per-category match counts (counted against the ORIGINAL
+    * text, so the counts are category-independent and replayable).
+    * Pure per-row expressions fused into the scan: no shuffle, no UDF
+    * — `regexp_replace`/`regexp_extract_all` are codegen'd Catalyst
+    * expressions, so the pass runs at scan speed at any corpus size.
+    *
+    * The synthetic corpus carries no PII (all counts 0, text passes
+    * through) — the driver oracle still hash-checks the full
+    * replace/count pipeline end-to-end, and TextDedupSpec proves the
+    * redaction itself on injected fixtures. */
+  def scrubPii(spark: SparkSession, dir: String): DataFrame =
+    scrubPiiOf(Tables(spark, dir, "documents"))
+
+  /** [[scrubPii]] over an arbitrary (doc_id, text) frame — the
+    * fixture-injectable core (the shipped corpus is PII-free, so the
+    * redaction behavior itself is proven on synthetic documents). */
+  def scrubPiiOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id") +:
+        PiiPatterns.map { case (name, re, _) =>
+          size(regexp_extract_all(col("text"), lit(re), lit(0)))
+            .cast("long").as(s"n_$name")
+        } :+
+        PiiPatterns.foldLeft(col("text")) { case (c, (_, re, token)) =>
+          regexp_replace(c, re, token)
+        }.as("clean_text"): _*)
+
   // ---- boilerplate / span-level dedup ---------------------------------
 
   /** Per-document distinct k-shingle rows — the shared scan under the

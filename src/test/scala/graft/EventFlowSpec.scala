@@ -149,4 +149,30 @@ class EventFlowSpec extends SparkSpec {
       assert(math.abs(rs.map(_._4).sum) < rs.length * 2L, s"$et z mass off-center")
     }
   }
+
+  test("rolling rates match a per-user range-frame replay at 1h and 24h") {
+    val full = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), key(r.getTimestamp(2), r.getLong(1))._1,
+        r.getString(3), math.floor(r.getDouble(4) * 100).toLong))
+    def replay(horizonUs: Long): Map[Long, (Long, Long)] =
+      full.groupBy(_._1).values.flatMap { evs =>
+        evs.filter(_._4 == "purchase").map { p =>
+          // RANGE frame = pure value window on event time: every event
+          // (any type) within [t - horizon, t], peers included
+          val frame = evs.filter(e => e._3 >= p._3 - horizonUs && e._3 <= p._3)
+          p._2 -> ((frame.length.toLong, frame.map(_._5).sum))
+        }
+      }.toMap
+    for (hours <- Seq(1, 24)) {
+      val got = graft.operators.EventFlow.rollingRates(spark, sf, windowHours = hours)
+        .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got == replay(hours * 3600L * 1000000L), s"window ${hours}h")
+      assert(got.nonEmpty)
+      if (hours == 24)
+        assert(got.valuesIterator.exists(_._1 > 1L),
+          "24h frames must aggregate more than the purchase row itself")
+    }
+  }
 }

@@ -869,4 +869,50 @@ class TextDedupSpec extends SparkSpec {
     scores.foreach { case (id, n, _) => assert(n == nTok(id), s"doc $id") }
   }
 
+  test("pii scrub redacts injected emails/ips/phones; the shipped corpus passes through") {
+    val fixture = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or bob@test.io thanks"),
+      (2L, "server at 192.168.1.100 and 10.0.0.1 responded"),
+      (3L, "call +1 415 555 0199 now"),
+      (4L, "mixed: x@y.com from 8.8.8.8 phoned 555 123 4567"),
+      (5L, "plain text no pii at all")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.scrubPiiOf(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 0L, 0L, "contact <EMAIL> or <EMAIL> thanks")))
+    assert(got(2L) == ((0L, 2L, 0L, "server at <IP> and <IP> responded")))
+    assert(got(3L) == ((0L, 0L, 1L, "call <PHONE> now")))
+    // sequential application: the phone pass runs on already-redacted
+    // text, so the email's and IP's digits can't feed a phone match
+    assert(got(4L) == ((1L, 1L, 1L, "mixed: <EMAIL> from <IP> phoned <PHONE>")))
+    assert(got(5L) == ((0L, 0L, 0L, "plain text no pii at all")))
+    // the synthetic corpus carries no PII: counts all zero, text intact
+    val corpus = graft.operators.TextOps.scrubPii(spark, sf).collect()
+    val original = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus.length == original.size)
+    corpus.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.getString(4) == original(r.getLong(0)))
+    }
+  }
+
+  test("packed chunks collapse the pack assignment: membership, mass, and order agree") {
+    val assign = graft.operators.TextOps.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = graft.operators.TextOps.packedChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val expected = assign.groupBy(a => (a._2, a._4)).map { case (k, docs) =>
+      val ordered = docs.sortBy(_._1)
+      k -> ((docs.length.toLong, docs.map(_._3).sum,
+        ordered.map(_._1).mkString("-")))
+    }
+    assert(got == expected)
+    // chunks are real sequences: at least one holds multiple documents
+    assert(got.valuesIterator.exists(_._1 > 1L))
+    // every document appears in exactly one chunk
+    assert(got.valuesIterator.map(_._1).sum == assign.length.toLong)
+  }
+
 }

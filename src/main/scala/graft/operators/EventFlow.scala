@@ -205,14 +205,19 @@ object EventFlow {
     * both engines (RANGE semantics), so results are deterministic. */
   def rollingRates(spark: SparkSession, dir: String,
       windowHours: Int = 1): DataFrame = {
-    val us = unix_micros(col("ts"))
-    val frame = Window.partitionBy(col("user_id")).orderBy(us)
+    // both aggregates share ONE named order column and ONE frame spec,
+    // so CollapseWindow folds them into a single WindowExec pass —
+    // chained withColumns would each project their own unix_micros
+    // alias and stack two Window operators (two sorts) instead
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("_us"))
       .rangeBetween(-(windowHours * 3600L * 1000000L), 0)
     Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
-        floor(col("value") * 100).cast("long").as("cents"))
-      .withColumn("n_1h", count(lit(1)).over(frame))
-      .withColumn("cents_1h", sum(col("cents")).over(frame))
+        floor(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("_us"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        count(lit(1)).over(frame).as("n_1h"),
+        sum(col("cents")).over(frame).as("cents_1h"))
       .filter(col("event_type") === "purchase")
       .select("user_id", "event_id", "ts", "n_1h", "cents_1h")
   }

@@ -123,4 +123,34 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("rolling rates: one exchange on user_id, a RANGE frame, no self-join") {
+    // the naive form is events×events ON same-user AND ts-within-1h — a
+    // range join that explodes inside dense users; the window form is
+    // one shuffle and a linear two-pointer pass per partition
+    val p = plan("q96_rolling_rates")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("RangeFrame"), p)
+    // both aggregates fold into ONE WindowExec (one sort, one pass) —
+    // a second Window operator means the frame column diverged
+    assert("- Window \\[".r.findAllIn(p).size == 1, p)
+  }
+
+  test("pii scrub is a pure scan — zero exchanges, zero joins") {
+    // redaction must run at scan speed on 100 TB: per-row regex
+    // expressions fused into the projection, nothing wider
+    val p = plan("q97_pii_scrub")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("packed chunks reuse the pack window's clustering for the collapse") {
+    // grouping on (pack_group, chunk_id) is satisfied by the window's
+    // hashpartitioning(pack_group) — a second exchange here would
+    // reshuffle every assignment row for an already-clustered aggregate
+    val p = plan("q98_packed_chunks")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

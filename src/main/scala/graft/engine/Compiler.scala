@@ -54,6 +54,14 @@ object Compiler {
   final case class SessionizeDef(name: String, sourceDir: String,
       outDir: String, checkpointDir: String) extends PipelineDef
 
+  /** The task-level `rateMonitor` opt-in runs a
+    * [[graft.streaming.RateStream]] per table beside its CDC pipeline —
+    * sliding-window per-op rates over the same change-event source,
+    * finalized by watermark into a durable parquet log (`outDir`)
+    * with its own checkpoint. */
+  final case class RateMonitorDef(name: String, sourceDir: String,
+      outDir: String, checkpointDir: String) extends PipelineDef
+
   /** Namespace + storage-path derivation. A table whose mapping-level
     * sourceDb DIFFERS from the task default gets db-prefixed paths and
     * a db-qualified pipeline name, so a multi-database task's tables
@@ -104,7 +112,12 @@ object Compiler {
           Seq(SessionizeDef(s"$name#sessions", s"${spec.sourceDir}/$src",
             s"${spec.targetDir}/$tgt#sessions", s"${spec.checkpointDir}/$src#sessions"))
         else Nil
-      rollup ++ sessions :+ (spec.taskType match {
+      val rateMonitors =
+        if (spec.rateMonitor && spec.taskType != "redis")
+          Seq(RateMonitorDef(s"$name#rates", s"${spec.sourceDir}/$src",
+            s"${spec.targetDir}/$tgt#rates", s"${spec.checkpointDir}/$src#rates"))
+        else Nil
+      rollup ++ sessions ++ rateMonitors :+ (spec.taskType match {
         case "redis" =>
           KvDef(name, KvPipeline.Config(
             sourceDir = s"${spec.sourceDir}/$src",
@@ -179,6 +192,7 @@ object Compiler {
       case _: RollupDef          => Nil // read-only rider: owns no storage roots
       // reads the shared change stream; owns only its log + checkpoint
       case SessionizeDef(n, _, out, ckpt) => Seq(out, ckpt).map((n, _))
+      case RateMonitorDef(n, _, out, ckpt) => Seq(out, ckpt).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {
       case Seq((na, a), (nb, b)) =>

@@ -143,6 +143,9 @@ object ConfigReader {
     require(!(n.path("sessionize").asBoolean(false) && taskType == "redis"),
       "sessionize requires a change-event (CDC) task: the KV op log has " +
         "no change events to sessionize")
+    require(!(n.path("rateMonitor").asBoolean(false) && taskType == "redis"),
+      "rateMonitor requires a change-event (CDC) task: the KV op log has " +
+        "no change events to rate")
     SyncTaskSpec(
       id = n.path("id").asInt(0),
       taskType = taskType,
@@ -156,7 +159,8 @@ object ConfigReader {
       snapshotDir = optText(n, "snapshotDir"),
       targetJdbcUrl = targetJdbcUrl,
       dailyRollup = n.path("dailyRollup").asBoolean(false),
-      sessionize = n.path("sessionize").asBoolean(false))
+      sessionize = n.path("sessionize").asBoolean(false),
+      rateMonitor = n.path("rateMonitor").asBoolean(false))
   }
 
   private def parseTable(n: JsonNode, securityEnabled: Boolean): TableMapping = {

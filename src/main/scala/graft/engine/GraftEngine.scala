@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.functions.TimeWindows
 import graft.model.{BackupSpec, TrainingExportSpec}
 import graft.operators.{Backup, Cron, Upsert}
-import graft.streaming.{Alerts, CdcPipeline, ControlLoop, DailyRollup, Dlq, Guardian, KvPipeline, Metrics, SessionStream}
+import graft.streaming.{Alerts, CdcPipeline, ControlLoop, DailyRollup, Dlq, Guardian, KvPipeline, Metrics, RateStream, SessionStream}
 
 /** The composed engine — config file in, running pipelines out: the
   * Spark-native `cmd/sync/main.go` (reference main.go:91-188).
@@ -109,6 +109,11 @@ final class GraftEngine(
       // checkpoint, so restart-on-death resumes without losing or
       // duplicating a finalized session
       guarded(() => SessionStream.startChangeEvents(spark, sourceDir, outDir, ckpt,
+        availableNow))
+    case Compiler.RateMonitorDef(_, sourceDir, outDir, ckpt) =>
+      // sliding-window op-mix velocity under the supervisor — same
+      // durable append-only log + checkpoint contract as sessionize
+      guarded(() => RateStream.startChangeEvents(spark, sourceDir, outDir, ckpt,
         availableNow))
   }
 
@@ -376,15 +381,17 @@ final class GraftEngine(
   private def hasPendingDlq(d: Compiler.PipelineDef): Boolean = d match {
     case c: Compiler.CdcDef => CdcPipeline.hasPendingBatches(spark, c.cfg)
     case k: Compiler.KvDef  => KvPipeline.hasPendingBatches(spark, k.cfg)
-    case _: Compiler.RollupDef => false     // no writer, no DLQ
-    case _: Compiler.SessionizeDef => false // append-only file sink, no DLQ
+    case _: Compiler.RollupDef => false      // no writer, no DLQ
+    case _: Compiler.SessionizeDef => false  // append-only file sink, no DLQ
+    case _: Compiler.RateMonitorDef => false // append-only file sink, no DLQ
   }
 
   private def targetDirOf(d: Compiler.PipelineDef): Option[String] = d match {
     case c: Compiler.CdcDef => Some(c.cfg.targetDir)
     case k: Compiler.KvDef  => Some(k.cfg.targetDir)
     case _: Compiler.RollupDef => None
-    case _: Compiler.SessionizeDef => None // append-only log: no tombstones to sweep
+    case _: Compiler.SessionizeDef => None  // append-only log: no tombstones to sweep
+    case _: Compiler.RateMonitorDef => None // append-only log: no tombstones to sweep
   }
 
   /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
@@ -455,6 +462,16 @@ final class GraftEngine(
         SessionStream.currentSessions(spark, outDir)
       case other => throw new IllegalArgumentException(
         s"$name is not a sessionize pipeline (got $other)")
+    }
+
+  /** Snapshot face of a `rateMonitor` pipeline's durable log —
+    * finalized sliding-window per-op rates. */
+  def rateLog(name: String): org.apache.spark.sql.DataFrame =
+    pipelineDefs.get(name) match {
+      case Some(Compiler.RateMonitorDef(_, _, outDir, _)) =>
+        RateStream.currentRates(spark, outDir)
+      case other => throw new IllegalArgumentException(
+        s"$name is not a rateMonitor pipeline (got $other)")
     }
 
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries

@@ -85,4 +85,24 @@ object RateStream {
     spark.read.schema("window_start TIMESTAMP, window_end TIMESTAMP, " +
         "event_type STRING, n_events LONG, cents LONG")
       .parquet(outDir)
+
+  /** Engine face (the `rateMonitor` config opt-in): per-OP sliding
+    * rates over a CHANGE-EVENT stream — each op kind plays the event
+    * type, so the log reads "N updates / M deletes in every trailing
+    * hour, per 15 min" — the op-mix velocity feed that surfaces an
+    * update storm or delete surge while it is happening. Op events
+    * carry no monetary value; `cents` is identically 0 on this face.
+    * Rides the same source as the sibling CDC pipeline; owns only its
+    * log + checkpoint. */
+  def startChangeEvents(spark: SparkSession, sourceDir: String, outDir: String,
+      checkpoint: String, availableNow: Boolean = true): StreamingQuery =
+    rates(spark.readStream.schema(ChangeEvents.schema).json(sourceDir)
+        .select(col("op").as("event_type"), col("ts"), lit(0.0).as("value")))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
+      .start()
 }

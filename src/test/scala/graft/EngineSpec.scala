@@ -744,6 +744,51 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("config rateMonitor: finalized sliding-window op rates land in a durable log through the supervisor") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    import org.apache.spark.sql.Row
+    def ev(op: String, key: Long, v: Double, off: Long, ts: String) =
+      Row(op, key, Row(v, off), "graft", "events", java.sql.Timestamp.valueOf(ts), off)
+    def writeEvents(rows: Row*): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), ChangeEvents.schema)
+        .coalesce(1).write.mode("append").json(s"$root/src/events")
+    // two inserts + one update inside one 15-min slide; a much later
+    // event pushes the watermark past all their windows
+    writeEvents(
+      ev("insert", 1L, 10.0, 1L, "2024-03-01 10:00:00"),
+      ev("insert", 2L, 20.0, 2L, "2024-03-01 10:05:00"),
+      ev("update", 1L, 11.0, 3L, "2024-03-01 10:10:00"),
+      ev("insert", 9L, 90.0, 4L, "2024-03-03 00:00:00"))
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [
+         |  { "id": 14, "type": "mongodb", "enabled": true, "rateMonitor": true,
+         |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+         |    "checkpointDir": "$root/ckpt",
+         |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ],
+         | "backupTasks": [] }""".stripMargin)
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      val r = engine.pollOnce()
+      assert(r.started == Set("task14/events", "task14/events#rates"))
+      engine.processAllAvailable()
+      writeEvents(ev("insert", 9L, 91.0, 5L, "2024-03-05 00:00:00"))
+      engine.processAllAvailable()
+      val got = engine.rateLog("task14/events#rates").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // the 10:00 window holds all three ops, split by kind; op events
+      // carry no value, so cents is 0 by contract
+      assert(got.contains(("2024-03-01T10:00:00Z", "insert", 2L, 0L)))
+      assert(got.contains(("2024-03-01T10:00:00Z", "update", 1L, 0L)))
+      // overlap: the same inserts appear in the preceding slide too
+      assert(got.contains(("2024-03-01T09:45:00Z", "insert", 2L, 0L)))
+      // the CDC sibling ran over the same source unperturbed
+      assert(graft.operators.Upsert.liveRows(
+        spark.read.parquet(s"$root/tgt/events")).count() >= 2)
+    } finally engine.stop()
+  }
+
   test("scheduled training export: fires at its minute, manifest equals the operator, reload drops the job") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

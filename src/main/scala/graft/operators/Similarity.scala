@@ -115,19 +115,13 @@ object Similarity {
     val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    // struct(sim, -cid): array_max/sort order by sim, then by SMALLEST
-    // centroid id on ties (negation flips the tiebreak direction)
-    def cellSims = array(cents.map { case (cid, cv) =>
-      struct(
-        round(Vectors.dot(col("embedding"), array(cv.map(lit).toIndexedSeq: _*)), 6).as("sim"),
-        lit(-cid).as("negid"))
-    }.toIndexedSeq: _*)
     val assigned = emb.select(
       col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      (-array_max(cellSims).getField("negid")).as("centroid_id"))
+      (-array_max(cellSims(cents, col("embedding"))).getField("negid")).as("centroid_id"))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(slice(reverse(array_sort(cellSims)), 1, nprobe)).as("cell"))
+        explode(slice(reverse(array_sort(cellSims(cents, col("embedding")))), 1, nprobe))
+          .as("cell"))
       .select(col("query_id"), col("qv"), (-col("cell.negid")).as("centroid_id"))
     val scored = broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -135,6 +129,85 @@ object Similarity {
         round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Per-centroid (sim, -cid) structs for `v` against a literal
+    * codebook — struct(sim, -cid): array_max/sort order by sim, then
+    * by SMALLEST centroid id on ties (negation flips the tiebreak
+    * direction). Shared by the in-process IVF and the stored-index
+    * build/probe so cell assignment is bit-identical everywhere. */
+  private def cellSims(cents: Array[(Long, Array[Float])],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array(cents.map { case (cid, cv) =>
+      struct(
+        round(Vectors.dot(v, array(cv.map(lit).toIndexedSeq: _*)), 6).as("sim"),
+        lit(-cid).as("negid"))
+    }.toIndexedSeq: _*)
+
+  // ---- persisted IVF index -------------------------------------------
+
+  /** Found a PERSISTED IVF index at `indexDir` from the founding
+    * corpus slice — the durable artifact behind embedding search at
+    * 100 TB: the coarse codebook (`centroids`, metadata-sized) is
+    * written once, every vector's cell assignment (`cells`: vec_id,
+    * embedding, centroid_id) is computed once, and each later crawl
+    * increment [[appendToStoredIvf]]s only its own rows. No consumer
+    * ever re-assigns an old vector; re-founding (re-training the
+    * codebook) is an explicit, separate act. Codebook stand-in: the
+    * first `numCentroids` vectors (deterministic, oracle-replayable) —
+    * a trained k-means would drop in by swapping the `centroids`
+    * table. */
+  def buildStoredIvf(embs: DataFrame, indexDir: String,
+      numCentroids: Int = 16): Unit = {
+    embs.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    appendToStoredIvf(embs, indexDir)
+  }
+
+  /** Append a corpus increment to a stored IVF index: assign each new
+    * vector to its cell under the EXISTING codebook (map-side argmax
+    * over literal centroids — no shuffle) and append. Requires
+    * [[buildStoredIvf]] to have founded the index. */
+  def appendToStoredIvf(embs: DataFrame, indexDir: String): Unit = {
+    val cents = loadCentroids(embs.sparkSession, indexDir)
+    embs.select(col("vec_id"), col("embedding"),
+        (-array_max(cellSims(cents, col("embedding"))).getField("negid"))
+          .as("centroid_id"))
+      .write.mode("append").parquet(s"$indexDir/cells")
+  }
+
+  /** Top-k ANN of `queries` against the stored index: probe cells are
+    * chosen under the stored codebook, candidates come from the
+    * `cells` table alone — the corpus is never rescanned or
+    * re-assigned. Semantics equal [[ivfTopK]] over the same corpus and
+    * codebook (spec-pinned). */
+  def ivfTopKAgainstStoredIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val cents = loadCentroids(spark, indexDir)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(slice(reverse(array_sort(cellSims(cents, col("embedding")))), 1, nprobe))
+          .as("cell"))
+      .select(col("query_id"), col("qv"), (-col("cell.negid")).as("centroid_id"))
+    val scored = broadcast(probes).join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** The stored coarse codebook — numCentroids rows, metadata-bounded
+    * by construction (a codebook is picked/trained small enough to
+    * broadcast; 16 here, a few thousand in production). */
+  private def loadCentroids(spark: SparkSession,
+      indexDir: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .select("centroid_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
   /** Scalar-quantized brute-force top-k — the memory lever for 100 TB
     * embedding search: per-vector (min, scale) + 64 SIGNED-BYTE codes

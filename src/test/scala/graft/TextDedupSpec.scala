@@ -552,6 +552,27 @@ class TextDedupSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("persisted ivf: found corpus, append increment; stored probe equals in-process ivf") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivfindex").toString
+    val emb = Tables(spark, sf, "embeddings")
+    // the founding slice keeps every codebook vector (vec_id < 16);
+    // the later crawl increment appends under the EXISTING codebook
+    val founding = emb.filter(col("vec_id") < 16 || col("vec_id") % 7 =!= 3)
+    val increment = emb.filter(col("vec_id") >= 16 && col("vec_id") % 7 === 3)
+    Similarity.buildStoredIvf(founding, indexDir)
+    Similarity.appendToStoredIvf(increment, indexDir)
+    // every vector assigned exactly once across the two appends
+    assert(spark.read.parquet(s"$indexDir/cells").count() == emb.count())
+    val got = Similarity.ivfTopKAgainstStoredIndex(spark, indexDir,
+        emb.filter(col("vec_id") < 10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    graft.operators.PlanCache.release()
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("length histogram partitions every document into exactly one bucket") {
     val h = graft.operators.TextOps.lengthHistogram(spark, sf).collect()
     val total = h.map(_.getLong(2)).sum

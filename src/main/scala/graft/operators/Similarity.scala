@@ -157,11 +157,75 @@ object Similarity {
     * a trained k-means would drop in by swapping the `centroids`
     * table. */
   def buildStoredIvf(embs: DataFrame, indexDir: String,
-      numCentroids: Int = 16): Unit = {
-    embs.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      numCentroids: Int = 16, trainIters: Int = 0): Unit = {
+    if (trainIters > 0) {
+      val cents = trainCodebook(embs, numCentroids, trainIters)
+      val spark = embs.sparkSession
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(cents.map { case (cid, v) =>
+          org.apache.spark.sql.Row(cid, v.toSeq) }: _*)
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("centroid_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    } else
+      embs.filter(col("vec_id") < numCentroids)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     appendToStoredIvf(embs, indexDir)
+  }
+
+  /** Spherical k-means codebook trainer — Lloyd iterations expressed
+    * as DataFrame passes, so training distributes like everything
+    * else: per iteration, (1) assignment is the same shuffle-free
+    * literal-codebook argmax the index uses (bit-identical tie-break:
+    * highest sim, then smallest centroid id), (2) per-cell means come
+    * from ONE posexplode + groupBy(cell, dim) aggregation — the only
+    * shuffle, k·dim output rows — and (3) means renormalize onto the
+    * unit sphere (the embeddings are unit-norm; spherical k-means is
+    * the cosine-correct variant). The driver holds k·dim floats, never
+    * corpus rows. Init = the first k vectors (deterministic). An empty
+    * cell keeps its centroid.
+    *
+    * Run-to-run determinism caveat: the per-dimension double sum is
+    * shuffle-order-dependent in its last ulp. The float rounding of
+    * the mean makes a visible flap astronomically unlikely, but the
+    * production contract for bit-exactness is the PERSISTED codebook —
+    * [[buildStoredIvf]] writes it once; every assignment thereafter is
+    * exact replay. */
+  def trainCodebook(embs: DataFrame, k: Int = 16,
+      iters: Int = 3): Array[(Long, Array[Float])] = {
+    var cents = embs.filter(col("vec_id") < k)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    for (_ <- 0 until iters) {
+      // two selects: a generator (posexplode) sharing a select with the
+      // struct-field extraction re-resolves the struct and drops its
+      // field names — assign first, explode second
+      val sums = embs.select(
+          (-array_max(cellSims(cents, col("embedding"))).getField("negid")).as("cid"),
+          col("embedding"))
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val v = new Array[Double](old.length)
+            var n = 0L
+            rows.foreach { r => v(r.getInt(1)) = r.getDouble(2); n = r.getLong(3) }
+            val mean = v.map(_ / n)
+            val norm = math.sqrt(mean.map(x => x * x).sum)
+            (cid, if (norm == 0.0) old else mean.map(x => (x / norm).toFloat))
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
   }
 
   /** Append a corpus increment to a stored IVF index: assign each new

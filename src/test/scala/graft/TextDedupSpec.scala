@@ -573,6 +573,33 @@ class TextDedupSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("codebook training: mean quantization sim never degrades and beats the stand-in") {
+    val emb = Tables(spark, sf, "embeddings")
+    val vecs = emb.select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def meanBest(cents: Array[(Long, Array[Float])]): Double = {
+      val ms = vecs.map { v =>
+        cents.map { case (_, c) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * c(i); i += 1 }
+          s
+        }.max
+      }
+      ms.sum / ms.length
+    }
+    val m0 = meanBest(Similarity.trainCodebook(emb, iters = 0))
+    val m1 = meanBest(Similarity.trainCodebook(emb, iters = 1))
+    val m3 = meanBest(Similarity.trainCodebook(emb, iters = 3))
+    // lloyd monotonicity (slack: assignment argmax runs on 6-dp sims)
+    assert(m1 >= m0 - 1e-5 && m3 >= m1 - 1e-5, s"$m0 -> $m1 -> $m3")
+    assert(m3 > m0, "training must actually improve on the first-k stand-in")
+    // a trained index founds, appends, and probes end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivftrained").toString
+    Similarity.buildStoredIvf(emb, dir, trainIters = 2)
+    val res = Similarity.ivfTopKAgainstStoredIndex(spark, dir,
+      emb.filter(col("vec_id") < 10))
+    assert(res.count() > 0)
+  }
+
   test("length histogram partitions every document into exactly one bucket") {
     val h = graft.operators.TextOps.lengthHistogram(spark, sf).collect()
     val total = h.map(_.getLong(2)).sum

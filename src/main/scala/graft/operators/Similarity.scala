@@ -158,6 +158,17 @@ object Similarity {
     * table. */
   def buildStoredIvf(embs: DataFrame, indexDir: String,
       numCentroids: Int = 16, trainIters: Int = 0): Unit = {
+    foundCodebook(embs, indexDir, numCentroids, trainIters)
+    appendToStoredIvf(embs, indexDir)
+  }
+
+  /** Write ONLY the codebook — the founding act for an index whose
+    * `cells` table is owned by someone else (e.g. the streaming ingest
+    * face, whose file-sink commit log must be the sole writer of its
+    * directory — batch appends into a streamed `cells` dir would be
+    * invisible behind `_spark_metadata`). */
+  def foundCodebook(embs: DataFrame, indexDir: String,
+      numCentroids: Int = 16, trainIters: Int = 0): Unit = {
     if (trainIters > 0) {
       val cents = trainCodebook(embs, numCentroids, trainIters)
       val spark = embs.sparkSession
@@ -174,7 +185,6 @@ object Similarity {
       embs.filter(col("vec_id") < numCentroids)
         .select(col("vec_id").as("centroid_id"), col("embedding"))
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    appendToStoredIvf(embs, indexDir)
   }
 
   /** Spherical k-means codebook trainer — Lloyd iterations expressed
@@ -228,17 +238,22 @@ object Similarity {
     cents
   }
 
+  /** Cell assignment of `embs` under a literal codebook — the shared
+    * map-side argmax (no shuffle) behind batch appends and the
+    * streaming ingest face. */
+  private[graft] def assignCells(embs: DataFrame,
+      cents: Array[(Long, Array[Float])]): DataFrame =
+    embs.select(col("vec_id"), col("embedding"),
+      (-array_max(cellSims(cents, col("embedding"))).getField("negid"))
+        .as("centroid_id"))
+
   /** Append a corpus increment to a stored IVF index: assign each new
     * vector to its cell under the EXISTING codebook (map-side argmax
     * over literal centroids — no shuffle) and append. Requires
     * [[buildStoredIvf]] to have founded the index. */
-  def appendToStoredIvf(embs: DataFrame, indexDir: String): Unit = {
-    val cents = loadCentroids(embs.sparkSession, indexDir)
-    embs.select(col("vec_id"), col("embedding"),
-        (-array_max(cellSims(cents, col("embedding"))).getField("negid"))
-          .as("centroid_id"))
+  def appendToStoredIvf(embs: DataFrame, indexDir: String): Unit =
+    assignCells(embs, loadCentroids(embs.sparkSession, indexDir))
       .write.mode("append").parquet(s"$indexDir/cells")
-  }
 
   /** Top-k ANN of `queries` against the stored index: probe cells are
     * chosen under the stored codebook, candidates come from the
@@ -266,7 +281,7 @@ object Similarity {
   /** The stored coarse codebook — numCentroids rows, metadata-bounded
     * by construction (a codebook is picked/trained small enough to
     * broadcast; 16 here, a few thousand in production). */
-  private def loadCentroids(spark: SparkSession,
+  private[graft] def loadCentroids(spark: SparkSession,
       indexDir: String): Array[(Long, Array[Float])] =
     spark.read.parquet(s"$indexDir/centroids")
       .select("centroid_id", "embedding").collect()

@@ -839,10 +839,18 @@ object TextOps {
     * assumption), one doc_id rollup. No driver-side state. */
   def importanceScores(spark: SparkSession, dir: String,
       minQuality: Double = 0.66): DataFrame = {
+    // two-step select: in the fused form Catalyst plans the Generate
+    // UNDER the quality projection, re-evaluating the quality
+    // expression (distinct-card kernel + four splits) once per TOKEN
+    // row instead of once per document — ~100× redundant compute
+    // cached into the token frame. Projecting quality first pins it
+    // below the explode; Project chains don't collapse across a
+    // Generate.
     val toks = PlanCache.tracked(
       Tables(spark, dir, "documents")
         .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"),
-          explode(Text.tokens(col("text"))).as("token")))
+          Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("quality"), explode(col("toks")).as("token")))
     // ONE aggregation pass carries both counts — a separate
     // target-slice groupBy would rescan and reshuffle the token
     // stream for a strict subset of this conditional count

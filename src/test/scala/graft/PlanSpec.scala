@@ -145,6 +145,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("importance scoring computes quality per document, never per token") {
+    // Catalyst plans a Generate UNDER a fused projection, which would
+    // re-run the quality expression once per exploded token row (~100×
+    // redundant compute, cached); the two-step select pins the
+    // per-document projection below the explode — the kernel must
+    // appear under the Generate in the plan tree
+    val p = plan("q79_importance_score")
+    val gen = p.indexOf("Generate")
+    val kern = p.indexOf("string_distinct_card")
+    assert(gen >= 0 && kern > gen,
+      s"quality projection must sit below the explode (gen=$gen kern=$kern):\n$p")
+  }
+
   test("packed chunks reuse the pack window's clustering for the collapse") {
     // grouping on (pack_group, chunk_id) is satisfied by the window's
     // hashpartitioning(pack_group) — a second exchange here would

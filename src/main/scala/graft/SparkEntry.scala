@@ -224,6 +224,7 @@ object SparkEntry {
     "q96_rolling_rates" -> ((s, d) => EventFlow.rollingRates(s, d)),
     "q97_pii_scrub" -> (TextOps.scrubPii _),
     "q98_packed_chunks" -> ((s, d) => TextOps.packedChunks(s, d)),
+    "q99_profile" -> ((s, d) => Relational.profileTable(s, d, "orders")),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1445,6 +1446,27 @@ object SparkEntry {
          |FROM (SELECT doc_id, pack_group, n_tokens,
          |        CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id FROM c) g
          |GROUP BY pack_group, chunk_id""".stripMargin
+    },
+    // q99: one SELECT per column, same normalization as the operator
+    // (doubles → floor-cents, timestamps → epoch micros — raw
+    // double→string shortest-repr printing is engine-specific)
+    "q99_profile" -> {
+      val cols = Seq(("o_orderkey", "int"), ("o_custkey", "int"),
+        ("o_orderstatus", "str"), ("o_totalprice", "dbl"),
+        ("o_orderdate", "ts"), ("o_orderpriority", "str"))
+      cols.map { case (c, kind) =>
+        val b = kind match {
+          case "dbl" => s"CAST(floor($c * 100) AS BIGINT)"
+          case "ts"  => s"epoch_us($c)"
+          case _     => c
+        }
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($b) AS VARCHAR) AS min_norm,
+           |  CAST(max($b) AS VARCHAR) AS max_norm
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
     },
   )
 }

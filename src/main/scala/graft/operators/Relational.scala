@@ -268,6 +268,45 @@ object Relational {
     * type is absent that day (coalesced 0, matching the oracle's
     * filtered counts). */
   val EventTypes: Seq[String] = Seq("signup", "view", "click", "purchase", "error")
+  /** Column-profile report — the data-validation pass a pipeline runs
+    * before trusting a new table drop: per column, row/null/distinct
+    * counts and typed min/max. ONE scan: every column's aggregates
+    * compute in a single `agg` (Spark expands the multi-distinct into
+    * one Expand pass), then the 1-row result unpivots to a row per
+    * column — no per-column rescan, no driver-side loop over data.
+    *
+    * min/max normalize to cross-engine-deterministic string forms:
+    * integers/strings verbatim, doubles as floor-cent integers (the
+    * tie-free convention — raw double→string shortest-repr printing is
+    * engine-specific), timestamps as epoch micros. */
+  def profileTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val df = Tables(spark, dir, table)
+    def basis(f: org.apache.spark.sql.types.StructField): Column = f.dataType match {
+      case DoubleType    => floor(col(f.name) * 100).cast("long")
+      case TimestampType => unix_micros(col(f.name))
+      case _             => col(f.name)
+    }
+    val aggs = df.schema.fields.flatMap { f =>
+      val b = basis(f)
+      Seq(count(col(f.name)).as(s"_cnt_${f.name}"),
+        count_distinct(col(f.name)).as(s"_dst_${f.name}"),
+        min(b).cast("string").as(s"_min_${f.name}"),
+        max(b).cast("string").as(s"_max_${f.name}"))
+    }
+    val total = count(lit(1)).as("_rows")
+    val one = df.agg(total, aggs.toIndexedSeq: _*)
+    val perCol = array(df.schema.fields.map { f =>
+      struct(lit(f.name).as("col_name"),
+        col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_cnt_${f.name}")).as("n_nulls"),
+        col(s"_dst_${f.name}").as("n_distinct"),
+        col(s"_min_${f.name}").as("min_norm"),
+        col(s"_max_${f.name}").as("max_norm"))
+    }.toIndexedSeq: _*)
+    one.select(explode(perCol).as("p")).select("p.*")
+  }
+
   def eventPivot(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .select(to_date(col("ts")).as("day"), col("event_type"))

@@ -128,4 +128,25 @@ class RelationalSpec extends SparkSpec {
       assert(rows.map(_.getLong(i + 1)).sum == raw.getOrElse(t, 0L), t)
     }
   }
+
+  test("table profile: one row per column, counts and normalized extremes replay") {
+    val got = Relational.profileTable(spark, sf, "orders").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val orders = Tables(spark, sf, "orders")
+    assert(got.keySet == orders.schema.fieldNames.toSet)
+    val n = orders.count()
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0))
+    assert(got("o_orderkey") ==
+      ((n, 0L, keys.distinct.length.toLong, keys.min.toString, keys.max.toString)))
+    val prices = orders.select("o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100).toLong)
+    assert(got("o_totalprice")._4 == prices.min.toString)
+    assert(got("o_totalprice")._5 == prices.max.toString)
+    val statuses = orders.select("o_orderstatus").collect().map(_.getString(0))
+    assert(got("o_orderstatus")._3 == statuses.distinct.length.toLong)
+    assert(got("o_orderstatus")._4 == statuses.min && got("o_orderstatus")._5 == statuses.max)
+    // every profile row reports the same total row count
+    assert(got.valuesIterator.forall(_._1 == n))
+  }
 }

@@ -158,6 +158,13 @@ class PlanSpec extends SparkSpec {
       s"quality projection must sit below the explode (gen=$gen kern=$kern):\n$p")
   }
 
+  test("the table profile runs one scan for all columns") {
+    // the naive profiler unions a per-column aggregate — N scans of
+    // the table; the single multi-distinct agg must keep it at one
+    val p = plan("q99_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("packed chunks reuse the pack window's clustering for the collapse") {
     // grouping on (pack_group, chunk_id) is satisfied by the window's
     // hashpartitioning(pack_group) — a second exchange here would

@@ -225,6 +225,7 @@ object SparkEntry {
     "q97_pii_scrub" -> (TextOps.scrubPii _),
     "q98_packed_chunks" -> ((s, d) => TextOps.packedChunks(s, d)),
     "q99_profile" -> ((s, d) => Relational.profileTable(s, d, "orders")),
+    "q100_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1468,5 +1469,29 @@ object SparkEntry {
            |FROM orders""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+    // q100: SemDeDup replay — cell assignment under the first-16
+    // codebook (identical to q46's), then the greedy within-cell
+    // lowest-id-survives rule at the shared threshold
+    "q100_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+         |               FROM embeddings WHERE vec_id < 16),
+         | sims AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6) AS cent_sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         | assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cent_sim DESC, centroid_id ASC) AS r
+         |    FROM sims) WHERE r = 1),
+         | dropped AS (
+         |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE round(list_sum(list_transform(range(1, 65),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6)
+         |    >= ${graft.operators.Similarity.SemDedupThreshold})
+         |SELECT v.vec_id, v.centroid_id, d.vec_id IS NULL AS is_kept
+         |FROM assigned v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin,
   )
 }

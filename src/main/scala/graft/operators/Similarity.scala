@@ -352,6 +352,62 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
 
+  /** SemDeDup: semantic deduplication scoped to coarse-quantizer cells
+    * (Abbas et al. 2023 — "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"). Every vector is
+    * assigned to its nearest coarse centroid (the SAME deterministic
+    * codebook convention as [[ivfTopK]]: first `numCentroids` corpus
+    * vectors — a trained codebook drops in by swapping the set), and
+    * duplicates are detected only WITHIN a cell: a vector is dropped
+    * when a lower-id cell-mate sits above the cosine threshold. The
+    * greedy lowest-id-survives rule is deliberate — it needs one
+    * pair pass and no iteration, unlike the connected-components
+    * clustering of [[embeddingClusters]] (which this complements: CC
+    * finds exact global clusters on the full pair graph; SemDeDup
+    * trades cross-cell recall for a corpus scan that only ever
+    * compares within k cells).
+    *
+    * Scale shape: assignment is the shuffle-free literal-codebook
+    * argmax; within-cell pair generation is the same TILED self-join
+    * as [[embeddingNearDups]] — join key (cell, tile_a, tile_b), tile
+    * SIZE constant, tile COUNT (and parallelism) growing with the
+    * data, so no task ever holds more than ~tileRows² candidate pairs.
+    * At 100 TB, numCentroids scales ∝ √N (the SemDeDup paper's
+    * regime), keeping cells near-constant; dropping the duplicate set
+    * is a broadcast-friendly anti-join in the consumer. */
+  /** Within-cell cosine above this marks a semantic duplicate — set at
+    * the p99 of the testdata's within-cell pair similarity (max 0.49,
+    * p99 0.345 at sf0.01) so the drop set is small but non-empty, the
+    * regime the paper's extreme-dedup settings target. */
+  val SemDedupThreshold = 0.35
+
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = SemDedupThreshold,
+      numCentroids: Int = 16, tileRows: Int = 128): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = PlanCache.tracked(assignCells(emb, cents))
+    // metadata-bounded driver value: one long (the fullest cell)
+    val maxPerCell = assigned.groupBy("centroid_id").count()
+      .agg(max("count")).head().getLong(0)
+    val g = math.max(1L, math.ceil(maxPerCell.toDouble / tileRows).toLong).toInt
+    val tiled = assigned.withColumn("tile", pmod(xxhash64(col("vec_id")), lit(g)))
+    val x = tiled.withColumn("tj", explode(sequence(col("tile"), lit(g - 1))))
+      .select(col("centroid_id"), col("tile").as("ti"), col("tj"),
+        col("vec_id").as("id_x"), col("embedding").as("emb_x"))
+    val y = tiled.withColumn("ti", explode(sequence(lit(0), col("tile"))))
+      .select(col("centroid_id"), col("ti"), col("tile").as("tj"),
+        col("vec_id").as("id_y"), col("embedding").as("emb_y"))
+    val dropped = x.join(y, Seq("centroid_id", "ti", "tj"))
+      .filter((col("ti") < col("tj")) || (col("id_x") < col("id_y")))
+      .filter(round(Vectors.dot(col("emb_x"), col("emb_y")), 6) >= threshold)
+      .select(greatest(col("id_x"), col("id_y")).as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(!col("hit"), lit(true)).as("is_kept"))
+  }
+
   /** PQ shape shared by the operator and its oracle builder. */
   val PqSubspaces = 16
   val PqCodebook = 64

@@ -963,4 +963,30 @@ class TextDedupSpec extends SparkSpec {
     assert(got.valuesIterator.map(_._1).sum == assign.length.toLong)
   }
 
+  test("semDedup: greedy lowest-id-survives within coarse cells, replayed exactly") {
+    val got = Similarity.semDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    graft.operators.PlanCache.release()
+    // driver replay with the operator's exact rounding contract
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot6(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cents = emb.filter(_._1 < 16)
+    val cell = emb.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (dot6(cv, v), -cid) }.max._2.unary_-
+    }.toMap
+    val byCell = emb.groupBy(e => cell(e._1))
+    val dropped = emb.collect { case (id, v)
+        if byCell(cell(id)).exists { case (o, ov) => o < id && dot6(ov, v) >= 0.35 } => id
+    }.toSet
+    assert(got.size == emb.length)
+    assert(got.forall { case (id, (c, kept)) => c == cell(id) && kept == !dropped(id) })
+    // the threshold bites on the fixture: both faces non-trivial
+    assert(dropped.nonEmpty && dropped.size < emb.length)
+  }
+
 }

@@ -226,6 +226,8 @@ object SparkEntry {
     "q98_packed_chunks" -> ((s, d) => TextOps.packedChunks(s, d)),
     "q99_profile" -> ((s, d) => Relational.profileTable(s, d, "orders")),
     "q100_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    "q101_scd2_versions" -> (EventFlow.scd2Versions _),
+    "q102_pit_join" -> (EventFlow.pitJoin _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1493,5 +1495,24 @@ object SparkEntry {
          |    >= ${graft.operators.Similarity.SemDedupThreshold})
          |SELECT v.vec_id, v.centroid_id, d.vec_id IS NULL AS is_kept
          |FROM assigned v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin,
+    // q101/q102: SCD2 versioning + point-in-time probe — same
+    // (ts, event_id) tie-break as every event window; zero-width
+    // versions (same-ts updates) are unmatched by construction
+    "q101_scd2_versions" -> Scd2Cte,
+    "q102_pit_join" ->
+      s"""WITH dim AS ($Scd2Cte)
+         |SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+         |  d.value AS value_at_view, d.version_seq
+         |FROM events v JOIN dim d ON v.user_id = d.user_id
+         |  AND d.valid_from <= v.ts AND (d.valid_to IS NULL OR v.ts < d.valid_to)
+         |WHERE v.event_type = 'view'""".stripMargin,
   )
+
+  /** The SCD2 build, shared verbatim by q101 and q102's probe. */
+  private val Scd2Cte: String =
+    """SELECT user_id,
+      |  CAST(row_number() OVER win AS INTEGER) AS version_seq,
+      |  value, ts AS valid_from, lead(ts) OVER win AS valid_to
+      |FROM events WHERE event_type IN ('signup','purchase')
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 }

@@ -221,4 +221,47 @@ object EventFlow {
       .filter(col("event_type") === "purchase")
       .select("user_id", "event_id", "ts", "n_1h", "cents_1h")
   }
+
+  /** SCD type-2 dimension build: the signup/purchase stream becomes a
+    * versioned per-user dimension — each event opens a version valid
+    * [ts, next event's ts), the last version stays open (valid_to
+    * null). One window on user_id (lead + row_number share the same
+    * (ts, event_id) order, CollapseWindow folds them into one pass);
+    * the warehouse materializes this ONCE and every point-in-time
+    * consumer probes it — the half [[pitJoin]] completes.
+    *
+    * Zero-width versions are real: two updates at the same timestamp
+    * yield valid_from == valid_to for the earlier (by event_id), which
+    * no probe can match — last-writer-wins at instant granularity,
+    * deterministic cross-engine. */
+  def scd2Versions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
+      .withColumn("version_seq", row_number().over(byTime))
+      .select(col("user_id"), col("version_seq"), col("value"),
+        col("ts").as("valid_from"), col("valid_to"))
+
+  /** Point-in-time probe of the SCD2 dimension: each view event joined
+    * to the user's value version in force at its timestamp
+    * (valid_from ≤ ts < valid_to, open tail = null valid_to). Views
+    * before a user's first version drop (inner PIT join).
+    *
+    * Scale shape: an EQUI-join on user_id with the interval test as a
+    * residual predicate — per-user version counts are bounded by that
+    * user's update activity, so the residual never quadratically
+    * explodes the way a global range join would; one shuffle per side
+    * (or zero when both tables are bucketed by user_id on disk). */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Versions(spark, dir)
+    val views = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    views.join(dim, views("user_id") === dim("user_id") &&
+        dim("valid_from") <= views("view_ts") &&
+        (dim("valid_to").isNull || views("view_ts") < dim("valid_to")))
+      .select(col("view_id"), dim("user_id"), col("view_ts"),
+        dim("value").as("value_at_view"), col("version_seq"))
+  }
 }

@@ -175,4 +175,38 @@ class EventFlowSpec extends SparkSpec {
           "24h frames must aggregate more than the purchase row itself")
     }
   }
+
+  test("scd2 versions tile each user's timeline; pit join probes the version in force") {
+    val dim = graft.operators.EventFlow.scd2Versions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4))))
+    assert(dim.nonEmpty)
+    dim.groupBy(_._1).foreach { case (_, vs) =>
+      val ordered = vs.sortBy(_._2)
+      // seqs are 1..n; intervals chain: valid_to == next valid_from; open tail
+      assert(ordered.map(_._2).toSeq == (1 to vs.length))
+      ordered.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0)._5.contains(w(1)._4))
+      }
+      assert(ordered.last._5.isEmpty)
+    }
+    // probe replay: value at a view = the version whose interval holds its ts
+    val got = graft.operators.EventFlow.pitJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getInt(4))))
+    val byUser = dim.groupBy(_._1)
+    val views = spark.read.parquet(s"$sf/events.parquet")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val expected = views.flatMap { case (vid, uid, ts) =>
+      byUser.getOrElse(uid, Array.empty).collect {
+        case (_, seq, value, from, to)
+            if !from.after(ts) && to.forall(t => ts.before(t)) =>
+          vid -> ((uid, value, seq))
+      }
+    }.toMap
+    assert(got.toMap == expected)
+    // inner PIT semantics: some views predate any version and drop
+    assert(got.length < views.length && got.nonEmpty)
+  }
 }

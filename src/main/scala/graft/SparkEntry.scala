@@ -228,6 +228,7 @@ object SparkEntry {
     "q100_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "q101_scd2_versions" -> (EventFlow.scd2Versions _),
     "q102_pit_join" -> (EventFlow.pitJoin _),
+    "q103_snapshot_diff" -> (Relational.corpusSnapshotDiff _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1506,6 +1507,21 @@ object SparkEntry {
          |FROM events v JOIN dim d ON v.user_id = d.user_id
          |  AND d.valid_from <= v.ts AND (d.valid_to IS NULL OR v.ts < d.valid_to)
          |WHERE v.event_type = 'view'""".stripMargin,
+    // q103: crawl-version reconciliation — derived old/new snapshots,
+    // full-outer content-hash merge
+    "q103_snapshot_diff" ->
+      """WITH vold AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |              WHERE doc_id % 11 <> 3),
+        | vnew AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 2 THEN text || ' rev2' ELSE text END) AS new_md5
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_md5 <> new_md5 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_md5, new_md5
+        |FROM vold o FULL OUTER JOIN vnew n ON o.doc_id = n.doc_id""".stripMargin,
   )
 
   /** The SCD2 build, shared verbatim by q101 and q102's probe. */

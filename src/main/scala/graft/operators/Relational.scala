@@ -312,4 +312,42 @@ object Relational {
       .select(to_date(col("ts")).as("day"), col("event_type"))
       .groupBy(col("day")).pivot("event_type", EventTypes).agg(count(lit(1)))
       .select(col("day") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+
+  /** Row-level snapshot diff: two versions of a keyed table reconciled
+    * to added / removed / changed / unchanged per key — the content
+    * face of the J4 count comparison (counts say THAT snapshots
+    * diverge; this says WHERE). Inputs carry (key, content_md5): the
+    * hash is computed at the scan so only (key, 32-char hash) rows
+    * ever enter the join — a full-outer merge on the key, one shuffle
+    * per side, or zero when both snapshots are bucketed by key on
+    * disk. At 100 TB this is the incremental-crawl reconciliation
+    * pass: its output drives which documents re-enter the dedup/
+    * curation pipeline. */
+  def contentDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame =
+    oldSnap.select(col(key), col("content_md5").as("old_md5"))
+      .join(newSnap.select(col(key), col("content_md5").as("new_md5")),
+        Seq(key), "full_outer")
+      .select(col(key),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_md5"), col("new_md5"))
+
+  /** [[contentDiff]] driven by two deterministic crawl versions derived
+    * from the documents table (old = drop doc_id ≡ 3 mod 11; new =
+    * drop ≡ 5 mod 13, revise text of ≡ 2 mod 17) — every status arm
+    * populated, both engines derive identical versions. */
+  def corpusSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    contentDiff(
+      docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("content_md5")),
+      docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(17)) === 2,
+              concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("content_md5")),
+      "doc_id")
+  }
 }

@@ -149,4 +149,24 @@ class RelationalSpec extends SparkSpec {
     // every profile row reports the same total row count
     assert(got.valuesIterator.forall(_._1 == n))
   }
+
+  test("snapshot diff classifies every key against a driver replay of both versions") {
+    val got = graft.operators.Relational.corpusSnapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.flatMap { id =>
+      val inOld = id % 11 != 3
+      val inNew = id % 13 != 5
+      val revised = id % 17 == 2
+      (inOld, inNew) match {
+        case (false, false) => None
+        case (false, true)  => Some(id -> "added")
+        case (true, false)  => Some(id -> "removed")
+        case (true, true)   => Some(id -> (if (revised) "changed" else "unchanged"))
+      }
+    }.toMap
+    assert(got == expected)
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(got.values.toSet))
+  }
 }

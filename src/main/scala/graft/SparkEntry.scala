@@ -229,6 +229,7 @@ object SparkEntry {
     "q101_scd2_versions" -> (EventFlow.scd2Versions _),
     "q102_pit_join" -> (EventFlow.pitJoin _),
     "q103_snapshot_diff" -> (Relational.corpusSnapshotDiff _),
+    "q104_zorder_keys" -> (Layout.zOrderEvents _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1522,6 +1523,21 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status,
         |  old_md5, new_md5
         |FROM vold o FULL OUTER JOIN vnew n ON o.doc_id = n.doc_id""".stripMargin,
+    // q104: Morton key replay, term-for-term (list_sum types HUGEINT —
+    // cast back; the shifts stay in BIGINT via the explicit CAST(1))
+    "q104_zorder_keys" ->
+      """WITH k AS (SELECT event_id, user_id & 65535 AS z_user,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS z_day
+        |  FROM events)
+        |SELECT event_id, z_user, z_day,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    ((z_user >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+        |    ((z_day >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1)))) AS BIGINT) AS zval,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    ((z_user >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+        |    ((z_day >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1)))) AS BIGINT) >> 24
+        |    AS zbucket
+        |FROM k""".stripMargin,
   )
 
   /** The SCD2 build, shared verbatim by q101 and q102's probe. */

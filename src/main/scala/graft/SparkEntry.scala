@@ -230,6 +230,7 @@ object SparkEntry {
     "q102_pit_join" -> (EventFlow.pitJoin _),
     "q103_snapshot_diff" -> (Relational.corpusSnapshotDiff _),
     "q104_zorder_keys" -> (Layout.zOrderEvents _),
+    "q105_filtered_ann" -> ((s, d) => Similarity.filteredIvfTopK(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1538,6 +1539,34 @@ object SparkEntry {
         |    ((z_day >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1)))) AS BIGINT) >> 24
         |    AS zbucket
         |FROM k""".stripMargin,
+    // q105: q46's replay + the label constraint as a join key, nprobe 6
+    "q105_filtered_ann" ->
+      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+        |               FROM embeddings WHERE vec_id < 16),
+        | sims AS (
+        |  SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6) AS cent_sim
+        |  FROM embeddings e CROSS JOIN cents c),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY cent_sim DESC, centroid_id ASC) AS cell_rank
+        |  FROM sims),
+        | assigned AS (SELECT vec_id AS cand_id, embedding AS cv, label, centroid_id
+        |              FROM ranked WHERE cell_rank = 1),
+        | probes AS (SELECT vec_id AS query_id, embedding AS qv, label, centroid_id
+        |            FROM ranked WHERE vec_id < 10 AND cell_rank <= 6),
+        | scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 6) AS sim
+        |  FROM probes JOIN assigned USING (centroid_id, label)
+        |  WHERE query_id <> cand_id),
+        | r AS (SELECT query_id, cand_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, cand_id ASC) AS rank
+        |       FROM scored)
+        |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
   )
 
   /** The SCD2 build, shared verbatim by q101 and q102's probe. */

@@ -130,6 +130,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Metadata-FILTERED ANN: top-k restricted to candidates whose label
+    * matches the query's — the vector-DB "filtered search" face (tenant
+    * / language / source constraints riding an embedding query). The
+    * filter composes with the IVF probe as a JOIN-KEY extension:
+    * candidates join on (centroid_id, label), so filtering happens at
+    * the cell scan — no post-filter pass ever scores an excluded row.
+    *
+    * The known failure mode of filtered ANN is recall collapse: a
+    * selective filter empties probed cells. The standard mitigation is
+    * probing more cells as selectivity rises — nprobe defaults higher
+    * here (6 vs the unfiltered 4) and the spec asserts recall against
+    * the filtered brute-force baseline. */
+  def filteredIvfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      numCentroids: Int = 16, nprobe: Int = 6): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = emb.select(
+      col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"),
+      (-array_max(cellSims(cents, col("embedding"))).getField("negid")).as("centroid_id"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("label"),
+        explode(slice(reverse(array_sort(cellSims(cents, col("embedding")))), 1, nprobe))
+          .as("cell"))
+      .select(col("query_id"), col("qv"), col("label"), (-col("cell.negid")).as("centroid_id"))
+    val scored = broadcast(probes).join(assigned, Seq("centroid_id", "label"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-centroid (sim, -cid) structs for `v` against a literal
     * codebook — struct(sim, -cid): array_max/sort order by sim, then
     * by SMALLEST centroid id on ties (negation flips the tiebreak

@@ -227,6 +227,36 @@ class TextDedupSpec extends SparkSpec {
     assert(Similarity.ivfTopK(spark, sf).count() == 50)
   }
 
+  test("filtered ann: every hit obeys the label constraint, recall holds vs filtered brute force") {
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.filteredIvfTopK(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, c) => assert(emb(q) == emb(c), s"$q→$c crosses labels") }
+    // filtered brute-force baseline: same-label candidates only
+    val brute = {
+      val e = Tables(spark, sf, "embeddings")
+      val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      import org.apache.spark.sql.functions._
+      val scored = e.select(col("vec_id").as("cand_id"), col("label"),
+          col("embedding").as("cv"))
+        .join(broadcast(q.select(col("vec_id").as("query_id"), col("label"),
+          col("embedding").as("qv"))), Seq("label"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          round(graft.functions.Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+        .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall = (brute intersect got.toSet).size.toDouble / brute.size
+    info(s"filtered-IVF recall vs filtered brute force: $recall")
+    assert(recall > 0.5) // nprobe 6 of 16 compensates the filter's thinning
+  }
+
   test("incremental dedup finds exactly the full pair set's batch-touching pairs") {
     // the batch-probes-index shortcut must lose nothing relative to
     // re-pairing the whole corpus: same banding, same verify, so the

@@ -231,6 +231,9 @@ object SparkEntry {
     "q103_snapshot_diff" -> (Relational.corpusSnapshotDiff _),
     "q104_zorder_keys" -> (Layout.zOrderEvents _),
     "q105_filtered_ann" -> ((s, d) => Similarity.filteredIvfTopK(s, d)),
+    "q106_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q107_rag_chunks" -> ((s, d) => TextOps.ragChunks(s, d)),
+    "q108_dup_rate" -> ((s, d) => TextOps.dupRateBySource(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1567,6 +1570,61 @@ object SparkEntry {
         |                            ORDER BY sim DESC, cand_id ASC) AS rank
         |       FROM scored)
         |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // q106: q105's probe with the label constraint flipped to an
+    // inequality residual — hard negatives for contrastive training
+    "q106_hard_negatives" ->
+      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+        |               FROM embeddings WHERE vec_id < 16),
+        | sims AS (
+        |  SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6) AS cent_sim
+        |  FROM embeddings e CROSS JOIN cents c),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY cent_sim DESC, centroid_id ASC) AS cell_rank
+        |  FROM sims),
+        | assigned AS (SELECT vec_id AS cand_id, embedding AS cv, label AS c_label, centroid_id
+        |              FROM ranked WHERE cell_rank = 1),
+        | probes AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label, centroid_id
+        |            FROM ranked WHERE vec_id < 10 AND cell_rank <= 6),
+        | scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 6) AS sim
+        |  FROM probes JOIN assigned USING (centroid_id)
+        |  WHERE q_label <> c_label),
+        | r AS (SELECT query_id, cand_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, cand_id ASC) AS rank
+        |       FROM scored)
+        |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // q107: overlapping retrieval chunks — DuckDB list slices are
+    // 1-based inclusive; Spark slice(start, length) truncates at the
+    // array end the same way
+    "q107_rag_chunks" -> {
+      val (w, s) = (graft.operators.TextOps.ChunkWidth, graft.operators.TextOps.ChunkStride)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         | c AS (SELECT doc_id, toks,
+         |    unnest(range(0, CAST(ceil(len(toks) / $s.0) AS INTEGER))) AS chunk_idx
+         |  FROM t)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  CAST(len(toks[chunk_idx*$s + 1 : least(chunk_idx*$s + $w, len(toks))]) AS INTEGER)
+         |    AS n_tokens,
+         |  md5(array_to_string(toks[chunk_idx*$s + 1 : least(chunk_idx*$s + $w, len(toks))],
+         |    ' ')) AS chunk_md5
+         |FROM c""".stripMargin
+    },
+    // q108: the q49 closure's losers rolled up per source
+    "q108_dup_rate" ->
+      s"""WITH RECURSIVE $q25Ctes,
+         | $ccCtes,
+         | losers AS (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(l.doc_id) AS BIGINT) AS n_dups,
+         |  round(CAST(count(l.doc_id) AS DOUBLE) / count(*), 4) AS dup_rate
+         |FROM documents d LEFT JOIN losers l USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
   )
 
   /** The SCD2 build, shared verbatim by q101 and q102's probe. */

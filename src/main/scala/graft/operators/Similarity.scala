@@ -163,6 +163,38 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * anchor, the top-k highest-cosine candidates with a DIFFERENT
+    * label — the pairs a metric-learning loss gains most from, and the
+    * third face of the IVF probe family (unfiltered [[ivfTopK]],
+    * equality-constrained [[filteredIvfTopK]], inequality here). A
+    * label INEQUALITY cannot extend the join key, so it rides the
+    * probe join as a residual — candidate volume is still bounded by
+    * the probed cells, and hard negatives are by definition
+    * high-similarity rows, exactly what nearby cells hold. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5,
+      numCentroids: Int = 16, nprobe: Int = 6): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = emb.select(
+      col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("label").as("c_label"),
+      (-array_max(cellSims(cents, col("embedding"))).getField("negid")).as("centroid_id"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("q_label"),
+        explode(slice(reverse(array_sort(cellSims(cents, col("embedding")))), 1, nprobe))
+          .as("cell"))
+      .select(col("query_id"), col("qv"), col("q_label"), (-col("cell.negid")).as("centroid_id"))
+    val scored = broadcast(probes).join(assigned, Seq("centroid_id"))
+      .filter(col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-centroid (sim, -cid) structs for `v` against a literal
     * codebook — struct(sim, -cid): array_max/sort order by sim, then
     * by SMALLEST centroid id on ties (negation flips the tiebreak

@@ -881,4 +881,54 @@ object TextOps {
         (floor(sum(col("lr_u")).cast("double") /
           (count(lit(1)).cast("double") * 100.0)) / 10000.0).as("score"))
   }
+
+  // ---- retrieval chunking ---------------------------------------------
+
+  /** RAG ingestion chunking: OVERLAPPING token windows (width
+    * [[ChunkWidth]], stride [[ChunkStride]] — 16-token overlap so no
+    * answer span is ever split across a boundary without a copy that
+    * contains it whole). One row per (doc, chunk) with the chunk's
+    * token count and content hash — the narrow shape an embedding/
+    * indexing stage consumes; the md5 stands in for the chunk text so
+    * rows stay ~50 bytes, not kilobytes, through the shuffle-free
+    * scan-fused explode. Complements [[chunkDedup]] (disjoint windows,
+    * dedup) and [[packSequences]] (training packing): this is the
+    * retrieval-index face. */
+  val ChunkWidth = 64
+  val ChunkStride = 48
+
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (ChunkWidth, ChunkStride)
+    Tables(spark, dir, "documents")
+      // project tokens FIRST, explode SECOND (the Generate-under-
+      // Project hazard: a fused select re-runs the split per chunk)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          ceil(size(col("toks")).cast("double") / s).cast("int") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(slice(col("toks"), col("chunk_idx") * s + 1, lit(w))).as("n_tokens"),
+        md5(array_join(slice(col("toks"), col("chunk_idx") * s + 1, lit(w)), " "))
+          .as("chunk_md5"))
+  }
+
+  /** Per-source duplication-rate report: what fraction of each
+    * source's documents are non-canonical near-dup cluster members —
+    * the ops-dashboard rollup a curation run reports ("source X is
+    * 40% duplicated"). The cluster losers come from the SHARED corpus
+    * band index ([[Dedup.bandIndex]]) like every other dedup consumer;
+    * the rollup itself is one broadcast-friendly left join + a
+    * per-source aggregate. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val losers = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("dup"))
+    Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("dup")).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 4)
+          .as("dup_rate"))
+  }
 }

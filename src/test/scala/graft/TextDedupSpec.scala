@@ -257,6 +257,75 @@ class TextDedupSpec extends SparkSpec {
     assert(recall > 0.5) // nprobe 6 of 16 compensates the filter's thinning
   }
 
+  test("hard negatives: every pair crosses labels, recall holds vs the cross-label brute force") {
+    val labels = Tables(spark, sf, "embeddings").select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.hardNegatives(spark, sf)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, c) => assert(labels(q) != labels(c), s"$q→$c shares a label") }
+    val brute = {
+      import org.apache.spark.sql.functions._
+      val e = Tables(spark, sf, "embeddings")
+      val scored = e.select(col("vec_id").as("cand_id"), col("label").as("cl"),
+          col("embedding").as("cv"))
+        .join(broadcast(e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("label").as("ql"), col("embedding").as("qv"))), col("ql") =!= col("cl"))
+        .select(col("query_id"), col("cand_id"),
+          round(graft.functions.Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+        .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall = (brute intersect got.toSet).size.toDouble / brute.size
+    info(s"hard-negative recall vs cross-label brute force: $recall")
+    assert(recall > 0.5)
+  }
+
+  test("rag chunks: stride/width contract — count, coverage, and tail truncation per doc") {
+    val (w, s) = (graft.operators.TextOps.ChunkWidth, graft.operators.TextOps.ChunkStride)
+    val got = graft.operators.TextOps.ragChunks(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(r => r.getInt(1) -> r.getInt(2)).sortBy(_._1) }
+    val nToks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(graft.functions.Text.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == nToks.keySet)
+    got.foreach { case (id, chunks) =>
+      val n = nToks(id)
+      assert(chunks.map(_._1).toSeq == (0 until math.ceil(n.toDouble / s).toInt))
+      chunks.foreach { case (idx, len) =>
+        assert(len == math.min(w, n - idx * s)) // tail truncates, never pads
+      }
+      // overlap regime: windows wider than the stride ⇒ every token of
+      // a covered prefix appears in some chunk (starts tile by s, each
+      // start covers [start, start+len) with len ≥ min(w, remaining))
+      assert(w > s)
+    }
+    assert(got.valuesIterator.exists(_.length > 1), "fixture has multi-chunk docs")
+  }
+
+  test("dup-rate report: per-source loser counts equal the cluster closure's") {
+    val losers = Dedup.dedupClusters(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    graft.operators.PlanCache.release()
+    val sources = Tables(spark, sf, "documents").select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = graft.operators.TextOps.dupRateBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.operators.PlanCache.release()
+    val expected = sources.groupBy(_._2).map { case (src, docs) =>
+      val dups = docs.count(d => losers(d._1)).toLong
+      src -> ((docs.length.toLong, dups,
+        BigDecimal(dups.toDouble / docs.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got == expected)
+    assert(got.valuesIterator.exists(_._2 > 0), "fixture has duplicated sources")
+  }
+
   test("incremental dedup finds exactly the full pair set's batch-touching pairs") {
     // the batch-probes-index shortcut must lose nothing relative to
     // re-pairing the whole corpus: same banding, same verify, so the

@@ -54,4 +54,28 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(outDir)
+
+  /** Write `df` as a BUCKETED table: hash-partitioned into `buckets`
+    * files by `key` and sorted within each — the layout that makes a
+    * fact⋈fact join on that key run with ZERO exchanges (and, with
+    * the sort, zero sorts): Spark's bucketing-aware scan reports the
+    * hash distribution to the planner, so two tables bucketed the
+    * same way merge-join file-to-file. At 100 TB this is THE lever
+    * for repeated big joins — the shuffle is paid once at write, not
+    * per query (cf. [[graft.operators.Upsert]], whose MERGE buckets
+    * its target for the same reason). Registered via `saveAsTable`
+    * (bucket metadata lives in the catalog) with an explicit external
+    * `path`. */
+  def writeBucketed(df: DataFrame, table: String, key: String, path: String,
+      buckets: Int = 8): Unit =
+    // repartition on the key FIRST, with the bucket count: Spark's
+    // repartition hash is the bucketing hash, so every task holds
+    // exactly one bucket's rows and writes ONE file per bucket —
+    // without this, every input task emits a file into every bucket
+    // (tasks × buckets small files) AND the scan-side sort elision is
+    // forfeited (it requires one file per bucket to trust sortBy)
+    df.repartition(buckets, col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
+      .option("path", path).format("parquet").mode("overwrite")
+      .saveAsTable(table)
 }

@@ -56,4 +56,38 @@ class LayoutSpec extends SparkSpec {
     assert(zu < tu, s"user-dim pruning: z-order touched $zu vs time-layout $tu")
     assert(zd < ud, s"day-dim pruning: z-order touched $zd vs user-layout $ud")
   }
+
+  test("co-bucketed tables join with zero exchanges and zero sorts") {
+    val ev = graft.Tables(spark, sf, "events")
+    val facts = ev.select(col("user_id"), col("event_id"), col("value"))
+    val dims = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    try {
+      Layout.writeBucketed(facts, "graft_bkt_facts", "user_id",
+        Files.createTempDirectory("graft_bkt_f").toString)
+      Layout.writeBucketed(dims, "graft_bkt_dims", "user_id",
+        Files.createTempDirectory("graft_bkt_d").toString)
+      // force the merge path: a broadcast would hide the bucket win
+      // (the hint must ride a join INPUT, not the joined frame)
+      def joined() = spark.table("graft_bkt_facts").hint("merge")
+        .join(spark.table("graft_bkt_dims").hint("merge"), Seq("user_id"))
+      val plan = joined().queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucket join shuffled:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the sortBy half: since 3.0 Spark ignores bucket sort metadata
+      // at planning unless told to pay the planning-time file listing
+      // (one file per bucket required — writeBucketed guarantees it)
+      val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      spark.conf.set(key, "true")
+      try {
+        val sorted = joined().queryExecution.executedPlan.toString
+        assert(!sorted.contains("Exchange") && !sorted.contains("+- Sort "),
+          s"sorted bucket join re-sorted:\n$sorted")
+      } finally spark.conf.set(key, "false")
+      // and the answer is the answer
+      assert(joined().count() == facts.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dims")
+    }
+  }
 }

@@ -48,6 +48,7 @@ object ConfigReader {
       syncTasks: Seq[SyncTaskSpec] = Nil,
       backupTasks: Seq[BackupSpec] = Nil,
       trainingTasks: Seq[TrainingExportSpec] = Nil,
+      optimizeTasks: Seq[OptimizeSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -77,6 +78,13 @@ object ConfigReader {
         try Some(parseTrainingTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed training task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      optimizeTasks = root.path("optimizeTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseOptimizeTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed optimize task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -241,5 +249,23 @@ object ConfigReader {
         require(c > 0, "capacity must be positive"); c
       },
       rates = rates)
+  }
+
+  private def parseOptimizeTask(n: JsonNode): OptimizeSpec = {
+    val schedule = optText(n, "schedule").getOrElse("0 4 * * *")
+    graft.operators.Cron.parse(schedule) // validate: a bad schedule skips THIS task only
+    val by = n.path("zorderBy")
+    require(by.isArray && by.size == 2 && by.get(0).isTextual && by.get(1).isTextual,
+      "zorderBy must be a two-column array")
+    OptimizeSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      outDir = reqText(n, "outDir"),
+      zorderBy = (by.get(0).asText, by.get(1).asText),
+      numFiles = {
+        val f = n.path("numFiles").asInt(8)
+        require(f > 0, "numFiles must be positive"); f
+      })
   }
 }

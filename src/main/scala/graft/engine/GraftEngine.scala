@@ -43,6 +43,7 @@ final class GraftEngine(
   @volatile private var pipelineDefs = Map.empty[String, Compiler.PipelineDef]
   @volatile private var backupSpecs: Seq[BackupSpec] = Nil
   @volatile private var trainingSpecs: Seq[TrainingExportSpec] = Nil
+  @volatile private var optimizeSpecs: Seq[graft.model.OptimizeSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -168,13 +169,16 @@ final class GraftEngine(
       }
     }
     recorder.foreach(_._2.flush())
-    if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs) {
+    if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs ||
+        cfg.optimizeTasks != optimizeSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
+      optimizeSpecs = cfg.optimizeTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
-        backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob),
+        backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob) ++
+          optimizeSpecs.map(toOptimizeJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -199,6 +203,14 @@ final class GraftEngine(
       try { GraftEngine.runTrainingExport(spark, spec); () }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("training_export_failed", s"training${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toOptimizeJob(spec: graft.model.OptimizeSpec): Cron.Job =
+    Cron.Job(GraftEngine.OptimizeJobIdOffset + spec.id, spec.schedule, () =>
+      try { GraftEngine.runOptimize(spark, spec); () }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("optimize_failed", s"optimize${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -518,6 +530,21 @@ object GraftEngine {
   /** Training-task job ids live [[TrainingJobIdOffset]] above backup ids
     * so the two task families never share scheduler-dedup keys. */
   val TrainingJobIdOffset = 1000000
+
+  /** Optimize-task namespace, above training's for the same reason. */
+  val OptimizeJobIdOffset = 2000000
+
+  /** Execute one layout-maintenance job now (the optimize cron target):
+    * rewrite the source parquet table Z-clustered on the two configured
+    * columns into the `outDir` mirror. Overwrite is atomic at the
+    * directory-commit level (Spark stages to _temporary then renames);
+    * readers of the mirror see old or new, never a mix. */
+  def runOptimize(spark: SparkSession, spec: graft.model.OptimizeSpec): String = {
+    graft.operators.Layout.writeZOrdered(
+      spark.read.parquet(spec.sourceDir),
+      spec.zorderBy._1, spec.zorderBy._2, spec.outDir, spec.numFiles)
+    spec.outDir
+  }
 
   /** Execute one training-data build now (the training cron target):
     * run the composed curate → epoch-mix → pack chain over the corpus

@@ -98,3 +98,17 @@ final case class TrainingExportSpec(
     minQuality: Double = 0.66,
     capacity: Int = 512,
     rates: Map[String, Double] = Map.empty)
+
+/** A scheduled layout-maintenance job (the lakehouse `OPTIMIZE ZORDER
+  * BY` face): rewrite a parquet table Z-clustered on two integer
+  * columns ([[graft.operators.Layout.writeZOrdered]]) into `outDir` —
+  * the optimized mirror scan-heavy consumers read. Run off-peak; the
+  * one range-exchange it pays at write is what every multi-dimension
+  * filtered scan saves afterwards. */
+final case class OptimizeSpec(
+    id: Int,
+    schedule: String = "0 4 * * *",
+    sourceDir: String = "",    // input parquet table (file or dir)
+    outDir: String = "",       // optimized mirror
+    zorderBy: (String, String) = ("", ""),
+    numFiles: Int = 8)

@@ -831,4 +831,43 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("scheduled optimize: fires in its namespace, z-orders the mirror, bad column alerts not aborts") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "optimizeTasks": [
+         |  { "id": 7, "schedule": "15 5 * * *",
+         |    "sourceDir": "$sf/events.parquet", "outDir": "$root/opt",
+         |    "zorderBy": ["user_id", "event_id"], "numFiles": 4 } ] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T05:15:00")) ==
+        Seq(GraftEngine.OptimizeJobIdOffset + 7))
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T05:15:00")).isEmpty)
+      // the mirror holds exactly the source rows, in numFiles files
+      val src = spark.read.parquet(s"$sf/events.parquet")
+      val opt = spark.read.parquet(s"$root/opt")
+      assert(opt.count() == src.count())
+      assert(opt.select("event_id").collect().map(_.getLong(0)).toSet ==
+        src.select("event_id").collect().map(_.getLong(0)).toSet)
+      val files = Files.list(Paths.get(s"$root/opt")).toArray.map(_.toString)
+        .count(_.endsWith(".parquet"))
+      assert(files == 4, s"expected 4 z-files, got $files")
+      // a broken spec (missing column) fires, fails, ALERTS — the
+      // engine keeps running and the next reconcile still works
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [], "optimizeTasks": [
+           |  { "id": 8, "schedule": "20 5 * * *",
+           |    "sourceDir": "$sf/events.parquet", "outDir": "$root/opt2",
+           |    "zorderBy": ["user_id", "no_such_col"] } ] }""".stripMargin)
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T05:20:00")) ==
+        Seq(GraftEngine.OptimizeJobIdOffset + 8))
+      assert(alerts.drain().exists(_.kind == "optimize_failed"))
+      engine.pollOnce() // still alive
+    } finally engine.stop()
+  }
+
 }

@@ -234,6 +234,9 @@ object SparkEntry {
     "q106_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q107_rag_chunks" -> ((s, d) => TextOps.ragChunks(s, d)),
     "q108_dup_rate" -> ((s, d) => TextOps.dupRateBySource(s, d)),
+    "q109_curriculum" -> (Relevance.curriculumOrder _),
+    "q110_oov_report" -> ((s, d) => TextOps.oovReport(s, d)),
+    "q111_daily_spine" -> (Relational.dailySpineCounts _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1625,6 +1628,44 @@ object SparkEntry {
          |  round(CAST(count(l.doc_id) AS DOUBLE) / count(*), 4) AS dup_rate
          |FROM documents d LEFT JOIN losers l USING (doc_id)
          |GROUP BY d.source""".stripMargin,
+    // q109: global quality quartile + salted-md5 shuffle within phase
+    "q109_curriculum" ->
+      s"""WITH $docMetricsCte,
+         | staged AS (SELECT doc_id, quality,
+         |    CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS phase
+         |  FROM m)
+         |SELECT doc_id, phase,
+         |  CAST(row_number() OVER (PARTITION BY phase
+         |    ORDER BY CAST('0x' || substr(md5('curr-' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |               AS BIGINT),
+         |             doc_id) AS INTEGER) AS position,
+         |  quality
+         |FROM staged""".stripMargin,
+    // q110: top-N corpus vocabulary (q61 tie-break), per-doc OOV mass
+    "q110_oov_report" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | v AS (SELECT token, 1 AS in_v FROM (
+        |    SELECT token, count(*) AS tf FROM tok GROUP BY token
+        |    ORDER BY tf DESC, token ASC LIMIT ${graft.operators.TextOps.OovVocab})),
+        | j AS (SELECT t.doc_id, v.in_v FROM tok t LEFT JOIN v ON t.token = v.token)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(CASE WHEN in_v IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+        |  round(CAST(count(CASE WHEN in_v IS NULL THEN 1 END) AS DOUBLE) / count(*), 4)
+        |    AS oov_rate
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // q111: calendar spine × type list, observed counts zero-filled
+    "q111_daily_spine" -> {
+      val types = graft.operators.Relational.EventTypes
+        .map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+         | daily AS (SELECT day, event_type, count(*) AS n FROM d GROUP BY day, event_type),
+         | b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+         | spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+         |             AS day FROM b),
+         | grid AS (SELECT day, unnest($types) AS event_type FROM spine)
+         |SELECT g.day, g.event_type, CAST(coalesce(n, 0) AS BIGINT) AS n_events
+         |FROM grid g LEFT JOIN daily USING (day, event_type)""".stripMargin
+    },
   )
 
   /** The SCD2 build, shared verbatim by q101 and q102's probe. */

@@ -313,6 +313,25 @@ object Relational {
       .groupBy(col("day")).pivot("event_type", EventTypes).agg(count(lit(1)))
       .select(col("day") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
 
+  /** Calendar gap-filling: the daily per-type count series with
+    * MISSING days materialized as zeros — the resample/densify step
+    * every monitoring chart and time-series model consumes (a day with
+    * no errors must plot as 0, not vanish). The date spine derives
+    * in-plan from the table's own bounds (1-row aggregate → `sequence`
+    * explode — calendar-sized, never data-sized), types fan out from
+    * the literal list (an array explode, NOT a cross join — the plan
+    * stays nested-loop-free), and the observed counts left-join in. */
+  def dailySpineCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val daily = d.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+    val spine = d.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .select(col("day"), explode(lit(EventTypes.toArray)).as("event_type"))
+    spine.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   /** Row-level snapshot diff: two versions of a keyed table reconciled
     * to added / removed / changed / unchanged per key — the content
     * face of the J4 count comparison (counts say THAT snapshots

@@ -122,4 +122,27 @@ object Relevance {
       .select(col("doc_id"), col("source"), Text.qualityScore(col("text")).as("quality"))
       .withColumn("quartile", ntile(4).over(Window.partitionBy(col("source"))
         .orderBy(col("quality").desc, col("doc_id").asc)))
+
+  /** Curriculum ordering: the training-order construction curriculum
+    * learning needs — documents staged easiest/cleanest first. Phase =
+    * GLOBAL quality quartile (best = 1), position = deterministic
+    * salted-md5 shuffle WITHIN the phase (reproducible, growth-stable —
+    * the same md5-decision basis every sampler here uses; a true
+    * random shuffle would reorder between runs and engines). A loader
+    * consumes phases in order, positions within each.
+    *
+    * The global ntile is a single-partition window over (quality,
+    * doc_id) — fine for ranking keys, and at 100 TB the phase boundary
+    * would come from quantile cuts ([[tokenPercentiles]]' rank formula)
+    * instead; position stays per-phase and embarrassingly parallel. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables(spark, dir, "documents")
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+      .withColumn("phase", ntile(4).over(Window.partitionBy()
+        .orderBy(col("quality").desc, col("doc_id").asc)))
+    staged.withColumn("position", row_number().over(Window.partitionBy(col("phase"))
+        .orderBy(Text.md5Hash60(concat(lit("curr-"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .select(col("doc_id"), col("phase"), col("position"), col("quality"))
+  }
 }

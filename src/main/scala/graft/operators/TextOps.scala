@@ -882,6 +882,40 @@ object TextOps {
           (count(lit(1)).cast("double") * 100.0)) / 10000.0).as("score"))
   }
 
+  /** OOV vocab default, sized BELOW the synthetic corpus's 31-token
+    * vocabulary so the boundary actually bites (production: 32k–256k). */
+  val OovVocab = 20
+
+  /** Tokenizer-coverage report: per document, how many token
+    * occurrences fall OUTSIDE the corpus's own top-`vocabSize`
+    * vocabulary — the OOV-rate planning metric behind vocab sizing
+    * (a tokenizer whose vocab misses 20% of a source's mass will
+    * fragment it into bytes). Vocabulary = tf-ranked with the q61
+    * tie-break (tf desc, token asc) so the boundary is deterministic
+    * cross-engine.
+    *
+    * Scale: the vocab is top-k (TakeOrdered) and broadcast — tokens
+    * stream past it map-side; the only corpus-sized shuffle is the
+    * per-doc rollup. The token frame is persisted once and feeds both
+    * the tf aggregate and the coverage join (the boilerplate-coverage
+    * shape). */
+  def oovReport(spark: SparkSession, dir: String, vocabSize: Int = OovVocab): DataFrame = {
+    val toks = PlanCache.tracked(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(col("toks")).as("token")))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_v").isNull, lit(1))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("oov_rate"))
+  }
+
   // ---- retrieval chunking ---------------------------------------------
 
   /** RAG ingestion chunking: OVERLAPPING token windows (width

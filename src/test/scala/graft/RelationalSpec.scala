@@ -150,6 +150,35 @@ class RelationalSpec extends SparkSpec {
     assert(got.valuesIterator.forall(_._1 == n))
   }
 
+  test("daily spine: contiguous calendar × type grid, observed counts kept, gaps zero") {
+    val got = graft.operators.Relational.dailySpineCounts(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)) -> r.getLong(2)).toMap
+    val observed = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type")).count().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)) -> r.getLong(2)).toMap
+    val days = observed.keysIterator.map(_._1).toSeq
+    val (lo, hi) = (days.min, days.max)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1
+    // the grid is complete: every (day, type) cell present exactly once
+    assert(got.size == span * graft.operators.Relational.EventTypes.length)
+    got.foreach { case (k, n) => assert(n == observed.getOrElse(k, 0L)) }
+    observed.foreach { case (k, n) => assert(got(k) == n) }
+    // the testdata is calendar-dense; prove the ZERO-fill on a sparse
+    // fixture with a one-day hole and a type that never occurs
+    val dir = java.nio.file.Files.createTempDirectory("graft_spine").toString
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), "view"),
+        (2L, java.sql.Timestamp.valueOf("2024-03-03 10:00:00"), "view"))
+      .toDF("event_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val sparse = graft.operators.Relational.dailySpineCounts(spark, dir).collect()
+      .map(r => (r.getDate(0).toLocalDate.toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(sparse.size == 3 * graft.operators.Relational.EventTypes.length)
+    assert(sparse(("2024-03-02", "view")) == 0L, "the hole day fills with zero")
+    assert(sparse(("2024-03-01", "purchase")) == 0L, "an absent type fills with zero")
+    assert(sparse(("2024-03-01", "view")) == 1L && sparse(("2024-03-03", "view")) == 1L)
+  }
+
   test("snapshot diff classifies every key against a driver replay of both versions") {
     val got = graft.operators.Relational.corpusSnapshotDiff(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -88,4 +88,25 @@ class RelevanceSpec extends SparkSpec {
       assert(s <= 1000000L && s > 1000000L - rs.length, s"$prev prob sum $s")
     }
   }
+
+  test("curriculum: balanced quality-ordered phases, dense per-phase positions") {
+    val got = graft.operators.Relevance.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val byPhase = got.groupBy(_._2)
+    assert(byPhase.keySet == Set(1, 2, 3, 4))
+    // ntile balance: phase sizes differ by at most one
+    val sizes = byPhase.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+    // phases are quality-ordered (ties may straddle a boundary)
+    (1 to 3).foreach { p =>
+      assert(byPhase(p).map(_._4).min >= byPhase(p + 1).map(_._4).max)
+    }
+    // positions are a dense 1..n permutation within each phase
+    byPhase.values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+    }
+    // the shuffle shuffles: positions do not follow doc_id order
+    val p1 = byPhase(1).sortBy(_._3).map(_._1).toSeq
+    assert(p1 != p1.sorted)
+  }
 }

@@ -326,6 +326,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got.valuesIterator.exists(_._2 > 0), "fixture has duplicated sources")
   }
 
+  test("oov report: counts replay the top-N vocabulary boundary exactly") {
+    val v = graft.operators.TextOps.OovVocab
+    val got = graft.operators.TextOps.oovReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.operators.PlanCache.release()
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val tf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(tf.size > v, "corpus vocabulary must exceed the configured vocab")
+    val vocab = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(v).map(_._1).toSet
+    val expected = docs.map { case (id, toks) =>
+      val oov = toks.count(!vocab(_)).toLong
+      (id, toks.length.toLong, oov,
+        BigDecimal(oov.toDouble / toks.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(got.toSet == expected)
+    assert(got.exists(_._3 > 0L), "OOV mass must exist below the corpus vocabulary")
+    assert(got.exists(r => r._3 < r._2), "vocabulary head must cover some mass")
+  }
+
   test("incremental dedup finds exactly the full pair set's batch-touching pairs") {
     // the batch-probes-index shortcut must lose nothing relative to
     // re-pairing the whole corpus: same banding, same verify, so the

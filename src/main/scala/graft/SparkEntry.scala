@@ -237,6 +237,16 @@ object SparkEntry {
     "q109_curriculum" -> (Relevance.curriculumOrder _),
     "q110_oov_report" -> ((s, d) => TextOps.oovReport(s, d)),
     "q111_daily_spine" -> (Relational.dailySpineCounts _),
+    // the STREAMING operator run as a batch plan — withWatermark is a
+    // no-op on a batch frame, so one implementation serves both modes
+    // (IntervalJoinStreamSpec pins stream≡batch on the same fixture)
+    "q112_attribution" -> ((s, d) => graft.streaming.IntervalJoinStream.attributed(
+      graft.Tables(s, d, "events")
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("event_type")))),
+    "q113_revenue_trend" -> (Relational.revenueTrend _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1666,6 +1676,33 @@ object SparkEntry {
          |SELECT g.day, g.event_type, CAST(coalesce(n, 0) AS BIGINT) AS n_events
          |FROM grid g LEFT JOIN daily USING (day, event_type)""".stripMargin
     },
+    // q112: trailing-hour view→purchase attribution, all matching pairs
+    "q112_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  v.event_id AS view_id, v.ts AS view_ts
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'""".stripMargin,
+    // q113: exact integer cent-percent money, growth in floor micro-units
+    "q113_revenue_trend" ->
+      """WITH m AS (
+        |  SELECT n.n_name, CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+        |             (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+        |      AS revenue_cp
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, month),
+        | t AS (SELECT *, lag(revenue_cp) OVER (PARTITION BY n_name ORDER BY month)
+        |         AS prev_cp FROM m)
+        |SELECT n_name, month, revenue_cp,
+        |  revenue_cp - coalesce(prev_cp, 0) AS delta_cp,
+        |  CASE WHEN prev_cp IS NULL OR prev_cp = 0 THEN NULL
+        |       ELSE revenue_cp * 1000000 // prev_cp END AS growth_u
+        |FROM t""".stripMargin,
   )
 
   /** The SCD2 build, shared verbatim by q101 and q102's probe. */

@@ -313,6 +313,40 @@ object Relational {
       .groupBy(col("day")).pivot("event_type", EventTypes).agg(count(lit(1)))
       .select(col("day") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
 
+  /** Period-over-period revenue: monthly lineitem revenue per nation
+    * with the month-over-month delta and an integer-micro-unit growth
+    * ratio — the BI trend face (every dashboard's "vs last month").
+    * Money stays in exact integer cent-percents end to end (a double
+    * SUM is shuffle-order-dependent); the growth ratio divides AFTER
+    * the lag so it is a pure per-row expression over the aggregated
+    * frame. One aggregate (nation × month — output is
+    * calendar-bounded), one tiny window over it. */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val revCp = (round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_cp")
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"), revCp)
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("n_nationkey"))
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val monthly = li.join(ord, Seq("o_orderkey"))
+      .join(broadcast(cust), Seq("o_custkey"))
+      .join(broadcast(nation), Seq("n_nationkey"))
+      .groupBy(col("n_name"), col("month"))
+      .agg(sum(col("rev_cp")).as("revenue_cp"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+    monthly
+      .withColumn("prev_cp", lag(col("revenue_cp"), 1).over(w))
+      .withColumn("delta_cp", col("revenue_cp") - coalesce(col("prev_cp"), lit(0L)))
+      .withColumn("growth_u",
+        when(col("prev_cp").isNull || col("prev_cp") === 0L, lit(null))
+          .otherwise(expr("revenue_cp * 1000000 div prev_cp")))
+      .select("n_name", "month", "revenue_cp", "delta_cp", "growth_u")
+  }
+
   /** Calendar gap-filling: the daily per-type count series with
     * MISSING days materialized as zeros — the resample/densify step
     * every monitoring chart and time-series model consumes (a day with

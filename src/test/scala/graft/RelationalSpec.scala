@@ -179,6 +179,32 @@ class RelationalSpec extends SparkSpec {
     assert(sparse(("2024-03-01", "view")) == 1L && sparse(("2024-03-03", "view")) == 1L)
   }
 
+  test("revenue trend: mass conserved, delta chains, growth replays the floor division") {
+    val got = graft.operators.Relational.revenueTrend(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.nonEmpty)
+    // total revenue mass equals the raw lineitem sum (no month lost)
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("cp"))
+      .agg(sum("cp")).head().getLong(0)
+    assert(got.map(_._3).sum == raw)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2.toEpochDay)
+      ordered.headOption.foreach { h =>
+        assert(h._4 == h._3 && h._5.isEmpty) // first month: delta = revenue, no growth
+      }
+      ordered.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          val (prev, cur) = (w(0), w(1))
+          assert(cur._4 == cur._3 - prev._3)
+          assert(cur._5.contains(cur._3 * 1000000L / prev._3))
+        }
+      }
+    }
+  }
+
   test("snapshot diff classifies every key against a driver replay of both versions") {
     val got = graft.operators.Relational.corpusSnapshotDiff(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -247,6 +247,7 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("ts"),
           org.apache.spark.sql.functions.col("event_type")))),
     "q113_revenue_trend" -> (Relational.revenueTrend _),
+    "q114_joint_curate" -> ((s, d) => TextOps.jointCurate(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1494,26 +1495,9 @@ object SparkEntry {
     // codebook (identical to q46's), then the greedy within-cell
     // lowest-id-survives rule at the shared threshold
     "q100_semdedup" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
-         |               FROM embeddings WHERE vec_id < 16),
-         | sims AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |    round(list_sum(list_transform(range(1, 65),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6) AS cent_sim
-         |  FROM embeddings e CROSS JOIN cents c),
-         | assigned AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY cent_sim DESC, centroid_id ASC) AS r
-         |    FROM sims) WHERE r = 1),
-         | dropped AS (
-         |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
-         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-         |  WHERE round(list_sum(list_transform(range(1, 65),
-         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6)
-         |    >= ${graft.operators.Similarity.SemDedupThreshold})
+      s"""WITH $SemDedupCtes
          |SELECT v.vec_id, v.centroid_id, d.vec_id IS NULL AS is_kept
-         |FROM assigned v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin,
+         |FROM sem_assigned v LEFT JOIN sem_dropped d ON v.vec_id = d.vec_id""".stripMargin,
     // q101/q102: SCD2 versioning + point-in-time probe — same
     // (ts, event_id) tie-break as every event window; zero-width
     // versions (same-ts updates) are unmatched by construction
@@ -1703,7 +1687,40 @@ object SparkEntry {
         |  CASE WHEN prev_cp IS NULL OR prev_cp = 0 THEN NULL
         |       ELSE revenue_cp * 1000000 // prev_cp END AS growth_u
         |FROM t""".stripMargin,
+    // q114: q53's chain ∩ SemDeDup survivors — both CTE families in
+    // one recursive statement (sem_-prefixed names keep them disjoint)
+    "q114_joint_curate" ->
+      s"""WITH RECURSIVE $q25Ctes,
+         | $ccCtes,
+         | $docMetricsCte,
+         | $SemDedupCtes
+         |SELECT doc_id, source, quality FROM m
+         |WHERE quality >= 0.66 AND guess = 'en'
+         |  AND doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+         |  AND doc_id NOT IN (SELECT vec_id FROM sem_dropped)""".stripMargin,
   )
+
+  /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the
+    * lexical-dedup CTEs in q114), shared by q100 and q114. */
+  private lazy val SemDedupCtes: String =
+    s"""sem_cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+       |               FROM embeddings WHERE vec_id < 16),
+       | sem_sims AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6) AS cent_sim
+       |  FROM embeddings e CROSS JOIN sem_cents c),
+       | sem_assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cent_sim DESC, centroid_id ASC) AS r
+       |    FROM sem_sims) WHERE r = 1),
+       | sem_dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM sem_assigned a JOIN sem_assigned b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE round(list_sum(list_transform(range(1, 65),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6)
+       |    >= ${graft.operators.Similarity.SemDedupThreshold})""".stripMargin
 
   /** The SCD2 build, shared verbatim by q101 and q102's probe. */
   private val Scd2Cte: String =

@@ -328,9 +328,12 @@ object Similarity {
   def ivfTopKAgainstStoredIndex(spark: SparkSession, indexDir: String,
       queries: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
     val cents = loadCentroids(spark, indexDir)
+    // cast: a compacted index stores centroid_id as a PARTITION column,
+    // which parquet partition discovery types int — normalize to the
+    // pre-compaction long so the probe join key never drifts
     val cells = spark.read.parquet(s"$indexDir/cells")
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-        col("centroid_id"))
+        col("centroid_id").cast("long").as("centroid_id"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         explode(slice(reverse(array_sort(cellSims(cents, col("embedding")))), 1, nprobe))
@@ -341,6 +344,47 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
     topKPerQuery(scored, k)
+  }
+
+  /** Occupancy report of a stored IVF index: per-cell vector counts
+    * with empty cells present as zeros — the index-health signal that
+    * says when the codebook needs retraining (a skewed occupancy ratio
+    * means one cell absorbs the corpus and probes degrade toward
+    * brute force). Centroid rows are metadata-sized; the count is one
+    * aggregate over the cells table. */
+  def ivfCellStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids").select("centroid_id")
+    val occ = spark.read.parquet(s"$indexDir/cells")
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    cents.join(occ, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+  }
+
+  /** Compact a stored IVF index's cells table: every
+    * [[appendToStoredIvf]] increment adds its own small files, and a
+    * year of crawl appends leaves a probe reading thousands of them.
+    * Compaction rewrites `cells` PARTITIONED BY cell — each centroid's
+    * vectors become one directory of full-size files — after which a
+    * probe join touches only its probed cells' directories (Spark's
+    * dynamic partition pruning fires off the broadcast probe side;
+    * spec-pinned) instead of every file in the index.
+    *
+    * Swap protocol: stage the rewrite, then two renames. Readers in
+    * the gap see a missing directory and retry — the single-writer
+    * maintenance-window contract every file-based index here uses
+    * (production would flip a manifest pointer instead). */
+  def compactStoredIvf(spark: SparkSession, indexDir: String): Unit = {
+    val staged = s"$indexDir/cells_compacting"
+    spark.read.parquet(s"$indexDir/cells")
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+    fs.delete(cells, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), cells),
+      s"compaction swap failed for $indexDir")
   }
 
   /** The stored coarse codebook — numCentroids rows, metadata-bounded

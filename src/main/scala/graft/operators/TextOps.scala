@@ -882,6 +882,20 @@ object TextOps {
           (count(lit(1)).cast("double") * 100.0)) / 10000.0).as("score"))
   }
 
+  /** Joint lexical + semantic curation — the full modern filter chain
+    * in one declarative plan: the [[curate]] bar (quality ∧ langID ∧
+    * MinHash near-dup survivor) intersected with the
+    * [[Similarity.semDedup]] survivors (embedding-space duplicates the
+    * lexical pass cannot see — paraphrases, translations, re-renders).
+    * Documents and embeddings pair on doc_id == vec_id. Both legs are
+    * the operators the oracles already verify; the composition is a
+    * left-semi join on the key — broadcast-sized here, key-bucketed at
+    * 100 TB. */
+  def jointCurate(spark: SparkSession, dir: String): DataFrame =
+    curate(spark, dir)
+      .join(Similarity.semDedup(spark, dir).filter(col("is_kept"))
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+
   /** OOV vocab default, sized BELOW the synthetic corpus's 31-token
     * vocabulary so the boundary actually bites (production: 32k–256k). */
   val OovVocab = 20

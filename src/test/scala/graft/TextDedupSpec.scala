@@ -347,6 +347,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got.exists(r => r._3 < r._2), "vocabulary head must cover some mass")
   }
 
+  test("joint curation is exactly the lexical chain intersected with semantic survivors") {
+    val lexical = graft.operators.TextOps.curate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val semKept = Similarity.semDedup(spark, sf)
+      .collect().collect { case r if r.getBoolean(2) => r.getLong(0) }.toSet
+    val got = graft.operators.TextOps.jointCurate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    graft.operators.PlanCache.release()
+    graft.operators.Dedup.releaseBandIndex()
+    assert(got == lexical.filter { case (id, _) => semKept(id) })
+    // both legs bite on the fixture
+    assert(got.nonEmpty && got.size < lexical.size)
+  }
+
   test("incremental dedup finds exactly the full pair set's batch-touching pairs") {
     // the batch-probes-index shortcut must lose nothing relative to
     // re-pairing the whole corpus: same banding, same verify, so the
@@ -691,6 +705,35 @@ class TextDedupSpec extends SparkSpec {
     graft.operators.PlanCache.release()
     assert(got == want)
     assert(want.nonEmpty)
+
+    // --- maintenance faces on the same index ---
+    // occupancy report: zero-filled over all 16 cells, mass conserved
+    val stats = Similarity.ivfCellStats(spark, indexDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == (0L until 16L).toSet)
+    assert(stats.values.sum == emb.count())
+    // compaction: files collapse to one per occupied cell, probes are
+    // IDENTICAL, and the probe scan partition-prunes (dynamic pruning
+    // from the broadcast probe side — the whole point of the layout)
+    Similarity.compactStoredIvf(spark, indexDir)
+    def parquetFiles(d: java.io.File): Int =
+      d.listFiles().map {
+        case f if f.isDirectory => parquetFiles(f)
+        case f if f.getName.endsWith(".parquet") => 1
+        case _ => 0
+      }.sum
+    val occupied = stats.count(_._2 > 0L)
+    assert(parquetFiles(new java.io.File(s"$indexDir/cells")) == occupied)
+    val compactProbe = Similarity.ivfTopKAgainstStoredIndex(spark, indexDir,
+      emb.filter(col("vec_id") < 10))
+    val plan = compactProbe.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"probe scan not partition-pruned:\n$plan")
+    val afterCompact = compactProbe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    graft.operators.PlanCache.release()
+    assert(afterCompact == want)
+    assert(Similarity.ivfCellStats(spark, indexDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == stats)
   }
 
   test("codebook training: mean quantization sim never degrades and beats the stand-in") {

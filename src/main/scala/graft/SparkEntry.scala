@@ -248,6 +248,8 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("event_type")))),
     "q113_revenue_trend" -> (Relational.revenueTrend _),
     "q114_joint_curate" -> ((s, d) => TextOps.jointCurate(s, d)),
+    "q115_drift_psi" -> ((s, d) => Relational.driftPsi(s, d)),
+    "q116_clean_split" -> ((s, d) => TextOps.cleanSplit(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1698,6 +1700,47 @@ object SparkEntry {
          |WHERE quality >= 0.66 AND guess = 'en'
          |  AND doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
          |  AND doc_id NOT IN (SELECT vec_id FROM sem_dropped)""".stripMargin,
+    // q115: PSI over the q103 crawl versions — Laplace-smoothed integer
+    // micro proportions, ln pinned to the 1e-6 grid, 4 dp terms
+    "q115_drift_psi" ->
+      """WITH vold AS (SELECT least(9, n_chars // 64) AS bucket, count(*) AS n_old
+        |  FROM documents WHERE doc_id % 11 <> 3 GROUP BY bucket),
+        | vnew AS (SELECT least(9, n_chars // 64) AS bucket, count(*) AS n_new
+        |  FROM documents WHERE doc_id % 13 <> 5 GROUP BY bucket),
+        | spine AS (SELECT unnest(range(0, 10)) AS bucket),
+        | j AS (SELECT s.bucket, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |   FROM spine s LEFT JOIN vold USING (bucket) LEFT JOIN vnew USING (bucket)),
+        | p AS (SELECT *,
+        |    (n_old + 1) * 1000000 // (sum(n_old) OVER () + 10) AS p_u,
+        |    (n_new + 1) * 1000000 // (sum(n_new) OVER () + 10) AS q_u
+        |  FROM j)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(p_u AS BIGINT) AS p_u, CAST(q_u AS BIGINT) AS q_u,
+        |  round(CAST(q_u - p_u AS DOUBLE) / 1e6 *
+        |    round(ln(CAST(q_u AS DOUBLE) / CAST(p_u AS DOUBLE)), 6), 6) AS psi_term
+        |FROM p""".stripMargin,
+    // q116: stratified test set + near-dup-cluster exclusion zone
+    "q116_clean_split" ->
+      s"""WITH RECURSIVE $q25Ctes,
+         | $ccCtes,
+         | sp_h AS (SELECT doc_id, source,
+         |    CAST('0x' || substr(md5('strat-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      AS pick_hash
+         |  FROM documents),
+         | sp_rank AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY pick_hash, doc_id) AS pick_rank
+         |  FROM sp_h),
+         | sp_test AS (SELECT doc_id FROM sp_rank WHERE pick_rank <= 12),
+         | sp_tc AS (SELECT DISTINCT cluster_id FROM clus
+         |           WHERE doc_id IN (SELECT doc_id FROM sp_test)),
+         | sp_ex AS (SELECT doc_id FROM clus
+         |           WHERE cluster_id IN (SELECT cluster_id FROM sp_tc))
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM sp_test) THEN 'test'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM sp_ex) THEN 'excluded'
+         |       ELSE 'train' END AS split
+         |FROM documents d""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

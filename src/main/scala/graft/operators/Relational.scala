@@ -366,6 +366,39 @@ object Relational {
       .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n_events"))
   }
 
+  /** Distribution drift between two crawl versions: the Population
+    * Stability Index over the document-length distribution, per
+    * bucket — the ML-ops gate that catches "the new crawl's documents
+    * are suddenly shorter" before a model trains on it. Versions are
+    * the q103 derivation (deterministic, both engines identical).
+    *
+    * Determinism contract: proportions are Laplace-smoothed integer
+    * MICRO-UNITS ((n+1)·1e6 div (total+buckets) — exact integers, no
+    * summation-order drift), the log ratio pins to the 1e-6 grid
+    * (the q65 ln-rounding pattern), and each bucket's PSI term rounds
+    * at 4 dp. Two tiny aggregates (≤10 buckets each) + a bucket-keyed
+    * join: the scans dominate, everything after is metadata-sized. */
+  def driftPsi(spark: SparkSession, dir: String, buckets: Int = 10,
+      width: Int = 64): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    def hist(df: DataFrame, n: String) = df
+      .select(least(lit(buckets - 1), (col("n_chars") / width).cast("long")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val old = hist(docs.filter(pmod(col("doc_id"), lit(11)) =!= 3), "n_old")
+    val neu = hist(docs.filter(pmod(col("doc_id"), lit(13)) =!= 5), "n_new")
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(old, Seq("bucket"), "left").join(neu, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    joined
+      .withColumn("p_u", expr(s"(n_old + 1) * 1000000 div (sum(n_old) over () + $buckets)"))
+      .withColumn("q_u", expr(s"(n_new + 1) * 1000000 div (sum(n_new) over () + $buckets)"))
+      .withColumn("psi_term", round((col("q_u") - col("p_u")).cast("double") / 1e6 *
+        round(log(col("q_u").cast("double") / col("p_u").cast("double")), 6), 6))
+      .select("bucket", "n_old", "n_new", "p_u", "q_u", "psi_term")
+  }
+
   /** Row-level snapshot diff: two versions of a keyed table reconciled
     * to added / removed / changed / unchanged per key — the content
     * face of the J4 count comparison (counts say THAT snapshots

@@ -882,6 +882,36 @@ object TextOps {
           (count(lit(1)).cast("double") * 100.0)) / 10000.0).as("score"))
   }
 
+  /** Leakage-free train/test split: a held-out eval set is worthless
+    * if near-duplicates of its members stay in train — the
+    * decontamination literature's in-corpus twin. Test = the
+    * deterministic stratified sample ([[stratifiedSample]]); every
+    * document sharing a near-dup CLUSTER with a test member is
+    * EXCLUDED from train (not silently kept, not leaked); the rest
+    * trains. Output: every document labeled test / excluded / train.
+    *
+    * Scale: the test set and its cluster ids are sample-sized —
+    * broadcast both; the corpus is touched by one scan + two
+    * broadcast semi-join probes and the cluster closure comes from
+    * the shared band index. */
+  def cleanSplit(spark: SparkSession, dir: String,
+      testPerSource: Int = 12): DataFrame = {
+    val test = stratifiedSample(spark, dir, testPerSource).select("doc_id")
+    val clusters = PlanCache.tracked(
+      Dedup.dedupClusters(spark, dir).select("doc_id", "cluster_id"))
+    val testClusters = clusters.join(test, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val excluded = clusters.join(broadcast(testClusters), Seq("cluster_id"), "left_semi")
+      .select("doc_id")
+    Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+      .join(broadcast(test.withColumn("t", lit(1))), Seq("doc_id"), "left")
+      .join(broadcast(excluded.withColumn("x", lit(1))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("t").isNotNull, "test")
+          .when(col("x").isNotNull, "excluded")
+          .otherwise("train").as("split"))
+  }
+
   /** Joint lexical + semantic curation — the full modern filter chain
     * in one declarative plan: the [[curate]] bar (quality ∧ langID ∧
     * MinHash near-dup survivor) intersected with the

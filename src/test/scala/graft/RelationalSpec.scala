@@ -205,6 +205,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("drift psi: terms replay the smoothed micro-unit formula, identical versions score zero") {
+    val got = graft.operators.Relational.driftPsi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.length == 10)
+    val (totOld, totNew) = (got.map(_._2).sum, got.map(_._3).sum)
+    got.foreach { case (_, nOld, nNew, pU, qU, term) =>
+      assert(pU == (nOld + 1) * 1000000L / (totOld + 10))
+      assert(qU == (nNew + 1) * 1000000L / (totNew + 10))
+      val ln6 = BigDecimal(math.log(qU.toDouble / pU))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = BigDecimal((qU - pU).toDouble / 1e6 * ln6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(term == expect)
+    }
+    // PSI is a divergence: the bucket terms sum nonnegative
+    assert(got.map(_._6).sum >= 0.0)
+  }
+
   test("snapshot diff classifies every key against a driver replay of both versions") {
     val got = graft.operators.Relational.corpusSnapshotDiff(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

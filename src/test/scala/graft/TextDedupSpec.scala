@@ -361,6 +361,30 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < lexical.size)
   }
 
+  test("clean split: test is the stratified sample, no train doc shares a cluster with test") {
+    val split = graft.operators.TextOps.cleanSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val test = graft.operators.TextOps.stratifiedSample(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val cluster = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.PlanCache.release()
+    graft.operators.Dedup.releaseBandIndex()
+    val all = Tables(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(split.keySet == all)
+    assert(split.collect { case (id, "test") => id }.toSet == test)
+    val testClusters = test.flatMap(cluster.get)
+    split.foreach {
+      case (id, "train") =>
+        assert(!cluster.get(id).exists(testClusters), s"train doc $id leaks a test cluster")
+      case (id, "excluded") =>
+        assert(!test(id) && cluster.get(id).exists(testClusters), s"$id wrongly excluded")
+      case _ => ()
+    }
+    assert(split.valuesIterator.contains("excluded"), "exclusion zone must be non-empty")
+  }
+
   test("incremental dedup finds exactly the full pair set's batch-touching pairs") {
     // the batch-probes-index shortcut must lose nothing relative to
     // re-pairing the whole corpus: same banding, same verify, so the

@@ -915,16 +915,18 @@ object TextOps {
   /** Joint lexical + semantic curation — the full modern filter chain
     * in one declarative plan: the [[curate]] bar (quality ∧ langID ∧
     * MinHash near-dup survivor) intersected with the
-    * [[Similarity.semDedup]] survivors (embedding-space duplicates the
+    * [[Similarity.semDedup]] verdicts (embedding-space duplicates the
     * lexical pass cannot see — paraphrases, translations, re-renders).
-    * Documents and embeddings pair on doc_id == vec_id. Both legs are
-    * the operators the oracles already verify; the composition is a
-    * left-semi join on the key — broadcast-sized here, key-bucketed at
-    * 100 TB. */
+    * Documents and embeddings pair on doc_id == vec_id; a document
+    * WITHOUT an embedding has no semantic verdict and passes (only a
+    * KNOWN semantic duplicate is removed — the anti-join against the
+    * dropped set encodes that, and the dropped set is the small,
+    * broadcastable side). Both legs are the operators the oracles
+    * already verify. */
   def jointCurate(spark: SparkSession, dir: String): DataFrame =
     curate(spark, dir)
-      .join(Similarity.semDedup(spark, dir).filter(col("is_kept"))
-        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .join(Similarity.semDedup(spark, dir).filter(!col("is_kept"))
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
 
   /** OOV vocab default, sized BELOW the synthetic corpus's 31-token
     * vocabulary so the boundary actually bites (production: 32k–256k). */

@@ -250,6 +250,9 @@ object SparkEntry {
     "q114_joint_curate" -> ((s, d) => TextOps.jointCurate(s, d)),
     "q115_drift_psi" -> ((s, d) => Relational.driftPsi(s, d)),
     "q116_clean_split" -> ((s, d) => TextOps.cleanSplit(s, d)),
+    "q117_daily_active" -> (Sketches.dailyActiveUsers _),
+    "q118_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
+    "q119_dq_report" -> (Relational.dqReport _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1741,6 +1744,67 @@ object SparkEntry {
          |       WHEN d.doc_id IN (SELECT doc_id FROM sp_ex) THEN 'excluded'
          |       ELSE 'train' END AS split
          |FROM documents d""".stripMargin,
+    // q117: q83's register replay keyed by calendar day over user ids
+    "q117_daily_active" -> {
+      val m = graft.operators.Sketches.HllRegisters
+      val rb = graft.operators.Sketches.HllRegisterBits
+      val w1 = graft.operators.Sketches.HllRestBits + 1
+      s"""WITH u AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         | h AS (SELECT day, user_id,
+         |    CAST('0x' || substr(md5('dau-' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      AS h FROM u),
+         | rr AS (SELECT day, h % $m AS reg,
+         |    CASE WHEN (h >> $rb) = 0 THEN $w1
+         |         ELSE $w1 - length(bin(h >> $rb)) END AS rho FROM h),
+         | regs AS (SELECT day, reg, max(rho) AS mrho FROM rr GROUP BY day, reg),
+         | s AS (SELECT day, CAST(count(*) AS BIGINT) AS m_hit,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - mrho)) AS BIGINT) AS sumpow
+         |  FROM regs GROUP BY day),
+         | e AS (SELECT day, m_hit, $m - m_hit AS zeros,
+         |    sumpow + ($m - m_hit) * (CAST(1 AS BIGINT) << 53) AS raw FROM s),
+         | est AS (SELECT day, m_hit,
+         |    CASE WHEN zeros > 0
+         |           AND ${graft.operators.Sketches.HllNumerator} / CAST(raw AS DOUBLE) <= ${2.5 * m}
+         |      THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |      ELSE ${graft.operators.Sketches.HllNumerator} / CAST(raw AS DOUBLE) END AS est
+         |  FROM e),
+         | t AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS true_dau
+         |  FROM u GROUP BY day)
+         |SELECT day, m_hit, round(est, 2) AS est_dau, true_dau
+         |FROM est JOIN t USING (day)""".stripMargin
+    },
+    // q118: q47's frame hashes grouped corpus-wide — shared footage
+    "q118_frame_dedup" ->
+      """WITH f AS (SELECT doc_id AS media_id, text,
+        |    CAST(ceil(length(text) / 256.0) AS INTEGER) AS nf FROM documents),
+        | e AS (SELECT media_id, text, unnest(range(0, nf)) AS frame_idx FROM f),
+        | fr AS (SELECT media_id,
+        |    md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_md5
+        |  FROM e WHERE frame_idx % 4 = 0)
+        |SELECT frame_md5, CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(min(media_id) AS BIGINT) AS first_media
+        |FROM fr GROUP BY frame_md5 HAVING count(DISTINCT media_id) >= 2""".stripMargin,
+    // q119: every DQ rule as a violation count; one aggregate, unpivoted
+    "q119_dq_report" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(o_custkey) AS BIGINT) AS null_custkey,
+        |    CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT) AS negative_price,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS duplicate_orderkey,
+        |    CAST(count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT)
+        |      AS bad_status,
+        |    CAST(count(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+        |                      OR CAST(o_orderdate AS DATE) >= DATE '2002-01-01'
+        |                    THEN 1 END) AS BIGINT) AS date_out_of_window
+        |  FROM orders)
+        |SELECT 'null_custkey' AS rule, n_rows, null_custkey AS violations,
+        |  null_custkey = 0 AS passed FROM a
+        |UNION ALL SELECT 'negative_price', n_rows, negative_price, negative_price = 0 FROM a
+        |UNION ALL SELECT 'duplicate_orderkey', n_rows, duplicate_orderkey,
+        |  duplicate_orderkey = 0 FROM a
+        |UNION ALL SELECT 'bad_status', n_rows, bad_status, bad_status = 0 FROM a
+        |UNION ALL SELECT 'date_out_of_window', n_rows, date_out_of_window,
+        |  date_out_of_window = 0 FROM a""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -103,4 +103,18 @@ object Multimodal {
         md5(col("text").substr(col("frame_idx") * frameSize + 1, lit(frameSize)))
           .as("frame_md5"))
   }
+
+  /** Cross-media duplicate frames: a sampled-frame hash appearing in
+    * ≥2 distinct media is shared footage — the multimodal face of
+    * [[TextOps.chunkDedup]] (intros, watermark cards, re-uploads).
+    * One shuffle keyed by frame hash (cardinality ∝ total frames, no
+    * hot key), counts map-side combined; at 100 TB this is exactly
+    * the chunk-dedup shape with a perceptual hash swapped in for md5. */
+  def frameDedup(spark: SparkSession, dir: String, frameSize: Int = 256,
+      stride: Int = 4): DataFrame =
+    sampleFrames(spark, dir, frameSize, stride)
+      .groupBy(col("frame_md5"))
+      .agg(count_distinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_occ"), min(col("media_id")).as("first_media"))
+      .filter(col("n_media") >= 2)
 }

@@ -366,6 +366,34 @@ object Relational {
       .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n_events"))
   }
 
+  /** Data-quality gate over the orders table: the validation rules a
+    * pipeline runs before trusting a drop, uniformly expressed as
+    * VIOLATION COUNTS (pass ⇔ 0) so one schema serves every rule —
+    * completeness (null keys), domain (status values), range
+    * (nonnegative money, date window), uniqueness (key collisions).
+    * ONE scan, one aggregate row, unpivoted to a row per rule (the
+    * [[profileTable]] shape); the engine's alert face can key off any
+    * failed row. */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val one = o.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("o_custkey"))).as("null_custkey"),
+      count(when(col("o_totalprice") < 0, lit(1))).as("negative_price"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("duplicate_orderkey"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), lit(1))).as("bad_status"),
+      count(when(to_date(col("o_orderdate")) < lit("1995-01-01").cast("date") ||
+        to_date(col("o_orderdate")) >= lit("2002-01-01").cast("date"), lit(1)))
+        .as("date_out_of_window"))
+    val rules = Seq("null_custkey", "negative_price", "duplicate_orderkey",
+      "bad_status", "date_out_of_window")
+    one.select(col("n_rows"), explode(array(rules.map(r =>
+        struct(lit(r).as("rule"), col(r).as("violations"))).toIndexedSeq: _*)).as("v"))
+      .select(col("v.rule").as("rule"), col("n_rows"),
+        col("v.violations").as("violations"),
+        (col("v.violations") === 0L).as("passed"))
+  }
+
   /** Distribution drift between two crawl versions: the Population
     * Stability Index over the document-length distribution, per
     * bucket — the ML-ops gate that catches "the new crawl's documents

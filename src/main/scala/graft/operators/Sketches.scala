@@ -104,6 +104,39 @@ object Sketches {
         col("true_distinct"))
   }
 
+  /** Daily active users, exact AND sketched side by side: the same
+    * md5-deterministic HLL registers as [[hllDistinctTokens]], keyed by
+    * calendar day — the monitoring series where the sketch's value
+    * shows (per-day registers are 256 longs, mergeable across
+    * partitions and days; the exact count is the spec's truth anchor).
+    * At 100 TB the exact leg is the one you drop; the sketch leg's
+    * cost is a map-side register fold. */
+  def dailyActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllRegisters
+    val base = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val h = Text.md5Hash60(concat(lit("dau-"), col("user_id").cast("string")))
+    val regs = base
+      .select(col("day"), pmod(h, lit(m)).as("reg"),
+        call_function("shiftright", h, lit(HllRegisterBits)).as("rest"))
+      .withColumn("rho",
+        when(col("rest") === 0, lit(HllRestBits + 1))
+          .otherwise(lit(HllRestBits + 1) - length(bin(col("rest")))))
+      .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("mrho"))
+    val sums = regs.groupBy(col("day")).agg(
+      count(lit(1)).as("m_hit"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(53 - mrho AS INT))")).as("sumpow"))
+    val exact = base.groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("true_dau"))
+    val zeros = lit(m) - col("m_hit")
+    val raw = col("sumpow") + zeros * lit(1L << 53)
+    val estRaw = lit(HllNumerator) / raw.cast("double")
+    val est = when(zeros > 0 && estRaw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(estRaw)
+    sums.join(exact, Seq("day"))
+      .select(col("day"), col("m_hit"), round(est, 2).as("est_dau"), col("true_dau"))
+  }
+
   /** Bloom shape shared with the oracle: 4096 bits, 3 hashes. */
   val BloomBits = 4096
   val BloomHashes = 3

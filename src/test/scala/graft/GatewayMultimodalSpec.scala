@@ -73,4 +73,17 @@ class GatewayMultimodalSpec extends SparkSpec {
       assert(rollup.map(_.getAs[Long]("rows_received")).sum > 0)
     } finally spark.streams.removeListener(rec)
   }
+
+  test("frame dedup flags exactly the frame hashes shared across media") {
+    val frames = graft.operators.Multimodal.sampleFrames(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val got = graft.operators.Multimodal.frameDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = frames.groupBy(_._2).collect {
+      case (h, occ) if occ.map(_._1).distinct.length >= 2 =>
+        h -> ((occ.map(_._1).distinct.length.toLong, occ.length.toLong, occ.map(_._1).min))
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture has shared frames")
+  }
 }

@@ -224,6 +224,35 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._6).sum >= 0.0)
   }
 
+  test("dq report: clean data passes every rule; an injected corruption is counted exactly") {
+    val clean = graft.operators.Relational.dqReport(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(clean.keySet == Set("null_custkey", "negative_price", "duplicate_orderkey",
+      "bad_status", "date_out_of_window"))
+    assert(clean.values.forall { case (v, p) => v == 0L && p })
+    // corrupt fixture: one violation of each kind, plus one clean row
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, Some(10L), "O", 100.0, ts("1995-06-01 00:00:00"), "1-URGENT"),
+      (2L, None: Option[Long], "O", 100.0, ts("1995-06-01 00:00:00"), "1-URGENT"),
+      (3L, Some(11L), "O", -5.0, ts("1995-06-01 00:00:00"), "1-URGENT"),
+      (3L, Some(12L), "O", 100.0, ts("1995-06-01 00:00:00"), "1-URGENT"),
+      (4L, Some(13L), "X", 100.0, ts("1995-06-01 00:00:00"), "1-URGENT"),
+      (5L, Some(14L), "O", 100.0, ts("2005-06-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val bad = graft.operators.Relational.dqReport(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(bad("null_custkey") == ((1L, false)))
+    assert(bad("negative_price") == ((1L, false)))
+    assert(bad("duplicate_orderkey") == ((1L, false)))
+    assert(bad("bad_status") == ((1L, false)))
+    assert(bad("date_out_of_window") == ((1L, false)))
+  }
+
   test("snapshot diff classifies every key against a driver replay of both versions") {
     val got = graft.operators.Relational.corpusSnapshotDiff(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -88,4 +88,21 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
     assert(got == whole)
   }
+
+  test("daily active users: sketch tracks the exact count per day within sketch error") {
+    val rows = Sketches.dailyActiveUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (day, est, truth) = (r.getDate(0).toLocalDate, r.getDouble(2), r.getLong(3))
+      assert(truth == exact(day))
+      val rel = math.abs(est - truth) / truth.toDouble
+      assert(rel <= 0.26, s"day $day: est $est truth $truth rel $rel")
+    }
+  }
 }

@@ -49,6 +49,7 @@ object ConfigReader {
       backupTasks: Seq[BackupSpec] = Nil,
       trainingTasks: Seq[TrainingExportSpec] = Nil,
       optimizeTasks: Seq[OptimizeSpec] = Nil,
+      dqTasks: Seq[DqSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -85,6 +86,13 @@ object ConfigReader {
         try Some(parseOptimizeTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed optimize task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      dqTasks = root.path("dqTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseDqTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed dq task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -267,5 +275,36 @@ object ConfigReader {
         val f = n.path("numFiles").asInt(8)
         require(f > 0, "numFiles must be positive"); f
       })
+  }
+
+  private def parseDqTask(n: JsonNode): DqSpec = {
+    import graft.operators.DataQuality._
+    val schedule = optText(n, "schedule").getOrElse("0 6 * * *")
+    graft.operators.Cron.parse(schedule) // validate: a bad schedule skips THIS task only
+    val rules = n.path("rules").elements.asScala.toSeq.map { r =>
+      val name = reqText(r, "name"); val column = reqText(r, "column")
+      reqText(r, "kind") match {
+        case "notNull"  => NotNull(name, column)
+        case "unique"   => Unique(name, column)
+        case "minValue" =>
+          require(r.path("value").isNumber, s"rule '$name' needs a numeric value")
+          MinValue(name, column, r.path("value").asDouble)
+        case "maxValue" =>
+          require(r.path("value").isNumber, s"rule '$name' needs a numeric value")
+          MaxValue(name, column, r.path("value").asDouble)
+        case "inSet" =>
+          val vs = r.path("values")
+          require(vs.isArray && vs.size > 0, s"rule '$name' needs a values array")
+          InSet(name, column, vs.elements.asScala.toSeq.map(_.asText))
+        case k => throw new IllegalArgumentException(s"unknown rule kind '$k'")
+      }
+    }
+    require(rules.nonEmpty, "dq task needs at least one rule")
+    DqSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      table = reqText(n, "table"),
+      rules = rules)
   }
 }

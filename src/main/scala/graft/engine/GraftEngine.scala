@@ -44,6 +44,7 @@ final class GraftEngine(
   @volatile private var backupSpecs: Seq[BackupSpec] = Nil
   @volatile private var trainingSpecs: Seq[TrainingExportSpec] = Nil
   @volatile private var optimizeSpecs: Seq[graft.model.OptimizeSpec] = Nil
+  @volatile private var dqSpecs: Seq[graft.model.DqSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -170,15 +171,16 @@ final class GraftEngine(
     }
     recorder.foreach(_._2.flush())
     if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs ||
-        cfg.optimizeTasks != optimizeSpecs) {
+        cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
+      dqSpecs = cfg.dqTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
         backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob) ++
-          optimizeSpecs.map(toOptimizeJob),
+          optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -211,6 +213,17 @@ final class GraftEngine(
       try { GraftEngine.runOptimize(spark, spec); () }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("optimize_failed", s"optimize${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toDqJob(spec: graft.model.DqSpec): Cron.Job =
+    Cron.Job(GraftEngine.DqJobIdOffset + spec.id, spec.schedule, () =>
+      try GraftEngine.runDqCheck(spark, spec).foreach { case (rule, n) =>
+        alerts.send(Alerts.Alert("dq_violation", s"dq${spec.id}/${spec.table}",
+          s"rule $rule: $n violations"))
+      }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("dq_failed", s"dq${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -533,6 +546,19 @@ object GraftEngine {
 
   /** Optimize-task namespace, above training's for the same reason. */
   val OptimizeJobIdOffset = 2000000
+
+  /** DQ-task namespace. */
+  val DqJobIdOffset = 3000000
+
+  /** Evaluate one DQ task now; returns (rule, violations) for every
+    * FAILED rule — the caller alerts on each. The full report is
+    * driver-side metadata (one row per rule). */
+  def runDqCheck(spark: SparkSession,
+      spec: graft.model.DqSpec): Seq[(String, Long)] =
+    graft.operators.DataQuality
+      .check(graft.Tables(spark, spec.sourceDir, spec.table), spec.rules)
+      .collect().toSeq
+      .collect { case r if !r.getBoolean(4) => r.getString(0) -> r.getLong(3) }
 
   /** Execute one layout-maintenance job now (the optimize cron target):
     * rewrite the source parquet table Z-clustered on the two configured

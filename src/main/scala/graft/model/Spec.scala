@@ -112,3 +112,15 @@ final case class OptimizeSpec(
     outDir: String = "",       // optimized mirror
     zorderBy: (String, String) = ("", ""),
     numFiles: Int = 8)
+
+/** A scheduled data-quality gate: the declarative rule list
+  * ([[graft.operators.DataQuality]]) evaluated against one table on a
+  * cron, each FAILED rule raising a `dq_violation` alert — the
+  * trust-but-verify face of the sync pipeline (a target that drifts
+  * out of contract pages someone before a consumer reads it). */
+final case class DqSpec(
+    id: Int,
+    schedule: String = "0 6 * * *",
+    sourceDir: String = "",
+    table: String = "",
+    rules: Seq[graft.operators.DataQuality.Rule] = Nil)

@@ -870,4 +870,44 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("scheduled dq: a drifted table alerts per failed rule, a clean one stays silent") {
+    val root = tmp()
+    // corrupt orders: a null custkey and a negative price
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    Seq((1L, Option(10L), 100.0, ts), (2L, None: Option[Long], 100.0, ts),
+        (3L, Option(11L), -5.0, ts))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.parquet(s"$root/orders.parquet")
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "dqTasks": [
+         |  { "id": 3, "schedule": "45 6 * * *", "sourceDir": "$root", "table": "orders",
+         |    "rules": [
+         |      { "kind": "notNull", "name": "custkey_present", "column": "o_custkey" },
+         |      { "kind": "minValue", "name": "price_nonneg", "column": "o_totalprice",
+         |        "value": 0 },
+         |      { "kind": "unique", "name": "orderkey_unique", "column": "o_orderkey" } ] }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T06:45:00")) ==
+        Seq(GraftEngine.DqJobIdOffset + 3))
+      val fired = alerts.drain().filter(_.kind == "dq_violation")
+      // exactly the two violated rules alert; the passing rule is silent
+      assert(fired.map(_.message).toSet ==
+        Set("rule custkey_present: 1 violations", "rule price_nonneg: 1 violations"))
+      // repair the table: the next day's run stays silent
+      spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(9L, 12L, 50.0, ts)),
+        spark.read.parquet(s"$root/orders.parquet").schema)
+        .write.mode("overwrite").parquet(s"$root/orders.parquet")
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T06:45:00")) ==
+        Seq(GraftEngine.DqJobIdOffset + 3))
+      assert(alerts.drain().isEmpty)
+    } finally engine.stop()
+  }
+
 }

@@ -253,6 +253,8 @@ object SparkEntry {
     "q117_daily_active" -> (Sketches.dailyActiveUsers _),
     "q118_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
     "q119_dq_report" -> (Relational.dqReport _),
+    "q120_quality_percentiles" -> (Relevance.qualityPercentiles _),
+    "q121_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1805,6 +1807,28 @@ object SparkEntry {
         |UNION ALL SELECT 'bad_status', n_rows, bad_status, bad_status = 0 FROM a
         |UNION ALL SELECT 'date_out_of_window', n_rows, date_out_of_window,
         |  date_out_of_window = 0 FROM a""".stripMargin,
+    // q120: within-source rank → micro-unit percentile; single-member
+    // sources pin to the median
+    "q120_quality_percentiles" ->
+      s"""WITH $docMetricsCte,
+         | r AS (SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality ASC, doc_id ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM m)
+         |SELECT doc_id, source, quality,
+         |  CAST(CASE WHEN n = 1 THEN 500000
+         |            ELSE (rnk - 1) * 1000000 // (n - 1) END AS BIGINT) AS pct_u
+         |FROM r""".stripMargin,
+    // q121: the closure's per-cluster sizes, histogrammed
+    "q121_cluster_sizes" ->
+      s"""WITH RECURSIVE $q25Ctes,
+         | $ccCtes,
+         | sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |           FROM clus GROUP BY cluster_id)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY cluster_size""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -117,6 +117,16 @@ object Dedup {
     * computed once per corpus, not once per consumer. */
   final case class BandIndex(hashed: DataFrame, bands: DataFrame)
 
+  /** Cluster-size histogram over the near-dup closure: how many
+    * clusters of each size the corpus holds — the dedup ops report
+    * that distinguishes "a few giant mirror families" (re-examine the
+    * threshold) from "many pairs" (healthy). Sizes come from the
+    * shared closure; the histogram is two metadata-sized aggregates. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** Memo: one [[BandIndex]] per (session, dir, k), alive until
     * [[releaseBandIndex]] — clusters (q49), incremental dedup (q50) and
     * curation (q53) in one process all probe the same cached index

@@ -135,6 +135,25 @@ object Relevance {
     * doc_id) — fine for ranking keys, and at 100 TB the phase boundary
     * would come from quantile cuts ([[tokenPercentiles]]' rank formula)
     * instead; position stays per-phase and embarrassingly parallel. */
+  /** Per-source quality percentile in integer micro-units — the
+    * quantile-transform feature normalization a cross-source model
+    * needs (raw quality scores are not comparable between a curated
+    * and a crawl source; their within-source ranks are). rank and the
+    * partition count ride the SAME source-partitioned window spec, so
+    * the whole transform is one exchange; the single-member-source
+    * edge pins to the median. */
+  def qualityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), Text.qualityScore(col("text")).as("quality"))
+      .withColumn("rnk", row_number().over(
+        bySource.orderBy(col("quality").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(bySource))
+    ranked.select(col("doc_id"), col("source"), col("quality"),
+      when(col("n") === 1, lit(500000L))
+        .otherwise(expr("(rnk - 1) * 1000000 div (n - 1)")).as("pct_u"))
+  }
+
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     val staged = Tables(spark, dir, "documents")
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))

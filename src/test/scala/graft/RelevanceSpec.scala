@@ -89,6 +89,20 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("quality percentiles: endpoints pin to 0 and 1e6, order tracks quality within source") {
+    val got = graft.operators.Relevance.qualityPercentiles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      assert(ordered.head._4 == 0L && ordered.last._4 == 1000000L, src)
+      // percentile replays the rank formula and is monotone in rank
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r._4 == i.toLong * 1000000L / (rows.length - 1), s"$src rank $i")
+      }
+    }
+  }
+
   test("curriculum: balanced quality-ordered phases, dense per-phase positions") {
     val got = graft.operators.Relevance.curriculumOrder(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))

@@ -386,6 +386,20 @@ class TextDedupSpec extends SparkSpec {
     assert(split.valuesIterator.contains("excluded"), "exclusion zone must be non-empty")
   }
 
+  test("cluster-size histogram conserves the clustered-doc mass, no singleton clusters") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val got = Dedup.clusterSizeHistogram(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.PlanCache.release()
+    graft.operators.Dedup.releaseBandIndex()
+    val expected = clusters.groupBy(_._2).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expected)
+    assert(got.keysIterator.min >= 2L, "a cluster needs at least one pair")
+    assert(got.map { case (sz, n) => sz * n }.sum == clusters.length.toLong)
+  }
+
   test("incremental dedup finds exactly the full pair set's batch-touching pairs") {
     // the batch-probes-index shortcut must lose nothing relative to
     // re-pairing the whole corpus: same banding, same verify, so the

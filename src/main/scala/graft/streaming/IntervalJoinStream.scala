@@ -34,9 +34,17 @@ object IntervalJoinStream {
 
   /** The attribution join over an event stream (or, identically, a
     * batch frame — `withWatermark` is a no-op there, which is exactly
-    * the parity contract the spec pins). */
+    * the parity contract the spec pins).
+    *
+    * `joinType` "inner" emits matched pairs only; "rightOuter" (outer
+    * on the PURCHASE side) additionally emits every unattributed
+    * purchase with null view columns — and can only do so once the
+    * watermark proves no on-time view can still match, so the null
+    * rows trail the event time by the lateness horizon. That is the
+    * "conversion WITHOUT preceding engagement" report, and the second
+    * stream-stream mode Spark supports state eviction for. */
   def attributed(events: DataFrame, horizon: String = "1 hour",
-      late: String = "1 hour"): DataFrame = {
+      late: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -48,16 +56,17 @@ object IntervalJoinStream {
     views.join(purchases,
         expr(s"""v_user = p_user
                 | AND view_ts >= purchase_ts - interval $horizon
-                | AND view_ts <= purchase_ts""".stripMargin))
+                | AND view_ts <= purchase_ts""".stripMargin), joinType)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("purchase_ts"), col("view_id"), col("view_ts"))
   }
 
   /** Run over a JSON file stream into an in-memory append sink. */
   def start(spark: SparkSession, sourceDir: String, queryName: String,
-      horizon: String = "1 hour"): StreamingQuery =
+      horizon: String = "1 hour", joinType: String = "inner"): StreamingQuery =
     attributed(spark.readStream.schema(schema)
-        .option("timestampFormat", TsFormat).json(sourceDir), horizon)
+        .option("timestampFormat", TsFormat).json(sourceDir), horizon,
+      joinType = joinType)
       .writeStream
       .queryName(queryName)
       .outputMode("append")

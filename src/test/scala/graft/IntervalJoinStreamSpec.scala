@@ -75,4 +75,24 @@ class IntervalJoinStreamSpec extends SparkSpec {
     val got = rowSet(spark.sql("SELECT * FROM ivj_late"))
     assert(got == Set((2L, 1L, 1L), (4L, 9L, 3L)))
   }
+
+  test("outer attribution: an unattributed purchase emits with null view once the watermark proves it") {
+    val src = Files.createTempDirectory("graft_ivj_outer").toString
+    val q = IntervalJoinStream.start(spark, src, "ivj_outer", joinType = "rightOuter")
+    try {
+      // user 1: attributed purchase; user 2: purchase with NO view in
+      // its trailing hour (the nearest view is 2h earlier)
+      writeEvents(src)((1L, 1L, "2024-03-01 10:00:00", "view"),
+        (1L, 2L, "2024-03-01 10:30:00", "purchase"),
+        (2L, 3L, "2024-03-01 08:00:00", "view"),
+        (2L, 4L, "2024-03-01 10:30:00", "purchase"))
+      q.processAllAvailable()
+      flush(src, q)
+      val rows = spark.sql(
+          "SELECT purchase_id, user_id, view_id FROM ivj_outer WHERE user_id < 999999")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(rows == Set((2L, 1L, Some(1L)), (4L, 2L, None)))
+    } finally q.stop()
+  }
 }

@@ -256,8 +256,12 @@ object Dedup {
     * re-paired. */
   def pairsAgainstStoredIndex(spark: SparkSession, indexDir: String,
       batch: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
-    val storedBands = spark.read.parquet(s"$indexDir/bands")
-    val storedHashed = spark.read.parquet(s"$indexDir/hashed")
+    // honor right-to-be-forgotten tombstones ([[forgetInStoredIndex]]):
+    // a tombstoned document neither candidates nor verifies
+    val storedBands = Forgotten.exclude(
+      spark.read.parquet(s"$indexDir/bands"), "doc_id", spark, indexDir)
+    val storedHashed = Forgotten.exclude(
+      spark.read.parquet(s"$indexDir/hashed"), "doc_id", spark, indexDir)
     // band the batch fresh: increment-sized work, cheaper than filtering
     // the full stored index for the batch's rows
     val hashed = batch.select(col("doc_id"),
@@ -272,6 +276,36 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     verifyJaccard(cand, storedHashed, threshold)
+  }
+
+  /** Right-to-be-forgotten in the stored band index: record tombstones
+    * now (probes exclude them immediately — [[Forgotten]]'s contract);
+    * [[compactStoredIndex]] performs the physical erasure. */
+  def forgetInStoredIndex(spark: SparkSession, indexDir: String,
+      docIds: Seq[Long]): Unit =
+    Forgotten.append(spark, indexDir, docIds)
+
+  /** Compact the stored band index: rewrite `hashed` and `bands`
+    * MINUS tombstoned documents (the durable right-to-be-forgotten
+    * erasure) and collapse append-accumulated small files; tombstones
+    * clear once the rows are physically gone. Same staged-rename swap
+    * and single-writer maintenance-window contract as
+    * [[Similarity.compactStoredIvf]]. */
+  def compactStoredIndex(spark: SparkSession, indexDir: String,
+      numFiles: Int = 8): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("hashed", "bands").foreach { t =>
+      val staged = s"$indexDir/${t}_compacting"
+      Forgotten.exclude(spark.read.parquet(s"$indexDir/$t"), "doc_id", spark, indexDir)
+        .repartition(numFiles)
+        .write.mode("overwrite").parquet(staged)
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      fs.delete(live, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staged), live),
+        s"compaction swap failed for $indexDir/$t")
+    }
+    Forgotten.clear(spark, indexDir)
   }
 
   /** Size-ratio prefilter on a banded candidate join: J(A,B) ≥ t forces

@@ -330,8 +330,11 @@ object Similarity {
     val cents = loadCentroids(spark, indexDir)
     // cast: a compacted index stores centroid_id as a PARTITION column,
     // which parquet partition discovery types int — normalize to the
-    // pre-compaction long so the probe join key never drifts
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    // pre-compaction long so the probe join key never drifts.
+    // Forgotten.exclude honors right-to-be-forgotten tombstones
+    // ([[forgetInStoredIvf]]) until compaction erases the rows.
+    val cells = Forgotten.exclude(
+        spark.read.parquet(s"$indexDir/cells"), "vec_id", spark, indexDir)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
         col("centroid_id").cast("long").as("centroid_id"))
     val probes = queries
@@ -354,7 +357,8 @@ object Similarity {
     * aggregate over the cells table. */
   def ivfCellStats(spark: SparkSession, indexDir: String): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids").select("centroid_id")
-    val occ = spark.read.parquet(s"$indexDir/cells")
+    val occ = Forgotten.exclude(
+        spark.read.parquet(s"$indexDir/cells"), "vec_id", spark, indexDir)
       .groupBy(col("centroid_id").cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n_vectors"))
     cents.join(occ, Seq("centroid_id"), "left")
@@ -376,7 +380,9 @@ object Similarity {
     * (production would flip a manifest pointer instead). */
   def compactStoredIvf(spark: SparkSession, indexDir: String): Unit = {
     val staged = s"$indexDir/cells_compacting"
-    spark.read.parquet(s"$indexDir/cells")
+    // compaction is also the durable right-to-be-forgotten erasure:
+    // tombstoned vectors are dropped from the rewrite, then cleared
+    Forgotten.exclude(spark.read.parquet(s"$indexDir/cells"), "vec_id", spark, indexDir)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -385,7 +391,14 @@ object Similarity {
     fs.delete(cells, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(staged), cells),
       s"compaction swap failed for $indexDir")
+    Forgotten.clear(spark, indexDir)
   }
+
+  /** Right-to-be-forgotten in the stored IVF index: tombstone now,
+    * probes exclude immediately, [[compactStoredIvf]] erases. */
+  def forgetInStoredIvf(spark: SparkSession, indexDir: String,
+      vecIds: Seq[Long]): Unit =
+    Forgotten.append(spark, indexDir, vecIds)
 
   /** The stored coarse codebook — numCentroids rows, metadata-bounded
     * by construction (a codebook is picked/trained small enough to

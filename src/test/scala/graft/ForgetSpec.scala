@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Right-to-be-forgotten propagation through the persisted indexes:
+  * tombstone → probes blind immediately → compaction erases
+  * physically and clears the tombstones. */
+class ForgetSpec extends SparkSpec {
+
+  test("band index: a forgotten doc vanishes from probes at once and from disk at compaction") {
+    val indexDir = Files.createTempDirectory("graft_forget_band").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    Dedup.appendToStoredIndex(docs, indexDir)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def probePairs(): Set[(Long, Long)] =
+      Dedup.pairsAgainstStoredIndex(spark, indexDir, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probePairs()
+    assert(before.nonEmpty)
+    // forget one member of some pair: every pair touching it must go
+    val victim = before.head._1
+    Dedup.forgetInStoredIndex(spark, indexDir, Seq(victim))
+    val after = probePairs()
+    assert(after == before.filterNot(p => p._1 == victim || p._2 == victim))
+    // compaction: physical erasure + tombstone clear, probes unchanged
+    Dedup.compactStoredIndex(spark, indexDir)
+    assert(!spark.read.parquet(s"$indexDir/hashed").collect().map(_.getLong(0))
+      .contains(victim))
+    assert(!spark.read.parquet(s"$indexDir/bands")
+      .select("doc_id").collect().map(_.getLong(0)).contains(victim))
+    assert(!new java.io.File(s"$indexDir/forgotten").exists())
+    assert(probePairs() == after)
+  }
+
+  test("ivf index: a forgotten vector leaves top-k, occupancy, and — after compaction — disk") {
+    val indexDir = Files.createTempDirectory("graft_forget_ivf").toString
+    val emb = Tables(spark, sf, "embeddings")
+    Similarity.buildStoredIvf(emb, indexDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def topk(): Set[(Long, Long)] =
+      Similarity.ivfTopKAgainstStoredIndex(spark, indexDir, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = topk()
+    // forget a returned candidate (not a query/centroid): it must drop
+    // out and the freed rank refills from the remaining candidates
+    val victim = before.collect { case (_, c) if c >= 16 => c }.head
+    Similarity.forgetInStoredIvf(spark, indexDir, Seq(victim))
+    val after = topk()
+    assert(!after.exists(_._2 == victim))
+    assert(after.map(_._1) == before.map(_._1), "every query still answers")
+    val total = emb.count()
+    assert(Similarity.ivfCellStats(spark, indexDir).collect()
+      .map(_.getLong(1)).sum == total - 1)
+    Similarity.compactStoredIvf(spark, indexDir)
+    assert(!spark.read.parquet(s"$indexDir/cells").select("vec_id")
+      .collect().map(_.getLong(0)).contains(victim))
+    assert(!new java.io.File(s"$indexDir/forgotten").exists())
+    assert(topk() == after)
+  }
+}

@@ -82,7 +82,8 @@ class PlanSpec extends SparkSpec {
     // as-of + sessionization are single-window shapes: one exchange
     // (hash on user_id) feeds everything — the session aggregate's
     // (user_id, session_seq) grouping reuses the window's clustering
-    Seq("q59_asof_join", "q60_sessions", "q101_scd2_versions").foreach { name =>
+    Seq("q59_asof_join", "q60_sessions", "q101_scd2_versions",
+        "q120_quality_percentiles").foreach { name =>
       val p = plan(name)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(exchanges == 1, s"$name plans $exchanges exchanges:\n$p")

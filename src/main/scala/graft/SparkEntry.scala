@@ -255,6 +255,7 @@ object SparkEntry {
     "q119_dq_report" -> (Relational.dqReport _),
     "q120_quality_percentiles" -> (Relevance.qualityPercentiles _),
     "q121_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
+    "q122_sqldump_restore" -> ((s, d) => Backup.sqlDumpRestoreReport(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1829,6 +1830,13 @@ object SparkEntry {
          |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
          |  CAST(count(*) AS BIGINT) AS n_clusters
          |FROM sizes GROUP BY cluster_size""".stripMargin,
+    // q122: the dump→restore loop is lossless, so the oracle is the
+    // same report straight off the parquet table
+    "q122_sqldump_restore" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY o_orderstatus""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -196,49 +196,57 @@ object Backup {
   def readSql(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val rows = spark.read.textFile(path).flatMap { line =>
       parseInsertTuples(line).map { tuple =>
         require(tuple.length == schema.fields.length,
           s"tuple arity ${tuple.length} != schema arity ${schema.fields.length}")
         Row.fromSeq(tuple.zip(schema.fields).map { case ((text, quoted), f) =>
-          if (!quoted && text == "NULL") null
-          else f.dataType match {
-            case StringType    => text
-            case LongType      => text.toLong
-            case IntegerType   => text.toInt
-            case ShortType     => text.toShort
-            case ByteType      => text.toByte
-            case DoubleType    => text.toDouble
-            case FloatType     => text.toFloat
-            case BooleanType   => text == "1"
-            case TimestampType => java.sql.Timestamp.valueOf(text)
-            case TimestampNTZType =>
-              java.time.LocalDateTime.parse(text, ntzFmt)
-            case DateType      => java.sql.Date.valueOf(text)
-            case _: DecimalType => new java.math.BigDecimal(text)
-            case BinaryType    =>
-              // writeSql renders bytes as unquoted 0x-hex, empty as ''
-              if (quoted) { require(text.isEmpty,
-                s"readSql: quoted binary must be empty, got '$text'"); Array.empty[Byte] }
-              else {
-                require(text.startsWith("0x") && text.length % 2 == 0,
-                  s"readSql: bad binary literal '$text'")
-                text.drop(2).grouped(2)
-                  .map(Integer.parseInt(_, 16).toByte).toArray
-              }
-            case other => throw new IllegalArgumentException(s"readSql: unsupported $other")
-          }
+          parseSqlValue(text, quoted, f.dataType)
         })
       }
     }(org.apache.spark.sql.Encoders.row(schema))
     spark.createDataFrame(rows.rdd, schema)
   }
 
+  /** Decode one [[writeSql]] literal back to the JVM-external value for
+    * `dt` (null for an unquoted NULL). Shared by [[readSql]] and the
+    * DataSource V2 scan ([[graft.sources.SqlDumpSource]]). */
+  private[graft] def parseSqlValue(text: String, quoted: Boolean,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (!quoted && text == "NULL") null
+    else dt match {
+      case StringType    => text
+      case LongType      => text.toLong
+      case IntegerType   => text.toInt
+      case ShortType     => text.toShort
+      case ByteType      => text.toByte
+      case DoubleType    => text.toDouble
+      case FloatType     => text.toFloat
+      case BooleanType   => text == "1"
+      case TimestampType => java.sql.Timestamp.valueOf(text)
+      case TimestampNTZType =>
+        java.time.LocalDateTime.parse(text, ntzFmt)
+      case DateType      => java.sql.Date.valueOf(text)
+      case _: DecimalType => new java.math.BigDecimal(text)
+      case BinaryType    =>
+        // writeSql renders bytes as unquoted 0x-hex, empty as ''
+        if (quoted) { require(text.isEmpty,
+          s"readSql: quoted binary must be empty, got '$text'"); Array.empty[Byte] }
+        else {
+          require(text.startsWith("0x") && text.length % 2 == 0,
+            s"readSql: bad binary literal '$text'")
+          text.drop(2).grouped(2)
+            .map(Integer.parseInt(_, 16).toByte).toArray
+        }
+      case other => throw new IllegalArgumentException(s"readSql: unsupported $other")
+    }
+  }
+
   /** Scan one INSERT statement line into value tuples of
     * (unescaped-text, was-quoted). Quote-aware: commas and parens inside
     * string literals are data, `\'` never closes a literal. */
-  private[operators] def parseInsertTuples(line: String): Seq[Seq[(String, Boolean)]] = {
+  private[graft] def parseInsertTuples(line: String): Seq[Seq[(String, Boolean)]] = {
     val start = line.indexOf(" VALUES ")
     require(start >= 0, s"not an INSERT statement: ${line.take(80)}")
     val body = line.substring(start + 8).stripSuffix(";")
@@ -305,5 +313,25 @@ object Backup {
         col("o_orderdate") >= lit("1997-06-01").cast("timestamp") &&
         col("o_orderdate") < lit("1999-01-01").cast("timestamp"),
       Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+  }
+
+  /** W7 closed loop through the DataSource V2 connector
+    * ([[graft.sources.SqlDumpSource]]): export an orders projection as
+    * a SQL-dump artifact, restore it with `format("sqldump")` — the
+    * price predicate pushes into the dump scan, so filtered-out rows
+    * never materialize — and aggregate revenue per status. The oracle
+    * computes the same report straight from the parquet table, proving
+    * dump → restore → scan loses nothing. */
+  def sqlDumpRestoreReport(spark: SparkSession, dir: String,
+      minTotal: Double = 150000.0): DataFrame = {
+    val orders = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_sqldump_restore").toString
+    writeSql(orders, "orders", stage, compress = false)
+    spark.read.format("sqldump").schema(orders.schema).load(stage)
+      .filter(col("o_totalprice") > minTotal)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
   }
 }

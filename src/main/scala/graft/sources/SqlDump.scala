@@ -1,0 +1,279 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Backup
+
+/** DataSource V2 batch reader for the engine's SQL-dump export format
+  * ([[graft.operators.Backup.writeSql]] — the re-expression of the
+  * reference's mysqldump-shaped backup artifacts,
+  * pkg/backup/mysql.go:105-164,380-516). `Backup.readSql` restores a
+  * dump through `textFile → flatMap`; this connector makes the same
+  * artifacts first-class Spark tables:
+  *
+  * {{{
+  * spark.read.format("sqldump").schema(schema).load("/backups/orders")
+  * }}}
+  *
+  * with the scan work a v1 restore cannot do:
+  *
+  *  - **Column pruning during parse** — only the projected (or
+  *    filter-referenced) positions of each VALUES tuple are decoded to
+  *    typed values; the rest stay untouched text. On a wide dump a
+  *    2-column projection skips most of the per-row conversion cost.
+  *  - **Filter pushdown** — comparison/null predicates are evaluated on
+  *    the parsed JVM values before any InternalRow is built, so
+  *    filtered-out rows never materialize. Residual (unsupported)
+  *    filters are declined and re-applied by Spark above the scan.
+  *  - **File-granular parallelism** — one input partition per part
+  *    file, so a dump written by N tasks reads back with N-way
+  *    parallelism, gzip part files included (codec via the standard
+  *    Hadoop factory).
+  *
+  * Schema: pass the table's original schema for a typed round trip
+  * (dumps carry no type info — same contract as `readSql`). Without
+  * one, the schema is inferred from the first INSERT header: column
+  * names exact, every column `STRING`.
+  */
+final class SqlDumpSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sqldump"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SqlDump.inferSchema(SqlDump.pathOf(options.asScala.toMap))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SqlDumpTable(schema, SqlDump.pathOf(properties.asScala.toMap))
+}
+
+final class SqlDumpTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"sqldump($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SqlDumpScanBuilder(schema, path)
+}
+
+final class SqlDumpScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition(SqlDump.evaluable(fullSchema, _))
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SqlDumpScan(fullSchema, required, pushed, path)
+}
+
+final class SqlDumpScan(fullSchema: StructType, required: StructType,
+    pushed: Array[Filter], path: String) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSqlDump $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    SqlDump.listPartFiles(path).map(f => SqlDumpPartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SqlDumpReaderFactory(fullSchema, required, pushed)
+}
+
+final case class SqlDumpPartition(file: String) extends InputPartition
+
+final class SqlDumpReaderFactory(fullSchema: StructType, required: StructType,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SqlDumpPartitionReader(fullSchema, required, pushed,
+      p.asInstanceOf[SqlDumpPartition].file)
+}
+
+/** Streams one part file: line → INSERT tuples → (filter on parsed
+  * externals) → InternalRow of the pruned columns. Only positions that
+  * the projection or a pushed filter touches are ever decoded. */
+final class SqlDumpPartitionReader(fullSchema: StructType, required: StructType,
+    pushed: Array[Filter], file: String) extends PartitionReader[InternalRow] {
+
+  private val reqIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private val filterEvals = pushed.map(SqlDump.compile(fullSchema, _))
+  private val neededIdx =
+    (reqIdx ++ pushed.flatMap(_.references.map(fullSchema.fieldIndex))).distinct.sorted
+
+  private val reader = SqlDump.openLines(file)
+  private var lineTuples: Iterator[Seq[(String, Boolean)]] = Iterator.empty
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (lineTuples.hasNext) {
+        val tuple = lineTuples.next()
+        require(tuple.length == fullSchema.length,
+          s"tuple arity ${tuple.length} != schema arity ${fullSchema.length} in $file")
+        // decode only the touched positions to external JVM values
+        val ext = new Array[Any](fullSchema.length)
+        var i = 0
+        while (i < neededIdx.length) {
+          val c = neededIdx(i)
+          val (text, quoted) = tuple(c)
+          ext(c) = Backup.parseSqlValue(text, quoted, fullSchema(c).dataType)
+          i += 1
+        }
+        if (filterEvals.forall(_(ext))) {
+          current = new GenericInternalRow(reqIdx.map(c =>
+            SqlDump.toCatalyst(ext(c), fullSchema(c).dataType)))
+          return true
+        }
+      } else {
+        val line = reader.readLine()
+        if (line == null) return false
+        if (line.nonEmpty) lineTuples = Backup.parseInsertTuples(line).iterator
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object SqlDump {
+
+  def pathOf(opts: Map[String, String]): String =
+    opts.getOrElse("path", throw new IllegalArgumentException(
+      "sqldump: a single load(path) is required"))
+
+  /** Non-hidden part files under `path` (a file or a flat export dir). */
+  def listPartFiles(path: String): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      else Array(p)
+    files.map(_.toString).sorted
+  }
+
+  /** Buffered line reader with transparent Hadoop codec (.gz) decode. */
+  def openLines(file: String): java.io.BufferedReader = {
+    val conf = new Configuration()
+    val p = new Path(file)
+    val raw: java.io.InputStream = p.getFileSystem(conf).open(p)
+    val codec = new CompressionCodecFactory(conf).getCodec(p)
+    val in = if (codec == null) raw else codec.createInputStream(raw)
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Column names from the first INSERT header; all STRING (dumps are
+    * untyped text — same contract as [[Backup.readSql]]'s schema arg). */
+  def inferSchema(path: String): StructType = {
+    val files = listPartFiles(path)
+    require(files.nonEmpty, s"sqldump: no part files under $path")
+    val r = openLines(files.head)
+    try {
+      val line = r.readLine()
+      require(line != null, s"sqldump: ${files.head} is empty")
+      val open = line.indexOf('(')
+      val close = line.indexOf(')', open + 1)
+      require(open >= 0 && close > open && line.contains(" VALUES "),
+        s"sqldump: not an INSERT header: ${line.take(80)}")
+      StructType(line.substring(open + 1, close).split(',')
+        .map(c => StructField(c.trim.stripPrefix("`").stripSuffix("`"), StringType)))
+    } finally r.close()
+  }
+
+  /** Orderable column: the comparison filters compile for these. */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | TimestampType | DateType | _: DecimalType => true
+    case _ => false
+  }
+
+  def evaluable(schema: StructType, f: Filter): Boolean = f match {
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case EqualTo(a, _) => schema.fieldNames.contains(a) &&
+      (orderable(schema(a).dataType) || schema(a).dataType == BooleanType)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a) && orderable(schema(a).dataType)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a) && orderable(schema(a).dataType)
+    case LessThan(a, _) => schema.fieldNames.contains(a) && orderable(schema(a).dataType)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a) && orderable(schema(a).dataType)
+    case _ => false
+  }
+
+  /** Compile an accepted filter to a predicate over the external-value
+    * array (null semantics: comparisons with null are false). */
+  def compile(schema: StructType, f: Filter): Array[Any] => Boolean = {
+    def idx(a: String) = schema.fieldIndex(a)
+    def cmpAt(a: String, v: Any, keep: Int => Boolean): Array[Any] => Boolean = {
+      val i = idx(a)
+      ext => ext(i) != null && keep(cmp(ext(i), v))
+    }
+    f match {
+      case IsNull(a) => val i = idx(a); ext => ext(i) == null
+      case IsNotNull(a) => val i = idx(a); ext => ext(i) != null
+      case EqualTo(a, v) => val i = idx(a); ext => ext(i) != null && ext(i) == v
+      case GreaterThan(a, v) => cmpAt(a, v, _ > 0)
+      case GreaterThanOrEqual(a, v) => cmpAt(a, v, _ >= 0)
+      case LessThan(a, v) => cmpAt(a, v, _ < 0)
+      case LessThanOrEqual(a, v) => cmpAt(a, v, _ <= 0)
+      case other => throw new IllegalStateException(s"unpushable filter $other")
+    }
+  }
+
+  /** Both sides come from the same column's external type (the filter
+    * literal is Catalyst-external for that type), so raw Comparable is
+    * sound; LocalDate/Instant literals (java8 datetime API) are bridged
+    * to the parser's java.sql externals first. */
+  private def cmp(a: Any, b: Any): Int = {
+    val bb = b match {
+      case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+      case t: java.time.Instant   => java.sql.Timestamp.from(t)
+      case other                  => other
+    }
+    a.asInstanceOf[Comparable[Any]].compareTo(bb)
+  }
+
+  /** External JVM value → Catalyst internal value. */
+  def toCatalyst(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+    case l: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(l)
+    case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+    case b: java.math.BigDecimal =>
+      val d = dt.asInstanceOf[DecimalType]
+      Decimal(b.setScale(d.scale), d.precision, d.scale)
+    case other => other // primitives, Array[Byte]
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Backup
+
+/** The SQL-dump DataSource V2: typed round trip through
+  * `spark.read.format("sqldump")`, header schema inference, and the
+  * scan-level work — column pruning, filter pushdown, per-file
+  * parallelism — that the v1 `Backup.readSql` path cannot do. */
+class SqlDumpSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("s", StringType),
+    StructField("v", DoubleType), StructField("ok", BooleanType),
+    StructField("ts", TimestampType), StructField("d", DateType),
+    StructField("amt", DecimalType(10, 2)), StructField("bin", BinaryType)))
+
+  private def fixture(): org.apache.spark.sql.DataFrame = {
+    val rows = Seq(
+      Row(1L, "plain", 1.5, true, java.sql.Timestamp.valueOf("2024-03-15 10:30:00.123456"),
+        java.sql.Date.valueOf("2024-03-15"), new java.math.BigDecimal("12.34"),
+        Array[Byte](1, 2, -3)),
+      Row(2L, "it's, (tricky)\nline", 2.5, false,
+        java.sql.Timestamp.valueOf("2024-03-16 00:00:00"),
+        java.sql.Date.valueOf("2024-03-16"), new java.math.BigDecimal("0.01"),
+        Array.empty[Byte]),
+      Row(3L, null, null, null, null, null, null, null),
+      Row(44L, "x\\y", 40.25, true, java.sql.Timestamp.valueOf("2024-03-17 23:59:59"),
+        java.sql.Date.valueOf("2024-03-17"), new java.math.BigDecimal("99.99"),
+        Array[Byte](0)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  private def asComparable(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().toSet[Row].map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case other => other
+    })
+
+  test("typed round trip through format(sqldump), plain and gzip") {
+    val df = fixture()
+    for (compress <- Seq(false, true)) {
+      val dir = Files.createTempDirectory("sqldump_v2").toString
+      Backup.writeSql(df, "t", dir, compress = compress)
+      val back = spark.read.format("sqldump").schema(schema).load(dir)
+      assert(asComparable(back) == asComparable(df))
+    }
+  }
+
+  test("schema inference: header column names, all STRING") {
+    val dir = Files.createTempDirectory("sqldump_infer").toString
+    Backup.writeSql(fixture(), "t", dir, compress = false)
+    val back = spark.read.format("sqldump").load(dir)
+    assert(back.schema.fields.map(_.name).toSeq == schema.fields.map(_.name).toSeq)
+    assert(back.schema.fields.forall(_.dataType == StringType))
+    // untyped values are the dump texts (NULL → null)
+    val byId = back.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("1").getString(2) == "1.5")
+    assert(byId("3").isNullAt(1))
+  }
+
+  test("column pruning reaches the scan: only projected columns in ReadSchema") {
+    val dir = Files.createTempDirectory("sqldump_prune").toString
+    Backup.writeSql(fixture(), "t", dir, compress = false)
+    val proj = spark.read.format("sqldump").schema(schema).load(dir).select("s", "id")
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSqlDump"))
+    val read = plan.substring(plan.indexOf("ReadSchema: "))
+    assert(read.contains("s:string") && read.contains("id:bigint"))
+    assert(!read.contains("amt") && !read.contains("ts"))
+    assert(proj.collect().length == 4)
+  }
+
+  test("comparison filters push into the scan; unsupported ones stay residual") {
+    val dir = Files.createTempDirectory("sqldump_filter").toString
+    Backup.writeSql(fixture(), "t", dir, compress = false)
+    val base = spark.read.format("sqldump").schema(schema).load(dir)
+
+    val pushedQ = base.filter(col("v") > 2.0).select("id")
+    val plan = pushedQ.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(v,2.0)"), plan)
+    assert(pushedQ.collect().map(_.getLong(0)).toSet == Set(2L, 44L))
+
+    // string EndsWith is not in the pushable set: declined → Spark
+    // re-applies it above the scan, result stays correct
+    val residualQ = base.filter(col("s").endsWith("y")).select("id")
+    val rplan = residualQ.queryExecution.executedPlan.toString
+    assert(!rplan.contains("PushedFilters: [StringEndsWith"), rplan)
+    assert(residualQ.collect().map(_.getLong(0)).toSet == Set(44L))
+
+    // null-semantics: pushed comparison never matches a NULL row (id=3)
+    assert(base.filter(col("v") <= 1000.0).count() == 3)
+  }
+
+  test("one input partition per part file") {
+    val dir = Files.createTempDirectory("sqldump_parallel").toString
+    Backup.writeSql(fixture().repartition(3), "t", dir, compress = false)
+    val back = spark.read.format("sqldump").schema(schema).load(dir)
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.count() == 4)
+  }
+}

@@ -127,6 +127,37 @@ object SparkEntry {
        |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** q123: 60-bit hyperplane signature + 15×4-bit bands + per-query
+    * Hamming-shortlist (top-100 by popcount, integer-exact) + exact
+    * cosine rerank — the binary-quantization ANN replay. */
+  private lazy val q123Sql: String = {
+    val sigExpr = (0 until 60).map { j =>
+      s"""CASE WHEN round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN
+         |        (CAST('0x' || substr(md5('$j-' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1) = 0
+         |        THEN 1.0 ELSE -1.0 END))), 6) > 0
+         |    THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin }.mkString(" +\n    ")
+    val bandCond = (0 until 15).map { j =>
+      s"((qsig >> ${j * 4}) & 15 = (csig >> ${j * 4}) & 15)" }.mkString(" OR ")
+    s"""WITH sig AS (SELECT vec_id, embedding, ($sigExpr) AS sig FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig FROM sig WHERE vec_id < 10),
+       | c AS (SELECT vec_id AS cand_id, embedding AS cv, sig AS csig FROM sig),
+       | cd AS (SELECT query_id, cand_id, qv, cv,
+       |   CAST(bit_count(xor(qsig, csig)) AS BIGINT) AS hamming
+       |   FROM q JOIN c ON cand_id <> query_id AND ($bandCond)),
+       | sl AS (SELECT query_id, cand_id, qv, cv,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY hamming ASC, cand_id ASC) AS slr FROM cd),
+       | s AS (SELECT query_id, cand_id,
+       |   round(list_sum(list_transform(range(1, 65),
+       |     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 6) AS sim
+       |   FROM sl WHERE slr <= 100),
+       | r AS (SELECT query_id, cand_id, sim,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY sim DESC, cand_id ASC) AS rank FROM s)
+       |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q2_revenue_by_nation" -> (Relational.revenueByNation _),
@@ -256,6 +287,9 @@ object SparkEntry {
     "q120_quality_percentiles" -> (Relevance.qualityPercentiles _),
     "q121_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "q122_sqldump_restore" -> ((s, d) => Backup.sqlDumpRestoreReport(s, d)),
+    "q123_hamming_ann" -> ((s, d) => Similarity.hammingTopK(s, d)),
+    "q124_vocab_overlap" -> ((s, d) => Sketches.vocabOverlap(s, d)),
+    "q125_cooccurrence" -> ((s, d) => EventFlow.cooccurrenceLift(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1837,6 +1871,68 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_totalprice > 150000.0
         |GROUP BY o_orderstatus""".stripMargin,
+    "q123_hamming_ann" -> q123Sql,
+    // q124: HLL inclusion–exclusion replay — union sums derived from
+    // the per-source sums + the common-register join (max-merge means
+    // the union keeps max(rho), so subtract the 2^(53−min) terms)
+    "q124_vocab_overlap" -> {
+      val m = graft.operators.Sketches.HllRegisters
+      val rb = graft.operators.Sketches.HllRegisterBits
+      val w1 = graft.operators.Sketches.HllRestBits + 1
+      val num = graft.operators.Sketches.HllNumerator
+      def est(mh: String, sp: String) =
+        s"""(CASE WHEN ($m - $mh) > 0
+           |    AND $num / CAST($sp + ($m - $mh) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) <= ${2.5 * m}
+           |  THEN ${m.toDouble} * ln(${m.toDouble} / ($m - $mh))
+           |  ELSE $num / CAST($sp + ($m - $mh) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) END)""".stripMargin
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         | h AS (SELECT source, token,
+         |    CAST('0x' || substr(md5('hll-' || token), 1, 15) AS BIGINT) AS h FROM tok),
+         | rr AS (SELECT source, h % $m AS reg,
+         |    CASE WHEN (h >> $rb) = 0 THEN $w1
+         |         ELSE $w1 - length(bin(h >> $rb)) END AS rho FROM h),
+         | regs AS (SELECT source, reg, max(rho) AS mrho FROM rr GROUP BY source, reg),
+         | s AS (SELECT source, CAST(count(*) AS BIGINT) AS m_hit,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - mrho)) AS BIGINT) AS sumpow
+         |  FROM regs GROUP BY source),
+         | cm AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS m_common,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - least(a.mrho, b.mrho))) AS BIGINT) AS sp_maxterm
+         |  FROM regs a JOIN regs b ON a.reg = b.reg AND a.source < b.source
+         |  GROUP BY 1, 2),
+         | u AS (SELECT source_a, source_b,
+         |    sa.m_hit AS mh_a, sa.sumpow AS sp_a,
+         |    sb.m_hit AS mh_b, sb.sumpow AS sp_b,
+         |    sa.m_hit + sb.m_hit - m_common AS mh_u,
+         |    sa.sumpow + sb.sumpow - sp_maxterm AS sp_u
+         |  FROM cm JOIN s sa ON sa.source = cm.source_a
+         |          JOIN s sb ON sb.source = cm.source_b),
+         | x AS (SELECT DISTINCT source, token FROM tok),
+         | ov AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS exact_overlap
+         |  FROM x a JOIN x b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT u.source_a, u.source_b,
+         |  coalesce(ov.exact_overlap, CAST(0 AS BIGINT)) AS exact_overlap,
+         |  round(${est("mh_a", "sp_a")} + ${est("mh_b", "sp_b")}
+         |    - ${est("mh_u", "sp_u")}, 2) AS est_overlap
+         |FROM u LEFT JOIN ov ON u.source_a = ov.source_a
+         |                   AND u.source_b = ov.source_b""".stripMargin
+    },
+    "q125_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        | n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+        | t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+        | p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        |  (n_ab * 1000000) // n_users AS support_micro,
+        |  (n_ab * n_users * 1000000) // (ta.n_t * tb.n_t) AS lift_micro
+        |FROM p CROSS JOIN n
+        |JOIN t ta ON ta.event_type = p.type_a
+        |JOIN t tb ON tb.event_type = p.type_b""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -264,4 +264,45 @@ object EventFlow {
       .select(col("view_id"), dim("user_id"), col("view_ts"),
         dim("value").as("value_at_view"), col("version_seq"))
   }
+
+  /** Event-type co-occurrence lift — the market-basket report over
+    * per-user type sets: for each unordered type pair (a < b), how many
+    * users did both, and lift = P(a∧b) / (P(a)·P(b)) in integer
+    * micro-units (floor), so both engines agree bit-for-bit with no
+    * float division. Lift > 1e6 micro-units reads "types co-occur more
+    * than independence predicts" — the cross-sell / funnel-design
+    * signal.
+    *
+    * Scale shape: ONE shuffle builds per-user distinct type sets; the
+    * pair fan-out happens map-side inside each set (bounded by
+    * |types|², never by user count) and partial-aggregates before the
+    * tiny (type_a, type_b) shuffle. The user-count denominator folds in
+    * as a literal from one scalar driver aggregate (the profiler/tfIdf
+    * convention — never a 1-row crossJoin, which would plan the banned
+    * nested loop). BIGINT products hold to ~10¹⁸ (n_ab·n_users·10⁶);
+    * beyond that rearrange to divide before multiplying, as the
+    * temperature mixer documents. */
+  def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val nUsers: Long = ev.agg(count_distinct(col("user_id"))).head().getLong(0)
+    val ut = PlanCache.tracked(
+      ev.select(col("user_id"), col("event_type")).distinct())
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val sets = ut.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val pairs = sets.select(explode(expr(
+        """flatten(transform(types, (a, i) ->
+          |  transform(slice(types, i + 2, size(types)),
+          |    b -> struct(a AS type_a, b AS type_b))))""".stripMargin)).as("p"))
+      .select(col("p.type_a"), col("p.type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr(s"(n_ab * 1000000) div $nUsers").as("support_micro"),
+        expr(s"(n_ab * $nUsers * 1000000) div (n_a * n_b)").as("lift_micro"))
+  }
 }

@@ -240,4 +240,81 @@ object Sketches {
     * bucketing and midpoints so the oracle replays bit-for-bit). */
   def logQuantiles(spark: SparkSession, dir: String): DataFrame =
     quantilesFromHistogram(logHistogram(Tables(spark, dir, "documents")))
+
+  /** The q83/q117 estimator as a reusable Column: identical double
+    * operations on identical integers in both engines (the ln of the
+    * linear-counting branch rides the usual round-at-output-dp
+    * convention). */
+  private def hllEstimate(mHit: Column, sumpow: Column): Column = {
+    val m = HllRegisters
+    val zeros = lit(m) - mHit
+    val raw = sumpow + zeros.cast("long") * lit(1L << 53)
+    val estRaw = lit(HllNumerator) / raw.cast("double")
+    when(zeros > 0 && estRaw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(estRaw)
+  }
+
+  /** Pairwise vocabulary overlap between sources — HLL SKETCH ALGEBRA:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    * register max-merge the HLL contract guarantees. The union's
+    * (m_hit, Σ2^(53−rho)) fold comes from the per-source sums plus ONE
+    * equi-join on the register index — for a register both sources hit,
+    * the union keeps max(rho), so
+    * `sumpow_u = sumpow_a + sumpow_b − Σ_common 2^(53−min(rho_a,rho_b))`
+    * — all integer, no per-pair register realignment, no cartesian
+    * pairs frame (pairs materialize FROM the common-register join;
+    * with vocab ≫ m a pair sharing zero registers is measure-zero, and
+    * vocabularies that tiny are exact-countable anyway). The exact
+    * intersect rides alongside as the truth anchor.
+    *
+    * This is the cross-corpus contamination / source-similarity report
+    * at 100 TB: per-source registers are ≤ sources × m rows however
+    * large the corpus, so source-pair overlap costs sketch-sized work
+    * after one token scan — the exact leg (a vocab-keyed self-join) is
+    * the one you drop at scale.
+    *
+    * Output per (source_a < source_b): exact overlap and the sketch
+    * estimate (signed — inclusion–exclusion error can undershoot 0;
+    * clamping would hide the sketch's honest variance). */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    // (source, reg, mrho) — feeds the per-source sums AND the
+    // common-register join; tracked, caller-managed lifetime
+    val regs = PlanCache.tracked(registerRows(docs)
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho")))
+    val perSrc = regs.groupBy(col("source")).agg(
+      count(lit(1)).as("m_hit"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mrho AS INT))")).as("sumpow"))
+    val common = regs.select(col("source").as("source_a"), col("reg"),
+        col("mrho").as("rho_a"))
+      .join(regs.select(col("source").as("source_b"), col("reg"),
+        col("mrho").as("rho_b")), Seq("reg"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(
+        count(lit(1)).as("m_common"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - least(rho_a, rho_b) AS INT))"))
+          .as("sp_maxterm"))
+    val ja = perSrc.select(col("source").as("source_a"),
+      col("m_hit").as("mh_a"), col("sumpow").as("sp_a"))
+    val jb = perSrc.select(col("source").as("source_b"),
+      col("m_hit").as("mh_b"), col("sumpow").as("sp_b"))
+    val est = common.join(broadcast(ja), Seq("source_a"))
+      .join(broadcast(jb), Seq("source_b"))
+      .withColumn("mh_u", col("mh_a") + col("mh_b") - col("m_common"))
+      .withColumn("sp_u", col("sp_a") + col("sp_b") - col("sp_maxterm"))
+    val st = docs
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      .distinct()
+    val exact = st.select(col("source").as("source_a"), col("token"))
+      .join(st.select(col("source").as("source_b"), col("token")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        round(hllEstimate(col("mh_a"), col("sp_a"))
+          + hllEstimate(col("mh_b"), col("sp_b"))
+          - hllEstimate(col("mh_u"), col("sp_u")), 2).as("est_overlap"))
+  }
 }

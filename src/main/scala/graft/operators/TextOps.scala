@@ -188,9 +188,12 @@ object TextOps {
     * average identical inputs. Single-token documents have no bigram —
     * emitted with n_bigrams = 0 and NULL score rather than dropped. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(spark, dir, "documents")
+    // the exploded grams feed BOTH the count model and the scoring
+    // join — tracked cache so the tokenize+md5 explode runs once, not
+    // twice (caller-managed lifetime, PlanCache.release)
+    val grams = PlanCache.tracked(Tables(spark, dir, "documents")
       .filter(Text.tokenCount(col("text")) >= 2)
-      .select(col("doc_id"), explode(Text.shingles(col("text"), 2)).as("bigram"))
+      .select(col("doc_id"), explode(Text.shingles(col("text"), 2)).as("bigram")))
     val counts = grams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
     val heads = counts
       .groupBy(split(col("bigram"), " ").getItem(0).as("head"))

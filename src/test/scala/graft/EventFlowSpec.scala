@@ -209,4 +209,28 @@ class EventFlowSpec extends SparkSpec {
     // inner PIT semantics: some views predate any version and drop
     assert(got.length < views.length && got.nonEmpty)
   }
+
+  test("co-occurrence lift replays exactly from the distinct (user, type) sets") {
+    val got = EventFlow.cooccurrenceLift(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ut = Tables(spark, sf, "events")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nUsers = ut.map(_._1).distinct.length.toLong
+    val byType = ut.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val pairCounts = ut.groupBy(_._1).values.flatMap { xs =>
+      val ts = xs.map(_._2).distinct.sorted
+      for (i <- ts.indices; j <- (i + 1) until ts.length) yield (ts(i), ts(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    assert(got.keySet == pairCounts.keySet)
+    got.foreach { case ((a, b), (nAb, support, lift)) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(nAb == pairCounts((a, b)))
+      assert(nAb <= math.min(byType(a), byType(b)))
+      assert(support == nAb * 1000000L / nUsers)
+      assert(lift == nAb * nUsers * 1000000L / (byType(a) * byType(b)))
+    }
+    graft.operators.PlanCache.release()
+  }
 }

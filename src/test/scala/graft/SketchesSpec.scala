@@ -105,4 +105,46 @@ class SketchesSpec extends SparkSpec {
       assert(rel <= 0.26, s"day $day: est $est truth $truth rel $rel")
     }
   }
+
+  test("vocab overlap: every source pair, estimate within sketch error of exact") {
+    val rows = Sketches.vocabOverlap(spark, sf).collect()
+    assert(rows.length == 190) // C(20,2) source pairs
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(2), r.getDouble(3))
+      // inclusion–exclusion stacks three ~6.5%-σ estimates; measured
+      // max |err| is 2.6 tokens on exact ≈ 30 here — 6 is 2× headroom
+      assert(math.abs(est - exact) <= 6.0,
+        s"${r.getString(0)}↔${r.getString(1)}: est $est exact $exact")
+    }
+    graft.operators.PlanCache.release()
+  }
+
+  test("vocab overlap union derivation equals a physically max-merged union sketch") {
+    // the operator derives the union's (m_hit, Σ2^(53−rho)) from the
+    // per-source sums plus the common-register join:
+    //   sp_u = sp_a + sp_b − Σ_common 2^(53−min(rho_a, rho_b))
+    // — that must equal the sums of the registers merged by max, the
+    // identity the inclusion–exclusion leans on. Verified exactly
+    // (integer equality) for every source pair.
+    val regRows = Sketches.registerRows(Tables(spark, sf, "documents"))
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySrc: Map[String, Map[Long, Int]] = regRows.groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(x => x._2 -> x._3).toMap }
+    def sumpow(m: Map[Long, Int]): Long =
+      m.values.map(rho => 1L << (53 - rho)).sum
+    val srcs = bySrc.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val (ma, mb) = (bySrc(a), bySrc(b))
+      val common = ma.keySet intersect mb.keySet
+      val derivedMh = ma.size + mb.size - common.size
+      val derivedSp = sumpow(ma) + sumpow(mb) -
+        common.toSeq.map(r => 1L << (53 - math.min(ma(r), mb(r)))).sum
+      val union = (ma.keySet union mb.keySet).map { r =>
+        r -> math.max(ma.getOrElse(r, 0), mb.getOrElse(r, 0))
+      }.toMap
+      assert(derivedMh == union.size, s"$a↔$b m_hit")
+      assert(derivedSp == sumpow(union), s"$a↔$b sumpow")
+    }
+  }
 }

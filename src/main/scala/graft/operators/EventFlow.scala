@@ -284,9 +284,12 @@ object EventFlow {
     * temperature mixer documents. */
   def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
-    val nUsers: Long = ev.agg(count_distinct(col("user_id"))).head().getLong(0)
     val ut = PlanCache.tracked(
       ev.select(col("user_id"), col("event_type")).distinct())
+    // the scalar fold rides the tracked frame: this action materializes
+    // the cache the main plan then reuses — one events scan total
+    val nUsers: Long =
+      ut.agg(count_distinct(col("user_id"))).head().getLong(0)
     val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
     val sets = ut.groupBy(col("user_id"))
       .agg(sort_array(collect_set(col("event_type"))).as("types"))

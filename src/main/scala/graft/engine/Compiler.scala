@@ -62,6 +62,13 @@ object Compiler {
   final case class RateMonitorDef(name: String, sourceDir: String,
       outDir: String, checkpointDir: String) extends PipelineDef
 
+  /** A `decontamTasks` entry: resident
+    * [[graft.streaming.DecontamStream]] pipeline — crawl documents
+    * scored at ingest against the corpus's eval shingle set, quarantine
+    * log + checkpoint owned by this pipeline. */
+  final case class DecontamDef(name: String, spec: graft.model.DecontamSpec)
+      extends PipelineDef
+
   /** Namespace + storage-path derivation. A table whose mapping-level
     * sourceDb DIFFERS from the task default gets db-prefixed paths and
     * a db-qualified pipeline name, so a multi-database task's tables
@@ -169,8 +176,10 @@ object Compiler {
     * another's parquet/checkpoint root). A rejected config keeps the
     * previous running set (the engine treats this like a config load
     * failure). */
-  def compileAll(specs: Seq[SyncTaskSpec]): Map[String, PipelineDef] = {
-    val defs = specs.flatMap(compile)
+  def compileAll(specs: Seq[SyncTaskSpec],
+      decontam: Seq[graft.model.DecontamSpec] = Nil): Map[String, PipelineDef] = {
+    val defs = specs.flatMap(compile) ++
+      decontam.filter(_.enabled).map(d => DecontamDef(s"decontam${d.id}", d))
     val dupNames = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dupNames.isEmpty, s"pipeline name collision: ${dupNames.mkString(", ")}")
     // rollup queryNames are sanitized ([^A-Za-z0-9_] → _), which can
@@ -193,6 +202,8 @@ object Compiler {
       // reads the shared change stream; owns only its log + checkpoint
       case SessionizeDef(n, _, out, ckpt) => Seq(out, ckpt).map((n, _))
       case RateMonitorDef(n, _, out, ckpt) => Seq(out, ckpt).map((n, _))
+      // corpus + crawl source are read-only; it owns its log + checkpoint
+      case DecontamDef(n, s) => Seq(s.outDir, s.checkpointDir).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {
       case Seq((na, a), (nb, b)) =>

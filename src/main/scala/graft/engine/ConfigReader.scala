@@ -50,6 +50,7 @@ object ConfigReader {
       trainingTasks: Seq[TrainingExportSpec] = Nil,
       optimizeTasks: Seq[OptimizeSpec] = Nil,
       dqTasks: Seq[DqSpec] = Nil,
+      decontamTasks: Seq[DecontamSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -93,6 +94,13 @@ object ConfigReader {
         try Some(parseDqTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed dq task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      decontamTasks = root.path("decontamTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseDecontamTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed decontam task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -275,6 +283,22 @@ object ConfigReader {
         val f = n.path("numFiles").asInt(8)
         require(f > 0, "numFiles must be positive"); f
       })
+  }
+
+  private def parseDecontamTask(n: JsonNode): DecontamSpec = {
+    val s = DecontamSpec(
+      id = n.path("id").asInt(0),
+      enabled = n.path("enabled").asBoolean(true),
+      corpusDir = reqText(n, "corpusDir"),
+      sourceDir = reqText(n, "sourceDir"),
+      outDir = reqText(n, "outDir"),
+      checkpointDir = reqText(n, "checkpointDir"),
+      k = n.path("k").asInt(4),
+      minHits = n.path("minHits").asInt(2),
+      evalMod = n.path("evalMod").asInt(10))
+    require(s.k >= 1 && s.minHits >= 1 && s.evalMod >= 2,
+      s"decontam task ${s.id}: k/minHits must be >= 1, evalMod >= 2")
+    s
   }
 
   private def parseDqTask(n: JsonNode): DqSpec = {

@@ -117,6 +117,13 @@ final class GraftEngine(
       // durable append-only log + checkpoint contract as sessionize
       guarded(() => RateStream.startChangeEvents(spark, sourceDir, outDir, ckpt,
         availableNow))
+    case Compiler.DecontamDef(_, s) =>
+      // ingest-time decontamination under the supervisor: stateless
+      // scoring, append-only scored log + checkpoint — same durability
+      // contract as the other file-sink riders
+      guarded(() => graft.streaming.DecontamStream.start(spark, s.corpusDir,
+        s.sourceDir, s.outDir, s.checkpointDir, availableNow,
+        s.k, s.minHits, s.evalMod))
   }
 
   /** Guardian envelope on the START path: a recoverable failure (e.g. a
@@ -150,7 +157,7 @@ final class GraftEngine(
     // to a colliding/nesting pipeline set must also keep the old state
     val (cfg, defs) = try {
       val c = ConfigReader.load(configPath)
-      (c, Compiler.compileAll(c.syncTasks))
+      (c, Compiler.compileAll(c.syncTasks, c.decontamTasks))
     } catch {
       case e: Exception =>
         alerts.send(Alerts.Alert("config_error", configPath, String.valueOf(e.getMessage)))
@@ -409,6 +416,7 @@ final class GraftEngine(
     case _: Compiler.RollupDef => false      // no writer, no DLQ
     case _: Compiler.SessionizeDef => false  // append-only file sink, no DLQ
     case _: Compiler.RateMonitorDef => false // append-only file sink, no DLQ
+    case _: Compiler.DecontamDef => false    // append-only file sink, no DLQ
   }
 
   private def targetDirOf(d: Compiler.PipelineDef): Option[String] = d match {
@@ -417,6 +425,7 @@ final class GraftEngine(
     case _: Compiler.RollupDef => None
     case _: Compiler.SessionizeDef => None  // append-only log: no tombstones to sweep
     case _: Compiler.RateMonitorDef => None // append-only log: no tombstones to sweep
+    case _: Compiler.DecontamDef => None    // append-only log: no tombstones to sweep
   }
 
   /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
@@ -497,6 +506,17 @@ final class GraftEngine(
         RateStream.currentRates(spark, outDir)
       case other => throw new IllegalArgumentException(
         s"$name is not a rateMonitor pipeline (got $other)")
+    }
+
+  /** Snapshot face of a `decontamTasks` pipeline's scored log — every
+    * ingested document with its eval-collision count and quarantine
+    * flag. */
+  def quarantineLog(name: String): org.apache.spark.sql.DataFrame =
+    pipelineDefs.get(name) match {
+      case Some(Compiler.DecontamDef(_, s)) =>
+        graft.streaming.DecontamStream.currentScores(spark, s.outDir)
+      case other => throw new IllegalArgumentException(
+        s"$name is not a decontam pipeline (got $other)")
     }
 
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries

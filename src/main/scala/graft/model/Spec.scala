@@ -124,3 +124,21 @@ final case class DqSpec(
     sourceDir: String = "",
     table: String = "",
     rules: Seq[graft.operators.DataQuality.Rule] = Nil)
+
+/** A resident decontamination pipeline
+  * ([[graft.streaming.DecontamStream]]): a JSON document stream at
+  * `sourceDir` scored at ingest against the eval slice of the corpus
+  * at `corpusDir`, landing the scored log (quarantine face = the
+  * `contaminated` column) in `outDir` under the supervisor — hot
+  * reload, restart-on-death, and guarded starts like any sync
+  * pipeline. */
+final case class DecontamSpec(
+    id: Int,
+    enabled: Boolean = true,
+    corpusDir: String = "",
+    sourceDir: String = "",
+    outDir: String = "",
+    checkpointDir: String = "",
+    k: Int = 4,
+    minHits: Int = 2,
+    evalMod: Int = 10)

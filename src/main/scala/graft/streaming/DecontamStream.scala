@@ -58,6 +58,13 @@ object DecontamStream {
         lit(eval)).cast("long").as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= minHits)
 
+  /** Explicit-schema read of a scored log — total on an outDir the
+    * stream has not committed to yet (engine snapshot face). */
+  def currentScores(spark: SparkSession, outDir: String): DataFrame =
+    spark.read
+      .schema("doc_id LONG, source STRING, n_hits LONG, contaminated BOOLEAN")
+      .parquet(outDir)
+
   /** JSON document stream → scored parquet log; the quarantine face is
     * the `contaminated` column (downstream curation left-anti-joins
     * it), the pass-through face is everything else — one log, one

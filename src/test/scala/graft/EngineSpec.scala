@@ -789,6 +789,37 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("config decontam: crawl docs scored at ingest equal the batch sweep; reload-drop stops the pipeline") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // the crawl input: the corpus's train slice as a JSON file stream
+    Tables(spark, sf, "documents").filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").json(s"$root/crawl")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "backupTasks": [], "decontamTasks": [
+         |  { "id": 30, "corpusDir": "$sf", "sourceDir": "$root/crawl",
+         |    "outDir": "$root/scored", "checkpointDir": "$root/dckpt" } ] }""".stripMargin)
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      val r = engine.pollOnce()
+      assert(r.started == Set("decontam30"))
+      engine.processAllAvailable()
+      val got = engine.quarantineLog("decontam30")
+        .filter(col("contaminated")).select("doc_id", "n_hits").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = graft.operators.Dedup.decontaminate(spark, sf).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      graft.operators.PlanCache.release()
+      assert(want.nonEmpty)
+      assert(got == want, "config-driven quarantine must equal the batch sweep")
+      // reload with the task removed: the reconcile stops it
+      writeConfig(cfgPath, """{ "syncTasks": [], "backupTasks": [] }""")
+      val r2 = engine.pollOnce()
+      assert(r2.stopped == Set("decontam30"))
+    } finally engine.stop()
+  }
+
   test("scheduled training export: fires at its minute, manifest equals the operator, reload drops the job") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

@@ -114,10 +114,12 @@ class TopKFusionSpec extends SparkSpec {
   }
 
   test("declared per-group top-k queries plan the fused exec") {
-    // q55: per-source quality top-k; q24: exact dedup's latest-per-key
-    Seq("q55_top_quality", "q24_dedup_exact").foreach { name =>
+    // q55: per-source quality top-k; q24: exact dedup's latest-per-key;
+    // q123: BOTH its windows (hamming shortlist + rerank top-k) fuse
+    Seq("q55_top_quality", "q24_dedup_exact", "q123_hamming_ann").foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(p.contains("TopKPerGroup"), s"$name:\n$p")
+      graft.operators.PlanCache.release()
     }
   }
 }

@@ -276,12 +276,11 @@ object Sketches {
     * Output per (source_a < source_b): exact overlap and the sketch
     * estimate (signed — inclusion–exclusion error can undershoot 0;
     * clamping would hide the sketch's honest variance). */
-  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    // (source, reg, mrho) — feeds the per-source sums AND the
-    // common-register join; tracked, caller-managed lifetime
-    val regs = PlanCache.tracked(registerRows(docs)
-      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho")))
+  /** The overlap estimate from a (source, reg, mrho) register frame:
+    * one (source_a < source_b, est_overlap) row per register-sharing
+    * pair — shared by the corpus-scan path ([[vocabOverlap]]) and the
+    * persisted-store path ([[overlapFromStore]]). */
+  private def overlapEstimates(regs: DataFrame): DataFrame = {
     val perSrc = regs.groupBy(col("source")).agg(
       count(lit(1)).as("m_hit"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mrho AS INT))")).as("sumpow"))
@@ -298,10 +297,23 @@ object Sketches {
       col("m_hit").as("mh_a"), col("sumpow").as("sp_a"))
     val jb = perSrc.select(col("source").as("source_b"),
       col("m_hit").as("mh_b"), col("sumpow").as("sp_b"))
-    val est = common.join(broadcast(ja), Seq("source_a"))
+    common.join(broadcast(ja), Seq("source_a"))
       .join(broadcast(jb), Seq("source_b"))
       .withColumn("mh_u", col("mh_a") + col("mh_b") - col("m_common"))
       .withColumn("sp_u", col("sp_a") + col("sp_b") - col("sp_maxterm"))
+      .select(col("source_a"), col("source_b"),
+        round(hllEstimate(col("mh_a"), col("sp_a"))
+          + hllEstimate(col("mh_b"), col("sp_b"))
+          - hllEstimate(col("mh_u"), col("sp_u")), 2).as("est_overlap"))
+  }
+
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    // (source, reg, mrho) — feeds the per-source sums AND the
+    // common-register join; tracked, caller-managed lifetime
+    val regs = PlanCache.tracked(registerRows(docs)
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho")))
+    val est = overlapEstimates(regs)
     val st = docs
       .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
       .distinct()
@@ -313,8 +325,54 @@ object Sketches {
     est.join(exact, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
         coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
-        round(hllEstimate(col("mh_a"), col("sp_a"))
-          + hllEstimate(col("mh_b"), col("sp_b"))
-          - hllEstimate(col("mh_u"), col("sp_u")), 2).as("est_overlap"))
+        col("est_overlap"))
   }
+
+  // ---- persisted sketch store -----------------------------------------
+
+  /** Found a durable per-source HLL register store: the corpus's
+    * (source, reg, mrho) rows land as a tiny parquet table. This is
+    * the 100 TB reporting steady state — distinct-count and overlap
+    * reports read ≤ sources × m rows from here instead of re-scanning
+    * the corpus; each crawl increment appends its own compacted
+    * registers ([[appendToSketchStore]]) and max-merge at READ time
+    * resolves the increments (HLL's merge = register max, so
+    * append-then-max ≡ sketching the union — spec-proven bit-equal). */
+  def foundSketchStore(docs: DataFrame, storeDir: String): Unit =
+    registerRows(docs)
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))
+      .write.mode("overwrite").parquet(s"$storeDir/registers")
+
+  /** Append one ingest increment's registers — compacted to the batch's
+    * per-(source, reg) max first, so the store grows by at most
+    * sources × m rows per increment regardless of batch size, and old
+    * rows are never rewritten (the append-only contract the band/IVF
+    * index family shares). */
+  def appendToSketchStore(batch: DataFrame, storeDir: String): Unit =
+    registerRows(batch)
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))
+      .write.mode("append").parquet(s"$storeDir/registers")
+
+  /** The store's merged register view: max over all increments. */
+  def storedRegisters(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.schema("source STRING, reg LONG, mrho INT")
+      .parquet(s"$storeDir/registers")
+      .groupBy(col("source"), col("reg")).agg(max(col("mrho")).as("mrho"))
+
+  /** Per-source distinct-token estimate read purely from the store —
+    * no corpus scan, no exact leg (at 100 TB the exact leg is the one
+    * you drop; [[hllDistinctTokens]] is its truth-anchored twin). */
+  def distinctFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val sums = storedRegisters(spark, storeDir)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("m_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mrho AS INT))")).as("sumpow"))
+    sums.select(col("source"), col("m_hit"),
+      round(hllEstimate(col("m_hit"), col("sumpow")), 2).as("est_distinct"))
+  }
+
+  /** Pairwise source-vocabulary overlap read purely from the store —
+    * [[vocabOverlap]]'s estimate leg with zero corpus work. */
+  def overlapFromStore(spark: SparkSession, storeDir: String): DataFrame =
+    overlapEstimates(PlanCache.tracked(storedRegisters(spark, storeDir)))
 }

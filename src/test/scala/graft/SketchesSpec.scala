@@ -119,6 +119,33 @@ class SketchesSpec extends SparkSpec {
     graft.operators.PlanCache.release()
   }
 
+  test("persisted sketch store: found+append max-merges to the whole-corpus registers; reports replay") {
+    val store = java.nio.file.Files.createTempDirectory("graft_sketchstore").toString
+    val docs = Tables(spark, sf, "documents")
+    Sketches.foundSketchStore(docs.filter(col("doc_id") % 2 === 0), store)
+    Sketches.appendToSketchStore(docs.filter(col("doc_id") % 2 =!= 0), store)
+    // append-then-max ≡ sketching the union: merged store registers
+    // equal the whole-corpus registers bit for bit
+    val got = Sketches.storedRegisters(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Sketches.registerRows(docs)
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && want.nonEmpty)
+    // the zero-corpus-scan reports equal the batch operators' estimates
+    val gotD = Sketches.distinctFromStore(spark, store).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSet
+    val wantD = Sketches.hllDistinctTokens(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(gotD == wantD)
+    val gotO = Sketches.overlapFromStore(spark, store).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val wantO = Sketches.vocabOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSet
+    graft.operators.PlanCache.release()
+    assert(gotO == wantO)
+  }
+
   test("vocab overlap union derivation equals a physically max-merged union sketch") {
     // the operator derives the union's (m_hit, Σ2^(53−rho)) from the
     // per-source sums plus the common-register join:

@@ -353,11 +353,35 @@ object Sketches {
       .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))
       .write.mode("append").parquet(s"$storeDir/registers")
 
-  /** The store's merged register view: max over all increments. */
+  /** The store's merged register view: max over all increments.
+    *
+    * Deletion caveat, stated honestly: HLL is NOT a linear sketch — a
+    * register max cannot be unlearned, so right-to-be-forgotten over
+    * sketched sources means re-founding the store from the surviving
+    * corpus (cheap relative to the corpus scan the reports avoid every
+    * other day). The band/IVF indexes, which store per-document rows,
+    * take the tombstone path instead ([[Forgotten]]). */
   def storedRegisters(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.schema("source STRING, reg LONG, mrho INT")
       .parquet(s"$storeDir/registers")
       .groupBy(col("source"), col("reg")).agg(max(col("mrho")).as("mrho"))
+
+  /** Rewrite the accumulated increments as one merged register set —
+    * the store's OPTIMIZE face: read-side work drops back to one row
+    * per (source, reg) after many appends. Staged-rename swap like the
+    * IVF cells compaction; reports are unchanged by construction
+    * (max is idempotent/associative). */
+  def compactSketchStore(spark: SparkSession, storeDir: String): Unit = {
+    val staged = s"$storeDir/registers_compacting"
+    storedRegisters(spark, storeDir).coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$storeDir/registers")
+    fs.delete(live, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), live),
+      s"compaction swap failed for $storeDir")
+  }
 
   /** Per-source distinct-token estimate read purely from the store —
     * no corpus scan, no exact leg (at 100 TB the exact leg is the one

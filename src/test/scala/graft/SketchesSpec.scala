@@ -122,8 +122,11 @@ class SketchesSpec extends SparkSpec {
   test("persisted sketch store: found+append max-merges to the whole-corpus registers; reports replay") {
     val store = java.nio.file.Files.createTempDirectory("graft_sketchstore").toString
     val docs = Tables(spark, sf, "documents")
-    Sketches.foundSketchStore(docs.filter(col("doc_id") % 2 === 0), store)
-    Sketches.appendToSketchStore(docs.filter(col("doc_id") % 2 =!= 0), store)
+    // split on %40 so BOTH halves cover every source (source is
+    // doc_id%20 in the synthetic data — a %2 split would separate the
+    // sources entirely and leave nothing for the max-merge to merge)
+    Sketches.foundSketchStore(docs.filter(col("doc_id") % 40 < 20), store)
+    Sketches.appendToSketchStore(docs.filter(col("doc_id") % 40 >= 20), store)
     // append-then-max ≡ sketching the union: merged store registers
     // equal the whole-corpus registers bit for bit
     val got = Sketches.storedRegisters(spark, store).collect()
@@ -144,6 +147,15 @@ class SketchesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSet
     graft.operators.PlanCache.release()
     assert(gotO == wantO)
+    // compaction: raw row count drops to the merged set, reports unchanged
+    val rawBefore = spark.read.parquet(s"$store/registers").count()
+    Sketches.compactSketchStore(spark, store)
+    val rawAfter = spark.read.parquet(s"$store/registers").count()
+    assert(rawAfter == got.size.toLong && rawAfter < rawBefore)
+    val gotD2 = Sketches.distinctFromStore(spark, store).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSet
+    graft.operators.PlanCache.release()
+    assert(gotD2 == wantD)
   }
 
   test("vocab overlap union derivation equals a physically max-merged union sketch") {

@@ -663,13 +663,25 @@ object Similarity {
     val emb = PlanCache.tracked(Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         Vectors.hyperplaneSignature(col("embedding"), nBits = 60).as("sig")))
+    hammingShortlistRerank(emb.filter(col("vec_id") < 10),
+      emb.select("vec_id", "sig"), emb.select("vec_id", "embedding"),
+      k, shortlist)
+  }
+
+  /** The probe core shared by the in-process path and the stored-codes
+    * path: band candidates → integer Hamming shortlist → exact cosine
+    * rerank, with candidate vectors fetched from `rowStore` for
+    * shortlist×queries rows only. `queries` carries (vec_id,
+    * embedding, sig); `codes` is the serving set (vec_id, sig). */
+  private def hammingShortlistRerank(queries: DataFrame, codes: DataFrame,
+      rowStore: DataFrame, k: Int, shortlist: Int): DataFrame = {
     def bands(df: DataFrame, idCol: String, sigCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("sig").as(sigCol),
         posexplode(transform(sequence(lit(0), lit(14)),
           j => call_function("shiftright", col("sig"), j * 4).bitwiseAND(lit(0xFL)))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val q = bands(emb.filter(col("vec_id") < 10), "query_id", "qsig")
-    val c = bands(emb, "cand_id", "csig")
+    val q = bands(queries.select("vec_id", "sig"), "query_id", "qsig")
+    val c = bands(codes, "cand_id", "csig")
     val cands = q.join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), col("qsig"), col("csig"))
@@ -681,13 +693,68 @@ object Similarity {
     val short = cands.withColumn("slr", row_number().over(slWin))
       .filter(col("slr") <= shortlist).select("query_id", "cand_id")
     val scored = short
-      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
-        Seq("cand_id"))
-      .join(broadcast(emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
-        Seq("query_id"))
+      .join(rowStore.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), Seq("cand_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
       .select(col("query_id"), col("cand_id"),
         round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
     topKPerQuery(scored, k)
+  }
+
+  // ---- persisted binary-code index -----------------------------------
+
+  /** Found the durable binary-code index: one 60-bit signature row per
+    * vector — the 8-byte-per-vector serving set a billion-scale
+    * deployment keeps hot while full vectors stay in the row store. */
+  def foundCodeIndex(emb: DataFrame, indexDir: String): Unit =
+    emb.select(col("vec_id"),
+        Vectors.hyperplaneSignature(col("embedding"), nBits = 60).as("sig"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+
+  /** Append one crawl increment's codes — signing is a pure map over
+    * the literal hyperplanes (no shuffle); old rows never rewritten
+    * (the append-only contract of the band/IVF/sketch stores). */
+  def appendToCodeIndex(batch: DataFrame, indexDir: String): Unit =
+    batch.select(col("vec_id"),
+        Vectors.hyperplaneSignature(col("embedding"), nBits = 60).as("sig"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+
+  /** O(request) deletion: tombstone now, erase at compaction —
+    * the [[Forgotten]] contract the other row indexes share. */
+  def forgetInStoredCodes(spark: SparkSession, indexDir: String,
+      vecIds: Seq[Long]): Unit =
+    Forgotten.append(spark, indexDir, vecIds)
+
+  /** Rewrite the codes minus tombstones behind a staged swap — the
+    * durable erasure + small-file compaction in one maintenance act. */
+  def compactCodeIndex(spark: SparkSession, indexDir: String): Unit = {
+    val staged = s"$indexDir/codes_compacting"
+    Forgotten.exclude(spark.read.parquet(s"$indexDir/codes"), "vec_id",
+        spark, indexDir)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    fs.delete(codes, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), codes),
+      s"compaction swap failed for $indexDir")
+    Forgotten.clear(spark, indexDir)
+  }
+
+  /** Probe the stored codes: queries sign in-plan, candidates and the
+    * Hamming shortlist come entirely from the 8 B/vector code table
+    * (tombstones excluded), and only the shortlist rows touch
+    * `rowStore` for the exact rerank — the serving split a real
+    * deployment runs. Proven ≡ the in-process [[hammingTopK]]. */
+  def hammingTopKAgainstStoredCodes(spark: SparkSession, indexDir: String,
+      queries: DataFrame, rowStore: DataFrame, k: Int = 5,
+      shortlist: Int = 100): DataFrame = {
+    val q = queries.select(col("vec_id"), col("embedding"),
+      Vectors.hyperplaneSignature(col("embedding"), nBits = 60).as("sig"))
+    val codes = Forgotten.exclude(
+      spark.read.schema("vec_id LONG, sig LONG").parquet(s"$indexDir/codes"),
+      "vec_id", spark, indexDir)
+    hammingShortlistRerank(q, codes, rowStore, k, shortlist)
   }
 }

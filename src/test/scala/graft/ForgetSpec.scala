@@ -61,4 +61,34 @@ class ForgetSpec extends SparkSpec {
     assert(!new java.io.File(s"$indexDir/forgotten").exists())
     assert(topk() == after)
   }
+
+  test("code index: found+append probes like in-process; forget blinds at once, compaction erases") {
+    val indexDir = Files.createTempDirectory("graft_forget_codes").toString
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    Similarity.foundCodeIndex(emb.filter(col("vec_id") % 2 === 0), indexDir)
+    Similarity.appendToCodeIndex(emb.filter(col("vec_id") % 2 =!= 0), indexDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def topk(): Set[(Long, Long, Double, Int)] =
+      Similarity.hammingTopKAgainstStoredCodes(spark, indexDir, queries, emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = topk()
+    val want = Similarity.hammingTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    graft.operators.PlanCache.release()
+    assert(before == want, "stored-codes probe must replay the in-process path")
+    // tombstone one hit: probes blind immediately, survivors re-rank
+    val victim = before.filter(_._2 >= 10).head._2
+    Similarity.forgetInStoredCodes(spark, indexDir, Seq(victim))
+    val after = topk()
+    assert(!after.exists(_._2 == victim))
+    assert(after.map(_._1) == before.map(_._1), "every query still answers")
+    // compaction: the row leaves disk, tombstones clear, probe unchanged
+    val rawBefore = spark.read.parquet(s"$indexDir/codes").count()
+    Similarity.compactCodeIndex(spark, indexDir)
+    assert(spark.read.parquet(s"$indexDir/codes").count() == rawBefore - 1)
+    assert(!spark.read.parquet(s"$indexDir/codes")
+      .collect().map(_.getLong(0)).contains(victim))
+    assert(!new java.io.File(s"$indexDir/forgotten").exists())
+    assert(topk() == after)
+  }
 }

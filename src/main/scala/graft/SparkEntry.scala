@@ -290,6 +290,8 @@ object SparkEntry {
     "q123_hamming_ann" -> ((s, d) => Similarity.hammingTopK(s, d)),
     "q124_vocab_overlap" -> ((s, d) => Sketches.vocabOverlap(s, d)),
     "q125_cooccurrence" -> ((s, d) => EventFlow.cooccurrenceLift(s, d)),
+    "q126_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
+    "q127_burstiness" -> ((s, d) => TextOps.lengthBurstiness(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1933,6 +1935,34 @@ object SparkEntry {
         |FROM p CROSS JOIN n
         |JOIN t ta ON ta.event_type = p.type_a
         |JOIN t tb ON tb.event_type = p.type_b""".stripMargin,
+    // q126: entropy replay — micro-unit probabilities, ln on the 1e-6
+    // grid, integer term sums (order-independent on both engines)
+    "q126_token_entropy" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        | tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        |   FROM tok GROUP BY 1, 2),
+        | t AS (SELECT source, CAST(sum(tf) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM tf GROUP BY 1),
+        | p AS (SELECT tf.source, (tf.tf * 1000000) // t.total AS p_u
+        |   FROM tf JOIN t ON t.source = tf.source),
+        | e AS (SELECT source, p_u,
+        |    CAST(round(ln(p_u / 1000000.0) * 1000000, 0) AS BIGINT) AS ln_u
+        |   FROM p WHERE p_u > 0),
+        | s AS (SELECT source, CAST(sum(p_u * ln_u) AS BIGINT) AS ssum
+        |   FROM e GROUP BY 1)
+        |SELECT t.source, total AS n_tokens, vocab,
+        |  round(-(ssum / 1e12), 4) AS entropy
+        |FROM t JOIN s ON s.source = t.source""".stripMargin,
+    // q127: Fano replay — exact integer moments, BIGINT floor division
+    "q127_burstiness" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+        | st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |   FROM d GROUP BY 1)
+        |SELECT source, n, sx,
+        |  (n * sxx - sx * sx) * 1000000 // ((n - 1) * sx) AS fano_micro
+        |FROM st""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -1014,4 +1014,62 @@ object TextOps {
         round(col("n_dups").cast("double") / col("n_docs").cast("double"), 4)
           .as("dup_rate"))
   }
+
+  /** Per-source unigram Shannon entropy — the corpus-diversity gate
+    * (a source whose entropy collapses is templated/spammy; one whose
+    * entropy spikes is likely noise). H = −Σ p·ln p with every float
+    * hazard pinned: probabilities are integer MICRO-UNITS
+    * (tf·1e6 div total), ln lands on the 1e-6 grid
+    * (round(ln·1e6, 0) → BIGINT, the PSI pattern), and the Σ runs over
+    * INTEGER p_u·ln_u products — so the fold is shuffle-order-
+    * independent where a double Σ would drift. Tokens rarer than 1e-6
+    * floor to p_u = 0 and drop (their total contribution is < 1.4e-5
+    * nats — below the 4 dp output grid). p_u·ln_u ≤ 1.4e13 per term:
+    * BIGINT holds to ~650k-token vocabularies; beyond that cast the
+    * product to DECIMAL(38,0), as the anomaly moments do.
+    *
+    * Scale: one token scan → (source, token) hash-agg (map-side
+    * combined), then a sources-sized broadcast join and a second tiny
+    * aggregate. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy(col("source"))
+      .agg(sum(col("tf")).as("total"), count(lit(1)).as("vocab"))
+    val terms = tf.join(broadcast(totals), Seq("source"))
+      .withColumn("p_u", expr("tf * 1000000 div total"))
+      .filter(col("p_u") > 0)
+      .withColumn("ln_u",
+        expr("CAST(round(ln(p_u / 1000000.0) * 1000000, 0) AS BIGINT)"))
+      .groupBy(col("source")).agg(sum(col("p_u") * col("ln_u")).as("s"))
+    totals.join(terms, Seq("source"))
+      .select(col("source"), col("total").as("n_tokens"), col("vocab"),
+        round(-col("s").cast("double") / 1e12, 4).as("entropy"))
+  }
+
+  /** Per-source length burstiness — the Fano factor (variance/mean) of
+    * per-document token counts, in floor micro-units from EXACT
+    * integer moments (n, Σx, Σx²): a uniform-length templated source
+    * sits near 0, organic text disperses. Sample variance over mean:
+    * F = (n·Σx² − (Σx)²) div ((n−1)·Σx) at the 1e-6 grid — pure BIGINT
+    * floor division, bit-identical cross-engine (decimal division
+    * would round at engine-chosen scales and flap the floor). The
+    * ·1e6 numerator holds in int64 while n·Σx² ≤ ~9·10¹¹ — fine for
+    * per-source shards; a 10⁹-document source needs the
+    * dailyAnomalies DECIMAL(38) rearrangement (divide before
+    * multiplying), noted here, not silently wrong: the product order
+    * below overflows loudly (Spark ANSI long-overflow), never quietly.
+    *
+    * One scan, one tiny per-source aggregate. */
+  def lengthBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val x = Text.tokenCount(col("text")).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("source"), x.as("x"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n"), col("sx"),
+        expr("(n * sxx - sx * sx) * 1000000 div ((n - 1) * sx)").as("fano_micro"))
+  }
 }

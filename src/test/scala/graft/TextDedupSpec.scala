@@ -210,6 +210,41 @@ class TextDedupSpec extends SparkSpec {
     assert(recall > 0.2) // 16-bit sig, 4-bit bands: approximate by design
   }
 
+  test("token entropy and burstiness replay their integer formulas driver-side") {
+    val toks = Tables(spark, sf, "documents").select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(' ').toSeq))
+    // entropy: replay micro-unit probabilities + 1e-6-grid ln exactly
+    val gotE = graft.operators.TextOps.tokenEntropy(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    toks.groupBy(_._1).foreach { case (src, docs) =>
+      val tf = docs.flatMap(_._2).groupBy(identity).map { case (_, o) => o.size.toLong }
+      val total = tf.sum
+      val s = tf.toSeq.map { n =>
+        val pU = n * 1000000L / total
+        if (pU > 0)
+          pU * BigDecimal(math.log(pU / 1000000.0) * 1000000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        else 0L
+      }.sum
+      val (nTokens, vocab, entropy) = gotE(src)
+      assert(nTokens == total && vocab == tf.size.toLong)
+      assert(entropy ==
+        BigDecimal(-s.toDouble / 1e12).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(entropy >= 0 && entropy <= math.log(vocab.toDouble) + 1e-9)
+    }
+    // burstiness: exact moment replay, non-negative
+    val gotF = graft.operators.TextOps.lengthBurstiness(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    toks.groupBy(_._1).foreach { case (src, docs) =>
+      val xs = docs.map(_._2.size.toLong)
+      val (n, sx, sxx) = (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+      val (gn, gsx, fano) = gotF(src)
+      assert(gn == n && gsx == sx)
+      assert(fano == (n * sxx - sx * sx) * 1000000L / ((n - 1) * sx))
+      assert(fano >= 0)
+    }
+  }
+
   test("hamming ann: binary shortlist + exact rerank recall vs brute force") {
     val brute = Similarity.bruteForceTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

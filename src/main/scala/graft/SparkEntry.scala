@@ -292,6 +292,7 @@ object SparkEntry {
     "q125_cooccurrence" -> ((s, d) => EventFlow.cooccurrenceLift(s, d)),
     "q126_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "q127_burstiness" -> ((s, d) => TextOps.lengthBurstiness(s, d)),
+    "q128_bpe_encode" -> ((s, d) => TextOps.applyBpe(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1963,6 +1964,37 @@ object SparkEntry {
         |SELECT source, n, sx,
         |  (n * sxx - sx * sx) * 1000000 // ((n - 1) * sx) AS fano_micro
         |FROM st""".stripMargin,
+    // q128: BPE application replay — each literal merge is one jump-2
+    // greedy recursive scan (the q82 mining oracle's m$i shape)
+    "q128_bpe_encode" -> {
+      val layers = Seq(
+        """v0 AS (
+          |  SELECT word, list_filter(string_split(word, ''), c -> c <> '') AS syms
+          |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+          |        FROM documents))""".stripMargin) ++
+        graft.operators.TextOps.DefaultMerges.zipWithIndex.flatMap {
+          case ((l, r), idx) =>
+            val i = idx + 1; val p = idx
+            Seq(
+              s"""m$i AS (
+                 |  SELECT word, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM v$p
+                 |  UNION ALL
+                 |  SELECT word, syms,
+                 |    CASE WHEN i < len(syms) AND syms[i] = '$l' AND syms[i+1] = '$r'
+                 |         THEN i+2 ELSE i+1 END,
+                 |    CASE WHEN i < len(syms) AND syms[i] = '$l' AND syms[i+1] = '$r'
+                 |         THEN list_append(acc, '$l$r') ELSE list_append(acc, syms[i]) END
+                 |  FROM m$i WHERE i <= len(syms))""".stripMargin,
+              s"""v$i AS (
+                 |  SELECT word, acc AS syms FROM m$i WHERE i = len(syms) + 1)""".stripMargin)
+        }
+      val last = graft.operators.TextOps.DefaultMerges.size
+      "WITH RECURSIVE " + layers.mkString(",\n ") +
+        s"""
+           |SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+           |  CAST(len(syms) AS BIGINT) AS n_syms,
+           |  array_to_string(syms, ' ') AS segmentation FROM v$last""".stripMargin
+    },
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

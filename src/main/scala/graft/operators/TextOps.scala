@@ -802,15 +802,63 @@ object TextOps {
       if (top.isEmpty) return merges.result().toDF_(spark)
       val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((it, l, r, cnt))
-      // greedy left-to-right merge: fold symbols, replacing each
-      // (l, r) adjacency with the concatenated symbol
       vocab = PlanCache.tracked(vocab.select(col("wf"),
-        aggregate(col("syms"), array().cast("array<string>"), (acc, cur) =>
-          when(size(acc) > 0 && element_at(acc, -1) === l && cur === r,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(cur)))).as("syms")))
+        greedyMerge(col("syms"), l, r).as("syms")))
     }
     merges.result().toDF_(spark)
+  }
+
+  /** One greedy leftmost-first merge pass: fold symbols, replacing
+    * each (l, r) adjacency with the concatenated symbol. The fold's
+    * accumulator tail is the MERGED symbol after a match (≠ l unless
+    * l·r = l·l = … degenerates, which concatenation prevents), so
+    * "a a a" under (a,a) becomes [aa, a] — identical to the oracle's
+    * jump-2 recursive scan. Shared by the miner ([[bpeMerges]]) and
+    * the encoder ([[applyBpe]]). */
+  private def greedyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, cur) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && cur === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(cur))))
+
+  /** The merge table [[applyBpe]] encodes with by default: the
+    * [[BpeIters]] merges the miner learned at sf0.01, frozen as
+    * literals so the declared query (and its oracle) are
+    * self-contained — the merges.txt a training run would ship, not a
+    * per-slice recomputation (merge ranks are frequency-dependent and
+    * differ across slices; the spec proves train→encode composition
+    * with freshly mined merges separately). Note merge 6 ("m","er")
+    * consumes merge 1's output — rank order is semantic, exactly as
+    * in a shipped tokenizer's merges.txt. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** BPE APPLICATION — the other half of the tokenizer lifecycle
+    * ([[bpeMerges]] trains, this encodes): each distinct corpus word
+    * starts as its character symbols and replays the merge table in
+    * rank order, one greedy leftmost-first pass per merge — the
+    * semantics of a standard merges.txt encoder. Output is the
+    * subword segmentation per word type (the vocabulary artifact a
+    * data pipeline ships to the trainer), with before/after symbol
+    * counts.
+    *
+    * Scale: the fold chain is ONE projection over the distinct-word
+    * frame (|vocabulary| rows, not corpus rows — encode cost is
+    * amortized over every occurrence); no shuffle after the distinct.
+    * The oracle replays every pass through the same jump-2 recursive
+    * scan the mining oracle uses. */
+  def applyBpe(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val chars = filter(split(col("word"), ""), c => c =!= "")
+    val start = Tables(spark, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("word")).distinct()
+      .select(col("word"), chars.as("syms"))
+    val enc = merges.foldLeft(start) { case (df, (l, r)) =>
+      df.select(col("word"), greedyMerge(col("syms"), l, r).as("syms")) }
+    enc.select(col("word"), length(col("word")).cast("long").as("n_chars"),
+      size(col("syms")).cast("long").as("n_syms"),
+      array_join(col("syms"), " ").as("segmentation"))
   }
 
   /** Builder for the merge-table frame (kept out of the loop so an

@@ -210,6 +210,33 @@ class TextDedupSpec extends SparkSpec {
     assert(recall > 0.2) // 16-bit sig, 4-bit bands: approximate by design
   }
 
+  test("bpe encode: segmentations reassemble their words, never grow, and the default table is the miner's") {
+    val rows = graft.operators.TextOps.applyBpe(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (word, nChars, nSyms, seg) =>
+      assert(seg.split(' ').mkString == word, s"'$seg' does not reassemble '$word'")
+      assert(nSyms <= nChars && nSyms >= 1)
+      assert(nChars == word.length.toLong)
+    }
+    // merges bite: the default table compresses this corpus's
+    // vocabulary overall (merge ranks are frequency-dependent, so the
+    // sf0.01-frozen table need not match this slice rank-for-rank —
+    // but its symbols still occur)
+    assert(rows.map(_._3).sum < rows.map(_._2).sum)
+    // train→encode composition: the merges mined from THIS slice feed
+    // the encoder directly, and every invariant holds for them too
+    val mined = graft.operators.TextOps.bpeMerges(spark, sf).orderBy("iter")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val rows2 = graft.operators.TextOps.applyBpe(spark, sf, mined).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    graft.operators.PlanCache.release()
+    rows2.foreach { case (word, _, _, seg) =>
+      assert(seg.split(' ').mkString == word)
+    }
+    assert(rows2.map(_._3).sum < rows2.map(_._2).sum)
+  }
+
   test("token entropy and burstiness replay their integer formulas driver-side") {
     val toks = Tables(spark, sf, "documents").select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1).split(' ').toSeq))

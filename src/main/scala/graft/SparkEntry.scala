@@ -293,6 +293,7 @@ object SparkEntry {
     "q126_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "q127_burstiness" -> ((s, d) => TextOps.lengthBurstiness(s, d)),
     "q128_bpe_encode" -> ((s, d) => TextOps.applyBpe(s, d)),
+    "q129_small_quantity" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -1995,6 +1996,18 @@ object SparkEntry {
            |  CAST(len(syms) AS BIGINT) AS n_syms,
            |  array_to_string(syms, ' ') AS segmentation FROM v$last""".stripMargin
     },
+    // q129: Q17 replay — decorrelated by hand here (join on the
+    // per-part aggregate); the rational 5·q·n < Σq threshold and
+    // floor-cents match the Spark form exactly
+    "q129_small_quantity" ->
+      """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        | p AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq FROM l GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(cents) AS BIGINT) // 7 AS avg_yearly_cents
+        |FROM l JOIN p USING (l_partkey) WHERE q * 5 * n < sq""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -464,4 +464,33 @@ object Relational {
             .otherwise(col("text"))).as("content_md5")),
       "doc_id")
   }
+
+  /** TPC-H Q17 shape — "small-quantity order revenue": lineitems whose
+    * quantity is below 20% of their part's average quantity, summed as
+    * yearly-average revenue. Written as the CORRELATED SCALAR SUBQUERY
+    * a user would write, on purpose: Catalyst decorrelates both
+    * subqueries into per-part aggregates joined on the equality
+    * correlate — the declarative form plans the same equi-join +
+    * aggregate a hand-rewritten version would, and the global PlanSpec
+    * cartesian sweep pins that no nested loop survives.
+    *
+    * Exactness: the 20%-of-average threshold is the rational
+    * comparison 5·qty·n < Σqty over BIGINTs (never a float boundary),
+    * and revenue folds as floor-cents (the q91 money convention).
+    * Scale: two shuffles on l_partkey (or one, when the optimizer
+    * merges the sibling subqueries), key cardinality grows with the
+    * table — no hot key, no driver-side work. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_q129_lineitem")
+    spark.sql(
+      """WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM graft_q129_lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(cents) AS BIGINT) div 7 AS avg_yearly_cents
+        |FROM l
+        |WHERE q * 5 * (SELECT count(*) FROM l x WHERE x.l_partkey = l.l_partkey)
+        |      < (SELECT sum(x.q) FROM l x WHERE x.l_partkey = l.l_partkey)""".stripMargin)
+  }
 }

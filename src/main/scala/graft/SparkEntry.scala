@@ -294,6 +294,10 @@ object SparkEntry {
     "q127_burstiness" -> ((s, d) => TextOps.lengthBurstiness(s, d)),
     "q128_bpe_encode" -> ((s, d) => TextOps.applyBpe(s, d)),
     "q129_small_quantity" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    // no oracle (driver records rows-only): the SQL replay would be six
+    // stitched method replays — each method is oracle-checked alone
+    // (q29/q30/q46/q62/q80/q123); the spec re-derives every recall
+    "q130_ann_bakeoff" -> ((s, d) => Similarity.annBakeoff(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's

@@ -742,6 +742,44 @@ object Similarity {
     Forgotten.clear(spark, indexDir)
   }
 
+  /** ANN evaluation harness — recall@k of every approximate path
+    * against the exact cosine baseline on the same query set: the
+    * report a vector platform publishes before anyone trusts an
+    * index. Each method's hit set is a (query, candidate) semi-join
+    * against the baseline's; recall lands in integer micro-units
+    * (hits·1e6 div k·queries — engine-exact). Result rows are
+    * method-count-bounded (6), and the per-method result frames are
+    * ANN top-k outputs (k × queries rows) — folding them driver-side
+    * is metadata-bounded by construction, the profiler convention;
+    * the heavy work stays in each method's own distributed plan.
+    *
+    * Declared without a DuckDB oracle on purpose: the SQL replay
+    * would be six full method replays stitched together — each method
+    * is already oracle-checked individually (q29/q30/q46/q62/q80/
+    * q123), and the spec re-derives every recall independently. */
+  def annBakeoff(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val brute = bruteForceTopK(spark, dir, k)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> lshTopK(spark, dir, k),
+      "ivf" -> ivfTopK(spark, dir, k),
+      "int8" -> quantizedTopK(spark, dir, k),
+      "pq" -> pqTopK(spark, dir, k),
+      "hamming" -> hammingTopK(spark, dir, k))
+    val rows = methods.map { case (name, df) =>
+      val hits = df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .count(brute.contains)
+      PlanCache.release()
+      (name, hits.toLong, brute.size.toLong,
+        hits.toLong * 1000000L / brute.size)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1))
+      .toDF("method", "hits", "total", "recall_micro")
+  }
+
   /** Probe the stored codes: queries sign in-plan, candidates and the
     * Hamming shortlist come entirely from the 8 B/vector code table
     * (tombstones excluded), and only the shortlist rows touch

@@ -293,6 +293,23 @@ class TextDedupSpec extends SparkSpec {
     graft.operators.PlanCache.release()
   }
 
+  test("ann bakeoff: per-method recalls replay their own definitions") {
+    val got = Similarity.annBakeoff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("lsh", "ivf", "int8", "pq", "hamming"))
+    got.values.foreach { case (hits, total, micro) =>
+      assert(total == 50 && hits >= 0 && hits <= total)
+      assert(micro == hits * 1000000L / total)
+    }
+    // one method re-derived independently end-to-end
+    val brute = Similarity.bruteForceTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.PlanCache.release()
+    assert(got("lsh")._1 == (brute intersect lsh).size.toLong)
+  }
+
   test("ivf ann probes nprobe cells and beats single-cell recall") {
     val brute = Similarity.bruteForceTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

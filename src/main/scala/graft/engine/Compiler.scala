@@ -69,6 +69,13 @@ object Compiler {
   final case class DecontamDef(name: String, spec: graft.model.DecontamSpec)
       extends PipelineDef
 
+  /** The task-level `anomalyMonitor` opt-in runs an
+    * [[graft.streaming.AnomalyStream]] per table beside its CDC
+    * pipeline — daily op-count z-score alerts off the same
+    * change-event source, durable history + checkpoint owned here. */
+  final case class AnomalyDef(name: String, sourceDir: String,
+      historyDir: String, checkpointDir: String) extends PipelineDef
+
   /** Namespace + storage-path derivation. A table whose mapping-level
     * sourceDb DIFFERS from the task default gets db-prefixed paths and
     * a db-qualified pipeline name, so a multi-database task's tables
@@ -124,7 +131,12 @@ object Compiler {
           Seq(RateMonitorDef(s"$name#rates", s"${spec.sourceDir}/$src",
             s"${spec.targetDir}/$tgt#rates", s"${spec.checkpointDir}/$src#rates"))
         else Nil
-      rollup ++ sessions ++ rateMonitors :+ (spec.taskType match {
+      val anomalyMonitors =
+        if (spec.anomalyMonitor && spec.taskType != "redis")
+          Seq(AnomalyDef(s"$name#anomalies", s"${spec.sourceDir}/$src",
+            s"${spec.targetDir}/$tgt#anomalies", s"${spec.checkpointDir}/$src#anomalies"))
+        else Nil
+      rollup ++ sessions ++ rateMonitors ++ anomalyMonitors :+ (spec.taskType match {
         case "redis" =>
           KvDef(name, KvPipeline.Config(
             sourceDir = s"${spec.sourceDir}/$src",
@@ -204,6 +216,7 @@ object Compiler {
       case RateMonitorDef(n, _, out, ckpt) => Seq(out, ckpt).map((n, _))
       // corpus + crawl source are read-only; it owns its log + checkpoint
       case DecontamDef(n, s) => Seq(s.outDir, s.checkpointDir).map((n, _))
+      case AnomalyDef(n, _, hist, ckpt) => Seq(hist, ckpt).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {
       case Seq((na, a), (nb, b)) =>

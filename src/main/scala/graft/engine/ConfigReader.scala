@@ -170,6 +170,9 @@ object ConfigReader {
     require(!(n.path("rateMonitor").asBoolean(false) && taskType == "redis"),
       "rateMonitor requires a change-event (CDC) task: the KV op log has " +
         "no change events to rate")
+    require(!(n.path("anomalyMonitor").asBoolean(false) && taskType == "redis"),
+      "anomalyMonitor requires a change-event (CDC) task: the KV op log has " +
+        "no change events to score")
     SyncTaskSpec(
       id = n.path("id").asInt(0),
       taskType = taskType,
@@ -184,7 +187,8 @@ object ConfigReader {
       targetJdbcUrl = targetJdbcUrl,
       dailyRollup = n.path("dailyRollup").asBoolean(false),
       sessionize = n.path("sessionize").asBoolean(false),
-      rateMonitor = n.path("rateMonitor").asBoolean(false))
+      rateMonitor = n.path("rateMonitor").asBoolean(false),
+      anomalyMonitor = n.path("anomalyMonitor").asBoolean(false))
   }
 
   private def parseTable(n: JsonNode, securityEnabled: Boolean): TableMapping = {

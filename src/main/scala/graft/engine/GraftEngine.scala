@@ -124,6 +124,11 @@ final class GraftEngine(
       guarded(() => graft.streaming.DecontamStream.start(spark, s.corpusDir,
         s.sourceDir, s.outDir, s.checkpointDir, availableNow,
         s.k, s.minHits, s.evalMod))
+    case Compiler.AnomalyDef(_, sourceDir, hist, ckpt) =>
+      // daily op-count z-score alarm under the supervisor: alerts ride
+      // the engine's sink; replays are anti-join idempotent
+      guarded(() => graft.streaming.AnomalyStream.startChangeEvents(spark,
+        sourceDir, hist, ckpt, alerts, availableNow = availableNow))
   }
 
   /** Guardian envelope on the START path: a recoverable failure (e.g. a
@@ -417,6 +422,7 @@ final class GraftEngine(
     case _: Compiler.SessionizeDef => false  // append-only file sink, no DLQ
     case _: Compiler.RateMonitorDef => false // append-only file sink, no DLQ
     case _: Compiler.DecontamDef => false    // append-only file sink, no DLQ
+    case _: Compiler.AnomalyDef => false     // idempotent history append, no DLQ
   }
 
   private def targetDirOf(d: Compiler.PipelineDef): Option[String] = d match {
@@ -426,6 +432,7 @@ final class GraftEngine(
     case _: Compiler.SessionizeDef => None  // append-only log: no tombstones to sweep
     case _: Compiler.RateMonitorDef => None // append-only log: no tombstones to sweep
     case _: Compiler.DecontamDef => None    // append-only log: no tombstones to sweep
+    case _: Compiler.AnomalyDef => None     // append-only history: no tombstones to sweep
   }
 
   /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
@@ -506,6 +513,16 @@ final class GraftEngine(
         RateStream.currentRates(spark, outDir)
       case other => throw new IllegalArgumentException(
         s"$name is not a rateMonitor pipeline (got $other)")
+    }
+
+  /** Snapshot face of an `anomalyMonitor` pipeline's daily history —
+    * per-(day, op) finalized masses the z-scores were drawn from. */
+  def anomalyHistory(name: String): org.apache.spark.sql.DataFrame =
+    pipelineDefs.get(name) match {
+      case Some(Compiler.AnomalyDef(_, _, hist, _)) =>
+        graft.streaming.AnomalyStream.currentHistory(spark, hist)
+      case other => throw new IllegalArgumentException(
+        s"$name is not an anomalyMonitor pipeline (got $other)")
     }
 
   /** Snapshot face of a `decontamTasks` pipeline's scored log — every

@@ -65,7 +65,8 @@ final case class SyncTaskSpec(
     targetJdbcUrl: Option[String] = None, // DDL-replay connection for syncIndexes mappings
     dailyRollup: Boolean = false,  // A6: run a per-table daily-counter rollup stream
     sessionize: Boolean = false,   // ST14/ST15: per-key activity sessions off the change stream
-    rateMonitor: Boolean = false)  // sliding-window per-op rate log off the change stream
+    rateMonitor: Boolean = false,  // sliding-window per-op rate log off the change stream
+    anomalyMonitor: Boolean = false) // daily op-count z-score alerts off the change stream
 
 /** Backup/export task spec (reference pkg/backup/executor.go:157-271). */
 final case class BackupTableSpec(

@@ -98,8 +98,34 @@ object AnomalyStream {
       checkpoint: String, alerts: Alerts.Sink = Alerts.Log,
       threshold: Double = 2.0, minHistory: Int = 3,
       late: String = "1 day", availableNow: Boolean = true): StreamingQuery =
-    dailyTotals(spark.readStream.schema(RateStream.schema)
-        .option("timestampFormat", SessionStream.TsFormat).json(sourceDir), late)
+    startFrom(spark,
+      spark.readStream.schema(RateStream.schema)
+        .option("timestampFormat", SessionStream.TsFormat).json(sourceDir),
+      historyDir, checkpoint, alerts, threshold, minHistory, late, availableNow)
+
+  /** Engine face (the `anomalyMonitor` config opt-in): daily OP-COUNT
+    * z-scores over a change-event stream — each op kind plays the
+    * event type with unit value, so the daily cent mass is 100·count
+    * and the z-score (scale-invariant) is the op-count z-score. This
+    * is the delete-storm / update-surge alarm: a day whose op volume
+    * breaks from its type's history fires `value_anomaly` while the
+    * sibling CDC pipeline keeps applying. Rides the same source;
+    * owns only its history + checkpoint. */
+  def startChangeEvents(spark: SparkSession, sourceDir: String,
+      historyDir: String, checkpoint: String,
+      alerts: Alerts.Sink = Alerts.Log, threshold: Double = 2.0,
+      minHistory: Int = 3, availableNow: Boolean = true): StreamingQuery =
+    startFrom(spark,
+      spark.readStream.schema(ChangeEvents.schema).json(sourceDir)
+        .select(col("op").as("event_type"), col("ts"), lit(1.0).as("value")),
+      historyDir, checkpoint, alerts, threshold, minHistory,
+      late = "1 day", availableNow = availableNow)
+
+  private def startFrom(spark: SparkSession, stream: DataFrame,
+      historyDir: String, checkpoint: String, alerts: Alerts.Sink,
+      threshold: Double, minHistory: Int, late: String,
+      availableNow: Boolean): StreamingQuery =
+    dailyTotals(stream, late)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -110,4 +136,9 @@ object AnomalyStream {
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime("1 second"))
       .start()
+
+  /** Read face over the durable daily history. */
+  def currentHistory(spark: SparkSession, historyDir: String): DataFrame =
+    spark.read.schema("day DATE, event_type STRING, cents LONG")
+      .parquet(historyDir)
 }

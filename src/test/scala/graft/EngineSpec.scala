@@ -789,6 +789,56 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("config anomalyMonitor: an op-volume spike day alerts; calm days and replays stay silent") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    import org.apache.spark.sql.Row
+    var off = 0L
+    def ev(ts: String): Row = {
+      off += 1
+      Row("insert", off, Row(off.toDouble, off), "graft", "events",
+        java.sql.Timestamp.valueOf(ts), off)
+    }
+    def writeEvents(rows: Row*): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), ChangeEvents.schema)
+        .coalesce(1).write.mode("append").json(s"$root/src/events")
+    // four varied calm days (3/4/2/3 ops — nonzero variance), plus a
+    // typical-volume pusher day that finalizes them without itself
+    // reading as a low-volume anomaly
+    writeEvents(
+      (Seq.fill(3)("2024-03-01 10:00:00") ++ Seq.fill(4)("2024-03-02 10:00:00") ++
+       Seq.fill(2)("2024-03-03 10:00:00") ++ Seq.fill(3)("2024-03-04 10:00:00") ++
+       Seq.fill(3)("2024-03-20 10:00:00")).map(ev): _*)
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [
+         |  { "id": 15, "type": "mongodb", "enabled": true, "anomalyMonitor": true,
+         |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+         |    "checkpointDir": "$root/ckpt",
+         |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ],
+         | "backupTasks": [] }""".stripMargin)
+    val alerts = new Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      val r = engine.pollOnce()
+      assert(r.started == Set("task15/events", "task15/events#anomalies"))
+      engine.processAllAvailable()
+      assert(alerts.drain().isEmpty) // first cohort: history only
+      // a 30-op spike day, finalized by a later typical pusher day
+      writeEvents((Seq.fill(30)("2024-03-21 10:00:00") ++
+        Seq.fill(3)("2024-03-24 10:00:00")).map(ev): _*)
+      engine.processAllAvailable()
+      engine.processAllAvailable() // one more cycle: watermark advances between batches
+      val fired = alerts.drain().filter(_.kind == "value_anomaly")
+      assert(fired.map(_.source) == Seq("insert"))
+      assert(fired.head.message.contains("2024-03-21"), fired.head.message)
+      // history face: calm days + pusher day + spike day finalized
+      assert(engine.anomalyHistory("task15/events#anomalies").count() == 6)
+      // the CDC sibling ran over the same source unperturbed
+      assert(graft.operators.Upsert.liveRows(
+        spark.read.parquet(s"$root/tgt/events")).count() >= 40)
+    } finally engine.stop()
+  }
+
   test("config decontam: crawl docs scored at ingest equal the batch sweep; reload-drop stops the pipeline") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

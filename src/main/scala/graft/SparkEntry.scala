@@ -298,6 +298,7 @@ object SparkEntry {
     // stitched method replays — each method is oracle-checked alone
     // (q29/q30/q46/q62/q80/q123); the spec re-derives every recall
     "q130_ann_bakeoff" -> ((s, d) => Similarity.annBakeoff(s, d)),
+    "q131_late_orders" -> ((s, d) => Relational.lateOrdersByPriority(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2012,6 +2013,14 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(cents) AS BIGINT) // 7 AS avg_yearly_cents
         |FROM l JOIN p USING (l_partkey) WHERE q * 5 * n < sq""".stripMargin,
+    // q131: the EXISTS form verbatim — DuckDB plans its own semi join
+    "q131_late_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

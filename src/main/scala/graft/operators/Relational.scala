@@ -480,6 +480,28 @@ object Relational {
     * Scale: two shuffles on l_partkey (or one, when the optimizer
     * merges the sibling subqueries), key cardinality grows with the
     * table — no hot key, no driver-side work. */
+  /** TPC-H Q4 shape — late-shipment order counts by priority, written
+    * as the EXISTS subquery a user writes: the correlation carries
+    * BOTH the key equality and a date inequality referencing the
+    * outer row, and Catalyst rewrites the whole predicate to ONE
+    * left-semi join (equality as the join key, the inequality as its
+    * residual) — the semi-join twin of q129's scalar decorrelation.
+    * The global PlanSpec sweep pins that no nested loop survives.
+    * Scale: one shuffle pair on the order key; the semi join never
+    * widens orders. */
+  def lateOrdersByPriority(spark: SparkSession, dir: String,
+      lagDays: Int = 90): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_q131_orders")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_q131_lineitem")
+    spark.sql(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         |FROM graft_q131_orders o
+         |WHERE EXISTS (SELECT 1 FROM graft_q131_lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > o.o_orderdate + INTERVAL '$lagDays' DAY)
+         |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_q129_lineitem")
     spark.sql(

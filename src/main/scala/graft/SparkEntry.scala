@@ -299,6 +299,7 @@ object SparkEntry {
     // (q29/q30/q46/q62/q80/q123); the spec re-derives every recall
     "q130_ann_bakeoff" -> ((s, d) => Similarity.annBakeoff(s, d)),
     "q131_late_orders" -> ((s, d) => Relational.lateOrdersByPriority(s, d)),
+    "q132_inactive_rich" -> ((s, d) => Relational.inactiveRichCustomers(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2021,6 +2022,19 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+    // q132: the NOT EXISTS + scalar-subquery form verbatim
+    "q132_inactive_rich" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM c
+        |WHERE cents * (SELECT CAST(count(*) AS BIGINT) FROM c WHERE cents > 0)
+        |      > (SELECT CAST(sum(cents) AS BIGINT) FROM c WHERE cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 250000.0)
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

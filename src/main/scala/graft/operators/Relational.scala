@@ -502,6 +502,34 @@ object Relational {
          |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** TPC-H Q22 shape — "rich customers without a big order", per
+    * market segment — the churn/upsell report: two UNCORRELATED scalar subqueries (planned as
+    * `ScalarSubquery` literals, never a 1-row join) supply the
+    * above-average test as the exact rational `cents·N > Σcents`
+    * (floor-cents, no float boundary), and the "never placed a big
+    * order" test is a NOT EXISTS the optimizer plans as a left-anti
+    * join (with the price bound pushed into the anti side's scan) — the third
+    * subquery family beside q129's scalar-correlated and q131's
+    * EXISTS. Scale: one anti-join shuffle pair on the customer key;
+    * the balance aggregate is one map-side-combined scan. */
+  def inactiveRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_q132_customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_q132_orders")
+    spark.sql(
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM graft_q132_customer)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM c
+        |WHERE cents * (SELECT CAST(count(*) AS BIGINT) FROM c WHERE cents > 0)
+        |      > (SELECT CAST(sum(cents) AS BIGINT) FROM c WHERE cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q132_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 250000.0)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_q129_lineitem")
     spark.sql(

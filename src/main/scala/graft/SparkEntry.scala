@@ -300,6 +300,7 @@ object SparkEntry {
     "q130_ann_bakeoff" -> ((s, d) => Similarity.annBakeoff(s, d)),
     "q131_late_orders" -> ((s, d) => Relational.lateOrdersByPriority(s, d)),
     "q132_inactive_rich" -> ((s, d) => Relational.inactiveRichCustomers(s, d)),
+    "q133_top_supplier" -> ((s, d) => Relational.topSupplierRevenue(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2035,6 +2036,15 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 250000.0)
         |GROUP BY c_mktsegment""".stripMargin,
+    // q133: Q15 replay — same floor-cent revenue fold, same max scalar
+    "q133_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |             AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.revenue_cents
+        |FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM r)""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -465,6 +465,27 @@ object Relational {
       "doc_id")
   }
 
+  /** TPC-H Q15 shape — the top supplier(s) by shipped revenue: revenue
+    * folds per supplier in floor-cents, and the winners are selected
+    * against an UNCORRELATED `max` scalar subquery over the same
+    * aggregate — ties all surface (the Q15 contract), and both the
+    * aggregate and its max run ONE shuffle on l_suppkey (the scalar
+    * subquery reuses nothing corpus-sized; its input is the
+    * suppliers-count aggregate). Joined to supplier names via a
+    * broadcast dim. */
+  def topSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_q133_lineitem")
+    Tables(spark, dir, "supplier").createOrReplaceTempView("graft_q133_supplier")
+    spark.sql(
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |             AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM graft_q133_lineitem GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.revenue_cents
+        |FROM r JOIN graft_q133_supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM r)""".stripMargin)
+  }
+
   /** TPC-H Q17 shape — "small-quantity order revenue": lineitems whose
     * quantity is below 20% of their part's average quantity, summed as
     * yearly-average revenue. Written as the CORRELATED SCALAR SUBQUERY

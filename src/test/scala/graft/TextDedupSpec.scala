@@ -237,6 +237,35 @@ class TextDedupSpec extends SparkSpec {
     assert(rows2.map(_._3).sum < rows2.map(_._2).sum)
   }
 
+  test("bpe encode property: random words × random merge tables always reassemble, never grow") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // narrow alphabet so merges actually fire; merged symbols feed
+    // later merges (multi-char lhs/rhs), like a real merges.txt
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "ca")
+    val mergeGen = Gen.zip(sym, sym)
+    val wordGen = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val words = samples(wordGen, 40).distinct
+    val merges = samples(mergeGen, 12).distinct.take(8)
+    import spark.implicits._
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    // drive the production fold chain through a temp corpus dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_prop").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextOps.applyBpe(spark, dir, merges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._1).toSet == words.toSet)
+    out.foreach { case (word, nChars, nSyms, seg) =>
+      assert(seg.split(' ').mkString == word, s"'$seg' vs '$word' under $merges")
+      assert(nSyms >= 1 && nSyms <= nChars)
+    }
+  }
+
   test("token entropy and burstiness replay their integer formulas driver-side") {
     val toks = Tables(spark, sf, "documents").select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1).split(' ').toSeq))

@@ -301,6 +301,7 @@ object SparkEntry {
     "q131_late_orders" -> ((s, d) => Relational.lateOrdersByPriority(s, d)),
     "q132_inactive_rich" -> ((s, d) => Relational.inactiveRichCustomers(s, d)),
     "q133_top_supplier" -> ((s, d) => Relational.topSupplierRevenue(s, d)),
+    "q134_conversion_latency" -> (EventFlow.conversionLatency _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2045,6 +2046,29 @@ object SparkEntry {
         |SELECT s.s_suppkey, s.s_name, r.revenue_cents
         |FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         |WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM r)""".stripMargin,
+    // q134: the q73 funnel CTEs + exact-micro latencies + the q87
+    // explicit-rank percentile formula
+    "q134_conversion_latency" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        | w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts >= t0 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM w1),
+        | w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM w2),
+        | f AS (SELECT user_id, max(t0) AS t0, max(t2) AS t2
+        |   FROM w3 GROUP BY user_id HAVING max(t2) IS NOT NULL),
+        | l AS (SELECT user_id,
+        |    CAST(epoch_us(t2) - epoch_us(t0) AS BIGINT) AS latency_us FROM f),
+        | r AS (SELECT user_id, latency_us,
+        |    row_number() OVER (ORDER BY latency_us ASC, user_id ASC) AS rn FROM l),
+        | n AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM l),
+        | p AS (SELECT pct, n_conv,
+        |    CAST(ceil(pct * n_conv / 100.0) AS BIGINT) AS pos
+        |   FROM (SELECT unnest([25, 50, 75, 90]) AS pct) CROSS JOIN n)
+        |SELECT CAST(pct AS INTEGER) AS pct, n_conv, latency_us
+        |FROM r JOIN p ON r.rn = p.pos""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

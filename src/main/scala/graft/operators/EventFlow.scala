@@ -265,6 +265,31 @@ object EventFlow {
         dim("value").as("value_at_view"), col("version_seq"))
   }
 
+  /** Conversion-latency percentiles — signup→purchase time for users
+    * the ORDERED funnel converted, at the q87 explicit-rank
+    * percentiles: the "how long does conversion take" product metric.
+    * Latencies are exact BIGINT microseconds (`unix_micros`, the
+    * engine-parity timestamp basis), ranked (latency, user_id) for a
+    * total order. The global ranking window runs over the
+    * CONVERTED-USERS frame — rows ∝ converted users, already one per
+    * user after the funnel's aggregate — the same bounded
+    * single-partition-window contract as the temperature mixer's
+    * totals; the funnel itself still plans its one user_id exchange. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val conv = conversionFunnel(spark, dir).filter(col("stage") === 3)
+      .select(col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
+          .as("latency_us"))
+    val ranked = conv.withColumn("rn", row_number().over(
+      Window.orderBy(col("latency_us").asc, col("user_id").asc)))
+    val pos = conv.agg(count(lit(1)).as("n_conv"))
+      .select(explode(lit(Relevance.Percentiles.toArray)).as("pct"), col("n_conv"))
+      .select(col("pct"), col("n_conv"),
+        ceil(col("pct") * col("n_conv") / lit(100.0)).as("pos"))
+    ranked.join(broadcast(pos), col("rn") === col("pos"))
+      .select(col("pct"), col("n_conv"), col("latency_us"))
+  }
+
   /** Event-type co-occurrence lift — the market-basket report over
     * per-user type sets: for each unordered type pair (a < b), how many
     * users did both, and lift = P(a∧b) / (P(a)·P(b)) in integer

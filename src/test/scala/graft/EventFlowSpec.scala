@@ -210,6 +210,26 @@ class EventFlowSpec extends SparkSpec {
     assert(got.length < views.length && got.nonEmpty)
   }
 
+  test("conversion latency: percentiles rank the funnel's converted users exactly") {
+    val rows = EventFlow.conversionLatency(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(25, 50, 75, 90))
+    assert(rows.map(_._2).distinct.length == 1) // one shared n_conv
+    // monotone non-decreasing by percentile, strictly positive
+    assert(rows.forall(_._3 > 0))
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    // driver replay: the ranked latencies of stage-3 funnel users
+    val lat = EventFlow.conversionFunnel(spark, sf).filter(col("stage") === 3)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(3).getTime * 1000 + r.getTimestamp(3).getNanos / 1000 % 1000
+          - (r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000)))
+      .sortBy(x => (x._2, x._1)).map(_._2)
+    assert(rows.head._2 == lat.length.toLong)
+    rows.foreach { case (pct, n, v) =>
+      assert(v == lat(math.ceil(pct * n / 100.0).toInt - 1), s"pct $pct")
+    }
+  }
+
   test("co-occurrence lift replays exactly from the distinct (user, type) sets") {
     val got = EventFlow.cooccurrenceLift(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)),

@@ -302,6 +302,7 @@ object SparkEntry {
     "q132_inactive_rich" -> ((s, d) => Relational.inactiveRichCustomers(s, d)),
     "q133_top_supplier" -> ((s, d) => Relational.topSupplierRevenue(s, d)),
     "q134_conversion_latency" -> (EventFlow.conversionLatency _),
+    "q135_dow_profile" -> (Relational.dowProfile _),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2069,6 +2070,15 @@ object SparkEntry {
         |   FROM (SELECT unnest([25, 50, 75, 90]) AS pct) CROSS JOIN n)
         |SELECT CAST(pct AS INTEGER) AS pct, n_conv, latency_us
         |FROM r JOIN p ON r.rn = p.pos""".stripMargin,
+    // q135: isodow is the Monday=1 basis matching Spark's weekday+1;
+    // the windowed SUM is cast (DuckDB types it HUGEINT)
+    "q135_dow_profile" ->
+      """WITH c AS (SELECT isodow(ts) AS dow, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT CAST(dow AS INTEGER) AS dow, event_type, n,
+        |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT)
+        |    AS share_micro
+        |FROM c""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

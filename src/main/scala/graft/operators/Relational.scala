@@ -465,6 +465,23 @@ object Relational {
       "doc_id")
   }
 
+  /** Day-of-week seasonality profile — per (ISO weekday, event type):
+    * event count and its share of that weekday's traffic in floor
+    * micro-units. The weekly-rhythm baseline a monitor compares a live
+    * day against ("Tuesdays are 18% purchases") — and the calendar
+    * prior a traffic-anomaly rule needs before it can call a quiet
+    * Sunday normal. Weekday basis is Monday=1 on BOTH engines (Spark
+    * `weekday(ts)+1`, DuckDB `isodow`); the share's windowed SUM is
+    * BIGINT-cast in the oracle (the HUGEINT lesson). One
+    * map-side-combined aggregate; the share window runs over the
+    * 7 × types result frame. */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(expr("weekday(ts) + 1").as("dow"), col("event_type"))
+      .groupBy(col("dow"), col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("share_micro",
+        expr("(n * 1000000) div sum(n) OVER (PARTITION BY dow)"))
+
   /** TPC-H Q15 shape — the top supplier(s) by shipped revenue: revenue
     * folds per supplier in floor-cents, and the winners are selected
     * against an UNCORRELATED `max` scalar subquery over the same

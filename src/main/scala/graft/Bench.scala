@@ -35,6 +35,21 @@ object Bench {
     // limits the sweep to named queries (the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     var results = Vector.empty[(String, Double)]
+    // Price the one-time corpus band-index build as its own line item.
+    // The dedup-family queries (q25/q49/q50/q53) deliberately report
+    // steady-state PROBE cost against the process-lifetime index (the
+    // persisted-index production model) — which previously hid the
+    // build cost on the first consumer's discarded first attempt. This
+    // row is what a full re-index costs: scan + shingle + element
+    // hashes + MinHash signatures + banding, materialized once cold.
+    if (only.forall(_.contains("bandindex_build"))) {
+      graft.operators.Dedup.releaseBandIndex()
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.bandIndex(spark, sfDir).bands
+        .write.format("noop").mode("overwrite").save()
+      results :+= ("bandindex_build" -> (System.nanoTime() - t0) / 1e9)
+      emit(results)
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

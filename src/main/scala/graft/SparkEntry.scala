@@ -352,7 +352,39 @@ object SparkEntry {
       |  FROM seg GROUP BY key
       |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleBase + ("q130_ann_bakeoff" -> q130Sql)
+
+  /** q130: the bakeoff's oracle is the five per-method oracle replays
+    * (q30/q46/q62/q80/q123) stitched as subqueries beside the brute
+    * baseline (q29), with each recall recomputed in DuckDB — integer
+    * micro-units via `//`, matching the engine's exact division. */
+  private lazy val q130Sql: String = {
+    def replay(name: String, key: String): String =
+      s"SELECT '$name' AS method, query_id, cand_id FROM (\n${oracleBase(key)}\n)"
+    val methods = Seq(
+      "lsh" -> "q30_lsh_ann", "ivf" -> "q46_ivf_ann",
+      "int8" -> "q62_quantized_ann", "pq" -> "q80_pq_ann",
+      "hamming" -> "q123_hamming_ann")
+    s"""WITH brute AS (SELECT query_id, cand_id FROM (
+       |${oracleBase("q29_ann_topk")}
+       |)),
+       | meth AS (
+       |${methods.map { case (n, q) => replay(n, q) }.mkString("\nUNION ALL\n")}
+       |),
+       | hit AS (SELECT method, CAST(count(*) AS BIGINT) AS hits
+       |         FROM meth JOIN brute USING (query_id, cand_id)
+       |         GROUP BY method),
+       | tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM brute)
+       |SELECT ms.method, coalesce(h.hits, 0) AS hits, t.total,
+       |  CAST(coalesce(h.hits, 0) * 1000000 // t.total AS BIGINT)
+       |    AS recall_micro
+       |FROM (SELECT unnest(['lsh','ivf','int8','pq','hamming']) AS method) ms
+       |LEFT JOIN hit h ON h.method = ms.method
+       |CROSS JOIN tot t""".stripMargin
+  }
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

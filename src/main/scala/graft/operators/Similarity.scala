@@ -753,22 +753,27 @@ object Similarity {
     * is metadata-bounded by construction, the profiler convention;
     * the heavy work stays in each method's own distributed plan.
     *
-    * Declared without a DuckDB oracle on purpose: the SQL replay
-    * would be six full method replays stitched together — each method
-    * is already oracle-checked individually (q29/q30/q46/q62/q80/
-    * q123), and the spec re-derives every recall independently. */
+    * Oracle: the DuckDB replay stitches the five per-method oracle
+    * SQLs (q30/q46/q62/q80/q123) plus the brute baseline (q29) as
+    * subqueries and recomputes each recall — see SparkEntry.q130Sql.
+    *
+    * Each method's DataFrame is constructed LAZILY inside the loop so
+    * the per-method `PlanCache.release()` only drops caches whose
+    * plan has already been collected — an eager Seq would let the
+    * first release unpersist intermediates later methods still
+    * reference, silently recomputing them uncached. */
   def annBakeoff(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val brute = bruteForceTopK(spark, dir, k)
       .select("query_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "lsh" -> lshTopK(spark, dir, k),
-      "ivf" -> ivfTopK(spark, dir, k),
-      "int8" -> quantizedTopK(spark, dir, k),
-      "pq" -> pqTopK(spark, dir, k),
-      "hamming" -> hammingTopK(spark, dir, k))
-    val rows = methods.map { case (name, df) =>
-      val hits = df.select("query_id", "cand_id").collect()
+    val methods: Seq[(String, () => DataFrame)] = Seq(
+      "lsh" -> (() => lshTopK(spark, dir, k)),
+      "ivf" -> (() => ivfTopK(spark, dir, k)),
+      "int8" -> (() => quantizedTopK(spark, dir, k)),
+      "pq" -> (() => pqTopK(spark, dir, k)),
+      "hamming" -> (() => hammingTopK(spark, dir, k)))
+    val rows = methods.map { case (name, mk) =>
+      val hits = mk().select("query_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
         .count(brute.contains)
       PlanCache.release()

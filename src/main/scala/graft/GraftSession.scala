@@ -21,6 +21,7 @@ object GraftSession {
       // cardinality kernel wherever operators write the composable form
       .withExtensions { ext =>
         ext.injectFunction(graft.functions.SetCard.injection)
+        ext.injectFunction(graft.functions.HllCard.injection)
         graft.functions.PqCodec.injections.foreach(ext.injectFunction)
         ext.injectOptimizerRule(graft.functions.DistinctCard.injection)
         // whole-operator fusion: row_number-≤-k window+filter → the

@@ -303,6 +303,7 @@ object SparkEntry {
     "q133_top_supplier" -> ((s, d) => Relational.topSupplierRevenue(s, d)),
     "q134_conversion_latency" -> (EventFlow.conversionLatency _),
     "q135_dow_profile" -> (Relational.dowProfile _),
+    "q136_profile_approx" -> ((s, d) => Relational.profileTableApprox(s, d, "orders")),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2004,7 +2005,8 @@ object SparkEntry {
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
         |   FROM d GROUP BY 1)
         |SELECT source, n, sx,
-        |  (n * sxx - sx * sx) * 1000000 // ((n - 1) * sx) AS fano_micro
+        |  CASE WHEN n > 1 AND sx > 0
+        |    THEN (n * sxx - sx * sx) * 1000000 // ((n - 1) * sx) END AS fano_micro
         |FROM st""".stripMargin,
     // q128: BPE application replay — each literal merge is one jump-2
     // greedy recursive scan (the q82 mining oracle's m$i shape)
@@ -2111,6 +2113,47 @@ object SparkEntry {
         |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT)
         |    AS share_micro
         |FROM c""".stripMargin,
+    // q136: the approx profiler's md5-HLL registers replayed per
+    // column — same register/rho/estimator CTEs as q83, per-column
+    // normalization (doubles → floor-cents, ts → epoch micros) as q99
+    "q136_profile_approx" -> {
+      val m = graft.operators.Sketches.HllRegisters
+      val rb = graft.operators.Sketches.HllRegisterBits
+      val w1 = graft.operators.Sketches.HllRestBits + 1
+      val num = graft.operators.Sketches.HllNumerator
+      val cols = Seq(("o_orderkey", "int"), ("o_custkey", "int"),
+        ("o_orderstatus", "str"), ("o_totalprice", "dbl"),
+        ("o_orderdate", "ts"), ("o_orderpriority", "str"))
+      cols.map { case (c, kind) =>
+        val b = kind match {
+          case "dbl" => s"CAST(floor($c * 100) AS BIGINT)"
+          case "ts"  => s"epoch_us($c)"
+          case _     => c
+        }
+        val raw = s"CAST(sumpow + ($m - m_hit) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)"
+        s"""SELECT * FROM (
+           |WITH h AS (SELECT CAST('0x' || substr(md5('hllc-' || CAST($b AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |           FROM orders WHERE $c IS NOT NULL),
+           | rr AS (SELECT h % $m AS reg,
+           |    CASE WHEN (h >> $rb) = 0 THEN $w1
+           |         ELSE $w1 - length(bin(h >> $rb)) END AS rho FROM h),
+           | regs AS (SELECT reg, max(rho) AS mrho FROM rr GROUP BY reg),
+           | s AS (SELECT CAST(count(*) AS BIGINT) AS m_hit,
+           |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (53 - mrho)), 0) AS BIGINT) AS sumpow
+           |  FROM regs),
+           | est AS (SELECT CASE WHEN ($m - m_hit) > 0 AND $num / $raw <= ${2.5 * m}
+           |      THEN ${m.toDouble} * ln(${m.toDouble} / ($m - m_hit))
+           |      ELSE $num / $raw END AS est FROM s),
+           | agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |    CAST(min($b) AS VARCHAR) AS min_norm,
+           |    CAST(max($b) AS VARCHAR) AS max_norm FROM orders)
+           |SELECT '$c' AS col_name, n_rows, n_nulls,
+           |  round(est, 2) AS est_distinct, min_norm, max_norm
+           |FROM agg CROSS JOIN est
+           |)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

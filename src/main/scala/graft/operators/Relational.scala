@@ -173,14 +173,33 @@ object Relational {
   /** S13 — metadata scan: the schema/row-count inventory the reference
     * serves from its metadata endpoints (schema_handler.go, db_utils.go
     * row counts). The table list is config-bounded, so the driver loop
-    * is metadata-sized; each count is a distributed scan. */
-  def metaScan(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame =
-    tables.map { t =>
-      val df = Tables(spark, dir, t)
-      df.agg(count(lit(1)).as("n_rows"))
-        .select(lit(t).as("table_name"), col("n_rows"),
-          lit(df.schema.fields.length).as("n_cols"))
-    }.reduce(_ unionByName _)
+    * is metadata-sized — and so is the WORK: row counts come from
+    * parquet footer metadata (`ParquetFileReader.getRecordCount`, the
+    * IndexOps convention), never a data scan. A monitoring inventory
+    * that reads 100 TB to count rows is wrong by construction; footers
+    * are what a catalog reads, bytes-proportional to file COUNT, not
+    * data size. Schema (n_cols) comes from the same footer-backed
+    * reader Tables uses. */
+  def metaScan(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = tables.map { t =>
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = root.getFileSystem(conf)
+      val it = fs.listFiles(root, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try n += r.getRecordCount finally r.close()
+        }
+      }
+      (t, n, Tables(spark, dir, t).schema.fields.length)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1))
+      .toDF("table_name", "n_rows", "n_cols")
+  }
 
   /** Merged multi-table export (SET1/W7): date-suffixed table slices
     * unioned into one artifact with projection + filter pushed to each
@@ -301,6 +320,48 @@ object Relational {
         col("_rows").as("n_rows"),
         (col("_rows") - col(s"_cnt_${f.name}")).as("n_nulls"),
         col(s"_dst_${f.name}").as("n_distinct"),
+        col(s"_min_${f.name}").as("min_norm"),
+        col(s"_max_${f.name}").as("max_norm"))
+    }.toIndexedSeq: _*)
+    one.select(explode(perCol).as("p")).select("p.*")
+  }
+
+  /** [[profileTable]]'s scale form: distinct counts come from the
+    * md5-HLL aggregate ([[graft.functions.HllCard]]) instead of
+    * `count_distinct`, so the WHOLE profile is one plain aggregate
+    * pass — NO Expand. The exact profiler plans one Expand row-copy
+    * per distinct aggregate (~10× input inflation at 9 columns, the
+    * first thing a 100× scale-up hurts); here every column's sketch
+    * is a fixed 256-byte buffer merged map-side, so the shuffle
+    * carries one row regardless of table size. The estimate is still
+    * oracle-EXACT (not just error-bounded): the DuckDB replay builds
+    * the identical registers from the identical md5 hashes — q83's
+    * differential-test convention. Exact twin: q99 on the same table.
+    *
+    * min/max/null counts stay exact (cheap plain aggregates); only
+    * the distinct count is sketched — the 100 TB profiler trade. */
+  def profileTableApprox(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val df = Tables(spark, dir, table)
+    def basis(f: org.apache.spark.sql.types.StructField): Column = f.dataType match {
+      case DoubleType    => floor(col(f.name) * 100).cast("long")
+      case TimestampType => unix_micros(col(f.name))
+      case _             => col(f.name)
+    }
+    val aggs = df.schema.fields.flatMap { f =>
+      val b = basis(f)
+      Seq(count(col(f.name)).as(s"_cnt_${f.name}"),
+        graft.functions.HllCard.hllCard(b.cast("string")).as(s"_hll_${f.name}"),
+        min(b).cast("string").as(s"_min_${f.name}"),
+        max(b).cast("string").as(s"_max_${f.name}"))
+    }
+    val one = df.agg(count(lit(1)).as("_rows"), aggs.toIndexedSeq: _*)
+    val perCol = array(df.schema.fields.map { f =>
+      struct(lit(f.name).as("col_name"),
+        col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_cnt_${f.name}")).as("n_nulls"),
+        round(Sketches.hllEstimate(col(s"_hll_${f.name}").getField("m_hit"),
+          col(s"_hll_${f.name}").getField("sumpow")), 2).as("est_distinct"),
         col(s"_min_${f.name}").as("min_norm"),
         col(s"_max_${f.name}").as("max_norm"))
     }.toIndexedSeq: _*)

@@ -245,7 +245,7 @@ object Sketches {
     * operations on identical integers in both engines (the ln of the
     * linear-counting branch rides the usual round-at-output-dp
     * convention). */
-  private def hllEstimate(mHit: Column, sumpow: Column): Column = {
+  private[graft] def hllEstimate(mHit: Column, sumpow: Column): Column = {
     val m = HllRegisters
     val zeros = lit(m) - mHit
     val raw = sumpow + zeros.cast("long") * lit(1L << 53)

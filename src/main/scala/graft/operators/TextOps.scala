@@ -1118,6 +1118,11 @@ object TextOps {
         count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("source"), col("n"), col("sx"),
-        expr("(n * sxx - sx * sx) * 1000000 div ((n - 1) * sx)").as("fano_micro"))
+        // degenerate sources (one document, or all-empty texts) have
+        // no sample variance: NULL fano, not an ANSI divide-by-zero
+        // that fails the whole report for every OTHER source
+        when(col("n") > 1 && col("sx") > 0,
+          expr("(n * sxx - sx * sx) * 1000000 div ((n - 1) * sx)"))
+          .as("fano_micro"))
   }
 }

@@ -20,12 +20,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and integer moments, variance from (n·Σx² − (Σx)²).
   *
   * Shape: watermarked tumbling-day aggregation in append mode (a day
-  * emits once, finalized) → `foreachBatch`: idempotent history append
-  * (anti-join on (type, day), so a replayed batch cannot duplicate a
-  * day or re-alert it) + per-type moment fold (≤ types rows collected
-  * — metadata-bounded, the monitor convention) + alerts through the
-  * pluggable [[Alerts.Sink]]. State is bounded by open days × types
-  * under the watermark. */
+  * emits once, finalized) → `foreachBatch`: alerts first, then the
+  * idempotent history append (anti-join on (type, day), so a replayed
+  * batch cannot duplicate a day; a completed batch never re-alerts,
+  * and a crash mid-batch re-fires rather than drops — at-least-once
+  * alerts) + per-type moment fold (≤ types rows collected —
+  * metadata-bounded, the monitor convention) through the pluggable
+  * [[Alerts.Sink]]. Days finalized in ONE batch still score per-day:
+  * earlier days fold into the moments before later ones score. State
+  * is bounded by open days × types under the watermark. */
 object AnomalyStream {
 
   /** Finalized (day, type, cents) rows from a watermarked tumbling-day
@@ -38,11 +41,28 @@ object AnomalyStream {
       .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
       .select(to_date(col("w.start")).as("day"), col("event_type"), col("cents"))
 
-  /** One finalized micro-batch against the history: append the new
-    * (type, day) rows idempotently, then score each NEW day against
-    * the history that preceded it. Returns the alerts to fire. */
+  /** One finalized micro-batch against the history: score each NEW
+    * day against the history that preceded IT — including earlier
+    * days of the same batch — dispatch the alerts, then append the
+    * new (type, day) rows idempotently.
+    *
+    * Per-DAY granularity regardless of batching: fresh days fold into
+    * the running moments in day order, so a from-scratch
+    * `Trigger.AvailableNow` run (fresh checkpoint AND fresh history,
+    * every day in one batch) scores day k against days 1..k−1 exactly
+    * as the day-at-a-time live run would — not against an empty
+    * committed history.
+    *
+    * Ordering contract: alerts dispatch BEFORE the history append.
+    * A crash between the two replays the batch (the appended rows
+    * never committed, so the anti-join still passes it) and re-fires
+    * — alerts are AT-LEAST-ONCE in that crash window, never lost.
+    * The old append-first order was silently at-most-once: committed
+    * history made the replay a no-op and dropped the alert forever.
+    * History rows stay exactly-once either way via the anti-join. */
   private[streaming] def scoreBatch(spark: SparkSession, batch: DataFrame,
-      historyDir: String, threshold: Double, minHistory: Int): Seq[Alerts.Alert] = {
+      historyDir: String, threshold: Double, minHistory: Int,
+      alerts: Alerts.Sink = Alerts.Log): Seq[Alerts.Alert] = {
     val hPath = new org.apache.hadoop.fs.Path(historyDir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val history: Option[DataFrame] =
@@ -56,27 +76,26 @@ object AnomalyStream {
       case None => batch
     }
     // metadata-bounded: a micro-batch finalizes at most types × days-
-    // since-last-trigger rows
+    // since-last-trigger rows; day-ordered for the incremental fold
     val freshRows = fresh.select("day", "event_type", "cents").collect()
       .map(r => (r.getDate(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (d, t, _) => (d.getTime, t) }
     if (freshRows.isEmpty) return Nil
-    // prior moments per type (≤ types rows)
-    val moments: Map[String, (Long, Long, BigInt)] = history match {
-      case Some(h) => h.groupBy(col("event_type")).agg(
+    // prior moments per type (≤ types rows), then folded forward
+    val moments = scala.collection.mutable.Map[String, (Long, Long, BigInt)]()
+    history.foreach { h =>
+      h.groupBy(col("event_type")).agg(
           count(lit(1)).as("n"), sum(col("cents")).as("sx"),
           sum(col("cents").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
             col("cents").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sxx"))
         .collect()
-        .map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), BigInt(r.getDecimal(3).toBigInteger))))
-        .toMap
-      case None => Map.empty
+        .foreach(r => moments(r.getString(0)) =
+          (r.getLong(1), r.getLong(2), BigInt(r.getDecimal(3).toBigInteger)))
     }
-    fresh.write.mode("append").parquet(historyDir)
-    freshRows.toSeq.flatMap { case (day, tpe, x) =>
-      moments.get(tpe) match {
+    val fired = freshRows.toSeq.flatMap { case (day, tpe, x) =>
+      val alert = moments.get(tpe) match {
         case Some((n, sx, sxx)) if n >= minHistory =>
-          // the batch twin's formula on the PRIOR history: sample
+          // the batch twin's formula on the history SO FAR: sample
           // variance from exact moments, z as the one double step
           val nD = n.toDouble
           val varNum = nD * sxx.toDouble - sx.toDouble * sx.toDouble
@@ -87,13 +106,22 @@ object AnomalyStream {
           else None
         case _ => None
       }
+      // fold this day in: later same-batch days see it as history
+      val (n0, sx0, sxx0) = moments.getOrElse(tpe, (0L, 0L, BigInt(0)))
+      moments(tpe) = (n0 + 1, sx0 + x, sxx0 + BigInt(x) * BigInt(x))
+      alert
     }
+    fired.foreach(alerts.send)
+    fresh.write.mode("append").parquet(historyDir)
+    fired
   }
 
   /** JSON event stream → durable daily history + threshold alerts.
     * Restart-safe: the checkpoint replays unfinished batches, and the
-    * (type, day) anti-join makes the replay a no-op — no duplicate
-    * history rows, no duplicate alerts. */
+    * (type, day) anti-join makes the replay a no-op for HISTORY
+    * (exactly-once rows). Alerts are at-least-once: they dispatch
+    * before the history append, so a crash between the two re-fires
+    * on replay rather than losing the alert (see [[scoreBatch]]). */
   def start(spark: SparkSession, sourceDir: String, historyDir: String,
       checkpoint: String, alerts: Alerts.Sink = Alerts.Log,
       threshold: Double = 2.0, minHistory: Int = 3,
@@ -130,8 +158,8 @@ object AnomalyStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        scoreBatch(spark, batch, historyDir, threshold, minHistory)
-          .foreach(alerts.send)
+        scoreBatch(spark, batch, historyDir, threshold, minHistory, alerts)
+        ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime("1 second"))

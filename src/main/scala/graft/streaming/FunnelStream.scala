@@ -105,10 +105,32 @@ object FunnelStream {
                else Trigger.ProcessingTime("1 second"))
       .start()
 
-  /** Read face over the durable journey log. */
+  /** Read face over the durable journey log — the APPEND log: a user
+    * who re-activates after their journey finalized and its state
+    * evicted starts a FRESH journey and eventually appends a second
+    * row for the same user_id (by design — the horizon bounds state,
+    * so pre-eviction history is gone and the log records one row per
+    * finalized journey, not per user). Downstream reads that need
+    * one-row-per-user semantics use [[latestJourneys]]. */
   def currentJourneys(spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame =
     spark.read.schema("user_id LONG, signup_ts TIMESTAMP, " +
         "view_ts TIMESTAMP, purchase_ts TIMESTAMP, stage INT")
       .parquet(outDir)
+
+  /** Latest-per-user face over the journey log: the most recent
+    * finalized journey wins (newest signup_ts, nulls-last, purchase/
+    * view as tie-breaks for same-signup re-emits) — the safe frame
+    * for one-row-per-user consumers. The window partitions by
+    * user_id: scale-shaped like every per-entity top-1 (one shuffle,
+    * TopK-fused by the engine's rewrite rule). */
+  def latestJourneys(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("signup_ts").desc_nulls_last, col("purchase_ts").desc_nulls_last,
+        col("view_ts").desc_nulls_last, col("stage").desc)
+    currentJourneys(spark, outDir)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
 }

@@ -63,5 +63,17 @@ class AnomalyStreamSpec extends SparkSpec {
     assert(spark.read.parquet(hist).count() == 6)
     assert(spark.read.parquet(hist)
       .select("day", "event_type").distinct().count() == 6)
+
+    // from-scratch EVERYTHING (fresh checkpoint AND fresh history):
+    // AvailableNow collapses all days into one batch, and the
+    // incremental same-batch fold must still score day k against days
+    // 1..k−1 — the spike alerts exactly as the day-at-a-time run did
+    val hist2 = Files.createTempDirectory("graft_anom_hist2").toString + "/history"
+    val ckpt3 = Files.createTempDirectory("graft_anom_ckpt3").toString
+    val q4 = AnomalyStream.start(spark, src, hist2, ckpt3, buf)
+    try q4.awaitTermination() finally q4.stop()
+    val refired = buf.drain()
+    assert(refired.map(_.kind) == Seq("value_anomaly"), refired)
+    assert(refired.head.message.contains("2024-03-21"), refired.head.message)
   }
 }

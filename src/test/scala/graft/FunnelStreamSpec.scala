@@ -77,5 +77,23 @@ class FunnelStreamSpec extends SparkSpec {
     val q3 = FunnelStream.start(spark, src, out, ckpt)
     try q3.awaitTermination() finally q3.stop()
     assert(FunnelStream.currentJourneys(spark, out).count() == 3)
+
+    // re-activation AFTER finalize+eviction starts a fresh journey:
+    // user 1 converts again years later, a pusher idles it out — the
+    // append log now holds TWO rows for user 1 (by design), and
+    // latestJourneys keeps exactly the newer one per user
+    writeEvents(
+      (1L, "signup", "2031-06-01 09:00:00"),
+      (1L, "view", "2031-06-01 09:01:00"),
+      (998L, "view", "2040-01-01 00:00:00"))
+    val q4 = FunnelStream.start(spark, src, out, ckpt)
+    try q4.awaitTermination() finally q4.stop()
+    val log = FunnelStream.currentJourneys(spark, out)
+    assert(log.filter(col("user_id") === 1L).count() == 2)
+    val latest = FunnelStream.latestJourneys(spark, out).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)).map(_.toString), r.getInt(4))))
+      .toMap
+    assert(latest.values.toSeq.size == latest.size) // one row per user
+    assert(latest(1L) == ((Some("2031-06-01 09:00:00.0"), 2)), latest(1L).toString)
   }
 }

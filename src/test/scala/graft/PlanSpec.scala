@@ -166,6 +166,24 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("the metadata inventory never scans table data") {
+    // q45's row counts come from parquet FOOTERS; a monitoring
+    // inventory that plans a data scan re-reads the corpus to count it
+    val p = plan("q45_meta_scan")
+    assert(!p.contains("Scan parquet"), s"metaScan must stay footer-only:\n$p")
+  }
+
+  test("the approx profiler plans one scan and NO Expand") {
+    // the exact profiler's multi-distinct agg plans an Expand (one
+    // input-row copy per distinct aggregate — ~10× inflation at this
+    // width); the HLL-sketch profiler must stay a plain single-pass
+    // aggregate: fixed 256-byte buffers, partial-merged map-side
+    val p = plan("q136_profile_approx")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Expand"), s"approx profiler must not Expand:\n$p")
+    assert(p.contains("hll_card"), p)
+  }
+
   test("packed chunks reuse the pack window's clustering for the collapse") {
     // grouping on (pack_group, chunk_id) is satisfied by the window's
     // hashpartitioning(pack_group) — a second exchange here would

@@ -23,6 +23,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("approx profiler tracks the exact profiler within sketch error") {
+    // q136's accuracy claim, judged against q99 on the same table:
+    // metadata columns identical, est_distinct within the HLL bound
+    import graft.operators.Relational
+    val exact = Relational.profileTable(spark, sf, "orders").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.profileTableApprox(spark, sf, "orders").collect()
+    assert(approx.length == exact.size)
+    approx.foreach { a =>
+      val e = exact(a.getString(0))
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2),
+        s"${a.getString(0)}: exact metadata drifted")
+      assert(a.getString(4) == e.getString(4) && a.getString(5) == e.getString(5),
+        s"${a.getString(0)}: min/max drifted")
+      val (est, truth) = (a.getDouble(3), e.getLong(3).toDouble)
+      val rel = math.abs(est - truth) / math.max(truth, 1.0)
+      assert(rel <= 0.26, s"${a.getString(0)}: est $est truth $truth rel $rel")
+    }
+  }
+
   test("hll registers merge by max: union sketch equals sketch of union") {
     // the per-source registers of a SPLIT corpus, merged by max,
     // must equal the registers over the whole corpus — the property

@@ -565,14 +565,24 @@ object Similarity {
     * baseline. */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 5,
       dims: Int = 64): DataFrame = {
-    val (subspaces, codebook, shortlist) = (PqSubspaces, PqCodebook, PqShortlist)
-    val sub = dims / subspaces
+    val sub = dims / PqSubspaces
     val emb = Tables(spark, dir, "embeddings")
     // codebook[j][s] = centroid j's subvector for subspace s —
     // metadata-sized (64×64 floats), folded to literals like ivfTopK's
-    val cents: Array[Array[Array[Float]]] = emb.filter(col("vec_id") < codebook)
+    val cents: Array[Array[Array[Float]]] = emb.filter(col("vec_id") < PqCodebook)
       .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray.grouped(sub).toArray)
+    pqTopKWithCodebook(emb, cents, k, dims)
+  }
+
+  /** [[pqTopK]]'s core under an explicit codebook — shared by the
+    * first-64 baseline (q80, oracle-replayed), the trained variant
+    * ([[pqTopKTrained]]), and the persisted-codebook replay the spec
+    * pins (training happens ONCE; serving encodes/scores against the
+    * stored literals — the FAISS deployment contract). */
+  def pqTopKWithCodebook(emb: DataFrame, cents: Array[Array[Array[Float]]],
+      k: Int = 5, dims: Int = 64): DataFrame = {
+    val (subspaces, codebook, shortlist) = (PqSubspaces, cents.length, PqShortlist)
     // Encode + ADC run as the native PqCodec kernels (see PqCodec's
     // scaladoc for why: interpreted HOF folds ~9 s, literal-unrolled
     // janino compile ~27 s, and an ADC JOIN re-copies each query's
@@ -609,6 +619,98 @@ object Similarity {
         round(Vectors.dot(col("qv"), col("cv")), 6).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Per-subspace k-means PQ training — the FAISS train loop the
+    * first-64 convention stands in for. Each subspace's codebook
+    * refines independently: assignment is the SERVING encode itself
+    * ([[PqCodec.encode]] — max dot, ties to the smallest centroid id,
+    * so training optimizes in exactly the metric serving quantizes
+    * in), and the update is the member mean (the min-reconstruction-
+    * error centroid, which is what ADC accuracy depends on).
+    *
+    * Scale shape mirrors [[trainCodebook]]: one encode scan per
+    * iteration (codebook folded to literals — no shuffle for
+    * assignment), one groupBy((subspace, code, dim)) aggregation per
+    * iteration whose output is subspaces × k × subdim rows (4096 at
+    * the defaults) — the driver holds codebook-sized state only,
+    * never corpus rows. Init = the first k vectors' subvectors
+    * (deterministic, and exactly the untrained baseline — so
+    * iteration 0 reproduces [[pqTopK]] and every iteration is a
+    * monotone refinement of it, spec-asserted). An empty cluster
+    * keeps its centroid. */
+  def trainPqCodebooks(embs: DataFrame, subspaces: Int = PqSubspaces,
+      k: Int = PqCodebook, iters: Int = 3,
+      dims: Int = 64): Array[Array[Array[Float]]] = {
+    val sub = dims / subspaces
+    var cents: Array[Array[Array[Float]]] = embs.filter(col("vec_id") < k)
+      .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray.grouped(sub).toArray)
+    for (_ <- 0 until iters) {
+      val cbFlat = lit(cents.flatMap(_.flatten))
+      // two-step selects: rename posexplode outputs before the second
+      // generator, and keep the slice OUTSIDE the first explode's
+      // select (Project chains don't collapse across a Generate)
+      val sums = embs
+        .select(PqCodec.encode(col("embedding"), cbFlat, subspaces).as("codes"),
+          col("embedding"))
+        .select(posexplode(col("codes")), col("embedding"))
+        .select(col("pos").as("s"), col("col").as("code"), col("embedding"))
+        .select(col("s"), col("code"),
+          posexplode(slice(col("embedding"), col("s") * lit(sub) + lit(1), lit(sub))))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getInt(1), r.getInt(0))) // (code, s)
+      cents = cents.zipWithIndex.map { case (subvecs, cid) =>
+        subvecs.zipWithIndex.map { case (old, s) =>
+          byKey.get((cid, s)) match {
+            case Some(rows) =>
+              val v = new Array[Double](old.length)
+              var n = 0L
+              rows.foreach { r => v(r.getInt(2)) = r.getDouble(3); n = r.getLong(4) }
+              v.map(x => (x / n).toFloat)
+            case None => old
+          }
+        }
+      }
+    }
+    cents
+  }
+
+  /** [[pqTopK]] under a TRAINED codebook — the recall lever the
+    * first-64 convention leaves on the table. Same encode/ADC/re-rank
+    * plan, different literals; correctness contract is the persisted-
+    * codebook replay (train once, [[storePqCodebook]], serve from the
+    * stored literals — spec-pinned bit-equal), recall-over-baseline
+    * is spec-asserted. */
+  def pqTopKTrained(spark: SparkSession, dir: String, k: Int = 5,
+      dims: Int = 64, iters: Int = 3): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    pqTopKWithCodebook(emb, trainPqCodebooks(emb, iters = iters, dims = dims), k, dims)
+  }
+
+  /** Persist a trained PQ codebook — one row per (centroid, subspace),
+    * the durable artifact serving encodes against (the training run's
+    * last-ulp shuffle nondeterminism ends here, same contract as
+    * [[buildStoredIvf]]'s centroids). */
+  def storePqCodebook(spark: SparkSession, cents: Array[Array[Array[Float]]],
+      indexDir: String): Unit = {
+    val rows = for ((subvecs, cid) <- cents.zipWithIndex; (v, s) <- subvecs.zipWithIndex)
+      yield (cid, s, v.toSeq)
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF("centroid_id", "subspace", "subvector")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pq_codebook")
+  }
+
+  /** Load a stored PQ codebook back to the literal-foldable shape. */
+  def loadPqCodebook(spark: SparkSession,
+      indexDir: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(s"$indexDir/pq_codebook")
+      .select("centroid_id", "subspace", "subvector").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }.toArray
 
   /** LSH-bucketed ANN (scale path): 16-bit hyperplane signature, then
     * multi-probe via 4-bit bands — only same-band candidates are

@@ -34,7 +34,12 @@ object CdcPipeline {
       maxDlqAttempts: Int = 3,               // mongodb.go:261 maxRetryAttempts
       nsFilter: Option[(String, String)] = None, // P2: (db, table) $match, mongodb.go:550-556
       includeTableRegex: Seq[String] = Nil,  // P3: binlog include regexes, mysql.go:52-58
-      maxBytesPerTrigger: Option[Long] = None) // ST3: byte-based batch cap, mongodb.go:256
+      maxBytesPerTrigger: Option[Long] = None, // ST3: byte-based batch cap, mongodb.go:256
+      // "json" = the generic file stream; "changelog" = the engine's
+      // own DSv2 MicroBatchStream (graft.sources.ChangeLogSource):
+      // resume-token offsets, per-file partitions, gated token commit.
+      // The trigger caps above are file-source knobs and do not apply.
+      sourceFormat: String = "json")
 
   /** Start the stream. With `availableNow=true` it drains all pending
     * input then stops (test/batch-catchup mode); otherwise it runs on a
@@ -45,12 +50,16 @@ object CdcPipeline {
     // same two knobs but only one may be active — the byte cap wins
     // when configured (it is the one that tracks memory, not file
     // count, which is what the controller is actually protecting).
-    val reader = spark.readStream.schema(ChangeEvents.schema)
-    cfg.maxBytesPerTrigger match {
-      case Some(b) => reader.option("maxBytesPerTrigger", b)
-      case None    => reader.option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+    val raw = if (cfg.sourceFormat == "changelog")
+      spark.readStream.format("changelog").load(cfg.sourceDir)
+    else {
+      val reader = spark.readStream.schema(ChangeEvents.schema)
+      cfg.maxBytesPerTrigger match {
+        case Some(b) => reader.option("maxBytesPerTrigger", b)
+        case None    => reader.option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      }
+      reader.json(cfg.sourceDir)
     }
-    val raw = reader.json(cfg.sourceDir)
     val matched = cfg.nsFilter.map { case (db, t) =>
       ChangeEvents.matchStage(raw, db, t) }.getOrElse(raw)
     val included = ChangeEvents.includeTables(matched, cfg.includeTableRegex)

@@ -117,6 +117,74 @@ class CdcSpec extends SparkSpec {
     changes.unpersist()
   }
 
+  test("DSv2 changelog source: pipeline parity, restart parity, gated resume token") {
+    import graft.sources.ChangeLogMicroBatchStream
+    val src = tmp(); val cfg = CdcPipeline.Config(
+      sourceDir = src, targetDir = tmp() + "/target",
+      checkpointDir = tmp() + "/ckpt", dlqDir = tmp() + "/dlq",
+      sourceFormat = "changelog")
+
+    // same 3-file arrival-order drop as the file-stream test
+    val changes = ChangeEvents.fromEvents(spark, sf).persist()
+    val maxOff = changes.agg(max(col("offset"))).head().getLong(0)
+    def drop(lo: Long, hi: Long): Unit = {
+      changes.filter(col("offset").between(lo, hi))
+        .coalesce(1).write.mode("append").json(src)
+      Thread.sleep(5) // distinct modification times: arrival order is real
+    }
+    drop(0L, maxOff / 3)
+    drop(maxOff / 3 + 1, 2 * maxOff / 3)
+
+    // no token before any commit
+    assert(ChangeLogMicroBatchStream.resumeToken(spark, cfg.checkpointDir).isEmpty)
+
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    // the engine commits a batch's source offsets lazily (when the
+    // NEXT batch plans), so the token must never run AHEAD of the
+    // consumed prefix — ≤ 2 here, exactly 2 once the next run commits
+    val tok1 = ChangeLogMicroBatchStream.resumeToken(spark, cfg.checkpointDir)
+    assert(tok1.forall(_.n <= 2), tok1.toString)
+
+    // late third drop + RESTART from the same checkpoint: only the new
+    // file is planned (offset log), state converges to the batch truth
+    drop(2 * maxOff / 3 + 1, maxOff)
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    val want = Cdc.finalState(spark, sf)
+    assert(normalize(spark.read.parquet(cfg.targetDir)
+      .withColumnRenamed("key", "user_id")) == normalize(want))
+    val tok2 = ChangeLogMicroBatchStream.resumeToken(spark, cfg.checkpointDir)
+    assert(tok2.exists(t => t.n >= 2 && t.n <= 3), tok2.toString)
+
+    // restart with nothing new: no reprocessing, state unchanged; the
+    // token stays at the committed prefix (no batch constructs, so the
+    // lazy source-commit cannot advance — and must not)
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    assert(normalize(spark.read.parquet(cfg.targetDir)
+      .withColumnRenamed("key", "user_id")) == normalize(want))
+    val tok3 = ChangeLogMicroBatchStream.resumeToken(spark, cfg.checkpointDir)
+    assert(tok3.exists(_.n <= 3), tok3.toString)
+
+    // a duplicate re-drop of the last slice: constructing the next
+    // batch commits everything before it (token reaches 3), and the
+    // idempotent merge makes the duplicate delivery a no-op
+    drop(2 * maxOff / 3 + 1, maxOff)
+    CdcPipeline.start(spark, cfg).awaitTermination()
+    assert(ChangeLogMicroBatchStream.resumeToken(spark, cfg.checkpointDir)
+      .exists(_.n >= 3))
+    assert(normalize(spark.read.parquet(cfg.targetDir)
+      .withColumnRenamed("key", "user_id")) == normalize(want))
+
+    // the custom source and the generic file stream converge to the
+    // SAME state from the same log (cross-source parity)
+    val cfgJson = cfg.copy(sourceFormat = "json",
+      targetDir = tmp() + "/target_json", checkpointDir = tmp() + "/ckpt_json",
+      dlqDir = tmp() + "/dlq_json")
+    CdcPipeline.start(spark, cfgJson).awaitTermination()
+    assert(normalize(spark.read.parquet(cfgJson.targetDir)
+      .withColumnRenamed("key", "user_id")) == normalize(want))
+    changes.unpersist()
+  }
+
   test("ignoreDeleteOps keeps last non-delete payload") {
     val src = tmp(); val cfg = CdcPipeline.Config(
       sourceDir = src, targetDir = tmp() + "/target",

@@ -2157,10 +2157,16 @@ object SparkEntry {
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the
-    * lexical-dedup CTEs in q114), shared by q100 and q114. */
+    * lexical-dedup CTEs in q114), shared by q100 and q114. The cell
+    * count replays [[graft.operators.Similarity.semDedupCells]]'s √N
+    * sizing from the same table (= 16 at the driver's 2000-vector test
+    * corpora, growing beyond). */
   private lazy val SemDedupCtes: String =
-    s"""sem_cents AS (SELECT vec_id AS centroid_id, embedding AS cent
-       |               FROM embeddings WHERE vec_id < 16),
+    s"""sem_k AS (SELECT greatest(16,
+       |    CAST(ceil(16.0 * sqrt(count(*) / 2000.0)) AS BIGINT)) AS k
+       |  FROM embeddings),
+       | sem_cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+       |               FROM embeddings WHERE vec_id < (SELECT k FROM sem_k)),
        | sem_sims AS (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
        |    round(list_sum(list_transform(range(1, 65),

@@ -57,16 +57,28 @@ final case class HllCardAgg(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
+  // per-task-instance digest (update runs serially within a task;
+  // each task deserializes its own expression copy) — getInstance
+  // per row was the measured hot spot of the whole profile pass
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  private val prefix = "hllc-".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      // identical to Text.md5Hash60: first 15 hex chars of the md5 →
-      // non-negative 60-bit long (the 'hllc-' salt keeps this
-      // aggregate's registers independent of the token sketches')
-      val md = MessageDigest.getInstance("MD5")
-      val hex = md.digest(("hllc-" + v.toString).getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString // 16 hex chars, use 15
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      // identical value to Text.md5Hash60's convention: the first 15
+      // hex chars of the md5 = the top 60 bits of the first 8 digest
+      // bytes (big-endian >>> 4) — computed bytewise, no hex strings.
+      // The 'hllc-' salt keeps these registers independent of the
+      // token sketches'.
+      md.reset()
+      md.update(prefix)
+      md.update(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      val d = md.digest()
+      val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
       val reg = (h % m).toInt
       val rest = h >>> regBits
       val rho =

@@ -503,10 +503,31 @@ object Similarity {
     * regime the paper's extreme-dedup settings target. */
   val SemDedupThreshold = 0.35
 
+  /** [[semDedup]]'s auto cell sizing: cells = max(16, ⌈16·√(N/2000)⌉)
+    * — √N cells, the SemDeDup-paper regime. Within-cell dedup is
+    * pairwise, so cost = assignment N·cells + pairs N·cellSize; √N
+    * cells balances the two at O(N^1.5) (fixed cells would make the
+    * pair pass ∝ N², fixed cell SIZE would make assignment ∝ N²).
+    * Anchored so the driver's test corpora (2000 vectors) keep the
+    * historical 16 cells — the replay convention is unchanged there.
+    * Shared with the oracle builder (SemDedupCtes computes the same
+    * expression over the same table). */
+  def semDedupCells(n: Long): Int =
+    math.max(16, math.ceil(16.0 * math.sqrt(n / 2000.0)).toInt)
+
   def semDedup(spark: SparkSession, dir: String, threshold: Double = SemDedupThreshold,
-      numCentroids: Int = 16, tileRows: Int = 128): DataFrame = {
+      numCentroids: Int = 0, tileRows: Int = 128): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+    // Cell count must GROW with the corpus: within-cell dedup is
+    // pairwise, so fixed cells make cell population ∝ N and the pair
+    // pass ∝ N² — the sf1 linearity run measured exactly that (86 s
+    // at 10× data, ~28× the sf0.1 time, before this change).
+    // numCentroids = 0 (the default) selects [[semDedupCells]]'s √N
+    // sizing; the DuckDB oracle computes the identical count from the
+    // same table (SemDedupCtes), so the replay stays exact at any SF.
+    val k = if (numCentroids > 0) numCentroids
+      else semDedupCells(emb.count())
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < k)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val assigned = PlanCache.tracked(assignCells(emb, cents))

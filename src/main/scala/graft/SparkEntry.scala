@@ -106,13 +106,18 @@ object SparkEntry {
   }
 
   /** q30: 16-bit hyperplane signature + 4×4-bit bands + top-k. */
-  private lazy val q30Sql: String = {
-    val sigExpr = (0 until 16).map { j =>
+  /** The 16-bit hyperplane signature replay (Vectors.hyperplaneSignature)
+    * — shared by q30's LSH ANN and q137's banded near-dups. */
+  private lazy val HyperplaneSigSql: String =
+    (0 until 16).map { j =>
       s"""CASE WHEN round(list_sum(list_transform(range(1, 65),
          |      i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN
          |        (CAST('0x' || substr(md5('$j-' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1) = 0
          |        THEN 1.0 ELSE -1.0 END))), 6) > 0
          |    THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin }.mkString(" +\n    ")
+
+  private lazy val q30Sql: String = {
+    val sigExpr = HyperplaneSigSql
     val bandCond = (0 until 4).map { j =>
       s"((qsig >> ${j * 4}) & 15 = (csig >> ${j * 4}) & 15)" }.mkString(" OR ")
     s"""WITH sig AS (SELECT vec_id, embedding, ($sigExpr) AS sig FROM embeddings),
@@ -304,6 +309,7 @@ object SparkEntry {
     "q134_conversion_latency" -> (EventFlow.conversionLatency _),
     "q135_dow_profile" -> (Relational.dowProfile _),
     "q136_profile_approx" -> ((s, d) => Relational.profileTableApprox(s, d, "orders")),
+    "q137_neardup_banded" -> ((s, d) => Similarity.embeddingNearDupsBanded(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2153,6 +2159,21 @@ object SparkEntry {
            |FROM agg CROSS JOIN est
            |)""".stripMargin
       }.mkString("\nUNION ALL\n")
+    },
+    // q137: banded near-dups — the linear-scale twin of q28's exact
+    // all-pairs; oracle replays signature + 4x4-bit banding + verify
+    "q137_neardup_banded" -> {
+      val bandCond = (0 until 4).map { j =>
+        s"((x.sig >> ${j * 4}) & 15 = (y.sig >> ${j * 4}) & 15)" }.mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id, label, embedding,
+         |    ($HyperplaneSigSql) AS sig FROM embeddings)
+         |SELECT vec_a, vec_b, label, sim FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))), 6) AS sim
+         |  FROM s x JOIN s y ON x.label = y.label AND x.vec_id < y.vec_id
+         |    AND ($bandCond))
+         |WHERE sim >= 0.4""".stripMargin
     },
   )
 

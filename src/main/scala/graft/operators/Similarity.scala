@@ -90,6 +90,40 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Banded near-dup pairs — the LINEAR-scale twin of the exact tiled
+    * [[embeddingNearDups]] (q28/q54's all-pairs contract, which is
+    * quadratic BY DECLARATION — see SF1_LINEARITY.md): candidates come
+    * from 4-bit hyperplane-signature bands within label, a join key
+    * whose cardinality grows with the corpus, then exact-dot verify at
+    * the threshold. Work ∝ corpus × bucket-mates, never all-pairs.
+    *
+    * Approximate by design: at this similarity regime
+    * (near-orthogonal synthetic vectors, cos ≈ 0.4) the 4×4-bit
+    * banding keeps ~60% of true pairs (3/5 at sf0.01 — the spec
+    * asserts the kept set is a subset with nonzero recall); real
+    * near-dup clusters at cos ≥ 0.8 band at ~90%. The DuckDB oracle
+    * replays signature + banding + verify EXACTLY, so the query is
+    * hash-checked despite being approximate. */
+  def embeddingNearDupsBanded(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val emb = PlanCache.tracked(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Vectors.hyperplaneSignature(col("embedding")).as("sig")))
+    def bands(idCol: String, vCol: String): DataFrame =
+      emb.select(col("vec_id").as(idCol), col("label"), col("embedding").as(vCol),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          j => call_function("shiftright", col("sig"), j * 4).bitwiseAND(lit(0xFL)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val x = bands("vec_a", "va")
+    val y = bands("vec_b", "vb")
+    x.join(y, Seq("label", "band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        round(Vectors.dot(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** IVF ANN (the coarse-quantizer scale path): every vector is
     * assigned to its nearest of `numCentroids` coarse centroids; a
     * query probes its `nprobe` nearest cells and scores only their

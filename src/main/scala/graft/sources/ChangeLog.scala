@@ -76,15 +76,16 @@ final class ChangeLogTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new ChangeLogScan(path)
+      override def build(): Scan = new ChangeLogScan(path,
+        Option(options.get("maxfilespertrigger")).map(_.toInt))
     }
 }
 
-final class ChangeLogScan(path: String) extends Scan {
+final class ChangeLogScan(path: String, maxFilesPerTrigger: Option[Int]) extends Scan {
   override def readSchema(): StructType = ChangeEvents.schema
   override def description(): String = s"GraftChangeLog $path"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeLogMicroBatchStream(path, checkpointLocation)
+    new ChangeLogMicroBatchStream(path, checkpointLocation, maxFilesPerTrigger)
 }
 
 /** Position in the append-only change log: `n` files consumed, the
@@ -98,10 +99,49 @@ final case class ChangeLogOffset(n: Int, last: String) extends Offset {
   }
 }
 
-final class ChangeLogMicroBatchStream(path: String, checkpointLocation: String)
-    extends MicroBatchStream {
+final class ChangeLogMicroBatchStream(path: String, checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def fs = new Path(path).getFileSystem(new Configuration())
+
+  // Trigger.AvailableNow contract: pin the drain target ONCE at query
+  // start; the engine then loops capped micro-batches until the log's
+  // pinned prefix is consumed (without this interface Spark falls
+  // back to a single uncapped batch and admission control is moot)
+  private var availableNowEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(listLog().length)
+
+  /** ST1–ST3 parity for the custom source: the reference's apply-batch
+    * cap (mongodb.go:258) as Spark admission control — a trigger
+    * admits at most `maxFilesPerTrigger` new files; AvailableNow keeps
+    * triggering until the log drains. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
+      .getOrElse(
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val log = listLog()
+    val avail = availableNowEnd.fold(log.length)(math.min(_, log.length))
+    if (avail == 0) return ChangeLogOffset(0, "")
+    val s = start.asInstanceOf[ChangeLogOffset].n
+    val e = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(avail, s + m.maxFiles())
+      case _ => avail
+    }
+    if (e == 0) ChangeLogOffset(0, "")
+    else ChangeLogOffset(e, s"${log(e - 1)._1}/${log(e - 1)._2}")
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   /** The log, in arrival order — metadata listing only. */
   private def listLog(): Array[(Long, String)] = {

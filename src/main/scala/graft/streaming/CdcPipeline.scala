@@ -37,8 +37,9 @@ object CdcPipeline {
       maxBytesPerTrigger: Option[Long] = None, // ST3: byte-based batch cap, mongodb.go:256
       // "json" = the generic file stream; "changelog" = the engine's
       // own DSv2 MicroBatchStream (graft.sources.ChangeLogSource):
-      // resume-token offsets, per-file partitions, gated token commit.
-      // The trigger caps above are file-source knobs and do not apply.
+      // resume-token offsets, per-file partitions, gated token commit,
+      // maxFilesPerTrigger honored via admission control (the byte cap
+      // is a file-source knob and does not apply).
       sourceFormat: String = "json")
 
   /** Start the stream. With `availableNow=true` it drains all pending
@@ -51,7 +52,9 @@ object CdcPipeline {
     // when configured (it is the one that tracks memory, not file
     // count, which is what the controller is actually protecting).
     val raw = if (cfg.sourceFormat == "changelog")
-      spark.readStream.format("changelog").load(cfg.sourceDir)
+      spark.readStream.format("changelog")
+        .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+        .load(cfg.sourceDir)
     else {
       val reader = spark.readStream.schema(ChangeEvents.schema)
       cfg.maxBytesPerTrigger match {

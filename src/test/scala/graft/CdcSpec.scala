@@ -182,6 +182,21 @@ class CdcSpec extends SparkSpec {
     CdcPipeline.start(spark, cfgJson).awaitTermination()
     assert(normalize(spark.read.parquet(cfgJson.targetDir)
       .withColumnRenamed("key", "user_id")) == normalize(want))
+
+    // admission control (ST3 parity): capped at one file per trigger,
+    // AvailableNow drains the 4-file log in ≥ 4 micro-batches and
+    // still converges to the same state
+    val cfgCap = cfg.copy(maxFilesPerTrigger = 1,
+      targetDir = tmp() + "/target_cap", checkpointDir = tmp() + "/ckpt_cap",
+      dlqDir = tmp() + "/dlq_cap")
+    CdcPipeline.start(spark, cfgCap).awaitTermination()
+    assert(normalize(spark.read.parquet(cfgCap.targetDir)
+      .withColumnRenamed("key", "user_id")) == normalize(want))
+    val offsetsDir = new org.apache.hadoop.fs.Path(cfgCap.checkpointDir, "offsets")
+    val ofs = offsetsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBatches = ofs.listStatus(offsetsDir)
+      .count(s => s.getPath.getName.forall(_.isDigit))
+    assert(nBatches >= 4, s"cap ignored: only $nBatches micro-batches")
     changes.unpersist()
   }
 

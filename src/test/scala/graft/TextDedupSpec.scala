@@ -589,6 +589,22 @@ class TextDedupSpec extends SparkSpec {
     assert(clusters.exists(!_._2))
   }
 
+  test("banded near-dups are a subset of the exact pairs with nonzero recall") {
+    // q137 (linear scale path) vs q28 (exact all-pairs contract):
+    // everything the banding keeps must be a true pair with the exact
+    // sim, and it must keep SOMETHING at this similarity regime
+    val exact = Similarity.embeddingNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val banded = Similarity.embeddingNearDupsBanded(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    graft.operators.PlanCache.release()
+    assert(banded.nonEmpty && exact.nonEmpty)
+    banded.foreach { case (k, sim) =>
+      assert(exact.get(k).contains(sim), s"banded pair $k not in exact set") }
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall (${banded.size}/${exact.size})")
+  }
+
   test("embedding clusters are the components of the near-dup pair graph") {
     val pairs = Similarity.embeddingNearDups(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -51,6 +51,7 @@ object ConfigReader {
       optimizeTasks: Seq[OptimizeSpec] = Nil,
       dqTasks: Seq[DqSpec] = Nil,
       decontamTasks: Seq[DecontamSpec] = Nil,
+      annIndexTasks: Seq[graft.model.AnnIndexSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -94,6 +95,13 @@ object ConfigReader {
         try Some(parseDqTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed dq task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      annIndexTasks = root.path("annIndexTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseAnnIndexTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed annIndex task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -303,6 +311,23 @@ object ConfigReader {
     require(s.k >= 1 && s.minHits >= 1 && s.evalMod >= 2,
       s"decontam task ${s.id}: k/minHits must be >= 1, evalMod >= 2")
     s
+  }
+
+  private def parseAnnIndexTask(n: JsonNode): graft.model.AnnIndexSpec = {
+    val schedule = optText(n, "schedule").getOrElse("0 5 * * *")
+    graft.operators.Cron.parse(schedule) // validate: a bad schedule skips THIS task only
+    val spec = graft.model.AnnIndexSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      indexDir = reqText(n, "indexDir"),
+      ivf = n.path("ivf").asBoolean(true),
+      codes = n.path("codes").asBoolean(true),
+      trainPq = n.path("trainPq").asBoolean(false),
+      compact = n.path("compact").asBoolean(false))
+    require(spec.ivf || spec.codes || spec.trainPq,
+      "annIndex task maintains nothing: enable ivf, codes, or trainPq")
+    spec
   }
 
   private def parseDqTask(n: JsonNode): DqSpec = {

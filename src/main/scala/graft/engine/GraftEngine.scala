@@ -45,6 +45,7 @@ final class GraftEngine(
   @volatile private var trainingSpecs: Seq[TrainingExportSpec] = Nil
   @volatile private var optimizeSpecs: Seq[graft.model.OptimizeSpec] = Nil
   @volatile private var dqSpecs: Seq[graft.model.DqSpec] = Nil
+  @volatile private var annIndexSpecs: Seq[graft.model.AnnIndexSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -183,16 +184,19 @@ final class GraftEngine(
     }
     recorder.foreach(_._2.flush())
     if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs ||
-        cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs) {
+        cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs ||
+        cfg.annIndexTasks != annIndexSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
       dqSpecs = cfg.dqTasks
+      annIndexSpecs = cfg.annIndexTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
         backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob) ++
-          optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob),
+          optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob) ++
+          annIndexSpecs.map(toAnnIndexJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -225,6 +229,14 @@ final class GraftEngine(
       try { GraftEngine.runOptimize(spark, spec); () }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("optimize_failed", s"optimize${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toAnnIndexJob(spec: graft.model.AnnIndexSpec): Cron.Job =
+    Cron.Job(GraftEngine.AnnIndexJobIdOffset + spec.id, spec.schedule, () =>
+      try { GraftEngine.runAnnIndexMaintenance(spark, spec); () }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("ann_index_failed", s"annIndex${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -587,6 +599,9 @@ object GraftEngine {
   /** DQ-task namespace. */
   val DqJobIdOffset = 3000000
 
+  /** ANN-index-maintenance namespace. */
+  val AnnIndexJobIdOffset = 4000000
+
   /** Evaluate one DQ task now; returns (rule, violations) for every
     * FAILED rule — the caller alerts on each. The full report is
     * driver-side metadata (one row per rule). */
@@ -607,6 +622,59 @@ object GraftEngine {
       spark.read.parquet(spec.sourceDir),
       spec.zorderBy._1, spec.zorderBy._2, spec.outDir, spec.numFiles)
     spec.outDir
+  }
+
+  /** Execute one vector-index maintenance pass now (the annIndex cron
+    * target): per enabled index, found if absent, else append exactly
+    * the corpus vectors the index lacks (anti-join on vec_id — an
+    * unchanged corpus is a no-op pass, O(increment) otherwise);
+    * optionally retrain + store the PQ codebooks from the full corpus;
+    * optionally compact (tombstone erasure + small-file rewrite).
+    * Returns a summary like `ivf +120 codes +120 pq compacted`. */
+  def runAnnIndexMaintenance(spark: SparkSession,
+      spec: graft.model.AnnIndexSpec): String = {
+    import graft.operators.Similarity
+    val emb = graft.Tables(spark, spec.sourceDir, "embeddings")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    def increment(cellsPath: String): (org.apache.spark.sql.DataFrame, Long) = {
+      val have = spark.read.parquet(cellsPath).select("vec_id")
+      val fresh = emb.join(have, Seq("vec_id"), "left_anti")
+      (fresh, fresh.count())
+    }
+    val ivfRoot = s"${spec.indexDir}/ivf"
+    val codesRoot = s"${spec.indexDir}/codes_idx"
+    val parts = Seq.newBuilder[String]
+    if (spec.ivf) {
+      if (!exists(s"$ivfRoot/centroids")) {
+        Similarity.buildStoredIvf(emb, ivfRoot)
+        parts += "ivf founded"
+      } else {
+        val (fresh, n) = increment(s"$ivfRoot/cells")
+        if (n > 0) Similarity.appendToStoredIvf(fresh, ivfRoot)
+        parts += s"ivf +$n"
+      }
+      if (spec.compact) { Similarity.compactStoredIvf(spark, ivfRoot); parts += "ivf compacted" }
+    }
+    if (spec.codes) {
+      if (!exists(s"$codesRoot/codes")) {
+        Similarity.foundCodeIndex(emb, codesRoot)
+        parts += "codes founded"
+      } else {
+        val (fresh, n) = increment(s"$codesRoot/codes")
+        if (n > 0) Similarity.appendToCodeIndex(fresh, codesRoot)
+        parts += s"codes +$n"
+      }
+      if (spec.compact) { Similarity.compactCodeIndex(spark, codesRoot); parts += "codes compacted" }
+    }
+    if (spec.trainPq) {
+      Similarity.storePqCodebook(spark, Similarity.trainPqCodebooks(emb), spec.indexDir)
+      parts += "pq trained"
+    }
+    parts.result().mkString(" ")
   }
 
   /** Execute one training-data build now (the training cron target):

@@ -126,6 +126,27 @@ final case class DqSpec(
     table: String = "",
     rules: Seq[graft.operators.DataQuality.Rule] = Nil)
 
+/** A scheduled vector-index maintenance job — the index-ops face of
+  * the ANN family, composing the persisted-index operators the way
+  * `optimizeTasks` composes the layout ones: found each enabled index
+  * if absent, RECONCILE-append the corpus increment (only vectors the
+  * index lacks — an anti-join on vec_id, so a run over an unchanged
+  * corpus is a no-op and work per run is O(increment)), optionally
+  * retrain + store the PQ codebooks, optionally compact (rewriting
+  * cells/codes minus right-to-be-forgotten tombstones). The IVF and
+  * code indexes live under separate roots (`ivf/`, `codes/`) so each
+  * owns its Forgotten set — compaction of one must not blind the
+  * other's tombstones. */
+final case class AnnIndexSpec(
+    id: Int,
+    schedule: String = "0 5 * * *",
+    sourceDir: String = "",    // embeddings corpus root
+    indexDir: String = "",     // index root (ivf/ and codes/ beneath)
+    ivf: Boolean = true,
+    codes: Boolean = true,
+    trainPq: Boolean = false,
+    compact: Boolean = false)
+
 /** A resident decontamination pipeline
   * ([[graft.streaming.DecontamStream]]): a JSON document stream at
   * `sourceDir` scored at ingest against the eval slice of the corpus

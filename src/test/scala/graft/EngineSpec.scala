@@ -951,6 +951,54 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("scheduled ann-index maintenance: found, no-op reconcile, increment append, probe parity") {
+    import graft.operators.Similarity
+    val root = tmp()
+    // private corpus copy so the increment step can append to it
+    val corpus = s"$root/corpus"
+    Tables(spark, sf, "embeddings").write.parquet(s"$corpus/embeddings.parquet")
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "annIndexTasks": [
+         |  { "id": 4, "schedule": "10 5 * * *",
+         |    "sourceDir": "$corpus", "indexDir": "$root/idx", "trainPq": true } ] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      // day 1: founding pass builds both indexes + the PQ codebook
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T05:10:00")) ==
+        Seq(GraftEngine.AnnIndexJobIdOffset + 4))
+      val n0 = spark.read.parquet(s"$root/idx/ivf/cells").count()
+      assert(n0 == Tables(spark, sf, "embeddings").count())
+      assert(spark.read.parquet(s"$root/idx/codes_idx/codes").count() == n0)
+      assert(Similarity.loadPqCodebook(spark, s"$root/idx").length ==
+        Similarity.PqCodebook)
+      // stored-index probe ≡ the in-process IVF over the same corpus
+      val queries = Tables(spark, sf, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      val stored = Similarity.ivfTopKAgainstStoredIndex(spark, s"$root/idx/ivf", queries)
+        .collect().map(_.toSeq).toSet
+      assert(stored == Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSet)
+      // day 2, unchanged corpus: the reconcile is a no-op (no dup rows)
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T05:10:00")).nonEmpty)
+      assert(spark.read.parquet(s"$root/idx/ivf/cells").count() == n0)
+      // day 3: a crawl increment appends exactly its own rows
+      import spark.implicits._
+      val inc = Tables(spark, sf, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+        .select(org.apache.spark.sql.functions.col("vec_id") + 1000000L,
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("label"))
+        .toDF("vec_id", "embedding", "label")
+      inc.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-03T05:10:00")).nonEmpty)
+      assert(spark.read.parquet(s"$root/idx/ivf/cells").count() == n0 + 5)
+      assert(spark.read.parquet(s"$root/idx/codes_idx/codes").count() == n0 + 5)
+      assert(alerts.drain().forall(_.kind != "ann_index_failed"))
+    } finally engine.stop()
+  }
+
   test("scheduled dq: a drifted table alerts per failed rule, a clean one stays silent") {
     val root = tmp()
     // corrupt orders: a null custkey and a negative price

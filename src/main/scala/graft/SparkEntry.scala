@@ -310,6 +310,7 @@ object SparkEntry {
     "q135_dow_profile" -> (Relational.dowProfile _),
     "q136_profile_approx" -> ((s, d) => Relational.profileTableApprox(s, d, "orders")),
     "q137_neardup_banded" -> ((s, d) => Similarity.embeddingNearDupsBanded(s, d)),
+    "q138_banded_clusters" -> ((s, d) => Similarity.embeddingClustersBanded(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2174,6 +2175,23 @@ object SparkEntry {
          |  FROM s x JOIN s y ON x.label = y.label AND x.vec_id < y.vec_id
          |    AND ($bandCond))
          |WHERE sim >= 0.4""".stripMargin
+    },
+    // q138: connected components over q137's banded pair graph —
+    // banded-pair replay composed with the shared closure CTEs
+    "q138_banded_clusters" -> {
+      val bandCond = (0 until 4).map { j =>
+        s"((x.sig >> ${j * 4}) & 15 = (y.sig >> ${j * 4}) & 15)" }.mkString(" OR ")
+      s"""WITH RECURSIVE sg AS (SELECT vec_id, label, embedding,
+         |    ($HyperplaneSigSql) AS sig FROM embeddings),
+         | pairs AS (
+         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+         |  FROM sg x JOIN sg y ON x.label = y.label AND x.vec_id < y.vec_id
+         |    AND ($bandCond)
+         |  WHERE round(list_sum(list_transform(range(1, 65),
+         |    i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))), 6) >= 0.4),
+         | $ccCtes
+         |SELECT doc_id AS vec_id, cluster_id,
+         |  doc_id = cluster_id AS is_canonical FROM clus""".stripMargin
     },
   )
 

@@ -508,6 +508,21 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
 
+  /** Cluster face of [[embeddingNearDupsBanded]] — the complete
+    * LINEAR-scale near-dup dedup chain (banded candidates → exact
+    * verify → connected components → canonical survivor), mirroring
+    * [[embeddingClusters]] over the banded pair graph the way q49
+    * mirrors q25 for text. Same min-label propagation; the oracle
+    * composes the banded-pair replay with the shared recursive
+    * closure CTEs. */
+  def embeddingClustersBanded(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame =
+    Dedup.connectedComponents(
+        embeddingNearDupsBanded(spark, dir, threshold)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+
   /** SemDeDup: semantic deduplication scoped to coarse-quantizer cells
     * (Abbas et al. 2023 — "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"). Every vector is

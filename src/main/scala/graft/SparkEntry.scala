@@ -311,6 +311,7 @@ object SparkEntry {
     "q136_profile_approx" -> ((s, d) => Relational.profileTableApprox(s, d, "orders")),
     "q137_neardup_banded" -> ((s, d) => Similarity.embeddingNearDupsBanded(s, d)),
     "q138_banded_clusters" -> ((s, d) => Similarity.embeddingClustersBanded(s, d)),
+    "q139_zone_stats" -> ((s, d) => Relational.zoneStats(s, d, "orders")),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2192,6 +2193,23 @@ object SparkEntry {
          | $ccCtes
          |SELECT doc_id AS vec_id, cluster_id,
          |  doc_id = cluster_id AS is_canonical FROM clus""".stripMargin
+    },
+    // q139: the footer zone-map stats must equal the DATA's min/max —
+    // exactly the property row-group pruning relies on
+    "q139_zone_stats" -> {
+      val cols = Seq(("o_orderkey", "int"), ("o_custkey", "int"),
+        ("o_orderstatus", "str"), ("o_totalprice", "dbl"),
+        ("o_orderdate", "ts"), ("o_orderpriority", "str"))
+      cols.map { case (c, kind) =>
+        def b(agg: String) = kind match {
+          case "dbl" => s"CAST(CAST(floor($agg($c) * 100) AS BIGINT) AS VARCHAR)"
+          case "ts"  => s"CAST($agg(epoch_us($c)) AS VARCHAR)"
+          case _     => s"CAST($agg($c) AS VARCHAR)"
+        }
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  ${b("min")} AS min_norm, ${b("max")} AS max_norm
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
     },
   )
 

@@ -201,6 +201,83 @@ object Relational {
       .toDF("table_name", "n_rows", "n_cols")
   }
 
+  /** Zone-map statistics from parquet FOOTERS only — per column, the
+    * row count and normalized min/max aggregated across every row
+    * group, with zero data scan (PlanSpec-pinned). This is the
+    * data-skipping foundation made inspectable: the min/max a scan's
+    * pushed predicate ranges are judged against ARE these statistics,
+    * so "stats match the data" (the oracle recomputes min/max from
+    * the rows) is exactly the property row-group pruning relies on.
+    * Work is bytes-proportional to file COUNT (the catalog norm, cf.
+    * [[metaScan]]), never data size.
+    *
+    * min/max normalize with [[profileTable]]'s cross-engine
+    * conventions: integers/strings verbatim, doubles as floor-cent
+    * integers (floor is monotone, so floor-cents of the min IS the
+    * min of floor-cents), timestamps as epoch micros (parquet stores
+    * timestamp[us] stats as INT64 micros already). */
+  def zoneStats(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import org.apache.parquet.column.statistics.Statistics
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = root.getFileSystem(conf)
+    val schema = Tables(spark, dir, table).schema
+    // (col -> (rows, minLong, maxLong, minStr, maxStr)) folded over
+    // every row group of every part file
+    val acc = scala.collection.mutable.Map[String, (Long, Option[Any], Option[Any])]()
+    def better(cur: Option[Any], cand: Any, takeMin: Boolean): Option[Any] =
+      cur match {
+        case None => Some(cand)
+        case Some(x) => (x, cand) match {
+          case (a: Long, b: Long) => Some(if ((b < a) == takeMin) b else a)
+          case (a: Double, b: Double) => Some(if ((b < a) == takeMin) b else a)
+          case (a: String, b: String) =>
+            Some(if ((b.compareTo(a) < 0) == takeMin) b else a)
+          case _ => cur
+        }
+      }
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            val st: Statistics[_] = cc.getStatistics
+            val (rows0, min0, max0) = acc.getOrElse(name, (0L, None, None))
+            val (mn, mx): (Option[Any], Option[Any]) =
+              if (st == null || !st.hasNonNullValue) (min0, max0)
+              else {
+                def ext(v: Any): Any = v match {
+                  case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+                  case i: java.lang.Integer => i.longValue
+                  case other => other
+                }
+                (better(min0, ext(st.genericGetMin), takeMin = true),
+                  better(max0, ext(st.genericGetMax), takeMin = false))
+              }
+            acc(name) = (rows0 + block.getRowCount, mn, mx)
+          }
+        } finally r.close()
+      }
+    }
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val rows = schema.fields.toIndexedSeq.map { fld =>
+      val (n, mn, mx) = acc.getOrElse(fld.name, (0L, None, None))
+      def norm(v: Option[Any]): String = v.map {
+        case d: Double if fld.dataType == DoubleType =>
+          math.floor(d * 100).toLong.toString
+        case l: Long if fld.dataType == TimestampType => l.toString // micros
+        case other => other.toString
+      }.orNull
+      (fld.name, n, norm(mn), norm(mx))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1))
+      .toDF("col_name", "n_rows", "min_norm", "max_norm")
+  }
+
   /** Merged multi-table export (SET1/W7): date-suffixed table slices
     * unioned into one artifact with projection + filter pushed to each
     * scan (external_simple.go:252-388). Year slices stand in for the

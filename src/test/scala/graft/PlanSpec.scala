@@ -173,6 +173,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), s"metaScan must stay footer-only:\n$p")
   }
 
+  test("zone-map stats never scan table data") {
+    // q139's min/max/count come from parquet footers — the statistics
+    // row-group pruning judges predicates against, not a data pass
+    val p = plan("q139_zone_stats")
+    assert(!p.contains("Scan parquet"), s"zoneStats must stay footer-only:\n$p")
+  }
+
   test("the approx profiler plans one scan and NO Expand") {
     // the exact profiler's multi-distinct agg plans an Expand (one
     // input-row copy per distinct aggregate — ~10× inflation at this

@@ -312,6 +312,7 @@ object SparkEntry {
     "q137_neardup_banded" -> ((s, d) => Similarity.embeddingNearDupsBanded(s, d)),
     "q138_banded_clusters" -> ((s, d) => Similarity.embeddingClustersBanded(s, d)),
     "q139_zone_stats" -> ((s, d) => Relational.zoneStats(s, d, "orders")),
+    "q140_markov_stationary" -> (EventFlow.markovStationary(_, _)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2210,6 +2211,38 @@ object SparkEntry {
            |  ${b("min")} AS min_norm, ${b("max")} AS max_norm
            |FROM orders""".stripMargin
       }.mkString("\nUNION ALL\n")
+    },
+    // q140: q88's transition CTEs + the power iteration UNROLLED as 25
+    // chained CTEs (aggregating over a recursive CTE reference is not
+    // portable SQL) — per-term floor division, the engine's exact math.
+    // Every step is MATERIALIZED: inlined, the 25-step chain becomes
+    // one ~50-relation join tree and DuckDB's join-order search never
+    // returns; materialized, it is 25 tiny sequential joins.
+    "q140_markov_stationary" -> {
+      val iters = 25
+      val steps = (1 to iters).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT t.next_type AS type,
+           |    CAST(sum(s${i - 1}.pi * t.p // 1000000) AS BIGINT) AS pi
+           |  FROM s${i - 1} JOIN t ON t.prev_type = s${i - 1}.type
+           |  GROUP BY t.next_type)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH l AS (SELECT event_type AS next_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         | c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM l
+         |   WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+         | t AS MATERIALIZED (SELECT prev_type, next_type,
+         |    CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         |      AS BIGINT) AS p FROM c),
+         | ty AS MATERIALIZED (SELECT DISTINCT type FROM
+         |   (SELECT prev_type AS type FROM t UNION SELECT next_type FROM t)),
+         | s0 AS MATERIALIZED (SELECT type,
+         |    CAST(1000000 // (SELECT count(*) FROM ty) AS BIGINT) AS pi
+         |   FROM ty),
+         | $steps
+         |SELECT ty.type AS event_type,
+         |  CAST(coalesce(s$iters.pi, 0) AS BIGINT) AS stationary_micro
+         |FROM ty LEFT JOIN s$iters ON s$iters.type = ty.type""".stripMargin
     },
   )
 

@@ -120,6 +120,46 @@ object EventFlow {
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("CAST((n * CAST(1000000 AS BIGINT)) DIV tot AS BIGINT)").as("prob_u"))
 
+  /** Steady-state traffic share — the stationary distribution of the
+    * [[markovTransitions]] chain by fixed-iteration power method: the
+    * long-run fraction of events of each type if users keep behaving
+    * like the observed transition matrix, the load-forecast face of
+    * the transition report (capacity planning reads THIS, not the raw
+    * matrix).
+    *
+    * All math is integer micro-units with per-term floor division
+    * (`Σᵢ ⌊πᵢ·pᵢⱼ/10⁶⌋`, fixed `iters` steps, uniform ⌊10⁶/k⌋ start),
+    * so both engines walk bit-identical trajectories — a double
+    * power iteration would drift in summation order and flap the
+    * oracle. Mass lost to flooring (and to types with no outgoing
+    * edge) stays lost on BOTH sides by construction.
+    *
+    * Scale shape: the distributed work is the transition count (one
+    * user-window pass, q88's plan); the iteration itself folds a
+    * types²-bounded matrix (≤ 25 rows here) on the driver — the
+    * metadata-bounded monitor convention, same as the anomaly
+    * monitor's moment fold. */
+  def markovStationary(spark: SparkSession, dir: String,
+      iters: Int = 25): DataFrame = {
+    val trans = markovTransitions(spark, dir)
+      .select("prev_type", "next_type", "prob_u").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = trans.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    var pi: Map[String, Long] = types.map(_ -> 1000000L / types.length).toMap
+    for (_ <- 0 until iters) {
+      val next = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      trans.foreach { case (from, to, p) =>
+        next(to) += pi(from) * p / 1000000L
+      }
+      pi = types.map(t => t -> next(t)).toMap
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          types.map(t => (t, pi(t))).toIndexedSeq, 1))
+      .toDF("event_type", "stationary_micro")
+  }
+
   /** Frequent behavior episodes: the top-k event-type TRIGRAMS across
     * all user sequences — the sequential-pattern sweep that surfaces
     * "view → view → purchase" style motifs a single-step transition

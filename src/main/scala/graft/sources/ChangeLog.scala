@@ -73,7 +73,7 @@ final class ChangeLogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"changelog($path)"
   override def schema(): StructType = ChangeEvents.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new ChangeLogScan(path,
@@ -81,11 +81,22 @@ final class ChangeLogTable(path: String) extends Table with SupportsRead {
     }
 }
 
-final class ChangeLogScan(path: String, maxFilesPerTrigger: Option[Int]) extends Scan {
+final class ChangeLogScan(path: String, maxFilesPerTrigger: Option[Int])
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = ChangeEvents.schema
   override def description(): String = s"GraftChangeLog $path"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangeLogMicroBatchStream(path, checkpointLocation, maxFilesPerTrigger)
+
+  // batch face (`spark.read.format("changelog")`): the bootstrap /
+  // backfill read over the whole log — same per-file partitions and
+  // reader as the stream, no checkpoint involved
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    new ChangeLogMicroBatchStream(path, "unused-batch", None).allFiles()
+      .map(f => ChangeLogPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeLogReaderFactory
 }
 
 /** Position in the append-only change log: `n` files consumed, the
@@ -142,6 +153,9 @@ final class ChangeLogMicroBatchStream(path: String, checkpointLocation: String,
   }
 
   override def reportLatestOffset(): Offset = latestOffset()
+
+  /** All current log files, in arrival order (the batch face's plan). */
+  private[sources] def allFiles(): Array[String] = listLog().map(_._2)
 
   /** The log, in arrival order — metadata listing only. */
   private def listLog(): Array[(Long, String)] = {

@@ -197,6 +197,15 @@ class CdcSpec extends SparkSpec {
     val nBatches = ofs.listStatus(offsetsDir)
       .count(s => s.getPath.getName.forall(_.isDigit))
     assert(nBatches >= 4, s"cap ignored: only $nBatches micro-batches")
+
+    // the batch face reads the WHOLE log (bootstrap/backfill): same
+    // rows the json reader sees, typed to the canonical schema
+    val batchRead = spark.read.format("changelog").load(src)
+    assert(batchRead.schema == ChangeEvents.schema)
+    val wantRows = spark.read.schema(ChangeEvents.schema).json(src)
+      .select("op", "key", "ts", "offset").collect().map(_.toSeq).toSet
+    assert(batchRead.select("op", "key", "ts", "offset")
+      .collect().map(_.toSeq).toSet == wantRows)
     changes.unpersist()
   }
 

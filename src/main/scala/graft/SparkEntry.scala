@@ -313,6 +313,7 @@ object SparkEntry {
     "q138_banded_clusters" -> ((s, d) => Similarity.embeddingClustersBanded(s, d)),
     "q139_zone_stats" -> ((s, d) => Relational.zoneStats(s, d, "orders")),
     "q140_markov_stationary" -> (EventFlow.markovStationary(_, _)),
+    "q141_chunk_rewrite" -> ((s, d) => TextOps.chunkRewrite(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2244,6 +2245,33 @@ object SparkEntry {
          |  CAST(coalesce(s$iters.pi, 0) AS BIGINT) AS stationary_micro
          |FROM ty LEFT JOIN s$iters ON s$iters.type = ty.type""".stripMargin
     },
+    // q141: the chunk-rewrite replay — same 32-token windows as q77,
+    // an occurrence survives iff its hash is corpus-unique or this doc
+    // is the min-doc_id owner; survivors reassemble in position order.
+    // Docs rewritten to nothing stay present with clean_text = ''.
+    "q141_chunk_rewrite" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | lst AS (SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(toks) / 32.0) AS INTEGER)),
+        |      i -> {'pos': i,
+        |            'h': md5(array_to_string(toks[i*32+1:i*32+32], ' ')),
+        |            'body': array_to_string(toks[i*32+1:i*32+32], ' ')}) AS cs
+        |   FROM d),
+        | u AS (SELECT doc_id, unnest(cs) AS c FROM lst),
+        | occ AS (SELECT doc_id, c.pos AS pos, c.h AS h, c.body AS body FROM u),
+        | dups AS (SELECT h, min(doc_id) AS first_doc FROM occ
+        |   GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        | kept AS (SELECT o.doc_id, o.pos, o.body
+        |   FROM occ o LEFT JOIN dups ON o.h = dups.h
+        |   WHERE dups.h IS NULL OR o.doc_id = dups.first_doc),
+        | reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+        |    array_to_string(list(body ORDER BY pos), ' ') AS clean_text
+        |   FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(ceil(len(d.toks) / 32.0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(reb.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+        |  coalesce(reb.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

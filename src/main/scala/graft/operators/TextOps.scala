@@ -667,6 +667,58 @@ object TextOps {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Chunk-level corpus REWRITE — the output face of exact-substring
+    * dedup (the "train once on every unique span" regime): where
+    * [[chunkDedup]] only reports duplicated spans, this emits the
+    * cleaned corpus. Every document is cut into the same fixed
+    * `width`-token windows; an occurrence survives iff its chunk hash
+    * is corpus-unique OR this document is the duplicated chunk's
+    * canonical owner (min doc_id — so exactly one copy of every span
+    * survives corpus-wide, and the canonical document keeps its full
+    * text). Survivors reassemble in position order into `clean_text`;
+    * fully-boilerplate documents stay in the output with an empty
+    * rewrite rather than vanishing (downstream mixes key on doc_id).
+    *
+    * Scale: one shuffle keyed by chunk hash (cardinality ∝ corpus
+    * tokens) for the duplicate census, one shuffle-join back on the
+    * same key, one shuffle keyed by doc_id for reassembly — all keys
+    * grow with the corpus, no driver-side data movement, and the
+    * reassembly `sort_array(collect_list(...))` holds only one
+    * document's chunks per group (bounded by doc length, not corpus).
+    * The census side is NOT broadcast by design: duplicated-chunk
+    * counts grow with corpus size. */
+  def chunkRewrite(spark: SparkSession, dir: String, width: Int = 32): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / width).cast("int")
+    val chunkStructs = transform(
+      sequence(lit(0), nChunks - 1),
+      i => struct(
+        i.as("pos"),
+        md5(array_join(slice(toks, i * width + 1, lit(width)), " ")).as("h"),
+        array_join(slice(toks, i * width + 1, lit(width)), " ").as("body")))
+    val occ = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(chunkStructs).as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"), col("c.h").as("h"),
+        col("c.body").as("body"))
+    val dups = occ.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("first_doc"))
+    val kept = occ.join(dups, Seq("h"), "left")
+      .filter(col("first_doc").isNull || col("doc_id") === col("first_doc"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("body")))),
+            c => c.getField("body")), " ").as("clean_text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), nChunks.cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---- language temperature rebalancing -------------------------------
 
   /** Temperature-based language rebalancing (the multilingual α-sampling

@@ -1220,6 +1220,39 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("chunk rewrite: canonical docs keep full text, each dup span survives once, replay agrees") {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = digest.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val occ = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ").grouped(32).zipWithIndex.map { case (c, pos) =>
+        (id, pos, md5hex(c.mkString(" ")), c.mkString(" "))
+      }
+    }
+    val firstDoc = occ.groupBy(_._3).collect {
+      case (h, os) if os.map(_._1).distinct.length >= 2 => h -> os.map(_._1).min
+    }
+    val want = docs.keys.map { id =>
+      val mine = occ.filter(_._1 == id).sortBy(_._2)
+      val kept = mine.filter(o => firstDoc.get(o._3).forall(_ == id))
+      id -> (mine.length.toLong, kept.length.toLong, kept.map(_._4).mkString(" "))
+    }.toMap
+    val got = graft.operators.TextOps.chunkRewrite(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == want)
+    // the rewrite actually removed something, and canonical owners of
+    // every dup span kept their complete text
+    assert(got.exists { case (_, (n, k, _)) => k < n }, "fixture has cross-doc dup spans")
+    val owners = firstDoc.values.toSet
+    owners.foreach { id => assert(got(id)._3 == docs(id)) }
+    // corpus-wide: every duplicated hash survives in exactly one doc
+    val survivingByHash = occ.filter(o => firstDoc.contains(o._3))
+      .filter(o => firstDoc(o._3) == o._1).groupBy(_._3).map(_._2.map(_._1).distinct.length)
+    assert(survivingByHash.forall(_ == 1))
+  }
+
   test("language temperature mix: minority languages keep a larger fraction, draw is deterministic") {
     val rows = graft.operators.TextOps.langTemperatureMix(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

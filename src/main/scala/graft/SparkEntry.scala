@@ -25,12 +25,17 @@ object SparkEntry {
 
   /** q25's CTE chain ending in a `pairs` relation — shared verbatim by
     * q25 (the pair list) and q49 (clusters over the same pairs). */
+  /** The 16×2 banding predicate over two `mh` signature columns —
+    * shared by q25's candidate join and q142's calibration join. */
+  private lazy val bandCondSql: String =
+    (0 until Dedup.NumBands).map { j =>
+      val r0 = Dedup.BandRows * j + 1; val r1 = r0 + 1
+      s"(x.mh[$r0] = y.mh[$r0] AND x.mh[$r1] = y.mh[$r1])" }.mkString(" OR ")
+
   private lazy val q25Ctes: String = {
     val sigElems = Dedup.perms.map { case (a, b) =>
       s"list_min(list_transform(hs, x -> ($a * x + $b) % ${Dedup.P}))" }.mkString(",\n    ")
-    val bandCond = (0 until Dedup.NumBands).map { j =>
-      val r0 = Dedup.BandRows * j + 1; val r1 = r0 + 1
-      s"(x.mh[$r0] = y.mh[$r0] AND x.mh[$r1] = y.mh[$r1])" }.mkString(" OR ")
+    val bandCond = bandCondSql
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
        |    THEN list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))
@@ -51,6 +56,32 @@ object SparkEntry {
   /** q25: minhash signature + 16×2 banding + exact shingle-jaccard. */
   private lazy val q25Sql: String =
     s"WITH $q25Ctes SELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** q142: estimator calibration — banded candidates (no threshold, no
+    * size-ratio prefilter), signature-estimate vs exact Jaccard in
+    * integer micro-units, floor-divided means per exact-decile. The
+    * exact side counts shingle STRINGS where Spark counts their 60-bit
+    * hashes — identical modulo md5 collisions, the q25 precedent.
+    * q25Ctes' `cand`/`pairs` CTEs go unreferenced here (lazy, unevaluated). */
+  private lazy val q142Sql: String =
+    s"""WITH $q25Ctes,
+       | cal_cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |     x.mh AS ma, y.mh AS mb, x.shs AS sa, y.shs AS sb
+       |   FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCondSql)),
+       | per AS (SELECT
+       |     CAST(len(list_filter(range(1, ${Dedup.NumPerms + 1}),
+       |       i -> ma[i] = mb[i])) AS BIGINT) * ${1000000L / Dedup.NumPerms} AS est_micro,
+       |     CAST(len(list_intersect(sa, sb)) * 1000000
+       |       // len(list_distinct(list_concat(sa, sb))) AS BIGINT) AS exact_micro
+       |   FROM cal_cand),
+       | buck AS (SELECT least(9, exact_micro // 100000) AS decile,
+       |     est_micro, exact_micro FROM per)
+       |SELECT CAST(decile AS BIGINT) AS decile,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(est_micro) // count(*) AS BIGINT) AS mean_est_micro,
+       |  CAST(sum(exact_micro) // count(*) AS BIGINT) AS mean_exact_micro,
+       |  CAST(sum(abs(est_micro - exact_micro)) // count(*) AS BIGINT) AS mean_abs_err_micro
+       |FROM buck GROUP BY decile""".stripMargin
 
   /** Transitive-closure CTEs over a `pairs(doc_a, doc_b)` relation,
     * ending in `clus(doc_id, cluster_id)` — cluster id = min reachable
@@ -314,6 +345,7 @@ object SparkEntry {
     "q139_zone_stats" -> ((s, d) => Relational.zoneStats(s, d, "orders")),
     "q140_markov_stationary" -> (EventFlow.markovStationary(_, _)),
     "q141_chunk_rewrite" -> ((s, d) => TextOps.chunkRewrite(s, d)),
+    "q142_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
   )
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2272,6 +2304,7 @@ object SparkEntry {
         |  CAST(coalesce(reb.kept_chunks, 0) AS BIGINT) AS kept_chunks,
         |  coalesce(reb.clean_text, '') AS clean_text
         |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
+    "q142_minhash_calibration" -> q142Sql,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

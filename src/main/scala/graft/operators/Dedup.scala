@@ -188,6 +188,54 @@ object Dedup {
     verifyJaccard(cand, idx.hashed, threshold)
   }
 
+  /** MinHash ESTIMATOR CALIBRATION — the evaluation face of the dedup
+    * family: for every banded candidate pair (no threshold, no
+    * size-ratio prefilter — the unbiased candidate population), compare
+    * the signature's Jaccard ESTIMATE (matching components / NumPerms)
+    * against the exact element-set Jaccard, bucketed by exact-Jaccard
+    * decile. The report answers "how far off is the 32-perm sketch in
+    * the regime my threshold lives in?" — the number a pipeline owner
+    * needs before trusting banding recall claims at a new threshold.
+    * All math in integer micro-units (matches·31250; ⌊inter·1e6/union⌋;
+    * floor-divided means), bit-identical cross-engine.
+    *
+    * Scale: candidates come from the same (band, bucket) self-join as
+    * [[minhashPairs]] (keys grow with the corpus); per-pair work is one
+    * 32-element compare + one sorted-intersect merge-walk; the output
+    * is ≤10 rows. Signatures recompute from the index's cached element
+    * hashes — one columnar aggregate, no second corpus scan. */
+  def minhashCalibration(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val idx = bandIndex(spark, dir, k)
+    val sig = minhashSignatures(idx.hashed)
+    val cand = idx.bands.as("x").join(idx.bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = graft.functions.SetCard.sortedIntersectCard(col("set_a"), col("set_b"))
+    val matches = aggregate(
+      zip_with(col("ma"), col("mb"), (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .join(idx.hashed.select(col("doc_id").as("doc_a"), col("hs").as("set_a")), "doc_a")
+      .join(idx.hashed.select(col("doc_id").as("doc_b"), col("hs").as("set_b")), "doc_b")
+      // two-step select: _inter feeds numerator and denominator of the
+      // exact ratio — name it so the merge-walk runs once per pair
+      .select(matches.as("matches"), inter.cast("long").as("_inter"),
+        (size(col("set_a")) + size(col("set_b"))).cast("long").as("_total"))
+      .select(expr(s"matches * ${1000000L / NumPerms}").as("est_micro"),
+        expr("_inter * 1000000 div (_total - _inter)").as("exact_micro"))
+      .select(least(lit(9L), expr("exact_micro div 100000")).as("decile"),
+        col("est_micro"), col("exact_micro"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_micro) div count(1)").as("mean_est_micro"),
+        expr("sum(exact_micro) div count(1)").as("mean_exact_micro"),
+        expr("sum(abs(est_micro - exact_micro)) div count(1)").as("mean_abs_err_micro"))
+  }
+
   /** Incremental near-dup detection — the steady-state shape of corpus
     * dedup at 100 TB: when a NEW BATCH of documents arrives (a crawl
     * increment, typically ≪1% of the corpus), re-pairing the whole

@@ -1220,6 +1220,54 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("minhash calibration replays the estimator-vs-exact report driver-side") {
+    import graft.operators.Dedup
+    // per-doc shingle sets and signatures, pure Scala
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+    }
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      val hex = d.take(8).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % Dedup.P
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t).map(h60) }.toMap
+    val sigs = sets.collect { case (id, hs) if hs.nonEmpty =>
+      id -> Dedup.perms.map { case (a, b) =>
+        hs.map(x => java.lang.Math.floorMod(a * x + b, Dedup.P)).min }.toIndexedSeq
+    }
+    val ids = sigs.keys.toSeq.sorted
+    val cand = for {
+      i <- ids; j <- ids if i < j
+      si = sigs(i); sj = sigs(j)
+      if (0 until Dedup.NumBands).exists(bd =>
+        (0 until Dedup.BandRows).forall(r => si(bd * 2 + r) == sj(bd * 2 + r)))
+    } yield (i, j)
+    val per = cand.map { case (a, b) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong * 31250L
+      val inter = (sets(a) & sets(b)).size.toLong
+      val exact = inter * 1000000L / (sets(a) | sets(b)).size
+      (math.min(9L, exact / 100000L), est, exact)
+    }
+    val want = per.groupBy(_._1).map { case (d, rows) =>
+      d -> (rows.length.toLong,
+        rows.map(_._2).sum / rows.length, rows.map(_._3).sum / rows.length,
+        rows.map(r => math.abs(r._2 - r._3)).sum / rows.length)
+    }
+    val got = Dedup.minhashCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture produces banded candidates")
+    // the sketch must track truth closely where near-dups actually live
+    got.get(9L).foreach { case (_, est, exact, err) =>
+      assert(math.abs(est - exact) <= 50000 && err <= 100000)
+    }
+  }
+
   test("chunk rewrite: canonical docs keep full text, each dup span survives once, replay agrees") {
     val digest = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String) = digest.digest(s.getBytes("UTF-8"))

@@ -346,7 +346,38 @@ object SparkEntry {
     "q140_markov_stationary" -> (EventFlow.markovStationary(_, _)),
     "q141_chunk_rewrite" -> ((s, d) => TextOps.chunkRewrite(s, d)),
     "q142_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    "q143_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d)),
   )
+
+  /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
+    * words replayed through [[graft.operators.TextOps.DefaultMerges]],
+    * one jump-2 greedy recursive scan per merge. Shared by q128 (the
+    * segmentations) and q143 (the per-language fertility rollup). */
+  private lazy val bpeLastLayer: Int = graft.operators.TextOps.DefaultMerges.size
+  private lazy val bpeEncodeCtes: String = {
+    val layers = Seq(
+      """v0 AS (
+        |  SELECT word, list_filter(string_split(word, ''), c -> c <> '') AS syms
+        |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        |        FROM documents))""".stripMargin) ++
+      graft.operators.TextOps.DefaultMerges.zipWithIndex.flatMap {
+        case ((l, r), idx) =>
+          val i = idx + 1; val p = idx
+          Seq(
+            s"""m$i AS (
+               |  SELECT word, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM v$p
+               |  UNION ALL
+               |  SELECT word, syms,
+               |    CASE WHEN i < len(syms) AND syms[i] = '$l' AND syms[i+1] = '$r'
+               |         THEN i+2 ELSE i+1 END,
+               |    CASE WHEN i < len(syms) AND syms[i] = '$l' AND syms[i+1] = '$r'
+               |         THEN list_append(acc, '$l$r') ELSE list_append(acc, syms[i]) END
+               |  FROM m$i WHERE i <= len(syms))""".stripMargin,
+            s"""v$i AS (
+               |  SELECT word, acc AS syms FROM m$i WHERE i = len(syms) + 1)""".stripMargin)
+      }
+    layers.mkString(",\n ")
+  }
 
   /** q38's oracle: replay the keyspace-op log with the reference's
     * per-op semantics (mirrors [[KvStore.applyKvBatch]] on an empty
@@ -2052,35 +2083,31 @@ object SparkEntry {
         |FROM st""".stripMargin,
     // q128: BPE application replay — each literal merge is one jump-2
     // greedy recursive scan (the q82 mining oracle's m$i shape)
-    "q128_bpe_encode" -> {
-      val layers = Seq(
-        """v0 AS (
-          |  SELECT word, list_filter(string_split(word, ''), c -> c <> '') AS syms
-          |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-          |        FROM documents))""".stripMargin) ++
-        graft.operators.TextOps.DefaultMerges.zipWithIndex.flatMap {
-          case ((l, r), idx) =>
-            val i = idx + 1; val p = idx
-            Seq(
-              s"""m$i AS (
-                 |  SELECT word, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM v$p
-                 |  UNION ALL
-                 |  SELECT word, syms,
-                 |    CASE WHEN i < len(syms) AND syms[i] = '$l' AND syms[i+1] = '$r'
-                 |         THEN i+2 ELSE i+1 END,
-                 |    CASE WHEN i < len(syms) AND syms[i] = '$l' AND syms[i+1] = '$r'
-                 |         THEN list_append(acc, '$l$r') ELSE list_append(acc, syms[i]) END
-                 |  FROM m$i WHERE i <= len(syms))""".stripMargin,
-              s"""v$i AS (
-                 |  SELECT word, acc AS syms FROM m$i WHERE i = len(syms) + 1)""".stripMargin)
-        }
-      val last = graft.operators.TextOps.DefaultMerges.size
-      "WITH RECURSIVE " + layers.mkString(",\n ") +
+    "q128_bpe_encode" ->
+      ("WITH RECURSIVE " + bpeEncodeCtes +
         s"""
            |SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
            |  CAST(len(syms) AS BIGINT) AS n_syms,
-           |  array_to_string(syms, ' ') AS segmentation FROM v$last""".stripMargin
-    },
+           |  array_to_string(syms, ' ') AS segmentation FROM v$bpeLastLayer""".stripMargin),
+    // q143: fertility — the q128 encode chain rolled up per language,
+    // occurrence-weighted, floor-divided micro-units
+    "q143_bpe_fertility" ->
+      ("WITH RECURSIVE " + bpeEncodeCtes +
+        s""",
+           | enc AS (SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+           |     CAST(len(syms) AS BIGINT) AS n_syms FROM v$bpeLastLayer),
+           | freq AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n_occ
+           |   FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+           |   GROUP BY lang, word),
+           | agg AS (SELECT lang, CAST(sum(n_occ) AS BIGINT) AS n_words,
+           |     CAST(count(*) AS BIGINT) AS n_distinct_words,
+           |     CAST(sum(n_occ * n_syms) AS BIGINT) AS n_subwords,
+           |     CAST(sum(n_occ * n_chars) AS BIGINT) AS chars
+           |   FROM freq JOIN enc USING (word) GROUP BY lang)
+           |SELECT lang, n_words, n_distinct_words, n_subwords,
+           |  CAST(n_subwords * 1000000 // n_words AS BIGINT) AS fertility_micro,
+           |  CAST(chars * 1000000 // n_subwords AS BIGINT) AS chars_per_subword_micro
+           |FROM agg""".stripMargin),
     // q129: Q17 replay — decorrelated by hand here (join on the
     // per-part aggregate); the rational 5·q·n < Σq threshold and
     // floor-cents match the Spark form exactly

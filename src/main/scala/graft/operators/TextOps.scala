@@ -901,16 +901,55 @@ object TextOps {
     * The oracle replays every pass through the same jump-2 recursive
     * scan the mining oracle uses. */
   def applyBpe(spark: SparkSession, dir: String,
-      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame =
+    encodeWords(spark, dir, merges)
+      .select(col("word"), length(col("word")).cast("long").as("n_chars"),
+        size(col("syms")).cast("long").as("n_syms"),
+        array_join(col("syms"), " ").as("segmentation"))
+
+  /** Distinct corpus words encoded under `merges`: (word, syms).
+    * Vocab-sized — the frame [[applyBpe]] and [[bpeFertility]] share. */
+  private def encodeWords(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val chars = filter(split(col("word"), ""), c => c =!= "")
     val start = Tables(spark, dir, "documents")
       .select(explode(Text.tokens(col("text"))).as("word")).distinct()
       .select(col("word"), chars.as("syms"))
-    val enc = merges.foldLeft(start) { case (df, (l, r)) =>
+    merges.foldLeft(start) { case (df, (l, r)) =>
       df.select(col("word"), greedyMerge(col("syms"), l, r).as("syms")) }
-    enc.select(col("word"), length(col("word")).cast("long").as("n_chars"),
-      size(col("syms")).cast("long").as("n_syms"),
-      array_join(col("syms"), " ").as("segmentation"))
+  }
+
+  /** Tokenizer FERTILITY by language — subword tokens per whitespace
+    * word under the frozen merge table, the efficiency metric a
+    * multilingual pipeline tracks per language before committing to a
+    * tokenizer (high fertility = that language pays more sequence
+    * length per word, trains slower, truncates sooner). Also reports
+    * chars-per-subword (the compression face of the same ratio).
+    * Occurrence-weighted: each word type's symbol count weighs in by
+    * its corpus frequency in that language. Integer micro-units end to
+    * end (floor division), bit-identical cross-engine.
+    *
+    * Scale: the encode runs once per distinct WORD (vocab-sized, not
+    * corpus-sized); frequencies are one token-explode aggregate
+    * (map-side combined); the join keys on word (vocab-sized, grows
+    * sub-linearly with the corpus); output is one row per language. */
+  def bpeFertility(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val freq = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n_occ"))
+    val enc = encodeWords(spark, dir, merges)
+      .select(col("word"), length(col("word")).cast("long").as("n_chars"),
+        size(col("syms")).cast("long").as("n_syms"))
+    freq.join(enc, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_occ")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("n_occ") * col("n_syms")).as("n_subwords"),
+        sum(col("n_occ") * col("n_chars")).as("_chars"))
+      .select(col("lang"), col("n_words"), col("n_distinct_words"), col("n_subwords"),
+        expr("n_subwords * 1000000 div n_words").as("fertility_micro"),
+        expr("_chars * 1000000 div n_subwords").as("chars_per_subword_micro"))
   }
 
   /** Builder for the merge-table frame (kept out of the loop so an

@@ -210,6 +210,31 @@ class TextDedupSpec extends SparkSpec {
     assert(recall > 0.2) // 16-bit sig, 4-bit bands: approximate by design
   }
 
+  test("bpe fertility: rollup replays applyBpe's per-word counts, occurrence-weighted") {
+    import graft.operators.TextOps
+    val enc = TextOps.applyBpe(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val freq = Tables(spark, sf, "documents").select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(w => (r.getString(0), w)))
+      .groupBy(identity).map { case ((lang, w), os) => (lang, w, os.length.toLong) }
+    val want = freq.groupBy(_._1).map { case (lang, ws) =>
+      val nWords = ws.map(_._3).sum
+      val nSub = ws.map(w => w._3 * enc(w._2)._2).sum
+      val chars = ws.map(w => w._3 * enc(w._2)._1).sum
+      lang -> (nWords, ws.size.toLong, nSub,
+        nSub * 1000000L / nWords, chars * 1000000L / nSub)
+    }
+    val got = TextOps.bpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+    // fertility must be > 1 (merges never collapse a word to nothing)
+    // and bounded by chars-per-word (a symbol is at least one char)
+    got.values.foreach { case (_, _, _, fert, cps) =>
+      assert(fert > 1000000L && cps >= 1000000L)
+    }
+  }
+
   test("bpe encode: segmentations reassemble their words, never grow, and the default table is the miner's") {
     val rows = graft.operators.TextOps.applyBpe(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))

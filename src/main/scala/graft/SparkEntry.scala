@@ -347,6 +347,7 @@ object SparkEntry {
     "q141_chunk_rewrite" -> ((s, d) => TextOps.chunkRewrite(s, d)),
     "q142_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "q143_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d)),
+    "q144_quality_survivors" -> ((s, d) => Dedup.qualityAwareSurvivors(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2332,6 +2333,17 @@ object SparkEntry {
         |  coalesce(reb.clean_text, '') AS clean_text
         |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin,
     "q142_minhash_calibration" -> q142Sql,
+    // q144: quality-aware survivor selection — q49's closure joined to
+    // the shared doc-metrics quality, best-quality member survives
+    // (ties → min doc_id, the canonical fallback)
+    "q144_quality_survivors" ->
+      s"""WITH RECURSIVE $q25Ctes,
+         | $ccCtes,
+         | $docMetricsCte
+         |SELECT c.doc_id, c.cluster_id, m.quality,
+         |  row_number() OVER (PARTITION BY c.cluster_id
+         |                     ORDER BY m.quality DESC, c.doc_id ASC) = 1 AS is_survivor
+         |FROM clus c JOIN m ON c.doc_id = m.doc_id""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

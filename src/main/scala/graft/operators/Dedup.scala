@@ -498,6 +498,33 @@ object Dedup {
     connectedComponents(minhashPairs(spark, dir, threshold))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
 
+  /** QUALITY-AWARE survivor selection over the near-dup closure: where
+    * [[dedupClusters]]' canonical member is the min doc_id (a stable
+    * but arbitrary choice), production dedup keeps the BEST copy — the
+    * member with the highest quality score (ties → min doc_id, so the
+    * policy degrades to the canonical choice exactly when quality
+    * can't discriminate). One row per clustered doc with its cluster,
+    * quality, and the survivor flag — the deletion list is the
+    * `NOT is_survivor` complement.
+    *
+    * Scale: the closure runs over near-dup nodes/edges only (orders of
+    * magnitude smaller than the corpus); the quality join keys on
+    * doc_id; the per-cluster rank window shuffles only clustered docs,
+    * partitioned by cluster_id (clusters are small and numerous — no
+    * hot partition). */
+  def qualityAwareSurvivors(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(spark, dir, threshold)
+    val quality = Tables(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.Text.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (row_number().over(w) === 1).as("is_survivor"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   val SimhashBits = 60 // md5Hash60 is 60-bit; 4 chunks × 15 bits

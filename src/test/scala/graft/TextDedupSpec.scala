@@ -1245,6 +1245,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("quality survivors: one per cluster, max quality wins, ties fall back to min id") {
+    import graft.operators.Dedup
+    val rows = Dedup.qualityAwareSurvivors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      val survivors = ms.filter(_._4)
+      assert(survivors.length == 1, s"cluster $cid has ${survivors.length} survivors")
+      val want = ms.minBy(m => (-m._3, m._1))
+      assert(survivors.head._1 == want._1,
+        s"cluster $cid survivor ${survivors.head._1} != best-quality member ${want._1}")
+    }
+    // same membership as the canonical closure
+    val canon = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(rows.map(r => r._1 -> r._2).toSet == canon)
+  }
+
   test("minhash calibration replays the estimator-vs-exact report driver-side") {
     import graft.operators.Dedup
     // per-doc shingle sets and signatures, pure Scala

@@ -348,6 +348,7 @@ object SparkEntry {
     "q142_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "q143_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d)),
     "q144_quality_survivors" -> ((s, d) => Dedup.qualityAwareSurvivors(s, d)),
+    "q145_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2344,6 +2345,35 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY c.cluster_id
          |                     ORDER BY m.quality DESC, c.doc_id ASC) = 1 AS is_survivor
          |FROM clus c JOIN m ON c.doc_id = m.doc_id""".stripMargin,
+    // q145: containment replay — per-doc 5 rarest shingle hashes
+    // (df asc, hash asc, df ≤ 1000) probe FULL postings (not the other
+    // side's rare keys), exact |A∩B|/min verify. q25Ctes' sig/cand/
+    // pairs CTEs go unreferenced (lazy, unevaluated); its `h` CTE
+    // supplies the hashed shingle sets.
+    "q145_containment" ->
+      s"""WITH $q25Ctes,
+         | con_occ AS (SELECT doc_id, unnest(list_distinct(hs)) AS hh FROM h),
+         | con_df AS (SELECT hh, CAST(count(*) AS BIGINT) AS df
+         |   FROM con_occ GROUP BY hh HAVING count(*) <= 1000),
+         | con_post AS (SELECT o.doc_id, o.hh, d.df
+         |   FROM con_occ o JOIN con_df d USING (hh)),
+         | con_rare AS (SELECT doc_id, hh FROM (
+         |   SELECT doc_id, hh,
+         |     row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, hh ASC) AS rk
+         |   FROM con_post) WHERE rk <= 5),
+         | con_cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |     greatest(x.doc_id, y.doc_id) AS doc_b
+         |   FROM con_rare x JOIN con_post y
+         |     ON x.hh = y.hh AND x.doc_id <> y.doc_id),
+         | con_sets AS (SELECT doc_id, list_distinct(hs) AS s FROM h)
+         |SELECT doc_a, doc_b, n_a, n_b, containment_micro FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b,
+         |    CAST(len(list_intersect(a.s, b.s)) * 1000000
+         |      // least(len(a.s), len(b.s)) AS BIGINT) AS containment_micro
+         |  FROM con_cand c JOIN con_sets a ON c.doc_a = a.doc_id
+         |                  JOIN con_sets b ON c.doc_b = b.doc_id)
+         |WHERE containment_micro >= 900000""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -236,6 +236,61 @@ object Dedup {
         expr("sum(abs(est_micro - exact_micro)) div count(1)").as("mean_abs_err_micro"))
   }
 
+  /** CONTAINMENT pairs (asymmetric Jaccard) — quote/subset detection:
+    * |A∩B| / min(|A|,|B|) ≥ threshold flags a document largely
+    * contained in another even when the SYMMETRIC Jaccard is tiny (a
+    * paragraph quoted inside a book) — exactly the pair class the
+    * MinHash band join is blind to (banding keys estimate symmetric
+    * Jaccard, and [[minhashPairs]]' size-ratio prefilter drops skewed
+    * sizes on purpose). Candidates come from a PREFIX-FILTER inverted
+    * index: each document posts its `rarest` lowest-document-frequency
+    * shingle hashes (ties → hash order) as PROBE keys, and probes the
+    * FULL postings of every other document — the probe must hit full
+    * postings, not the other side's rare keys, because a container's
+    * own rarest shingles are its unique ones, never the quoted span's
+    * (a rare⋈rare join structurally misses every true containment).
+    * Keys above `maxDf` document-frequency are excluded from BOTH
+    * sides, so per-key fan-out is ≤ maxDf by construction (no hot
+    * key); a span quoted by more than maxDf documents is boilerplate —
+    * [[graft.operators.TextOps.chunkDedup]]'s territory, a documented
+    * recall handoff, not a silent miss. Exact verify on the
+    * element-hash sets; integer micro-units.
+    *
+    * Scale: df census = one map-side-combined aggregate on shingle
+    * hash; the rare-key rank is a per-doc window (doc-sized groups);
+    * the candidate join keys on ≤maxDf-frequency hashes; verify
+    * touches candidate pairs only. All keys grow with the corpus. */
+  def containmentPairs(spark: SparkSession, dir: String, k: Int = 3,
+      rarest: Int = 5, thresholdMicro: Long = 900000L,
+      maxDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = bandIndex(spark, dir, k)
+    val occ = idx.hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val postings = occ.join(dfq, Seq("h"))
+    val rare = postings
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
+      .filter(col("rk") <= rarest).select(col("doc_id"), col("h"))
+    val cand = rare.as("x").join(postings.select(col("doc_id"), col("h")).as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = graft.functions.SetCard.sortedIntersectCard(col("set_a"), col("set_b"))
+    cand
+      .join(idx.hashed.select(col("doc_id").as("doc_a"), col("hs").as("set_a")), "doc_a")
+      .join(idx.hashed.select(col("doc_id").as("doc_b"), col("hs").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("set_a")).cast("long").as("n_a"),
+        size(col("set_b")).cast("long").as("n_b"),
+        inter.cast("long").as("_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        expr("_inter * 1000000 div least(n_a, n_b)").as("containment_micro"))
+      .filter(col("containment_micro") >= thresholdMicro)
+  }
+
   /** Incremental near-dup detection — the steady-state shape of corpus
     * dedup at 100 TB: when a NEW BATCH of documents arrives (a crawl
     * increment, typically ≪1% of the corpus), re-pairing the whole

@@ -1245,6 +1245,54 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("containment catches a quote the symmetric band join misses; corpus replay agrees") {
+    import graft.operators.Dedup
+    // synthetic: doc 2 is a 16-token quote from the middle of doc 1 —
+    // symmetric shingle-jaccard ~0.24 (far below the 0.8 near-dup bar)
+    // but containment(2 in 1) = 1.0
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val quote = (10 to 25).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"zz$i").mkString(" ")
+    val tmp: String = java.nio.file.Files.createTempDirectory("containment").toString
+    locally { import spark.implicits._
+      Seq((1L, big, "en", "s", big.length.toLong),
+          (2L, quote, "en", "s", quote.length.toLong),
+          (3L, other, "en", "s", other.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet") }
+    try {
+      val cont = Dedup.containmentPairs(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+      assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c == 1000000L },
+        s"quote pair not flagged: $cont")
+      assert(!cont.exists(p => p._1 == 3L || p._2 == 3L))
+      val sym = Dedup.minhashPairs(spark, tmp).collect()
+      assert(!sym.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+        "fixture is symmetric-visible; the containment case needs low jaccard")
+    } finally Dedup.releaseBandIndex()
+    // corpus run: every reported pair's containment replays exactly
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty)
+    def shingleHashes(t: String): Set[Long] = {
+      val toks = t.split(" ")
+      val shs = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+      shs.map { s =>
+        val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16) %
+          graft.operators.Dedup.P
+      }
+    }
+    val sets = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleHashes(r.getString(1))).toMap
+    got.foreach { case ((a, b), (na, nb, c)) =>
+      assert(na == sets(a).size && nb == sets(b).size)
+      val want = (sets(a) & sets(b)).size.toLong * 1000000L / math.min(na, nb)
+      assert(c == want && c >= 900000L)
+    }
+  }
+
   test("quality survivors: one per cluster, max quality wins, ties fall back to min id") {
     import graft.operators.Dedup
     val rows = Dedup.qualityAwareSurvivors(spark, sf).collect()

@@ -161,7 +161,7 @@ object Backup {
   private val ntzFmt =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 
-  private def sqlLiteral(v: Any): String = v match {
+  private[graft] def sqlLiteral(v: Any): String = v match {
     case null                     => "NULL"
     case s: String                => "'" + sqlEscape(s) + "'"
     case t: java.sql.Timestamp    => "'" + t.toString + "'"
@@ -327,7 +327,11 @@ object Backup {
     val orders = graft.Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val stage = java.nio.file.Files.createTempDirectory("graft_sqldump_restore").toString
-    writeSql(orders, "orders", stage, compress = false)
+    // the DSv2 writer (commit-protocol path) — its artifacts are
+    // byte-compatible with [[writeSql]]'s (shared renderer), so this
+    // round-trips the connector's write AND read halves in one query
+    orders.write.format("sqldump").option("table", "orders")
+      .option("compress", "false").mode("overwrite").save(stage)
     spark.read.format("sqldump").schema(orders.schema).load(stage)
       .filter(col("o_totalprice") > minTotal)
       .groupBy(col("o_orderstatus"))

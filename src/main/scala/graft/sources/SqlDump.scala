@@ -62,13 +62,19 @@ final class SqlDumpSource extends TableProvider with DataSourceRegister {
 }
 
 final class SqlDumpTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"sqldump($path)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SqlDumpScanBuilder(schema, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SqlDumpWriteBuilder(info, path)
 }
 
 final class SqlDumpScanBuilder(fullSchema: StructType, path: String)
@@ -162,6 +168,163 @@ final class SqlDumpPartitionReader(fullSchema: StructType, required: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+// ---- DataSource V2 write path ---------------------------------------
+
+/** Batch write for the dump format — the sink half of the connector:
+  *
+  * {{{
+  * df.write.format("sqldump").option("table", "orders")
+  *   .mode("overwrite").save("/backups/orders")
+  * }}}
+  *
+  * Spark's V2 commit protocol, done properly for a cluster:
+  *
+  *  - Each task renders its partition to
+  *    `_temporary/<queryId>/part-<partition>-<task>.sql[.gz]` — the
+  *    task attempt id in the name makes speculative/retried attempts
+  *    collision-free; only the attempt whose [[SqlDumpTaskWriter.commit]]
+  *    message reaches the driver gets published.
+  *  - Job [[SqlDumpBatchWrite.commit]] (driver, exactly once) clears
+  *    the old part files iff the builder saw `truncate()` (= mode
+  *    "overwrite"), renames exactly the COMMITTED temp files into
+  *    place, and drops the temp dir. `abort` drops the temp dir and
+  *    publishes nothing — readers never observe a half-written dump.
+  *
+  * Options: `table` (INSERT target name; default = last path segment),
+  * `compress` (gzip part files; default true), `rowsPerInsert`
+  * (default 500 — [[graft.operators.Backup.writeSql]]'s statement
+  * batching). Rendering is byte-identical to `writeSql` (shared
+  * literal renderer), so either writer's artifacts restore through
+  * either reader. */
+final class SqlDumpWriteBuilder(
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo, path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new SqlDumpBatchWrite(info.schema(), path,
+          Option(info.options.get("table"))
+            .getOrElse(new Path(path).getName),
+          Option(info.options.get("compress")).forall(_.toBoolean),
+          Option(info.options.get("rowsPerInsert")).map(_.toInt).getOrElse(500),
+          info.queryId(), doTruncate)
+    }
+}
+
+final case class SqlDumpCommit(tempFile: String, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class SqlDumpBatchWrite(schema: StructType, path: String, table: String,
+    compress: Boolean, rowsPerInsert: Int, queryId: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private def tempDir = new Path(path, s"_temporary/$queryId")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new SqlDumpWriterFactory(schema, tempDir.toString, table, compress, rowsPerInsert)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .foreach(fs.delete(_, false))
+    fs.mkdirs(dir)
+    // the queryId fragment keeps APPENDED part files from colliding
+    // with a prior write's same-partition names (rename onto an
+    // existing path is not a replace on every Hadoop FS)
+    val tag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
+    messages.foreach { case SqlDumpCommit(temp, pid) =>
+      val suffix = if (compress) ".sql.gz" else ".sql"
+      fs.rename(new Path(temp), new Path(dir, f"part-$pid%05d-$tag$suffix"))
+    }
+    fs.delete(tempDir, true)
+    // drop _temporary entirely when no other query is mid-write
+    val tparent = tempDir.getParent
+    if (fs.exists(tparent) && fs.listStatus(tparent).isEmpty) fs.delete(tparent, true)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = tempDir.getFileSystem(new Configuration())
+    fs.delete(tempDir, true)
+  }
+}
+
+final class SqlDumpWriterFactory(schema: StructType, tempDir: String,
+    table: String, compress: Boolean, rowsPerInsert: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SqlDumpTaskWriter(schema, tempDir, table, compress, rowsPerInsert,
+      partitionId, taskId)
+}
+
+/** Renders one partition; buffers at most `rowsPerInsert` tuple strings
+  * before flushing a statement line (bounded memory at any row count). */
+final class SqlDumpTaskWriter(schema: StructType, tempDir: String, table: String,
+    compress: Boolean, rowsPerInsert: Int, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val header = schema.fieldNames.map(n => s"`$n`")
+    .mkString(s"INSERT INTO `$table` (", ", ", ") VALUES ")
+  private val tempFile =
+    new Path(tempDir, s"part-$partitionId-$taskId.sql" + (if (compress) ".gz" else ""))
+  private val out: java.io.Writer = {
+    val fs = tempFile.getFileSystem(new Configuration())
+    val raw: java.io.OutputStream = fs.create(tempFile, true)
+    val s = if (compress) new java.util.zip.GZIPOutputStream(raw) else raw
+    new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(s, java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private val buf = new scala.collection.mutable.ArrayBuffer[String](rowsPerInsert)
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    out.write(header + buf.mkString(",") + ";\n")
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val tuple = schema.fields.indices.map { i =>
+      val dt = schema.fields(i).dataType
+      val ext: Any =
+        if (row.isNullAt(i)) null
+        else dt match {
+          case StringType => row.getUTF8String(i).toString
+          case TimestampType => DateTimeUtils.toJavaTimestamp(row.getLong(i))
+          case TimestampNTZType => DateTimeUtils.microsToLocalDateTime(row.getLong(i))
+          case DateType => DateTimeUtils.toJavaDate(row.getInt(i))
+          case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+          case _ => row.get(i, dt)
+        }
+      Backup.sqlLiteral(ext)
+    }.mkString("(", ",", ")")
+    buf += tuple
+    if (buf.length >= rowsPerInsert) flush()
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flush(); out.close()
+    SqlDumpCommit(tempFile.toString, partitionId)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    tempFile.getFileSystem(new Configuration()).delete(tempFile, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] object SqlDump {

@@ -349,6 +349,7 @@ object SparkEntry {
     "q143_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d)),
     "q144_quality_survivors" -> ((s, d) => Dedup.qualityAwareSurvivors(s, d)),
     "q145_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q146_source_divergence" -> ((s, d) => TextOps.sourceTokenDivergence(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2374,6 +2375,26 @@ object SparkEntry {
          |  FROM con_cand c JOIN con_sets a ON c.doc_a = a.doc_id
          |                  JOIN con_sets b ON c.doc_b = b.doc_id)
          |WHERE containment_micro >= 900000""".stripMargin,
+    // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
+    // rounded to integer micro BEFORE the occurrence-weighted fold
+    // (q65's float discipline); `//` floors, matching the Spark side's
+    // explicit pmod floor form
+    "q146_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |   FROM documents),
+        | st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n_st
+        |   FROM tok GROUP BY source, token),
+        | s AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+        | c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_t FROM tok GROUP BY token),
+        | t AS (SELECT CAST(sum(n_t) AS BIGINT) AS total FROM c),
+        | lr AS (SELECT st.source, st.n_st, s.n_s,
+        |     CAST(round(ln(CAST(st.n_st * t.total AS DOUBLE)
+        |       / CAST(s.n_s * c.n_t AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS lr_micro
+        |   FROM st JOIN s USING (source) JOIN c USING (token) CROSS JOIN t)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(CAST(sum(n_st * lr_micro) AS BIGINT) // max(n_s) AS BIGINT) AS kl_micro
+        |FROM lr GROUP BY source""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -719,6 +719,48 @@ object TextOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Per-source token-distribution DIVERGENCE — KL(source ‖ corpus)
+    * over unigram distributions, the domain-mixing diagnostic: a source
+    * whose token distribution sits far from the corpus mean shifts the
+    * mixture when its weight changes (and a near-zero divergence source
+    * adds volume, not diversity). Per-token log-ratios round to integer
+    * micro-units before the occurrence-weighted fold (the [[unigramLm]]
+    * float-parity discipline: round early, sum integers), so the report
+    * is deterministic cross-engine.
+    *
+    * Scale: one (source, token) hash-agg (map-side combined), corpus
+    * token totals broadcast (vocab-sized), per-source totals via a
+    * window over the vocab-sized aggregate; output is one row per
+    * source. */
+  def sourceTokenDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+    val st = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("n_st"))
+    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+      .withColumn("total",
+        sum(col("n_t")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val perSource = st
+      .withColumn("n_s", sum(col("n_st")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .join(broadcast(corpus), Seq("token"))
+      // lr = ln(p_s / p_c) = ln((n_st · total) / (n_s · n_t)), rounded
+      // to integer micro before any summation
+      .select(col("source"), col("n_st"), col("n_s"),
+        round(log((col("n_st") * col("total")).cast("double") /
+          (col("n_s") * col("n_t")).cast("double")) * 1000000.0, 0)
+          .cast("long").as("lr_micro"))
+    perSource.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("n_st") * col("lr_micro")).as("_w"))
+      // FLOOR division, spelled out: per-token rounding can leave a
+      // near-zero divergence marginally negative, and Spark's `div`
+      // truncates toward zero where DuckDB's `//` floors — the pmod
+      // form floors on both signs, matching the oracle exactly
+      .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+        expr("(_w - pmod(_w, n_tokens)) div n_tokens").as("kl_micro"))
+  }
+
   // ---- language temperature rebalancing -------------------------------
 
   /** Temperature-based language rebalancing (the multilingual α-sampling

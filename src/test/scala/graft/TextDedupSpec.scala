@@ -1245,6 +1245,31 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("source divergence: KL replays driver-side, floors both signs identically") {
+    import graft.operators.TextOps
+    val toks = Tables(spark, sf, "documents").select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+    val corpus = toks.groupBy(_._2).map { case (t, os) => t -> os.length.toLong }
+    val total = corpus.values.sum
+    val want = toks.groupBy(_._1).map { case (src, os) =>
+      val st = os.groupBy(_._2).map { case (t, o) => t -> o.length.toLong }
+      val nS = st.values.sum
+      val w = st.map { case (t, nSt) =>
+        val lr = math.round(math.log(
+          (nSt.toDouble * total) / (nS.toDouble * corpus(t))) * 1000000.0)
+        nSt * lr
+      }.sum
+      src -> (nS, st.size.toLong, Math.floorDiv(w, nS))
+    }
+    val got = TextOps.sourceTokenDivergence(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    // KL is (numerically) non-negative-ish and nonzero somewhere: the
+    // sources genuinely differ in distribution
+    assert(got.values.exists(_._3 > 0))
+    got.values.foreach { case (_, _, kl) => assert(kl >= -1, s"KL cannot be negative: $kl") }
+  }
+
   test("containment catches a quote the symmetric band join misses; corpus replay agrees") {
     import graft.operators.Dedup
     // synthetic: doc 2 is a 16-token quote from the middle of doc 1 —

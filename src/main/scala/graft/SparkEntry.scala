@@ -350,6 +350,8 @@ object SparkEntry {
     "q144_quality_survivors" -> ((s, d) => Dedup.qualityAwareSurvivors(s, d)),
     "q145_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q146_source_divergence" -> ((s, d) => TextOps.sourceTokenDivergence(s, d)),
+    "q147_waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
+    "q148_volume_shipping" -> ((s, d) => Relational.volumeShipping(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2395,6 +2397,42 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
         |  CAST(CAST(sum(n_st * lr_micro) AS BIGINT) // max(n_s) AS BIGINT) AS kl_micro
         |FROM lr GROUP BY source""".stripMargin,
+    // q147: the Q21 nested form verbatim — DuckDB plans its own
+    // semi/anti pair
+    "q147_waiting_suppliers" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name""".stripMargin,
+    // q148: Q7 volume shipping, floor-cents revenue
+    "q148_volume_shipping" ->
+      """WITH n AS (SELECT n_nationkey, n_name FROM nation
+        |   WHERE n_name IN ('NATION_1', 'NATION_2')),
+        | sn AS (SELECT s_suppkey, n_name AS supp_nation
+        |   FROM supplier JOIN n ON s_nationkey = n_nationkey),
+        | cn AS (SELECT c_custkey, n_name AS cust_nation
+        |   FROM customer JOIN n ON c_nationkey = n_nationkey)
+        |SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |JOIN cn ON o_custkey = c_custkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY supp_nation, cust_nation, year(l_shipdate)""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

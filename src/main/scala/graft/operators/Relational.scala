@@ -719,4 +719,76 @@ object Relational {
         |WHERE q * 5 * (SELECT count(*) FROM l x WHERE x.l_partkey = l.l_partkey)
         |      < (SELECT sum(x.q) FROM l x WHERE x.l_partkey = l.l_partkey)""".stripMargin)
   }
+
+  /** TPC-H Q21 shape — "suppliers who kept orders waiting": per
+    * finished order, a supplier counts iff its line shipped late
+    * (> `lagDays` past the order date), at least one OTHER supplier
+    * contributed to the order (EXISTS), and NO other supplier was also
+    * late (NOT EXISTS) — sole blame. The hardest decorrelation shape
+    * in the family: the same fact table appears three times, once as
+    * an EXISTS semi and once as a NOT-EXISTS anti, both correlated on
+    * the outer's order key with an ADDITIONAL non-equi predicate
+    * (`l_suppkey <>`); written as the verbatim nested form so the
+    * optimizer — not the author — turns them into the semi/anti join
+    * pair (the PlanSpec no-nested-loop sweep holds it to that).
+    * The testdata has no receipt/commit dates; lateness is the
+    * q131-precedent ship-vs-order-date lag. Scale: three
+    * l_orderkey-keyed shuffles over the one fact table, supplier side
+    * broadcastable, aggregate rollup per supplier name. */
+  def waitingSuppliers(spark: SparkSession, dir: String,
+      lagDays: Int = 60): DataFrame = {
+    Tables(spark, dir, "supplier").createOrReplaceTempView("graft_q147_supplier")
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_q147_orders")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_q147_lineitem")
+    spark.sql(
+      s"""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM graft_q147_supplier s
+         |JOIN graft_q147_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         |JOIN graft_q147_orders o ON o.o_orderkey = l1.l_orderkey
+         |WHERE o.o_orderstatus = 'F'
+         |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '$lagDays' DAY
+         |  AND EXISTS (SELECT 1 FROM graft_q147_lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1
+         |              FROM graft_q147_lineitem l3
+         |              JOIN graft_q147_orders o3 ON o3.o_orderkey = l3.l_orderkey
+         |              WHERE l3.l_orderkey = l1.l_orderkey
+         |                AND l3.l_suppkey <> l1.l_suppkey
+         |                AND l3.l_shipdate > o3.o_orderdate + INTERVAL '$lagDays' DAY)
+         |GROUP BY s_name""".stripMargin)
+  }
+
+  /** TPC-H Q7 shape — volume shipping between two nations: revenue of
+    * lineitems a supplier in one nation shipped to a customer in the
+    * other, by direction and ship year. Exercises the canonical
+    * snowflake join chain (fact ⋈ orders ⋈ customer ⋈ nation ×2 ⋈
+    * supplier) with BOTH nation dims broadcast and the disjunctive
+    * nation-pair predicate evaluated after the join (the optimizer
+    * pushes each side's IN-list into its dim scan). Floor-cents
+    * revenue — no float summation order dependence. */
+  def volumeShipping(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+    val nations = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      .filter(col("n_name").isin(nationA, nationB))
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables(spark, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li.join(Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("cents")).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
 }

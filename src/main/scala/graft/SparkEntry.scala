@@ -352,6 +352,8 @@ object SparkEntry {
     "q146_source_divergence" -> ((s, d) => TextOps.sourceTokenDivergence(s, d)),
     "q147_waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
     "q148_volume_shipping" -> ((s, d) => Relational.volumeShipping(s, d)),
+    "q149_bm25" -> ((s, d) => Relevance.bm25Retrieval(s, d)),
+    "q150_hybrid_rrf" -> ((s, d) => Relevance.hybridRrf(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -382,6 +384,37 @@ object SparkEntry {
                |  SELECT word, acc AS syms FROM m$i WHERE i = len(syms) + 1)""".stripMargin)
       }
     layers.mkString(",\n ")
+  }
+
+  /** The BM25 scoring chain, ending in `bm_ranked(rank, doc_id,
+    * score_micro)` — shared by q149 (the retrieval list) and q150's
+    * lexical leg. Mirrors [[graft.operators.Relevance.bm25Retrieval]]:
+    * idf rounds at 6 dp, per-term scores land on the integer micro
+    * grid before the per-doc sum. */
+  private lazy val bm25Ctes: String = {
+    val terms = graft.operators.Relevance.Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""bm_dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |   FROM documents),
+       | bm_st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |     CAST(sum(dl) AS BIGINT) AS tot FROM bm_dl),
+       | bm_tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |   WHERE token IN ($terms) GROUP BY doc_id, token),
+       | bm_df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |   FROM bm_tf GROUP BY token),
+       | bm_per AS (SELECT bm_tf.doc_id,
+       |     CAST(round(round(ln((CAST(bm_st.n AS DOUBLE) - df + 0.5)
+       |         / (df + 0.5) + 1.0), 6)
+       |       * ((tf * 2.2) / (tf + 1.2 * (0.25
+       |           + 0.75 * dl / (CAST(bm_st.tot AS DOUBLE) / bm_st.n))))
+       |       * 1000000.0, 0) AS BIGINT) AS term_u
+       |   FROM bm_tf JOIN bm_df USING (token) JOIN bm_dl USING (doc_id)
+       |   CROSS JOIN bm_st),
+       | bm_sc AS (SELECT doc_id, CAST(sum(term_u) AS BIGINT) AS score_micro
+       |   FROM bm_per GROUP BY doc_id),
+       | bm_ranked AS (SELECT row_number() OVER
+       |     (ORDER BY score_micro DESC, doc_id ASC) AS rank, doc_id, score_micro
+       |   FROM bm_sc)""".stripMargin
   }
 
   /** q38's oracle: replay the keyspace-op log with the reference's
@@ -2433,6 +2466,34 @@ object SparkEntry {
         |JOIN cn ON o_custkey = c_custkey
         |WHERE supp_nation <> cust_nation
         |GROUP BY supp_nation, cust_nation, year(l_shipdate)""".stripMargin,
+    // q149: BM25 retrieval top-20
+    "q149_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT rank, doc_id, score_micro FROM bm_ranked WHERE rank <= 20""".stripMargin,
+    // q150: reciprocal-rank fusion of the BM25 leg (top 100) with the
+    // exact-cosine leg for probe vec_id = 0 — full outer on id, so a
+    // doc without an embedding (or vice versa) keeps its single leg
+    "q150_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         | rrf_lex AS (SELECT doc_id AS id, rank AS rank_lex
+         |   FROM bm_ranked WHERE rank <= 100),
+         | rrf_qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         | rrf_sim AS (SELECT e.vec_id,
+         |     round(list_sum(list_transform(range(1, 65),
+         |       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+         |       6) AS sim
+         |   FROM embeddings e CROSS JOIN rrf_qv q WHERE e.vec_id <> 0),
+         | rrf_vec AS (SELECT vec_id AS id, rank_vec FROM (
+         |   SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank_vec
+         |   FROM rrf_sim) WHERE rank_vec <= 100),
+         | rrf_fused AS (SELECT coalesce(l.id, v.id) AS id, l.rank_lex, v.rank_vec,
+         |     CAST(coalesce(1000000 // (60 + l.rank_lex), 0)
+         |       + coalesce(1000000 // (60 + v.rank_vec), 0) AS BIGINT) AS rrf_micro
+         |   FROM rrf_lex l FULL OUTER JOIN rrf_vec v ON l.id = v.id)
+         |SELECT rank, id, rank_lex, rank_vec, rrf_micro FROM (
+         |  SELECT row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS rank,
+         |    id, rank_lex, rank_vec, rrf_micro
+         |  FROM rrf_fused) WHERE rank <= 20""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -154,6 +154,89 @@ object Relevance {
         .otherwise(expr("(rnk - 1) * 1000000 div (n - 1)")).as("pct_u"))
   }
 
+  /** BM25 LEXICAL RETRIEVAL — rank documents against a fixed query
+    * term set with the Okapi weighting (k1 = 1.2, b = 0.75, the
+    * +1-smoothed idf that never goes negative): the lexical half of a
+    * hybrid retrieval stack beside the ANN family. Per-(doc, term)
+    * scores land on the 1e-6 integer grid before the per-doc sum
+    * (idf rounds at 6 dp first — the object-level convention), so
+    * ranking is bit-stable cross-engine.
+    *
+    * Scale: term frequencies for the QUERY TERMS only (the filter
+    * pushes into the token explode — per-doc work ∝ query size, not
+    * vocab), document lengths one map-side-combined aggregate, df a
+    * query-sized frame; N/avgdl are two scalar folds (the profiler
+    * convention — metadata-bounded). Top-k is one window. */
+  val Bm25Query: Seq[String] = Seq("spark", "merge", "window")
+  def bm25Retrieval(spark: SparkSession, dir: String,
+      terms: Seq[String] = Bm25Query, k: Int = 20): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms.map(lit): _*))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf6 = round(log((lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0), 6)
+    val tfPart = (col("tf").cast("double") * 2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val per = tf.join(broadcast(dfq), Seq("token")).join(dl, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(idf6 * tfPart * 1000000.0, 0).cast("long").as("term_u"))
+    val scored = per.groupBy(col("doc_id")).agg(sum(col("term_u")).as("score_micro"))
+    scored.withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("score_micro").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  /** HYBRID RETRIEVAL by reciprocal-rank fusion: the BM25 lexical
+    * ranking fused with the exact-cosine vector ranking for a probe
+    * embedding — `rrf = Σ ⌊1e6 / (60 + rank)⌋`, the standard
+    * rank-space fusion that needs no score calibration between the
+    * two systems. Id semantics are EXPLICIT (doc_id ⇄ vec_id pair 1:1
+    * only at some scales): a doc with no embedding row scores on the
+    * lexical leg alone, a vector with no lexical rank on the vector
+    * leg alone — a full outer join, nothing silently dropped.
+    *
+    * Scale: each leg is its own bounded top-`legK` ranking (the
+    * lexical leg shares [[bm25Retrieval]]'s shape; the vector leg is
+    * one broadcast-probe scan); the fusion joins two ≤legK-row
+    * frames. */
+  def hybridRrf(spark: SparkSession, dir: String, probeVecId: Long = 0L,
+      legK: Int = 100, k: Int = 20): DataFrame = {
+    import graft.functions.Vectors
+    val lex = bm25Retrieval(spark, dir, k = legK)
+      .select(col("doc_id").as("id"), col("rank").as("rank_lex"))
+    val emb = Tables(spark, dir, "embeddings")
+    // probe vector folded into the projection as literals (the IVF
+    // literal-codebook convention): the scoring pass is a shuffle-free,
+    // join-free map over the corpus — a 1-row broadcast join here
+    // would plan the banned BroadcastNestedLoopJoin
+    val qv: Array[Float] = emb.filter(col("vec_id") === probeVecId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val litQv = array(qv.map(x => lit(x)): _*)
+    val vec = emb.filter(col("vec_id") =!= probeVecId)
+      .select(col("vec_id"), round(Vectors.dot(litQv, col("embedding")), 6).as("sim"))
+      .withColumn("rank_vec", row_number().over(Window.partitionBy()
+        .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank_vec") <= legK)
+      .select(col("vec_id").as("id"), col("rank_vec"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_lex"), col("rank_vec"),
+        (coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L))).as("rrf_micro"))
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("rrf_micro").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("id"), col("rank_lex"), col("rank_vec"), col("rrf_micro"))
+  }
+
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     val staged = Tables(spark, dir, "documents")
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))

@@ -103,6 +103,55 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("bm25: scores replay the okapi formula driver-side, ranks dense") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size
+    val avgdl = docs.values.map(_.length.toLong).sum.toDouble / n
+    val terms = Relevance.Bm25Query
+    val dfm = terms.map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+    val want = docs.map { case (id, toks) =>
+      id -> terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0 || dfm(t) == 0) 0L
+        else {
+          val idf6 = BigDecimal(math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val part = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+          math.round(idf6 * part * 1000000.0)
+        }
+      }.sum
+    }.filter(_._2 != 0L)
+    val wantTop = want.toSeq.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Relevance.bm25Retrieval(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 20))
+    assert(got.map(r => (r._2, r._3)).toSeq == wantTop)
+  }
+
+  test("hybrid rrf: fused score is exactly the two legs' reciprocal sum, ranks dense") {
+    val lex = Relevance.bm25Retrieval(spark, sf, k = 100).collect()
+      .map(r => r.getLong(1) -> r.getInt(0).toLong).toMap
+    val got = Relevance.hybridRrf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2).toLong),
+        if (r.isNullAt(3)) None else Some(r.getInt(3).toLong),
+        r.getLong(4)))
+    assert(got.map(_._1).sorted.toSeq == (1 to 20))
+    got.foreach { case (_, id, rl, rv, rrf) =>
+      // lexical leg consistent with a direct bm25 run
+      assert(rl == lex.get(id), s"id $id lex rank mismatch")
+      val wantRrf = rl.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rv.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == wantRrf, s"id $id rrf")
+      assert(rl.isDefined || rv.isDefined)
+    }
+    // at this sf doc_id⇄vec_id pair 1:1 — some fused row must carry
+    // BOTH legs (the fusion actually fuses)
+    assert(got.exists(r => r._3.isDefined && r._4.isDefined),
+      "no doubly-ranked id in the top 20")
+  }
+
   test("curriculum: balanced quality-ordered phases, dense per-phase positions") {
     val got = graft.operators.Relevance.curriculumOrder(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))

@@ -381,6 +381,96 @@ object Dedup {
     verifyJaccard(cand, storedHashed, threshold)
   }
 
+  /** Append a batch's CONTAINMENT postings to the stored index: the
+    * exploded (doc_id, h) posting rows plus the batch's census
+    * increments (h, delta) — the two append-only tables the
+    * containment probe needs beside `hashed`. Written alongside the
+    * band-index tables so one store serves both probe families; call
+    * it with the same batch slices as [[appendToStoredIndex]]. At
+    * 100 TB the census is never recomputed corpus-wide: each
+    * increment's per-hash deltas sum on read, filtered FIRST to the
+    * probe batch's own hash set (batch-sized), so a probe aggregates
+    * increments-per-batch-hash rows, not the corpus. */
+  def appendToPostingsStore(docs: DataFrame, indexDir: String, k: Int = 3,
+      rarest: Int = 5, maxDf: Long = 1000L): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = docs.select(col("doc_id"),
+        explode(elementHashes(array_distinct(Text.shingles(col("text"), k)))).as("h"))
+      .persist()
+    try {
+      postings.write.mode("append").parquet(s"$indexDir/postings")
+      postings.groupBy(col("h")).agg(count(lit(1)).as("delta"))
+        .write.mode("append").parquet(s"$indexDir/census_inc")
+      // this batch's PROBE KEYS, fixed against the census as of this
+      // append (its own increment included). Ranks chosen at append
+      // time can drift from the eventual global census — the
+      // prefix-filter index convention; compaction is the rebuild
+      // point. Probes read these instead of re-ranking the corpus.
+      val batchHs = postings.select(col("h")).distinct()
+      val dfq = docs.sparkSession.read.parquet(s"$indexDir/census_inc")
+        .join(batchHs, Seq("h"))
+        .groupBy(col("h")).agg(sum(col("delta")).as("df"))
+        .filter(col("df") <= maxDf)
+      postings.join(dfq, Seq("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
+        .filter(col("rk") <= rarest).select(col("doc_id"), col("h"))
+        .write.mode("append").parquet(s"$indexDir/rare")
+    } finally postings.unpersist()
+  }
+
+  /** Containment pairs of `batch` against the stored postings —
+    * [[containmentPairs]]' steady-state face (the [[pairsAgainstStoredIndex]]
+    * contract: APPEND the batch first — [[appendToStoredIndex]] AND
+    * [[appendToPostingsStore]] — then probe). Probes BOTH directions
+    * over the PERSISTED rare keys (batch-rare ⋈ postings, corpus-rare
+    * ⋈ batch-postings) because the candidate scheme is asymmetric.
+    * Rare keys are the ones fixed at each append; ranks can drift
+    * from the eventual global census as the corpus grows (the
+    * prefix-filter index convention — compaction is the rebuild
+    * point), so probe recall matches the full run exactly when
+    * append-time and final ranks agree, and degrades gracefully —
+    * never silently reporting a FALSE pair (verification is exact).
+    * Cost: two h-keyed joins with fan-out ≤ maxDf per key, batch-id
+    * semi-joins pruning each side, exact verify on candidates only —
+    * nothing corpus-pair-shaped. */
+  def containmentAgainstStoredIndex(spark: SparkSession, indexDir: String,
+      batch: DataFrame, thresholdMicro: Long = 900000L): DataFrame = {
+    val storedPostings = Forgotten.exclude(
+      spark.read.parquet(s"$indexDir/postings"), "doc_id", spark, indexDir)
+    val storedHashed = Forgotten.exclude(
+      spark.read.parquet(s"$indexDir/hashed"), "doc_id", spark, indexDir)
+    val storedRare = Forgotten.exclude(
+      spark.read.parquet(s"$indexDir/rare"), "doc_id", spark, indexDir)
+    val batchIds = batch.select(col("doc_id")).distinct()
+    // BOTH directions — the candidate scheme is asymmetric (rare keys
+    // probe full postings), so a batch-touching pair can surface via
+    // the batch doc's rare keys OR via a stored doc's rare keys
+    // hitting the batch's postings; probing one direction alone
+    // provably misses the other class
+    val dir1 = storedRare.join(batchIds, Seq("doc_id")).as("x")
+      .join(storedPostings.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+    val dir2 = storedRare.as("x")
+      .join(storedPostings.join(batchIds, Seq("doc_id")).as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+    val cand = dir1.union(dir2)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = graft.functions.SetCard.sortedIntersectCard(col("set_a"), col("set_b"))
+    cand
+      .join(storedHashed.select(col("doc_id").as("doc_a"), col("hs").as("set_a")), "doc_a")
+      .join(storedHashed.select(col("doc_id").as("doc_b"), col("hs").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("set_a")).cast("long").as("n_a"),
+        size(col("set_b")).cast("long").as("n_b"),
+        inter.cast("long").as("_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        expr("_inter * 1000000 div least(n_a, n_b)").as("containment_micro"))
+      .filter(col("containment_micro") >= thresholdMicro)
+  }
+
   /** Right-to-be-forgotten in the stored band index: record tombstones
     * now (probes exclude them immediately — [[Forgotten]]'s contract);
     * [[compactStoredIndex]] performs the physical erasure. */

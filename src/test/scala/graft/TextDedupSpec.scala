@@ -1318,6 +1318,32 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted postings: two appends, both-direction probe finds the batch-touching containments") {
+    import graft.operators.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.appendToStoredIndex(corpus, indexDir) // hashed (verify side)
+    Dedup.appendToPostingsStore(corpus, indexDir)
+    Dedup.appendToStoredIndex(batch, indexDir)
+    Dedup.appendToPostingsStore(batch, indexDir)
+    val got = Dedup.containmentAgainstStoredIndex(spark, indexDir, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val batchIds = batch.collect().map(_.getLong(0)).toSet
+    val full = Dedup.containmentPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val wantTouching = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    graft.operators.PlanCache.release()
+    Dedup.releaseBandIndex()
+    // exactness here: append-time ranks coincide with final ranks on
+    // this fixture (rank drift would degrade recall, never precision)
+    assert(got == wantTouching, s"got ${got.size} vs want ${wantTouching.size}")
+    assert(wantTouching.nonEmpty)
+    // no corpus↔corpus pair leaks into a batch probe
+    got.foreach { case (a, b, _) => assert(batchIds(a) || batchIds(b)) }
+  }
+
   test("quality survivors: one per cluster, max quality wins, ties fall back to min id") {
     import graft.operators.Dedup
     val rows = Dedup.qualityAwareSurvivors(spark, sf).collect()

@@ -354,6 +354,7 @@ object SparkEntry {
     "q148_volume_shipping" -> ((s, d) => Relational.volumeShipping(s, d)),
     "q149_bm25" -> ((s, d) => Relevance.bm25Retrieval(s, d)),
     "q150_hybrid_rrf" -> ((s, d) => Relevance.hybridRrf(s, d)),
+    "q151_cumulative_dau" -> (Sketches.cumulativeActiveUsers _),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2494,6 +2495,48 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS rank,
          |    id, rank_lex, rank_vec, rrf_micro
          |  FROM rrf_fused) WHERE rank <= 20""".stripMargin,
+    // q151: cumulative distinct users — q117's register scheme with a
+    // running element-wise max per register; exact side is the
+    // first-seen fold over the day spine
+    "q151_cumulative_dau" -> {
+      val m = graft.operators.Sketches.HllRegisters
+      val rb = graft.operators.Sketches.HllRegisterBits
+      val w1 = graft.operators.Sketches.HllRestBits + 1
+      s"""WITH u AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         | h AS (SELECT day, user_id,
+         |    CAST('0x' || substr(md5('dau-' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      AS h FROM u),
+         | rr AS (SELECT day, h % $m AS reg,
+         |    CASE WHEN (h >> $rb) = 0 THEN $w1
+         |         ELSE $w1 - length(bin(h >> $rb)) END AS rho FROM h),
+         | daily AS (SELECT day, reg, max(rho) AS mrho FROM rr GROUP BY day, reg),
+         | days AS (SELECT DISTINCT day FROM u),
+         | grid AS (SELECT day, unnest(range(0, $m)) AS reg FROM days),
+         | rm AS (SELECT g.day, g.reg,
+         |    max(d.mrho) OVER (PARTITION BY g.reg ORDER BY g.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crho
+         |   FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.reg = d.reg),
+         | s AS (SELECT day, CAST(count(*) AS BIGINT) AS m_hit,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - crho)) AS BIGINT) AS sumpow
+         |   FROM rm WHERE crho IS NOT NULL GROUP BY day),
+         | e AS (SELECT day, m_hit, $m - m_hit AS zeros,
+         |    sumpow + ($m - m_hit) * (CAST(1 AS BIGINT) << 53) AS raw FROM s),
+         | est AS (SELECT day, m_hit,
+         |    CASE WHEN zeros > 0
+         |           AND ${graft.operators.Sketches.HllNumerator} / CAST(raw AS DOUBLE) <= ${2.5 * m}
+         |      THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |      ELSE ${graft.operators.Sketches.HllNumerator} / CAST(raw AS DOUBLE) END AS est
+         |   FROM e),
+         | nu AS (SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+         |   FROM (SELECT user_id, min(day) AS first_day FROM u GROUP BY user_id)
+         |   GROUP BY first_day),
+         | ex AS (SELECT day,
+         |    CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS true_cum
+         |   FROM days LEFT JOIN nu ON day = first_day)
+         |SELECT day, m_hit, round(est, 2) AS est_cum, true_cum
+         |FROM est JOIN ex USING (day)""".stripMargin
+    },
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

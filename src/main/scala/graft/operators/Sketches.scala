@@ -137,6 +137,57 @@ object Sketches {
       .select(col("day"), col("m_hit"), round(est, 2).as("est_dau"), col("true_dau"))
   }
 
+  /** CUMULATIVE distinct-user curve — [[dailyActiveUsers]]' running
+    * twin: per day, the distinct users seen SO FAR, exact (first-seen
+    * fold) beside the HLL estimate from an element-wise running
+    * register max — the mergeability property exercised over TIME
+    * (yesterday's registers OR today's = the cumulative sketch; no
+    * per-day recount of history). Same register scheme and salt as
+    * the daily report, so day 1's estimate coincides by construction.
+    *
+    * Scale: the exact side never rescans history (new-user counts per
+    * first-seen day + one running sum over the day spine); the sketch
+    * side is a (day × 256-register) grid — days-bounded, NOT
+    * corpus-bounded — with one running-max window partitioned by
+    * register. */
+  def cumulativeActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = HllRegisters
+    val base = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val h = Text.md5Hash60(concat(lit("dau-"), col("user_id").cast("string")))
+    val daily = base
+      .select(col("day"), pmod(h, lit(m)).as("reg"),
+        call_function("shiftright", h, lit(HllRegisterBits)).as("rest"))
+      .withColumn("rho",
+        when(col("rest") === 0, lit(HllRestBits + 1))
+          .otherwise(lit(HllRestBits + 1) - length(bin(col("rest")))))
+      .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("mrho"))
+    val days = base.select(col("day")).distinct()
+    val grid = days.select(col("day"),
+      explode(sequence(lit(0L), lit(m - 1L))).as("reg"))
+    val runmax = grid.join(daily, Seq("day", "reg"), "left")
+      .withColumn("crho", max(col("mrho")).over(Window.partitionBy(col("reg"))
+        .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("crho").isNotNull)
+    val sums = runmax.groupBy(col("day")).agg(
+      count(lit(1)).as("m_hit"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(53 - crho AS INT))")).as("sumpow"))
+    val zeros = lit(m) - col("m_hit")
+    val raw = col("sumpow") + zeros * lit(1L << 53)
+    val estRaw = lit(HllNumerator) / raw.cast("double")
+    val est = when(zeros > 0 && estRaw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(estRaw)
+    val newPerDay = base.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+    val exact = days.join(newPerDay, col("day") === col("first_day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("true_cum", sum(col("new_users")).over(Window.partitionBy()
+        .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sums.join(exact.select(col("day"), col("true_cum")), Seq("day"))
+      .select(col("day"), col("m_hit"), round(est, 2).as("est_cum"), col("true_cum"))
+  }
+
   /** Bloom shape shared with the oracle: 4096 bits, 3 hashes. */
   val BloomBits = 4096
   val BloomHashes = 3

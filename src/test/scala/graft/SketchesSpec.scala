@@ -126,6 +126,34 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cumulative dau: both curves monotone, exact first-seen fold, day-1 equals the daily report") {
+    val rows = Sketches.cumulativeActiveUsers(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1.toEpochDay)
+    assert(rows.nonEmpty)
+    // running-max registers ⇒ both est and truth never decrease
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 && b._4 >= a._4, s"curve decreased at ${b._1}")
+    }
+    // final cumulative = total distinct users; per-day truth replays
+    // the first-seen fold
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    assert(rows.last._4 == events.map(_._2).distinct.length)
+    rows.foreach { case (day, _, est, truth) =>
+      val want = events.filter(!_._1.isAfter(day)).map(_._2).distinct.length
+      assert(truth == want, s"day $day")
+      assert(math.abs(est - truth) / truth.toDouble <= 0.26, s"day $day est $est")
+    }
+    // day 1: cumulative ≡ daily (same registers, same salt)
+    val daily1 = Sketches.dailyActiveUsers(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(2))).minBy(_._1.toEpochDay)
+    assert(rows.head._1 == daily1._1 && rows.head._3 == daily1._2)
+  }
+
   test("vocab overlap: every source pair, estimate within sketch error of exact") {
     val rows = Sketches.vocabOverlap(spark, sf).collect()
     assert(rows.length == 190) // C(20,2) source pairs

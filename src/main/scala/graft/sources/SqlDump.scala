@@ -68,7 +68,8 @@ final class SqlDumpTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SqlDumpScanBuilder(schema, path)
   override def newWriteBuilder(
@@ -208,14 +209,77 @@ final class SqlDumpWriteBuilder(
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
+      private def table = Option(info.options.get("table"))
+        .getOrElse(new Path(path).getName)
+      private def compress = Option(info.options.get("compress")).forall(_.toBoolean)
+      private def rpi =
+        Option(info.options.get("rowsPerInsert")).map(_.toInt).getOrElse(500)
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new SqlDumpBatchWrite(info.schema(), path,
-          Option(info.options.get("table"))
-            .getOrElse(new Path(path).getName),
-          Option(info.options.get("compress")).forall(_.toBoolean),
-          Option(info.options.get("rowsPerInsert")).map(_.toInt).getOrElse(500),
+        new SqlDumpBatchWrite(info.schema(), path, table, compress, rpi,
           info.queryId(), doTruncate)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new SqlDumpStreamingWrite(info.schema(), path, table, compress, rpi,
+          info.queryId())
     }
+}
+
+/** Streaming face of the dump sink — `writeStream.format("sqldump")`,
+  * append mode. Exactly-once across micro-batch REPLAYS: Spark may
+  * re-run an epoch whose sink commit completed but whose checkpoint
+  * offset write did not; `commit(epochId, …)` is IDEMPOTENT — a
+  * `_committed_<epoch>` marker records completion, and a replayed
+  * commit sees the marker, discards its temp files, and publishes
+  * nothing twice (the file-sink-log idea, one marker per epoch).
+  * Part names carry the epoch (`part-e<epoch>-<partition>.sql`), so
+  * epochs never collide and the batch reader reads the accumulated
+  * dump as one table. */
+final class SqlDumpStreamingWrite(schema: StructType, path: String, table: String,
+    compress: Boolean, rowsPerInsert: Int, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new SqlDumpStreamingWriterFactory(schema,
+      new Path(path, s"_temporary/$queryId").toString, table, compress, rowsPerInsert)
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.mkdirs(dir)
+    val marker = new Path(dir, s"_committed_$epochId")
+    if (fs.exists(marker)) {
+      // replayed epoch: already published — drop the re-run's temps
+      messages.foreach { case SqlDumpCommit(temp, _) =>
+        fs.delete(new Path(temp), false)
+      }
+    } else {
+      val suffix = if (compress) ".sql.gz" else ".sql"
+      messages.foreach { case SqlDumpCommit(temp, pid) =>
+        fs.rename(new Path(temp), new Path(dir, f"part-e$epochId%05d-$pid%05d$suffix"))
+      }
+      fs.create(marker, true).close()
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach { case SqlDumpCommit(temp, _) =>
+      fs.delete(new Path(temp), false)
+    }
+  }
+}
+
+final class SqlDumpStreamingWriterFactory(schema: StructType, tempDir: String,
+    table: String, compress: Boolean, rowsPerInsert: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SqlDumpTaskWriter(schema, s"$tempDir-e$epochId", table, compress,
+      rowsPerInsert, partitionId, taskId)
 }
 
 final case class SqlDumpCommit(tempFile: String, partitionId: Int)

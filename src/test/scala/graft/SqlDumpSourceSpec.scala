@@ -139,6 +139,53 @@ class SqlDumpSourceSpec extends SparkSpec {
     assert(asComparable(once) == asComparable(df))
   }
 
+  test("v2 streaming write: epochs accumulate exactly once across restarts; replayed commit is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = Files.createTempDirectory("sqldump_ssrc").toString
+    val outDir = Files.createTempDirectory("sqldump_sout").toString
+    val ckpt = Files.createTempDirectory("sqldump_sckpt").toString
+    val streamSchema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val json = rows.map { case (i, s) => s"""{"id":$i,"s":"$s"}""" }.mkString("\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(srcDir, name), json)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(streamSchema).json(srcDir)
+        .writeStream.format("sqldump")
+        .option("table", "t").option("compress", "false")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(outDir)
+      q.awaitTermination()
+    }
+    drop("a.json", Seq(1L -> "one", 2L -> "two"))
+    runOnce()
+    drop("b.json", Seq(3L -> "three"))
+    runOnce()
+    runOnce() // no new data: no new epoch output
+    val back = spark.read.format("sqldump").schema(streamSchema).load(outDir)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(1L -> "one", 2L -> "two", 3L -> "three"))
+    // replayed epoch commit publishes nothing twice: re-commit epoch 0
+    // with a fresh temp file, marker already present
+    val sw = new graft.sources.SqlDumpStreamingWrite(
+      streamSchema, outDir, "t", false, 500, "replayq")
+    val fac = sw.createStreamingWriterFactory(null)
+    val w = fac.createWriter(0, 99L, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      7L, org.apache.spark.unsafe.types.UTF8String.fromString("seven")))
+    val msg = w.commit()
+    val before = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    sw.commit(0L, Array(msg)) // epoch 0 already committed by the query
+    val after = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    assert(after == before, "replayed commit must publish nothing")
+    assert(spark.read.format("sqldump").schema(streamSchema).load(outDir).count() == 3)
+  }
+
   test("v2 write: statement batching honors rowsPerInsert") {
     val dir = Files.createTempDirectory("sqldump_batch").toString
     fixture().coalesce(1).write.format("sqldump")

@@ -355,6 +355,7 @@ object SparkEntry {
     "q149_bm25" -> ((s, d) => Relevance.bm25Retrieval(s, d)),
     "q150_hybrid_rrf" -> ((s, d) => Relevance.hybridRrf(s, d)),
     "q151_cumulative_dau" -> (Sketches.cumulativeActiveUsers _),
+    "q152_multitouch" -> (EventFlow.multiTouchAttribution(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2537,6 +2538,33 @@ object SparkEntry {
          |SELECT day, m_hit, round(est, 2) AS est_cum, true_cum
          |FROM est JOIN ex USING (day)""".stripMargin
     },
+    // q152: U-shaped multi-touch — 40/20/40 with floor-division middle
+    // credit, per-conversion position windows
+    "q152_multitouch" ->
+      """WITH conv AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+        |   FROM events WHERE event_type = 'purchase'),
+        | t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |     epoch_us(ts) AS touch_us
+        |   FROM events WHERE event_type IN ('view', 'click')),
+        | paired AS (SELECT t.touch_type, t.touch_us, t.touch_id, c.conv_id
+        |   FROM t JOIN conv c ON t.user_id = c.user_id
+        |   WHERE t.touch_us < c.conv_us
+        |     AND t.touch_us >= c.conv_us - 604800000000),
+        | ranked AS (SELECT *,
+        |     row_number() OVER (PARTITION BY conv_id
+        |       ORDER BY touch_us ASC, touch_id ASC) AS pos,
+        |     CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+        |   FROM paired),
+        | credited AS (SELECT touch_type, conv_id,
+        |     CASE WHEN n = 1 THEN 1000000
+        |          WHEN n = 2 THEN 500000
+        |          WHEN pos = 1 OR pos = n THEN 400000
+        |          ELSE 200000 // (n - 2) END AS credit_micro
+        |   FROM ranked)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |  CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total
+        |FROM credited GROUP BY touch_type""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

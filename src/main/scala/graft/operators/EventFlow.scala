@@ -373,4 +373,49 @@ object EventFlow {
         expr(s"(n_ab * 1000000) div $nUsers").as("support_micro"),
         expr(s"(n_ab * $nUsers * 1000000) div (n_a * n_b)").as("lift_micro"))
   }
+
+  /** U-SHAPED multi-touch attribution — the position-weighted credit
+    * model beside q112's last-touch interval join: every view/click a
+    * user made in the `windowDays` before a purchase is a touchpoint;
+    * per conversion, the FIRST touch gets 40%, the LAST 40%, middles
+    * split the remaining 20% (one touch → 100%, two → 50/50). Credit
+    * is integer micro-units with floor division (a conversion's
+    * credits can undershoot 1e6 by the flooring remainder — the
+    * documented convention, never overshoot). Output: credit mass and
+    * touch counts per touch type — where the channel actually earns
+    * its conversions vs the last-touch view.
+    *
+    * Scale: the touch↔conversion pairing is an equi-join on user_id
+    * with the time window as a residual predicate (per-user fan-out =
+    * touches × conversions inside one user's history — horizon-bounded,
+    * never cross-user); position ranks are per-conversion windows
+    * (conversion-sized groups); the rollup is types-bounded. */
+  def multiTouchAttribution(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("conv_us"))
+    val touches = events.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), unix_micros(col("ts")).as("touch_us"))
+    val horizon = windowDays.toLong * 86400L * 1000000L
+    val paired = touches.join(conv, Seq("user_id"))
+      .filter(col("touch_us") < col("conv_us") &&
+        col("touch_us") >= col("conv_us") - horizon)
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_us").asc, col("touch_id").asc)
+    val credited = paired
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("conv_id"))))
+      .withColumn("credit_micro",
+        when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(400000L))
+          .otherwise(expr("200000 div (n - 2)")))
+    credited.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("conv_id")).as("n_conversions"),
+        sum(col("credit_micro")).as("credit_micro_total"))
+  }
 }

@@ -253,4 +253,37 @@ class EventFlowSpec extends SparkSpec {
     }
     graft.operators.PlanCache.release()
   }
+
+  test("multi-touch attribution replays the 40/20/40 fold; per-conversion credit never overshoots") {
+    val horizonUs = 7L * 86400L * 1000000L
+    def us(ts: java.sql.Timestamp) = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+    val convs = events.filter(_._4 == "purchase")
+      .map(e => (e._1, e._2, us(e._3)))
+    val touches = events.filter(e => e._4 == "view" || e._4 == "click")
+    val credits = convs.flatMap { case (uid, convId, convUs) =>
+      val mine = touches
+        .filter(t => t._1 == uid && us(t._3) < convUs && us(t._3) >= convUs - horizonUs)
+        .sortBy(t => (us(t._3), t._2))
+      val n = mine.length
+      mine.zipWithIndex.map { case (t, i) =>
+        val credit =
+          if (n == 1) 1000000L
+          else if (n == 2) 500000L
+          else if (i == 0 || i == n - 1) 400000L
+          else 200000L / (n - 2)
+        (t._4, convId, credit)
+      }
+    }
+    // per conversion: floor credits never overshoot 1e6
+    credits.groupBy(_._2).foreach { case (cid, cs) =>
+      assert(cs.map(_._3).sum <= 1000000L, s"conversion $cid overshoots")
+    }
+    val want = credits.groupBy(_._1).map { case (t, cs) =>
+      t -> (cs.length.toLong, cs.map(_._2).distinct.length.toLong, cs.map(_._3).sum)
+    }
+    val got = EventFlow.multiTouchAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }

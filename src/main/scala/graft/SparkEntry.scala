@@ -356,6 +356,8 @@ object SparkEntry {
     "q150_hybrid_rrf" -> ((s, d) => Relevance.hybridRrf(s, d)),
     "q151_cumulative_dau" -> (Sketches.cumulativeActiveUsers _),
     "q152_multitouch" -> (EventFlow.multiTouchAttribution(_, _)),
+    "q153_quality_zscores" -> ((s, d) => Relevance.qualityZScores(s, d)),
+    "q154_session_entry_stats" -> (EventFlow.sessionStatsByEntry(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2565,6 +2567,53 @@ object SparkEntry {
         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
         |  CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total
         |FROM credited GROUP BY touch_type""".stripMargin,
+    // q153: per-source z-scores — exact integer moments over the 1e-4
+    // quality grid; the one float op is int/√int, identical cross-engine
+    "q153_quality_zscores" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(round(($qualityExpr) * 10000, 0) AS BIGINT) AS q4
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
+         |      CAST(len(list_filter(string_split(text, ' '),
+         |        x -> x IN ('the','a','and','of'))) AS DOUBLE) AS sw
+         |    FROM documents)),
+         | m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q4) AS BIGINT) AS s1, CAST(sum(q4 * q4) AS BIGINT) AS s2
+         |  FROM d GROUP BY source)
+         |SELECT doc_id, d.source, q4,
+         |  CASE WHEN n > 1 AND n * s2 > s1 * s1
+         |    THEN CAST(round(CAST(q4 * n - s1 AS DOUBLE)
+         |      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+         |  END AS z_micro
+         |FROM d JOIN m ON d.source = m.source""".stripMargin,
+    // q154: q60's sessions rolled up by entry type (first event per
+    // session via row_number), integer micro rates
+    "q154_session_entry_stats" -> {
+      val gapUs = EventFlow.DefaultGapUs
+      s"""WITH e AS (SELECT user_id, event_id, ts, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         | g AS (SELECT *, CASE WHEN lag(us) OVER win IS NULL
+         |        OR us - lag(us) OVER win > $gapUs
+         |      THEN 1 ELSE 0 END AS new_s
+         |   FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |   FROM g),
+         | fe AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+         |      ORDER BY ts, event_id) AS rn FROM s),
+         | sess AS (SELECT user_id, session_seq,
+         |     CAST(count(*) AS BIGINT) AS n_events,
+         |     max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         |     CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us
+         |   FROM fe GROUP BY user_id, session_seq)
+         |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS BIGINT) AS bounce_micro,
+         |  CAST(CAST(sum(n_events) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+         |    AS avg_events_micro,
+         |  CAST(CAST(sum(end_us - start_us) AS BIGINT) // count(*) AS BIGINT)
+         |    AS avg_duration_us
+         |FROM sess GROUP BY entry_type""".stripMargin
+    },
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

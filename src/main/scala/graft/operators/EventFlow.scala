@@ -374,6 +374,42 @@ object EventFlow {
         expr(s"(n_ab * $nUsers * 1000000) div (n_a * n_b)").as("lift_micro"))
   }
 
+  /** Session rollup BY ENTRY TYPE — the landing-page report over
+    * [[sessionize]]'s gap sessions: per entry event type (the
+    * session's first event), session count, bounce rate (single-event
+    * sessions), mean events per session, mean duration — "which way
+    * in retains, which way in bounces". The session entry rides the
+    * existing per-session aggregate as one `min(struct(ts, event_id,
+    * event_type))` (deterministic — (ts, event_id) is unique);
+    * integer micro rates via floor division. Output is
+    * types-bounded. */
+  def sessionStatsByEntry(spark: SparkSession, dir: String,
+      gapHours: Int = DefaultGapHours): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(byTime)
+    val gapUs = gapHours * 3600L * 1000000L
+    val sess = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("new_s", when(prev.isNull || us - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+    sess.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("_bounce"),
+        sum(col("n_events")).as("_events"),
+        sum(col("end_us") - col("start_us")).as("_dur_us"))
+      .select(col("entry_type"), col("n_sessions"),
+        expr("_bounce * 1000000 div n_sessions").as("bounce_micro"),
+        expr("_events * 1000000 div n_sessions").as("avg_events_micro"),
+        expr("_dur_us div n_sessions").as("avg_duration_us"))
+  }
+
   /** U-SHAPED multi-touch attribution — the position-weighted credit
     * model beside q112's last-touch interval join: every view/click a
     * user made in the `windowDays` before a purchase is a touchpoint;

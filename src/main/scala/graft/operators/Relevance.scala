@@ -237,6 +237,32 @@ object Relevance {
       .select(col("rank"), col("id"), col("rank_lex"), col("rank_vec"), col("rrf_micro"))
   }
 
+  /** Per-source quality Z-SCORE normalization — cross-source score
+    * comparability before a GLOBAL threshold: a 0.7 from a noisy crawl
+    * and a 0.7 from a curated source mean different things; the
+    * standardized score (x − μ_source)/σ_source puts them on one
+    * scale. Moments are EXACT integers over the 1e-4 quality grid
+    * (n, Σx, Σx² — the burstiness discipline), so the only float is
+    * one final `(x·n − Σx)/√(n·Σx² − (Σx)²)` whose inputs are
+    * bit-identical cross-engine; degenerate sources (one doc, zero
+    * variance) get NULL, never a divide-by-zero. One scan, one
+    * source-keyed aggregate, one broadcastable moments join. */
+  def qualityZScores(spark: SparkSession, dir: String): DataFrame = {
+    val q4 = round(Text.qualityScore(col("text")) * 10000, 0).cast("long")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), q4.as("q4"))
+    val m = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n"), sum(col("q4")).as("s1"),
+      sum(col("q4") * col("q4")).as("s2"))
+    docs.join(broadcast(m), Seq("source"))
+      .select(col("doc_id"), col("source"), col("q4"),
+        when(col("n") > 1 && col("n") * col("s2") > col("s1") * col("s1"),
+          round((col("q4") * col("n") - col("s1")).cast("double") /
+            sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) *
+            1000000.0, 0).cast("long"))
+          .as("z_micro"))
+  }
+
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     val staged = Tables(spark, dir, "documents")
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))

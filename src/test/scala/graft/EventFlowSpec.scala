@@ -254,6 +254,42 @@ class EventFlowSpec extends SparkSpec {
     graft.operators.PlanCache.release()
   }
 
+  test("session entry stats: conserves q60's session mass, entry is each session's first event") {
+    val sessions = EventFlow.sessionize(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val got = EventFlow.sessionStatsByEntry(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    // session mass conserved across the rollup
+    assert(got.values.map(_._1).sum == sessions.length)
+    // entry types replay: first event of each session by (ts, event_id)
+    val gapUs = EventFlow.DefaultGapUs
+    def us(ts: java.sql.Timestamp) = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+    val entries = events.groupBy(_._1).values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (us(e._3), e._2))
+      var seq = 0L
+      var prev = Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]() // (seq, entry, n)
+      ordered.foreach { e =>
+        if (prev == Long.MinValue || us(e._3) - prev > gapUs) { seq += 1; out += ((seq, e._4, 0L)) }
+        val i = out.length - 1
+        out(i) = (out(i)._1, out(i)._2, out(i)._3 + 1)
+        prev = us(e._3)
+      }
+      out.map(s => (s._2, s._3))
+    }.toSeq
+    val wantByEntry = entries.groupBy(_._1).map { case (t, ss) =>
+      t -> (ss.length.toLong,
+        ss.count(_._2 == 1).toLong * 1000000L / ss.length,
+        ss.map(_._2).sum * 1000000L / ss.length)
+    }
+    wantByEntry.foreach { case (t, (n, bounce, avgEv)) =>
+      val (gn, gb, ga, _) = got(t)
+      assert(gn == n && gb == bounce && ga == avgEv, s"entry $t")
+    }
+  }
+
   test("multi-touch attribution replays the 40/20/40 fold; per-conversion credit never overshoots") {
     val horizonUs = 7L * 86400L * 1000000L
     def us(ts: java.sql.Timestamp) = ts.getTime * 1000 + ts.getNanos / 1000 % 1000

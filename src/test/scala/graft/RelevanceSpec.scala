@@ -152,6 +152,31 @@ class RelevanceSpec extends SparkSpec {
       "no doubly-ranked id in the top 20")
   }
 
+  test("quality z-scores: per-source mean ~0, replay from exact moments, degenerate NULL") {
+    val got = Relevance.qualityZScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val q4s = rows.map(_._3)
+      val n = q4s.length.toLong
+      val s1 = q4s.sum
+      val s2 = q4s.map(x => x * x).sum
+      rows.foreach { case (_, _, q4, z) =>
+        if (n > 1 && n * s2 > s1 * s1) {
+          val want = math.round(
+            (q4 * n - s1).toDouble / math.sqrt((n * s2 - s1 * s1).toDouble) * 1000000.0)
+          assert(z.contains(want), s"$src doc z")
+        } else assert(z.isEmpty, s"$src degenerate source must be NULL")
+      }
+      if (n > 1 && n * s2 > s1 * s1) {
+        // standardization: z sums to ~0 (floor rounding slack per row)
+        val total = rows.flatMap(_._4).sum
+        assert(math.abs(total) <= n, s"$src z-sum $total")
+      }
+    }
+  }
+
   test("curriculum: balanced quality-ordered phases, dense per-phase positions") {
     val got = graft.operators.Relevance.curriculumOrder(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))

@@ -358,6 +358,7 @@ object SparkEntry {
     "q152_multitouch" -> (EventFlow.multiTouchAttribution(_, _)),
     "q153_quality_zscores" -> ((s, d) => Relevance.qualityZScores(s, d)),
     "q154_session_entry_stats" -> (EventFlow.sessionStatsByEntry(_, _)),
+    "q155_dow_anomalies" -> (EventFlow.dowAdjustedAnomalies(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2614,6 +2615,33 @@ object SparkEntry {
          |    AS avg_duration_us
          |FROM sess GROUP BY entry_type""".stripMargin
     },
+    // q155: day-of-week-residual z-scores — residual rounds to integer
+    // micro first, moments exact (HUGEINT sum cast once), q90's finish
+    "q155_dow_anomalies" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, day),
+        | d2 AS (SELECT *, isodow(day) AS dow FROM daily),
+        | ds AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_d,
+        |    CAST(sum(cnt) AS BIGINT) AS s_d
+        |  FROM d2 GROUP BY event_type, dow),
+        | resid AS (SELECT d2.event_type, d2.day, d2.cnt,
+        |    CAST(round((CAST(cnt AS DOUBLE)
+        |      - CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |      AS r_mu
+        |  FROM d2 JOIN ds ON d2.event_type = ds.event_type AND d2.dow = ds.dow),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r_mu) AS BIGINT) AS sr,
+        |    CAST(sum(r_mu * r_mu) AS DOUBLE) AS srr_d
+        |  FROM resid GROUP BY event_type)
+        |SELECT event_type, day, cnt, r_mu,
+        |  CAST(round(round((CAST(r_mu AS DOUBLE) - CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * srr_d - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |    * 1000000, 0) AS BIGINT) AS z_u
+        |FROM resid JOIN st USING (event_type)
+        |WHERE n > 1
+        |  AND CAST(n AS DOUBLE) * srr_d - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) > 0""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

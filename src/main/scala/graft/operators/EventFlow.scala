@@ -211,6 +211,45 @@ object EventFlow {
         round(z6 * lit(1000000), 0).cast("long").as("z_u"))
   }
 
+  /** SEASONALITY-ADJUSTED daily anomalies — z-scores over day-of-week
+    * RESIDUALS: a plain daily z-score ([[dailyAnomalies]]) flags every
+    * weekend of a weekly-cyclic stream; subtracting each (type, dow)
+    * mean first scores only departures from the type's own weekly
+    * shape. Float discipline: the residual rounds to integer micro
+    * immediately (the one division is dow-mean), residual moments are
+    * then EXACT (Σr in int64, Σr² through Decimal(38) — the q90
+    * overflow convention), and the final z is one double expression
+    * from exact integers, rounded at 6 dp. Degenerate types (≤1 day,
+    * zero residual variance) drop, never divide-by-zero.
+    *
+    * Scale: two metadata-sized aggregates over the daily rollup
+    * (types × days, then types × 7), one broadcastable join each. */
+  def dowAdjustedAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", expr("weekday(day) + 1"))
+    val dowStats = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_d"), sum(col("cnt")).as("s_d"))
+    val resid = daily.join(broadcast(dowStats), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        round((col("cnt").cast("double") -
+          col("s_d").cast("double") / col("n_d").cast("double")) * 1000000.0, 0)
+          .cast("long").as("r_mu"))
+    val dec = col("r_mu").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val stats = resid.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("r_mu")).as("sr"), sum(dec * dec).as("srr"))
+    val nD = col("n").cast("double")
+    val srD = col("sr").cast("double")
+    val varNum = nD * col("srr").cast("double") - srD * srD
+    val z6 = round((col("r_mu").cast("double") - srD / nD) /
+      sqrt(varNum / (nD * (nD - lit(1.0)))), 6)
+    resid.join(broadcast(stats), Seq("event_type"))
+      .filter(col("n") > 1 && varNum > 0)
+      .select(col("event_type"), col("day"), col("cnt"), col("r_mu"),
+        round(z6 * lit(1000000), 0).cast("long").as("z_u"))
+  }
+
   /** Retention cohorts: users grouped by first-seen day, activity
     * counted per (cohort day, day offset) — the retention matrix. The
     * cohort day is a window min over the SAME user partitioning as the

@@ -290,6 +290,29 @@ class EventFlowSpec extends SparkSpec {
     }
   }
 
+  test("dow-adjusted anomalies: per-(type,dow) residual mass ~0, z replays the moment fold") {
+    val got = EventFlow.dowAdjustedAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // residuals sum to ~0 within each (type, dow) cell (rounding slack)
+    got.groupBy(r => (r._1, r._2.getDayOfWeek)).foreach { case (cell, rows) =>
+      assert(math.abs(rows.map(_._4).sum) <= rows.length, s"cell $cell")
+    }
+    // z replays from the exact residual moments
+    got.groupBy(_._1).foreach { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val sr = rows.map(_._4).sum
+      val srr = rows.map(r => BigInt(r._4) * BigInt(r._4)).sum.toDouble
+      rows.foreach { case (_, day, _, rmu, z) =>
+        val varNum = n.toDouble * srr - sr.toDouble * sr.toDouble
+        val want = math.round(BigDecimal(
+          (rmu - sr.toDouble / n) / math.sqrt(varNum / (n.toDouble * (n - 1))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000000)
+        assert(z == want, s"$tpe $day")
+      }
+    }
+  }
+
   test("multi-touch attribution replays the 40/20/40 fold; per-conversion credit never overshoots") {
     val horizonUs = 7L * 86400L * 1000000L
     def us(ts: java.sql.Timestamp) = ts.getTime * 1000 + ts.getNanos / 1000 % 1000

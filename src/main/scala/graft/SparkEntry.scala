@@ -359,6 +359,7 @@ object SparkEntry {
     "q153_quality_zscores" -> ((s, d) => Relevance.qualityZScores(s, d)),
     "q154_session_entry_stats" -> (EventFlow.sessionStatsByEntry(_, _)),
     "q155_dow_anomalies" -> (EventFlow.dowAdjustedAnomalies(_, _)),
+    "q156_cohort_ltv" -> (EventFlow.cohortLtv(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2642,6 +2643,29 @@ object SparkEntry {
         |FROM resid JOIN st USING (event_type)
         |WHERE n > 1
         |  AND CAST(n AS DOUBLE) * srr_d - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) > 0""".stripMargin,
+    // q156: cohort LTV — first-purchase cohort month, floor-cents,
+    // per-cohort running revenue, floored per-user LTV
+    "q156_cohort_ltv" ->
+      """WITH p AS (SELECT o_custkey AS user_id,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        | wc AS (SELECT *, min(m) OVER (PARTITION BY user_id) AS cohort_m FROM p),
+        | rolled AS (SELECT cohort_m, m - cohort_m AS offset_months,
+        |    CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |  FROM wc GROUP BY cohort_m, m - cohort_m),
+        | cs AS (SELECT cohort_m, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
+        |  FROM wc WHERE m = cohort_m GROUP BY cohort_m),
+        | run AS (SELECT rolled.*, cohort_users,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY offset_months
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_rev_cents
+        |  FROM rolled JOIN cs USING (cohort_m))
+        |SELECT cohort_m, offset_months, cohort_users, active_users,
+        |  rev_cents, cum_rev_cents,
+        |  CAST(cum_rev_cents // cohort_users AS BIGINT) AS ltv_cents
+        |FROM run""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -250,6 +250,39 @@ object EventFlow {
         round(z6 * lit(1000000), 0).cast("long").as("z_u"))
   }
 
+  /** Cohort LTV curve — cumulative revenue per user by FIRST-PURCHASE
+    * cohort month and month offset: the "how much is a January
+    * customer worth by month 3" report that prices acquisition.
+    * Revenue in exact floor-cents; the running total is a per-cohort
+    * window over the (cohorts × offsets)-sized rollup (metadata-sized
+    * groups, never event-sized); per-user LTV floors. The cohort
+    * month rides the purchase scan as one user-partitioned window
+    * min — no self-join. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    // orders, not events: the order stream spans seven years — the
+    // cohort × offset grid is the real report shape (events span days)
+    val monthNum = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+    val purchases = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), monthNum.as("m"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val withCohort = purchases.withColumn("cohort_m",
+      min(col("m")).over(Window.partitionBy(col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val rolled = withCohort
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("offset_months"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        count_distinct(col("user_id")).as("active_users"))
+    val cohortSizes = withCohort.filter(col("m") === col("cohort_m"))
+      .groupBy(col("cohort_m")).agg(count_distinct(col("user_id")).as("cohort_users"))
+    rolled.join(broadcast(cohortSizes), Seq("cohort_m"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cohort_m")).orderBy(col("offset_months"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("cohort_m"), col("offset_months"), col("cohort_users"),
+        col("active_users"), col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents div cohort_users").as("ltv_cents"))
+  }
+
   /** Retention cohorts: users grouped by first-seen day, activity
     * counted per (cohort day, day offset) — the retention matrix. The
     * cohort day is a window min over the SAME user partitioning as the

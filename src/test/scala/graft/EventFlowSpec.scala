@@ -290,6 +290,34 @@ class EventFlowSpec extends SparkSpec {
     }
   }
 
+  test("cohort ltv: revenue mass conserved, curves monotone, cohort sizes bound activity") {
+    val got = EventFlow.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    // total revenue conserved vs a direct fold
+    val totalCents = Tables(spark, sf, "orders")
+      .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(got.map(_._5).sum == totalCents)
+    got.groupBy(_._1).foreach { case (cohort, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // offset 0 exists and its active set IS the cohort
+      assert(ordered.head._2 == 0L && ordered.head._4 == ordered.head._3, s"$cohort")
+      // cumulative revenue and ltv are nondecreasing; cum replays sum
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._6 >= a._6 && b._7 >= a._7, s"$cohort offset ${b._2}")
+        case _ =>
+      }
+      assert(ordered.map(_._5).sum == ordered.last._6, s"$cohort cum")
+      // activity never exceeds cohort size; ltv replays floor division
+      rows.foreach { r =>
+        assert(r._4 <= r._3 && r._7 == r._6 / r._3, s"$cohort offset ${r._2}")
+      }
+    }
+  }
+
   test("dow-adjusted anomalies: per-(type,dow) residual mass ~0, z replays the moment fold") {
     val got = EventFlow.dowAdjustedAnomalies(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -360,6 +360,8 @@ object SparkEntry {
     "q154_session_entry_stats" -> (EventFlow.sessionStatsByEntry(_, _)),
     "q155_dow_anomalies" -> (EventFlow.dowAdjustedAnomalies(_, _)),
     "q156_cohort_ltv" -> (EventFlow.cohortLtv(_, _)),
+    "q157_classifier_lift" -> ((s, d) => TextOps.classifierLift(s, d)),
+    "q158_langid_eval" -> ((s, d) => TextOps.langIdEval(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -471,7 +473,54 @@ object SparkEntry {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] =
-    oracleBase + ("q130_ann_bakeoff" -> q130Sql)
+    oracleBase + ("q130_ann_bakeoff" -> q130Sql) +
+      ("q157_classifier_lift" -> q157Sql) + ("q158_langid_eval" -> q158Sql)
+
+  /** q157: the q71 logit replay ranked by ntile(10), positives =
+    * quality ≥ 0.66 (the docMetricsCte bar), integer micro lift and
+    * cumulative capture. */
+  private lazy val q157Sql: String =
+    s"""WITH cls AS (
+       |${oracleBase("q71_quality_classifier")}
+       |),
+       | $docMetricsCte,
+       | lab AS (SELECT cls.doc_id, cls.logit, m.quality >= 0.66 AS pos
+       |   FROM cls JOIN m ON cls.doc_id = m.doc_id),
+       | rk AS (SELECT *, ntile(10) OVER (ORDER BY logit DESC, doc_id ASC) AS decile
+       |   FROM lab),
+       | agg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |   FROM rk GROUP BY decile),
+       | tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+       |    CAST(sum(n_pos) AS BIGINT) AS pp FROM agg)
+       |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+       |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_rate_micro,
+       |  CAST(n_pos * nn * 1000000 // (n_docs * pp) AS BIGINT) AS lift_micro,
+       |  CAST(CAST(sum(n_pos) OVER (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    * 1000000 // pp AS BIGINT) AS cum_capture_micro
+       |FROM agg CROSS JOIN tot""".stripMargin
+
+  /** q158: langID-vs-label confusion + P/R/F1 in integer micro. */
+  private lazy val q158Sql: String =
+    """WITH c AS (SELECT
+      |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','and','of'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) > 0.03
+      |      THEN 'en' ELSE 'und' END = 'en' AS pred_en,
+      |    lang = 'en' AS is_en
+      |  FROM documents),
+      | m AS (SELECT
+      |    CAST(sum(CASE WHEN pred_en AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN pred_en AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN NOT pred_en AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN NOT pred_en AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM c)
+      |SELECT tp, fp, fn, tn,
+      |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_micro,
+      |  CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_micro,
+      |  CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_micro
+      |FROM m""".stripMargin
 
   /** q130: the bakeoff's oracle is the five per-method oracle replays
     * (q30/q46/q62/q80/q123) stitched as subqueries beside the brute

@@ -179,6 +179,77 @@ object TextOps {
       .select(col("doc_id"), round(logit, 4).as("logit"), (logit > 0).as("keep"))
   }
 
+  /** DECILE LIFT table for the quality classifier — the model-eval
+    * face of [[qualityClassifier]]: rank the corpus by logit, cut into
+    * ten equal buckets (`ntile` over the deterministic (logit desc,
+    * doc_id) order), and per decile report positive rate (ground
+    * truth: quality ≥ 0.66, the curation bar), lift vs the base rate,
+    * and cumulative capture — the "is the classifier's top decile
+    * actually rich in keepers" report every filtering model ships
+    * with. Integer micro rates via floor division.
+    *
+    * Scale: one scan computes logit and label per row; the rank is a
+    * single total-order window over doc-count rows (the explicit
+    * global-sort report convention, cf. curriculumOrder); the rollup
+    * is 10 rows. */
+  def classifierLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // logit AND label in ONE scan (they share the token pipeline) —
+    // a join of qualityClassifier against a second labeled scan would
+    // tokenize the corpus twice and shuffle for nothing
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val shs = Text.shingles(col("text"), 3)
+    val logit = lit(-2.0) +
+      lit(3.0) * (size(array_distinct(toks)).cast("double") / nTok) +
+      lit(-1.5) * (Text.stopwordCount(col("text")).cast("double") / nTok) +
+      lit(0.8) * least(nTok / 100.0, lit(1.0)) +
+      lit(-2.5) * (lit(1.0) - size(array_distinct(shs)).cast("double") /
+        size(shs).cast("double"))
+    val labeled = Tables(spark, dir, "documents")
+      .select(col("doc_id"), round(logit, 4).as("logit"),
+        (Text.qualityScore(col("text")) >= 0.66).as("pos"))
+    val ranked = labeled.withColumn("decile",
+      ntile(10).over(Window.partitionBy()
+        .orderBy(col("logit").desc, col("doc_id").asc)))
+    // the 10-row rollup feeds BOTH the scalar totals and the report —
+    // tracked cache so the logit scan and global rank run once, not
+    // twice (caller-managed lifetime, PlanCache.release)
+    val agg = PlanCache.tracked(ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos")))
+    val tot = agg.agg(sum(col("n_docs")).as("nn"), sum(col("n_pos")).as("pp")).head()
+    val (nTot, pTot) = (tot.getLong(0), tot.getLong(1))
+    agg
+      .withColumn("cum_pos", sum(col("n_pos")).over(Window.partitionBy()
+        .orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile").cast("long").as("decile"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("pos_rate_micro"),
+        expr(s"n_pos * $nTot * 1000000 div (n_docs * $pTot)").as("lift_micro"),
+        expr(s"cum_pos * 1000000 div $pTot").as("cum_capture_micro"))
+  }
+
+  /** Language-ID EVALUATION against the corpus labels — the
+    * classifier-metrics face of the langID heuristic (positive class
+    * `en`): confusion counts plus precision/recall/F1 in integer
+    * micro-units (F1 = 2tp·10⁶ div (2tp + fp + fn) — one division,
+    * no float P·R composition). One scan, one 4-cell aggregate. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = (Text.langId(col("text")) === "en").as("pred_en")
+    val truth = (col("lang") === "en").as("is_en")
+    Tables(spark, dir, "documents")
+      .select(pred, truth)
+      .agg(
+        sum(when(col("pred_en") && col("is_en"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred_en") && !col("is_en"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred_en") && col("is_en"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred_en") && !col("is_en"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_micro"),
+        expr("tp * 1000000 div (tp + fn)").as("recall_micro"),
+        expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_micro"))
+  }
+
   /** Bigram-LM scoring — the next rung of the [[unigramLm]] ladder:
     * each document's mean log p(w₂|w₁) under the corpus's own bigram
     * model (conditional frequency c(w₁w₂)/c(w₁·), where c(w₁·) counts

@@ -1245,6 +1245,49 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("classifier lift: deciles balanced, capture ends at 1e6, rates replay the rank fold") {
+    import graft.operators.TextOps
+    val got = TextOps.classifierLift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    val n = got.map(_._2).sum
+    val p = got.map(_._3).sum
+    // ntile balance and terminal capture
+    assert(got.map(_._2).max - got.map(_._2).min <= 1)
+    assert(got.last._6 == 1000000L)
+    // rates/lift replay; capture runs the positive mass
+    var cum = 0L
+    got.foreach { case (_, nd, np, rate, lift, cap) =>
+      cum += np
+      assert(rate == np * 1000000L / nd)
+      assert(lift == np * n * 1000000L / (nd * p))
+      assert(cap == cum * 1000000L / p)
+    }
+    // the ranking works at all: decile 1 is at least as rich as decile 10
+    assert(got.head._4 >= got.last._4)
+  }
+
+  test("langid eval: confusion partitions the corpus, metrics replay the counts") {
+    import graft.operators.TextOps
+    val r = TextOps.langIdEval(spark, sf).head()
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val total = Tables(spark, sf, "documents").count()
+    assert(tp + fp + fn + tn == total)
+    assert(r.getLong(4) == tp * 1000000L / (tp + fp))
+    assert(r.getLong(5) == tp * 1000000L / (tp + fn))
+    assert(r.getLong(6) == 2 * tp * 1000000L / (2 * tp + fp + fn))
+    // replay the confusion against q22's rollup
+    val roll = TextOps.langIdRollup(spark, sf).collect()
+      .map(r2 => ((r2.getString(0), r2.getString(1)), r2.getLong(2))).toMap
+    def cell(isEn: Boolean, predEn: Boolean) = roll.collect {
+      case ((lang, guess), c)
+        if (lang == "en") == isEn && (guess == "en") == predEn => c
+    }.sum
+    assert(tp == cell(true, true) && fp == cell(false, true) &&
+      fn == cell(true, false) && tn == cell(false, false))
+  }
+
   test("source divergence: KL replays driver-side, floors both signs identically") {
     import graft.operators.TextOps
     val toks = Tables(spark, sf, "documents").select("source", "text").collect()

@@ -362,6 +362,7 @@ object SparkEntry {
     "q156_cohort_ltv" -> (EventFlow.cohortLtv(_, _)),
     "q157_classifier_lift" -> ((s, d) => TextOps.classifierLift(s, d)),
     "q158_langid_eval" -> ((s, d) => TextOps.langIdEval(s, d)),
+    "q159_robust_anomalies" -> (EventFlow.robustAnomalies(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2467,8 +2468,8 @@ object SparkEntry {
          |WHERE containment_micro >= 900000""".stripMargin,
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
-    // (q65's float discipline); `//` floors, matching the Spark side's
-    // explicit pmod floor form
+    // (q65's float discipline); `//` truncates toward zero, exactly
+    // like Spark's `div` on the signed dividend
     "q146_source_divergence" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
         |   FROM documents),
@@ -2715,6 +2716,30 @@ object SparkEntry {
         |  rev_cents, cum_rev_cents,
         |  CAST(cum_rev_cents // cohort_users AS BIGINT) AS ltv_cents
         |FROM run""".stripMargin,
+    // q159: median/MAD robust anomalies — LOWER medians via rank
+    // windows (deterministic, integer end to end); `//` and Spark's
+    // `div` both truncate on the signed numerator
+    "q159_robust_anomalies" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, day),
+        | medr AS (SELECT event_type, cnt AS med FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY event_type
+        |       ORDER BY cnt ASC, day ASC) AS rk,
+        |     count(*) OVER (PARTITION BY event_type) AS n
+        |   FROM daily) WHERE rk = (n + 1) // 2),
+        | dev AS (SELECT d.event_type, d.day, d.cnt, m.med,
+        |    abs(d.cnt - m.med) AS adev
+        |  FROM daily d JOIN medr m USING (event_type)),
+        | madr AS (SELECT event_type, adev AS mad FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY event_type
+        |       ORDER BY adev ASC, day ASC) AS rk,
+        |     count(*) OVER (PARTITION BY event_type) AS n
+        |   FROM dev) WHERE rk = (n + 1) // 2)
+        |SELECT dev.event_type, dev.day, dev.cnt, dev.med, CAST(mad AS BIGINT) AS mad,
+        |  CASE WHEN mad > 0
+        |    THEN CAST((dev.cnt - dev.med) * 1000000 // mad AS BIGINT) END AS robust_micro
+        |FROM dev JOIN madr USING (event_type)""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -283,6 +283,46 @@ object EventFlow {
         expr("cum_rev_cents div cohort_users").as("ltv_cents"))
   }
 
+  /** ROBUST daily anomalies by median/MAD — the outlier-resistant twin
+    * of the moment z-scores ([[dailyAnomalies]], [[dowAdjustedAnomalies]]):
+    * one wild day inflates a mean-and-variance score enough to mask a
+    * second anomaly; the median and the median-absolute-deviation
+    * don't move. ENTIRELY integer: the median is the LOWER median
+    * (element ⌈n/2⌉ in sort order — deterministic, no averaging of
+    * middles), MAD likewise over |x − med|, and the score is
+    * ⌊(x − med)·10⁶ / MAD⌋ — "x is k MADs from the median" with zero
+    * float ops anywhere (multiply by 1.4826 yourself if you want
+    * σ-equivalents). Types whose MAD is 0 (more than half the days
+    * identical) emit NULL scores rather than infinities.
+    *
+    * Scale: two rank windows over the (types × days)-sized daily
+    * rollup — metadata-sized partitions, never event-sized. */
+  def robustAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(valueCol).asc, col("day").asc)
+      df.withColumn("_rk", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("_rk") === expr("(_n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(daily, "cnt", "med")
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("cnt") - col("med")))
+    val mad = lowerMedian(
+      dev.select(col("event_type"), col("day"), col("adev").as("cnt")), "cnt", "mad")
+    // signed numerator: both engines TRUNCATE toward zero on integer
+    // division (Spark `div`, DuckDB `//` — measured, not assumed), so
+    // the plain form matches on both signs
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cnt"), col("med"), col("mad"),
+        when(col("mad") > 0,
+          expr("(cnt - med) * 1000000 div mad")).as("robust_micro"))
+  }
+
   /** Retention cohorts: users grouped by first-seen day, activity
     * counted per (cohort day, day offset) — the retention matrix. The
     * cohort day is a window min over the SAME user partitioning as the

@@ -824,12 +824,12 @@ object TextOps {
       .agg(max(col("n_s")).as("n_tokens"),
         count(lit(1)).as("n_distinct_tokens"),
         sum(col("n_st") * col("lr_micro")).as("_w"))
-      // FLOOR division, spelled out: per-token rounding can leave a
-      // near-zero divergence marginally negative, and Spark's `div`
-      // truncates toward zero where DuckDB's `//` floors — the pmod
-      // form floors on both signs, matching the oracle exactly
+      // signed dividend (per-token rounding can leave a near-zero
+      // divergence marginally negative): both engines TRUNCATE toward
+      // zero on integer division (Spark `div`, DuckDB `//` —
+      // measured), so the plain form matches on both signs
       .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
-        expr("(_w - pmod(_w, n_tokens)) div n_tokens").as("kl_micro"))
+        expr("_w div n_tokens").as("kl_micro"))
   }
 
   // ---- language temperature rebalancing -------------------------------

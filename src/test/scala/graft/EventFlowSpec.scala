@@ -290,6 +290,32 @@ class EventFlowSpec extends SparkSpec {
     }
   }
 
+  test("robust anomalies: lower median/MAD replay driver-side, score truncates both signs") {
+    val got = EventFlow.robustAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.nonEmpty)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    got.groupBy(_._1).foreach { case (tpe, rows) =>
+      val med = lowerMedian(rows.map(_._3))
+      val mad = lowerMedian(rows.map(r => math.abs(r._3 - med)))
+      rows.foreach { case (_, day, cnt, gm, gmad, score) =>
+        assert(gm == med && gmad == mad, s"$tpe $day")
+        if (mad > 0) assert(score.contains((cnt - med) * 1000000L / mad), s"$tpe $day")
+        else assert(score.isEmpty)
+      }
+    }
+    // robustness: one wild outlier day leaves the median/MAD of the
+    // REST untouched (a mean/σ score would shift for every day)
+    val base = (1 to 30).map(d => (s"d$d", d.toLong % 3 + 10L))
+    val withOutlier = base :+ ("dX", 100000L)
+    val m1 = lowerMedian(base.map(_._2)); val m2 = lowerMedian(withOutlier.map(_._2))
+    assert(m1 == m2)
+    val mad1 = lowerMedian(base.map(x => math.abs(x._2 - m1)))
+    val mad2 = lowerMedian(withOutlier.map(x => math.abs(x._2 - m2)))
+    assert(mad1 == mad2)
+  }
+
   test("cohort ltv: revenue mass conserved, curves monotone, cohort sizes bound activity") {
     val got = EventFlow.cohortLtv(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -1288,7 +1288,7 @@ class TextDedupSpec extends SparkSpec {
       fn == cell(true, false) && tn == cell(false, false))
   }
 
-  test("source divergence: KL replays driver-side, floors both signs identically") {
+  test("source divergence: KL replays driver-side, truncating division on both signs") {
     import graft.operators.TextOps
     val toks = Tables(spark, sf, "documents").select("source", "text").collect()
       .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
@@ -1302,7 +1302,7 @@ class TextDedupSpec extends SparkSpec {
           (nSt.toDouble * total) / (nS.toDouble * corpus(t))) * 1000000.0)
         nSt * lr
       }.sum
-      src -> (nS, st.size.toLong, Math.floorDiv(w, nS))
+      src -> (nS, st.size.toLong, w / nS)
     }
     val got = TextOps.sourceTokenDivergence(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

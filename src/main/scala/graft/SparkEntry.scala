@@ -363,6 +363,8 @@ object SparkEntry {
     "q157_classifier_lift" -> ((s, d) => TextOps.classifierLift(s, d)),
     "q158_langid_eval" -> ((s, d) => TextOps.langIdEval(s, d)),
     "q159_robust_anomalies" -> (EventFlow.robustAnomalies(_, _)),
+    "q160_funnel_summary" -> (EventFlow.funnelSummary(_, _)),
+    "q161_dedup_savings" -> ((s, d) => TextOps.dedupSavingsBySource(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -475,7 +477,48 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     oracleBase + ("q130_ann_bakeoff" -> q130Sql) +
-      ("q157_classifier_lift" -> q157Sql) + ("q158_langid_eval" -> q158Sql)
+      ("q157_classifier_lift" -> q157Sql) + ("q158_langid_eval" -> q158Sql) +
+      ("q160_funnel_summary" -> q160Sql) + ("q161_dedup_savings" -> q161Sql)
+
+  /** q160: q73's funnel rolled to the survival curve + step rates. */
+  private lazy val q160Sql: String =
+    s"""WITH f AS (
+       |${oracleBase("q73_funnel")}
+       |),
+       | s AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_at FROM f GROUP BY stage),
+       | spine AS (SELECT unnest([1, 2, 3]) AS stage),
+       | s2 AS (SELECT spine.stage, coalesce(s.n_at, 0) AS n_at
+       |   FROM spine LEFT JOIN s ON spine.stage = s.stage),
+       | r AS (SELECT stage, CAST(sum(n_at) OVER (ORDER BY stage DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_reached
+       |   FROM s2),
+       | w AS (SELECT stage, n_reached,
+       |    lag(n_reached) OVER (ORDER BY stage ASC) AS prev_reached,
+       |    first_value(n_reached) OVER (ORDER BY stage ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_reached
+       |   FROM r)
+       |SELECT stage, n_reached,
+       |  CAST(coalesce(n_reached * 1000000 // prev_reached, 1000000) AS BIGINT)
+       |    AS step_rate_micro,
+       |  CAST(n_reached * 1000000 // first_reached AS BIGINT) AS cum_rate_micro
+       |FROM w""".stripMargin
+
+  /** q161: the q141 rewrite rolled to per-source token savings. */
+  private lazy val q161Sql: String =
+    s"""WITH rw AS (
+       |${oracleBase("q141_chunk_rewrite")}
+       |),
+       | base AS (SELECT d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS raw_tokens,
+       |    CAST(CASE WHEN rw.clean_text = '' THEN 0
+       |         ELSE len(string_split(rw.clean_text, ' ')) END AS BIGINT) AS kept_tokens
+       |   FROM documents d JOIN rw ON d.doc_id = rw.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(raw_tokens) AS BIGINT) AS raw_tokens,
+       |  CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens,
+       |  CAST((CAST(sum(raw_tokens) AS BIGINT) - CAST(sum(kept_tokens) AS BIGINT))
+       |    * 1000000 // CAST(sum(raw_tokens) AS BIGINT) AS BIGINT) AS saving_micro
+       |FROM base GROUP BY source""".stripMargin
 
   /** q157: the q71 logit replay ranked by ntile(10), positives =
     * quality ≥ 0.66 (the docMetricsCte bar), integer micro lift and

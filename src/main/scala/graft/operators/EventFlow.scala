@@ -99,6 +99,38 @@ object EventFlow {
           .when(col("signup_ts").isNotNull, 1).otherwise(0))
   }
 
+  /** Funnel SUMMARY — [[conversionFunnel]] rolled up to the report a
+    * dashboard actually shows: users at each stage, step-through rate
+    * from the previous stage, and cumulative conversion from stage 1,
+    * in integer micro. Stage k's population counts users whose funnel
+    * reached AT LEAST k (the survival curve, monotone by
+    * construction). */
+  def funnelSummary(spark: SparkSession, dir: String): DataFrame = {
+    val stages = conversionFunnel(spark, dir)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_at"))
+    // explicit 1..3 stage spine: a fully-converting cohort must still
+    // report three rows (n_at = 0 at the skipped stages), or the
+    // report's shape depends on the data
+    val spine = spark.range(1, 4).select(col("id").cast("int").as("stage"))
+    // tiny frame (3 rows): survival via a running sum over stage desc;
+    // stage-0 users never reached the funnel and stay out of the
+    // survival mass by construction
+    spine.join(stages, Seq("stage"), "left")
+      .withColumn("n_at", coalesce(col("n_at"), lit(0L)))
+      .withColumn("n_reached", sum(col("n_at")).over(
+        Window.partitionBy().orderBy(col("stage").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_reached",
+        lag(col("n_reached"), 1).over(Window.partitionBy().orderBy(col("stage").asc)))
+      .withColumn("first_reached",
+        first(col("n_reached")).over(Window.partitionBy().orderBy(col("stage").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("stage"), col("n_reached"),
+        coalesce(expr("n_reached * 1000000 div prev_reached"), lit(1000000L))
+          .as("step_rate_micro"),
+        expr("n_reached * 1000000 div first_reached").as("cum_rate_micro"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: counts and probabilities of `prev_type → next_type`
     * steps in (ts, event_id) order — the behavioral fingerprint a

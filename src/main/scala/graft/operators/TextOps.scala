@@ -832,6 +832,31 @@ object TextOps {
         expr("_w div n_tokens").as("kl_micro"))
   }
 
+  /** DEDUP SAVINGS by source — the accounting face of [[chunkRewrite]]:
+    * per source, raw tokens vs tokens surviving the chunk-level
+    * rewrite, and the saving rate in integer micro — the number a
+    * pipeline owner reads to decide whether sub-document dedup pays
+    * for a given source (a mirror-heavy crawl saves 30%; a curated
+    * source saves ~0). One extra join (rewrite output ⋈ source dim)
+    * and a types-bounded rollup on top of the rewrite's own plan. */
+  def dedupSavingsBySource(spark: SparkSession, dir: String,
+      width: Int = 32): DataFrame = {
+    val rewritten = chunkRewrite(spark, dir, width)
+      .select(col("doc_id"),
+        when(col("clean_text") === "", 0L)
+          .otherwise(size(Text.tokens(col("clean_text"))).cast("long")).as("kept_tokens"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("raw_tokens"))
+      .join(rewritten, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_tokens")).as("raw_tokens"),
+        sum(col("kept_tokens")).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"), col("kept_tokens"),
+        expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens").as("saving_micro"))
+  }
+
   // ---- language temperature rebalancing -------------------------------
 
   /** Temperature-based language rebalancing (the multilingual α-sampling

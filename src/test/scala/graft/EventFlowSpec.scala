@@ -290,6 +290,23 @@ class EventFlowSpec extends SparkSpec {
     }
   }
 
+  test("funnel summary: three-stage spine, survival monotone, rates replay the funnel") {
+    val funnel = EventFlow.conversionFunnel(spark, sf).collect()
+      .map(_.getInt(4))
+    val got = EventFlow.funnelSummary(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    val reached = (1 to 3).map(k => funnel.count(_ >= k).toLong)
+    assert(got.map(_._2).toSeq == reached)
+    // survival monotone nonincreasing; rates replay
+    assert(got.head._3 == 1000000L && got.head._4 == 1000000L)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2)
+      assert(b._3 == b._2 * 1000000L / a._2)
+      assert(b._4 == b._2 * 1000000L / got.head._2)
+    }
+  }
+
   test("robust anomalies: lower median/MAD replay driver-side, score truncates both signs") {
     val got = EventFlow.robustAnomalies(spark, sf).collect()
       .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2), r.getLong(3),

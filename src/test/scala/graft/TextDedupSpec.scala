@@ -1245,6 +1245,29 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("dedup savings: token mass replays the rewrite, savings bounded by [0, 1e6]") {
+    import graft.operators.TextOps
+    val rewrite = TextOps.chunkRewrite(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val docs = Tables(spark, sf, "documents").select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val raw = ds.map(_._3.split(" ").length.toLong).sum
+      val kept = ds.map { d =>
+        val c = rewrite(d._1); if (c.isEmpty) 0L else c.split(" ").length.toLong
+      }.sum
+      src -> (ds.length.toLong, raw, kept, (raw - kept) * 1000000L / raw)
+    }
+    val got = TextOps.dedupSavingsBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == want)
+    got.values.foreach { case (_, raw, kept, s) =>
+      assert(kept <= raw && s >= 0L && s <= 1000000L)
+    }
+    assert(got.values.exists(_._4 > 0), "fixture has cross-doc dup spans to save")
+  }
+
   test("classifier lift: deciles balanced, capture ends at 1e6, rates replay the rank fold") {
     import graft.operators.TextOps
     val got = TextOps.classifierLift(spark, sf).collect()

@@ -365,6 +365,7 @@ object SparkEntry {
     "q159_robust_anomalies" -> (EventFlow.robustAnomalies(_, _)),
     "q160_funnel_summary" -> (EventFlow.funnelSummary(_, _)),
     "q161_dedup_savings" -> ((s, d) => TextOps.dedupSavingsBySource(s, d)),
+    "q162_weighted_wor" -> ((s, d) => TextOps.weightedSampleTopK(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -478,7 +479,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleBase + ("q130_ann_bakeoff" -> q130Sql) +
       ("q157_classifier_lift" -> q157Sql) + ("q158_langid_eval" -> q158Sql) +
-      ("q160_funnel_summary" -> q160Sql) + ("q161_dedup_savings" -> q161Sql)
+      ("q160_funnel_summary" -> q160Sql) + ("q161_dedup_savings" -> q161Sql) +
+      ("q162_weighted_wor" -> q162Sql)
 
   /** q160: q73's funnel rolled to the survival curve + step rates. */
   private lazy val q160Sql: String =
@@ -519,6 +521,22 @@ object SparkEntry {
        |  CAST((CAST(sum(raw_tokens) AS BIGINT) - CAST(sum(kept_tokens) AS BIGINT))
        |    * 1000000 // CAST(sum(raw_tokens) AS BIGINT) AS BIGINT) AS saving_micro
        |FROM base GROUP BY source""".stripMargin
+
+  /** q162: the Efraimidis–Spirakis exponential-key replay — salted-md5
+    * uniform, quality-floored weight, ln(u)/w at 6 dp, top-k. */
+  private lazy val q162Sql: String =
+    s"""WITH $docMetricsCte,
+       | keyed AS (SELECT doc_id, source,
+       |    greatest(quality, 0.0001) AS weight,
+       |    round(ln(((CAST('0x' || substr(md5('wrs-' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |          AS BIGINT) % 9007199254740992) + 1.0) / 9007199254740992.0)
+       |      / greatest(quality, 0.0001), 6) AS key6
+       |   FROM m)
+       |SELECT rank, doc_id, source, weight,
+       |  CAST(round(key6 * 1000000.0, 0) AS BIGINT) AS key_micro
+       |FROM (SELECT *, row_number() OVER (ORDER BY key6 DESC, doc_id ASC) AS rank
+       |      FROM keyed)
+       |WHERE rank <= 100""".stripMargin
 
   /** q157: the q71 logit replay ranked by ntile(10), positives =
     * quality ≥ 0.66 (the docMetricsCte bar), integer micro lift and

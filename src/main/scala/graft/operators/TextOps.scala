@@ -857,6 +857,37 @@ object TextOps {
         expr("(raw_tokens - kept_tokens) * 1000000 div raw_tokens").as("saving_micro"))
   }
 
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT — the Efraimidis–Spirakis
+    * exponential-key scheme: each document draws a deterministic
+    * uniform u from its salted md5 and ranks by ln(u)/w (equivalent to
+    * u^(1/w); the top-k of those keys IS a weight-proportional sample
+    * without replacement — unlike [[weightedSample]]'s Bernoulli
+    * rates, the output size is EXACTLY k and inclusion probability
+    * tracks the weight). Weights are the quality score floored at
+    * 1e-4 (a zero weight would be a −∞ key). The same salted-md5
+    * uniform convention as every sampler here: deterministic,
+    * growth-stable, replayable cross-engine; keys round at 6 dp
+    * before ranking, ties break by doc_id.
+    *
+    * Scale: one scan computes the key; top-k is TakeOrdered-shaped
+    * (bounded heaps, no global sort of the corpus). */
+  def weightedSampleTopK(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Text.md5Hash60(concat(lit("wrs-"), col("doc_id").cast("string")))
+    val u = (pmod(h, lit(9007199254740992L)).cast("double") + 1.0) /
+      9007199254740992.0
+    val w = greatest(Text.qualityScore(col("text")), lit(0.0001))
+    val key6 = round(log(u) / w, 6)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), w.as("weight"), key6.as("key6"))
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("key6").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("source"), col("weight"),
+        round(col("key6") * 1000000.0, 0).cast("long").as("key_micro"))
+  }
+
   // ---- language temperature rebalancing -------------------------------
 
   /** Temperature-based language rebalancing (the multilingual α-sampling

@@ -1245,6 +1245,40 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("weighted WOR sample: exact k, keys replay A-ES, sample is the exact global top-k") {
+    import graft.operators.TextOps
+    val got = TextOps.weightedSampleTopK(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(got.map(_._1).sorted.toSeq == (1 to 100))
+    assert(got.map(_._2).distinct.length == 100, "without replacement: distinct docs")
+    // key replay: ln(u)/w from the salted md5 uniform
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    got.foreach { case (_, id, w, keyMicro) =>
+      val u = (h60(s"wrs-$id") % 9007199254740992L + 1.0) / 9007199254740992.0
+      val key6 = BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(keyMicro == math.round(key6 * 1000000.0), s"doc $id")
+    }
+    // the sample IS the global top-100 by key: full driver-side
+    // ranking replay over every document (weights from the engine's
+    // own quality scores to avoid re-deriving the formula here)
+    val allKeys = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.Text.qualityScore(col("text")).as("q"))
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val w = math.max(r.getDouble(1), 0.0001)
+        val u = (h60(s"wrs-$id") % 9007199254740992L + 1.0) / 9007199254740992.0
+        val key6 = BigDecimal(math.log(u) / w)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, key6)
+      }
+    val wantIds = allKeys.sortBy { case (id, k2) => (-k2, id) }.take(100).map(_._1).toSeq
+    assert(got.sortBy(_._1).map(_._2).toSeq == wantIds)
+  }
+
   test("dedup savings: token mass replays the rewrite, savings bounded by [0, 1e6]") {
     import graft.operators.TextOps
     val rewrite = TextOps.chunkRewrite(spark, sf).collect()

@@ -46,6 +46,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("retrieval rankings fuse into the bounded-heap TopKPerGroup operator, never a global sort") {
+    // q149/q162 write row_number-over-global-order ≤ k; the TopKRewrite
+    // rule must plan the custom physical operator (bounded heaps), not
+    // a full Sort + Window over the corpus
+    Seq("q149_bm25", "q162_weighted_wor").foreach { name =>
+      assert(plan(name).contains("TopKPerGroup"), name)
+    }
+  }
+
   test("dimension joins broadcast the small side") {
     Seq("q2_revenue_by_nation", "q35_sql_passthrough").foreach { name =>
       assert(plan(name).contains("BroadcastHashJoin"), name)

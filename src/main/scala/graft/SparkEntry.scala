@@ -366,6 +366,7 @@ object SparkEntry {
     "q160_funnel_summary" -> (EventFlow.funnelSummary(_, _)),
     "q161_dedup_savings" -> ((s, d) => TextOps.dedupSavingsBySource(s, d)),
     "q162_weighted_wor" -> ((s, d) => TextOps.weightedSampleTopK(s, d)),
+    "q163_banding_sweep" -> ((s, d) => Dedup.bandingSweep(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -429,6 +430,59 @@ object SparkEntry {
        |   FROM bm_sc)""".stripMargin
   }
 
+  /** q163: the banding sweep replay — the q25 signature chain, one
+    * candidate join per (bands × rows) configuration, exact verify,
+    * truth = the union's verified pairs. MATERIALIZED: each CTE is
+    * referenced from several scalar subqueries. */
+  private lazy val q163Sql: String = {
+    val configs = Seq((8, 4), (16, 2), (32, 1))
+    def bandCond(b: Int, r: Int): String = (0 until b).map { j =>
+      (0 until r).map { t =>
+        val p = j * r + t + 1; s"x.mh[$p] = y.mh[$p]"
+      }.mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val sigElems = graft.operators.Dedup.perms.map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % ${graft.operators.Dedup.P}))"
+    }.mkString(",\n    ")
+    val candCtes = configs.map { case (b, r) =>
+      s"""cand_${b}_$r AS MATERIALIZED (
+         |   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |   FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND (${bandCond(b, r)}))""".stripMargin
+    }
+    val verCtes = configs.map { case (b, r) =>
+      s"""ver_${b}_$r AS MATERIALIZED (
+         |   SELECT c.doc_a, c.doc_b
+         |   FROM cand_${b}_$r c JOIN sig sx ON c.doc_a = sx.doc_id
+         |                       JOIN sig sy ON c.doc_b = sy.doc_id
+         |   WHERE round(CAST(len(list_intersect(sx.shs, sy.shs)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(sx.shs, sy.shs))), 4) >= 0.8)""".stripMargin
+    }
+    val rows = configs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS band_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand_${b}_$r) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ver_${b}_$r) AS n_found,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |  CAST((SELECT count(*) FROM ver_${b}_$r) * 1000000
+         |    // (SELECT count(*) FROM cand_${b}_$r) AS BIGINT) AS precision_micro,
+         |  CAST((SELECT count(*) FROM ver_${b}_$r) * 1000000
+         |    // (SELECT count(*) FROM truth) AS BIGINT) AS recall_micro""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))
+       |    ELSE [array_to_string(toks, ' ')] END) AS shs FROM t),
+       | h AS (SELECT doc_id, shs,
+       |    list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+       |      % ${graft.operators.Dedup.P}) AS hs FROM sh),
+       | sig AS MATERIALIZED (SELECT doc_id, shs, [$sigElems] AS mh FROM h),
+       | ${candCtes.mkString(",\n ")},
+       | ${verCtes.mkString(",\n ")},
+       | truth AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+       |   ${configs.map { case (b, r) => s"SELECT doc_a, doc_b FROM ver_${b}_$r" }
+             .mkString(" UNION ALL ")}))
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** q38's oracle: replay the keyspace-op log with the reference's
     * per-op semantics (mirrors [[KvStore.applyKvBatch]] on an empty
     * state). Segment logic: the last authoritative op per key (del /
@@ -480,7 +534,7 @@ object SparkEntry {
     oracleBase + ("q130_ann_bakeoff" -> q130Sql) +
       ("q157_classifier_lift" -> q157Sql) + ("q158_langid_eval" -> q158Sql) +
       ("q160_funnel_summary" -> q160Sql) + ("q161_dedup_savings" -> q161Sql) +
-      ("q162_weighted_wor" -> q162Sql)
+      ("q162_weighted_wor" -> q162Sql) + ("q163_banding_sweep" -> q163Sql)
 
   /** q160: q73's funnel rolled to the survival curve + step rates. */
   private lazy val q160Sql: String =

@@ -291,6 +291,56 @@ object Dedup {
       .filter(col("containment_micro") >= thresholdMicro)
   }
 
+  /** LSH BANDING PARAMETER SWEEP — the tuning table beside
+    * [[minhashCalibration]]: re-band the SAME 32-perm signatures as
+    * 8×4, 16×2, and 32×1 and report, per configuration, candidate
+    * volume, exact-verified pair yield, precision, and recall — the
+    * b×r tradeoff (more bands·fewer rows = higher recall, more
+    * candidates) measured on the corpus instead of assumed from the
+    * 1−(1−s^r)^b curve. TRUTH is the exact-verified pair set over the
+    * UNION of all tested configurations' candidates (a documented
+    * lower bound on the true pair set — recalls are relative to the
+    * best any tested config could see, which is the comparison the
+    * tuning decision needs).
+    *
+    * Scale: signatures compute once from the shared index's cached
+    * element hashes; each configuration is one banded self-join
+    * (corpus-growing keys, same shape as [[minhashPairs]]); the
+    * driver folds config-count scalars only. */
+  def bandingSweep(spark: SparkSession, dir: String,
+      configs: Seq[(Int, Int)] = Seq((8, 4), (16, 2), (32, 1)),
+      threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    val idx = bandIndex(spark, dir, k)
+    val sig = PlanCache.tracked(minhashSignatures(idx.hashed))
+    def candidates(b: Int, r: Int): DataFrame = {
+      val bands = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => concat_ws("-", slice(col("mh"), i * r + 1, lit(r))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+    }
+    val perConfig = configs.map { case (b, r) =>
+      (b, r, PlanCache.tracked(candidates(b, r)))
+    }
+    val truth = PlanCache.tracked(
+      verifyJaccard(perConfig.map(_._3).reduce(_ union _).dropDuplicates("doc_a", "doc_b"),
+        idx.hashed, threshold).select(col("doc_a"), col("doc_b")))
+    val nTruth = truth.count()
+    val rows = perConfig.map { case (b, r, cand) =>
+      val nCand = cand.count()
+      val nFound = verifyJaccard(cand, idx.hashed, threshold).count()
+      (b.toLong, r.toLong, nCand, nFound, nTruth,
+        nFound * 1000000L / nCand, nFound * 1000000L / nTruth)
+    }
+    import spark.implicits._
+    rows.toDF("bands", "band_rows", "n_candidates", "n_found", "n_truth",
+      "precision_micro", "recall_micro")
+  }
+
   /** Incremental near-dup detection — the steady-state shape of corpus
     * dedup at 100 TB: when a NEW BATCH of documents arrives (a crawl
     * increment, typically ≪1% of the corpus), re-pairing the whole

@@ -1245,6 +1245,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("banding sweep: candidate volume tracks band count, default config consistent with q25") {
+    import graft.operators.Dedup
+    val got = Dedup.bandingSweep(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    graft.operators.PlanCache.release()
+    assert(got.keySet == Set((8L, 4L), (16L, 2L), (32L, 1L)))
+    // fewer rows per band = looser buckets = monotonically more candidates
+    assert(got((8L, 4L))._1 <= got((16L, 2L))._1 &&
+      got((16L, 2L))._1 <= got((32L, 1L))._1)
+    // precision/recall replay their counts; recall vs the union truth
+    got.foreach { case (cfg, (nc, nf, nt, p, rcl)) =>
+      assert(nf <= nc && nf <= nt, s"$cfg")
+      assert(p == nf * 1000000L / nc && rcl == nf * 1000000L / nt, s"$cfg")
+    }
+    // the default 16×2 config finds exactly minhashPairs' pair count
+    val q25 = Dedup.minhashPairs(spark, sf).count()
+    Dedup.releaseBandIndex()
+    assert(got((16L, 2L))._2 == q25)
+  }
+
   test("weighted WOR sample: exact k, keys replay A-ES, sample is the exact global top-k") {
     import graft.operators.TextOps
     val got = TextOps.weightedSampleTopK(spark, sf).collect()

@@ -367,6 +367,7 @@ object SparkEntry {
     "q161_dedup_savings" -> ((s, d) => TextOps.dedupSavingsBySource(s, d)),
     "q162_weighted_wor" -> ((s, d) => TextOps.weightedSampleTopK(s, d)),
     "q163_banding_sweep" -> ((s, d) => Dedup.bandingSweep(s, d)),
+    "q164_cross_source_mirrors" -> ((s, d) => Dedup.crossSourceMirrors(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2581,6 +2582,22 @@ object SparkEntry {
          |  FROM con_cand c JOIN con_sets a ON c.doc_a = a.doc_id
          |                  JOIN con_sets b ON c.doc_b = b.doc_id)
          |WHERE containment_micro >= 900000""".stripMargin,
+    // q164: q25's pairs rolled per unordered source pair, docs
+    // oriented by source order so per-side counts attach correctly
+    "q164_cross_source_mirrors" ->
+      s"""WITH $q25Ctes,
+         | lab AS (SELECT
+         |    CASE WHEN da.source <= db.source THEN p.doc_a ELSE p.doc_b END AS doc_x,
+         |    CASE WHEN da.source <= db.source THEN p.doc_b ELSE p.doc_a END AS doc_y,
+         |    least(da.source, db.source) AS source_x,
+         |    greatest(da.source, db.source) AS source_y
+         |  FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+         |               JOIN documents db ON p.doc_b = db.doc_id
+         |  WHERE da.source <> db.source)
+         |SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT doc_x) AS BIGINT) AS n_docs_x_side,
+         |  CAST(count(DISTINCT doc_y) AS BIGINT) AS n_docs_y_side
+         |FROM lab GROUP BY source_x, source_y""".stripMargin,
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
     // (q65's float discipline); `//` truncates toward zero, exactly

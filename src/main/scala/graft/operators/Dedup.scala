@@ -341,6 +341,38 @@ object Dedup {
       "precision_micro", "recall_micro")
   }
 
+  /** CROSS-SOURCE MIRROR report — near-dup pair mass between
+    * DIFFERENT sources: a within-source duplicate is ordinary
+    * recrawl noise; a cross-source near-dup family is a mirror (the
+    * same content syndicated under two origins), and the mixing
+    * weights double-count it until one side is dropped. Rolls the
+    * verified pair set up per unordered source pair with a share of
+    * each side's documents involved. Pair generation and verification
+    * are exactly [[minhashPairs]]'; the source dim rides a broadcast
+    * join onto the pair list (pair-sized, not corpus-sized). */
+  def crossSourceMirrors(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(spark, dir, threshold)
+    val src = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val labeled = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      // orient each pair's DOCS by the source order, so the per-side
+      // distinct counts attach to the right source
+      .select(
+        when(col("src_a") <= col("src_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_x"),
+        when(col("src_a") <= col("src_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_y"),
+        least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .filter(col("source_x") =!= col("source_y"))
+    labeled.groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("doc_x")).as("n_docs_x_side"),
+        count_distinct(col("doc_y")).as("n_docs_y_side"))
+  }
+
   /** Incremental near-dup detection — the steady-state shape of corpus
     * dedup at 100 TB: when a NEW BATCH of documents arrives (a crawl
     * increment, typically ≪1% of the corpus), re-pairing the whole

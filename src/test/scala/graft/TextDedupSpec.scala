@@ -1245,6 +1245,31 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("cross-source mirrors: rollup replays q25's cross-source pairs, sides oriented by source") {
+    import graft.operators.Dedup
+    val src = Tables(spark, sf, "documents").select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.flatMap { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      if (sa == sb) None
+      else if (sa <= sb) Some(((sa, sb), (a, b)))
+      else Some(((sb, sa), (b, a)))
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong,
+        xs.map(_._2._1).distinct.length.toLong, xs.map(_._2._2).distinct.length.toLong)
+    }
+    val got = Dedup.crossSourceMirrors(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    Dedup.releaseBandIndex()
+    graft.operators.PlanCache.release()
+    assert(got == want)
+    assert(got.nonEmpty, "fixture has cross-source mirror pairs")
+    got.keys.foreach { case (x, y) => assert(x < y) }
+  }
+
   test("banding sweep: candidate volume tracks band count, default config consistent with q25") {
     import graft.operators.Dedup
     val got = Dedup.bandingSweep(spark, sf).collect()

@@ -368,6 +368,7 @@ object SparkEntry {
     "q162_weighted_wor" -> ((s, d) => TextOps.weightedSampleTopK(s, d)),
     "q163_banding_sweep" -> ((s, d) => Dedup.bandingSweep(s, d)),
     "q164_cross_source_mirrors" -> ((s, d) => Dedup.crossSourceMirrors(s, d)),
+    "q165_yoy_seasonality" -> (Relational.yoySeasonality(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2598,6 +2599,22 @@ object SparkEntry {
          |  CAST(count(DISTINCT doc_x) AS BIGINT) AS n_docs_x_side,
          |  CAST(count(DISTINCT doc_y) AS BIGINT) AS n_docs_y_side
          |FROM lab GROUP BY source_x, source_y""".stripMargin,
+    // q165: YoY seasonality — floor-cents monthly rollup, within-year
+    // share, growth vs the previous observed year of the same month
+    "q165_yoy_seasonality" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        | w AS (SELECT *,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY yr) AS BIGINT) AS year_total,
+        |    lag(rev_cents) OVER (PARTITION BY mo ORDER BY yr) AS prior_year_cents
+        |  FROM m)
+        |SELECT yr, mo, n_orders, rev_cents,
+        |  CAST(rev_cents * 1000000 // year_total AS BIGINT) AS year_share_micro,
+        |  CAST(rev_cents * 1000000 // prior_year_cents AS BIGINT) AS yoy_micro
+        |FROM w""".stripMargin,
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
     // (q65's float discipline); `//` truncates toward zero, exactly

@@ -720,6 +720,30 @@ object Relational {
         |      < (SELECT sum(x.q) FROM l x WHERE x.l_partkey = l.l_partkey)""".stripMargin)
   }
 
+  /** YEAR-OVER-YEAR seasonality — the calendar axis q113's MoM trend
+    * doesn't cover: per (year, month) over the seven-year order
+    * stream, floor-cents revenue, the month's share of its YEAR, and
+    * growth vs the SAME MONTH a year earlier (the seasonality-honest
+    * comparison — January vs January, never January vs December).
+    * Integer micro ratios; a month with no prior-year twin reports
+    * NULL growth. One scan, a (years × 12)-sized rollup, two windows
+    * over that rollup. */
+  def yoySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("yr"), col("mo")).agg(sum(col("cents")).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    monthly
+      .withColumn("year_total", sum(col("rev_cents")).over(
+        Window.partitionBy(col("yr"))))
+      .withColumn("prior_year_cents", lag(col("rev_cents"), 1).over(
+        Window.partitionBy(col("mo")).orderBy(col("yr"))))
+      .select(col("yr"), col("mo"), col("n_orders"), col("rev_cents"),
+        expr("rev_cents * 1000000 div year_total").as("year_share_micro"),
+        expr("rev_cents * 1000000 div prior_year_cents").as("yoy_micro"))
+  }
+
   /** TPC-H Q21 shape — "suppliers who kept orders waiting": per
     * finished order, a supplier counts iff its line shipped late
     * (> `lagDays` past the order date), at least one OTHER supplier

@@ -272,4 +272,30 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
     assert(Set("added", "removed", "changed", "unchanged").subsetOf(got.values.toSet))
   }
+
+  test("yoy seasonality: shares sum to 1e6 per year, growth compares same months, mass conserved") {
+    val got = graft.operators.Relational.yoySeasonality(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(got.nonEmpty)
+    // revenue mass conserved vs the raw fold
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+      .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(got.values.map(_._2).sum == raw)
+    // within-year shares sum to ~1e6 (floor slack per month)
+    got.keys.groupBy(_._1).foreach { case (yr, ks) =>
+      val tot = ks.toSeq.map(k => got(k)._3).sum
+      assert(tot <= 1000000L && tot >= 1000000L - ks.size, s"year $yr shares $tot")
+    }
+    // growth replays: same month, previous observed year
+    got.foreach { case ((yr, mo), (_, rev, _, yoy)) =>
+      val priorYears = got.keys.filter(k => k._2 == mo && k._1 < yr)
+      if (priorYears.isEmpty) assert(yoy.isEmpty, s"$yr-$mo")
+      else {
+        val py = priorYears.maxBy(_._1)
+        assert(yoy.contains(rev * 1000000L / got(py)._2), s"$yr-$mo")
+      }
+    }
+  }
 }

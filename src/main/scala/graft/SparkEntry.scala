@@ -369,6 +369,8 @@ object SparkEntry {
     "q163_banding_sweep" -> ((s, d) => Dedup.bandingSweep(s, d)),
     "q164_cross_source_mirrors" -> ((s, d) => Dedup.crossSourceMirrors(s, d)),
     "q165_yoy_seasonality" -> (Relational.yoySeasonality(_, _)),
+    "q166_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
+    "q167_zipf" -> ((s, d) => TextOps.zipfFit(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2615,6 +2617,38 @@ object SparkEntry {
         |  CAST(rev_cents * 1000000 // year_total AS BIGINT) AS year_share_micro,
         |  CAST(rev_cents * 1000000 // prior_year_cents AS BIGINT) AS yoy_micro
         |FROM w""".stripMargin,
+    // q166: unique-shingle novelty — df census over distinct
+    // 3-shingles, micro ratio
+    "q166_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END)) AS s FROM t),
+        | dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_micro
+        |FROM sh JOIN dfq USING (s) GROUP BY doc_id""".stripMargin,
+    // q167: Zipf fit — MILLI-rounded logs (micro overflows int64 at
+    // this corpus), exact integer moments, single-division fit
+    "q167_zipf" ->
+      """WITH v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |   FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |   GROUP BY token),
+        | r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+        |   FROM v),
+        | p AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS y FROM r),
+        | m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy FROM p)
+        |SELECT n,
+        |  CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+        |    AS slope_micro,
+        |  CAST(((sy - ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
+        |    * sx // 1000000) // n) * 1000 AS BIGINT) AS intercept_micro
+        |FROM m""".stripMargin,
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
     // (q65's float discipline); `//` truncates toward zero, exactly

@@ -888,6 +888,71 @@ object TextOps {
         round(col("key6") * 1000000.0, 0).cast("long").as("key_micro"))
   }
 
+  /** DOCUMENT NOVELTY — the data-valuation opposite of
+    * [[boilerplateCoverage]]: the fraction of a document's DISTINCT
+    * 3-shingles that appear NOWHERE else in the corpus (df = 1). A
+    * high-novelty document contributes content no other document
+    * carries; a zero-novelty one is recombined boilerplate even if no
+    * single near-dup partner exists. Integer micro ratio. Same
+    * two-aggregate shape as the boilerplate report: shingle df census
+    * (map-side combined, corpus-growing key), one join back, one
+    * per-doc rollup. */
+  def noveltyScores(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // INVERTED join (the boilerplateCoverage shape): joining every
+    // exploded shingle against the full df census shuffles the
+    // corpus-dominant UNIQUE side for nothing — count hits against
+    // the SMALL repeated-shingle set instead and subtract. The
+    // exploded shingles feed the census and the hit join — tracked
+    // cache so the explode runs once (caller releases).
+    val sh = PlanCache.tracked(Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), k))).as("s")))
+    val repeated = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("s"))
+    val hits = sh.join(repeated, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_repeated"), lit(0L))).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000000 div n_shingles").as("novelty_micro"))
+  }
+
+  /** ZIPF SLOPE — the rank-frequency power-law fit over the corpus
+    * vocabulary: natural text sits near slope −1 in log-log space;
+    * a templated or synthetic corpus flattens (this one measures it,
+    * whatever it is). Least-squares over (ln rank, ln freq) with the
+    * engine's float discipline: both logs round to integer micro
+    * FIRST, the four regression moments are then EXACT int64 sums,
+    * and the slope/intercept are single integer divisions — zero
+    * summation-order dependence. Ranks are deterministic (freq desc,
+    * token asc). Vocab-sized everything. Logs land on the MILLI grid
+    * (not micro): the slope numerator carries n·Σxy·10⁶, and milli
+    * inputs keep it inside int64 to ~20k vocabulary terms (micro
+    * inputs overflow at THIS corpus already); a web-scale vocabulary
+    * needs the [[lengthBurstiness]] DECIMAL(38) rearrangement — noted,
+    * not silently wrong (ANSI long-overflow fails loudly). Outputs
+    * stay micro-named; their precision is the milli input grid. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables(spark, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("freq").desc, col("token").asc)))
+    val pts = vocab.select(
+      round(log(col("rank").cast("double")) * 1000.0, 0).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * 1000.0, 0).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+          .as("slope_micro"),
+        expr("((sy - ((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx))" +
+          " * sx div 1000000) div n) * 1000").as("intercept_micro"))
+  }
+
   // ---- language temperature rebalancing -------------------------------
 
   /** Temperature-based language rebalancing (the multilingual α-sampling

@@ -1245,6 +1245,50 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("novelty: unique-shingle fractions replay the df census; novelty complements boilerplate") {
+    import graft.operators.TextOps
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val dfm = docs.flatMap(d => shingles(d._2)).groupBy(identity)
+      .map { case (s, o) => s -> o.length }
+    val want = docs.map { case (id, t) =>
+      val shs = shingles(t)
+      val uniq = shs.count(dfm(_) == 1).toLong
+      id -> (shs.size.toLong, uniq, uniq * 1000000L / shs.size)
+    }.toMap
+    val got = TextOps.noveltyScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    // the corpus spans the range: some docs carry unique content, none
+    // is entirely unique (3-shingles over a 31-token vocab collide)
+    assert(got.values.exists(_._3 > 0))
+  }
+
+  test("zipf fit: slope/intercept replay the integer least-squares, slope negative") {
+    import graft.operators.TextOps
+    val freqs = Tables(spark, sf, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ")).groupBy(identity)
+      .map { case (t, o) => t -> o.length.toLong }
+    val ranked = freqs.toSeq.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1L, f) }
+    val pts = ranked.map { case (rank, f) =>
+      (math.round(math.log(rank.toDouble) * 1000.0),
+        math.round(math.log(f.toDouble) * 1000.0))
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) * 1000000L / (n * sxx - sx * sx)
+    val intercept = ((sy - slope * sx / 1000000L) / n) * 1000L
+    val r = TextOps.zipfFit(spark, sf).head()
+    assert(r.getLong(0) == n && r.getLong(1) == slope && r.getLong(2) == intercept)
+    assert(slope < 0, "rank-frequency slope must be negative")
+  }
+
   test("cross-source mirrors: rollup replays q25's cross-source pairs, sides oriented by source") {
     import graft.operators.Dedup
     val src = Tables(spark, sf, "documents").select("doc_id", "source").collect()

@@ -371,6 +371,7 @@ object SparkEntry {
     "q165_yoy_seasonality" -> (Relational.yoySeasonality(_, _)),
     "q166_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
     "q167_zipf" -> ((s, d) => TextOps.zipfFit(s, d)),
+    "q168_repurchase_gaps" -> (EventFlow.repurchaseGaps(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2649,6 +2650,24 @@ object SparkEntry {
         |  CAST(((sy - ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
         |    * sx // 1000000) // n) * 1000 AS BIGINT) AS intercept_micro
         |FROM m""".stripMargin,
+    // q168: inter-purchase gap percentiles — q134's exact-percentile
+    // convention over per-user consecutive-purchase gaps
+    "q168_repurchase_gaps" ->
+      """WITH pr AS (SELECT user_id, event_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |   FROM events WHERE event_type = 'purchase'),
+        | g AS (SELECT event_id,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |   FROM pr),
+        | gg AS (SELECT event_id, CAST(gap_us AS BIGINT) AS gap_us
+        |   FROM g WHERE gap_us IS NOT NULL),
+        | r AS (SELECT event_id, gap_us,
+        |    row_number() OVER (ORDER BY gap_us ASC, event_id ASC) AS rn FROM gg),
+        | n AS (SELECT CAST(count(*) AS BIGINT) AS n_gaps FROM gg),
+        | p AS (SELECT pct, n_gaps,
+        |    CAST(ceil(pct * n_gaps / 100.0) AS BIGINT) AS pos
+        |   FROM (SELECT unnest([25, 50, 75, 90]) AS pct) CROSS JOIN n)
+        |SELECT CAST(pct AS INTEGER) AS pct, n_gaps, gap_us
+        |FROM r JOIN p ON r.rn = p.pos""".stripMargin,
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
     // (q65's float discipline); `//` truncates toward zero, exactly

@@ -554,6 +554,33 @@ object EventFlow {
         expr("_dur_us div n_sessions").as("avg_duration_us"))
   }
 
+  /** REPEAT-PURCHASE CADENCE — exact percentiles of the gap between a
+    * user's consecutive purchases: the repeat-buy rhythm a retention
+    * team reads ([[conversionLatency]] measures the FIRST conversion;
+    * this measures the habit after it). Same exact-percentile
+    * convention: gaps rank totally (gap asc, event_id tiebreak) and
+    * each percentile reads the ⌈p·n/100⌉-th value — no
+    * approx-percentile nondeterminism. One user-window pass for the
+    * gaps; the rank is a total-order window over the gap rows
+    * (conversion-population-sized, not event-sized). */
+  def repurchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val gaps = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_us", us - lag(us, 1).over(byTime))
+      .filter(col("gap_us").isNotNull)
+      .select(col("event_id"), col("gap_us"))
+    val ranked = gaps.withColumn("rn", row_number().over(
+      Window.partitionBy().orderBy(col("gap_us").asc, col("event_id").asc)))
+    val pos = gaps.agg(count(lit(1)).as("n_gaps"))
+      .select(explode(lit(Relevance.Percentiles.toArray)).as("pct"), col("n_gaps"))
+      .select(col("pct"), col("n_gaps"),
+        ceil(col("pct") * col("n_gaps") / lit(100.0)).as("pos"))
+    ranked.join(broadcast(pos), col("rn") === col("pos"))
+      .select(col("pct"), col("n_gaps"), col("gap_us"))
+  }
+
   /** U-SHAPED multi-touch attribution — the position-weighted credit
     * model beside q112's last-touch interval join: every view/click a
     * user made in the `windowDays` before a purchase is a touchpoint;

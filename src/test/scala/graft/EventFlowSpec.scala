@@ -290,6 +290,25 @@ class EventFlowSpec extends SparkSpec {
     }
   }
 
+  test("repurchase gaps: percentiles pick the exact rank positions of the driver replay") {
+    def us(ts: java.sql.Timestamp) = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+    val gaps = events.filter(_._4 == "purchase").groupBy(_._1).values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (us(e._3), e._2))
+      ordered.zip(ordered.drop(1)).map { case (a, b) => (b._2, us(b._3) - us(a._3)) }
+    }.toSeq
+    val sorted = gaps.sortBy(g => (g._2, g._1)).map(_._2)
+    val got = EventFlow.repurchaseGaps(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(25, 50, 75, 90))
+    got.foreach { case (pct, n, gap) =>
+      assert(n == gaps.length.toLong)
+      val pos = math.ceil(pct * gaps.length / 100.0).toInt
+      assert(gap == sorted(pos - 1), s"pct $pct")
+    }
+    // percentiles are monotone
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+  }
+
   test("funnel summary: three-stage spine, survival monotone, rates replay the funnel") {
     val funnel = EventFlow.conversionFunnel(spark, sf).collect()
       .map(_.getInt(4))

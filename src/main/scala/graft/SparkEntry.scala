@@ -372,6 +372,7 @@ object SparkEntry {
     "q166_novelty" -> ((s, d) => TextOps.noveltyScores(s, d)),
     "q167_zipf" -> ((s, d) => TextOps.zipfFit(s, d)),
     "q168_repurchase_gaps" -> (EventFlow.repurchaseGaps(_, _)),
+    "q169_token_budget" -> ((s, d) => TextOps.tokenBudgetCurve(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2668,6 +2669,23 @@ object SparkEntry {
         |   FROM (SELECT unnest([25, 50, 75, 90]) AS pct) CROSS JOIN n)
         |SELECT CAST(pct AS INTEGER) AS pct, n_gaps, gap_us
         |FROM r JOIN p ON r.rn = p.pos""".stripMargin,
+    // q169: token budget at candidate quality bars — one quality pass,
+    // thresholds × conditional sums, micro token share
+    "q169_token_budget" ->
+      s"""WITH $docMetricsCte,
+         | d AS (SELECT m.quality AS q,
+         |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tok
+         |   FROM m JOIN documents doc ON m.doc_id = doc.doc_id),
+         | e AS (SELECT CAST(unnest([0.0, 0.6, 0.66, 0.7, 0.75]) AS DOUBLE) AS threshold,
+         |    q, n_tok
+         |   FROM d)
+         |SELECT threshold,
+         |  CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN q >= threshold THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(CAST(sum(CASE WHEN q >= threshold THEN n_tok ELSE 0 END) AS BIGINT)
+         |    * 1000000 // CAST(sum(n_tok) AS BIGINT) AS BIGINT) AS token_share_micro
+         |FROM e GROUP BY threshold""".stripMargin,
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
     // (q65's float discipline); `//` truncates toward zero, exactly

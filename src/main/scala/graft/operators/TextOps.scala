@@ -953,6 +953,30 @@ object TextOps {
           " * sx div 1000000) div n) * 1000").as("intercept_micro"))
   }
 
+  /** TOKEN BUDGET CURVE — how many documents and tokens survive each
+    * candidate quality bar: the planning report a training run reads
+    * BEFORE committing to a threshold ("0.7 keeps 40B tokens; 0.75
+    * keeps 12B — can we afford taste?"). One scan computes each doc's
+    * quality and token count; the per-threshold rollup is a
+    * thresholds × 1 fold over conditional sums (no per-threshold
+    * re-scan — the explode is over the LITERAL threshold list, and
+    * Catalyst evaluates quality once per row under it). Micro share
+    * of the corpus token mass per row. */
+  def tokenBudgetCurve(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.0, 0.6, 0.66, 0.7, 0.75)): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select(Text.qualityScore(col("text")).as("q"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      .select(explode(lit(thresholds.toArray)).as("threshold"), col("q"), col("n_tok"))
+    base.groupBy(col("threshold"))
+      .agg(sum(when(col("q") >= col("threshold"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("q") >= col("threshold"), col("n_tok")).otherwise(0L))
+          .as("n_tokens"),
+        sum(col("n_tok")).as("_all_tokens"))
+      .select(col("threshold"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div _all_tokens").as("token_share_micro"))
+  }
+
   // ---- language temperature rebalancing -------------------------------
 
   /** Temperature-based language rebalancing (the multilingual α-sampling

@@ -1245,6 +1245,31 @@ class TextDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has duplicated spans")
   }
 
+  test("token budget curve: monotone nonincreasing, endpoints pin to full corpus and replay") {
+    import graft.operators.TextOps
+    val got = TextOps.tokenBudgetCurve(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length == 5)
+    // threshold 0 keeps everything
+    val docs = Tables(spark, sf, "documents")
+      .select(graft.functions.Text.qualityScore(col("text")).as("q"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got.head._2 == docs.length && got.head._3 == docs.map(_._2).sum)
+    assert(got.head._4 == 1000000L)
+    // curve is monotone nonincreasing in all three measures
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._4 <= a._4)
+    }
+    // each point replays the conditional fold
+    got.foreach { case (t, nd, nt, share) =>
+      val kept = docs.filter(_._1 >= t)
+      assert(nd == kept.length && nt == kept.map(_._2).sum)
+      assert(share == nt * 1000000L / docs.map(_._2).sum)
+    }
+  }
+
   test("novelty: unique-shingle fractions replay the df census; novelty complements boilerplate") {
     import graft.operators.TextOps
     val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()

@@ -373,6 +373,7 @@ object SparkEntry {
     "q167_zipf" -> ((s, d) => TextOps.zipfFit(s, d)),
     "q168_repurchase_gaps" -> (EventFlow.repurchaseGaps(_, _)),
     "q169_token_budget" -> ((s, d) => TextOps.tokenBudgetCurve(s, d)),
+    "q170_session_cooccurrence" -> (EventFlow.sessionCooccurrenceLift(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2686,6 +2687,33 @@ object SparkEntry {
          |  CAST(CAST(sum(CASE WHEN q >= threshold THEN n_tok ELSE 0 END) AS BIGINT)
          |    * 1000000 // CAST(sum(n_tok) AS BIGINT) AS BIGINT) AS token_share_micro
          |FROM e GROUP BY threshold""".stripMargin,
+    // q170: q125's lift at the session grain (q60's session assignment)
+    "q170_session_cooccurrence" -> {
+      val gapUs = EventFlow.DefaultGapUs
+      s"""WITH e AS (SELECT user_id, event_id, ts, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         | g AS (SELECT *, CASE WHEN lag(us) OVER win IS NULL
+         |        OR us - lag(us) OVER win > $gapUs
+         |      THEN 1 ELSE 0 END AS new_s
+         |   FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |   FROM g),
+         | st AS (SELECT DISTINCT user_id || '-' || session_seq AS sid, event_type
+         |   FROM s),
+         | n AS (SELECT CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions FROM st),
+         | t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM st GROUP BY 1),
+         | p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(count(*) AS BIGINT) AS n_ab
+         |   FROM st a JOIN st b ON a.sid = b.sid AND a.event_type < b.event_type
+         |   GROUP BY 1, 2)
+         |SELECT type_a, type_b, n_ab,
+         |  (n_ab * 1000000) // n_sessions AS support_micro,
+         |  (n_ab * n_sessions * 1000000) // (ta.n_t * tb.n_t) AS lift_micro
+         |FROM p CROSS JOIN n
+         |JOIN t ta ON ta.event_type = p.type_a
+         |JOIN t tb ON tb.event_type = p.type_b""".stripMargin
+    },
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
     // (q65's float discipline); `//` truncates toward zero, exactly

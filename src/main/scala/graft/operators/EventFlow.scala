@@ -518,6 +518,47 @@ object EventFlow {
         expr(s"(n_ab * $nUsers * 1000000) div (n_a * n_b)").as("lift_micro"))
   }
 
+  /** SESSION-scoped co-occurrence lift — [[cooccurrenceLift]] at the
+    * session grain: user-lifetime baskets say "this user EVER did
+    * both"; the session basket says "these happen in the same
+    * sitting" — the grain that drives next-action UI and bundling.
+    * Same fold, keyed by (user, session) instead of user: one
+    * window pass assigns sessions, per-session distinct type sets
+    * pair map-side (|types|²-bounded), integer micro support/lift. */
+  def sessionCooccurrenceLift(spark: SparkSession, dir: String,
+      gapHours: Int = DefaultGapHours): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(byTime)
+    val gapUs = gapHours * 3600L * 1000000L
+    val st = PlanCache.tracked(Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("new_s", when(prev.isNull || us - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(concat_ws("-", col("user_id"), col("session_seq")).as("sid"),
+        col("event_type"))
+      .distinct())
+    val nSessions: Long =
+      st.agg(count_distinct(col("sid"))).head().getLong(0)
+    val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val sets = st.groupBy(col("sid"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val pairs = sets.select(explode(expr(
+        """flatten(transform(types, (a, i) ->
+          |  transform(slice(types, i + 2, size(types)),
+          |    b -> struct(a AS type_a, b AS type_b))))""".stripMargin)).as("p"))
+      .select(col("p.type_a"), col("p.type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr(s"(n_ab * 1000000) div $nSessions").as("support_micro"),
+        expr(s"(n_ab * $nSessions * 1000000) div (n_a * n_b)").as("lift_micro"))
+  }
+
   /** Session rollup BY ENTRY TYPE — the landing-page report over
     * [[sessionize]]'s gap sessions: per entry event type (the
     * session's first event), session count, bounce rate (single-event

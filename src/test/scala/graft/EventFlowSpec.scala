@@ -290,6 +290,37 @@ class EventFlowSpec extends SparkSpec {
     }
   }
 
+  test("session co-occurrence replays from the session-keyed distinct type sets") {
+    val gapUs = EventFlow.DefaultGapUs
+    def us(ts: java.sql.Timestamp) = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+    val sessionTypes = events.groupBy(_._1).values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (us(e._3), e._2))
+      var seq = 0L
+      var prev = Long.MinValue
+      ordered.map { e =>
+        if (prev == Long.MinValue || us(e._3) - prev > gapUs) seq += 1
+        prev = us(e._3)
+        (s"${e._1}-$seq", e._4)
+      }
+    }.toSeq.distinct
+    val nSessions = sessionTypes.map(_._1).distinct.length.toLong
+    val byType = sessionTypes.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val pairCounts = sessionTypes.groupBy(_._1).values.flatMap { xs =>
+      val ts = xs.map(_._2).distinct.sorted
+      for (i <- ts.indices; j <- (i + 1) until ts.length) yield (ts(i), ts(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val got = EventFlow.sessionCooccurrenceLift(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.operators.PlanCache.release()
+    assert(got.keySet == pairCounts.keySet)
+    got.foreach { case ((a, b), (nAb, support, lift)) =>
+      assert(nAb == pairCounts((a, b)))
+      assert(support == nAb * 1000000L / nSessions)
+      assert(lift == nAb * nSessions * 1000000L / (byType(a) * byType(b)))
+    }
+  }
+
   test("repurchase gaps: percentiles pick the exact rank positions of the driver replay") {
     def us(ts: java.sql.Timestamp) = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
     val gaps = events.filter(_._4 == "purchase").groupBy(_._1).values.flatMap { evs =>

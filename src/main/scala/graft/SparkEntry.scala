@@ -374,6 +374,7 @@ object SparkEntry {
     "q168_repurchase_gaps" -> (EventFlow.repurchaseGaps(_, _)),
     "q169_token_budget" -> ((s, d) => TextOps.tokenBudgetCurve(s, d)),
     "q170_session_cooccurrence" -> (EventFlow.sessionCooccurrenceLift(_, _)),
+    "q171_repeat_revenue" -> (Relational.repeatRevenueShare(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2714,6 +2715,21 @@ object SparkEntry {
          |JOIN t ta ON ta.event_type = p.type_a
          |JOIN t tb ON tb.event_type = p.type_b""".stripMargin
     },
+    // q171: repeat-customer revenue share — lifetime order rank ≥ 2,
+    // floor-cents, micro share per year
+    "q171_repeat_revenue" ->
+      """WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS nth
+        |  FROM orders)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN nth >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_orders,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |  CAST(sum(CASE WHEN nth >= 2 THEN cents ELSE 0 END) AS BIGINT) AS repeat_cents,
+        |  CAST(CAST(sum(CASE WHEN nth >= 2 THEN cents ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(cents) AS BIGINT) AS BIGINT) AS repeat_share_micro
+        |FROM r GROUP BY yr""".stripMargin,
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
     // (q65's float discipline); `//` truncates toward zero, exactly

@@ -744,6 +744,28 @@ object Relational {
         expr("rev_cents * 1000000 div prior_year_cents").as("yoy_micro"))
   }
 
+  /** REPEAT-CUSTOMER revenue share by year — each order ranks within
+    * its customer's lifetime (order date, then key for determinism);
+    * rank ≥ 2 revenue is repeat business, and its share of the year's
+    * total is the retention-vs-acquisition mix the YoY report can't
+    * see. Floor-cents, integer micro share. One customer-keyed window
+    * over orders, a years-sized rollup. */
+  def repeatRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))).as("nth"))
+    ranked.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("nth") >= 2, 1L).otherwise(0L)).as("n_repeat_orders"),
+        sum(col("cents")).as("rev_cents"),
+        sum(when(col("nth") >= 2, col("cents")).otherwise(0L)).as("repeat_cents"))
+      .select(col("yr"), col("n_orders"), col("n_repeat_orders"),
+        col("rev_cents"), col("repeat_cents"),
+        expr("repeat_cents * 1000000 div rev_cents").as("repeat_share_micro"))
+  }
+
   /** TPC-H Q21 shape — "suppliers who kept orders waiting": per
     * finished order, a supplier counts iff its line shipped late
     * (> `lagDays` past the order date), at least one OTHER supplier

@@ -298,4 +298,30 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("repeat revenue share: rank-2+ mass replays, first orders never repeat, mass conserved") {
+    val got = graft.operators.Relational.repeatRevenueShare(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val orders = Tables(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+    // driver replay: lifetime rank per customer by (date, key)
+    val ranked = orders.groupBy(_._1).values.flatMap { os =>
+      os.sortBy(o => (o._3, o._2)).zipWithIndex.map { case (o, i) => (o, i + 1) }
+    }
+    def yearOf(millis: Long): Int =
+      java.time.Instant.ofEpochMilli(millis)
+        .atZone(java.time.ZoneOffset.UTC).getYear
+    val want = ranked.groupBy(r => yearOf(r._1._3)).map { case (yr, rs) =>
+      val cents = rs.map(r => math.floor(r._1._4 * 100).toLong)
+      val rep = rs.zip(cents).filter(_._1._2 >= 2).map(_._2)
+      (yr, rs.size.toLong, rs.count(_._2 >= 2).toLong, cents.sum, rep.sum,
+        rep.sum * 1000000L / cents.sum)
+    }.toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet == want)
+    // totals conserve the raw revenue; repeat never exceeds total
+    assert(got.map(_._4).sum == orders.map(o => math.floor(o._4 * 100).toLong).sum)
+    got.foreach { r => assert(r._5 <= r._4 && r._3 <= r._2) }
+  }
 }

@@ -1578,6 +1578,32 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toSet == canon)
   }
 
+  test("chunk rewrite is idempotent: rewriting the rewritten corpus removes nothing") {
+    import graft.operators.TextOps
+    // write the cleaned corpus as a documents table and rewrite again
+    val first = TextOps.chunkRewrite(spark, sf)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .filter(col("text") =!= "")
+    val tmp: String = java.nio.file.Files.createTempDirectory("rewrite_fix").toString
+    first.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val second = TextOps.chunkRewrite(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // fixpoint: every surviving chunk was already corpus-unique or
+    // canonical-owned, so the second pass keeps all of them.
+    // CAVEAT this spec would catch: reassembly glues chunk boundaries
+    // with single spaces, so a SHIFTED re-chunking could fabricate new
+    // duplicates — it must not.
+    second.foreach { case (id, (n, kept, _)) =>
+      assert(kept == n, s"doc $id lost chunks on the second rewrite ($kept of $n)")
+    }
+    val firstTexts = first.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    second.foreach { case (id, (_, _, text)) =>
+      assert(text == firstTexts(id), s"doc $id text changed on the second rewrite")
+    }
+  }
+
   test("minhash calibration replays the estimator-vs-exact report driver-side") {
     import graft.operators.Dedup
     // per-doc shingle sets and signatures, pure Scala

@@ -375,6 +375,7 @@ object SparkEntry {
     "q169_token_budget" -> ((s, d) => TextOps.tokenBudgetCurve(s, d)),
     "q170_session_cooccurrence" -> (EventFlow.sessionCooccurrenceLift(_, _)),
     "q171_repeat_revenue" -> (Relational.repeatRevenueShare(_, _)),
+    "q172_cluster_quality_spread" -> ((s, d) => Dedup.clusterQualityDispersion(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2560,6 +2561,22 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY c.cluster_id
          |                     ORDER BY m.quality DESC, c.doc_id ASC) = 1 AS is_survivor
          |FROM clus c JOIN m ON c.doc_id = m.doc_id""".stripMargin,
+    // q172: q49's closure + the docMetrics quality on the 1e-4 grid,
+    // per-cluster dispersion and the canonical member's gap to best
+    "q172_cluster_quality_spread" ->
+      s"""WITH RECURSIVE $q25Ctes,
+         | $ccCtes,
+         | $docMetricsCte,
+         | q AS (SELECT c.doc_id, c.cluster_id,
+         |    CAST(round(m.quality * 10000, 0) AS BIGINT) AS q4,
+         |    c.doc_id = c.cluster_id AS is_canonical
+         |  FROM clus c JOIN m ON c.doc_id = m.doc_id)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(max(q4) AS BIGINT) AS q4_max, CAST(min(q4) AS BIGINT) AS q4_min,
+         |  CAST((max(q4) - min(q4)) * 100 AS BIGINT) AS spread_micro,
+         |  CAST((max(q4) - max(CASE WHEN is_canonical THEN q4 END)) * 100 AS BIGINT)
+         |    AS canonical_gap_micro
+         |FROM q GROUP BY cluster_id""".stripMargin,
     // q145: containment replay — per-doc 5 rarest shingle hashes
     // (df asc, hash asc, df ≤ 1000) probe FULL postings (not the other
     // side's rare keys), exact |A∩B|/min verify. q25Ctes' sig/cand/

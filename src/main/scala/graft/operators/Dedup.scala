@@ -236,6 +236,33 @@ object Dedup {
         expr("sum(abs(est_micro - exact_micro)) div count(1)").as("mean_abs_err_micro"))
   }
 
+  /** Cluster QUALITY DISPERSION — per near-dup cluster: size and the
+    * quality range across members. The decision report behind
+    * [[qualityAwareSurvivors]]: a corpus whose clusters have near-zero
+    * spread gains nothing from quality-aware survivor choice (min-id
+    * is as good), while a wide-spread cluster loses real quality to
+    * the arbitrary pick — this measures which corpus you have. The
+    * gain column is exactly (best − canonical member's quality) in
+    * micro. Same closure + quality join as q144; rollup is
+    * cluster-count-sized. */
+  def clusterQualityDispersion(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val clusters = dedupClusters(spark, dir, threshold)
+    val quality = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.Text.qualityScore(col("text")) * 10000, 0)
+          .cast("long").as("q4"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("q4")).as("q4_max"), min(col("q4")).as("q4_min"),
+        max(when(col("is_canonical"), col("q4"))).as("q4_canonical"))
+      .select(col("cluster_id"), col("n_members"),
+        col("q4_max"), col("q4_min"),
+        ((col("q4_max") - col("q4_min")) * 100L).as("spread_micro"),
+        ((col("q4_max") - col("q4_canonical")) * 100L).as("canonical_gap_micro"))
+  }
+
   /** CONTAINMENT pairs (asymmetric Jaccard) — quote/subset detection:
     * |A∩B| / min(|A|,|B|) ≥ threshold flags a document largely
     * contained in another even when the SYMMETRIC Jaccard is tiny (a

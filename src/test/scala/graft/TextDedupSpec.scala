@@ -1559,6 +1559,35 @@ class TextDedupSpec extends SparkSpec {
     got.foreach { case (a, b, _) => assert(batchIds(a) || batchIds(b)) }
   }
 
+  test("cluster quality dispersion: ranges consistent with the survivor report, gap nonneg") {
+    import graft.operators.Dedup
+    val got = Dedup.clusterQualityDispersion(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val survivors = Dedup.qualityAwareSurvivors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    Dedup.releaseBandIndex()
+    graft.operators.PlanCache.release()
+    assert(got.nonEmpty)
+    // same cluster membership mass; per-cluster extremes match q144's quality
+    val byCluster = survivors.groupBy(_._2)
+    assert(got.keySet == byCluster.keySet)
+    got.foreach { case (cid, (n, q4max, q4min, spread, gap)) =>
+      val ms = byCluster(cid)
+      assert(n == ms.length.toLong)
+      def q4(d: Double) = math.round(d * 10000)
+      assert(q4max == ms.map(m => q4(m._3)).max && q4min == ms.map(m => q4(m._3)).min)
+      assert(spread == (q4max - q4min) * 100 && spread >= 0)
+      // the survivor's quality IS the max → gap vs canonical is ≥ 0
+      assert(gap >= 0 && gap <= spread)
+      val survivorQ = q4(ms.find(_._4).get._3)
+      assert(survivorQ == q4max)
+    }
+    // the corpus motivates q144 somewhere: at least one cluster has a
+    // positive canonical gap (min-id is NOT the best member)
+    assert(got.values.exists(_._5 > 0), "no cluster where quality-aware choice differs")
+  }
+
   test("quality survivors: one per cluster, max quality wins, ties fall back to min id") {
     import graft.operators.Dedup
     val rows = Dedup.qualityAwareSurvivors(spark, sf).collect()

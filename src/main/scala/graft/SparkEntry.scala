@@ -376,6 +376,7 @@ object SparkEntry {
     "q170_session_cooccurrence" -> (EventFlow.sessionCooccurrenceLift(_, _)),
     "q171_repeat_revenue" -> (Relational.repeatRevenueShare(_, _)),
     "q172_cluster_quality_spread" -> ((s, d) => Dedup.clusterQualityDispersion(s, d)),
+    "q173_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -2747,6 +2748,16 @@ object SparkEntry {
         |  CAST(CAST(sum(CASE WHEN nth >= 2 THEN cents ELSE 0 END) AS BIGINT) * 1000000
         |    // CAST(sum(cents) AS BIGINT) AS BIGINT) AS repeat_share_micro
         |FROM r GROUP BY yr""".stripMargin,
+    // q173: Q6 replay — single filtered scan, cent·basis-point units
+    "q173_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cent_bp
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     // q146: KL(source ‖ corpus) over unigrams — per-token log-ratio
     // rounded to integer micro BEFORE the occurrence-weighted fold
     // (q65's float discipline); `//` truncates toward zero, exactly

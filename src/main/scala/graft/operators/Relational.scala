@@ -744,6 +744,27 @@ object Relational {
         expr("rev_cents * 1000000 div prior_year_cents").as("yoy_micro"))
   }
 
+  /** TPC-H Q6 shape — forecast revenue change: the revenue that would
+    * be gained by eliminating discounts in a band, for one ship year,
+    * on small quantities. The canonical single-scan filter+aggregate:
+    * every predicate pushes to the parquet scan (date range, discount
+    * band, quantity bound), no join, no shuffle beyond the one-row
+    * fold. Revenue = Σ price·discount in exact cent·basis-point
+    * integer units (price-cents × discount-bp — no float summation
+    * order anywhere). */
+  def forecastRevenue(spark: SparkSession, dir: String, yearNum: Int = 1996,
+      discLo: Double = 0.05, discHi: Double = 0.07, maxQty: Int = 24): DataFrame = {
+    val start = java.time.LocalDateTime.of(yearNum, 1, 1, 0, 0)
+    val end = java.time.LocalDateTime.of(yearNum + 1, 1, 1, 0, 0)
+    Tables.tsWindowScan(spark, dir, "lineitem", "l_shipdate", (start, end),
+        inclusiveEnd = false)
+      .filter(col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .select((round(col("l_extendedprice") * 100, 0).cast("long") *
+        round(col("l_discount") * 100, 0).cast("long")).as("rev_cbp"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_cbp")).as("revenue_cent_bp"))
+  }
+
   /** REPEAT-CUSTOMER revenue share by year — each order ranks within
     * its customer's lifetime (order date, then key for determinism);
     * rank ≥ 2 revenue is repeat business, and its share of the year's

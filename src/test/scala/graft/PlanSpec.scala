@@ -73,6 +73,17 @@ class PlanSpec extends SparkSpec {
       (p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThanOrEqual(`ts")), p)
   }
 
+  test("the Q6 forecast scan pushes date, discount, and quantity bounds — no join, no wide shuffle") {
+    // the PushedFilters list truncates in toString (the year-filter
+    // pin's convention): assert the scan-adjacent Filter bounds
+    val p = plan("q173_forecast_revenue")
+    assert(p.contains(">= 1996-01-01") && p.contains("< 1997-01-01"),
+      "shipdate bounds missing from the scan-adjacent filter")
+    assert(p.contains("isnotnull(l_shipdate") && p.contains("isnotnull(l_discount"),
+      "data filters not reaching the scan")
+    assert(!p.contains("Join"), "Q6 must be a single-scan aggregate")
+  }
+
   test("year filters push as ranges: shipdate bounds reach the lineitem scan") {
     // year(col) = y wraps the column and pushes only IsNotNull;
     // Tables.inYear rewrites to [Jan1, Jan1+1) so min/max row-group

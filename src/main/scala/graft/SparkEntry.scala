@@ -377,6 +377,10 @@ object SparkEntry {
     "q171_repeat_revenue" -> (Relational.repeatRevenueShare(_, _)),
     "q172_cluster_quality_spread" -> ((s, d) => Dedup.clusterQualityDispersion(s, d)),
     "q173_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
+    "q174_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
+    "q175_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "q176_returned_losers" -> ((s, d) => Relational.returnedItemLosers(s, d)),
+    "q177_promo_share" -> ((s, d) => Relational.promoRevenueShare(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3032,6 +3036,70 @@ object SparkEntry {
         |  CASE WHEN mad > 0
         |    THEN CAST((dev.cnt - dev.med) * 1000000 // mad AS BIGINT) END AS robust_micro
         |FROM dev JOIN madr USING (event_type)""".stripMargin,
+    // q174: Q3 shipping priority — floor-cents, total tiebreak
+    "q174_shipping_priority" ->
+      """SELECT l_orderkey AS o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // q175: Q5 local-supplier volume — the co-location equality rides
+    // the supplier join
+    "q175_local_supplier_volume" ->
+      """WITH n AS (SELECT n_nationkey, n_name FROM nation
+        |   JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN n ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    // q176: Q10 returned-item losers — aggregate-then-join, top 20
+    "q176_returned_losers" ->
+      """WITH lost AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS lost_cents,
+        |    CAST(count(*) AS BIGINT) AS n_returned
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1998-04-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, n_returned, lost_cents
+        |FROM lost
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY lost_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // q177: Q14 promo share — integer micro ratio of floor-cents sums
+    "q177_promo_share" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS BIGINT) AS promo_share_micro
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -858,4 +858,139 @@ object Relational {
       .agg(sum(col("cents")).as("revenue_cents"),
         count(lit(1)).as("n_lines"))
   }
+
+  /** TPC-H Q3 shape — unshipped-order shipping priority: the top-k
+    * open orders by outstanding revenue for one market segment, as of
+    * a cut date (ordered before it, lines shipping after it). The
+    * classic fact⋈fact⋈dim chain with a top-k head: the segment
+    * predicate SEMI-joins orders against the filtered customer keys
+    * (orders never widens — at 100 TB customer is itself a fact, so
+    * the semi form beats carrying customer columns through the
+    * shuffle), lineitem joins on the order key, and the final head is
+    * a TakeOrderedAndProject (bounded heaps, never a global sort —
+    * PlanSpec-pinned). Both date bounds push to their parquet scans.
+    * Determinism: floor-cents revenue and a total tiebreak
+    * (revenue desc, orderdate, orderkey). */
+  def shippingPriority(spark: SparkSession, dir: String,
+      segment: String = "BUILDING", cutDate: String = "1998-01-01",
+      k: Int = 10): DataFrame = {
+    val cut = lit(cutDate).cast("timestamp")
+    val segKeys = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .join(segKeys, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey").as("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("revenue_cents"))
+  }
+
+  /** TPC-H Q5 shape — local-supplier volume: revenue per nation, for
+    * one region and one order year, counting only lineitems where the
+    * SUPPLIER and the CUSTOMER sit in the same nation (the co-location
+    * predicate is part of the supplier join condition, not a post-hoc
+    * filter). The snowflake chain joins region→nation once (25 rows,
+    * broadcast), carries the customer's nation key through orders into
+    * the fact join, and closes the loop on
+    * (l_suppkey, nation) — supplier is keyed by BOTH columns so the
+    * equality never degenerates into a nested loop. One shuffle pair
+    * per fact join; the order-year range pushes to the orders scan. */
+  def localSupplierVolume(spark: SparkSession, dir: String,
+      regionName: String = "ASIA", yearNum: Int = 1997): DataFrame = {
+    val nations = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")
+          .filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables(spark, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(Tables.inYear(col("o_orderdate"), yearNum))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q10 shape — returned-item losers: the top-k customers by
+    * revenue lost to returns (l_returnflag = 'R') in a one-quarter
+    * order window. The fact side folds to per-customer cents BEFORE
+    * the customer attributes join (aggregate-then-join: the join input
+    * is customers-with-returns-sized, not lineitem-sized), nation
+    * broadcasts, and the head is a TakeOrderedAndProject. The quarter
+    * range and the return-flag equality both push to parquet. */
+  def returnedItemLosers(spark: SparkSession, dir: String,
+      quarterStart: String = "1998-04-01", k: Int = 20): DataFrame = {
+    val start = lit(quarterStart).cast("timestamp")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= start &&
+        col("o_orderdate") < add_months(start, 3).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lost = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("lost_cents"), count(lit(1)).as("n_returned"))
+    val cust = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    lost.join(cust, col("o_custkey") === col("c_custkey"))
+      .orderBy(col("lost_cents").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("n_returned"), col("lost_cents"))
+  }
+
+  /** TPC-H Q14 shape — promotion effect: the share of one ship-month's
+    * revenue that came from promo-typed parts, as an exact integer
+    * micro ratio (promo_cents·1e6 div total_cents — never a float
+    * division of float sums). Part carries only (key, is-promo bit)
+    * into the join — at 100 TB the bit-projection is what keeps the
+    * build side broadcastable; the month range pushes to the lineitem
+    * scan. One fact join, one 1-row fold. */
+  def promoRevenueShare(spark: SparkSession, dir: String,
+      monthStart: String = "1997-09-01"): DataFrame = {
+    val start = lit(monthStart).cast("timestamp")
+    val parts = Tables(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= start &&
+        col("l_shipdate") < add_months(start, 1).cast("timestamp"))
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_promo"), col("cents")).otherwise(0L)).as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("n_lines"), col("promo_cents"), col("total_cents"),
+        expr("promo_cents * 1000000 div total_cents").as("promo_share_micro"))
+  }
 }

@@ -41,8 +41,22 @@ class PlanSpec extends SparkSpec {
 
   test("top-k queries plan TakeOrderedAndProject, never a global sort") {
     Seq("q3_top_orders", "q9_recent_errors", "q43_log_search",
-        "q61_vocabulary", "q91_top_customer_revenue").foreach { name =>
+        "q61_vocabulary", "q91_top_customer_revenue",
+        "q174_shipping_priority", "q176_returned_losers").foreach { name =>
       assert(plan(name).contains("TakeOrderedAndProject"), name)
+    }
+  }
+
+  test("the TPC-H snowflake shapes broadcast their dims and push their date bounds") {
+    // Q5/Q10/Q14 shapes: nation (and the is-promo bit projection of
+    // part) must broadcast; the year/quarter/month ranges must reach
+    // the parquet scans as pushed filters, not post-scan predicates
+    Seq("q175_local_supplier_volume", "q176_returned_losers",
+        "q177_promo_share").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), name)
+      assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+        p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), name)
     }
   }
 

@@ -381,6 +381,10 @@ object SparkEntry {
     "q175_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q176_returned_losers" -> ((s, d) => Relational.returnedItemLosers(s, d)),
     "q177_promo_share" -> ((s, d) => Relational.promoRevenueShare(s, d)),
+    "q178_cust_order_dist" -> ((s, d) => Relational.custOrderDistribution(s, d)),
+    "q179_big_qty_orders" -> ((s, d) => Relational.bigQuantityOrders(s, d)),
+    "q180_brand_band_revenue" -> ((s, d) => Relational.brandBandRevenue(s, d)),
+    "q181_late_priority_mix" -> ((s, d) => Relational.latePriorityMix(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3100,6 +3104,52 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    // q178: Q13 distribution — LEFT join so zero-order customers count
+    "q178_cust_order_dist" ->
+      """WITH pc AS (SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count""".stripMargin,
+    // q179: Q18 large-volume orders via IN (GROUP BY ... HAVING)
+    "q179_big_qty_orders" ->
+      """SELECT c_name, o.o_orderkey, o.o_orderdate,
+        |  CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice""".stripMargin,
+    // q180: Q19 disjunctive brand/size/quantity bands
+    "q180_brand_band_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity >= 1 AND l_quantity <= 30 AND (
+        |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    // q181: Q12 late-shipment priority mix by return flag
+    "q181_late_priority_mix" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS critical_late,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS noncritical_late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -993,4 +993,102 @@ object Relational {
       .select(col("n_lines"), col("promo_cents"), col("total_cents"),
         expr("promo_cents * 1000000 div total_cents").as("promo_share_micro"))
   }
+
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed exactly N orders, INCLUDING the zero bucket (the
+    * left outer join is the point — an inner join silently drops
+    * never-ordered customers and the distribution lies). Two
+    * aggregates: per-customer counts (one shuffle on the customer
+    * key — count(o_orderkey) so outer-null rows fold to 0), then the
+    * histogram over the customers-sized frame. The optimizer may
+    * reverse the build side; no dim is broadcast-dependent here. */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir, "customer").select(col("c_custkey"))
+      .join(Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total line
+    * quantity exceeds a threshold, with customer name and the quantity
+    * total. Written as the `IN (GROUP BY … HAVING)` subquery a user
+    * writes; Catalyst plans the having-aggregate as a left-semi join
+    * (never materializing the IN-list on the driver). The outer query
+    * re-aggregates quantity per order — at 100 TB both aggregates
+    * shuffle on l_orderkey and AQE coalesces; customer attributes join
+    * AFTER the filter, against the few surviving orders. Quantities
+    * are integral doubles — cast to BIGINT so the sum is exact. */
+  def bigQuantityOrders(spark: SparkSession, dir: String,
+      minQty: Int = 250): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_q179_lineitem")
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_q179_orders")
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_q179_customer")
+    spark.sql(
+      s"""SELECT c_name, o.o_orderkey, o.o_orderdate,
+         |  CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM graft_q179_customer c
+         |JOIN graft_q179_orders o ON c.c_custkey = o.o_custkey
+         |JOIN graft_q179_lineitem l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderkey IN (
+         |  SELECT l_orderkey FROM graft_q179_lineitem
+         |  GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS BIGINT)) > $minQty)
+         |GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice""".stripMargin)
+  }
+
+  /** TPC-H Q19 shape — disjunctive brand/size/quantity revenue: three
+    * OR'd predicate branches, each correlating a part attribute
+    * (brand, size band) with a lineitem attribute (quantity band). The
+    * planner keeps the join an equi-join on l_partkey and evaluates
+    * the disjunction as its residual; the common bounds (quantity ≤
+    * the widest band, size ≥ 1) push to the scans. The shape every
+    * hand-written "rule OR rule OR rule" curation filter compiles to —
+    * proof the engine doesn't fall back to a product when predicates
+    * disjoin across join sides. */
+  def brandBandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  /** TPC-H Q12 shape — late-shipment priority mix: for lineitems that
+    * shipped late (past `lagDays` after the order date) in one ship
+    * year, per return flag: how many belonged to critical-priority
+    * orders (1-URGENT / 2-HIGH) vs not — the dual conditional CASE-sum
+    * that audits whether late shipments hit critical orders. One fact
+    * join on the order key carrying only (priority); the year range
+    * and the flag column push/prune at the lineitem scan. */
+  def latePriorityMix(spark: SparkSession, dir: String,
+      yearNum: Int = 1998, lagDays: Int = 30): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables(spark, dir, "lineitem")
+      .filter(Tables.inYear(col("l_shipdate"), yearNum))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lagDays DAY"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("critical_late"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("noncritical_late"))
+  }
 }

@@ -47,6 +47,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the Q18 having-subquery plans a semi join, never a driver-side IN-list") {
+    val p = plan("q179_big_qty_orders")
+    assert(p.contains("LeftSemi") || p.contains("left_semi"), p.take(2000))
+  }
+
   test("the TPC-H snowflake shapes broadcast their dims and push their date bounds") {
     // Q5/Q10/Q14 shapes: nation (and the is-promo bit projection of
     // part) must broadcast; the year/quarter/month ranges must reach

@@ -385,6 +385,8 @@ object SparkEntry {
     "q179_big_qty_orders" -> ((s, d) => Relational.bigQuantityOrders(s, d)),
     "q180_brand_band_revenue" -> ((s, d) => Relational.brandBandRevenue(s, d)),
     "q181_late_priority_mix" -> ((s, d) => Relational.latePriorityMix(s, d)),
+    "q182_market_share" -> ((s, d) => Relational.nationMarketShare(s, d)),
+    "q183_nation_profit" -> ((s, d) => Relational.nationProfit(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3150,6 +3152,44 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
         |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
         |GROUP BY l_returnflag""".stripMargin,
+    // q182: Q8 national market share — conditional sum over one frame
+    "q182_market_share" ->
+      """WITH rc AS (SELECT c_custkey FROM customer
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        |   WHERE r_name = 'ASIA'),
+        | s AS (SELECT s_suppkey, (n_name = 'NATION_2') AS is_home
+        |   FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        | f AS (SELECT year(o_orderdate) AS o_year, is_home,
+        |     CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |       AS BIGINT) AS cents
+        |   FROM lineitem
+        |   JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN s ON l_suppkey = s_suppkey
+        |   WHERE o_custkey IN (SELECT c_custkey FROM rc))
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN is_home THEN cents ELSE 0 END) AS BIGINT) AS home_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(CAST(sum(CASE WHEN is_home THEN cents ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(sum(cents) AS BIGINT) AS BIGINT) AS share_micro
+        |FROM f GROUP BY o_year""".stripMargin,
+    // q183: Q9 profit — 60%-of-retail unit cost, exact cents
+    "q183_nation_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)
+        |    - CAST(l_quantity AS BIGINT)
+        |      * CAST(floor(p_retailprice * 60) AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

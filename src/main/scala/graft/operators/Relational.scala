@@ -1091,4 +1091,83 @@ object Relational {
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L)).as("noncritical_late"))
   }
+
+  /** TPC-H Q8 shape — national market share: of the PROMO-part revenue
+    * sold into one region's customers, what integer-micro share came
+    * from suppliers of one nation, per order year. The widest
+    * snowflake in the family (fact ⋈ part ⋈ supplier ⋈ orders ⋈
+    * customer ⋈ nation ⋈ region): part is filtered to its type BEFORE
+    * the join (the selective dim drives the fact scan — at 100 TB this
+    * is the join-order decision that matters), region→nation and the
+    * supplier-nation flag broadcast, and the share folds as a
+    * conditional sum over one years-sized frame — never two passes. */
+  def nationMarketShare(spark: SparkSession, dir: String,
+      partType: String = "PROMO", regionName: String = "ASIA",
+      homeNation: String = "NATION_2"): DataFrame = {
+    val promoParts = Tables(spark, dir, "part")
+      .filter(col("p_type") === partType).select(col("p_partkey"))
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), (col("n_name") === homeNation).as("is_home"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("is_home"))
+    val regionCust = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .join(broadcast(Tables(spark, dir, "region")
+              .filter(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("is_home"), col("cents")).otherwise(0L)).as("home_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("o_year"), col("home_cents"), col("total_cents"),
+        expr("home_cents * 1000000 div total_cents").as("share_micro"))
+  }
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation and
+    * year. The testdata has no partsupp/supplycost; unit cost is the
+    * deterministic 60%-of-retail stand-in, folded in exact cents
+    * (qty · floor(retail·60) — retail cents × 0.6 with one floor, no
+    * float accumulation). Profit = revenue cents − cost cents per
+    * line, rolled up per (nation, order year). Join order: the two
+    * fact joins shuffle on their keys; part ships only
+    * (key, unit-cost) and supplier only (key, nation) — the narrow
+    * projections are what keep the shuffles cheap at 100 TB. */
+  def nationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val partCost = Tables(spark, dir, "part")
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 60).cast("long").as("unit_cost_cents"))
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_cents"))
+      .join(partCost, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev_cents")).as("revenue_cents"),
+        sum(col("rev_cents") - col("qty") * col("unit_cost_cents"))
+          .as("profit_cents"))
+  }
 }

@@ -387,6 +387,10 @@ object SparkEntry {
     "q181_late_priority_mix" -> ((s, d) => Relational.latePriorityMix(s, d)),
     "q182_market_share" -> ((s, d) => Relational.nationMarketShare(s, d)),
     "q183_nation_profit" -> ((s, d) => Relational.nationProfit(s, d)),
+    "q184_topic_share" -> ((s, d) => Similarity.topicShareBySource(s, d)),
+    "q185_blocklist" -> ((s, d) => TextOps.blocklistReport(s, d)),
+    "q186_name_near_matches" -> ((s, d) => Dedup.nameNearMatches(s, d)),
+    "q187_weekly_active" -> (EventFlow.weeklyActiveUsers(_, _)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3190,6 +3194,76 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    // q184: topic mix — the q46 cell-assignment replay, rolled up per
+    // source; windowed SUM cast to BIGINT (the HUGEINT lesson)
+    "q184_topic_share" ->
+      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+        |               FROM embeddings WHERE vec_id < 16),
+        | sims AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6)
+        |      AS cent_sim
+        |  FROM embeddings e CROSS JOIN cents c),
+        | assigned AS (SELECT vec_id, centroid_id AS topic FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cent_sim DESC, centroid_id ASC) AS rk
+        |    FROM sims) WHERE rk = 1),
+        | g AS (SELECT source, topic, CAST(count(*) AS BIGINT) AS n_docs
+        |   FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+        |   GROUP BY source, topic)
+        |SELECT source, topic, n_docs,
+        |  CAST(n_docs * 1000000
+        |    // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+        |    AS BIGINT) AS share_micro
+        |FROM g""".stripMargin,
+    // q185: blocklist audit — occurrence hits, per-doc flag
+    "q185_blocklist" ->
+      """WITH h AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('slow', 'dup', 'big'))) AS BIGINT) AS n_hits
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+        |  CAST(CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS BIGINT) AS flagged_micro
+        |FROM h GROUP BY source""".stripMargin,
+    // q186: FastSS deletion-neighborhood candidates + levenshtein verify
+    "q186_name_near_matches" ->
+      """WITH names AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        | vars AS (
+        |   SELECT id, name, name AS variant FROM names
+        |   UNION ALL
+        |   SELECT id, name,
+        |     substr(name, 1, i - 1) || substr(name, i + 1) AS variant
+        |   FROM (SELECT id, name, unnest(range(1, length(name) + 1)) AS i
+        |         FROM names)),
+        | cand AS (SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+        |     b.id AS id_b, b.name AS name_b
+        |   FROM vars a JOIN vars b ON a.variant = b.variant AND a.id < b.id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN levenshtein(name_a, name_b) <= 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+        |  CAST(sum(CASE WHEN levenshtein(name_a, name_b) = 1
+        |      AND length(name_a) = length(name_b)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_substitutions,
+        |  CAST(sum(CASE WHEN levenshtein(name_a, name_b) = 1
+        |      AND length(name_a) <> length(name_b)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_indels
+        |FROM cand""".stripMargin,
+    // q187: sliding WAU via window-explode of the deduped presence frame
+    "q187_weekly_active" ->
+      """WITH presence AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |   FROM events),
+        | fanned AS (SELECT user_id,
+        |     CAST(unnest(range(0, 7)) AS BIGINT) AS off, day
+        |   FROM presence)
+        |SELECT day + CAST(off AS INTEGER) AS report_day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM fanned
+        |WHERE day + CAST(off AS INTEGER) <= (SELECT max(day) FROM presence)
+        |GROUP BY report_day""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -926,4 +926,47 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
+
+  /** Entity-name near-match audit — the edit-distance face of dedup
+    * (customer/vendor master-data reconciliation: "Customer#00001429"
+    * vs "Customer#00001428" is one keystroke apart). Candidate
+    * generation is the FastSS deletion-neighborhood trick, never
+    * all-pairs: each name emits itself plus every single-character
+    * deletion as a band key; two names are candidates iff they share a
+    * key (shared full-deletion-at-i ⇒ substitution at i; identity vs
+    * deletion ⇒ indel — every true distance-≤1 pair is caught, shared
+    * keys from DIFFERENT positions admit distance-2 candidates the
+    * verify rejects). Band-key groups are alphabet-bounded (names
+    * agreeing everywhere but one position), so ΣC(g,2) stays linear in
+    * the corpus — the same growth contract as the MinHash bands.
+    * Verification is one codegen'd `levenshtein` per DISTINCT
+    * candidate pair. Output is the audit rollup (candidate volume vs
+    * verified matches, substitution/indel split) — the number a
+    * data-steward dashboard tracks, while the pair set itself stays a
+    * plan-internal frame any consumer can tap. */
+  def nameNearMatches(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val variants = names.select(col("id"), col("name"), explode(concat(
+        array(col("name")),
+        expr("transform(sequence(1, length(name)), i -> " +
+          "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")))
+      .as("variant"))
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
+        col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+    cand.agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("n_verified"),
+      sum(when(col("dist") === 1 &&
+        length(col("name_a")) === length(col("name_b")), 1L).otherwise(0L))
+        .as("n_substitutions"),
+      sum(when(col("dist") === 1 &&
+        length(col("name_a")) =!= length(col("name_b")), 1L).otherwise(0L))
+        .as("n_indels"))
+  }
 }

@@ -666,4 +666,33 @@ object EventFlow {
         count_distinct(col("conv_id")).as("n_conversions"),
         sum(col("credit_micro")).as("credit_micro_total"))
   }
+
+  /** Sliding weekly-active-users: per day, the distinct users seen in
+    * the trailing `windowDays`-day window — the engagement series
+    * beside q117's per-day DAU and q151's cumulative curve. The
+    * scalable form is WINDOW-EXPLODE, never a range join: each
+    * (day, user) presence row fans out to the `windowDays` report
+    * days it contributes to (a bounded ×7 inflation of the
+    * already-deduped presence frame), then one count-distinct per
+    * report day — a range join here would plan the banned
+    * BroadcastNestedLoopJoin and rescan events per day. Report days
+    * clip to the observed [min, max] span (scalar subquery, the
+    * q133 convention), so every window is fully contained in the
+    * data's support; early days report partial (ramp-up) windows by
+    * declaration. */
+  def weeklyActiveUsers(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .createOrReplaceTempView("graft_q187_presence")
+    spark.sql(
+      s"""SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         |FROM (SELECT user_id,
+         |        explode(sequence(day, day + INTERVAL ${windowDays - 1} DAY))
+         |          AS report_day
+         |      FROM graft_q187_presence)
+         |WHERE report_day <= (SELECT max(day) FROM graft_q187_presence)
+         |GROUP BY report_day""".stripMargin)
+  }
 }

@@ -383,6 +383,36 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Topic-mix report — the corpus-composition view an LLM data
+    * curator reads before setting mix rates: every embedded document
+    * is assigned to its nearest coarse centroid (the "topic"), and
+    * each source reports its per-topic document share in integer
+    * micro-units. Assignment is the IVF cell pass verbatim
+    * ([[assignCells]]: literal codebook, shuffle-free map-side argmax
+    * — bit-identical to q46's convention, so the oracle replays it);
+    * a trained codebook drops in the way [[buildStoredIvf]] documents.
+    * Join semantics are explicit: topics exist only for docs WITH an
+    * embedding (inner join on the doc↔vector key — at sf0.1 unembedded
+    * docs are silently out of scope, by declaration). One fact join +
+    * one (sources × topics)-sized rollup; the share window runs over
+    * that rollup, never the corpus. */
+  def topicShareBySource(spark: SparkSession, dir: String,
+      numCentroids: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = assignCells(emb, cents)
+      .select(col("vec_id"), col("centroid_id").as("topic"))
+    Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+      .join(assigned, col("doc_id") === col("vec_id"))
+      .groupBy(col("source"), col("topic"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_micro",
+        expr("n_docs * 1000000 div sum(n_docs) OVER (PARTITION BY source)"))
+      .select("source", "topic", "n_docs", "share_micro")
+  }
+
   /** Occupancy report of a stored IVF index: per-cell vector counts
     * with empty cells present as zeros — the index-health signal that
     * says when the codebook needs retraining (a skewed occupancy ratio

@@ -1474,4 +1474,35 @@ object TextOps {
           expr("(n * sxx - sx * sx) * 1000000 div ((n - 1) * sx)"))
           .as("fano_micro"))
   }
+
+  /** The default blocked-term list for [[blocklistReport]] — a
+    * stand-in for the profanity/unsafe-content term lists every
+    * production corpus filter carries (the real list is a config
+    * artifact; the machinery is what's engine-owned). */
+  val DefaultBlocklist: Seq[String] = Seq("slow", "dup", "big")
+
+  /** Blocklist audit — per source: documents containing any blocked
+    * term (exact token match, the corpus's space tokenization), total
+    * hit occurrences, and the flagged-document share in integer
+    * micro-units. The safety-filter face of quality gating: the list
+    * rides the plan as an array literal (codegen'd `array_contains`
+    * per token — no join, no UDF, no broadcast table needed until the
+    * list outgrows a literal), so the whole audit is ONE scan with a
+    * map-side-combined rollup. Counting is per-occurrence for hits
+    * and per-document for the flag — a doc repeating one slur 100×
+    * flags once but weighs 100 hits. */
+  def blocklistReport(spark: SparkSession, dir: String,
+      terms: Seq[String] = DefaultBlocklist): DataFrame = {
+    val blocked = array(terms.map(lit).toIndexedSeq: _*)
+    val hits = size(filter(Text.tokens(col("text")),
+      t => array_contains(blocked, t)))
+    Tables(spark, dir, "documents")
+      .select(col("source"), hits.cast("long").as("n_hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("flagged_docs"),
+        sum(col("n_hits")).as("total_hits"))
+      .select(col("source"), col("n_docs"), col("flagged_docs"), col("total_hits"),
+        expr("flagged_docs * 1000000 div n_docs").as("flagged_micro"))
+  }
 }

@@ -391,6 +391,9 @@ object SparkEntry {
     "q185_blocklist" -> ((s, d) => TextOps.blocklistReport(s, d)),
     "q186_name_near_matches" -> ((s, d) => Dedup.nameNearMatches(s, d)),
     "q187_weekly_active" -> (EventFlow.weeklyActiveUsers(_, _)),
+    "q188_grouping_sets" -> ((s, d) => Relational.revenueGroupingSets(s, d)),
+    "q189_monthly_checksums" -> ((s, d) => Relational.monthlyChecksums(s, d)),
+    "q190_order_backlog" -> ((s, d) => Relational.openOrderBacklog(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3264,6 +3267,49 @@ object SparkEntry {
         |FROM fanned
         |WHERE day + CAST(off AS INTEGER) <= (SELECT max(day) FROM presence)
         |GROUP BY report_day""".stripMargin,
+    // q188: GROUPING SETS — per-column grouping() bits, never the
+    // engine-specific packed grouping_id
+    "q188_grouping_sets" ->
+      """SELECT year(o_orderdate) AS yr, n_name,
+        |  CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_yr,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((year(o_orderdate), n_name),
+        |                        (year(o_orderdate)), ())""".stripMargin,
+    // q189: month checksums — canonical row string, 60-bit md5 prefix,
+    // XOR fold (order-independent on both engines)
+    "q189_monthly_checksums" ->
+      """WITH h AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |      || '|' || o_orderstatus
+        |      || '|' || CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        |      || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |      || '|' || o_orderpriority), 1, 15) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS checksum
+        |FROM h GROUP BY month""".stripMargin,
+    // q190: sweep-line backlog — running sum over the days-sized deltas
+    "q190_order_backlog" ->
+      """WITH opens AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_opened
+        |  FROM orders GROUP BY day),
+        | closes AS (SELECT day, CAST(count(*) AS BIGINT) AS n_closed FROM (
+        |    SELECT CAST(max(l_shipdate) AS DATE) + 1 AS day
+        |    FROM lineitem GROUP BY l_orderkey) GROUP BY day),
+        | d AS (SELECT coalesce(o.day, c.day) AS day,
+        |    coalesce(n_opened, 0) AS n_opened, coalesce(n_closed, 0) AS n_closed
+        |  FROM opens o FULL OUTER JOIN closes c ON o.day = c.day)
+        |SELECT day, n_opened, n_closed,
+        |  CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM d""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -1170,4 +1170,83 @@ object Relational {
         sum(col("rev_cents") - col("qty") * col("unit_cost_cents"))
           .as("profit_cents"))
   }
+
+  /** Multi-granularity revenue via GROUPING SETS — the explicit-set
+    * sibling of q89's CUBE: grand total, per-year, and per-(year,
+    * nation) in ONE aggregate pass (Spark plans a single Expand ×3
+    * over the joined frame — one shuffle, vs three separate queries
+    * re-scanning the join). Granularity flags are emitted as explicit
+    * `grouping()` bits per column, NOT `grouping_id()` — the packed
+    * id's bit order is engine-specific, the per-column bit is
+    * portable. Nation rides a broadcast dim; floor-cents money. */
+  def revenueGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_q188_orders")
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_q188_customer")
+    Tables(spark, dir, "nation").createOrReplaceTempView("graft_q188_nation")
+    spark.sql(
+      """SELECT year(o_orderdate) AS yr, n_name,
+        |  CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_yr,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM graft_q188_orders
+        |JOIN graft_q188_customer ON o_custkey = c_custkey
+        |JOIN graft_q188_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((year(o_orderdate), n_name),
+        |                        (year(o_orderdate)), ())""".stripMargin)
+  }
+
+  /** Content checksum per month — the row-free sync audit: both ends
+    * of a replication pipeline fold each row into a canonical string,
+    * hash it, and XOR-fold the hashes per month bucket (XOR is
+    * order-independent and overflow-free, so the fold never shuffles
+    * for ordering and never widens past 8 bytes — the J4 count
+    * comparison upgraded to content equality, still without moving a
+    * row). A month whose (n_rows, checksum) pair matches across
+    * stores is verified; a mismatch localizes the repair scan to one
+    * month. XOR's known blind spot — duplicated-row PAIRS cancel — is
+    * exactly what the row count beside it catches. Canonical form
+    * pins money to floor-cents and the date to its ISO day string, so
+    * both engines hash identical bytes. */
+  def monthlyChecksums(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast("long"),
+      to_date(col("o_orderdate")).cast("string"), col("o_orderpriority"))
+    Tables(spark, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        graft.functions.Text.md5Hash60(canon).as("h"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  /** Open-order backlog — per day, how many orders are ORDERED but not
+    * yet fully shipped: the interval-counting query, done as a
+    * SWEEP-LINE (+1 at order date, −1 after the order's last ship
+    * date, running sum over the days-sized delta frame) — never a
+    * day×order range join, which would rescan the fact table per
+    * calendar day (and plan the banned nested loop). An order with no
+    * lineitems never closes and stays in the backlog by declaration.
+    * Two fact-keyed aggregates + one window over ~calendar-sized
+    * rows. */
+  def openOrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val opens = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_orderkey"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_open"))
+    val closes = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("shipped_day"))
+      // the order leaves the backlog the day AFTER its last line ships
+      .select(date_add(col("shipped_day"), 1).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_close"))
+    opens.join(closes, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_open"), lit(0L)).as("n_opened"),
+        coalesce(col("n_close"), lit(0L)).as("n_closed"))
+      .withColumn("backlog", sum(col("n_opened") - col("n_closed"))
+        .over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

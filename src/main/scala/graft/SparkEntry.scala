@@ -394,6 +394,8 @@ object SparkEntry {
     "q188_grouping_sets" -> ((s, d) => Relational.revenueGroupingSets(s, d)),
     "q189_monthly_checksums" -> ((s, d) => Relational.monthlyChecksums(s, d)),
     "q190_order_backlog" -> ((s, d) => Relational.openOrderBacklog(s, d)),
+    "q191_k_anonymity" -> ((s, d) => DataQuality.customerKAnonymity(s, d)),
+    "q192_retrieval_eval" -> ((s, d) => Relevance.retrievalEval(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3310,6 +3312,80 @@ object SparkEntry {
         |  CAST(sum(n_opened - n_closed) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
         |FROM d""".stripMargin,
+    // q191: k-anonymity group-size histogram over the coarsened QIs
+    "q191_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS group_size
+        |  FROM customer GROUP BY 1, 2, 3),
+        | h AS (SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+        |   FROM g GROUP BY 1)
+        |SELECT group_size, n_groups,
+        |  CAST(group_size * n_groups AS BIGINT) AS n_rows,
+        |  group_size < 5 AS at_risk,
+        |  CAST(group_size * n_groups * 1000000
+        |    // CAST(sum(group_size * n_groups) OVER () AS BIGINT)
+        |    AS BIGINT) AS row_share_micro
+        |FROM h""".stripMargin,
+    // q192: rank-aware retrieval eval — the q46 IVF replay at k=10 as
+    // the system, exact-cosine top-10 as truth; DCG weights are shared
+    // integer literals so the metric fold is float-free on both sides
+    "q192_retrieval_eval" ->
+      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+        |               FROM embeddings WHERE vec_id < 16),
+        | csims AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6)
+        |      AS cent_sim
+        |  FROM embeddings e CROSS JOIN cents c),
+        | cranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cent_sim DESC, centroid_id ASC) AS cell_rank
+        |  FROM csims),
+        | assigned AS (SELECT vec_id AS cand_id, embedding AS cv, centroid_id
+        |              FROM cranked WHERE cell_rank = 1),
+        | probes AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        |            FROM cranked WHERE vec_id < 10 AND cell_rank <= 4),
+        | scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 6) AS sim
+        |  FROM probes JOIN assigned USING (centroid_id)
+        |  WHERE query_id <> cand_id),
+        | sysr AS (SELECT query_id, sys_cand, rank_sys FROM (
+        |    SELECT query_id, cand_id AS sys_cand,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, cand_id ASC) AS rank_sys
+        |    FROM scored) WHERE rank_sys <= 10),
+        | re_sim AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+        |     round(list_sum(list_transform(range(1, 65),
+        |       i -> CAST(e.embedding[i] AS DOUBLE)
+        |            * CAST(q.embedding[i] AS DOUBLE))), 6) AS sim
+        |   FROM embeddings e CROSS JOIN
+        |     (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+        |   WHERE e.vec_id <> q.vec_id),
+        | re_truth AS (SELECT query_id, cand_id FROM (
+        |   SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY sim DESC, cand_id ASC) AS rk
+        |   FROM re_sim) WHERE rk <= 10),
+        | re_w(rnk, w) AS (VALUES (1, 1000000), (2, 630929), (3, 500000),
+        |   (4, 430676), (5, 386852), (6, 356207), (7, 333333),
+        |   (8, 315464), (9, 301029), (10, 289064)),
+        | re_join AS (SELECT s.query_id, s.rank_sys,
+        |     (t.cand_id IS NOT NULL) AS relevant
+        |   FROM sysr s LEFT JOIN re_truth t
+        |     ON s.query_id = t.query_id AND s.sys_cand = t.cand_id)
+        |SELECT query_id,
+        |  CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // 10 AS BIGINT) AS recall_micro,
+        |  CAST(coalesce(1000000 // min(CASE WHEN relevant THEN rank_sys END), 0)
+        |    AS BIGINT) AS mrr_micro,
+        |  CAST(CAST(sum(CASE WHEN relevant THEN w.w ELSE 0 END) AS BIGINT)
+        |    * 1000000 // 4543554 AS BIGINT) AS ndcg_micro
+        |FROM re_join JOIN re_w w ON re_join.rank_sys = w.rnk
+        |GROUP BY query_id""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

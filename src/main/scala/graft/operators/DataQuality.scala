@@ -46,4 +46,41 @@ object DataQuality {
         col("v.violations").as("violations"),
         (col("v.violations") === 0L).as("passed"))
   }
+
+  /** k-ANONYMITY risk profile — the privacy audit run before a table
+    * (or a training corpus's metadata sidecar) is shared: rows are
+    * grouped by their quasi-identifier combination and the GROUP-SIZE
+    * DISTRIBUTION is reported, with every size below `k` flagged at
+    * risk (a group of 1 is a re-identification; a group of 3 narrows
+    * to three people). Generalization knobs (banding a continuous
+    * column) are the caller's: pass the already-coarsened columns.
+    * Two aggregates — per-QI sizes (one shuffle on the QI key, which
+    * grows with the table) then the histogram over the groups frame —
+    * plus one windowed share; nothing row-scale leaves the first
+    * aggregate. */
+  def kAnonymityProfile(df: DataFrame, quasiIds: Seq[String],
+      k: Int = 5): DataFrame = {
+    val groups = df.groupBy(quasiIds.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("group_size"))
+    groups.groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_rows"),
+        (col("group_size") < k).as("at_risk"))
+      .withColumn("row_share_micro",
+        expr("n_rows * 1000000 div sum(n_rows) OVER ()"))
+  }
+
+  /** [[kAnonymityProfile]] over the customer table with the standard
+    * quasi-identifier set — nation, market segment, and the
+    * account balance coarsened to 1000-unit bands (the generalization
+    * step done in-plan so the audit is one expression away from the
+    * raw column). */
+  def customerKAnonymity(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5): DataFrame =
+    kAnonymityProfile(
+      graft.Tables(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"), k)
 }

@@ -237,6 +237,80 @@ object Relevance {
       .select(col("rank"), col("id"), col("rank_lex"), col("rank_vec"), col("rrf_micro"))
   }
 
+  /** Per-rank DCG gain weights on the integer micro grid:
+    * ⌊1e6 / log2(r+1)⌋ for r = 1..10, as LITERALS so the metric stage
+    * is float-free and both engines fold identical integers. */
+  private[graft] val DcgMicroWeights: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+    333333L, 315464L, 301029L, 289064L)
+
+  /** RETRIEVAL EVALUATION — rank-aware quality of an approximate
+    * retriever against exact ground truth, per query: recall@k, MRR,
+    * and nDCG@k of the IVF ANN ranking vs the exact-cosine top-k.
+    * Extends the bakeoff's recall-only verdict (q130) with the
+    * POSITION-sensitive metrics a RAG pipeline actually cares about —
+    * an ANN index that finds all ten truths but inverts their order
+    * scores recall 1.0 and a visibly lower nDCG.
+    *
+    * The system leg is [[graft.operators.Similarity.ivfTopK]]
+    * verbatim (literal codebook, broadcast probes); the truth leg is
+    * the literal-query-matrix scan (queries explode from a literal
+    * array — a Generate, never the banned 1-row broadcast product),
+    * one corpus pass, rank ≤ k per query. Both legs exclude the query
+    * itself and tie-break on candidate id.
+    *
+    * Metrics fold on the integer micro grid — DCG gains are the
+    * [[DcgMicroWeights]] literals (so the metric stage is float-free
+    * on both engines), MRR is ⌊1e6/first-relevant-rank⌋, recall is
+    * hits·1e6 div k. A query the index fails entirely reports
+    * explicit zeros, never a dropped row. */
+  def retrievalEval(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import graft.functions.Vectors
+    require(k <= DcgMicroWeights.size, s"k=$k exceeds the DCG weight table")
+    val emb = Tables(spark, dir, "embeddings")
+
+    // system leg: the IVF ANN ranking under evaluation
+    val sys = graft.operators.Similarity.ivfTopK(spark, dir, k = k)
+      .select(col("query_id"), col("cand_id").as("sys_cand"),
+        col("rank").as("rank_sys"))
+
+    // truth leg: exact cosine top-k per query over the embedded corpus
+    val qvecs: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val qlit = array(qvecs.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"), array(qv.map(lit).toIndexedSeq: _*).as("qv"))
+    }.toIndexedSeq: _*)
+    val truth = emb.select(col("vec_id").as("cand_id"), col("embedding"),
+        explode(qlit).as("q"))
+      .filter(col("cand_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("cand_id"),
+        round(Vectors.dot(col("q.qv"), col("embedding")), 6).as("sim"))
+      .withColumn("rank_true", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rank_true") <= k)
+      .select(col("query_id").as("t_query_id"), col("cand_id"))
+
+    // metric fold: integer micro end to end
+    val w = element_at(array(DcgMicroWeights.map(lit).toIndexedSeq: _*), col("rank_sys"))
+    val idcg = DcgMicroWeights.take(k).sum
+    sys
+      .join(truth, col("query_id") === col("t_query_id") &&
+        col("sys_cand") === col("cand_id"), "left")
+      .select(col("query_id"), col("rank_sys"),
+        col("cand_id").isNotNull.as("relevant"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("relevant"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("relevant"), col("rank_sys"))).as("first_rel"),
+        sum(when(col("relevant"), w).otherwise(0L)).as("dcg_micro"))
+      .select(col("query_id"),
+        col("hits"),
+        expr(s"hits * 1000000 div $k").as("recall_micro"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_micro"),
+        expr(s"dcg_micro * 1000000 div CAST($idcg AS BIGINT)").as("ndcg_micro"))
+  }
+
   /** Per-source quality Z-SCORE normalization — cross-source score
     * comparability before a GLOBAL threshold: a 0.7 from a noisy crawl
     * and a 0.7 from a curated source mean different things; the

@@ -3234,19 +3234,24 @@ object SparkEntry {
         |  CAST(CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000 // CAST(count(*) AS BIGINT) AS BIGINT) AS flagged_micro
         |FROM h GROUP BY source""".stripMargin,
-    // q186: FastSS deletion-neighborhood candidates + levenshtein verify
+    // q186: FastSS deletion-neighborhood candidates (60-bit md5 band
+    // keys, ids-only dedupe) + levenshtein verify
     "q186_name_near_matches" ->
       """WITH names AS (SELECT c_custkey AS id, c_name AS name FROM customer),
         | vars AS (
-        |   SELECT id, name, name AS variant FROM names
-        |   UNION ALL
-        |   SELECT id, name,
-        |     substr(name, 1, i - 1) || substr(name, i + 1) AS variant
-        |   FROM (SELECT id, name, unnest(range(1, length(name) + 1)) AS i
-        |         FROM names)),
-        | cand AS (SELECT DISTINCT a.id AS id_a, a.name AS name_a,
-        |     b.id AS id_b, b.name AS name_b
-        |   FROM vars a JOIN vars b ON a.variant = b.variant AND a.id < b.id)
+        |   SELECT id, CAST('0x' || substr(md5(variant), 1, 15) AS BIGINT) AS vh
+        |   FROM (
+        |     SELECT id, name AS variant FROM names
+        |     UNION ALL
+        |     SELECT id, substr(name, 1, i - 1) || substr(name, i + 1) AS variant
+        |     FROM (SELECT id, name, unnest(range(1, length(name) + 1)) AS i
+        |           FROM names))),
+        | cids AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |   FROM vars a JOIN vars b ON a.vh = b.vh AND a.id < b.id),
+        | cand AS (SELECT id_a, na.name AS name_a, id_b, nb.name AS name_b
+        |   FROM cids
+        |   JOIN names na ON id_a = na.id
+        |   JOIN names nb ON id_b = nb.id)
         |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
         |  CAST(sum(CASE WHEN levenshtein(name_a, name_b) <= 1
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,

@@ -939,25 +939,33 @@ object Dedup {
     * verify rejects). Band-key groups are alphabet-bounded (names
     * agreeing everywhere but one position), so ΣC(g,2) stays linear in
     * the corpus — the same growth contract as the MinHash bands.
-    * Verification is one codegen'd `levenshtein` per DISTINCT
-    * candidate pair. Output is the audit rollup (candidate volume vs
-    * verified matches, substitution/indel split) — the number a
-    * data-steward dashboard tracks, while the pair set itself stays a
-    * plan-internal frame any consumer can tap. */
+    * Variants travel as their 60-bit md5 (an 8-byte join key, never
+    * the string — a collision only ADDS a false candidate the verify
+    * rejects, and the oracle replays the same hash); pairs dedupe on
+    * bare ids BEFORE names re-attach, so the wide columns never ride
+    * the candidate shuffle. Verification is one codegen'd
+    * `levenshtein` per DISTINCT candidate pair. Output is the audit
+    * rollup (candidate volume vs verified matches, substitution/indel
+    * split) — the number a data-steward dashboard tracks, while the
+    * pair set itself stays a plan-internal frame any consumer can
+    * tap. */
   def nameNearMatches(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    val variants = names.select(col("id"), col("name"), explode(concat(
+    val variants = names.select(col("id"), explode(concat(
         array(col("name")),
         expr("transform(sequence(1, length(name)), i -> " +
           "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")))
       .as("variant"))
-    val cand = variants.as("a")
+      .select(col("id"), Text.md5Hash60(col("variant")).as("vh"))
+    val candIds = variants.as("a")
       .join(variants.as("b"),
-        col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
-        col("b.id").as("id_b"), col("b.name").as("name_b"))
+        col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val cand = candIds
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
     cand.agg(
       count(lit(1)).as("n_candidates"),

@@ -949,9 +949,13 @@ object Dedup {
     * split) — the number a data-steward dashboard tracks, while the
     * pair set itself stays a plan-internal frame any consumer can
     * tap. */
-  def nameNearMatches(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+  def nameNearMatches(spark: SparkSession, dir: String): DataFrame =
+    nameNearMatchReport(Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name")))
+
+  /** [[nameNearMatches]] over any (id, name) frame — the
+    * fixture-parametric core. */
+  def nameNearMatchReport(names: DataFrame): DataFrame = {
     val variants = names.select(col("id"), explode(concat(
         array(col("name")),
         expr("transform(sequence(1, length(name)), i -> " +

@@ -62,6 +62,18 @@ for t in UNSCALED:
 for t, keys in SHIFTED.items():
     sel = ", ".join(
         f"{c} + c * {SHIFT} AS {c}" if c in keys else c for c in cols(t))
+    # c_name tracks its key in the base generator; verbatim copies would
+    # hand the edit-distance matcher 10 exact twins per name (quadratic
+    # fabricated pairs, the documents/embeddings problem all over).
+    # Regenerate it from a CONTIGUOUS surrogate — exactly the name table
+    # a real 10x customer base would have.
+    if t == "customer":
+        n_base = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/customer.parquet')"
+        ).fetchone()[0]
+        sel = sel.replace(
+            "c_name",
+            f"printf('Customer#%09d', c_custkey % {SHIFT} + c * {n_base}) AS c_name")
     con.execute(
         f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet') CROSS JOIN copies) "
         f"TO '{DST}/{t}.parquet' (FORMAT parquet)")

@@ -1209,17 +1209,27 @@ object Relational {
     * exactly what the row count beside it catches. Canonical form
     * pins money to floor-cents and the date to its ISO day string, so
     * both engines hash identical bytes. */
-  def monthlyChecksums(spark: SparkSession, dir: String): DataFrame = {
+  def monthlyChecksums(spark: SparkSession, dir: String): DataFrame =
+    orderMonthHash(Tables(spark, dir, "orders"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("checksum"))
+
+  /** The checksum's canonical (month, 60-bit row hash) projection of
+    * an orders-shaped frame — shared by the batch fold above and the
+    * STREAMING incremental maintenance
+    * ([[graft.streaming.ChecksumStream]]), so both faces hash
+    * identical bytes and their checksums are comparable across
+    * stores. */
+  private[graft] def orderMonthHash(orders: DataFrame,
+      extra: Column*): DataFrame = {
     val canon = concat_ws("|",
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       floor(col("o_totalprice") * 100).cast("long"),
       to_date(col("o_orderdate")).cast("string"), col("o_orderpriority"))
-    Tables(spark, dir, "orders")
-      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
-        graft.functions.Text.md5Hash60(canon).as("h"))
-      .groupBy(col("month"))
-      .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(h)").as("checksum"))
+    orders.select(
+      date_trunc("month", col("o_orderdate")).cast("date").as("month") +:
+      graft.functions.Text.md5Hash60(canon).as("h") +: extra: _*)
   }
 
   /** Open-order backlog — per day, how many orders are ORDERED but not

@@ -52,6 +52,7 @@ object ConfigReader {
       dqTasks: Seq[DqSpec] = Nil,
       decontamTasks: Seq[DecontamSpec] = Nil,
       annIndexTasks: Seq[graft.model.AnnIndexSpec] = Nil,
+      checksumTasks: Seq[ChecksumSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -109,6 +110,13 @@ object ConfigReader {
         try Some(parseDecontamTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed decontam task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      checksumTasks = root.path("checksumTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseChecksumTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed checksum task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -359,5 +367,15 @@ object ConfigReader {
       sourceDir = reqText(n, "sourceDir"),
       table = reqText(n, "table"),
       rules = rules)
+  }
+
+  private def parseChecksumTask(n: JsonNode): ChecksumSpec = {
+    val schedule = optText(n, "schedule").getOrElse("30 5 * * *")
+    graft.operators.Cron.parse(schedule)
+    ChecksumSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      targetDir = reqText(n, "targetDir"))
   }
 }

@@ -46,6 +46,7 @@ final class GraftEngine(
   @volatile private var optimizeSpecs: Seq[graft.model.OptimizeSpec] = Nil
   @volatile private var dqSpecs: Seq[graft.model.DqSpec] = Nil
   @volatile private var annIndexSpecs: Seq[graft.model.AnnIndexSpec] = Nil
+  @volatile private var checksumSpecs: Seq[graft.model.ChecksumSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -185,18 +186,19 @@ final class GraftEngine(
     recorder.foreach(_._2.flush())
     if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs ||
         cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs ||
-        cfg.annIndexTasks != annIndexSpecs) {
+        cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
       dqSpecs = cfg.dqTasks
       annIndexSpecs = cfg.annIndexTasks
+      checksumSpecs = cfg.checksumTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
         backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob) ++
           optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob) ++
-          annIndexSpecs.map(toAnnIndexJob),
+          annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -237,6 +239,18 @@ final class GraftEngine(
       try { GraftEngine.runAnnIndexMaintenance(spark, spec); () }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("ann_index_failed", s"annIndex${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toChecksumJob(spec: graft.model.ChecksumSpec): Cron.Job =
+    Cron.Job(GraftEngine.ChecksumJobIdOffset + spec.id, spec.schedule, () =>
+      try GraftEngine.runChecksumCompare(spark, spec).foreach {
+        case (month, src, tgt) =>
+          alerts.send(Alerts.Alert("checksum_mismatch", s"checksum${spec.id}",
+            s"month $month: source $src != target $tgt"))
+      }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("checksum_failed", s"checksum${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -601,6 +615,29 @@ object GraftEngine {
 
   /** ANN-index-maintenance namespace. */
   val AnnIndexJobIdOffset = 4000000
+
+  /** Checksum-reconciliation namespace. */
+  val ChecksumJobIdOffset = 5000000
+
+  /** Run one checksum reconciliation now: both ends' monthly XOR
+    * checksums compared via a full-outer join on the month (a month
+    * present on one side only is a divergence by definition — count
+    * drift shows up as a checksum drift too, since XOR folds every
+    * row). Returns (month, source "(n, cks)", target "(n, cks)") per
+    * diverging month — months-sized, driver-safe. */
+  def runChecksumCompare(spark: SparkSession,
+      spec: graft.model.ChecksumSpec): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.functions._
+    def fold(dir: String) = graft.operators.Relational.monthlyChecksums(spark, dir)
+    fold(spec.sourceDir).select(col("month"),
+        col("n_rows").as("sn"), col("checksum").as("sc"))
+      .join(fold(spec.targetDir).select(col("month"),
+        col("n_rows").as("tn"), col("checksum").as("tc")), Seq("month"), "full_outer")
+      .filter(!(col("sn") <=> col("tn")) || !(col("sc") <=> col("tc")))
+      .collect().toSeq
+      .map(r => (String.valueOf(r.getDate(0)),
+        s"(${r.get(1)}, ${r.get(2)})", s"(${r.get(3)}, ${r.get(4)})"))
+  }
 
   /** Evaluate one DQ task now; returns (rule, violations) for every
     * FAILED rule — the caller alerts on each. The full report is

@@ -126,6 +126,18 @@ final case class DqSpec(
     table: String = "",
     rules: Seq[graft.operators.DataQuality.Rule] = Nil)
 
+/** A scheduled source↔target CONTENT reconciliation: both ends'
+  * monthly XOR checksums ([[graft.operators.Relational.monthlyChecksums]])
+  * compared month by month, each diverging month raising a
+  * `checksum_mismatch` alert naming where the repair scan should go —
+  * the J4 count comparison upgraded to content equality, still without
+  * moving a row between stores. */
+final case class ChecksumSpec(
+    id: Int,
+    schedule: String = "30 5 * * *",
+    sourceDir: String = "",
+    targetDir: String = "")
+
 /** A scheduled vector-index maintenance job — the index-ops face of
   * the ANN family, composing the persisted-index operators the way
   * `optimizeTasks` composes the layout ones: found each enabled index

@@ -1039,4 +1039,44 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("scheduled checksum reconciliation: a drifted month alerts with both fingerprints, a synced pair stays silent") {
+    val root = tmp()
+    val orders = Tables(spark, sf, "orders")
+    orders.write.parquet(s"$root/src/orders.parquet")
+    // the target drifts in ONE month: one order's price changes
+    val victim = orders.select(
+      org.apache.spark.sql.functions.col("o_orderkey"),
+      org.apache.spark.sql.functions.col("o_orderdate")).head()
+    val victimMonth = victim.getTimestamp(1).toLocalDateTime.toLocalDate
+      .withDayOfMonth(1).toString
+    orders.withColumn("o_totalprice",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("o_orderkey") === victim.getLong(0),
+          org.apache.spark.sql.functions.col("o_totalprice") + 1.0)
+          .otherwise(org.apache.spark.sql.functions.col("o_totalprice")))
+      .write.parquet(s"$root/tgt/orders.parquet")
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "checksumTasks": [
+         |  { "id": 7, "schedule": "15 5 * * *",
+         |    "sourceDir": "$root/src", "targetDir": "$root/tgt" }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T05:15:00")) ==
+        Seq(GraftEngine.ChecksumJobIdOffset + 7))
+      val fired = alerts.drain().filter(_.kind == "checksum_mismatch")
+      // exactly the drifted month alerts, naming both fingerprints
+      assert(fired.map(_.message).count(_.startsWith(s"month $victimMonth:")) == 1)
+      assert(fired.size == 1)
+      // repair the target: the next day's run stays silent
+      orders.write.mode("overwrite").parquet(s"$root/tgt/orders.parquet")
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T05:15:00")) ==
+        Seq(GraftEngine.ChecksumJobIdOffset + 7))
+      assert(alerts.drain().isEmpty)
+    } finally engine.stop()
+  }
+
 }

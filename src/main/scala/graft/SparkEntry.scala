@@ -396,6 +396,7 @@ object SparkEntry {
     "q190_order_backlog" -> ((s, d) => Relational.openOrderBacklog(s, d)),
     "q191_k_anonymity" -> ((s, d) => DataQuality.customerKAnonymity(s, d)),
     "q192_retrieval_eval" -> ((s, d) => Relevance.retrievalEval(s, d)),
+    "q193_topic_packing" -> ((s, d) => TextOps.topicPackAssignments(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3391,6 +3392,32 @@ object SparkEntry {
         |    * 1000000 // 4543554 AS BIGINT) AS ndcg_micro
         |FROM re_join JOIN re_w w ON re_join.rank_sys = w.rnk
         |GROUP BY query_id""".stripMargin,
+    // q193: topic-coherent packing — the q184 assignment replay feeding
+    // the q52 running-sum chunking; unembedded docs pack as topic -1
+    "q193_topic_packing" ->
+      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+        |               FROM embeddings WHERE vec_id < 16),
+        | sims AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6)
+        |      AS cent_sim
+        |  FROM embeddings e CROSS JOIN cents c),
+        | assigned AS (SELECT vec_id, centroid_id AS tpc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cent_sim DESC, centroid_id ASC) AS rk
+        |    FROM sims) WHERE rk = 1),
+        | d AS (SELECT doc_id, CAST(coalesce(tpc, -1) AS BIGINT) AS topic,
+        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |   FROM documents LEFT JOIN assigned ON doc_id = vec_id),
+        | c AS (SELECT doc_id, topic, n_tokens,
+        |     CAST(sum(n_tokens) OVER (PARTITION BY topic ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |   FROM d)
+        |SELECT doc_id, topic, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id,
+        |  ((cum - n_tokens) % 512 + n_tokens) > 512 AS spans_boundary
+        |FROM c""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

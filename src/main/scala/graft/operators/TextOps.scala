@@ -624,6 +624,42 @@ object TextOps {
         array_join(transform(sort_array(collect_list(col("doc_id"))),
           _.cast("string")), "-").as("doc_ids"))
 
+  /** TOPIC-COHERENT sequence packing — the in-context-pretraining
+    * variant of [[packSequences]] (pack related documents into the
+    * same training sequence so cross-document attention sees coherent
+    * context, rather than the hash-random neighbors of the default
+    * packer): the pack group is the document's TOPIC — its nearest
+    * coarse centroid under the literal codebook (the q184/q46
+    * assignment, bit-identical, oracle-replayable) — and the
+    * within-group order/chunking is the q52 running-sum convention
+    * verbatim. A document with no embedding packs into the explicit
+    * topic −1 group (declared, never dropped — the trainer still
+    * needs its tokens). Same scale shape as q52: one window per
+    * topic-sized partition; topic count is codebook-bounded, so a
+    * giant topic just means longer chunk ids, never wider state. */
+  def topicPackAssignments(spark: SparkSession, dir: String,
+      capacity: Int = 512, numCentroids: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = Similarity.assignCells(emb, cents)
+      .select(col("vec_id"), col("centroid_id").as("tpc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("topic")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(assigned, col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"), coalesce(col("tpc"), lit(-1L)).as("topic"),
+        col("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("topic"), col("n_tokens"),
+        ((col("_cum") - col("n_tokens")) / capacity).cast("long").as("chunk_id"),
+        (pmod(col("_cum") - col("n_tokens"), lit(capacity.toLong)) + col("n_tokens")
+          > capacity).as("spans_boundary"))
+  }
+
   // ---- PII scrubbing --------------------------------------------------
 
   /** (name, regex, replacement) per PII category, applied IN ORDER —

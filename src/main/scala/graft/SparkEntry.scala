@@ -397,6 +397,8 @@ object SparkEntry {
     "q191_k_anonymity" -> ((s, d) => DataQuality.customerKAnonymity(s, d)),
     "q192_retrieval_eval" -> ((s, d) => Relevance.retrievalEval(s, d)),
     "q193_topic_packing" -> ((s, d) => TextOps.topicPackAssignments(s, d)),
+    "q194_key_skew" -> ((s, d) =>
+      DataQuality.keySkewProfile(graft.Tables(s, d, "events"), "user_id")),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3418,6 +3420,20 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id,
         |  ((cum - n_tokens) % 512 + n_tokens) > 512 AS spans_boundary
         |FROM c""".stripMargin,
+    // q194: key-skew decile ladder over per-key loads; rank positions
+    // use the deterministic greatest(1, n*d div 10) convention
+    "q194_key_skew" ->
+      """WITH loads AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS load
+        |   FROM events GROUP BY 1),
+        | r AS (SELECT k, load,
+        |     row_number() OVER (ORDER BY load ASC, k ASC) AS rn,
+        |     CAST(count(*) OVER () AS BIGINT) AS n_keys,
+        |     CAST(sum(load) OVER () AS BIGINT) AS total
+        |   FROM loads),
+        | d AS (SELECT CAST(unnest(range(0, 11)) AS BIGINT) AS decile)
+        |SELECT decile, load, n_keys,
+        |  CAST(load * n_keys * 1000000 // total AS BIGINT) AS vs_mean_micro
+        |FROM r JOIN d ON rn = greatest(1, (n_keys * decile) // 10)""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

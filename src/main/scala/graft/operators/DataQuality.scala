@@ -71,6 +71,33 @@ object DataQuality {
         expr("n_rows * 1000000 div sum(n_rows) OVER ()"))
   }
 
+  /** KEY-SKEW profile — the shuffle-planning diagnostic read before a
+    * 100 TB join or aggregation on `key`: per-key row loads summarized
+    * as an exact decile ladder (the load at each rank-decile position,
+    * q159's deterministic rank convention) with each rung's ratio to
+    * the FAIR SHARE (load·n_keys / total, integer micro) — a p100 rung
+    * at 40× mean is the number that says "salt this key" before a
+    * straggler says it in production. Two aggregates: per-key loads
+    * (one shuffle on the key under test — the profile costs what one
+    * round of the real job costs), then windows + an 11-row decile
+    * join over the keys-sized frame. */
+  def keySkewProfile(df: DataFrame, key: String): DataFrame = {
+    val loads = df.groupBy(col(key).as("k"))
+      .agg(count(lit(1)).as("load"))
+    import org.apache.spark.sql.expressions.Window
+    loads
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("load").asc, col("k").asc)))
+      .withColumn("n_keys", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum(col("load")).over(Window.partitionBy()))
+      .select(col("load"), col("rn"), col("n_keys"), col("total"),
+        explode(sequence(lit(0), lit(10))).as("decile"))
+      .filter(col("rn") === expr("greatest(1, (n_keys * decile) div 10)"))
+      .select(col("decile").cast("long").as("decile"), col("load"),
+        col("n_keys"),
+        expr("load * n_keys * 1000000 div total").as("vs_mean_micro"))
+  }
+
   /** [[kAnonymityProfile]] over the customer table with the standard
     * quasi-identifier set — nation, market segment, and the
     * account balance coarsened to 1000-unit bands (the generalization

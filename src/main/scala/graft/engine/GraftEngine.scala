@@ -690,18 +690,20 @@ object GraftEngine {
         Similarity.buildStoredIvf(emb, ivfRoot)
         parts += "ivf founded"
       } else {
-        val (fresh, n) = increment(s"$ivfRoot/cells")
+        val (fresh, n) = increment(
+          graft.operators.Atomic.resolve(spark, ivfRoot, "cells"))
         if (n > 0) Similarity.appendToStoredIvf(fresh, ivfRoot)
         parts += s"ivf +$n"
       }
       if (spec.compact) { Similarity.compactStoredIvf(spark, ivfRoot); parts += "ivf compacted" }
     }
     if (spec.codes) {
-      if (!exists(s"$codesRoot/codes")) {
+      if (!exists(graft.operators.Atomic.resolve(spark, codesRoot, "codes"))) {
         Similarity.foundCodeIndex(emb, codesRoot)
         parts += "codes founded"
       } else {
-        val (fresh, n) = increment(s"$codesRoot/codes")
+        val (fresh, n) = increment(
+          graft.operators.Atomic.resolve(spark, codesRoot, "codes"))
         if (n > 0) Similarity.appendToCodeIndex(fresh, codesRoot)
         parts += s"codes +$n"
       }

@@ -450,11 +450,12 @@ object Dedup {
     val hashed = docs.select(col("doc_id"),
       elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs")).persist()
     try {
-      hashed.write.mode("append").parquet(s"$indexDir/hashed")
+      hashed.write.mode("append")
+        .parquet(Atomic.resolve(docs.sparkSession, indexDir, "hashed"))
       val sigs = minhashSignatures(hashed.withColumn("n", size(col("hs"))),
         carry = Seq("n"))
       explodeBands(sigs, carry = Seq("n")).write.mode("append")
-        .parquet(s"$indexDir/bands")
+        .parquet(Atomic.resolve(docs.sparkSession, indexDir, "bands"))
     } finally hashed.unpersist()
   }
 
@@ -471,9 +472,11 @@ object Dedup {
     // honor right-to-be-forgotten tombstones ([[forgetInStoredIndex]]):
     // a tombstoned document neither candidates nor verifies
     val storedBands = Forgotten.exclude(
-      spark.read.parquet(s"$indexDir/bands"), "doc_id", spark, indexDir)
+      spark.read.parquet(Atomic.resolve(spark, indexDir, "bands")),
+      "doc_id", spark, indexDir)
     val storedHashed = Forgotten.exclude(
-      spark.read.parquet(s"$indexDir/hashed"), "doc_id", spark, indexDir)
+      spark.read.parquet(Atomic.resolve(spark, indexDir, "hashed")),
+      "doc_id", spark, indexDir)
     // band the batch fresh: increment-sized work, cheaper than filtering
     // the full stored index for the batch's rows
     val hashed = batch.select(col("doc_id"),
@@ -548,7 +551,8 @@ object Dedup {
     val storedPostings = Forgotten.exclude(
       spark.read.parquet(s"$indexDir/postings"), "doc_id", spark, indexDir)
     val storedHashed = Forgotten.exclude(
-      spark.read.parquet(s"$indexDir/hashed"), "doc_id", spark, indexDir)
+      spark.read.parquet(Atomic.resolve(spark, indexDir, "hashed")),
+      "doc_id", spark, indexDir)
     val storedRare = Forgotten.exclude(
       spark.read.parquet(s"$indexDir/rare"), "doc_id", spark, indexDir)
     val batchIds = batch.select(col("doc_id")).distinct()
@@ -595,17 +599,13 @@ object Dedup {
     * [[Similarity.compactStoredIvf]]. */
   def compactStoredIndex(spark: SparkSession, indexDir: String,
       numFiles: Int = 8): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("hashed", "bands").foreach { t =>
-      val staged = s"$indexDir/${t}_compacting"
-      Forgotten.exclude(spark.read.parquet(s"$indexDir/$t"), "doc_id", spark, indexDir)
-        .repartition(numFiles)
-        .write.mode("overwrite").parquet(staged)
-      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
-      fs.delete(live, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(staged), live),
-        s"compaction swap failed for $indexDir/$t")
+      val live = Forgotten.exclude(
+        spark.read.parquet(Atomic.resolve(spark, indexDir, t)),
+        "doc_id", spark, indexDir)
+      Atomic.publish(spark, indexDir, t) { staged =>
+        live.repartition(numFiles).write.mode("overwrite").parquet(staged)
+      }
     }
     Forgotten.clear(spark, indexDir)
   }

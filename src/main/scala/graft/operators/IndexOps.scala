@@ -35,16 +35,30 @@ object IndexOps {
           case Some(f) => spark.read.parquet(f.toString).count()
           case None => 0L
         }
-        children.filterNot(_.getName == "forgotten").toSeq.sortBy(_.getName)
-          .map { t =>
-            // recursive: partitioned artifacts (compacted IVF cells)
-            // keep their files under partition subdirectories
-            val it = fs.listFiles(t, true)
-            var files = 0L
-            while (it.hasNext)
-              if (it.next().getPath.getName.endsWith(".parquet")) files += 1
-            (kind, t.getName, spark.read.parquet(t.toString).count(),
-              files, tombstones)
+        // versioned artifacts (marker-committed compaction) report under
+        // their BASE name, resolving to the committed version; an
+        // unmarked stray from a crashed publish is not an artifact
+        val versioned = "(.+)_v(\\d+)".r
+        children.filterNot(_.getName == "forgotten")
+          .map(_.getName match {
+            case versioned(base, _) => base
+            case n => n
+          })
+          .distinct.toSeq.sorted
+          .flatMap { base =>
+            val t = new org.apache.hadoop.fs.Path(
+              Atomic.resolve(spark, dir, base))
+            if (!fs.exists(t)) Nil
+            else {
+              // recursive: partitioned artifacts (compacted IVF cells)
+              // keep their files under partition subdirectories
+              val it = fs.listFiles(t, true)
+              var files = 0L
+              while (it.hasNext)
+                if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+              Seq((kind, base, spark.read.parquet(t.toString).count(),
+                files, tombstones))
+            }
           }
       }
     }

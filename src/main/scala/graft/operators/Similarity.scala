@@ -352,7 +352,8 @@ object Similarity {
     * [[buildStoredIvf]] to have founded the index. */
   def appendToStoredIvf(embs: DataFrame, indexDir: String): Unit =
     assignCells(embs, loadCentroids(embs.sparkSession, indexDir))
-      .write.mode("append").parquet(s"$indexDir/cells")
+      .write.mode("append")
+      .parquet(Atomic.resolve(embs.sparkSession, indexDir, "cells"))
 
   /** Top-k ANN of `queries` against the stored index: probe cells are
     * chosen under the stored codebook, candidates come from the
@@ -368,7 +369,8 @@ object Similarity {
     // Forgotten.exclude honors right-to-be-forgotten tombstones
     // ([[forgetInStoredIvf]]) until compaction erases the rows.
     val cells = Forgotten.exclude(
-        spark.read.parquet(s"$indexDir/cells"), "vec_id", spark, indexDir)
+        spark.read.parquet(Atomic.resolve(spark, indexDir, "cells")),
+        "vec_id", spark, indexDir)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
         col("centroid_id").cast("long").as("centroid_id"))
     val probes = queries
@@ -422,7 +424,8 @@ object Similarity {
   def ivfCellStats(spark: SparkSession, indexDir: String): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids").select("centroid_id")
     val occ = Forgotten.exclude(
-        spark.read.parquet(s"$indexDir/cells"), "vec_id", spark, indexDir)
+        spark.read.parquet(Atomic.resolve(spark, indexDir, "cells")),
+        "vec_id", spark, indexDir)
       .groupBy(col("centroid_id").cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n_vectors"))
     cents.join(occ, Seq("centroid_id"), "left")
@@ -438,23 +441,22 @@ object Similarity {
     * dynamic partition pruning fires off the broadcast probe side;
     * spec-pinned) instead of every file in the index.
     *
-    * Swap protocol: stage the rewrite, then two renames. Readers in
-    * the gap see a missing directory and retry — the single-writer
-    * maintenance-window contract every file-based index here uses
-    * (production would flip a manifest pointer instead). */
+    * Swap protocol: MARKER-COMMITTED versions ([[Atomic.publish]]) —
+    * the rewrite fills `cells_v<N+1>` and an atomic marker create
+    * makes it live; a concurrent probe resolves the previous version
+    * until that instant and a crash at any step leaves the old
+    * version readable (the in-place delete+rename this replaces had a
+    * window where readers planned against an empty relation). */
   def compactStoredIvf(spark: SparkSession, indexDir: String): Unit = {
-    val staged = s"$indexDir/cells_compacting"
     // compaction is also the durable right-to-be-forgotten erasure:
     // tombstoned vectors are dropped from the rewrite, then cleared
-    Forgotten.exclude(spark.read.parquet(s"$indexDir/cells"), "vec_id", spark, indexDir)
-      .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
-    fs.delete(cells, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staged), cells),
-      s"compaction swap failed for $indexDir")
+    val live = Forgotten.exclude(
+      spark.read.parquet(Atomic.resolve(spark, indexDir, "cells")),
+      "vec_id", spark, indexDir)
+    Atomic.publish(spark, indexDir, "cells") { staged =>
+      live.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
+    }
     Forgotten.clear(spark, indexDir)
   }
 
@@ -920,7 +922,8 @@ object Similarity {
   def appendToCodeIndex(batch: DataFrame, indexDir: String): Unit =
     batch.select(col("vec_id"),
         Vectors.hyperplaneSignature(col("embedding"), nBits = 60).as("sig"))
-      .write.mode("append").parquet(s"$indexDir/codes")
+      .write.mode("append")
+      .parquet(Atomic.resolve(batch.sparkSession, indexDir, "codes"))
 
   /** O(request) deletion: tombstone now, erase at compaction —
     * the [[Forgotten]] contract the other row indexes share. */
@@ -931,16 +934,12 @@ object Similarity {
   /** Rewrite the codes minus tombstones behind a staged swap — the
     * durable erasure + small-file compaction in one maintenance act. */
   def compactCodeIndex(spark: SparkSession, indexDir: String): Unit = {
-    val staged = s"$indexDir/codes_compacting"
-    Forgotten.exclude(spark.read.parquet(s"$indexDir/codes"), "vec_id",
-        spark, indexDir)
-      .coalesce(1).write.mode("overwrite").parquet(staged)
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
-    fs.delete(codes, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staged), codes),
-      s"compaction swap failed for $indexDir")
+    val live = Forgotten.exclude(
+      spark.read.parquet(Atomic.resolve(spark, indexDir, "codes")),
+      "vec_id", spark, indexDir)
+    Atomic.publish(spark, indexDir, "codes") { staged =>
+      live.coalesce(1).write.mode("overwrite").parquet(staged)
+    }
     Forgotten.clear(spark, indexDir)
   }
 
@@ -998,7 +997,8 @@ object Similarity {
     val q = queries.select(col("vec_id"), col("embedding"),
       Vectors.hyperplaneSignature(col("embedding"), nBits = 60).as("sig"))
     val codes = Forgotten.exclude(
-      spark.read.schema("vec_id LONG, sig LONG").parquet(s"$indexDir/codes"),
+      spark.read.schema("vec_id LONG, sig LONG")
+        .parquet(Atomic.resolve(spark, indexDir, "codes")),
       "vec_id", spark, indexDir)
     hammingShortlistRerank(q, codes, rowStore, k, shortlist)
   }

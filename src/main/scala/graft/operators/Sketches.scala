@@ -402,7 +402,8 @@ object Sketches {
   def appendToSketchStore(batch: DataFrame, storeDir: String): Unit =
     registerRows(batch)
       .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))
-      .write.mode("append").parquet(s"$storeDir/registers")
+      .write.mode("append")
+      .parquet(Atomic.resolve(batch.sparkSession, storeDir, "registers"))
 
   /** The store's merged register view: max over all increments.
     *
@@ -414,7 +415,7 @@ object Sketches {
     * take the tombstone path instead ([[Forgotten]]). */
   def storedRegisters(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.schema("source STRING, reg LONG, mrho INT")
-      .parquet(s"$storeDir/registers")
+      .parquet(Atomic.resolve(spark, storeDir, "registers"))
       .groupBy(col("source"), col("reg")).agg(max(col("mrho")).as("mrho"))
 
   /** Rewrite the accumulated increments as one merged register set —
@@ -423,15 +424,10 @@ object Sketches {
     * IVF cells compaction; reports are unchanged by construction
     * (max is idempotent/associative). */
   def compactSketchStore(spark: SparkSession, storeDir: String): Unit = {
-    val staged = s"$storeDir/registers_compacting"
-    storedRegisters(spark, storeDir).coalesce(1)
-      .write.mode("overwrite").parquet(staged)
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$storeDir/registers")
-    fs.delete(live, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staged), live),
-      s"compaction swap failed for $storeDir")
+    val live = storedRegisters(spark, storeDir)
+    Atomic.publish(spark, storeDir, "registers") { staged =>
+      live.coalesce(1).write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** Per-source distinct-token estimate read purely from the store —

@@ -27,7 +27,7 @@ object CodeStream {
       .select(col("vec_id"),
         Vectors.hyperplaneSignature(col("embedding"), nBits = 60).as("sig"))
       .writeStream.outputMode("append").format("parquet")
-      .option("path", s"$indexDir/codes")
+      .option("path", graft.operators.Atomic.resolve(spark, indexDir, "codes"))
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime("1 second"))

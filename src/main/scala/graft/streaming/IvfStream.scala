@@ -42,7 +42,10 @@ object IvfStream {
       .writeStream
       .outputMode("append")
       .format("parquet")
-      .option("path", s"$indexDir/cells")
+      // resolve the marker-committed current version at stream start; a
+      // compaction DURING the run still requires a stream restart (the
+      // sink's _spark_metadata is per-directory by design)
+      .option("path", graft.operators.Atomic.resolve(spark, indexDir, "cells"))
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
       .start()

@@ -28,9 +28,11 @@ class ForgetSpec extends SparkSpec {
     assert(after == before.filterNot(p => p._1 == victim || p._2 == victim))
     // compaction: physical erasure + tombstone clear, probes unchanged
     Dedup.compactStoredIndex(spark, indexDir)
-    assert(!spark.read.parquet(s"$indexDir/hashed").collect().map(_.getLong(0))
-      .contains(victim))
-    assert(!spark.read.parquet(s"$indexDir/bands")
+    assert(!spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "hashed"))
+      .collect().map(_.getLong(0)).contains(victim))
+    assert(!spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "bands"))
       .select("doc_id").collect().map(_.getLong(0)).contains(victim))
     assert(!new java.io.File(s"$indexDir/forgotten").exists())
     assert(probePairs() == after)
@@ -56,8 +58,9 @@ class ForgetSpec extends SparkSpec {
     assert(Similarity.ivfCellStats(spark, indexDir).collect()
       .map(_.getLong(1)).sum == total - 1)
     Similarity.compactStoredIvf(spark, indexDir)
-    assert(!spark.read.parquet(s"$indexDir/cells").select("vec_id")
-      .collect().map(_.getLong(0)).contains(victim))
+    assert(!spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "cells"))
+      .select("vec_id").collect().map(_.getLong(0)).contains(victim))
     assert(!new java.io.File(s"$indexDir/forgotten").exists())
     assert(topk() == after)
   }
@@ -83,10 +86,14 @@ class ForgetSpec extends SparkSpec {
     assert(!after.exists(_._2 == victim))
     assert(after.map(_._1) == before.map(_._1), "every query still answers")
     // compaction: the row leaves disk, tombstones clear, probe unchanged
-    val rawBefore = spark.read.parquet(s"$indexDir/codes").count()
+    val rawBefore = spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "codes")).count()
     Similarity.compactCodeIndex(spark, indexDir)
-    assert(spark.read.parquet(s"$indexDir/codes").count() == rawBefore - 1)
-    assert(!spark.read.parquet(s"$indexDir/codes")
+    assert(spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "codes"))
+      .count() == rawBefore - 1)
+    assert(!spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "codes"))
       .collect().map(_.getLong(0)).contains(victim))
     assert(!new java.io.File(s"$indexDir/forgotten").exists())
     assert(topk() == after)

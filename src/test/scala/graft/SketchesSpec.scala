@@ -198,7 +198,8 @@ class SketchesSpec extends SparkSpec {
     // compaction: raw row count drops to the merged set, reports unchanged
     val rawBefore = spark.read.parquet(s"$store/registers").count()
     Sketches.compactSketchStore(spark, store)
-    val rawAfter = spark.read.parquet(s"$store/registers").count()
+    val rawAfter = spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, store, "registers")).count()
     assert(rawAfter == got.size.toLong && rawAfter < rawBefore)
     val gotD2 = Sketches.distinctFromStore(spark, store).collect()
       .map(r => (r.getString(0), r.getDouble(2))).toSet

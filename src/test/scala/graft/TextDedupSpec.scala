@@ -932,7 +932,8 @@ class TextDedupSpec extends SparkSpec {
         case _ => 0
       }.sum
     val occupied = stats.count(_._2 > 0L)
-    assert(parquetFiles(new java.io.File(s"$indexDir/cells")) == occupied)
+    assert(parquetFiles(new java.io.File(
+      graft.operators.Atomic.resolve(spark, indexDir, "cells"))) == occupied)
     val compactProbe = Similarity.ivfTopKAgainstStoredIndex(spark, indexDir,
       emb.filter(col("vec_id") < 10))
     val plan = compactProbe.queryExecution.executedPlan.toString

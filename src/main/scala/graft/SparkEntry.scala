@@ -399,6 +399,8 @@ object SparkEntry {
     "q193_topic_packing" -> ((s, d) => TextOps.topicPackAssignments(s, d)),
     "q194_key_skew" -> ((s, d) =>
       DataQuality.keySkewProfile(graft.Tables(s, d, "events"), "user_id")),
+    "q195_price_qty_corr" -> ((s, d) => Relational.priceQuantityCorrelation(s, d)),
+    "q196_chi_square" -> ((s, d) => Relational.chiSquareIndependence(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3434,6 +3436,51 @@ object SparkEntry {
         |SELECT decile, load, n_keys,
         |  CAST(load * n_keys * 1000000 // total AS BIGINT) AS vs_mean_micro
         |FROM r JOIN d ON rn = greatest(1, (n_keys * decile) // 10)""".stripMargin,
+    // q195: exact integer moments (HUGEINT sums ≙ Spark Decimal(38)),
+    // double arithmetic only on the final ratio — same op order
+    "q195_price_qty_corr" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sxx,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS syy,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        | v AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+        |  FROM m)
+        |SELECT l_returnflag, n AS n_lines,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    CAST(round(round(cv / sqrt(vx * vy), 6) * 1000000, 0) AS BIGINT)
+        |  END AS corr_micro
+        |FROM v""".stripMargin,
+    // q196: chi-square cells — exact HUGEINT rational, one double division
+    "q196_chi_square" ->
+      """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        | w AS (SELECT *,
+        |    CAST(sum(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS row_tot,
+        |    CAST(sum(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS col_tot,
+        |    CAST(sum(obs) OVER () AS BIGINT) AS total
+        |  FROM cells),
+        | t AS (SELECT *,
+        |    CAST(obs AS HUGEINT) * total
+        |      - CAST(row_tot AS HUGEINT) * col_tot AS num,
+        |    CAST(total AS HUGEINT) * row_tot * col_tot AS den
+        |  FROM w)
+        |SELECT o_orderpriority, o_orderstatus, obs,
+        |  CAST(row_tot * col_tot * 1000000 // total AS BIGINT) AS exp_micro,
+        |  CAST(round(round(CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |    * 1000000, 0) AS BIGINT) AS chi2_term_micro
+        |FROM t""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -1171,6 +1171,68 @@ object Relational {
           .as("profit_cents"))
   }
 
+  /** Exact Pearson correlation between line price and quantity, per
+    * return flag — the relationship-screening primitive beside the
+    * distribution profilers. Moments fold as EXACT integers (floor
+    * cents × integral quantities) through Decimal(38) — Spark's
+    * `corr()` would double-sum in shuffle order and drift cross-engine
+    * — and the only floats are the final (nΣxy−ΣxΣy)/√(·)(·) whose
+    * inputs are bit-identical on both engines (the q155 moment
+    * discipline). One map-side-combined aggregate; degenerate groups
+    * (zero variance) report NULL, never a divide-by-zero. */
+  def priceQuantityCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+    val (dx, dy) = (col("x").cast(dec), col("y").cast(dec))
+    val m = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"), sum(dx * dy).as("sxy"))
+    val nD = col("n").cast("double")
+    val varX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    m.select(col("l_returnflag"), col("n").as("n_lines"),
+      when(varX > 0 && varY > 0,
+        round(round(cov / sqrt(varX * varY), 6) * 1000000, 0).cast("long"))
+        .as("corr_micro"))
+  }
+
+  /** Chi-square independence screen between two categorical columns
+    * (order priority × order status): per contingency cell the
+    * observed count, the expected count under independence (integer
+    * micro — row·col/total, exact), and the cell's χ² contribution.
+    * The DQ question behind it: "is attribute A informative about B,
+    * or can the sampler treat them as independent?" Cell math is the
+    * exact rational (obs·total − row·col)²/(total·row·col) folded
+    * through Decimal(38) (the products overflow int64 at fact-table
+    * counts), one double division at the end. One scan, a
+    * (|A|×|B|)-sized frame, three windows over it. */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("obs"))
+      .withColumn("row_tot", sum(col("obs")).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .withColumn("col_tot", sum(col("obs")).over(
+        Window.partitionBy(col("o_orderstatus"))))
+      .withColumn("total", sum(col("obs")).over(Window.partitionBy()))
+    val num = col("obs").cast(dec) * col("total").cast(dec) -
+      col("row_tot").cast(dec) * col("col_tot").cast(dec)
+    val den = col("total").cast(dec) * col("row_tot").cast(dec) *
+      col("col_tot").cast(dec)
+    cells.select(col("o_orderpriority"), col("o_orderstatus"), col("obs"),
+      expr("row_tot * col_tot * 1000000 div total").as("exp_micro"),
+      round(round((num * num).cast("double") / den.cast("double"), 6) * 1000000, 0)
+        .cast("long").as("chi2_term_micro"))
+  }
+
   /** Multi-granularity revenue via GROUPING SETS — the explicit-set
     * sibling of q89's CUBE: grand total, per-year, and per-(year,
     * nation) in ONE aggregate pass (Spark plans a single Expand ×3

@@ -401,6 +401,10 @@ object SparkEntry {
       DataQuality.keySkewProfile(graft.Tables(s, d, "events"), "user_id")),
     "q195_price_qty_corr" -> ((s, d) => Relational.priceQuantityCorrelation(s, d)),
     "q196_chi_square" -> ((s, d) => Relational.chiSquareIndependence(s, d)),
+    "q197_part_associations" -> ((s, d) => Relational.partAssociations(s, d)),
+    "q198_ref_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
+      graft.Tables(s, d, "lineitem"), "l_orderkey",
+      graft.Tables(s, d, "orders"), "o_orderkey")),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3481,6 +3485,54 @@ object SparkEntry {
         |  CAST(round(round(CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
         |    * 1000000, 0) AS BIGINT) AS chi2_term_micro
         |FROM t""".stripMargin,
+    // q197: market-basket rules — within-basket pairs, support >= 3,
+    // top-20 by (support, pair)
+    "q197_part_associations" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |   FROM lineitem),
+        | nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+        |   FROM items),
+        | itemn AS (SELECT item, CAST(count(*) AS BIGINT) AS item_n
+        |   FROM items GROUP BY item),
+        | pairs AS (SELECT a.item AS pa, b.item AS pb,
+        |     CAST(count(*) AS BIGINT) AS pair_n
+        |   FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |   GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pa, pb, pair_n, na.item_n AS n_a, nb2.item_n AS n_b,
+        |  CAST(pair_n * 1000000 // nb.n_baskets AS BIGINT) AS support_micro,
+        |  CAST(pair_n * 1000000 // na.item_n AS BIGINT) AS conf_a_to_b_micro,
+        |  CAST(pair_n * 1000000 // nb2.item_n AS BIGINT) AS conf_b_to_a_micro,
+        |  CAST(pair_n * nb.n_baskets * 1000000 // (na.item_n * nb2.item_n)
+        |    AS BIGINT) AS lift_micro
+        |FROM pairs
+        |JOIN itemn na ON pa = na.item
+        |JOIN itemn nb2 ON pb = nb2.item
+        |CROSS JOIN nb
+        |ORDER BY pair_n DESC, pa, pb
+        |LIMIT 20""".stripMargin,
+    // q198: referential integrity — keys-only full-outer merge
+    "q198_ref_integrity" ->
+      """WITH c AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS child_rows
+        |   FROM lineitem GROUP BY 1),
+        | p AS (SELECT o_orderkey AS k, TRUE AS is_parent FROM orders),
+        | j AS (SELECT coalesce(c.k, p.k) AS k, child_rows, is_parent
+        |   FROM c FULL OUTER JOIN p ON c.k = p.k)
+        |SELECT CAST(coalesce(sum(child_rows), 0) AS BIGINT) AS n_child_rows,
+        |  CAST(sum(CASE WHEN is_parent IS NULL THEN child_rows ELSE 0 END)
+        |    AS BIGINT) AS n_orphan_rows,
+        |  CAST(count(CASE WHEN is_parent IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_parents,
+        |  CAST(count(CASE WHEN is_parent IS NOT NULL AND child_rows IS NULL
+        |    THEN 1 END) AS BIGINT) AS n_childless_parents,
+        |  CAST(CAST(sum(CASE WHEN is_parent IS NULL THEN child_rows ELSE 0 END)
+        |      AS BIGINT) * 1000000
+        |    // CAST(coalesce(sum(child_rows), 0) AS BIGINT) AS BIGINT)
+        |    AS orphan_micro,
+        |  CAST(CAST(count(CASE WHEN is_parent IS NOT NULL AND child_rows IS NULL
+        |      THEN 1 END) AS BIGINT) * 1000000
+        |    // CAST(count(CASE WHEN is_parent IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS BIGINT) AS childless_micro
+        |FROM j""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

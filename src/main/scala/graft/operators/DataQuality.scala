@@ -98,6 +98,33 @@ object DataQuality {
         expr("load * n_keys * 1000000 div total").as("vs_mean_micro"))
   }
 
+  /** Referential-integrity audit between a fact table and its parent:
+    * orphan children (a foreign key no parent row carries) and
+    * childless parents, as counts and micro rates — the FK check a
+    * sync pipeline runs after every bulk apply (a partial snapshot
+    * restore shows up here before any consumer joins into nulls).
+    * One aggregate per side collapsed to keys, one full-outer merge
+    * on the key, one 1-row fold — child rows never cross the join
+    * twice. */
+  def referentialIntegrity(children: DataFrame, childKey: String,
+      parents: DataFrame, parentKey: String): DataFrame = {
+    val c = children.groupBy(col(childKey).as("k"))
+      .agg(count(lit(1)).as("child_rows"))
+    val p = parents.select(col(parentKey).as("k"), lit(true).as("is_parent"))
+    c.join(p, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum(col("child_rows")), lit(0L)).as("n_child_rows"),
+        sum(when(col("is_parent").isNull, col("child_rows")).otherwise(0L))
+          .as("n_orphan_rows"),
+        count(when(col("is_parent").isNotNull, lit(1))).as("n_parents"),
+        count(when(col("is_parent").isNotNull && col("child_rows").isNull,
+          lit(1))).as("n_childless_parents"))
+      .select(col("n_child_rows"), col("n_orphan_rows"),
+        col("n_parents"), col("n_childless_parents"),
+        expr("n_orphan_rows * 1000000 div n_child_rows").as("orphan_micro"),
+        expr("n_childless_parents * 1000000 div n_parents").as("childless_micro"))
+  }
+
   /** [[kAnonymityProfile]] over the customer table with the standard
     * quasi-identifier set — nation, market segment, and the
     * account balance coarsened to 1000-unit bands (the generalization

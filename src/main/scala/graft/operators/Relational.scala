@@ -1171,6 +1171,41 @@ object Relational {
           .as("profit_cents"))
   }
 
+  /** Market-basket association rules over order baskets — the sparse
+    * HIGH-CARDINALITY itemset face (part keys grow with the catalog)
+    * beside q125/q170's |types|²-bounded event lift: per co-purchased
+    * part pair with support ≥ `minSupport` baskets, the support,
+    * directional confidence, and lift in integer micro. Candidate
+    * pairs come from a WITHIN-BASKET self-join on the order key —
+    * fan-out is basket-size², bounded by order width, never
+    * catalog² — and the support threshold prunes before the
+    * metadata-sized stat joins. Basket count is a 1-row scalar
+    * (profiler convention); the head is a top-k TakeOrdered on
+    * (support, pair). */
+  def partAssociations(spark: SparkSession, dir: String,
+      minSupport: Int = 3, k: Int = 20): DataFrame = {
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val nBaskets = items.select(col("basket")).distinct().count()
+    val itemN = items.groupBy(col("item")).agg(count(lit(1)).as("item_n"))
+    val pairs = items.select(col("basket"), col("item").as("pa"))
+      .join(items.select(col("basket"), col("item").as("pb")), Seq("basket"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    pairs
+      .join(itemN.select(col("item").as("pa"), col("item_n").as("n_a")), Seq("pa"))
+      .join(itemN.select(col("item").as("pb"), col("item_n").as("n_b")), Seq("pb"))
+      .select(col("pa"), col("pb"), col("pair_n"), col("n_a"), col("n_b"),
+        expr(s"pair_n * 1000000 div $nBaskets").as("support_micro"),
+        expr("pair_n * 1000000 div n_a").as("conf_a_to_b_micro"),
+        expr("pair_n * 1000000 div n_b").as("conf_b_to_a_micro"),
+        expr(s"pair_n * $nBaskets * 1000000 div (n_a * n_b)").as("lift_micro"))
+      .orderBy(col("pair_n").desc, col("pa"), col("pb"))
+      .limit(k)
+  }
+
   /** Exact Pearson correlation between line price and quantity, per
     * return flag — the relationship-screening primitive beside the
     * distribution profilers. Moments fold as EXACT integers (floor

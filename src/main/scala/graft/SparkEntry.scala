@@ -405,6 +405,8 @@ object SparkEntry {
     "q198_ref_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
       graft.Tables(s, d, "lineitem"), "l_orderkey",
       graft.Tables(s, d, "orders"), "o_orderkey")),
+    "q199_triplets" -> ((s, d) => Similarity.contrastiveTriplets(s, d)),
+    "q200_datasheet" -> ((s, d) => TextOps.corpusDatasheet(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3533,6 +3535,72 @@ object SparkEntry {
         |    // CAST(count(CASE WHEN is_parent IS NOT NULL THEN 1 END) AS BIGINT)
         |    AS BIGINT) AS childless_micro
         |FROM j""".stripMargin,
+    // q199: triplets — q137's banded positives composed with the
+    // q106-shaped hard-negative probe, rank 1, probes = the anchor set
+    "q199_triplets" -> {
+      val bandCond = (0 until 4).map { j =>
+        s"((x.sig >> ${j * 4}) & 15 = (y.sig >> ${j * 4}) & 15)" }.mkString(" OR ")
+      s"""WITH s AS (SELECT vec_id, label, embedding,
+         |    ($HyperplaneSigSql) AS sig FROM embeddings),
+         | tp_pos AS (
+         |  SELECT x.vec_id AS anchor, y.vec_id AS positive,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(x.embedding[i] AS DOUBLE)
+         |           * CAST(y.embedding[i] AS DOUBLE))), 6) AS pos_sim
+         |  FROM s x JOIN s y ON x.label = y.label AND x.vec_id < y.vec_id
+         |    AND ($bandCond)),
+         | tp_posf AS (SELECT * FROM tp_pos WHERE pos_sim >= 0.4),
+         | cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+         |           FROM embeddings WHERE vec_id < 16),
+         | csims AS (SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6)
+         |      AS cent_sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         | cranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cent_sim DESC, centroid_id ASC) AS cell_rank FROM csims),
+         | assigned AS (SELECT vec_id AS cand_id, embedding AS cv,
+         |    label AS c_label, centroid_id FROM cranked WHERE cell_rank = 1),
+         | probes AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    label AS q_label, centroid_id
+         |  FROM cranked WHERE cell_rank <= 6
+         |    AND vec_id IN (SELECT anchor FROM tp_posf)),
+         | nscored AS (SELECT query_id, cand_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 6) AS sim
+         |  FROM probes JOIN assigned USING (centroid_id)
+         |  WHERE q_label <> c_label),
+         | neg1 AS (SELECT query_id, cand_id AS negative, sim AS neg_sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id ASC) AS rk FROM nscored) WHERE rk = 1)
+         |SELECT anchor, positive, pos_sim, negative, neg_sim
+         |FROM tp_posf JOIN neg1 ON anchor = query_id""".stripMargin
+    },
+    // q200: corpus datasheet — every leg folds to a 1-row scalar
+    "q200_datasheet" ->
+      """WITH base AS (SELECT doc_id, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tc FROM documents)
+        |SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM base
+        |UNION ALL
+        |SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM base
+        |UNION ALL
+        |SELECT 'total_tokens', CAST(sum(tc) AS BIGINT) FROM base
+        |UNION ALL
+        |SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM base
+        |UNION ALL
+        |SELECT 'min_doc_tokens', CAST(min(tc) AS BIGINT) FROM base
+        |UNION ALL
+        |SELECT 'max_doc_tokens', CAST(max(tc) AS BIGINT) FROM base
+        |UNION ALL
+        |SELECT 'median_doc_tokens', CAST(tc AS BIGINT) FROM (
+        |  SELECT tc, row_number() OVER (ORDER BY tc ASC, doc_id ASC) AS rk,
+        |    count(*) OVER () AS n FROM base) WHERE rk = (n + 1) // 2
+        |UNION ALL
+        |SELECT 'vocab_size', CAST(count(DISTINCT token) AS BIGINT) FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |UNION ALL
+        |SELECT 'n_embedded_docs', CAST(count(*) AS BIGINT) FROM documents
+        |WHERE doc_id IN (SELECT vec_id FROM embeddings)""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -385,6 +385,53 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Contrastive TRIPLET export — (anchor, positive, hard negative)
+    * rows for metric-learning / embedding fine-tuning, composing the
+    * two mining faces this engine already proves: positives are the
+    * banded near-dup pairs ([[embeddingNearDupsBanded]] — linear-scale
+    * candidates, exact verify) and each anchor's negative is its
+    * hardest DIFFERENT-label candidate from the IVF probe
+    * ([[hardNegatives]]' shape, rank 1, probes = the anchor set
+    * instead of a fixed query list — still a map-side literal-codebook
+    * explode + one cell-keyed join, anchors never pair all-vs-all).
+    * A triplet requires both faces by declaration: an anchor whose
+    * probed cells hold no different-label candidate exports nothing
+    * (the loss can't use it). */
+  def contrastiveTriplets(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, numCentroids: Int = 16,
+      nprobe: Int = 6): DataFrame = {
+    val pos = embeddingNearDupsBanded(spark, dir, threshold)
+      .select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
+        col("sim").as("pos_sim"))
+    val emb = Tables(spark, dir, "embeddings")
+    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = emb.select(
+      col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("label").as("c_label"),
+      (-array_max(cellSims(cents, col("embedding"))).getField("negid")).as("centroid_id"))
+    val probes = emb
+      .join(pos.select(col("anchor")).distinct(),
+        col("vec_id") === col("anchor"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("q_label"),
+        explode(slice(reverse(array_sort(cellSims(cents, col("embedding")))), 1, nprobe))
+          .as("cell"))
+      .select(col("query_id"), col("qv"), col("q_label"),
+        (-col("cell.negid")).as("centroid_id"))
+    val negTop1 = topKPerQuery(
+      probes.join(assigned, Seq("centroid_id"))
+        .filter(col("q_label") =!= col("c_label"))
+        .select(col("query_id"), col("cand_id"),
+          round(Vectors.dot(col("qv"), col("cv")), 6).as("sim")), 1)
+      .select(col("query_id"), col("cand_id").as("negative"),
+        col("sim").as("neg_sim"))
+    pos.join(negTop1, col("anchor") === col("query_id"))
+      .select(col("anchor"), col("positive"), col("pos_sim"),
+        col("negative"), col("neg_sim"))
+  }
+
   /** Topic-mix report — the corpus-composition view an LLM data
     * curator reads before setting mix rates: every embedded document
     * is assigned to its nearest coarse centroid (the "topic"), and

@@ -660,6 +660,46 @@ object TextOps {
           > capacity).as("spans_boundary"))
   }
 
+  /** Corpus DATASHEET — the one-page (stat, value) summary a dataset
+    * card leads with: document/source/embedding coverage, token and
+    * character mass, vocabulary size, and the token-length min/median/
+    * max (median by the deterministic lower-rank convention). Shapes:
+    * one scan for the mass stats, one token-explode aggregate for the
+    * exact vocabulary (the 100 TB datasheet swaps in the HLL twin),
+    * one keys-only semi count for embedding coverage — every leg
+    * folds to a 1-row scalar before the union, so the result is
+    * stats-sized by construction. */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      Text.tokenCount(col("text")).cast("long").as("tc"))
+    def row(stat: String, v: Column): DataFrame =
+      base.agg(v.cast("long").as("value")).select(lit(stat).as("stat"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tc").asc, col("doc_id").asc)
+    val median = base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(lit("median_doc_tokens").as("stat"), col("tc").as("value"))
+    val vocab = docs.select(explode(Text.tokens(col("text"))).as("token"))
+      .agg(count_distinct(col("token")).as("value"))
+      .select(lit("vocab_size").as("stat"), col("value"))
+    val embedded = docs
+      .join(Tables(spark, dir, "embeddings").select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("n_embedded_docs").as("stat"), col("value"))
+    row("n_docs", count(lit(1)))
+      .union(row("n_sources", count_distinct(col("source"))))
+      .union(row("total_tokens", sum(col("tc"))))
+      .union(row("total_chars", sum(col("n_chars"))))
+      .union(row("min_doc_tokens", min(col("tc"))))
+      .union(row("max_doc_tokens", max(col("tc"))))
+      .union(median).union(vocab).union(embedded)
+  }
+
   // ---- PII scrubbing --------------------------------------------------
 
   /** (name, regex, replacement) per PII category, applied IN ORDER —

@@ -3535,40 +3535,43 @@ object SparkEntry {
         |    // CAST(count(CASE WHEN is_parent IS NOT NULL THEN 1 END) AS BIGINT)
         |    AS BIGINT) AS childless_micro
         |FROM j""".stripMargin,
-    // q199: triplets — q137's banded positives composed with the
-    // q106-shaped hard-negative probe, rank 1, probes = the anchor set
+    // q199: triplets — cell-scoped (√N) positives (the SemDeDup pair
+    // pass at threshold 0.4) composed with the q106-shaped
+    // hard-negative probe, rank 1, probes = the anchor set
     "q199_triplets" -> {
-      val bandCond = (0 until 4).map { j =>
-        s"((x.sig >> ${j * 4}) & 15 = (y.sig >> ${j * 4}) & 15)" }.mkString(" OR ")
-      s"""WITH s AS (SELECT vec_id, label, embedding,
-         |    ($HyperplaneSigSql) AS sig FROM embeddings),
-         | tp_pos AS (
-         |  SELECT x.vec_id AS anchor, y.vec_id AS positive,
-         |    round(list_sum(list_transform(range(1, 65),
-         |      i -> CAST(x.embedding[i] AS DOUBLE)
-         |           * CAST(y.embedding[i] AS DOUBLE))), 6) AS pos_sim
-         |  FROM s x JOIN s y ON x.label = y.label AND x.vec_id < y.vec_id
-         |    AND ($bandCond)),
-         | tp_posf AS (SELECT * FROM tp_pos WHERE pos_sim >= 0.4),
-         | cents AS (SELECT vec_id AS centroid_id, embedding AS cent
-         |           FROM embeddings WHERE vec_id < 16),
-         | csims AS (SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+      s"""WITH tp_k AS (SELECT greatest(16,
+         |    CAST(ceil(16.0 * sqrt(count(*) / 2000.0)) AS BIGINT)) AS k
+         |  FROM embeddings),
+         | tp_cents AS (SELECT vec_id AS pcid, embedding AS cent
+         |   FROM embeddings WHERE vec_id < (SELECT k FROM tp_k)),
+         | tp_sims AS (SELECT e.vec_id, e.embedding, e.label, c.pcid,
          |    round(list_sum(list_transform(range(1, 65),
          |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))), 6)
          |      AS cent_sim
-         |  FROM embeddings e CROSS JOIN cents c),
-         | cranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cent_sim DESC, centroid_id ASC) AS cell_rank FROM csims),
-         | assigned AS (SELECT vec_id AS cand_id, embedding AS cv,
-         |    label AS c_label, centroid_id FROM cranked WHERE cell_rank = 1),
+         |  FROM embeddings e CROSS JOIN tp_cents c),
+         | tp_ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cent_sim DESC, pcid ASC) AS r FROM tp_sims),
+         | tp_assigned AS (SELECT vec_id, embedding, label, pcid
+         |   FROM tp_ranked WHERE r = 1),
+         | tp_posf AS (
+         |  SELECT a.vec_id AS anchor, b.vec_id AS positive,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(a.embedding[i] AS DOUBLE)
+         |           * CAST(b.embedding[i] AS DOUBLE))), 6) AS pos_sim
+         |  FROM tp_assigned a JOIN tp_assigned b
+         |    ON a.pcid = b.pcid AND a.vec_id < b.vec_id
+         |  WHERE round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(a.embedding[i] AS DOUBLE)
+         |           * CAST(b.embedding[i] AS DOUBLE))), 6) >= 0.4),
          | probes AS (SELECT vec_id AS query_id, embedding AS qv,
-         |    label AS q_label, centroid_id
-         |  FROM cranked WHERE cell_rank <= 6
+         |    label AS q_label, pcid
+         |  FROM tp_ranked WHERE r <= 6
          |    AND vec_id IN (SELECT anchor FROM tp_posf)),
          | nscored AS (SELECT query_id, cand_id,
          |    round(list_sum(list_transform(range(1, 65),
          |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), 6) AS sim
-         |  FROM probes JOIN assigned USING (centroid_id)
+         |  FROM probes JOIN (SELECT vec_id AS cand_id, embedding AS cv,
+         |      label AS c_label, pcid FROM tp_assigned) USING (pcid)
          |  WHERE q_label <> c_label),
          | neg1 AS (SELECT query_id, cand_id AS negative, sim AS neg_sim FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id

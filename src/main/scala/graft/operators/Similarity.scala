@@ -387,41 +387,68 @@ object Similarity {
 
   /** Contrastive TRIPLET export — (anchor, positive, hard negative)
     * rows for metric-learning / embedding fine-tuning, composing the
-    * two mining faces this engine already proves: positives are the
-    * banded near-dup pairs ([[embeddingNearDupsBanded]] — linear-scale
-    * candidates, exact verify) and each anchor's negative is its
-    * hardest DIFFERENT-label candidate from the IVF probe
-    * ([[hardNegatives]]' shape, rank 1, probes = the anchor set
-    * instead of a fixed query list — still a map-side literal-codebook
-    * explode + one cell-keyed join, anchors never pair all-vs-all).
-    * A triplet requires both faces by declaration: an anchor whose
-    * probed cells hold no different-label candidate exports nothing
-    * (the loss can't use it). */
+    * two mining faces this engine already proves: positives are
+    * CELL-SCOPED near-dup pairs (SemDeDup's machinery — √N coarse
+    * cells via [[semDedupCells]], tiled exact verify within a cell,
+    * the O(N^1.5) contract the sf1 run validated; the fixed-band q137
+    * leg measured ~20× at 10× data here, because 16-bucket bands make
+    * within-bucket pairs quadratic at this low-similarity regime) and
+    * each anchor's negative is its hardest DIFFERENT-label candidate
+    * from the IVF probe ([[hardNegatives]]' shape, rank 1, probes =
+    * the anchor set instead of a fixed query list — still a map-side
+    * literal-codebook explode + one cell-keyed join, anchors never
+    * pair all-vs-all). A triplet requires both faces by declaration:
+    * an anchor whose probed cells hold no different-label candidate
+    * exports nothing (the loss can't use it). */
   def contrastiveTriplets(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, numCentroids: Int = 16,
-      nprobe: Int = 6): DataFrame = {
-    val pos = embeddingNearDupsBanded(spark, dir, threshold)
-      .select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
-        col("sim").as("pos_sim"))
+      threshold: Double = 0.4, nprobe: Int = 6,
+      tileRows: Int = 128): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val cents: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < numCentroids)
+    // ONE √N codebook serves both legs: the positive pair pass is
+    // cell-scoped, and the negative probe probes the SAME cells — a
+    // fixed-width codebook here makes cell population ∝ N and the
+    // anchor probe N², the exact failure the first sf1 run measured
+    // (424 s at 10×; √N cells land it back on the N^1.5 contract).
+    val kCells = semDedupCells(emb.count())
+    val cellArr: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < kCells)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val assigned = emb.select(
-      col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      col("label").as("c_label"),
-      (-array_max(cellSims(cents, col("embedding"))).getField("negid")).as("centroid_id"))
+    val assigned = PlanCache.tracked(emb.select(
+      col("vec_id"), col("embedding"), col("label"),
+      (-array_max(cellSims(cellArr, col("embedding"))).getField("negid"))
+        .as("centroid_id")))
+    // positives: same-cell pairs at the threshold (semDedup's pair
+    // pass, emitting the pairs instead of the drop verdicts)
+    val maxPerCell = assigned.groupBy("centroid_id").count()
+      .agg(max("count")).head().getLong(0)
+    val g = math.max(1L, math.ceil(maxPerCell.toDouble / tileRows).toLong).toInt
+    val tiled = assigned.withColumn("tile", pmod(xxhash64(col("vec_id")), lit(g)))
+    val px = tiled.withColumn("tj", explode(sequence(col("tile"), lit(g - 1))))
+      .select(col("centroid_id"), col("tile").as("ti"), col("tj"),
+        col("vec_id").as("id_x"), col("embedding").as("emb_x"))
+    val py = tiled.withColumn("ti", explode(sequence(lit(0), col("tile"))))
+      .select(col("centroid_id"), col("ti"), col("tile").as("tj"),
+        col("vec_id").as("id_y"), col("embedding").as("emb_y"))
+    val pos = PlanCache.tracked(px.join(py, Seq("centroid_id", "ti", "tj"))
+      .filter((col("ti") < col("tj")) || (col("id_x") < col("id_y")))
+      .select(least(col("id_x"), col("id_y")).as("anchor"),
+        greatest(col("id_x"), col("id_y")).as("positive"),
+        round(Vectors.dot(col("emb_x"), col("emb_y")), 6).as("pos_sim"))
+      .filter(col("pos_sim") >= threshold))
+    // negatives: anchors probe their nprobe nearest of the same cells
     val probes = emb
       .join(pos.select(col("anchor")).distinct(),
         col("vec_id") === col("anchor"), "left_semi")
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("q_label"),
-        explode(slice(reverse(array_sort(cellSims(cents, col("embedding")))), 1, nprobe))
+        explode(slice(reverse(array_sort(cellSims(cellArr, col("embedding")))), 1, nprobe))
           .as("cell"))
       .select(col("query_id"), col("qv"), col("q_label"),
         (-col("cell.negid")).as("centroid_id"))
+    val cands = assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("label").as("c_label"), col("centroid_id"))
     val negTop1 = topKPerQuery(
-      probes.join(assigned, Seq("centroid_id"))
+      probes.join(cands, Seq("centroid_id"))
         .filter(col("q_label") =!= col("c_label"))
         .select(col("query_id"), col("cand_id"),
           round(Vectors.dot(col("qv"), col("cv")), 6).as("sim")), 1)

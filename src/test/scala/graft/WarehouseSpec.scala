@@ -113,6 +113,46 @@ class WarehouseSpec extends SparkSpec {
     assert(shareSum > 1000000L - got.length && shareSum <= 1000000L)
   }
 
+  test("topic packing conserves every document once and respects the capacity chunking") {
+    val got = operators.TextOps.topicPackAssignments(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(got.length == nDocs) // every doc packs exactly once
+    // within each topic, chunk ids are the running-sum division replay
+    got.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (_, _, tc, chunkId, spans) =>
+        assert(chunkId == cum / 512, "chunk id must follow the running sum")
+        assert(spans == (cum % 512 + tc > 512), "boundary flag must match")
+        cum += tc
+      }
+    }
+    // unembedded docs land in the declared -1 topic (none at sf0.001's
+    // 1:1 pairing, so just assert the topic domain is the cell range)
+    assert(got.map(_._2).forall(t => t == -1L || (t >= 0L && t < 16L)))
+  }
+
+  test("contrastive triplets: positives clear the threshold, negatives differ in label and score below the positive face's ceiling") {
+    val labels = Tables(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> String.valueOf(r.get(1))).toMap
+    val got = operators.Similarity.contrastiveTriplets(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    operators.PlanCache.release()
+    assert(got.nonEmpty)
+    got.foreach { case (anchor, positive, posSim, negative, negSim) =>
+      assert(posSim >= 0.4)
+      assert(labels(anchor) != labels(negative), "negative must cross labels")
+      assert(anchor != positive && anchor != negative)
+      assert(negSim <= 1.0 && posSim <= 1.0)
+    }
+    // one negative per anchor: the rank-1 contract
+    val perAnchor = got.groupBy(_._1).view.mapValues(_.map(_._4).distinct.size)
+    assert(perAnchor.values.forall(_ == 1))
+  }
+
   test("retrieval eval metrics obey their definitions against a driver replay") {
     val k = 10
     val got = Relevance.retrievalEval(spark, sf, k = k)

@@ -53,6 +53,7 @@ object ConfigReader {
       decontamTasks: Seq[DecontamSpec] = Nil,
       annIndexTasks: Seq[graft.model.AnnIndexSpec] = Nil,
       checksumTasks: Seq[ChecksumSpec] = Nil,
+      annEvalTasks: Seq[AnnEvalSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -117,6 +118,13 @@ object ConfigReader {
         try Some(parseChecksumTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed checksum task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      annEvalTasks = root.path("annEvalTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseAnnEvalTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed annEval task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -377,5 +385,18 @@ object ConfigReader {
       schedule = schedule,
       sourceDir = reqText(n, "sourceDir"),
       targetDir = reqText(n, "targetDir"))
+  }
+
+  private def parseAnnEvalTask(n: JsonNode): AnnEvalSpec = {
+    val schedule = optText(n, "schedule").getOrElse("45 4 * * *")
+    graft.operators.Cron.parse(schedule)
+    AnnEvalSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      indexDir = reqText(n, "indexDir"),
+      k = n.path("k").asInt(5),
+      nprobe = n.path("nprobe").asInt(4),
+      minRecallMicro = n.path("minRecallMicro").asLong(800000L))
   }
 }

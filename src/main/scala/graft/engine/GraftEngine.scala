@@ -47,6 +47,7 @@ final class GraftEngine(
   @volatile private var dqSpecs: Seq[graft.model.DqSpec] = Nil
   @volatile private var annIndexSpecs: Seq[graft.model.AnnIndexSpec] = Nil
   @volatile private var checksumSpecs: Seq[graft.model.ChecksumSpec] = Nil
+  @volatile private var annEvalSpecs: Seq[graft.model.AnnEvalSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -186,19 +187,22 @@ final class GraftEngine(
     recorder.foreach(_._2.flush())
     if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs ||
         cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs ||
-        cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs) {
+        cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs ||
+        cfg.annEvalTasks != annEvalSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
       dqSpecs = cfg.dqTasks
       annIndexSpecs = cfg.annIndexTasks
       checksumSpecs = cfg.checksumTasks
+      annEvalSpecs = cfg.annEvalTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
         backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob) ++
           optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob) ++
-          annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob),
+          annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob) ++
+          annEvalSpecs.map(toAnnEvalJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -239,6 +243,19 @@ final class GraftEngine(
       try { GraftEngine.runAnnIndexMaintenance(spark, spec); () }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("ann_index_failed", s"annIndex${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toAnnEvalJob(spec: graft.model.AnnEvalSpec): Cron.Job =
+    Cron.Job(GraftEngine.AnnEvalJobIdOffset + spec.id, spec.schedule, () =>
+      try {
+        val recall = GraftEngine.runAnnEval(spark, spec)
+        if (recall < spec.minRecallMicro)
+          alerts.send(Alerts.Alert("ann_recall_low", s"annEval${spec.id}",
+            s"mean recall ${recall}u < bound ${spec.minRecallMicro}u"))
+      }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("ann_eval_failed", s"annEval${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -618,6 +635,44 @@ object GraftEngine {
 
   /** Checksum-reconciliation namespace. */
   val ChecksumJobIdOffset = 5000000
+
+  /** ANN-eval watchdog namespace. */
+  val AnnEvalJobIdOffset = 6000000
+
+  /** Run one ANN index-quality eval now: mean recall@k (integer micro)
+    * of the stored index's probes for the standard query set
+    * (vec_id < 10) against exact-cosine truth over the corpus of
+    * record. Truth is the literal-query-matrix scan (queries explode
+    * from a literal array — one corpus pass, no product); the fold is
+    * k×queries-bounded. */
+  def runAnnEval(spark: SparkSession, spec: graft.model.AnnEvalSpec): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val emb = graft.Tables(spark, spec.sourceDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val sys = graft.operators.Similarity
+      .ivfTopKAgainstStoredIndex(spark, spec.indexDir, queries, spec.k, spec.nprobe)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qvecs = queries.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val qlit = array(qvecs.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"), array(qv.map(lit).toIndexedSeq: _*).as("qv"))
+    }.toIndexedSeq: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    val truth = emb.select(col("vec_id").as("cand_id"), col("embedding"),
+        explode(qlit).as("q"))
+      .filter(col("cand_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("cand_id"),
+        round(Vectors.dot(col("q.qv"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= spec.k)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (truth.isEmpty) 1000000L
+    else (sys & truth).size.toLong * 1000000L / truth.size
+  }
 
   /** Run one checksum reconciliation now: both ends' monthly XOR
     * checksums compared via a full-outer join on the month (a month

@@ -138,6 +138,21 @@ final case class ChecksumSpec(
     sourceDir: String = "",
     targetDir: String = "")
 
+/** A scheduled ANN index-quality watchdog: recall@k of the stored IVF
+  * index's probes against exact-cosine truth over the corpus of
+  * record, alerting when the mean drops below the bound — the eval
+  * face of `annIndexTasks` (an index can go stale against a growing
+  * corpus or degrade as appends skew its cells; this is the gauge
+  * that says re-found/retrain before consumers notice). */
+final case class AnnEvalSpec(
+    id: Int,
+    schedule: String = "45 4 * * *",
+    sourceDir: String = "",     // corpus of record (embeddings table)
+    indexDir: String = "",      // stored IVF root
+    k: Int = 5,
+    nprobe: Int = 4,
+    minRecallMicro: Long = 800000L)
+
 /** A scheduled vector-index maintenance job — the index-ops face of
   * the ANN family, composing the persisted-index operators the way
   * `optimizeTasks` composes the layout ones: found each enabled index

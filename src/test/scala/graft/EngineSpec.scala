@@ -1079,4 +1079,38 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("ann eval watchdog: a half-founded index alerts low recall; appending the rest heals it") {
+    val root = tmp()
+    val emb = Tables(spark, sf, "embeddings")
+    // index founded on HALF the corpus (codebook vectors kept so the
+    // probe codebook matches): truth over the full corpus finds the
+    // missing half, recall tanks, the watchdog must page
+    import org.apache.spark.sql.functions.col
+    val founding = emb.filter(col("vec_id") < 16 || col("vec_id") % 2 === 0)
+    graft.operators.Similarity.buildStoredIvf(founding, s"$root/ivf")
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "annEvalTasks": [
+         |  { "id": 9, "schedule": "50 4 * * *", "sourceDir": "$sf",
+         |    "indexDir": "$root/ivf", "minRecallMicro": 700000 }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T04:50:00")) ==
+        Seq(GraftEngine.AnnEvalJobIdOffset + 9))
+      val fired = alerts.drain().filter(_.kind == "ann_recall_low")
+      assert(fired.size == 1, s"expected a low-recall alert, got $fired")
+      // maintenance appends the missing half: recall recovers, silent
+      graft.operators.Similarity.appendToStoredIvf(
+        emb.filter(col("vec_id") >= 16 && col("vec_id") % 2 =!= 0), s"$root/ivf")
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T04:50:00")) ==
+        Seq(GraftEngine.AnnEvalJobIdOffset + 9))
+      val after = alerts.drain()
+      assert(!after.exists(_.kind == "ann_recall_low"), s"healed index paged: $after")
+      assert(!after.exists(_.kind == "ann_eval_failed"))
+    } finally engine.stop()
+  }
+
 }

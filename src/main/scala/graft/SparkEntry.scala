@@ -166,7 +166,9 @@ object SparkEntry {
   /** q123: 60-bit hyperplane signature + 15×4-bit bands + per-query
     * Hamming-shortlist (top-100 by popcount, integer-exact) + exact
     * cosine rerank — the binary-quantization ANN replay. */
-  private lazy val q123Sql: String = {
+  /** The Hamming-ANN CTE chain (sig → band shortlist → rerank `r`),
+    * shared by q123 (rank ≤ 5) and q201's eval harness (rank ≤ 10). */
+  private lazy val hammingCteChain: String = {
     val sigExpr = (0 until 60).map { j =>
       s"""CASE WHEN round(list_sum(list_transform(range(1, 65),
          |      i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN
@@ -175,7 +177,7 @@ object SparkEntry {
          |    THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin }.mkString(" +\n    ")
     val bandCond = (0 until 15).map { j =>
       s"((qsig >> ${j * 4}) & 15 = (csig >> ${j * 4}) & 15)" }.mkString(" OR ")
-    s"""WITH sig AS (SELECT vec_id, embedding, ($sigExpr) AS sig FROM embeddings),
+    s"""sig AS (SELECT vec_id, embedding, ($sigExpr) AS sig FROM embeddings),
        | q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig FROM sig WHERE vec_id < 10),
        | c AS (SELECT vec_id AS cand_id, embedding AS cv, sig AS csig FROM sig),
        | cd AS (SELECT query_id, cand_id, qv, cv,
@@ -190,9 +192,12 @@ object SparkEntry {
        |   FROM sl WHERE slr <= 100),
        | r AS (SELECT query_id, cand_id, sim,
        |   row_number() OVER (PARTITION BY query_id
-       |                      ORDER BY sim DESC, cand_id ASC) AS rank FROM s)
-       |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+       |                      ORDER BY sim DESC, cand_id ASC) AS rank FROM s)""".stripMargin
   }
+
+  private lazy val q123Sql: String =
+    s"""WITH $hammingCteChain
+       |SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.pricingSummary _),
@@ -407,6 +412,7 @@ object SparkEntry {
       graft.Tables(s, d, "orders"), "o_orderkey")),
     "q199_triplets" -> ((s, d) => Similarity.contrastiveTriplets(s, d)),
     "q200_datasheet" -> ((s, d) => TextOps.corpusDatasheet(s, d)),
+    "q201_hamming_eval" -> ((s, d) => Relevance.hammingRetrievalEval(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3604,6 +3610,40 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'n_embedded_docs', CAST(count(*) AS BIGINT) FROM documents
         |WHERE doc_id IN (SELECT vec_id FROM embeddings)""".stripMargin,
+    // q201: the Hamming path through q192's metric fold — same truth,
+    // same integer-micro DCG weights, directly comparable per method
+    "q201_hamming_eval" ->
+      s"""WITH $hammingCteChain,
+         | hsys AS (SELECT query_id, cand_id AS sys_cand, rank AS rank_sys
+         |   FROM r WHERE rank <= 10),
+         | re_sim AS (SELECT q2.vec_id AS query_id, e.vec_id AS cand_id,
+         |     round(list_sum(list_transform(range(1, 65),
+         |       i -> CAST(e.embedding[i] AS DOUBLE)
+         |            * CAST(q2.embedding[i] AS DOUBLE))), 6) AS sim
+         |   FROM embeddings e CROSS JOIN
+         |     (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q2
+         |   WHERE e.vec_id <> q2.vec_id),
+         | re_truth AS (SELECT query_id, cand_id FROM (
+         |   SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |       ORDER BY sim DESC, cand_id ASC) AS rk
+         |   FROM re_sim) WHERE rk <= 10),
+         | re_w(rnk, w) AS (VALUES (1, 1000000), (2, 630929), (3, 500000),
+         |   (4, 430676), (5, 386852), (6, 356207), (7, 333333),
+         |   (8, 315464), (9, 301029), (10, 289064)),
+         | re_join AS (SELECT s2.query_id, s2.rank_sys,
+         |     (t.cand_id IS NOT NULL) AS relevant
+         |   FROM hsys s2 LEFT JOIN re_truth t
+         |     ON s2.query_id = t.query_id AND s2.sys_cand = t.cand_id)
+         |SELECT query_id,
+         |  CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // 10 AS BIGINT) AS recall_micro,
+         |  CAST(coalesce(1000000 // min(CASE WHEN relevant THEN rank_sys END), 0)
+         |    AS BIGINT) AS mrr_micro,
+         |  CAST(CAST(sum(CASE WHEN relevant THEN w.w ELSE 0 END) AS BIGINT)
+         |    * 1000000 // 4543554 AS BIGINT) AS ndcg_micro
+         |FROM re_join JOIN re_w w ON re_join.rank_sys = w.rnk
+         |GROUP BY query_id""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

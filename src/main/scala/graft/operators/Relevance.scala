@@ -265,15 +265,28 @@ object Relevance {
     * hits·1e6 div k. A query the index fails entirely reports
     * explicit zeros, never a dropped row. */
   def retrievalEval(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 10): DataFrame = {
+      nQueries: Int = 10, k: Int = 10): DataFrame =
+    rankedEvalOf(spark, dir,
+      graft.operators.Similarity.ivfTopK(spark, dir, k = k), nQueries, k)
+
+  /** [[retrievalEval]]'s sibling over the binary-code (Hamming) ANN
+    * path — same truth, same float-free metric fold, so the two
+    * reports are directly comparable method-to-method. */
+  def hammingRetrievalEval(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 10): DataFrame =
+    rankedEvalOf(spark, dir,
+      graft.operators.Similarity.hammingTopK(spark, dir, k = k), nQueries, k)
+
+  /** The shared eval harness: any system frame with
+    * (query_id, cand_id, rank) columns folds against the exact-cosine
+    * truth into recall@k / MRR / nDCG@k per query. */
+  private def rankedEvalOf(spark: SparkSession, dir: String,
+      system: DataFrame, nQueries: Int, k: Int): DataFrame = {
     import graft.functions.Vectors
     require(k <= DcgMicroWeights.size, s"k=$k exceeds the DCG weight table")
     val emb = Tables(spark, dir, "embeddings")
-
-    // system leg: the IVF ANN ranking under evaluation
-    val sys = graft.operators.Similarity.ivfTopK(spark, dir, k = k)
-      .select(col("query_id"), col("cand_id").as("sys_cand"),
-        col("rank").as("rank_sys"))
+    val sys = system.select(col("query_id"), col("cand_id").as("sys_cand"),
+      col("rank").as("rank_sys"))
 
     // truth leg: exact cosine top-k per query over the embedded corpus
     val qvecs: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < nQueries)

@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") || p.contains("left_semi"), p.take(2000))
   }
 
+  test("GROUPING SETS is one aggregate pass: exactly one Expand, never three scans") {
+    val p = plan("q188_grouping_sets")
+    assert(p.split("\n").count(_.contains("Expand")) == 1, p.take(2000))
+  }
+
+  test("the exact profiler keeps its one documented Expand; the approx twin has none") {
+    assert(!plan("q136_profile_approx").contains("Expand"))
+  }
+
   test("the TPC-H snowflake shapes broadcast their dims and push their date bounds") {
     // Q5/Q10/Q14 shapes: nation (and the is-promo bit projection of
     // part) must broadcast; the year/quarter/month ranges must reach

@@ -413,6 +413,7 @@ object SparkEntry {
     "q199_triplets" -> ((s, d) => Similarity.contrastiveTriplets(s, d)),
     "q200_datasheet" -> ((s, d) => TextOps.corpusDatasheet(s, d)),
     "q201_hamming_eval" -> ((s, d) => Relevance.hammingRetrievalEval(s, d)),
+    "q202_revenue_pareto" -> ((s, d) => Relational.revenueConcentration(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3644,6 +3645,23 @@ object SparkEntry {
          |    * 1000000 // 4543554 AS BIGINT) AS ndcg_micro
          |FROM re_join JOIN re_w w ON re_join.rank_sys = w.rnk
          |GROUP BY query_id""".stripMargin,
+    // q202: Pareto rungs — cumulative floor-cents share at the
+    // deterministic top-p% rank positions
+    "q202_revenue_pareto" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        | r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rn,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM pc),
+        | p AS (SELECT CAST(unnest([1, 5, 10, 25, 50, 100]) AS BIGINT) AS top_pct)
+        |SELECT top_pct, CAST(rn AS INTEGER) AS n_customers,
+        |  CAST(cum_cents * 1000000 // total AS BIGINT) AS cum_share_micro
+        |FROM r JOIN p ON rn = greatest(1, (n * top_pct) // 100)""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

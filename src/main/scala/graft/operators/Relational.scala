@@ -1171,6 +1171,35 @@ object Relational {
           .as("profit_cents"))
   }
 
+  /** Revenue CONCENTRATION (Pareto) curve — what share of total
+    * revenue the top p% of customers carry, at the standard p rungs:
+    * the whale-dependence report behind every "80/20" decision
+    * (credit exposure, account management, retention spend). Exact and
+    * deterministic: per-customer floor-cents fold, one global rank
+    * ordered (revenue desc, key), running sum over the customers-sized
+    * frame, and the rung positions from the q194 deterministic
+    * `greatest(1, n·p div 100)` convention — shares in integer
+    * micro. One fact-keyed aggregate; everything after is
+    * customers-sized. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+    perCust
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_cents", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      .select(col("rn"), col("cum_cents"), col("n"), col("total"),
+        explode(lit(Array(1, 5, 10, 25, 50, 100))).as("top_pct"))
+      .filter(col("rn") === expr("greatest(1, (n * top_pct) div 100)"))
+      .select(col("top_pct").cast("long").as("top_pct"),
+        col("rn").as("n_customers"),
+        expr("cum_cents * 1000000 div total").as("cum_share_micro"))
+  }
+
   /** Market-basket association rules over order baskets — the sparse
     * HIGH-CARDINALITY itemset face (part keys grow with the catalog)
     * beside q125/q170's |types|²-bounded event lift: per co-purchased

@@ -414,6 +414,7 @@ object SparkEntry {
     "q200_datasheet" -> ((s, d) => TextOps.corpusDatasheet(s, d)),
     "q201_hamming_eval" -> ((s, d) => Relevance.hammingRetrievalEval(s, d)),
     "q202_revenue_pareto" -> ((s, d) => Relational.revenueConcentration(s, d)),
+    "q203_revenue_gini" -> ((s, d) => Relational.revenueGini(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3662,6 +3663,22 @@ object SparkEntry {
         |SELECT top_pct, CAST(rn AS INTEGER) AS n_customers,
         |  CAST(cum_cents * 1000000 // total AS BIGINT) AS cum_share_micro
         |FROM r JOIN p ON rn = greatest(1, (n * top_pct) // 100)""".stripMargin,
+    // q203: exact Gini — HUGEINT rank-weighted fold, one truncating
+    // division onto the micro grid
+    "q203_revenue_gini" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        | r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS rn
+        |  FROM pc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST((2 * sum(CAST(rn AS HUGEINT) * cents)
+        |      - (count(*) + 1) * CAST(sum(cents) AS HUGEINT)) * 1000000
+        |    // (CAST(count(*) AS HUGEINT) * CAST(sum(cents) AS HUGEINT))
+        |    AS BIGINT) AS gini_micro
+        |FROM r""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

@@ -1200,6 +1200,30 @@ object Relational {
         expr("cum_cents * 1000000 div total").as("cum_share_micro"))
   }
 
+  /** Exact GINI coefficient of per-customer revenue — the one-number
+    * inequality summary beside [[revenueConcentration]]'s rung table:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-ranked
+    * revenues, folded entirely in exact integers (the rank-weighted
+    * sum rides Decimal(38) — rank × cents × n overflows int64 at
+    * fact-table scale) with ONE truncating integral division onto the
+    * micro grid at the end — no float ever. One aggregate + one
+    * customers-sized ranked fold. */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    perCust
+      .withColumn("rn", row_number().over(w))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
+        sum(col("rn").cast(dec) * col("cents").cast(dec)).as("s"))
+      .select(col("n").as("n_customers"), col("total").as("total_cents"),
+        expr("CAST((2 * s - (n + 1) * CAST(total AS DECIMAL(38,0))) * 1000000" +
+          " AS DECIMAL(38,0)) div CAST(CAST(n AS DECIMAL(38,0)) * total" +
+          " AS DECIMAL(38,0))").as("gini_micro"))
+  }
+
   /** Market-basket association rules over order baskets — the sparse
     * HIGH-CARDINALITY itemset face (part keys grow with the catalog)
     * beside q125/q170's |types|²-bounded event lift: per co-purchased

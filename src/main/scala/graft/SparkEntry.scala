@@ -415,6 +415,7 @@ object SparkEntry {
     "q201_hamming_eval" -> ((s, d) => Relevance.hammingRetrievalEval(s, d)),
     "q202_revenue_pareto" -> ((s, d) => Relational.revenueConcentration(s, d)),
     "q203_revenue_gini" -> ((s, d) => Relational.revenueGini(s, d)),
+    "q204_rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3679,6 +3680,30 @@ object SparkEntry {
         |    // (CAST(count(*) AS HUGEINT) * CAST(sum(cents) AS HUGEINT))
         |    AS BIGINT) AS gini_micro
         |FROM r""".stripMargin,
+    // q204: RFM grid — 6 − ntile over best-first total orders so both
+    // engines cut identical quintiles; windowed SUM cast (HUGEINT)
+    "q204_rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        | rec AS (SELECT *,
+        |    date_diff('day', last_day, max(last_day) OVER ()) AS recency_days
+        |  FROM pc),
+        | sc AS (SELECT cents,
+        |    6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+        |    6 - ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
+        |    6 - ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS m_score
+        |  FROM rec),
+        | g AS (SELECT r_score, f_score, m_score,
+        |    CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM sc GROUP BY 1, 2, 3)
+        |SELECT r_score, f_score, m_score, n_customers, rev_cents,
+        |  CAST(rev_cents * 1000000 // CAST(sum(rev_cents) OVER () AS BIGINT)
+        |    AS BIGINT) AS rev_share_micro
+        |FROM g""".stripMargin,
   )
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the

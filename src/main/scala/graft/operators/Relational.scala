@@ -1224,6 +1224,38 @@ object Relational {
           " AS DECIMAL(38,0))").as("gini_micro"))
   }
 
+  /** RFM SEGMENTATION — the classic CRM grid: every purchasing
+    * customer scored 1–5 on Recency (days since last order, recent =
+    * high), Frequency (order count), and Monetary (lifetime floor
+    * cents), quintiles by `ntile(5)` over a TOTAL order (metric, then
+    * key — ntile is deterministic only under a total order, so both
+    * engines cut identical quintiles), rolled up to segment sizes and
+    * per-segment revenue share. The anchor date derives in-plan from
+    * the data's own max order date (no wall clock — replayable). One
+    * fact-keyed aggregate, three windows over the customers-sized
+    * frame, a ≤125-cell rollup. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("recency_days",
+        datediff(max(col("last_day")).over(Window.partitionBy()), col("last_day")))
+    // score = 6 − ntile over the BEST-FIRST total order: the top
+    // quintile of each axis reads 5 on the conventional RFM scale
+    def score(bestFirst: Column) = lit(6) - ntile(5).over(
+      Window.orderBy(bestFirst, col("o_custkey").asc))
+    perCust
+      .withColumn("r_score", score(col("recency_days").asc))
+      .withColumn("f_score", score(col("freq").desc))
+      .withColumn("m_score", score(col("cents").desc))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("rev_cents"))
+      .withColumn("rev_share_micro",
+        expr("rev_cents * 1000000 div sum(rev_cents) OVER ()"))
+  }
+
   /** Market-basket association rules over order baskets — the sparse
     * HIGH-CARDINALITY itemset face (part keys grow with the catalog)
     * beside q125/q170's |types|²-bounded event lift: per co-purchased

@@ -416,6 +416,12 @@ object SparkEntry {
     "q202_revenue_pareto" -> ((s, d) => Relational.revenueConcentration(s, d)),
     "q203_revenue_gini" -> ((s, d) => Relational.revenueGini(s, d)),
     "q204_rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
+    "q205_dup_ngrams" -> ((s, d) => TextOps.dupNgramCoverage(s, d)),
+    "q206_l_diversity" -> ((s, d) => DataQuality.customerLDiversity(s, d)),
+    "q207_activity_gaps" -> ((s, d) => EventFlow.activityGaps(s, d)),
+    "q208_label_kappa" -> ((s, d) => TextOps.agreementKappa(s, d)),
+    "q209_classifier_auc" -> ((s, d) => TextOps.classifierAuc(s, d)),
+    "q210_ngram_decontam" -> ((s, d) => TextOps.ngramDecontaminate(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -583,7 +589,64 @@ object SparkEntry {
     oracleBase + ("q130_ann_bakeoff" -> q130Sql) +
       ("q157_classifier_lift" -> q157Sql) + ("q158_langid_eval" -> q158Sql) +
       ("q160_funnel_summary" -> q160Sql) + ("q161_dedup_savings" -> q161Sql) +
-      ("q162_weighted_wor" -> q162Sql) + ("q163_banding_sweep" -> q163Sql)
+      ("q162_weighted_wor" -> q162Sql) + ("q163_banding_sweep" -> q163Sql) +
+      ("q208_label_kappa" -> q208Sql) + ("q209_classifier_auc" -> q209Sql)
+
+  /** q208: Cohen's kappa between the q71 gate and the quality label —
+    * integer micro agreement with marginal-product expected rate. */
+  private lazy val q208Sql: String =
+    s"""WITH cls AS (
+       |${oracleBase("q71_quality_classifier")}
+       |),
+       | $docMetricsCte,
+       | lab AS (SELECT cls.keep AS a, m.quality >= 0.66 AS b
+       |   FROM cls JOIN m ON cls.doc_id = m.doc_id),
+       | cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM lab),
+       | r AS (SELECT *,
+       |    CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_micro,
+       |    CAST((((n11 + n10) * 1000000 // n) * ((n11 + n01) * 1000000 // n)
+       |        + ((n01 + n00) * 1000000 // n) * ((n10 + n00) * 1000000 // n))
+       |        // 1000000 AS BIGINT) AS pe_micro
+       |  FROM cm)
+       |SELECT n, n11, n10, n01, n00, po_micro, pe_micro,
+       |  CAST(CASE WHEN pe_micro = 1000000 THEN NULL
+       |    ELSE (po_micro - pe_micro) * 1000000 // (1000000 - pe_micro) END
+       |    AS BIGINT) AS kappa_micro
+       |FROM r""".stripMargin
+
+  /** q209: exact midrank ROC-AUC of the q71 logit vs the quality
+    * label — ticks from the published 4-decimal logit ×10⁴, doubled
+    * midranks so ties stay integral, one final micro division. */
+  private lazy val q209Sql: String =
+    s"""WITH cls AS (
+       |${oracleBase("q71_quality_classifier")}
+       |),
+       | $docMetricsCte,
+       | f AS (SELECT CAST(round(cls.logit * 10000) AS BIGINT) AS s,
+       |    m.quality >= 0.66 AS pos
+       |   FROM cls JOIN m ON cls.doc_id = m.doc_id),
+       | t AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |   FROM f GROUP BY s),
+       | r AS (SELECT *,
+       |    CAST(coalesce(sum(cnt) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_less
+       |   FROM t)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |  CAST(sum(cnt - np) AS BIGINT) AS n_neg,
+       |  CAST(CASE WHEN sum(np) = 0 OR sum(cnt - np) = 0 THEN NULL
+       |    ELSE (CAST(sum(np * (2 * cum_less + cnt + 1)) AS BIGINT)
+       |          - CAST(sum(np) AS BIGINT) * (CAST(sum(np) AS BIGINT) + 1))
+       |         * 1000000
+       |         // (2 * CAST(sum(np) AS BIGINT) * CAST(sum(cnt - np) AS BIGINT))
+       |    END AS BIGINT) AS auc_micro
+       |FROM r""".stripMargin
 
   /** q160: q73's funnel rolled to the survival curve + step rates. */
   private lazy val q160Sql: String =
@@ -3704,7 +3767,81 @@ object SparkEntry {
         |  CAST(rev_cents * 1000000 // CAST(sum(rev_cents) OVER () AS BIGINT)
         |    AS BIGINT) AS rev_share_micro
         |FROM g""".stripMargin,
+    // q205: cross-doc duplicated 5-gram coverage per doc; a gram is
+    // dup iff ≥2 distinct docs carry it (min≠max, no count_distinct)
+    "q205_dup_ngrams" ->
+      s"""WITH $ngramPosCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |    AS BIGINT) AS dup_micro
+         |FROM pos JOIN (SELECT h, min(doc_id) <> max(doc_id) AS dup
+         |               FROM pos GROUP BY h) census USING (h)
+         |GROUP BY doc_id""".stripMargin,
+    // q206: l-diversity — distinct sensitive (balance band) per
+    // (nation, segment) QI group, histogrammed by l-value
+    "q206_l_diversity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS group_size,
+        |    CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |      AS BIGINT) AS l_value
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT l_value, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(group_size) AS BIGINT) AS n_rows,
+        |  l_value < 5 AS at_risk,
+        |  CAST(sum(group_size) * 1000000
+        |    // CAST(sum(sum(group_size)) OVER () AS BIGINT)
+        |    AS BIGINT) AS row_share_micro
+        |FROM g GROUP BY 1""".stripMargin,
+    // q207: per-user inactivity gaps (islands by day − row_number),
+    // histogrammed by each user's longest gap
+    "q207_activity_gaps" ->
+      """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | i AS (SELECT user_id, day,
+        |    CAST(day - (row_number() OVER (PARTITION BY user_id ORDER BY day))
+        |      * INTERVAL 1 DAY AS DATE) AS grp
+        |  FROM p),
+        | runs AS (SELECT user_id, grp, min(day) AS run_start, max(day) AS run_end
+        |   FROM i GROUP BY 1, 2),
+        | nxt AS (SELECT user_id, run_end,
+        |    lead(run_start) OVER (PARTITION BY user_id ORDER BY run_start)
+        |      AS next_start
+        |  FROM runs),
+        | pu AS (SELECT user_id,
+        |    CAST(coalesce(max(next_start - run_end - 1), 0) AS BIGINT) AS longest_gap,
+        |    CAST(count(CASE WHEN next_start IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_gap_runs,
+        |    CAST(coalesce(sum(next_start - run_end - 1), 0) AS BIGINT) AS n_gap_days
+        |  FROM nxt GROUP BY 1)
+        |SELECT longest_gap, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_gap_runs) AS BIGINT) AS n_gap_runs,
+        |  CAST(sum(n_gap_days) AS BIGINT) AS n_gap_days
+        |FROM pu GROUP BY 1""".stripMargin,
+    // q210: eval-split (doc_id % 97 = 0) n-gram decontamination —
+    // a position hits iff its gram occurs anywhere in the train split
+    "q210_ngram_decontam" ->
+      s"""WITH $ngramPosCtes,
+         | ev AS (SELECT * FROM pos WHERE doc_id % 97 = 0),
+         | hits AS (SELECT DISTINCT p.h AS h, TRUE AS hit FROM pos p
+         |   WHERE p.doc_id % 97 <> 0 AND p.h IN (SELECT h FROM ev))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS contaminated,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |    AS BIGINT) AS hit_micro
+         |FROM ev LEFT JOIN hits USING (h) GROUP BY doc_id""".stripMargin,
   )
+
+  /** Width-5 token n-gram positions hashed to 16-hex keys — the
+    * DuckDB replay of [[graft.operators.TextOps.dupNgramCoverage]]'s
+    * `ngramHashes` (strict: docs under 5 tokens contribute nothing,
+    * which `generate_series(1, len-4)` encodes for free). Shared by
+    * q205 and q210. */
+  private lazy val ngramPosCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      | pos AS (SELECT doc_id,
+      |    substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 16) AS h
+      |  FROM tok, UNNEST(generate_series(1, len(ts) - 4)) AS t(i))""".stripMargin
 
   /** SemDeDup's CTE chain (sem_-prefixed so it composes beside the
     * lexical-dedup CTEs in q114), shared by q100 and q114. The cell

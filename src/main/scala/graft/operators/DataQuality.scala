@@ -137,4 +137,44 @@ object DataQuality {
         .select(col("c_nationkey"), col("c_mktsegment"),
           floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
       Seq("c_nationkey", "c_mktsegment", "bal_band"), k)
+
+  /** l-DIVERSITY risk profile — [[kAnonymityProfile]]'s companion
+    * audit: k-anonymity bounds group SIZE, but a size-50 group whose
+    * SENSITIVE attribute is constant still discloses it to anyone who
+    * places a person in the group (the homogeneity attack). Rows are
+    * grouped by the quasi-identifiers, each group's l-value is its
+    * count of distinct sensitive values, and the l-value DISTRIBUTION
+    * is reported with every group below `l` flagged. Generalization
+    * (banding) of the sensitive column is the caller's, as in the
+    * k-profile.
+    *
+    * Scale: one shuffle on the QI key carrying a SINGLE distinct
+    * aggregate (no Expand — multi-distinct is what inflates q99's
+    * exact profiler), then a histogram over the groups-sized frame
+    * and one windowed share over the l-value-bounded result. */
+  def lDiversityProfile(df: DataFrame, quasiIds: Seq[String],
+      sensitive: String, l: Int = 5): DataFrame = {
+    val groups = df.groupBy(quasiIds.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("group_size"),
+        count_distinct(col(sensitive)).as("l_value"))
+    groups.groupBy(col("l_value"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("group_size")).as("n_rows"))
+      .select(col("l_value"), col("n_groups"), col("n_rows"),
+        (col("l_value") < l).as("at_risk"),
+        expr("n_rows * 1000000 div sum(n_rows) OVER ()").as("row_share_micro"))
+  }
+
+  /** [[lDiversityProfile]] over the customer table: quasi-identifiers
+    * (nation, market segment), sensitive attribute the 1000-unit
+    * account-balance band — the "does knowing someone's nation and
+    * segment pin their balance" audit that complements
+    * [[customerKAnonymity]]'s group-size view of the SAME sharing
+    * decision. */
+  def customerLDiversity(spark: org.apache.spark.sql.SparkSession,
+      dir: String, l: Int = 5): DataFrame =
+    lDiversityProfile(
+      graft.Tables(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", l)
 }

@@ -695,4 +695,44 @@ object EventFlow {
          |WHERE report_day <= (SELECT max(day) FROM graft_q187_presence)
          |GROUP BY report_day""".stripMargin)
   }
+
+  /** Per-user ACTIVITY-GAP histogram — the churn-risk view of the
+    * presence calendar: within each user's own [first, last] active
+    * span, consecutive-day runs are islanded (day minus row-number —
+    * the gaps-and-islands identity), the runs' boundaries yield the
+    * inactivity gaps between them, and users roll up into a histogram
+    * keyed by their LONGEST gap (0 = continuously active), carrying
+    * total gap runs and gap days per bucket. The q74 retention
+    * triangle answers "how many came back"; this answers "how long do
+    * they go dark" — the dormancy signal reactivation campaigns key on.
+    *
+    * Scale: presence dedup is one (user, day) hash-agg; both windows
+    * (row_number for islands, lead for the next run's start) partition
+    * by user_id and order by day — per-user frames, never global; the
+    * runs frame is strictly smaller than presence; the final histogram
+    * is bounded by the calendar span. One shuffle on user_id feeds
+    * every stage. */
+  def activityGaps(spark: SparkSession, dir: String): DataFrame = {
+    val presence = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = presence
+      .withColumn("grp", date_sub(col("day"), row_number().over(byDay)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("run_start"), max(col("day")).as("run_end"))
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("run_start"))
+    val perUser = runs
+      .withColumn("next_start", lead(col("run_start"), 1).over(byStart))
+      .withColumn("gap",
+        (datediff(col("next_start"), col("run_end")) - 1).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(coalesce(max(col("gap")), lit(0L)).as("longest_gap"),
+        count(col("gap")).as("n_gap_runs"),
+        coalesce(sum(col("gap")), lit(0L)).as("n_gap_days"))
+    perUser.groupBy(col("longest_gap"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_gap_runs")).as("n_gap_runs"),
+        sum(col("n_gap_days")).as("n_gap_days"))
+  }
 }

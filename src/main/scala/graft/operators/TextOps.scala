@@ -1581,4 +1581,181 @@ object TextOps {
       .select(col("source"), col("n_docs"), col("flagged_docs"), col("total_hits"),
         expr("flagged_docs * 1000000 div n_docs").as("flagged_micro"))
   }
+
+  /** Strict width-`w` token n-grams hashed to 64-bit hex keys —
+    * shared by [[dupNgramCoverage]] and [[ngramDecontaminate]].
+    * Unlike [[Text.shingles]] (which folds a short doc into one
+    * whole-doc shingle for fingerprinting), docs shorter than `w`
+    * tokens contribute NOTHING here: a duplication metric over
+    * sub-width grams would count fragments no dedup pass acts on.
+    * The 16-hex-char md5 prefix keeps the census shuffle rows
+    * narrow (8 B of entropy vs a ~30-char gram string) and is
+    * reproducible in the DuckDB oracle, unlike xxhash64. */
+  private def ngramHashes(text: Column, w: Int): Column = {
+    val toks = Text.tokens(text)
+    when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => substring(md5(array_join(slice(toks, i, lit(w)), " ")), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Cross-document duplicated n-gram COVERAGE (the RefinedWeb /
+    * "Deduplicating Training Data Makes Language Models Better"
+    * report): per document, the fraction of its width-5 token
+    * n-gram POSITIONS whose gram also occurs in at least one OTHER
+    * document. This is the metric that decides whether exact
+    * substring dedup is worth running at all — per-doc coverage near
+    * zero means MinHash-level dedup already caught everything;
+    * heavy tails name the docs to rewrite (cf. [[chunkRewrite]],
+    * which acts at chunk granularity; this measures at the finer
+    * n-gram granularity rewrites can't reach).
+    *
+    * Scale: the postings shape — one explode pass (grams per doc
+    * bounded by doc length), a census hash-agg on the gram key
+    * (corpus-growing, map-side combined; cross-doc duplication is
+    * `min(doc)≠max(doc)` — no count_distinct, so the census carries
+    * two BIGINTs per key), one join back on the same key, one
+    * per-doc rollup. No all-pairs anywhere; the census side is NOT
+    * broadcast by design (it grows with the corpus). */
+  def dupNgramCoverage(spark: SparkSession, dir: String,
+      width: Int = 5): DataFrame = {
+    val pos = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(ngramHashes(col("text"), width)).as("h"))
+    val census = pos.groupBy(col("h"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("dup"))
+    pos.join(census, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+        expr("n_dup * 1000000 div n_ngrams").as("dup_micro"))
+  }
+
+  /** N-GRAM DECONTAMINATION — the GPT-3/PaLM eval-leak method at
+    * width 5: an eval document is contaminated iff any of its token
+    * n-grams appears anywhere in the training split (here the
+    * deterministic holdout `doc_id % 97 = 0` plays the eval set).
+    * Complements the two existing faces: [[graft.operators.Dedup]]'s
+    * exact-fingerprint decontamination (q56, whole-doc) and the
+    * token-SET containment probe (q145, order-blind) — n-gram overlap
+    * is the standard published middle ground (order-aware, partial).
+    *
+    * Scale: eval sets are SMALL by definition, so the eval gram set
+    * broadcasts and the train corpus streams past it exactly once —
+    * hit grams (≤ eval-gram-count rows) come back, collapse to
+    * distinct, and join the eval positions. The 100 TB cost is one
+    * train-corpus scan with a broadcast semi-filter; nothing
+    * corpus-sized shuffles. */
+  def ngramDecontaminate(spark: SparkSession, dir: String,
+      width: Int = 5): DataFrame = {
+    val pos = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(ngramHashes(col("text"), width)).as("h"))
+    val evalPos = pos.filter(col("doc_id") % 97 === 0)
+    val evalGrams = evalPos.select(col("h")).distinct()
+    val hitGrams = pos.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .select(col("h")).distinct()
+      .withColumn("hit", lit(true))
+    evalPos.join(hitGrams, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
+        (col("n_hits") > 0L).as("contaminated"),
+        expr("n_hits * 1000000 div n_ngrams").as("hit_micro"))
+  }
+
+  /** The [[qualityClassifier]] logit column — shared by the
+    * classifier, its lift table, and the agreement/AUC evals so all
+    * four stay ONE scan each with bit-identical scores. */
+  private def classifierLogit: Column = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val shs = Text.shingles(col("text"), 3)
+    lit(-2.0) +
+      lit(3.0) * (size(array_distinct(toks)).cast("double") / nTok) +
+      lit(-1.5) * (Text.stopwordCount(col("text")).cast("double") / nTok) +
+      lit(0.8) * least(nTok / 100.0, lit(1.0)) +
+      lit(-2.5) * (lit(1.0) - size(array_distinct(shs)).cast("double") /
+        size(shs).cast("double"))
+  }
+
+  /** COHEN'S KAPPA between the model gate ([[qualityClassifier]]'s
+    * `logit > 0`) and the heuristic curation label (quality ≥ 0.66,
+    * the q157 ground truth) — chance-corrected agreement, the
+    * label-audit statistic run before swapping a heuristic filter for
+    * a model (raw agreement flatters imbalanced labels; kappa doesn't).
+    * Integer micro-units throughout: observed agreement and the
+    * marginal rates are floor-divided micro shares, expected agreement
+    * is the micro product-sum, and kappa is one final floor division —
+    * float-free, so the report is deterministic cross-engine. The
+    * degenerate all-one-label corpus (pe = 1) yields NULL, not a
+    * divide-by-zero (the q127 ANSI lesson).
+    *
+    * Scale: ONE scan computing both labels (they share the token
+    * pipeline), one 1-row aggregate; marginals stay ≤ 10⁶ so the
+    * micro products never overflow BIGINT at any corpus size. */
+  def agreementKappa(spark: SparkSession, dir: String): DataFrame = {
+    val a = classifierLogit > 0
+    val b = Text.qualityScore(col("text")) >= 0.66
+    Tables(spark, dir, "documents")
+      .select(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(n11 + n00) * 1000000 div n").as("po_micro"),
+        expr("""(((n11 + n10) * 1000000 div n) * ((n11 + n01) * 1000000 div n)
+               + ((n01 + n00) * 1000000 div n) * ((n10 + n00) * 1000000 div n))
+               div 1000000""").as("pe_micro"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po_micro"), col("pe_micro"),
+        expr("""CASE WHEN pe_micro = 1000000 THEN NULL
+                ELSE (po_micro - pe_micro) * 1000000 div (1000000 - pe_micro)
+                END""").as("kappa_micro"))
+  }
+
+  /** Exact ROC-AUC of the classifier logit against the curation
+    * label — the threshold-free companion to [[classifierLift]]'s
+    * decile table, computed as the midrank Mann–Whitney statistic:
+    * AUC = (2·R₁ − n₁(n₁+1)) / (2·n₁n₀) where R₁ is the positive-
+    * class midrank sum. Everything happens on an integer grid — the
+    * logit quantizes to ×10⁴ ticks (the same 4-decimal precision the
+    * classifier already publishes), midranks are carried doubled so
+    * ties stay integral, and the final AUC is one micro floor
+    * division: bit-identical cross-engine, no float rank fuzz.
+    *
+    * Scale: one scan folds to a (distinct tick → count, positives)
+    * hash-agg whose size is bounded by the logit RANGE (~4·10⁴ ticks,
+    * constant in corpus size), so the single-partition cumulative
+    * window that assigns midranks runs over a fixed-size frame — the
+    * same bounded-window convention as the percentile reports. The
+    * doubled rank sum stays under BIGINT through ~10⁹ docs; beyond
+    * that the tick histogram (already exact) is the artifact to
+    * aggregate hierarchically. A one-class corpus yields NULL. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tick from the PUBLISHED 4-decimal logit (the q71-proven-identical
+    // double), so the grid is bit-stable cross-engine by construction
+    val ticks = Tables(spark, dir, "documents")
+      .select(round(round(classifierLogit, 4) * 10000).cast("long").as("s"),
+        (Text.qualityScore(col("text")) >= 0.66).as("pos"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ticks
+      .withColumn("cum_less", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .withColumn("midrank2", lit(2L) * col("cum_less") + col("cnt") + lit(1L))
+      .agg(sum(col("np")).as("n_pos"),
+        sum(col("cnt") - col("np")).as("n_neg"),
+        sum(col("np") * col("midrank2")).as("r1_x2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE (r1_x2 - n_pos * (n_pos + 1)) * 1000000
+                     div (2 * n_pos * n_neg) END""").as("auc_micro"))
+  }
 }

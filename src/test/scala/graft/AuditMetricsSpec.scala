@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DataQuality, EventFlow, TextOps}
+
+/** The round-9 audit/eval additions: n-gram duplication coverage and
+  * decontamination (q205/q210), l-diversity (q206), activity gaps
+  * (q207), and the label-agreement metrics kappa/AUC (q208/q209). */
+class AuditMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft_audit_docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dupNgramCoverage counts cross-doc duplicated 5-gram positions") {
+    // docs 1 and 2 share the exact run "p q r s t"; doc 3 is unique;
+    // doc 4 is under 5 tokens and must contribute no rows at all
+    val dir = writeDocs(Seq(
+      (1L, "a b c p q r s t d e"),   // 6 grams, 1 dup position
+      (2L, "x p q r s t y z w v"),   // 6 grams, 1 dup position
+      (3L, "k l m n o kk ll mm"),    // 4 grams, 0 dup
+      (4L, "tiny doc here")))        // too short: absent
+    val got = TextOps.dupNgramCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((6L, 1L, 166666L)),
+      2L -> ((6L, 1L, 166666L)),
+      3L -> ((4L, 0L, 0L))))
+  }
+
+  test("dupNgramCoverage counts REPEATED in-doc positions per occurrence") {
+    // the shared gram occurs twice in doc 1: both positions are
+    // covered once the gram is cross-doc duplicated
+    val dir = writeDocs(Seq(
+      (1L, "p q r s t p q r s t"),   // grams at pos 1 and 6 both = "p q r s t"
+      (2L, "z p q r s t z z y x")))
+    val got = TextOps.dupNgramCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 2L)
+  }
+
+  test("ngramDecontaminate flags eval docs sharing any 5-gram with train") {
+    // doc 0 (eval: 0 % 97 = 0) shares "p q r s t" with train doc 1;
+    // doc 97 (eval) is disjoint from every train doc
+    val dir = writeDocs(Seq(
+      (0L, "a b p q r s t c d e"),
+      (97L, "q1 q2 q3 q4 q5 q6 q7"),
+      (1L, "x y p q r s t z w v"),
+      (2L, "k l m n o kk ll mm nn")))
+    val got = TextOps.ngramDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      0L -> ((6L, 1L, true)),
+      97L -> ((3L, 0L, false))))
+  }
+
+  test("ngramDecontaminate broadcasts the eval gram set") {
+    val dir = writeDocs(Seq(
+      (0L, "a b c d e f"), (1L, "a b c d e g"), (2L, "h i j k l m")))
+    val plan = TextOps.ngramDecontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram semi filter should broadcast:\n$plan")
+  }
+
+  test("lDiversityProfile histograms distinct-sensitive counts per QI group") {
+    // group (g1): sensitive {x, y}   → l = 2
+    // group (g2): sensitive {x}      → l = 1 (homogeneous: at risk at any l ≥ 2)
+    // group (g3): sensitive {x, y, z}→ l = 3
+    val df = Seq(
+      ("g1", "x"), ("g1", "y"), ("g1", "x"),
+      ("g2", "x"), ("g2", "x"),
+      ("g3", "x"), ("g3", "y"), ("g3", "z"))
+      .toDF("qi", "sens")
+    val got = DataQuality.lDiversityProfile(df, Seq("qi"), "sens", l = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L, true, 250000L)),
+      2L -> ((1L, 3L, false, 375000L)),
+      3L -> ((1L, 3L, false, 375000L))))
+  }
+
+  test("activityGaps islands per-user presence and histograms longest gaps") {
+    val dir = Files.createTempDirectory("graft_audit_events").toString
+    def ev(id: Long, user: Long, day: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), user,
+        "view", 1.0, "{}")
+    // user 1: days 1,2,5     → one gap of 2
+    // user 2: days 3,4,5     → continuously active: longest 0
+    // user 3: days 1,4,6     → gaps 2 and 1: longest 2, 2 runs, 3 days
+    // user 1 has a second event on day 1 (dedup must collapse it)
+    Seq(ev(1, 1, 1), ev(2, 1, 1), ev(3, 1, 2), ev(4, 1, 5),
+      ev(5, 2, 3), ev(6, 2, 4), ev(7, 2, 5),
+      ev(8, 3, 1), ev(9, 3, 4), ev(10, 3, 6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventFlow.activityGaps(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      0L -> ((1L, 0L, 0L)),           // user 2
+      2L -> ((2L, 3L, 5L))))          // users 1 and 3: 1+2 runs, 2+3 days
+  }
+
+  test("agreementKappa replays the integer formula over the published labels") {
+    // labels from the two independently-oracled paths: q71's gate and
+    // q21's quality — the kappa must equal the driver-side integer fold
+    val keep = TextOps.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val pos = TextOps.qualityScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3) >= 0.66)).toMap
+    val n = keep.size.toLong
+    val n11 = keep.count { case (d, a) => a && pos(d) }.toLong
+    val n10 = keep.count { case (d, a) => a && !pos(d) }.toLong
+    val n01 = keep.count { case (d, a) => !a && pos(d) }.toLong
+    val n00 = keep.count { case (d, a) => !a && !pos(d) }.toLong
+    // Spark `div` truncates toward zero (like Java /), not floor
+    def fdiv(a: Long, b: Long) = a / b
+    val po = fdiv((n11 + n00) * 1000000L, n)
+    val pe = fdiv(
+      fdiv((n11 + n10) * 1000000L, n) * fdiv((n11 + n01) * 1000000L, n) +
+        fdiv((n01 + n00) * 1000000L, n) * fdiv((n10 + n00) * 1000000L, n),
+      1000000L)
+    val kappa = fdiv((po - pe) * 1000000L, 1000000L - pe)
+    val row = TextOps.agreementKappa(spark, sf).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((n, n11, n10, n01, n00)))
+    assert(row.getLong(5) == po && row.getLong(6) == pe)
+    assert(row.getLong(7) == kappa)
+    // agreement beats chance on this corpus (the two labels share terms)
+    assert(kappa > 0L)
+  }
+
+  test("classifierAuc equals the brute-force pairwise count") {
+    // ticks and labels exactly as the operator builds them
+    val logit = TextOps.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = TextOps.qualityScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3) >= 0.66)).toMap
+    def tick(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val scored = logit.toSeq.map { case (d, l) => (tick(l), pos(d)) }
+    val ps = scored.filter(_._2).map(_._1)
+    val ns = scored.filterNot(_._2).map(_._1)
+    // concordant pairs ×2 + ties, over all pos×neg pairs
+    val num = (for (p <- ps; q <- ns) yield {
+      if (p > q) 2L else if (p == q) 1L else 0L
+    }).sum
+    val expect = num * 1000000L / (2L * ps.size * ns.size)
+    val row = TextOps.classifierAuc(spark, sf).head()
+    assert(row.getLong(0) == ps.size.toLong && row.getLong(1) == ns.size.toLong)
+    assert(row.getLong(2) == expect)
+    // the logit was built to predict this label: AUC must beat a coin
+    assert(row.getLong(2) > 500000L)
+  }
+}

@@ -19,6 +19,10 @@ for p in glob.glob(f"{SF_DIR}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+# Optional third arg: comma-separated query subset (mirrors Verify's subset).
+if len(sys.argv) > 3 and sys.argv[3].strip():
+    subset = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in subset}
 
 def norm(v):
     if isinstance(v, float):

@@ -422,6 +422,9 @@ object SparkEntry {
     "q208_label_kappa" -> ((s, d) => TextOps.agreementKappa(s, d)),
     "q209_classifier_auc" -> ((s, d) => TextOps.classifierAuc(s, d)),
     "q210_ngram_decontam" -> ((s, d) => TextOps.ngramDecontaminate(s, d)),
+    "q211_trend_ols" -> ((s, d) => Relational.revenueTrendOls(s, d)),
+    "q212_calibration" -> ((s, d) => TextOps.classifierCalibration(s, d)),
+    "q213_ks_drift" -> ((s, d) => TextOps.qualityKsDrift(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -590,7 +593,8 @@ object SparkEntry {
       ("q157_classifier_lift" -> q157Sql) + ("q158_langid_eval" -> q158Sql) +
       ("q160_funnel_summary" -> q160Sql) + ("q161_dedup_savings" -> q161Sql) +
       ("q162_weighted_wor" -> q162Sql) + ("q163_banding_sweep" -> q163Sql) +
-      ("q208_label_kappa" -> q208Sql) + ("q209_classifier_auc" -> q209Sql)
+      ("q208_label_kappa" -> q208Sql) + ("q209_classifier_auc" -> q209Sql) +
+      ("q211_trend_ols" -> q211Sql) + ("q212_calibration" -> q212Sql)
 
   /** q208: Cohen's kappa between the q71 gate and the quality label —
     * integer micro agreement with marginal-product expected rate. */
@@ -3830,7 +3834,94 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000 // count(*)
          |    AS BIGINT) AS hit_micro
          |FROM ev LEFT JOIN hits USING (h) GROUP BY doc_id""".stripMargin,
+    // q213: exact two-sample KS on the 1e-4 quality grid — each
+    // source's CDF vs the rest, micro-floored, max over pooled ticks
+    "q213_ks_drift" ->
+      s"""WITH $docMetricsCte,
+         | f AS (SELECT source, CAST(round(quality * 10000) AS BIGINT) AS tick
+         |   FROM m),
+         | cnt AS (SELECT source, tick, CAST(count(*) AS BIGINT) AS c
+         |   FROM f GROUP BY 1, 2),
+         | grid AS (SELECT s.source, t.tick
+         |   FROM (SELECT DISTINCT source FROM cnt) s,
+         |        (SELECT DISTINCT tick FROM cnt) t),
+         | cum AS (SELECT g.source, g.tick,
+         |    CAST(sum(coalesce(c, 0)) OVER (PARTITION BY g.source
+         |      ORDER BY g.tick ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_s
+         |   FROM grid g LEFT JOIN cnt
+         |     ON g.source = cnt.source AND g.tick = cnt.tick),
+         | full1 AS (SELECT *,
+         |    CAST(sum(cum_s) OVER (PARTITION BY tick) AS BIGINT) AS cum_all,
+         |    CAST(max(cum_s) OVER (PARTITION BY source) AS BIGINT) AS n_s
+         |   FROM cum),
+         | f2 AS (SELECT *, CAST(max(cum_all) OVER () AS BIGINT) AS n_all
+         |   FROM full1)
+         |SELECT source, CAST(max(n_s) AS BIGINT) AS n_source,
+         |  CAST(max(n_all - n_s) AS BIGINT) AS n_rest,
+         |  CAST(max(CASE WHEN n_all > n_s THEN
+         |    abs(cum_s * 1000000 // n_s
+         |        - (cum_all - cum_s) * 1000000 // (n_all - n_s)) END)
+         |    AS BIGINT) AS d_micro
+         |FROM f2 GROUP BY source""".stripMargin,
   )
+
+  /** q211: per-nation OLS revenue trend — exact integer moments
+    * (HUGEINT ≙ Spark Decimal(38); y² can pass int64 at sf1), doubles
+    * only in the final slope/R² ratios with q195's operand order. */
+  private lazy val q211Sql: String =
+    """WITH mo AS (SELECT n_name,
+      |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+      |       + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      | m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(t AS HUGEINT) * t) AS stt,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(t AS HUGEINT) * y) AS sty
+      |  FROM mo GROUP BY 1),
+      | v AS (SELECT n_name, n,
+      |    CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS vt,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+      |    CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+      |  FROM m)
+      |SELECT n_name, n AS n_months,
+      |  CASE WHEN vt > 0 THEN round(cv / vt, 4) END AS slope_cents,
+      |  CASE WHEN vt > 0 AND vy > 0 THEN
+      |    CAST(round(round(cv * cv / (vt * vy), 6) * 1000000, 0) AS BIGINT)
+      |  END AS r2_micro
+      |FROM v""".stripMargin
+
+  /** q212: calibration table — sigmoid of the published 4-decimal q71
+    * logit, re-rounded to 4 decimals (the grid absorbs libm exp ULP),
+    * ten equal-width probability bins, micro confidence vs accuracy. */
+  private lazy val q212Sql: String =
+    s"""WITH cls AS (
+       |${oracleBase("q71_quality_classifier")}
+       |),
+       | $docMetricsCte,
+       | f AS (SELECT
+       |    CAST(round(round(1.0 / (1.0 + exp(-cls.logit)), 4) * 10000)
+       |      AS BIGINT) AS tick,
+       |    m.quality >= 0.66 AS pos
+       |   FROM cls JOIN m ON cls.doc_id = m.doc_id),
+       | b AS (SELECT least(tick // 1000, 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(tick) AS BIGINT) AS sum_tick
+       |   FROM f GROUP BY 1)
+       |SELECT bin, n_docs, n_pos,
+       |  CAST(sum_tick * 100 // n_docs AS BIGINT) AS conf_micro,
+       |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS acc_micro,
+       |  CAST(abs(sum_tick * 100 // n_docs - n_pos * 1000000 // n_docs)
+       |    AS BIGINT) AS gap_micro
+       |FROM b""".stripMargin
 
   /** Width-5 token n-gram positions hashed to 16-hex keys — the
     * DuckDB replay of [[graft.operators.TextOps.dupNgramCoverage]]'s

@@ -1441,4 +1441,48 @@ object Relational {
         .over(Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Per-nation REVENUE TREND as an exact OLS fit — slope (cents per
+    * month) and R² of monthly revenue against the absolute month
+    * index, the "which markets are growing" regression behind q113's
+    * MoM deltas (a single month's spike moves one delta; the fitted
+    * slope is the summary statisticians actually quote). The q195
+    * discipline: every moment is an exact integer (month index ×
+    * floor-cents revenue folded through Decimal(38) ≙ HUGEINT), and
+    * doubles appear only in the final slope/R² ratios with identical
+    * operand order on both engines; a degenerate nation (single
+    * month, or zero revenue variance) reports NULL, not a crash.
+    *
+    * Scale: fact scan → one (nation, month) hash-agg behind broadcast
+    * dims, then per-nation moments over the months-bounded frame
+    * (≤ calendar span rows per nation — the regression itself costs
+    * nothing at any corpus size). */
+  def revenueTrendOls(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val customer = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val nation = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val monthly = Tables(spark, dir, "orders")
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).cast("long").as("t"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+    val (tD, yD) = (col("t").cast(dec), col("y").cast(dec))
+    val m = monthly.groupBy(col("n_name")).agg(
+      count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("y")).as("sy"),
+      sum(tD * tD).as("stt"), sum(yD * yD).as("syy"), sum(tD * yD).as("sty"))
+    val nD = col("n").cast("double")
+    val varT = nD * col("stt").cast("double") -
+      col("st").cast("double") * col("st").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val cov = nD * col("sty").cast("double") -
+      col("st").cast("double") * col("sy").cast("double")
+    m.select(col("n_name"), col("n").as("n_months"),
+      when(varT > 0, round(cov / varT, 4)).as("slope_cents"),
+      when(varT > 0 && varY > 0,
+        round(round(cov * cov / (varT * varY), 6) * 1000000, 0).cast("long"))
+        .as("r2_micro"))
+  }
 }

@@ -1758,4 +1758,90 @@ object TextOps {
                 ELSE (r1_x2 - n_pos * (n_pos + 1)) * 1000000
                      div (2 * n_pos * n_neg) END""").as("auc_micro"))
   }
+
+  /** CALIBRATION (reliability) table for the quality classifier —
+    * the third model-eval face beside rank quality ([[classifierAuc]])
+    * and threshold yield ([[classifierLift]]): the logit maps to a
+    * probability (sigmoid, published at the house 4-decimal grid),
+    * probabilities cut into ten equal-width bins, and each bin
+    * reports mean CONFIDENCE vs observed ACCURACY with the |gap| —
+    * the per-bin terms of expected calibration error (ECE = the
+    * doc-weighted gap mean, one fold away). An over-confident filter
+    * model shows up here while its AUC still looks fine.
+    *
+    * Float discipline: the only transcendental (exp) is rounded to
+    * 4 decimals immediately — the grid absorbs cross-engine libm ULP
+    * differences (the q65 ln convention) — and every rate after that
+    * is an integer micro floor division. Scale: one scan, a ≤10-row
+    * hash-agg; `sum(tick)` stays under BIGINT to ~10¹² docs/bin. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    // sigmoid of the PUBLISHED 4-decimal logit (not the raw one): both
+    // engines then exp() the identical double, and the sigmoid's own
+    // 4-decimal round absorbs the libm ULP gap
+    val p4 = round(lit(1.0) / (lit(1.0) + exp(-round(classifierLogit, 4))), 4)
+    val tick = round(p4 * 10000).cast("long")
+    Tables(spark, dir, "documents")
+      .select(tick.as("tick"),
+        (Text.qualityScore(col("text")) >= 0.66).as("pos"))
+      .select(least(expr("tick div 1000"), lit(9L)).as("bin"),
+        col("tick"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("tick")).as("sum_tick"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("sum_tick * 100 div n_docs").as("conf_micro"),
+        expr("n_pos * 1000000 div n_docs").as("acc_micro"))
+      .withColumn("gap_micro",
+        abs(col("conf_micro") - col("acc_micro")))
+  }
+
+  /** Exact two-sample KOLMOGOROV–SMIRNOV drift screen: for each
+    * source, the maximum CDF distance between ITS quality-score
+    * distribution and the rest of the corpus — the unbinned companion
+    * to the PSI drift report (PSI needs bucket choices; KS reads the
+    * whole distribution and catches shape drift PSI's bins smooth
+    * over). Scores live on the published 4-decimal grid, so both
+    * CDFs are exact integer counts over at most 10⁴ ticks; the
+    * distance compares micro floor-divided CDFs (deterministic
+    * cross-engine, within 2·10⁻⁶ of the exact rational). A
+    * single-source corpus reports NULL (no rest to drift from).
+    *
+    * Scale: one scan folds to a (source, tick) hash-agg bounded by
+    * |sources| × the tick RANGE — constant in corpus size; every
+    * source needs a CDF value at every pooled jump point, so the
+    * source list (an enum-sized set, like the bucket lists the ANN
+    * stores collect) rides the plan as a literal exploded over the
+    * pooled ticks — a constant-key join here would fold into the
+    * banned nested-loop product. All windows run over the bounded
+    * grid. */
+  def qualityKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tick = round(Text.qualityScore(col("text")) * 10000).cast("long")
+    val cnt = Tables(spark, dir, "documents")
+      .select(col("source"), tick.as("tick"))
+      .groupBy(col("source"), col("tick"))
+      .agg(count(lit(1)).as("c"))
+    val sources = cnt.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val grid = cnt.select(col("tick")).distinct()
+      .select(col("tick"), explode(lit(sources)).as("source"))
+    val byCdf = Window.partitionBy(col("source")).orderBy(col("tick"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = grid.join(cnt, Seq("source", "tick"), "left")
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(byCdf))
+      .withColumn("cum_all", sum(col("cum_s")).over(
+        Window.partitionBy(col("tick"))))
+      .withColumn("n_s", max(col("cum_s")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("n_all", max(col("cum_all")).over(Window.partitionBy()))
+    full
+      .withColumn("diff", when(col("n_all") > col("n_s"),
+        abs(expr("cum_s * 1000000 div n_s") -
+          expr("(cum_all - cum_s) * 1000000 div (n_all - n_s)"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_source"),
+        max(col("n_all") - col("n_s")).as("n_rest"),
+        max(col("diff")).as("d_micro"))
+  }
 }

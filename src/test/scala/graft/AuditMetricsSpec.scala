@@ -143,6 +143,74 @@ class AuditMetricsSpec extends SparkSpec {
     assert(kappa > 0L)
   }
 
+  test("revenueTrendOls recovers an exactly linear series with r2 = 1") {
+    val dir = Files.createTempDirectory("graft_audit_ols").toString
+    // nation 0: revenue = 100.00 + 25.00 * monthIndex (exactly linear)
+    // nation 1: constant revenue (zero variance → NULL slope and r2)
+    val orders = (1 to 12).flatMap { mth =>
+      Seq((mth.toLong, 1L, f"2020-$mth%02d-15", 100.0 + 25.0 * (240 + mth)),
+        (100L + mth, 2L, f"2020-$mth%02d-20", 77.0))
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+      .withColumn("o_orderstatus", lit("O"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0L), (2L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0L, "LINEAR"), (1L, "FLAT")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val got = graft.operators.Relational.revenueTrendOls(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got("LINEAR")._1 == 12L)
+    assert(got("LINEAR")._2.contains(2500.0))   // cents per month
+    assert(got("LINEAR")._3.contains(1000000L)) // perfect fit
+    assert(got("FLAT")._2.contains(0.0) && got("FLAT")._3.isEmpty)
+  }
+
+  test("classifierCalibration bins conserve mass and replay the micro rates") {
+    val rows = TextOps.classifierCalibration(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = Tables(spark, sf, "documents").count()
+    assert(total == corpus)
+    rows.foreach { r =>
+      val (bin, n, np, conf, acc, gap) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(bin >= 0L && bin <= 9L)
+      assert(conf >= 0L && conf <= 1000000L && acc >= 0L && acc <= 1000000L)
+      assert(acc == np * 1000000L / n)
+      assert(gap == math.abs(conf - acc))
+      // a bin's mean confidence must sit inside the bin's own range
+      // (bin 9 also absorbs the tick-10000 edge)
+      assert(conf >= bin * 100000L && conf < (bin + 1) * 100000L + 1L)
+    }
+  }
+
+  test("qualityKsDrift equals the brute-force CDF sweep") {
+    val scored = TextOps.qualityScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(3) * 10000))
+    val srcOf = Tables(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ticksAll = scored.map(_._2).distinct.sorted
+    val bySrc = scored.groupBy { case (d, _) => srcOf(d) }
+      .map { case (s, xs) => s -> xs.map(_._2) }
+    val n = scored.length.toLong
+    val expect = bySrc.map { case (s, mine) =>
+      val ns = mine.length.toLong
+      val d = ticksAll.map { t =>
+        val cs = mine.count(_ <= t).toLong
+        val cr = scored.count(_._2 <= t).toLong - cs
+        math.abs(cs * 1000000L / ns - cr * 1000000L / (n - ns))
+      }.max
+      s -> ((ns, n - ns, d))
+    }
+    val got = TextOps.qualityKsDrift(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

@@ -425,6 +425,8 @@ object SparkEntry {
     "q211_trend_ols" -> ((s, d) => Relational.revenueTrendOls(s, d)),
     "q212_calibration" -> ((s, d) => TextOps.classifierCalibration(s, d)),
     "q213_ks_drift" -> ((s, d) => TextOps.qualityKsDrift(s, d)),
+    "q214_revenue_acf" -> ((s, d) => Relational.revenueAcf(s, d)),
+    "q215_cusum_shift" -> ((s, d) => EventFlow.cusumChangepoints(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -594,7 +596,75 @@ object SparkEntry {
       ("q160_funnel_summary" -> q160Sql) + ("q161_dedup_savings" -> q161Sql) +
       ("q162_weighted_wor" -> q162Sql) + ("q163_banding_sweep" -> q163Sql) +
       ("q208_label_kappa" -> q208Sql) + ("q209_classifier_auc" -> q209Sql) +
-      ("q211_trend_ols" -> q211Sql) + ("q212_calibration" -> q212Sql)
+      ("q211_trend_ols" -> q211Sql) + ("q212_calibration" -> q212Sql) +
+      ("q214_revenue_acf" -> q214Sql) + ("q215_cusum_shift" -> q215Sql)
+
+  /** q214: daily-revenue autocorrelogram — zero-filled spine, seven
+    * leads, exact HUGEINT moments per lag, q195's final-ratio order. */
+  private lazy val q214Sql: String = {
+    val leadCols = (1 to 7).map(k => s"lead(x, $k) OVER (ORDER BY day) AS y$k")
+      .mkString(",\n      |    ")
+    val arms = (1 to 7).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag_days, x, y$k AS y FROM led WHERE y$k IS NOT NULL")
+      .mkString("\n      | UNION ALL ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      | b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      | spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+      |     AS DATE) AS day FROM b),
+      | filled AS (SELECT spine.day, CAST(coalesce(cents, 0) AS BIGINT) AS x
+      |   FROM spine LEFT JOIN daily USING (day)),
+      | led AS (SELECT day, x,
+      |    $leadCols
+      |   FROM filled),
+      | pairs AS (
+      | $arms),
+      | m AS (SELECT lag_days, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pairs GROUP BY 1),
+      | v AS (SELECT lag_days, n,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+      |  FROM m)
+      |SELECT lag_days, n AS n_pairs,
+      |  CASE WHEN vx > 0 AND vy > 0 THEN
+      |    CAST(round(round(cv / sqrt(vx * vy), 6) * 1000000, 0) AS BIGINT)
+      |  END AS acf_micro
+      |FROM v""".stripMargin
+  }
+
+  /** q215: CUSUM changepoint per event type over the q111 zero-filled
+    * grid — S′ₜ = T·cumₜ − t·total exact, peak by (|S′| desc, day). */
+  private lazy val q215Sql: String =
+    s"""WITH g AS (
+       |${oracleBase("q111_daily_spine")}
+       |),
+       | s AS (SELECT event_type, day, n_events,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS t,
+       |    CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+       |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS total
+       |   FROM g),
+       | s2 AS (SELECT *, abs(n_days * cum - t * total) AS s_abs FROM s),
+       | p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |     ORDER BY s_abs DESC, day ASC) AS rk FROM s2)
+       |SELECT event_type, n_days, day AS peak_day,
+       |  CASE WHEN total > 0 THEN
+       |    CAST(s_abs * 1000000 // (n_days * total) AS BIGINT) END AS cusum_micro,
+       |  CASE WHEN t > 0 THEN CAST(cum * 1000 // t AS BIGINT) END AS before_milli,
+       |  CASE WHEN n_days > t THEN
+       |    CAST((total - cum) * 1000 // (n_days - t) AS BIGINT) END AS after_milli
+       |FROM p WHERE rk = 1""".stripMargin
 
   /** q208: Cohen's kappa between the q71 gate and the quality label —
     * integer micro agreement with marginal-product expected rate. */

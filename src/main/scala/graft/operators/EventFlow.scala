@@ -735,4 +735,48 @@ object EventFlow {
         sum(col("n_gap_runs")).as("n_gap_runs"),
         sum(col("n_gap_days")).as("n_gap_days"))
   }
+
+  /** CUSUM CHANGEPOINT scan over each event type's daily counts —
+    * "did the level shift, and when": the classic cumulative-sum
+    * statistic Sₜ = Σ₁..ₜ(cntᵢ − mean), whose |max| names the most
+    * likely single changepoint. Everything stays integral by scaling
+    * out the mean's fraction: S′ₜ = T·cumₜ − t·total (= T·Sₜ exactly),
+    * peak picked by (|S′| desc, day asc) — deterministic under ties —
+    * and the report carries the normalized peak mass (max|S′|·10⁶ //
+    * (T·total), 0 for a flat series, toward 250 000 for a hard
+    * mid-series level shift) plus the before/after daily means in
+    * milli-units, the actual shift magnitude an alert threshold
+    * compares. The z-score anomaly reports (q90/q155) flag single
+    * days; this finds the sustained regime change they smear across
+    * many small flags. Rides [[Relational.dailySpineCounts]]'s
+    * zero-filled (day × type) grid, so quiet days count as zeros
+    * instead of silently contracting the timeline.
+    *
+    * Scale: every stage after the one events hash-agg runs on the
+    * calendar × |types| grid — bounded, like the other time-series
+    * screens. `T·cumₜ` stays in int64 to ~10⁵ days × 10¹³ events. */
+  def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Relational.dailySpineCounts(spark, dir)
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val byType = Window.partitionBy(col("event_type"))
+    val s = daily
+      .withColumn("t", row_number().over(byDay).cast("long"))
+      .withColumn("cum", sum(col("n_events")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("n_events")).over(byType))
+      .withColumn("s_abs", abs(col("n_days") * col("cum") -
+        col("t") * col("total")))
+    val peak = s.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("s_abs").desc, col("day").asc)))
+      .filter(col("rk") === 1)
+    peak.select(col("event_type"), col("n_days"), col("day").as("peak_day"),
+      when(col("total") > 0,
+        expr("s_abs * 1000000 div (n_days * total)")).as("cusum_micro"),
+      when(col("t") > 0,
+        expr("cum * 1000 div t")).as("before_milli"),
+      when(col("n_days") > col("t"),
+        expr("(total - cum) * 1000 div (n_days - t)")).as("after_milli"))
+  }
 }

@@ -1485,4 +1485,52 @@ object Relational {
         round(round(cov * cov / (varT * varY), 6) * 1000000, 0).cast("long"))
         .as("r2_micro"))
   }
+
+  /** AUTOCORRELATION of daily revenue at lags 1..7 — the correlogram
+    * that says whether yesterday predicts today (lag 1) and whether a
+    * weekly cycle exists (lag 7 spikes while 2..6 don't), read before
+    * trusting any day-over-day alert threshold; complements q165's
+    * year-over-year view and q135's day-of-week profile with the
+    * lag-domain summary. Per lag k the statistic is the exact-moment
+    * Pearson correlation over the (xₜ, xₜ₊ₖ) pairs of the ZERO-FILLED
+    * calendar series (a missing day is zero revenue, not a skipped
+    * pair — unfilled gaps would silently stitch non-adjacent days).
+    *
+    * Scale: the fact scan folds to a days-bounded daily frame; the
+    * spine fill, the seven leads (one window), and the per-lag
+    * moments all run over calendar-sized data — like q211, the
+    * statistic costs one hash-agg at any corpus size. Moments fold
+    * through Decimal(38) (revenue-cents products pass int64). */
+  def revenueAcf(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("x"))
+    val byDay = Window.orderBy(col("day"))
+    val leads = filled.select(col("x") +:
+      (1 to maxLag).map(k => lead(col("x"), k).over(byDay).as(s"y$k")): _*)
+    val pairs = leads.select(col("x"), explode(array((1 to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag_days"), col(s"y$k").as("y"))): _*)).as("p"))
+      .select(col("p.lag_days").as("lag_days"), col("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val (xD, yD) = (col("x").cast(dec), col("y").cast(dec))
+    val m = pairs.groupBy(col("lag_days")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(xD * xD).as("sxx"), sum(yD * yD).as("syy"), sum(xD * yD).as("sxy"))
+    val nD = col("n").cast("double")
+    val varX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    m.select(col("lag_days"), col("n").as("n_pairs"),
+      when(varX > 0 && varY > 0,
+        round(round(cov / sqrt(varX * varY), 6) * 1000000, 0).cast("long"))
+        .as("acf_micro"))
+  }
 }

@@ -211,6 +211,54 @@ class AuditMetricsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("revenueAcf pins a strictly weekly series: lag-7 correlation is 1") {
+    val dir = Files.createTempDirectory("graft_audit_acf").toString
+    // 35 consecutive days of revenue that is an exact function of the
+    // weekday — every lag-7 pair is identical (acf = 1e6), lag 1..6 not
+    val orders = (0 until 35).map { d =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(d)
+      (d.toLong, 1L, java.sql.Date.valueOf(day),
+        100.0 + 50.0 * (d % 7))
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.revenueAcf(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(7L) == ((28L, 1000000L)))
+    (1 to 6).foreach(k => assert(got(k.toLong)._2 < 1000000L, s"lag $k"))
+    // n_pairs shrinks by one per extra lag day
+    (1 to 7).foreach(k => assert(got(k.toLong)._1 == (35 - k).toLong))
+  }
+
+  test("cusumChangepoints finds a clean level shift at its true day") {
+    val dir = Files.createTempDirectory("graft_audit_cusum").toString
+    // 'view': 2/day for days 1..10, then 8/day for days 11..20 — the
+    // CUSUM peak must land on day 10 with exact before/after means;
+    // 'click': flat 3/day — zero peak mass, peak at the earliest day
+    def evs(tpe: String, day: Int, n: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] =
+      (1 to n).map(i => ((day * 100 + i).toLong,
+        java.sql.Timestamp.valueOf(f"2024-02-$day%02d 0$i:00:00"),
+        1L, tpe, 1.0, "{}"))
+    val rows = (1 to 10).flatMap(d => evs("view", d, 2)) ++
+      (11 to 20).flatMap(d => evs("view", d, 8)) ++
+      (1 to 20).flatMap(d => evs("click", d, 3))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventFlow.cusumChangepoints(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDate(2).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    // view: T=20, total=100; peak day 10: cum=20, s_abs=|20·20−10·100|=600
+    // cusum = 600e6/(20·100) = 300000; before 20·1000/10=2000; after 8000
+    assert(got("view") ==
+      ((20L, "2024-02-10", Some(300000L), Some(2000L), Some(8000L))))
+    // click: flat — zero mass everywhere, earliest day wins the tie
+    assert(got("click")._3.contains(0L) && got("click")._2 == "2024-02-01")
+    // types with no events at all report NULL mass, not crashes
+    assert(got.contains("signup") && got("signup")._3.isEmpty)
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

@@ -54,6 +54,7 @@ object ConfigReader {
       annIndexTasks: Seq[graft.model.AnnIndexSpec] = Nil,
       checksumTasks: Seq[ChecksumSpec] = Nil,
       annEvalTasks: Seq[AnnEvalSpec] = Nil,
+      modelEvalTasks: Seq[ModelEvalSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -125,6 +126,13 @@ object ConfigReader {
         try Some(parseAnnEvalTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed annEval task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      modelEvalTasks = root.path("modelEvalTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseModelEvalTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed modelEval task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -398,5 +406,17 @@ object ConfigReader {
       k = n.path("k").asInt(5),
       nprobe = n.path("nprobe").asInt(4),
       minRecallMicro = n.path("minRecallMicro").asLong(800000L))
+  }
+
+  private def parseModelEvalTask(n: JsonNode): ModelEvalSpec = {
+    val schedule = optText(n, "schedule").getOrElse("55 4 * * *")
+    graft.operators.Cron.parse(schedule)
+    ModelEvalSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      minKappaMicro = n.path("minKappaMicro").asLong(200000L),
+      minAucMicro = n.path("minAucMicro").asLong(700000L),
+      maxEceMicro = n.path("maxEceMicro").asLong(150000L))
   }
 }

@@ -48,6 +48,7 @@ final class GraftEngine(
   @volatile private var annIndexSpecs: Seq[graft.model.AnnIndexSpec] = Nil
   @volatile private var checksumSpecs: Seq[graft.model.ChecksumSpec] = Nil
   @volatile private var annEvalSpecs: Seq[graft.model.AnnEvalSpec] = Nil
+  @volatile private var modelEvalSpecs: Seq[graft.model.ModelEvalSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -188,7 +189,7 @@ final class GraftEngine(
     if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs ||
         cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs ||
         cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs ||
-        cfg.annEvalTasks != annEvalSpecs) {
+        cfg.annEvalTasks != annEvalSpecs || cfg.modelEvalTasks != modelEvalSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
@@ -196,13 +197,14 @@ final class GraftEngine(
       annIndexSpecs = cfg.annIndexTasks
       checksumSpecs = cfg.checksumTasks
       annEvalSpecs = cfg.annEvalTasks
+      modelEvalSpecs = cfg.modelEvalTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
         backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob) ++
           optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob) ++
           annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob) ++
-          annEvalSpecs.map(toAnnEvalJob),
+          annEvalSpecs.map(toAnnEvalJob) ++ modelEvalSpecs.map(toModelEvalJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -256,6 +258,25 @@ final class GraftEngine(
       }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("ann_eval_failed", s"annEval${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toModelEvalJob(spec: graft.model.ModelEvalSpec): Cron.Job =
+    Cron.Job(GraftEngine.ModelEvalJobIdOffset + spec.id, spec.schedule, () =>
+      try {
+        val m = GraftEngine.runModelEval(spark, spec)
+        m.kappaMicro.filter(_ < spec.minKappaMicro).foreach(k =>
+          alerts.send(Alerts.Alert("model_agreement_low", s"modelEval${spec.id}",
+            s"kappa ${k}u < bound ${spec.minKappaMicro}u")))
+        m.aucMicro.filter(_ < spec.minAucMicro).foreach(a =>
+          alerts.send(Alerts.Alert("model_auc_low", s"modelEval${spec.id}",
+            s"auc ${a}u < bound ${spec.minAucMicro}u")))
+        if (m.eceMicro > spec.maxEceMicro)
+          alerts.send(Alerts.Alert("model_calibration_off", s"modelEval${spec.id}",
+            s"ece ${m.eceMicro}u > bound ${spec.maxEceMicro}u"))
+      }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("model_eval_failed", s"modelEval${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -672,6 +693,31 @@ object GraftEngine {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     if (truth.isEmpty) 1000000L
     else (sys & truth).size.toLong * 1000000L / truth.size
+  }
+
+  val ModelEvalJobIdOffset = 7000000
+
+  /** One model-eval sweep's scalars; kappa/AUC are None on degenerate
+    * corpora (one label class), ECE always folds. */
+  final case class ModelEvalResult(kappaMicro: Option[Long],
+      aucMicro: Option[Long], eceMicro: Long)
+
+  /** Run one quality-model eval now: the three q208/q209/q212 metrics
+    * folded to scalars — kappa and AUC read their 1-row reports, and
+    * ECE is the doc-weighted mean of the calibration table's |gap|
+    * (≤10 bins, driver-safe). */
+  def runModelEval(spark: SparkSession,
+      spec: graft.model.ModelEvalSpec): ModelEvalResult = {
+    val kappaRow = graft.operators.TextOps.agreementKappa(spark, spec.sourceDir).head()
+    val kappa = if (kappaRow.isNullAt(7)) None else Some(kappaRow.getLong(7))
+    val aucRow = graft.operators.TextOps.classifierAuc(spark, spec.sourceDir).head()
+    val auc = if (aucRow.isNullAt(2)) None else Some(aucRow.getLong(2))
+    val bins = graft.operators.TextOps.classifierCalibration(spark, spec.sourceDir)
+      .select("n_docs", "gap_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = bins.map(_._1).sum
+    val ece = if (n == 0) 0L else bins.map { case (nd, g) => nd * g }.sum / n
+    ModelEvalResult(kappa, auc, ece)
   }
 
   /** Run one checksum reconciliation now: both ends' monthly XOR

@@ -153,6 +153,23 @@ final case class AnnEvalSpec(
     nprobe: Int = 4,
     minRecallMicro: Long = 800000L)
 
+/** A scheduled quality-model eval watchdog — the model-drift gauge for
+  * the classifier gating the curation pipeline: Cohen's kappa against
+  * the heuristic label (agreement), exact ROC-AUC (ranking power), and
+  * expected calibration error (over/under-confidence), each with an
+  * alert bound. A filter model degrades silently as the corpus mix
+  * shifts under it — throughput stays normal while keep decisions go
+  * wrong; this is the gauge that says recalibrate/retrain before the
+  * exported training mix drifts. All three metrics fold to integer
+  * micro scalars from bounded frames (1-row, 1-row, ≤10 bins). */
+final case class ModelEvalSpec(
+    id: Int,
+    schedule: String = "55 4 * * *",
+    sourceDir: String = "",     // documents corpus root
+    minKappaMicro: Long = 200000L,
+    minAucMicro: Long = 700000L,
+    maxEceMicro: Long = 150000L)
+
 /** A scheduled vector-index maintenance job — the index-ops face of
   * the ANN family, composing the persisted-index operators the way
   * `optimizeTasks` composes the layout ones: found each enabled index

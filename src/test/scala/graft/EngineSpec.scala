@@ -1113,4 +1113,42 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("model eval watchdog: strict bounds page all three gauges; a hot-reloaded lenient config is silent") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // bounds no corpus can satisfy (kappa/AUC are capped at 1e6 micro,
+    // ECE is nonnegative): every gauge must page
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "modelEvalTasks": [
+         |  { "id": 3, "schedule": "55 4 * * *", "sourceDir": "$sf",
+         |    "minKappaMicro": 2000000, "minAucMicro": 2000000,
+         |    "maxEceMicro": -1 }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T04:55:00")) ==
+        Seq(GraftEngine.ModelEvalJobIdOffset + 3))
+      val fired = alerts.drain()
+      assert(fired.exists(_.kind == "model_agreement_low"), s"got $fired")
+      assert(fired.exists(_.kind == "model_auc_low"), s"got $fired")
+      assert(fired.exists(_.kind == "model_calibration_off"), s"got $fired")
+      assert(!fired.exists(_.kind == "model_eval_failed"), s"got $fired")
+      // hot-reload with bounds no corpus can violate: the same sweep
+      // runs and stays silent
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [], "modelEvalTasks": [
+           |  { "id": 3, "schedule": "55 4 * * *", "sourceDir": "$sf",
+           |    "minKappaMicro": -2000000, "minAucMicro": -2000000,
+           |    "maxEceMicro": 2000000 }
+           |] }""".stripMargin)
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T04:55:00")) ==
+        Seq(GraftEngine.ModelEvalJobIdOffset + 3))
+      val after = alerts.drain()
+      assert(after.isEmpty, s"lenient bounds paged: $after")
+    } finally engine.stop()
+  }
+
 }

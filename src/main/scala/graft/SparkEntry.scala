@@ -427,6 +427,9 @@ object SparkEntry {
     "q213_ks_drift" -> ((s, d) => TextOps.qualityKsDrift(s, d)),
     "q214_revenue_acf" -> ((s, d) => Relational.revenueAcf(s, d)),
     "q215_cusum_shift" -> ((s, d) => EventFlow.cusumChangepoints(s, d)),
+    "q216_customer_percentiles" -> ((s, d) => Relational.customerRevenuePercentiles(s, d)),
+    "q217_hazard_curve" -> ((s, d) => EventFlow.churnHazardCurve(s, d)),
+    "q218_distinct_n" -> ((s, d) => TextOps.distinctNgramProfile(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -597,7 +600,8 @@ object SparkEntry {
       ("q162_weighted_wor" -> q162Sql) + ("q163_banding_sweep" -> q163Sql) +
       ("q208_label_kappa" -> q208Sql) + ("q209_classifier_auc" -> q209Sql) +
       ("q211_trend_ols" -> q211Sql) + ("q212_calibration" -> q212Sql) +
-      ("q214_revenue_acf" -> q214Sql) + ("q215_cusum_shift" -> q215Sql)
+      ("q214_revenue_acf" -> q214Sql) + ("q215_cusum_shift" -> q215Sql) +
+      ("q218_distinct_n" -> q218Sql)
 
   /** q214: daily-revenue autocorrelogram — zero-filled spine, seven
     * leads, exact HUGEINT moments per lag, q195's final-ratio order. */
@@ -665,6 +669,24 @@ object SparkEntry {
        |  CASE WHEN n_days > t THEN
        |    CAST((total - cum) * 1000 // (n_days - t) AS BIGINT) END AS after_milli
        |FROM p WHERE rk = 1""".stripMargin
+
+  /** q218: distinct-n diversity — one arm per n over the shared token
+    * split, the q205 hash keys, a single distinct agg per (source, n). */
+  private lazy val q218Sql: String = {
+    val arms = (1 to 4).map { n =>
+      s"""SELECT source, CAST($n AS BIGINT) AS n,
+         |    substr(md5(array_to_string(ts[i:i+${n - 1}], ' ')), 1, 16) AS h
+         |   FROM tok, UNNEST(generate_series(1, len(ts) - ${n - 1})) AS t$n(i)"""
+        .stripMargin
+    }.mkString("\n | UNION ALL ")
+    s"""WITH tok AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+       | pos AS (
+       | $arms)
+       |SELECT source, n, CAST(count(*) AS BIGINT) AS n_positions,
+       |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       |  CAST(count(DISTINCT h) * 1000000 // count(*) AS BIGINT) AS distinct_micro
+       |FROM pos GROUP BY 1, 2""".stripMargin
+  }
 
   /** q208: Cohen's kappa between the q71 gate and the quality label —
     * integer micro agreement with marginal-product expected rate. */
@@ -3904,6 +3926,55 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000 // count(*)
          |    AS BIGINT) AS hit_micro
          |FROM ev LEFT JOIN hits USING (h) GROUP BY doc_id""".stripMargin,
+    // q216: deterministic-rank revenue percentiles, national + global
+    "q216_customer_percentiles" ->
+      """WITH t AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1),
+        | j AS (SELECT n_name, c_custkey, rev_cents
+        |   FROM t JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey),
+        | r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY rev_cents ASC, c_custkey ASC) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS nn,
+        |    CAST(row_number() OVER (ORDER BY rev_cents ASC, c_custkey ASC)
+        |      AS BIGINT) AS rg,
+        |    CAST(count(*) OVER () AS BIGINT) AS ng
+        |  FROM j)
+        |SELECT n_name, c_custkey, rev_cents,
+        |  CASE WHEN nn > 1 THEN CAST((rn - 1) * 1000000 // (nn - 1) AS BIGINT)
+        |  END AS nation_pct_micro,
+        |  CASE WHEN ng > 1 THEN CAST((rg - 1) * 1000000 // (ng - 1) AS BIGINT)
+        |  END AS global_pct_micro
+        |FROM r""".stripMargin,
+    // q217: Nelson-Aalen cumulative churn hazard with censoring at
+    // the corpus end (last activity within 7 days = censored)
+    "q217_hazard_curve" ->
+      """WITH p AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+        |    max(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY 1),
+        | s AS (SELECT *, max(last_day) OVER () AS end_day FROM p),
+        | u AS (SELECT user_id, last_day <= end_day - 7 AS churned,
+        |    CAST(last_day - first_day + 1 AS BIGINT) AS lifetime
+        |  FROM s),
+        | b AS (SELECT lifetime,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM u GROUP BY 1),
+        | c AS (SELECT *,
+        |    CAST(sum(n_churned + n_censored) OVER (ORDER BY lifetime
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM b),
+        | h AS (SELECT *,
+        |    CAST(n_churned * 1000000 // n_at_risk AS BIGINT) AS h_micro FROM c)
+        |SELECT lifetime, n_at_risk, n_churned, n_censored, h_micro,
+        |  CAST(sum(h_micro) OVER (ORDER BY lifetime
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_h_micro
+        |FROM h""".stripMargin,
     // q213: exact two-sample KS on the 1e-4 quality grid — each
     // source's CDF vs the rest, micro-floored, max over pooled ticks
     "q213_ks_drift" ->

@@ -779,4 +779,52 @@ object EventFlow {
       when(col("n_days") > col("t"),
         expr("(total - cum) * 1000 div (n_days - t)")).as("after_milli"))
   }
+
+  /** CHURN HAZARD CURVE — survival analysis with CENSORING, the piece
+    * q74's retention triangle and [[activityGaps]]'s dormancy view
+    * both lack: a user still active near the corpus end hasn't
+    * churned, they're CENSORED, and counting them as churned biases
+    * every lifetime estimate short. A user churns when their last
+    * active day sits at least `horizon` days before the corpus's last
+    * day (the same inactivity bar streaming session logic uses);
+    * their lifetime is first→last. Censored users contribute their
+    * observed lifetime to the risk sets and then exit without an
+    * event. Per lifetime t the report carries the risk set rₜ (users
+    * whose lifetime ≥ t), events dₜ, censors cₜ, the hazard dₜ/rₜ,
+    * and the NELSON–AALEN cumulative hazard Σ dᵢ/rᵢ — a sum of
+    * integer micro floor divisions, so the whole curve is float-free
+    * (the Kaplan–Meier product would force cross-engine float
+    * products; the cumulative hazard is its log-scale twin and stays
+    * exact).
+    *
+    * Scale: one (user, day) dedup, one per-user min/max, then every
+    * window runs over the lifetimes-bounded frame (≤ calendar span
+    * rows). The corpus-end scalar rides a window max, not a collect. */
+  def churnHazardCurve(spark: SparkSession, dir: String,
+      horizon: Int = 7): DataFrame = {
+    val spans = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .withColumn("end_day", max(col("last_day")).over(Window.partitionBy()))
+      .withColumn("churned",
+        col("last_day") <= date_sub(col("end_day"), horizon))
+      .withColumn("lifetime",
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
+    val byLife = spans.groupBy(col("lifetime"))
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
+    val later = Window.orderBy(col("lifetime"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val curve = byLife
+      .withColumn("n_at_risk",
+        sum(col("n_churned") + col("n_censored")).over(later))
+      .withColumn("h_micro", expr("n_churned * 1000000 div n_at_risk"))
+    curve
+      .withColumn("cum_h_micro", sum(col("h_micro")).over(
+        Window.orderBy(col("lifetime"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("lifetime"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"), col("h_micro"), col("cum_h_micro"))
+  }
 }

@@ -1533,4 +1533,42 @@ object Relational {
         round(round(cov / sqrt(varX * varY), 6) * 1000000, 0).cast("long"))
         .as("acf_micro"))
   }
+
+  /** Customer revenue PERCENTILE ranks — each customer's standing
+    * inside their nation and globally, in one pass: the account-review
+    * face ("this customer is p92 in FRANCE, p81 worldwide") that
+    * quintile grids (q204) are too coarse for. Ranks follow the house
+    * deterministic total order (revenue, then key — percent_rank's
+    * shared-tie ranks would be engine-portable but q194 set the
+    * convention), and the percentile is the exact integer micro
+    * (rank−1)·10⁶ // (n−1), NULL for a single-customer group rather
+    * than a division crash.
+    *
+    * Scale: one orders hash-agg to customer totals, then two windows
+    * over the customers frame — the national one partitioned by
+    * nation; the global one is the explicit total-order report
+    * convention (cf. curriculumOrder) a ranking report cannot avoid. */
+  def customerRevenuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val nation = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val totals = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("rev_cents"))
+    val inNation = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev_cents").asc, col("c_custkey").asc)
+    val global = Window.orderBy(col("rev_cents").asc, col("c_custkey").asc)
+    totals
+      .withColumn("rn", row_number().over(inNation).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("n_name"))))
+      .withColumn("rg", row_number().over(global).cast("long"))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy()))
+      .select(col("n_name"), col("c_custkey"), col("rev_cents"),
+        when(col("nn") > 1, expr("(rn - 1) * 1000000 div (nn - 1)"))
+          .as("nation_pct_micro"),
+        when(col("ng") > 1, expr("(rg - 1) * 1000000 div (ng - 1)"))
+          .as("global_pct_micro"))
+  }
 }

@@ -1844,4 +1844,32 @@ object TextOps {
         max(col("n_all") - col("n_s")).as("n_rest"),
         max(col("diff")).as("d_micro"))
   }
+
+  /** DISTINCT-n corpus diversity — for each source and n ∈ 1..4, the
+    * distinct-n-gram to total-n-gram-position ratio (the "distinct-1/
+    * distinct-2" metric generation and data-mixing papers track): a
+    * source full of templated or looped text collapses toward 0 while
+    * genuinely diverse prose stays high, and the n=1→4 profile
+    * separates "small vocabulary" from "repeated phrasing" — the
+    * corpus-level companion to the per-document repetition score
+    * (q57) and the duplicated-position coverage (q205).
+    *
+    * Scale: one explode pass emits ≤4 gram hashes per token position
+    * ([[ngramHashes]] keys), then ONE hash-agg per (source, n) with a
+    * single distinct aggregate (no Expand) — the postings-census cost
+    * envelope, bounded output (sources × 4 rows). */
+  def distinctNgramProfile(spark: SparkSession, dir: String,
+      maxN: Int = 4): DataFrame = {
+    val grams = explode(flatten(array((1 to maxN).map(n =>
+      transform(ngramHashes(col("text"), n),
+        h => struct(lit(n.toLong).as("n"), h.as("h")))): _*)))
+    Tables(spark, dir, "documents")
+      .select(col("source"), grams.as("g"))
+      .select(col("source"), col("g.n").as("n"), col("g.h").as("h"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_positions"),
+        count_distinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n"), col("n_positions"), col("n_distinct"),
+        expr("n_distinct * 1000000 div n_positions").as("distinct_micro"))
+  }
 }

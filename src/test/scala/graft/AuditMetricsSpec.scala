@@ -259,6 +259,72 @@ class AuditMetricsSpec extends SparkSpec {
     assert(got.contains("signup") && got("signup")._3.isEmpty)
   }
 
+  test("customerRevenuePercentiles: deterministic ranks, exact endpoints") {
+    val rows = graft.operators.Relational.customerRevenuePercentiles(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    // global percentiles span exactly [0, 1e6] and are unique per rank
+    assert(rows.flatMap(_._5).min == 0L && rows.flatMap(_._5).max == 1000000L)
+    // the globally richest customer is also p100 in their own nation
+    val top = rows.maxBy(r => (r._3, -r._2))
+    assert(top._4.contains(1000000L) || rows.count(_._1 == top._1) == 1)
+    // within every multi-customer nation: endpoints 0 and 1e6, and the
+    // percentile order matches the (revenue, key) order exactly
+    rows.groupBy(_._1).filter(_._2.length > 1).foreach { case (_, rs) =>
+      val ps = rs.flatMap(_._4)
+      assert(ps.min == 0L && ps.max == 1000000L)
+      val byRank = rs.sortBy(r => (r._3, r._2)).flatMap(_._4)
+      assert(byRank.sorted.sameElements(byRank))
+    }
+  }
+
+  test("churnHazardCurve: censoring at the horizon, exact Nelson-Aalen folds") {
+    val dir = Files.createTempDirectory("graft_audit_hazard").toString
+    def ev(id: Long, user: Long, day: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), user,
+        "view", 1.0, "{}")
+    // corpus ends day 20; churn bar = last_day <= day 13
+    // A: days 1-3   → lifetime 3,  churned
+    // B: days 1-10  → lifetime 10, churned
+    // C: day 15     → lifetime 1,  censored (still recent)
+    // D: days 11-20 → lifetime 10, censored (active at the end)
+    val rows = Seq(ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3),
+      ev(4, 2, 1), ev(5, 2, 10),
+      ev(6, 3, 15),
+      ev(7, 4, 11), ev(8, 4, 20))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventFlow.churnHazardCurve(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 0L, 1L, 0L, 0L)),
+      3L -> ((3L, 1L, 0L, 333333L, 333333L)),
+      10L -> ((2L, 1L, 1L, 500000L, 833333L))))
+  }
+
+  test("distinctNgramProfile separates looped text from diverse text") {
+    val dir2 = Files.createTempDirectory("graft_audit_distinctn").toString
+    Seq((1L, "a a a a a a a a a a", "looped"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8", "diverse"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got = graft.operators.TextOps.distinctNgramProfile(spark, dir2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("looped", 1L)) == ((10L, 1L, 100000L)))
+    assert(got(("looped", 2L)) == ((9L, 1L, 111111L)))
+    assert(got(("looped", 4L)) == ((7L, 1L, 142857L)))
+    (1 to 4).foreach { n =>
+      val (pos, dis, micro) = got(("diverse", n.toLong))
+      assert(pos == (8 - n + 1).toLong && dis == pos && micro == 1000000L)
+    }
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

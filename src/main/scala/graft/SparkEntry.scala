@@ -430,6 +430,8 @@ object SparkEntry {
     "q216_customer_percentiles" -> ((s, d) => Relational.customerRevenuePercentiles(s, d)),
     "q217_hazard_curve" -> ((s, d) => EventFlow.churnHazardCurve(s, d)),
     "q218_distinct_n" -> ((s, d) => TextOps.distinctNgramProfile(s, d)),
+    "q219_benford" -> ((s, d) => DataQuality.benfordDigits(s, d)),
+    "q220_holdout_ppl" -> ((s, d) => TextOps.holdoutPerplexity(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -3975,6 +3977,52 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_h_micro
         |FROM h""".stripMargin,
+    // q219: Benford first-digit screen — expectations are shared
+    // integer literals (DataQuality.BenfordMicro), zero-filled digits
+    "q219_benford" -> {
+      val spine = graft.operators.DataQuality.BenfordMicro
+        .map { case (d, m) => s"($d, $m)" }.mkString(", ")
+      s"""WITH spine(digit, benford_micro) AS (VALUES $spine),
+         | obs AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n_orders
+         |   FROM orders WHERE o_totalprice >= 1 GROUP BY 1)
+         |SELECT CAST(spine.digit AS BIGINT) AS digit,
+         |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+         |  CAST(coalesce(n_orders, 0) * 1000000
+         |    // CAST(sum(coalesce(n_orders, 0)) OVER () AS BIGINT)
+         |    AS BIGINT) AS obs_micro,
+         |  CAST(benford_micro AS BIGINT) AS benford_micro,
+         |  CAST(abs(coalesce(n_orders, 0) * 1000000
+         |    // CAST(sum(coalesce(n_orders, 0)) OVER () AS BIGINT)
+         |    - benford_micro) AS BIGINT) AS dev_micro
+         |FROM spine LEFT JOIN obs ON spine.digit = obs.digit""".stripMargin
+    },
+    // q220: held-out unigram perplexity — LM fit on the train split,
+    // the q210 holdout scored with an add-one OOV floor
+    "q220_holdout_ppl" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |   FROM documents),
+        | tr AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+        |   FROM tok WHERE doc_id % 97 <> 0 GROUP BY 1),
+        | tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS v FROM tr),
+        | lp AS (SELECT token,
+        |    round(ln(CAST(tf + 1 AS DOUBLE) / (total + v)), 6) AS logp
+        |   FROM tr CROSS JOIN tot),
+        | ev AS (SELECT doc_id, token FROM tok WHERE doc_id % 97 = 0),
+        | sc AS (SELECT ev.doc_id,
+        |    coalesce(lp.logp,
+        |      (SELECT round(ln(1.0 / (total + v)), 6) FROM tot)) AS logp,
+        |    lp.token IS NULL AS oov
+        |   FROM ev LEFT JOIN lp USING (token)),
+        | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |    round(avg(logp), 4) AS avg_logp
+        |   FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov, avg_logp,
+        |  round(exp(-avg_logp), 2) AS ppl
+        |FROM agg""".stripMargin,
     // q213: exact two-sample KS on the 1e-4 quality grid — each
     // source's CDF vs the rest, micro-floored, max over pooled ticks
     "q213_ks_drift" ->

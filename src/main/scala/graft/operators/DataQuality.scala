@@ -177,4 +177,49 @@ object DataQuality {
         .select(col("c_nationkey"), col("c_mktsegment"),
           floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
       Seq("c_nationkey", "c_mktsegment"), "bal_band", l)
+
+  /** Benford first-digit expectations log₁₀(1 + 1/d), d = 1..9, as
+    * shared integer micro literals (the q192 DCG-weight convention:
+    * the transcendental is frozen at authoring time, so neither
+    * engine computes a log at query time). */
+  val BenfordMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** BENFORD first-digit screen over order totals — the forensic DQ
+    * test for fabricated or truncated money columns: naturally-grown
+    * multi-scale amounts follow log₁₀(1+1/d); a synthesized or
+    * range-clamped column does not, and the per-digit deviation says
+    * WHICH digits carry the anomaly (a spike at 1 and 9 reads as
+    * clamping, a flat profile as synthesis). Deviation is |observed −
+    * expected| in integer micro per digit — a deliberately bounded
+    * screen, not a significance test (the χ² machinery is q196's).
+    * Digits with no observations still report (zero-filled literal
+    * spine): a MISSING digit is the loudest possible deviation.
+    *
+    * Scale: one scan folds to ≤9 groups (map-side combined); the
+    * spine join is a 9-row literal frame. */
+  def benfordDigits(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val obs = graft.Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+    val spine = org.apache.spark.sql.functions.explode(
+      array(BenfordMicro.map { case (d, m) =>
+        struct(lit(d.toLong).as("digit"), lit(m).as("benford_micro"))
+      }: _*)).as("b")
+    obs.sparkSession.range(1).select(spine)
+      .select(col("b.digit").as("digit"), col("b.benford_micro").as("benford_micro"))
+      .join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("benford_micro"))
+      .withColumn("obs_micro", expr(
+        "n_orders * 1000000 div sum(n_orders) OVER ()"))
+      .select(col("digit"), col("n_orders"), col("obs_micro"),
+        col("benford_micro"),
+        abs(col("obs_micro") - col("benford_micro")).as("dev_micro"))
+  }
 }

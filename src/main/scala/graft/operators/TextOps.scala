@@ -1872,4 +1872,47 @@ object TextOps {
       .select(col("source"), col("n"), col("n_positions"), col("n_distinct"),
         expr("n_distinct * 1000000 div n_positions").as("distinct_micro"))
   }
+
+  /** HELD-OUT PERPLEXITY — the train/test-discipline face of the
+    * unigram LM (q65 fits and scores the SAME corpus; a data-quality
+    * gate must score unseen text): the LM fits on the training split
+    * only (add-one smoothing over the train vocabulary), and the
+    * deterministic holdout (`doc_id % 97 = 0`, the q210 convention)
+    * is scored against it — unseen tokens get the smoothed OOV floor
+    * 1/(T+V) instead of silently vanishing. Per eval doc: token and
+    * OOV counts, mean log-probability (per-token logp rounds to 6
+    * decimals BEFORE the average — the q65 float discipline), and
+    * perplexity exp(−avg), the number LM papers quote.
+    *
+    * Scale: one train hash-agg to the vocab frame (totals via the
+    * vocab-side window, q65's join-free shape), logp broadcast into
+    * the eval scan; the (T, V) scalars ride a 1-row collect —
+    * driver-safe by construction. */
+  def holdoutPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val vocab = toks.filter(col("doc_id") % 97 =!= 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val stats = vocab
+      .withColumn("total", sum(col("tf")).over(Window.partitionBy()))
+      .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+    val logp = stats.select(col("token"),
+      round(log((col("tf") + 1).cast("double") /
+        (col("total") + col("v")).cast("double")), 6).as("logp"))
+    // the OOV floor needs (T, V) as scalars: a 1-row fold, driver-safe
+    val tv = vocab.agg(sum(col("tf")).as("t"), count(lit(1)).as("v")).head()
+    // replicate Catalyst round() exactly (HALF_UP on the decimal — the
+    // sign-aware form; math.round floors and drifts on negative ties)
+    val oovLogp = java.math.BigDecimal
+      .valueOf(math.log(1.0 / (tv.getLong(0) + tv.getLong(1))))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    toks.filter(col("doc_id") % 97 === 0)
+      .join(broadcast(logp), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("logp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(coalesce(col("logp"), lit(oovLogp))), 4).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 2))
+  }
 }

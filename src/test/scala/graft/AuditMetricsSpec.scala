@@ -325,6 +325,49 @@ class AuditMetricsSpec extends SparkSpec {
     }
   }
 
+  test("benfordDigits: literal expectations sum to exactly 1e6; missing digits zero-fill") {
+    import graft.operators.DataQuality
+    assert(DataQuality.BenfordMicro.map(_._2).sum == 1000000L)
+    val dir = Files.createTempDirectory("graft_audit_benford").toString
+    // totals with first digits 1 (×3) and 2 (×1) only — digits 3..9
+    // must still report, carrying the full expectation as deviation
+    Seq((1L, 1L, "1995-01-01", 150.0), (2L, 1L, "1995-01-02", 12.5),
+      (3L, 1L, "1995-01-03", 1999.0), (4L, 1L, "1995-01-04", 25.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = DataQuality.benfordDigits(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    assert(got(1L) == ((3L, 750000L, 750000L - 301030L)))
+    assert(got(2L) == ((1L, 250000L, 250000L - 176091L)))
+    (3L to 9L).foreach { d =>
+      val (n, obs, dev) = got(d)
+      assert(n == 0L && obs == 0L &&
+        dev == DataQuality.BenfordMicro.find(_._1 == d).get._2)
+    }
+  }
+
+  test("holdoutPerplexity scores the holdout against the train-only LM with an OOV floor") {
+    // train: "a a b" + "b c"  → T=5, V=3; add-one probs over T+V=8:
+    // a,b → 3/8; c → 2/8; OOV → 1/8. eval doc 0: "a z" (z unseen)
+    val dir = writeDocs(Seq(
+      (0L, "a z"), (1L, "a a b"), (2L, "b c")))
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r(x: Double, s: Int) = java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val avg = r((r6(math.log(3.0 / 8)) + r6(math.log(1.0 / 8))) / 2, 4)
+    val row = TextOps.holdoutPerplexity(spark, dir).collect()
+    assert(row.length == 1)
+    val got = row.head
+    assert(got.getLong(0) == 0L && got.getLong(1) == 2L && got.getLong(2) == 1L)
+    assert(got.getDouble(3) == avg)
+    assert(got.getDouble(4) == r(math.exp(-avg), 2))
+    // perplexity is bounded below by the best single-token prob's inverse
+    assert(got.getDouble(4) > 8.0 / 3)
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

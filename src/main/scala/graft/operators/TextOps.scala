@@ -1854,14 +1854,28 @@ object TextOps {
     * corpus-level companion to the per-document repetition score
     * (q57) and the duplicated-position coverage (q205).
     *
-    * Scale: one explode pass emits ≤4 gram hashes per token position
-    * ([[ngramHashes]] keys), then ONE hash-agg per (source, n) with a
-    * single distinct aggregate (no Expand) — the postings-census cost
-    * envelope, bounded output (sources × 4 rows). */
+    * Scale: one explode pass emits ≤4 gram hashes per token position,
+    * then ONE hash-agg per (source, n) with a single distinct
+    * aggregate (no Expand) — the postings-census cost envelope,
+    * bounded output (sources × 4 rows). Unlike q205/q210, nothing
+    * JOINS on these keys — only their distinct count matters, and a
+    * distinct count is hash-function-agnostic (any collision-free
+    * 64-bit key yields the same count) — so the Spark side uses
+    * codegen'd `xxhash64` over the raw token slice (no string build,
+    * no md5) while the oracle counts md5 keys; both are 64-bit, same
+    * collision class. The sf1 sweep measures the op linear (≈9× at
+    * 10× data); its absolute cost IS the 4-width gram volume — about
+    * two q205 passes, by construction. */
   def distinctNgramProfile(spark: SparkSession, dir: String,
       maxN: Int = 4): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    def gramHashes(n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64(slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<long>"))
     val grams = explode(flatten(array((1 to maxN).map(n =>
-      transform(ngramHashes(col("text"), n),
+      transform(gramHashes(n),
         h => struct(lit(n.toLong).as("n"), h.as("h")))): _*)))
     Tables(spark, dir, "documents")
       .select(col("source"), grams.as("g"))

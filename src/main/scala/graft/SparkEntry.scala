@@ -432,6 +432,8 @@ object SparkEntry {
     "q218_distinct_n" -> ((s, d) => TextOps.distinctNgramProfile(s, d)),
     "q219_benford" -> ((s, d) => DataQuality.benfordDigits(s, d)),
     "q220_holdout_ppl" -> ((s, d) => TextOps.holdoutPerplexity(s, d)),
+    "q221_embedding_audit" -> ((s, d) => Similarity.embeddingAudit(s, d)),
+    "q222_lang_conflicts" -> ((s, d) => TextOps.langConflicts(s, d)),
   )
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
@@ -603,7 +605,21 @@ object SparkEntry {
       ("q208_label_kappa" -> q208Sql) + ("q209_classifier_auc" -> q209Sql) +
       ("q211_trend_ols" -> q211Sql) + ("q212_calibration" -> q212Sql) +
       ("q214_revenue_acf" -> q214Sql) + ("q215_cusum_shift" -> q215Sql) +
-      ("q218_distinct_n" -> q218Sql)
+      ("q218_distinct_n" -> q218Sql) + ("q222_lang_conflicts" -> q222Sql)
+
+  /** q222: cross-language fingerprint conflicts — q23's fingerprint
+    * CTE grouped with the per-group sorted lang set. */
+  private lazy val q222Sql: String =
+    s"""WITH fp AS (
+       |${oracleBase("q23_fingerprint")}
+       |),
+       | j AS (SELECT fp.fingerprint, d.lang
+       |   FROM fp JOIN documents d USING (doc_id))
+       |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(len(list_distinct(list(lang))) AS BIGINT) AS n_langs,
+       |  array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+       |FROM j GROUP BY fingerprint
+       |HAVING len(list_distinct(list(lang))) >= 2""".stripMargin
 
   /** q214: daily-revenue autocorrelogram — zero-filled spine, seven
     * leads, exact HUGEINT moments per lag, q195's final-ratio order. */
@@ -4023,6 +4039,38 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_oov, avg_logp,
         |  round(exp(-avg_logp), 2) AS ppl
         |FROM agg""".stripMargin,
+    // q221: embedding norm audit — 1e-6 norm ticks (q192 float
+    // discipline), zero-norm census, q87-convention rank percentiles
+    "q221_embedding_audit" ->
+      """WITH norms AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+        |    CAST(round(round(sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6)
+        |      * 1000000) AS BIGINT) AS tick
+        |  FROM embeddings),
+        | agg AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |    CAST(sum(CASE WHEN tick = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |    CAST(sum(tick) AS BIGINT) AS st,
+        |    CAST(min(tick) AS BIGINT) AS min_micro,
+        |    CAST(max(tick) AS BIGINT) AS max_micro
+        |  FROM norms GROUP BY 1),
+        | ranked AS (SELECT label, tick,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY tick ASC, vec_id ASC) AS BIGINT) AS rn
+        |  FROM norms),
+        | pos AS (SELECT label, pct,
+        |    CAST(ceil(pct * n_vectors / 100.0) AS BIGINT) AS pos
+        |   FROM agg, (SELECT unnest([10, 50, 90]) AS pct)),
+        | p AS (SELECT r.label,
+        |    max(CASE WHEN pct = 10 THEN tick END) AS p10,
+        |    max(CASE WHEN pct = 50 THEN tick END) AS p50,
+        |    max(CASE WHEN pct = 90 THEN tick END) AS p90
+        |  FROM ranked r JOIN pos ON r.label = pos.label AND r.rn = pos.pos
+        |  GROUP BY 1)
+        |SELECT agg.label, n_vectors, n_zero,
+        |  CAST(st // n_vectors AS BIGINT) AS mean_micro, min_micro, max_micro,
+        |  CAST(p10 AS BIGINT) AS p10_micro, CAST(p50 AS BIGINT) AS p50_micro,
+        |  CAST(p90 AS BIGINT) AS p90_micro
+        |FROM agg JOIN p USING (label)""".stripMargin,
     // q213: exact two-sample KS on the 1e-4 quality grid — each
     // source's CDF vs the rest, micro-floored, max over pooled ticks
     "q213_ks_drift" ->

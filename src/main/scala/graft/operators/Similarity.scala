@@ -1076,4 +1076,50 @@ object Similarity {
       "vec_id", spark, indexDir)
     hammingShortlistRerank(q, codes, rowStore, k, shortlist)
   }
+
+  /** EMBEDDING-TABLE AUDIT — the vector DQ screen run before an index
+    * build or a similarity job trusts a drop: per label, vector count,
+    * ZERO-NORM count (a zero vector silently matches nothing and
+    * poisons cosine math), and the norm distribution (mean/min/max +
+    * p10/p50/p90) on the 1e-6 norm grid. A batch of unnormalized or
+    * truncated embeddings shows up here as a norm cloud off 1.0 long
+    * before recall regressions do. Norms round to 6 decimals (the
+    * q192 float discipline) and quantize to integer micro, so every
+    * reported number is cross-engine exact; percentiles use the house
+    * rank convention (`ceil(p·n/100)` position over the (norm, key)
+    * total order, q87's shape).
+    *
+    * Scale: one scan computes norms; the rollup keys on the bounded
+    * label space; the percentile rank windows partition by label. */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val tick = round(round(sqrt(Vectors.dot(col("embedding"), col("embedding"))), 6)
+      * 1000000).cast("long")
+    val ticks = Tables(spark, dir, "embeddings")
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        tick.as("tick"))
+    val byLabel = ticks.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(col("tick") === 0L, 1L).otherwise(0L)).as("n_zero"),
+      sum(col("tick")).as("st"),
+      min(col("tick")).as("min_micro"), max(col("tick")).as("max_micro"))
+    val ranked = ticks.withColumn("rn", row_number().over(
+      Window.partitionBy(col("label"))
+        .orderBy(col("tick").asc, col("vec_id").asc)))
+    val pos = byLabel
+      .select(col("label"), explode(lit(Array(10, 50, 90))).as("pct"),
+        col("n_vectors"))
+      .select(col("label"), col("pct"),
+        ceil(col("pct") * col("n_vectors") / lit(100.0)).as("pos"))
+    val pcts = ranked.join(broadcast(pos),
+        ranked("label") === pos("label") && col("rn") === col("pos"))
+      .groupBy(ranked("label"))
+      .agg(max(when(col("pct") === 10, col("tick"))).as("p10_micro"),
+        max(when(col("pct") === 50, col("tick"))).as("p50_micro"),
+        max(when(col("pct") === 90, col("tick"))).as("p90_micro"))
+    byLabel.join(pcts, Seq("label"))
+      .select(col("label"), col("n_vectors"), col("n_zero"),
+        expr("st div n_vectors").as("mean_micro"),
+        col("min_micro"), col("max_micro"),
+        col("p10_micro"), col("p50_micro"), col("p90_micro"))
+  }
 }

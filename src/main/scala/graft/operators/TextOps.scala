@@ -1929,4 +1929,29 @@ object TextOps {
         round(avg(coalesce(col("logp"), lit(oovLogp))), 4).as("avg_logp"))
       .withColumn("ppl", round(exp(-col("avg_logp")), 2))
   }
+
+  /** CROSS-LANGUAGE DUPLICATE CONFLICTS — near-dup fingerprint groups
+    * (q23's winnowing min-shingle, stable under local edits) whose
+    * members carry DIFFERENT language labels: each group is either a
+    * translated duplicate cluster (dedup policy decision: keep one
+    * per lang or one total?) or a language-labeling error feeding the
+    * per-lang mixes (q78) the wrong masses. Neither face is visible
+    * to same-lang dedup or to the langID confusion report (q158),
+    * which never looks across documents.
+    *
+    * Scale: one scan computes fingerprints; one hash-agg on the
+    * fingerprint key (corpus-growing); the lang set per group is
+    * bounded by the language inventory, so collect_set is constant-
+    * sized and the conflict output is the anomaly mass only. */
+  def langConflicts(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(Text.fingerprint(col("text")).as("fingerprint"), col("lang"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_set(col("lang"))).as("ls"))
+      .select(col("fingerprint"), col("n_docs"),
+        size(col("ls")).cast("long").as("n_langs"),
+        array_join(col("ls"), ",").as("langs"))
+      .filter(col("n_langs") >= 2)
+  }
 }

@@ -368,6 +368,44 @@ class AuditMetricsSpec extends SparkSpec {
     assert(got.getDouble(4) > 8.0 / 3)
   }
 
+  test("embeddingAudit: zero-norm census and exact rank percentiles") {
+    val dir = Files.createTempDirectory("graft_audit_emb").toString
+    // norms 0, 1, 2 in one label: ticks 0 / 1e6 / 2e6; rank positions
+    // ceil(p·3/100) = 1, 2, 3 → p10/p50/p90 hit each value exactly
+    Seq(
+      (1L, Array(0f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(0f, 2f, 0f, 0f), 0),
+      (4L, Array(0f, 0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.embeddingAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    assert(got(0L) == ((3L, 1L, 1000000L, 0L, 2000000L,
+      0L, 1000000L, 2000000L)))
+    assert(got(1L) == ((1L, 0L, 1000000L, 1000000L, 1000000L,
+      1000000L, 1000000L, 1000000L)))
+  }
+
+  test("langConflicts surfaces only fingerprint groups spanning languages") {
+    val dir = Files.createTempDirectory("graft_audit_langs").toString
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (21 to 32).map(i => s"v$i").mkString(" ")
+    Seq(
+      (1L, shared, "en"), (2L, shared, "fr"),          // cross-lang dup
+      (3L, other, "de"), (4L, other, "de"),            // same-lang dup: hidden
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "es"))        // unique: hidden
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.langConflicts(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((2L, 2L, "en,fr")))
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

@@ -434,7 +434,13 @@ object SparkEntry {
     "q220_holdout_ppl" -> ((s, d) => TextOps.holdoutPerplexity(s, d)),
     "q221_embedding_audit" -> ((s, d) => Similarity.embeddingAudit(s, d)),
     "q222_lang_conflicts" -> ((s, d) => TextOps.langConflicts(s, d)),
+    "q223_order_reconciliation" -> ((s, d) => DataQuality.orderAmountReconciliation(s, d)),
+    "q224_subject_census" -> ((s, d) => Subject.subjectCensus(s, d, SubjectKeys)),
   )
+
+  /** The deterministic subject set q224 exercises — keys present at
+    * every driver SF (customer keys are dense from 1). */
+  val SubjectKeys: Seq[Long] = Seq(500L, 1000L, 1500L)
 
   /** The BPE encode CTE chain (v0 … v`bpeLastLayer`): distinct corpus
     * words replayed through [[graft.operators.TextOps.DefaultMerges]],
@@ -4039,6 +4045,42 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_oov, avg_logp,
         |  round(exp(-avg_logp), 2) AS ppl
         |FROM agg""".stripMargin,
+    // q223: order-amount reconciliation — floor-cents line recompute
+    // vs the stored total, drift in log-decade micro buckets
+    "q223_order_reconciliation" ->
+      """WITH ls AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS line_cents
+        |  FROM lineitem GROUP BY 1),
+        | j AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |    line_cents
+        |  FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey),
+        | b AS (SELECT
+        |    CASE WHEN line_cents IS NULL THEN -1
+        |      WHEN abs(line_cents - total_cents) * 1000000 // total_cents < 1000 THEN 0
+        |      WHEN abs(line_cents - total_cents) * 1000000 // total_cents < 10000 THEN 1
+        |      WHEN abs(line_cents - total_cents) * 1000000 // total_cents < 100000 THEN 2
+        |      WHEN abs(line_cents - total_cents) * 1000000 // total_cents < 1000000 THEN 3
+        |      ELSE 4 END AS bucket,
+        |    coalesce(abs(line_cents - total_cents), 0) AS drift_cents
+        |  FROM j)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(drift_cents) AS BIGINT) AS drift_cents
+        |FROM b GROUP BY 1""".stripMargin,
+    // q224: subject access census — the three-table row manifest for
+    // the literal subject key set
+    "q224_subject_census" -> {
+      val ks = "(500, 1000, 1500)"
+      s"""SELECT 'customer' AS "table", CAST(count(*) AS BIGINT) AS n_rows
+         |FROM customer WHERE c_custkey IN $ks
+         |UNION ALL
+         |SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey IN $ks)
+         |UNION ALL
+         |SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+         |WHERE o_custkey IN $ks""".stripMargin
+    },
     // q221: embedding norm audit — 1e-6 norm ticks (q192 float
     // discipline), zero-norm census, q87-convention rank percentiles
     "q221_embedding_audit" ->

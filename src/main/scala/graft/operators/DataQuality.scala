@@ -199,6 +199,43 @@ object DataQuality {
     *
     * Scale: one scan folds to ≤9 groups (map-side combined); the
     * spine join is a 9-row literal frame. */
+  /** ORDER-AMOUNT RECONCILIATION — the cross-table money audit beside
+    * [[referentialIntegrity]]'s key audit and the q189 checksums'
+    * content audit: per order, the denormalized `o_totalprice` is
+    * recomputed from its line items (floor-cents, exact integers) and
+    * the relative drift lands in log-decade buckets (<0.1%, <1%,
+    * <10%, <100%, ≥100%), with line-less orders as their own bucket
+    * (−1: an amount with NOTHING to reconcile against). A healthy
+    * denormalization concentrates in bucket 0; mass in the high
+    * buckets names how wrong the rollup is, not just that it is —
+    * the triage detail a boolean FK check can't give.
+    *
+    * Scale: one lineitem hash-agg on the order key, one equi-join to
+    * orders (the same shuffle any order-grain query pays), a ≤6-row
+    * rollup. drift_micro = |recomputed − stored|·10⁶ // stored — all
+    * BIGINT. */
+  def orderAmountReconciliation(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val lines = graft.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("line_cents"))
+    graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(when(col("line_cents").isNull, lit(-1L)).otherwise(
+        expr("""CASE
+                WHEN abs(line_cents - total_cents) * 1000000 div total_cents < 1000 THEN 0
+                WHEN abs(line_cents - total_cents) * 1000000 div total_cents < 10000 THEN 1
+                WHEN abs(line_cents - total_cents) * 1000000 div total_cents < 100000 THEN 2
+                WHEN abs(line_cents - total_cents) * 1000000 div total_cents < 1000000 THEN 3
+                ELSE 4 END""")).as("bucket"),
+        coalesce(abs(col("line_cents") - col("total_cents")), lit(0L))
+          .as("drift_cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("drift_cents")).as("drift_cents"))
+  }
+
   def benfordDigits(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val obs = graft.Tables(spark, dir, "orders")

@@ -406,6 +406,65 @@ class AuditMetricsSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 2L, "en,fr")))
   }
 
+  test("orderAmountReconciliation buckets drift by log-decade, incl. boundary and orphans") {
+    val dir = Files.createTempDirectory("graft_audit_recon").toString
+    Seq((1L, 1L, "1995-01-01", 100.0),   // exact match        → bucket 0
+      (2L, 1L, "1995-01-02", 100.0),     // 0.5% drift          → bucket 1
+      (3L, 1L, "1995-01-03", 100.0),     // exactly 0.1% = 1000u → bucket 1 (not < 1000)
+      (4L, 1L, "1995-01-04", 100.0),     // 50% drift           → bucket 3
+      (5L, 1L, "1995-01-05", 100.0))     // no lines            → bucket -1
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def line(ok: Long, ln: Int, price: Double) =
+      (ok, 1L, 1L, ln, 1.0, price, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("1995-02-01 00:00:00"))
+    Seq(line(1, 1, 60.0), line(1, 2, 40.0),
+      line(2, 1, 100.50),
+      line(3, 1, 100.10),
+      line(4, 1, 150.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.DataQuality.orderAmountReconciliation(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      -1L -> ((1L, 0L)),
+      0L -> ((1L, 0L)),
+      1L -> ((2L, 60L)),   // 50 + 10 cents
+      3L -> ((1L, 5000L))))
+  }
+
+  test("subject access export: frames equal direct filters, manifest matches, rerun idempotent") {
+    import graft.operators.Subject
+    // sf0.001's customer table holds 150 keys — pick in-range subjects
+    val keys = Seq(50L, 100L, 150L)
+    val frames = Subject.subjectFrames(spark, sf, keys)
+    val wantCust = Tables(spark, sf, "customer")
+      .filter(col("c_custkey").isin(keys.map(lit): _*)).count()
+    val wantOrd = Tables(spark, sf, "orders")
+      .filter(col("o_custkey").isin(keys.map(lit): _*)).count()
+    assert(frames("customer").count() == wantCust && wantCust > 0)
+    assert(frames("orders").count() == wantOrd && wantOrd > 0)
+    // every exported line item belongs to one of the subject's orders
+    val ordKeys = frames("orders").select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val lineKeys = frames("lineitem").select("l_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(lineKeys.nonEmpty && lineKeys.subsetOf(ordKeys))
+    val out = Files.createTempDirectory("graft_subject_out").toString
+    val manifest = Subject.accessExport(spark, sf, keys, out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(manifest("customer") == wantCust && manifest("orders") == wantOrd)
+    assert(manifest("lineitem") == frames("lineitem").count())
+    // a retry overwrites, never doubles
+    val again = Subject.accessExport(spark, sf, keys, out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == manifest)
+    assert(spark.read.parquet(s"$out/orders").count() == wantOrd)
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

@@ -436,6 +436,8 @@ object SparkEntry {
     "q222_lang_conflicts" -> ((s, d) => TextOps.langConflicts(s, d)),
     "q223_order_reconciliation" -> ((s, d) => DataQuality.orderAmountReconciliation(s, d)),
     "q224_subject_census" -> ((s, d) => Subject.subjectCensus(s, d, SubjectKeys)),
+    "q225_qq_deciles" -> ((s, d) => TextOps.qualityQqDeciles(s, d)),
+    "q226_mix_plan" -> ((s, d) => TextOps.samplingMixPlan(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -4113,6 +4115,55 @@ object SparkEntry {
         |  CAST(p10 AS BIGINT) AS p10_micro, CAST(p50 AS BIGINT) AS p50_micro,
         |  CAST(p90 AS BIGINT) AS p90_micro
         |FROM agg JOIN p USING (label)""".stripMargin,
+    // q225: quantile-quantile decile drift — source vs rest quantiles
+    // read off the q213 cumulative grid (q87's ceil-position rule)
+    "q225_qq_deciles" ->
+      s"""WITH $docMetricsCte,
+         | f AS (SELECT source, CAST(round(quality * 10000) AS BIGINT) AS tick
+         |   FROM m),
+         | cnt AS (SELECT source, tick, CAST(count(*) AS BIGINT) AS c
+         |   FROM f GROUP BY 1, 2),
+         | grid AS (SELECT s.source, t.tick
+         |   FROM (SELECT DISTINCT source FROM cnt) s,
+         |        (SELECT DISTINCT tick FROM cnt) t),
+         | cum AS (SELECT g.source, g.tick,
+         |    CAST(sum(coalesce(c, 0)) OVER (PARTITION BY g.source
+         |      ORDER BY g.tick ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_s
+         |   FROM grid g LEFT JOIN cnt
+         |     ON g.source = cnt.source AND g.tick = cnt.tick),
+         | full1 AS (SELECT *,
+         |    CAST(sum(cum_s) OVER (PARTITION BY tick) AS BIGINT) AS cum_all,
+         |    CAST(max(cum_s) OVER (PARTITION BY source) AS BIGINT) AS n_s
+         |   FROM cum),
+         | f2 AS (SELECT *, CAST(max(cum_all) OVER () AS BIGINT) AS n_all,
+         |    cum_all - cum_s AS cum_r FROM full1),
+         | d AS (SELECT *, n_all - n_s AS n_r,
+         |    unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS pct FROM f2),
+         | agg AS (SELECT source, CAST(pct AS BIGINT) AS pct,
+         |    CAST(min(CASE WHEN cum_s >= ceil(pct * n_s / 100.0) THEN tick END)
+         |      AS BIGINT) AS qs,
+         |    CAST(min(CASE WHEN n_r > 0 AND cum_r >= ceil(pct * n_r / 100.0)
+         |      THEN tick END) AS BIGINT) AS qr
+         |   FROM d GROUP BY 1, 2)
+         |SELECT source, pct,
+         |  CAST(qs * 100 AS BIGINT) AS q_source_micro,
+         |  CAST(qr * 100 AS BIGINT) AS q_rest_micro,
+         |  CAST(qs * 100 - qr * 100 AS BIGINT) AS gap_micro
+         |FROM agg""".stripMargin,
+    // q226: uniform-target sampling-mix plan from source counts
+    "q226_mix_plan" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        | w AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS n_sources,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS n_total,
+        |    CAST(min(n_docs) OVER () AS BIGINT) AS n_min FROM c)
+        |SELECT source, n_docs,
+        |  CAST(n_docs * 1000000 // n_total AS BIGINT) AS natural_micro,
+        |  CAST(1000000 // n_sources AS BIGINT) AS target_micro,
+        |  CAST(n_min * 1000000 // n_docs AS BIGINT) AS rate_micro,
+        |  n_min AS n_kept
+        |FROM w""".stripMargin,
     // q213: exact two-sample KS on the 1e-4 quality grid — each
     // source's CDF vs the rest, micro-floored, max over pooled ticks
     "q213_ks_drift" ->

@@ -1845,6 +1845,89 @@ object TextOps {
         max(col("diff")).as("d_micro"))
   }
 
+  /** QUANTILE–QUANTILE drift table — [[qualityKsDrift]]'s companion
+    * with MAGNITUDE: per source and decile p ∈ {10..90}, the source's
+    * quality quantile vs the rest-of-corpus quantile and their gap in
+    * micro ticks. KS says "the worst CDF distance is D"; this says
+    * WHERE in the distribution the drift lives and by how much — the
+    * triage detail (a low-tail gap means the source ships junk, a
+    * high-tail gap means it lacks excellence). Quantiles are the
+    * smallest tick whose cumulative count reaches `ceil(p·n/100)`
+    * (the q87 rank convention restated over the cumulative grid, so
+    * both sides read off ONE shared frame).
+    *
+    * Scale: identical envelope to the KS screen — a (source, tick)
+    * hash-agg bounded by |sources| × tick range, the literal-exploded
+    * grid, bounded windows; output sources × 9 rows. */
+  def qualityQqDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tick = round(Text.qualityScore(col("text")) * 10000).cast("long")
+    val cnt = Tables(spark, dir, "documents")
+      .select(col("source"), tick.as("tick"))
+      .groupBy(col("source"), col("tick"))
+      .agg(count(lit(1)).as("c"))
+    val sources = cnt.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val grid = cnt.select(col("tick")).distinct()
+      .select(col("tick"), explode(lit(sources)).as("source"))
+    val byCdf = Window.partitionBy(col("source")).orderBy(col("tick"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = grid.join(cnt, Seq("source", "tick"), "left")
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(byCdf))
+      .withColumn("cum_all", sum(col("cum_s")).over(
+        Window.partitionBy(col("tick"))))
+      .withColumn("n_s", max(col("cum_s")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("n_all", max(col("cum_all")).over(Window.partitionBy()))
+      .withColumn("cum_r", col("cum_all") - col("cum_s"))
+      .withColumn("n_r", col("n_all") - col("n_s"))
+    val deciles = full
+      .select(col("source"), col("tick"), col("cum_s"), col("n_s"),
+        col("cum_r"), col("n_r"),
+        explode(lit((1 to 9).map(_ * 10).toArray)).as("pct"))
+    deciles
+      .groupBy(col("source"), col("pct"))
+      .agg(
+        min(when(col("cum_s") >= ceil(col("pct") * col("n_s") / lit(100.0)),
+          col("tick"))).as("q_source"),
+        min(when(col("n_r") > 0 &&
+            col("cum_r") >= ceil(col("pct") * col("n_r") / lit(100.0)),
+          col("tick"))).as("q_rest"))
+      .select(col("source"), col("pct").cast("long").as("pct"),
+        (col("q_source") * 100).as("q_source_micro"),
+        (col("q_rest") * 100).as("q_rest_micro"),
+        (col("q_source") * 100 - col("q_rest") * 100).as("gap_micro"))
+  }
+
+  /** SAMPLING-MIX PLANNER — derives the per-source DOWN-sampling
+    * rates that move the corpus toward a target mix (uniform by
+    * default), where the fixed-weight ops (q51 weighted mix, q78
+    * language temperature) APPLY rates someone else chose. Without
+    * up-sampling, the achievable mix is anchored by the most
+    * under-represented source: the budget is minᵢ(nᵢ/targetᵢ) rows,
+    * each source keeps rate = budget·targetᵢ/nᵢ (≤ 1 by
+    * construction, exact integer micro), and the report carries
+    * natural vs target vs achieved shares — the plan a curation run
+    * reviews before q51-style deterministic draws execute it.
+    *
+    * Scale: one hash-agg to source counts, windows over the
+    * sources-bounded frame. All shares are micro floor divisions. */
+  def samplingMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("n_total", sum(col("n_docs")).over(Window.partitionBy()))
+    // uniform target: budget = n_sources · min(n_docs) rows overall
+    counts
+      .withColumn("n_min", min(col("n_docs")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000 div n_total").as("natural_micro"),
+        expr("1000000 div n_sources").as("target_micro"),
+        expr("n_min * 1000000 div n_docs").as("rate_micro"),
+        col("n_min").as("n_kept"))
+  }
+
   /** DISTINCT-n corpus diversity — for each source and n ∈ 1..4, the
     * distinct-n-gram to total-n-gram-position ratio (the "distinct-1/
     * distinct-2" metric generation and data-mixing papers track): a

@@ -465,6 +465,55 @@ class AuditMetricsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/orders").count() == wantOrd)
   }
 
+  test("qualityQqDeciles equals the brute-force per-source quantile sweep") {
+    val scored = TextOps.qualityScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(3) * 10000))
+    val srcOf = Tables(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val all = scored.map { case (d, t) => (srcOf(d), t) }
+    def quantile(ticks: Seq[Long], pct: Int): Long = {
+      val sorted = ticks.sorted
+      sorted(math.ceil(pct * sorted.length / 100.0).toInt - 1)
+    }
+    val expect = all.groupBy(_._1).flatMap { case (s, xs) =>
+      val mine = xs.map(_._2).toSeq
+      val rest = all.filter(_._1 != s).map(_._2).toSeq
+      (1 to 9).map(_ * 10).map { p =>
+        val (qs, qr) = (quantile(mine, p) * 100, quantile(rest, p) * 100)
+        (s, p.toLong) -> ((qs, qr, qs - qr))
+      }
+    }
+    val got = TextOps.qualityQqDeciles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    // quantiles are monotone in the percentile within every source
+    got.groupBy(_._1._1).foreach { case (_, rows) =>
+      val byP = rows.toSeq.sortBy(_._1._2).map(_._2._1)
+      assert(byP.sorted.sameElements(byP))
+    }
+  }
+
+  test("samplingMixPlan: uniform target, min-source anchor, exact rates") {
+    val counts = Tables(spark, sf, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nMin, nTot) = (counts.values.min, counts.values.sum)
+    val got = TextOps.samplingMixPlan(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == counts.keySet)
+    got.foreach { case (s, (n, nat, tgt, rate, kept)) =>
+      assert(n == counts(s))
+      assert(nat == n * 1000000L / nTot)
+      assert(tgt == 1000000L / counts.size)
+      assert(rate == nMin * 1000000L / n && rate <= 1000000L)
+      assert(kept == nMin)
+    }
+    // the anchor source keeps everything (rate exactly 1)
+    assert(got(counts.minBy(_._2)._1)._4 == 1000000L)
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

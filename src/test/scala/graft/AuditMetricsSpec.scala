@@ -48,6 +48,14 @@ class AuditMetricsSpec extends SparkSpec {
     assert(got(1L) == 2L)
   }
 
+  test("dupNgramCoverage joins pre-aggregated (doc, gram) counts, not raw positions") {
+    val opt = TextOps.dupNgramCoverage(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the join-back's left side folds positions to occurrence counts
+    assert(opt.linesIterator.exists(l =>
+      l.contains("Aggregate [doc_id") && l.contains(", h#")), opt)
+  }
+
   test("ngramDecontaminate flags eval docs sharing any 5-gram with train") {
     // doc 0 (eval: 0 % 97 = 0) shares "p q r s t" with train doc 1;
     // doc 97 (eval) is disjoint from every train doc

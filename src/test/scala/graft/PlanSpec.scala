@@ -247,4 +247,30 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("the OLS trend rides broadcast dims; the fact side never sort-merges") {
+    val p = plan("q211_trend_ols")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("the subject census pushes its key set into every scan as In filters") {
+    // a subject request names people by literal key: the scans must
+    // prune on In(...), not read the table and filter post-hoc
+    val p = plan("q224_subject_census")
+    assert("PushedFilters: \\[.*In\\(".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("single-scan audit screens: kappa, AUC, calibration each read the corpus once") {
+    Seq("q208_label_kappa", "q209_classifier_auc", "q212_calibration")
+      .foreach { name =>
+        val p = plan(name)
+        assert("Scan parquet".r.findAllIn(p).size == 1, s"$name:\n${p.take(2000)}")
+      }
+  }
+
+  test("the Benford spine joins a 9-row literal — no second fact scan") {
+    val p = plan("q219_benford")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
 }

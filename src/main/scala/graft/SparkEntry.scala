@@ -438,6 +438,8 @@ object SparkEntry {
     "q224_subject_census" -> ((s, d) => Subject.subjectCensus(s, d, SubjectKeys)),
     "q225_qq_deciles" -> ((s, d) => TextOps.qualityQqDeciles(s, d)),
     "q226_mix_plan" -> ((s, d) => TextOps.samplingMixPlan(s, d)),
+    "q227_joint_histogram" -> ((s, d) => TextOps.lengthQualityHistogram(s, d)),
+    "q228_daily_fano" -> ((s, d) => EventFlow.dailyFano(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -613,7 +615,25 @@ object SparkEntry {
       ("q208_label_kappa" -> q208Sql) + ("q209_classifier_auc" -> q209Sql) +
       ("q211_trend_ols" -> q211Sql) + ("q212_calibration" -> q212Sql) +
       ("q214_revenue_acf" -> q214Sql) + ("q215_cusum_shift" -> q215Sql) +
-      ("q218_distinct_n" -> q218Sql) + ("q222_lang_conflicts" -> q222Sql)
+      ("q218_distinct_n" -> q218Sql) + ("q222_lang_conflicts" -> q222Sql) +
+      ("q228_daily_fano" -> q228Sql)
+
+  /** q228: daily Fano factor per type — exact-moment variance-to-mean
+    * over the q111 zero-filled grid. */
+  private lazy val q228Sql: String =
+    s"""WITH g AS (
+       |${oracleBase("q111_daily_spine")}
+       |),
+       | m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(n_events) AS BIGINT) AS sx,
+       |    CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+       |   FROM g GROUP BY 1)
+       |SELECT event_type, n_days,
+       |  CAST(sx * 1000 // n_days AS BIGINT) AS mean_milli,
+       |  CASE WHEN sx > 0 THEN
+       |    CAST((n_days * sxx - sx * sx) * 1000000 // (n_days * sx) AS BIGINT)
+       |  END AS vmr_micro
+       |FROM m""".stripMargin
 
   /** q222: cross-language fingerprint conflicts — q23's fingerprint
     * CTE grouped with the per-group sorted lang set. */
@@ -4164,6 +4184,23 @@ object SparkEntry {
         |  CAST(n_min * 1000000 // n_docs AS BIGINT) AS rate_micro,
         |  n_min AS n_kept
         |FROM w""".stripMargin,
+    // q227: joint length × quality histogram (token decades × quality
+    // deciles) with micro shares
+    "q227_joint_histogram" ->
+      s"""WITH $docMetricsCte,
+         | t AS (SELECT len(string_split(text, ' ')) AS n_tokens, doc_id
+         |   FROM documents),
+         | c AS (SELECT CAST(t.n_tokens // 10 AS BIGINT) AS len_decade,
+         |    least(CAST(round(m.quality * 10000) AS BIGINT) // 1000, 9)
+         |      AS q_decile
+         |   FROM t JOIN m ON t.doc_id = m.doc_id),
+         | g AS (SELECT len_decade, CAST(q_decile AS BIGINT) AS q_decile,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |   FROM c GROUP BY 1, 2)
+         |SELECT len_decade, q_decile, n_docs,
+         |  CAST(n_docs * 1000000 // CAST(sum(n_docs) OVER () AS BIGINT)
+         |    AS BIGINT) AS share_micro
+         |FROM g""".stripMargin,
     // q213: exact two-sample KS on the 1e-4 quality grid — each
     // source's CDF vs the rest, micro-floored, max over pooled ticks
     "q213_ks_drift" ->

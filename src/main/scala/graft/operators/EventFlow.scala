@@ -800,6 +800,31 @@ object EventFlow {
     * Scale: one (user, day) dedup, one per-user min/max, then every
     * window runs over the lifetimes-bounded frame (≤ calendar span
     * rows). The corpus-end scalar rides a window max, not a collect. */
+  /** DAILY OVERDISPERSION (Fano factor) per event type — variance-to-
+    * mean ratio of the zero-filled daily counts: 10⁶ ≙ Poisson (the
+    * arrival model every naive alert threshold assumes), above =
+    * bursty (threshold alerts will flap), below = regularized. The
+    * time-series sibling of q127's per-document length burstiness and
+    * the calibration input for the z-score monitors (q90/q155): a
+    * type at VMR 5 needs 5× the Poisson alert band. Exact integer
+    * moments: VMR = (T·Σx² − (Σx)²) / (T·Σx), one micro floor
+    * division, NULL for an all-zero series. Rides q111's grid; the
+    * rollup is types-bounded. Σx² stays in int64 through ~3·10⁹
+    * events/day/type; beyond that the daily grid (already exact) is
+    * the artifact to fold hierarchically (the q215 bound note). */
+  def dailyFano(spark: SparkSession, dir: String): DataFrame = {
+    Relational.dailySpineCounts(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        expr("sx * 1000 div n_days").as("mean_milli"),
+        when(col("sx") > 0,
+          expr("(n_days * sxx - sx * sx) * 1000000 div (n_days * sx)"))
+          .as("vmr_micro"))
+  }
+
   def churnHazardCurve(spark: SparkSession, dir: String,
       horizon: Int = 7): DataFrame = {
     val spans = Tables(spark, dir, "events")

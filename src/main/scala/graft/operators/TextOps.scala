@@ -1933,6 +1933,28 @@ object TextOps {
         col("n_min").as("n_kept"))
   }
 
+  /** JOINT length × quality histogram — the 2-D profiling face the
+    * 1-D reports (q63 length histogram, q120 quality percentiles)
+    * can't show: curation thresholds interact (a length floor and a
+    * quality floor each look harmless alone and together delete a
+    * corner of the corpus), and the joint mass table is what a
+    * threshold review reads. Cells: token-count decades × quality
+    * deciles, counts and micro shares. One scan, one ≤100-cell
+    * hash-agg, one windowed share. */
+  def lengthQualityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTick = round(Text.qualityScore(col("text")) * 10000).cast("long")
+    Tables(spark, dir, "documents")
+      .select((Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        qTick.as("qt"))
+      .select(expr("n_tokens div 10").as("len_decade"),
+        least(expr("qt div 1000"), lit(9L)).as("q_decile"))
+      .groupBy(col("len_decade"), col("q_decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_micro",
+        expr("n_docs * 1000000 div sum(n_docs) OVER ()"))
+  }
+
   /** DISTINCT-n corpus diversity — for each source and n ∈ 1..4, the
     * distinct-n-gram to total-n-gram-position ratio (the "distinct-1/
     * distinct-2" metric generation and data-mixing papers track): a

@@ -522,6 +522,42 @@ class AuditMetricsSpec extends SparkSpec {
     assert(got(counts.minBy(_._2)._1)._4 == 1000000L)
   }
 
+  test("lengthQualityHistogram conserves corpus mass across the joint cells") {
+    val rows = TextOps.lengthQualityHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = Tables(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == corpus)
+    rows.foreach { case (ld, qd, n, share) =>
+      assert(ld >= 0 && qd >= 0 && qd <= 9)
+      assert(share == n * 1000000L / corpus)
+    }
+    // the cells replay the per-doc bucketing exactly
+    val docs = TextOps.qualityScores(spark, sf).collect()
+      .map(r => (r.getInt(1).toLong / 10,
+        math.min(math.round(r.getDouble(3) * 10000) / 1000, 9L)))
+    val expect = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == expect)
+  }
+
+  test("dailyFano: a constant series is sub-Poisson at exactly (1 - mean)-ish; replay exact") {
+    val dir = Files.createTempDirectory("graft_audit_fano").toString
+    def ev(id: Long, day: Int, n: Int, tpe: String) =
+      (1 to n).map(i => ((day * 1000 + i + id * 100000).toLong,
+        java.sql.Timestamp.valueOf(f"2024-04-$day%02d 0$i:00:00"), 1L, tpe, 1.0, "{}"))
+    // 'view': constant 3/day over 4 days → variance 0 → VMR 0
+    // 'click': counts 1,1,1,5 over the same span → overdispersed
+    val rows = (1 to 4).flatMap(d => ev(1, d, 3, "view")) ++
+      (1 to 3).flatMap(d => ev(2, d, 1, "click")) ++ ev(2, 4, 5, "click")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventFlow.dailyFano(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got("view") == ((4L, 3000L, Some(0L))))
+    // click: T=4, sx=8, sxx=28: VMR = (4·28 − 64)·1e6 / (4·8) = 1500000
+    assert(got("click") == ((4L, 2000L, Some(1500000L))))
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

@@ -440,6 +440,7 @@ object SparkEntry {
     "q226_mix_plan" -> ((s, d) => TextOps.samplingMixPlan(s, d)),
     "q227_joint_histogram" -> ((s, d) => TextOps.lengthQualityHistogram(s, d)),
     "q228_daily_fano" -> ((s, d) => EventFlow.dailyFano(s, d)),
+    "q229_label_separation" -> ((s, d) => Similarity.labelSeparation(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -4103,6 +4104,38 @@ object SparkEntry {
          |SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
          |WHERE o_custkey IN $ks""".stripMargin
     },
+    // q229: label separation via the sum-vector identity — exact
+    // HUGEINT tick sums, two final double divisions (same op order)
+    "q229_label_separation" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS t
+        |  FROM embeddings),
+        | x AS (SELECT label, i AS dim, t[i] AS tick
+        |   FROM e, UNNEST(generate_series(1, 64)) AS u(i)),
+        | g AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS cnt,
+        |    sum(CAST(tick AS HUGEINT)) AS s,
+        |    sum(CAST(tick AS HUGEINT) * tick) AS qq
+        |   FROM x GROUP BY 1, 2),
+        | w AS (SELECT *, sum(s) OVER (PARTITION BY dim) AS tot FROM g),
+        | p AS (SELECT label, CAST(max(cnt) AS BIGINT) AS n_vectors,
+        |    sum(s * s) AS s2, sum(qq) AS q,
+        |    sum(s * (tot - s)) AS inter_num
+        |   FROM w GROUP BY 1),
+        | p2 AS (SELECT *, CAST(sum(n_vectors) OVER () AS BIGINT) AS n_all FROM p),
+        | m AS (SELECT label, n_vectors,
+        |    CASE WHEN n_vectors > 1 THEN
+        |      CAST(round(CAST(s2 - q AS DOUBLE)
+        |        / (CAST(n_vectors AS DOUBLE) * (n_vectors - 1)) / 1000000.0)
+        |        AS BIGINT) END AS intra_micro,
+        |    CASE WHEN n_all > n_vectors THEN
+        |      CAST(round(CAST(inter_num AS DOUBLE)
+        |        / (CAST(n_vectors AS DOUBLE) * (n_all - n_vectors)) / 1000000.0)
+        |        AS BIGINT) END AS inter_micro
+        |   FROM p2)
+        |SELECT label, n_vectors, intra_micro, inter_micro,
+        |  CAST(intra_micro - inter_micro AS BIGINT) AS gap_micro
+        |FROM m""".stripMargin,
     // q221: embedding norm audit — 1e-6 norm ticks (q192 float
     // discipline), zero-norm census, q87-convention rank percentiles
     "q221_embedding_audit" ->

@@ -1091,6 +1091,57 @@ object Similarity {
     *
     * Scale: one scan computes norms; the rollup keys on the bounded
     * label space; the percentile rank windows partition by label. */
+  /** LABEL-SEPARATION screen — "do the labels mean anything in
+    * embedding space?": per label, the mean pairwise dot WITHIN the
+    * label vs the mean dot AGAINST the rest, and their gap. A label
+    * whose gap ≈ 0 is noise to any label-stratified ANN, negative
+    * mining, or triplet export. The whole report needs ZERO pairs —
+    * the sum-vector identity does it in one linear pass:
+    * Σᵢ≠ⱼ vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖², and the cross-label mass is
+    * S_L · (S_total − S_L) — so the pair population that would be
+    * quadratic collapses into d-dimensional sums.
+    *
+    * Float discipline: components quantize to 10⁻⁶ ticks first, so
+    * every sum is EXACT (Decimal(38) ≙ HUGEINT through the squares)
+    * and the only doubles are the two final mean divisions, identical
+    * operand order cross-engine; the metric is the tick-grid dot
+    * (within 2·10⁻⁶ of the float value).
+    *
+    * Scale: one explode to (label, dim) — a ×d linear inflation
+    * through a map-side-combined hash-agg onto the (labels × d)
+    * grid — then everything runs on that bounded frame. */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ticks = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000).cast("long"))
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(ticks).as(Seq("dim", "tick")))
+    val g = e.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("tick").cast(dec)).as("s"),
+        sum(col("tick").cast(dec) * col("tick").cast(dec)).as("qq"))
+      .withColumn("tot", sum(col("s")).over(
+        Window.partitionBy(col("dim"))))
+    val perLabel = g.groupBy(col("label"))
+      .agg(max(col("cnt")).as("n_vectors"),
+        sum(col("s") * col("s")).as("s2"),
+        sum(col("qq")).as("q"),
+        sum(col("s") * (col("tot") - col("s"))).as("inter_num"))
+      .withColumn("n_all",
+        sum(col("n_vectors")).over(Window.partitionBy()))
+    perLabel.select(col("label"), col("n_vectors"),
+      when(col("n_vectors") > 1,
+        round((col("s2") - col("q")).cast("double") /
+          (col("n_vectors").cast("double") * (col("n_vectors") - 1)) /
+          1000000.0)).cast("long").as("intra_micro"),
+      when(col("n_all") > col("n_vectors"),
+        round(col("inter_num").cast("double") /
+          (col("n_vectors").cast("double") * (col("n_all") - col("n_vectors"))) /
+          1000000.0)).cast("long").as("inter_micro"))
+      .withColumn("gap_micro", col("intra_micro") - col("inter_micro"))
+  }
+
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
     val tick = round(round(sqrt(Vectors.dot(col("embedding"), col("embedding"))), 6)
       * 1000000).cast("long")

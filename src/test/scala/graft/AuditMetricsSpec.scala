@@ -558,6 +558,53 @@ class AuditMetricsSpec extends SparkSpec {
     assert(got("click") == ((4L, 2000L, Some(1500000L))))
   }
 
+  test("labelSeparation equals the brute-force pairwise means on the tick grid") {
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong,
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000)).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Double =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    val byLabel = vecs.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    val expect = byLabel.map { case (l, mine) =>
+      val others = vecs.filterNot(_._1 == l).map(_._2)
+      val intra = (for (i <- mine.indices; j <- mine.indices if i != j)
+        yield dot(mine(i), mine(j))).sum /
+        (mine.length.toDouble * (mine.length - 1)) / 1000000.0
+      val inter = (for (a <- mine; b <- others) yield dot(a, b)).sum /
+        (mine.length.toDouble * others.length) / 1000000.0
+      l -> ((mine.length.toLong, math.round(intra), math.round(inter)))
+    }
+    val got = graft.operators.Similarity.labelSeparation(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute force sums floats in a different order than the exact
+    // integer identity; means land within one micro tick
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (l, (n, intra, inter)) =>
+      val (gn, gIntra, gInter) = got(l)
+      assert(gn == n)
+      assert(math.abs(gIntra - intra) <= 1L, s"label $l intra")
+      assert(math.abs(gInter - inter) <= 1L, s"label $l inter")
+    }
+  }
+
+  test("labelSeparation pins a perfectly separated fixture") {
+    val dir = Files.createTempDirectory("graft_audit_sep").toString
+    // label 0: three copies of e1; label 1: two copies of e2 — intra
+    // is exactly 1, inter exactly 0, gap exactly 1e6 micro
+    Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f, 0f), 0),
+      (4L, Array(0f, 1f, 0f, 0f), 1), (5L, Array(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.labelSeparation(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got(0L) == ((3L, 1000000L, 0L, 1000000L)))
+    assert(got(1L) == ((2L, 1000000L, 0L, 1000000L)))
+  }
+
   test("classifierAuc equals the brute-force pairwise count") {
     // ticks and labels exactly as the operator builds them
     val logit = TextOps.qualityClassifier(spark, sf).collect()

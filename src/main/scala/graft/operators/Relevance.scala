@@ -151,7 +151,11 @@ object Relevance {
       .withColumn("n", count(lit(1)).over(bySource))
     ranked.select(col("doc_id"), col("source"), col("quality"),
       when(col("n") === 1, lit(500000L))
-        .otherwise(expr("(rnk - 1) * 1000000 div (n - 1)")).as("pct_u"))
+        // row_number is 32-bit: widen BEFORE the micro product — the
+        // INT form overflows once a source passes ~2148 docs (caught
+        // by the sf1 sweep, invisible at the driver SFs)
+        .otherwise(expr("(CAST(rnk AS BIGINT) - 1) * 1000000 div (n - 1)"))
+        .as("pct_u"))
   }
 
   /** BM25 LEXICAL RETRIEVAL — rank documents against a fixed query

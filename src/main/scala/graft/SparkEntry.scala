@@ -3868,7 +3868,8 @@ object SparkEntry {
         |  FROM pc),
         | p AS (SELECT CAST(unnest([1, 5, 10, 25, 50, 100]) AS BIGINT) AS top_pct)
         |SELECT top_pct, CAST(rn AS INTEGER) AS n_customers,
-        |  CAST(cum_cents * 1000000 // total AS BIGINT) AS cum_share_micro
+        |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 // total AS BIGINT)
+        |    AS cum_share_micro
         |FROM r JOIN p ON rn = greatest(1, (n * top_pct) // 100)""".stripMargin,
     // q203: exact Gini — HUGEINT rank-weighted fold, one truncating
     // division onto the micro grid

@@ -481,7 +481,7 @@ object Relational {
       .withColumn("delta_cp", col("revenue_cp") - coalesce(col("prev_cp"), lit(0L)))
       .withColumn("growth_u",
         when(col("prev_cp").isNull || col("prev_cp") === 0L, lit(null))
-          .otherwise(expr("revenue_cp * 1000000 div prev_cp")))
+          .otherwise(expr("CAST(revenue_cp AS DECIMAL(38, 0)) * 1000000 div prev_cp")))
       .select("n_name", "month", "revenue_cp", "delta_cp", "growth_u")
   }
 
@@ -740,8 +740,10 @@ object Relational {
       .withColumn("prior_year_cents", lag(col("rev_cents"), 1).over(
         Window.partitionBy(col("mo")).orderBy(col("yr"))))
       .select(col("yr"), col("mo"), col("n_orders"), col("rev_cents"),
-        expr("rev_cents * 1000000 div year_total").as("year_share_micro"),
-        expr("rev_cents * 1000000 div prior_year_cents").as("yoy_micro"))
+        expr("CAST(rev_cents AS DECIMAL(38, 0)) * 1000000 div year_total")
+          .as("year_share_micro"),
+        expr("CAST(rev_cents AS DECIMAL(38, 0)) * 1000000 div prior_year_cents")
+          .as("yoy_micro"))
   }
 
   /** TPC-H Q6 shape — forecast revenue change: the revenue that would
@@ -784,7 +786,8 @@ object Relational {
         sum(when(col("nth") >= 2, col("cents")).otherwise(0L)).as("repeat_cents"))
       .select(col("yr"), col("n_orders"), col("n_repeat_orders"),
         col("rev_cents"), col("repeat_cents"),
-        expr("repeat_cents * 1000000 div rev_cents").as("repeat_share_micro"))
+        expr("CAST(repeat_cents AS DECIMAL(38, 0)) * 1000000 div rev_cents")
+          .as("repeat_share_micro"))
   }
 
   /** TPC-H Q21 shape — "suppliers who kept orders waiting": per
@@ -991,7 +994,8 @@ object Relational {
         sum(when(col("is_promo"), col("cents")).otherwise(0L)).as("promo_cents"),
         sum(col("cents")).as("total_cents"))
       .select(col("n_lines"), col("promo_cents"), col("total_cents"),
-        expr("promo_cents * 1000000 div total_cents").as("promo_share_micro"))
+        expr("CAST(promo_cents AS DECIMAL(38, 0)) * 1000000 div total_cents")
+          .as("promo_share_micro"))
   }
 
   /** TPC-H Q13 shape — customer order-count distribution: how many
@@ -1133,7 +1137,8 @@ object Relational {
       .agg(sum(when(col("is_home"), col("cents")).otherwise(0L)).as("home_cents"),
         sum(col("cents")).as("total_cents"))
       .select(col("o_year"), col("home_cents"), col("total_cents"),
-        expr("home_cents * 1000000 div total_cents").as("share_micro"))
+        expr("CAST(home_cents AS DECIMAL(38, 0)) * 1000000 div total_cents")
+          .as("share_micro"))
   }
 
   /** TPC-H Q9 shape — product-line profit by supplier nation and
@@ -1197,7 +1202,11 @@ object Relational {
       .filter(col("rn") === expr("greatest(1, (n * top_pct) div 100)"))
       .select(col("top_pct").cast("long").as("top_pct"),
         col("rn").as("n_customers"),
-        expr("cum_cents * 1000000 div total").as("cum_share_micro"))
+        // the cumulative reaches the FULL corpus revenue: cents × 10⁶
+        // passes int64 at sf1 — the share rides Decimal(38) ≙ HUGEINT
+        // into one integral division (caught by the full-sf1 sweep)
+        expr("CAST(cum_cents AS DECIMAL(38, 0)) * 1000000 div total")
+          .as("cum_share_micro"))
   }
 
   /** Exact GINI coefficient of per-customer revenue — the one-number

@@ -357,11 +357,15 @@ object Dedup {
       verifyJaccard(perConfig.map(_._3).reduce(_ union _).dropDuplicates("doc_a", "doc_b"),
         idx.hashed, threshold).select(col("doc_a"), col("doc_b")))
     val nTruth = truth.count()
+    // precision over zero candidates (a dissimilar corpus at a tight
+    // config) and recall over an empty truth set are undefined, not a
+    // crash: report NULL for that cell and keep the sweep's other rows
     val rows = perConfig.map { case (b, r, cand) =>
       val nCand = cand.count()
       val nFound = verifyJaccard(cand, idx.hashed, threshold).count()
       (b.toLong, r.toLong, nCand, nFound, nTruth,
-        nFound * 1000000L / nCand, nFound * 1000000L / nTruth)
+        if (nCand == 0L) None else Some(nFound * 1000000L / nCand),
+        if (nTruth == 0L) None else Some(nFound * 1000000L / nTruth))
     }
     import spark.implicits._
     rows.toDF("bands", "band_rows", "n_candidates", "n_found", "n_truth",
@@ -445,7 +449,9 @@ object Dedup {
     * only its own rows; no consumer ever recomputes a signature for an
     * old document. Layout: plain parquet — the probe join hashes on
     * (band, bucket), which no directory partitioning improves, and the
-    * verify join prunes `hashed` to candidate ids by predicate. */
+    * verify join prunes `hashed` to candidate ids by predicate.
+    * An append racing a compaction fails the compaction, never the
+    * append ([[Atomic.publish]]). */
   def appendToStoredIndex(docs: DataFrame, indexDir: String, k: Int = 3): Unit = {
     val hashed = docs.select(col("doc_id"),
       elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs")).persist()
@@ -502,24 +508,29 @@ object Dedup {
     * 100 TB the census is never recomputed corpus-wide: each
     * increment's per-hash deltas sum on read, filtered FIRST to the
     * probe batch's own hash set (batch-sized), so a probe aggregates
-    * increments-per-batch-hash rows, not the corpus. */
+    * increments-per-batch-hash rows, not the corpus. An append racing
+    * a compaction fails the compaction, never the append
+    * ([[Atomic.publish]]). */
   def appendToPostingsStore(docs: DataFrame, indexDir: String, k: Int = 3,
       rarest: Int = 5, maxDf: Long = 1000L): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val postings = docs.select(col("doc_id"),
         explode(elementHashes(array_distinct(Text.shingles(col("text"), k)))).as("h"))
       .persist()
     try {
-      postings.write.mode("append").parquet(s"$indexDir/postings")
+      postings.write.mode("append")
+        .parquet(Atomic.resolve(spark, indexDir, "postings"))
       postings.groupBy(col("h")).agg(count(lit(1)).as("delta"))
-        .write.mode("append").parquet(s"$indexDir/census_inc")
+        .write.mode("append")
+        .parquet(Atomic.resolve(spark, indexDir, "census_inc"))
       // this batch's PROBE KEYS, fixed against the census as of this
       // append (its own increment included). Ranks chosen at append
       // time can drift from the eventual global census — the
       // prefix-filter index convention; compaction is the rebuild
       // point. Probes read these instead of re-ranking the corpus.
       val batchHs = postings.select(col("h")).distinct()
-      val dfq = docs.sparkSession.read.parquet(s"$indexDir/census_inc")
+      val dfq = spark.read.parquet(Atomic.resolve(spark, indexDir, "census_inc"))
         .join(batchHs, Seq("h"))
         .groupBy(col("h")).agg(sum(col("delta")).as("df"))
         .filter(col("df") <= maxDf)
@@ -527,7 +538,7 @@ object Dedup {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
         .filter(col("rk") <= rarest).select(col("doc_id"), col("h"))
-        .write.mode("append").parquet(s"$indexDir/rare")
+        .write.mode("append").parquet(Atomic.resolve(spark, indexDir, "rare"))
     } finally postings.unpersist()
   }
 
@@ -549,12 +560,14 @@ object Dedup {
   def containmentAgainstStoredIndex(spark: SparkSession, indexDir: String,
       batch: DataFrame, thresholdMicro: Long = 900000L): DataFrame = {
     val storedPostings = Forgotten.exclude(
-      spark.read.parquet(s"$indexDir/postings"), "doc_id", spark, indexDir)
+      spark.read.parquet(Atomic.resolve(spark, indexDir, "postings")),
+      "doc_id", spark, indexDir)
     val storedHashed = Forgotten.exclude(
       spark.read.parquet(Atomic.resolve(spark, indexDir, "hashed")),
       "doc_id", spark, indexDir)
     val storedRare = Forgotten.exclude(
-      spark.read.parquet(s"$indexDir/rare"), "doc_id", spark, indexDir)
+      spark.read.parquet(Atomic.resolve(spark, indexDir, "rare")),
+      "doc_id", spark, indexDir)
     val batchIds = batch.select(col("doc_id")).distinct()
     // BOTH directions — the candidate scheme is asymmetric (rare keys
     // probe full postings), so a batch-touching pair can surface via
@@ -594,11 +607,24 @@ object Dedup {
   /** Compact the stored band index: rewrite `hashed` and `bands`
     * MINUS tombstoned documents (the durable right-to-be-forgotten
     * erasure) and collapse append-accumulated small files; tombstones
-    * clear once the rows are physically gone. Same staged-rename swap
-    * and single-writer maintenance-window contract as
-    * [[Similarity.compactStoredIvf]]. */
+    * clear once the rows are physically gone. When the store has a
+    * containment leg ([[appendToPostingsStore]]) its three tables are
+    * part of the same erasure contract — a tombstoned document's
+    * content-derived shingle hashes live in `postings` and `rare` and
+    * its counts in `census_inc`, so clearing tombstones without
+    * rewriting them would leave forgotten content physically on disk:
+    * `postings` rewrites minus tombstones, and `census_inc`/`rare`
+    * REBUILD from the compacted postings (which also realigns the
+    * append-time rare ranks with the global census — the documented
+    * drift-rebuild point — and collapses census increments to one
+    * table). Same marker-committed publish and single-compactor
+    * maintenance-window contract as [[Similarity.compactStoredIvf]];
+    * a concurrent append fails the publish, never loses rows
+    * ([[Atomic.publish]]). */
   def compactStoredIndex(spark: SparkSession, indexDir: String,
-      numFiles: Int = 8): Unit = {
+      numFiles: Int = 8, rarest: Int = 5, maxDf: Long = 1000L): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val hadTombstones = Forgotten.read(spark, indexDir).isDefined
     Seq("hashed", "bands").foreach { t =>
       val live = Forgotten.exclude(
         spark.read.parquet(Atomic.resolve(spark, indexDir, t)),
@@ -606,6 +632,40 @@ object Dedup {
       Atomic.publish(spark, indexDir, t) { staged =>
         live.repartition(numFiles).write.mode("overwrite").parquet(staged)
       }
+    }
+    val postingsPath = new org.apache.hadoop.fs.Path(
+      Atomic.resolve(spark, indexDir, "postings"))
+    val hasPostings = postingsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(postingsPath)
+    if (hasPostings) {
+      val livePost = Forgotten.exclude(
+        spark.read.parquet(Atomic.resolve(spark, indexDir, "postings")),
+        "doc_id", spark, indexDir)
+      Atomic.publish(spark, indexDir, "postings") { staged =>
+        livePost.repartition(numFiles).write.mode("overwrite").parquet(staged)
+      }
+      val post = spark.read.parquet(Atomic.resolve(spark, indexDir, "postings"))
+      Atomic.publish(spark, indexDir, "census_inc") { staged =>
+        post.groupBy(col("h")).agg(count(lit(1)).as("delta"))
+          .repartition(numFiles).write.mode("overwrite").parquet(staged)
+      }
+      val dfq = spark.read.parquet(Atomic.resolve(spark, indexDir, "census_inc"))
+        .groupBy(col("h")).agg(sum(col("delta")).as("df"))
+        .filter(col("df") <= maxDf)
+      Atomic.publish(spark, indexDir, "rare") { staged =>
+        post.join(dfq, Seq("h"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
+          .filter(col("rk") <= rarest).select(col("doc_id"), col("h"))
+          .repartition(numFiles).write.mode("overwrite").parquet(staged)
+      }
+    }
+    // erasure beats reader grace: with tombstones the superseded
+    // versions (still holding the forgotten rows) are purged at once
+    if (hadTombstones) {
+      val legs = Seq("hashed", "bands") ++
+        (if (hasPostings) Seq("postings", "census_inc", "rare") else Nil)
+      legs.foreach(Atomic.purge(spark, indexDir, _))
     }
     Forgotten.clear(spark, indexDir)
   }

@@ -1295,7 +1295,12 @@ object Relational {
         expr(s"pair_n * 1000000 div $nBaskets").as("support_micro"),
         expr("pair_n * 1000000 div n_a").as("conf_a_to_b_micro"),
         expr("pair_n * 1000000 div n_b").as("conf_b_to_a_micro"),
-        expr(s"pair_n * $nBaskets * 1000000 div (n_a * n_b)").as("lift_micro"))
+        // numerator rides Decimal(38): pair_n × nBaskets × 1e6 passes
+        // int64 around sf10 (both factors ~1e7); IntegralDivide accepts
+        // Decimal and still returns LONG, so the output type (and the
+        // DuckDB oracle, whose arithmetic auto-promotes) is unchanged
+        expr(s"cast(pair_n as decimal(38,0)) * $nBaskets * 1000000 div (n_a * n_b)")
+          .as("lift_micro"))
       .orderBy(col("pair_n").desc, col("pa"), col("pb"))
       .limit(k)
   }

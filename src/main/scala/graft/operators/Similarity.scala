@@ -349,7 +349,11 @@ object Similarity {
   /** Append a corpus increment to a stored IVF index: assign each new
     * vector to its cell under the EXISTING codebook (map-side argmax
     * over literal centroids — no shuffle) and append. Requires
-    * [[buildStoredIvf]] to have founded the index. */
+    * [[buildStoredIvf]] to have founded the index.
+    *
+    * Concurrency: appends may run beside probes freely; an append
+    * racing a COMPACTION of the same store fails the compaction, never
+    * the append — [[Atomic.publish]]'s append-detection contract. */
   def appendToStoredIvf(embs: DataFrame, indexDir: String): Unit =
     assignCells(embs, loadCentroids(embs.sparkSession, indexDir))
       .write.mode("append")
@@ -523,7 +527,10 @@ object Similarity {
     * window where readers planned against an empty relation). */
   def compactStoredIvf(spark: SparkSession, indexDir: String): Unit = {
     // compaction is also the durable right-to-be-forgotten erasure:
-    // tombstoned vectors are dropped from the rewrite, then cleared
+    // tombstoned vectors are dropped from the rewrite, then cleared.
+    // When tombstones existed, the superseded version is PURGED rather
+    // than grace-retained — erasure beats reader grace (Atomic.purge)
+    val hadTombstones = Forgotten.read(spark, indexDir).isDefined
     val live = Forgotten.exclude(
       spark.read.parquet(Atomic.resolve(spark, indexDir, "cells")),
       "vec_id", spark, indexDir)
@@ -531,6 +538,7 @@ object Similarity {
       live.repartition(col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
     }
+    if (hadTombstones) Atomic.purge(spark, indexDir, "cells")
     Forgotten.clear(spark, indexDir)
   }
 
@@ -992,7 +1000,9 @@ object Similarity {
 
   /** Append one crawl increment's codes — signing is a pure map over
     * the literal hyperplanes (no shuffle); old rows never rewritten
-    * (the append-only contract of the band/IVF/sketch stores). */
+    * (the append-only contract of the band/IVF/sketch stores). An
+    * append racing a compaction fails the compaction, never the append
+    * ([[Atomic.publish]]). */
   def appendToCodeIndex(batch: DataFrame, indexDir: String): Unit =
     batch.select(col("vec_id"),
         Vectors.hyperplaneSignature(col("embedding"), nBits = 60).as("sig"))
@@ -1008,12 +1018,16 @@ object Similarity {
   /** Rewrite the codes minus tombstones behind a staged swap — the
     * durable erasure + small-file compaction in one maintenance act. */
   def compactCodeIndex(spark: SparkSession, indexDir: String): Unit = {
+    val hadTombstones = Forgotten.read(spark, indexDir).isDefined
     val live = Forgotten.exclude(
       spark.read.parquet(Atomic.resolve(spark, indexDir, "codes")),
       "vec_id", spark, indexDir)
     Atomic.publish(spark, indexDir, "codes") { staged =>
       live.coalesce(1).write.mode("overwrite").parquet(staged)
     }
+    // erasure beats reader grace: with tombstones the superseded
+    // version (still holding the forgotten rows) is purged at once
+    if (hadTombstones) Atomic.purge(spark, indexDir, "codes")
     Forgotten.clear(spark, indexDir)
   }
 

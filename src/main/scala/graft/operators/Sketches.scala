@@ -398,7 +398,8 @@ object Sketches {
     * per-(source, reg) max first, so the store grows by at most
     * sources × m rows per increment regardless of batch size, and old
     * rows are never rewritten (the append-only contract the band/IVF
-    * index family shares). */
+    * index family shares). An append racing a compaction fails the
+    * compaction, never the append ([[Atomic.publish]]). */
   def appendToSketchStore(batch: DataFrame, storeDir: String): Unit =
     registerRows(batch)
       .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mrho"))

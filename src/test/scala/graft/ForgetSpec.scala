@@ -15,6 +15,8 @@ class ForgetSpec extends SparkSpec {
     val indexDir = Files.createTempDirectory("graft_forget_band").toString
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     Dedup.appendToStoredIndex(docs, indexDir)
+    // the containment leg shares the store and the erasure contract
+    Dedup.appendToPostingsStore(docs, indexDir)
     val batch = docs.filter(col("doc_id") % 10 === 0)
     def probePairs(): Set[(Long, Long)] =
       Dedup.pairsAgainstStoredIndex(spark, indexDir, batch)
@@ -26,16 +28,37 @@ class ForgetSpec extends SparkSpec {
     Dedup.forgetInStoredIndex(spark, indexDir, Seq(victim))
     val after = probePairs()
     assert(after == before.filterNot(p => p._1 == victim || p._2 == victim))
-    // compaction: physical erasure + tombstone clear, probes unchanged
+    // compaction: physical erasure + tombstone clear, probes unchanged.
+    // Erasure must reach ALL FIVE tables — the victim's content-derived
+    // shingle hashes live in postings/rare and its counts in census_inc
     Dedup.compactStoredIndex(spark, indexDir)
-    assert(!spark.read
-      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "hashed"))
-      .collect().map(_.getLong(0)).contains(victim))
-    assert(!spark.read
-      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "bands"))
-      .select("doc_id").collect().map(_.getLong(0)).contains(victim))
+    Seq("hashed", "bands", "postings", "rare").foreach { t =>
+      assert(!spark.read
+        .parquet(graft.operators.Atomic.resolve(spark, indexDir, t))
+        .select("doc_id").collect().map(_.getLong(0)).contains(victim),
+        s"victim still on disk in $t")
+    }
+    // the rebuilt census carries no trace of the victim's counts: its
+    // delta total equals the compacted postings row count exactly
+    val postRows = spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "postings")).count()
+    val censusTotal = spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, indexDir, "census_inc"))
+      .agg(sum(col("delta"))).collect().head.getLong(0)
+    assert(censusTotal == postRows)
     assert(!new java.io.File(s"$indexDir/forgotten").exists())
+    // erasure compaction PURGES the superseded versions (grace
+    // retention would keep the victim's bytes readable on disk):
+    // exactly one physical generation of each table remains
+    val children = new java.io.File(indexDir).list().toSeq
+    Seq("hashed", "bands", "postings", "census_inc", "rare").foreach { t =>
+      val gens = children.filter(n => n == t || n.startsWith(s"${t}_v"))
+      assert(gens.size == 1, s"superseded $t generation survived erasure: $gens")
+    }
     assert(probePairs() == after)
+    // the containment probe still answers over the compacted store
+    assert(Dedup.containmentAgainstStoredIndex(spark, indexDir, batch,
+      thresholdMicro = 500000L).count() >= 0)
   }
 
   test("ivf index: a forgotten vector leaves top-k, occupancy, and — after compaction — disk") {

@@ -1361,6 +1361,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got((16L, 2L))._2 == q25)
   }
 
+  test("banding sweep: zero candidates / empty truth report NULL cells, not a crash") {
+    import graft.operators.Dedup
+    // two documents with disjoint shingle sets: no config buckets them
+    // together, so every row has n_candidates = 0 and the union truth
+    // set is empty — precision and recall are undefined there
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep0").toString
+    spark.createDataFrame(Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six")))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.bandingSweep(spark, dir).collect()
+    Dedup.releaseBandIndex()
+    graft.operators.PlanCache.release()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+      assert(r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+
   test("weighted WOR sample: exact k, keys replay A-ES, sample is the exact global top-k") {
     import graft.operators.TextOps
     val got = TextOps.weightedSampleTopK(spark, sf).collect()

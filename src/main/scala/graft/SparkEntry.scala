@@ -441,6 +441,11 @@ object SparkEntry {
     "q227_joint_histogram" -> ((s, d) => TextOps.lengthQualityHistogram(s, d)),
     "q228_daily_fano" -> ((s, d) => EventFlow.dailyFano(s, d)),
     "q229_label_separation" -> ((s, d) => Similarity.labelSeparation(s, d)),
+    "q230_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "q231_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    "q232_t_closeness" -> ((s, d) => DataQuality.customerTCloseness(s, d)),
+    "q233_bootstrap_ci" -> ((s, d) => TextOps.bootstrapQualityCi(s, d)),
+    "q234_prf_expansion" -> ((s, d) => Relevance.prfExpansion(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -482,31 +487,38 @@ object SparkEntry {
     * lexical leg. Mirrors [[graft.operators.Relevance.bm25Retrieval]]:
     * idf rounds at 6 dp, per-term scores land on the integer micro
     * grid before the per-doc sum. */
-  private lazy val bm25Ctes: String = {
-    val terms = graft.operators.Relevance.Bm25Query.map(t => s"'$t'").mkString(", ")
-    s"""bm_dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  private lazy val bm25TermList: String =
+    graft.operators.Relevance.Bm25Query.map(t => s"'$t'").mkString(", ")
+
+  /** The scoring chain for an arbitrary term predicate, CTE names
+    * prefixed — instantiated twice by q234 (base query, expanded
+    * query) and once (as [[bm25Ctes]]) by q149/q150. */
+  private def bm25Chain(p: String, termFilter: String): String =
+    s"""${p}dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
        |   FROM documents),
-       | bm_st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |     CAST(sum(dl) AS BIGINT) AS tot FROM bm_dl),
-       | bm_tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       | ${p}st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |     CAST(sum(dl) AS BIGINT) AS tot FROM ${p}dl),
+       | ${p}tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
        |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-       |   WHERE token IN ($terms) GROUP BY doc_id, token),
-       | bm_df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-       |   FROM bm_tf GROUP BY token),
-       | bm_per AS (SELECT bm_tf.doc_id,
-       |     CAST(round(round(ln((CAST(bm_st.n AS DOUBLE) - df + 0.5)
+       |   WHERE $termFilter GROUP BY doc_id, token),
+       | ${p}df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |   FROM ${p}tf GROUP BY token),
+       | ${p}per AS (SELECT ${p}tf.doc_id,
+       |     CAST(round(round(ln((CAST(${p}st.n AS DOUBLE) - df + 0.5)
        |         / (df + 0.5) + 1.0), 6)
        |       * ((tf * 2.2) / (tf + 1.2 * (0.25
-       |           + 0.75 * dl / (CAST(bm_st.tot AS DOUBLE) / bm_st.n))))
+       |           + 0.75 * dl / (CAST(${p}st.tot AS DOUBLE) / ${p}st.n))))
        |       * 1000000.0, 0) AS BIGINT) AS term_u
-       |   FROM bm_tf JOIN bm_df USING (token) JOIN bm_dl USING (doc_id)
-       |   CROSS JOIN bm_st),
-       | bm_sc AS (SELECT doc_id, CAST(sum(term_u) AS BIGINT) AS score_micro
-       |   FROM bm_per GROUP BY doc_id),
-       | bm_ranked AS (SELECT row_number() OVER
+       |   FROM ${p}tf JOIN ${p}df USING (token) JOIN ${p}dl USING (doc_id)
+       |   CROSS JOIN ${p}st),
+       | ${p}sc AS (SELECT doc_id, CAST(sum(term_u) AS BIGINT) AS score_micro
+       |   FROM ${p}per GROUP BY doc_id),
+       | ${p}ranked AS (SELECT row_number() OVER
        |     (ORDER BY score_micro DESC, doc_id ASC) AS rank, doc_id, score_micro
-       |   FROM bm_sc)""".stripMargin
-  }
+       |   FROM ${p}sc)""".stripMargin
+
+  private lazy val bm25Ctes: String =
+    bm25Chain("bm_", s"token IN ($bm25TermList)")
 
   /** q163: the banding sweep replay — the q25 signature chain, one
     * candidate join per (bands × rows) configuration, exact verify,
@@ -617,7 +629,187 @@ object SparkEntry {
       ("q211_trend_ols" -> q211Sql) + ("q212_calibration" -> q212Sql) +
       ("q214_revenue_acf" -> q214Sql) + ("q215_cusum_shift" -> q215Sql) +
       ("q218_distinct_n" -> q218Sql) + ("q222_lang_conflicts" -> q222Sql) +
-      ("q228_daily_fano" -> q228Sql)
+      ("q228_daily_fano" -> q228Sql) +
+      ("q230_pagerank" -> q230Sql) + ("q231_triangles" -> q231Sql) +
+      ("q232_t_closeness" -> q232Sql) + ("q233_bootstrap_ci" -> q233Sql) +
+      ("q234_prf_expansion" -> q234Sql)
+
+  /** The co-purchase edge list CTEs (shared by q230/q231): distinct
+    * (basket, item) pairs self-joined within the basket — q197's
+    * candidate machinery, unthresholded. */
+  private lazy val coPurchaseCtes: String =
+    """cp_items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |   FROM lineitem),
+      | cp_und AS (SELECT a.item AS pa, c.item AS pb,
+      |     CAST(count(*) AS BIGINT) AS w
+      |   FROM cp_items a JOIN cp_items c USING (basket)
+      |   WHERE a.item < c.item GROUP BY 1, 2)""".stripMargin
+
+  /** q230: five unrolled integer-pico power iterations; products ride
+    * HUGEINT (≙ the Spark side's Decimal(38)), each iteration's rank
+    * casts back to BIGINT. */
+  private lazy val q230Sql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (SELECT e.dst AS part,
+         |    CAST((SELECT (15 * (1000000000000 // nn)) // 100 FROM pr_n)
+         |      + 85 * sum(CAST(r.r AS HUGEINT) * e.w // e.outw) // 100
+         |      AS BIGINT) AS r
+         |  FROM r${i - 1} r JOIN pr_ew e ON r.part = e.src GROUP BY e.dst)"""
+        .stripMargin
+    }.mkString(",\n ")
+    s"""WITH $coPurchaseCtes,
+       | pr_edges AS (SELECT pa AS src, pb AS dst, w FROM cp_und
+       |   UNION ALL SELECT pb, pa, w FROM cp_und),
+       | pr_ew AS (SELECT src, dst, w,
+       |     CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+       |   FROM pr_edges),
+       | pr_n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS nn FROM pr_ew),
+       | r0 AS (SELECT DISTINCT src AS part,
+       |     (SELECT CAST(1000000000000 // nn AS BIGINT) FROM pr_n) AS r
+       |   FROM pr_ew),
+       | $iters
+       |SELECT row_number() OVER (ORDER BY r DESC, part ASC) AS rank,
+       |  part, r AS score_pico
+       |FROM r5 ORDER BY score_pico DESC, part ASC LIMIT 25""".stripMargin
+  }
+
+  /** q231: degree-ordered wedge closure — each triangle found once
+    * from its orientation-smallest corner, credited to all three. */
+  private lazy val q231Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | tr_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |     (SELECT pa AS node FROM cp_und UNION ALL SELECT pb FROM cp_und)
+       |   GROUP BY 1),
+       | tr_o AS (SELECT
+       |     CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+       |       THEN pa ELSE pb END AS src,
+       |     CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+       |       THEN pb ELSE pa END AS dst
+       |   FROM cp_und JOIN tr_deg d1 ON pa = d1.node
+       |   JOIN tr_deg d2 ON pb = d2.node),
+       | tr_tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |   FROM tr_o e1 JOIN tr_o e2
+       |     ON e1.src = e2.src AND e1.dst < e2.dst
+       |   WHERE EXISTS (SELECT 1 FROM cp_und u
+       |     WHERE u.pa = e1.dst AND u.pb = e2.dst)),
+       | tr_pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+       |     (SELECT a AS node FROM tr_tri UNION ALL SELECT b FROM tr_tri
+       |      UNION ALL SELECT c FROM tr_tri) GROUP BY 1)
+       |SELECT node AS part, deg, n_triangles,
+       |  CAST(2 * CAST(n_triangles AS HUGEINT) * 1000000
+       |    // (deg * (deg - 1)) AS BIGINT) AS clustering_micro
+       |FROM tr_pn JOIN tr_deg USING (node)
+       |ORDER BY n_triangles DESC, part ASC LIMIT 25""".stripMargin
+
+  /** q232: ordinal EMD per (nation, segment) group — both cumulative
+    * walks on the dense band spine, each side scaled by its own total
+    * in integer micro. */
+  private lazy val q232Sql: String =
+    """WITH tc_b AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band FROM customer),
+      | tc_mm AS (SELECT CAST(min(band) AS BIGINT) AS lo,
+      |     CAST(max(band) AS BIGINT) AS hi FROM tc_b),
+      | tc_counts AS (SELECT c_nationkey, c_mktsegment, band,
+      |     CAST(count(*) AS BIGINT) AS cnt
+      |   FROM tc_b GROUP BY 1, 2, 3),
+      | tc_groups AS (SELECT c_nationkey, c_mktsegment,
+      |     CAST(sum(cnt) AS BIGINT) AS group_size
+      |   FROM tc_counts GROUP BY 1, 2),
+      | tc_bands AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS band
+      |   FROM tc_mm),
+      | tc_gl AS (SELECT b.band,
+      |     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS gcnt
+      |   FROM tc_bands b LEFT JOIN tc_counts c ON b.band = c.band
+      |   GROUP BY 1),
+      | tc_glc AS (SELECT band,
+      |     CAST(CAST(sum(gcnt) OVER (ORDER BY band) AS HUGEINT) * 1000000
+      |       // (SELECT sum(gcnt) FROM tc_gl) AS BIGINT) AS cum_q_micro
+      |   FROM tc_gl),
+      | tc_spine AS (SELECT g.c_nationkey, g.c_mktsegment, g.group_size, b.band
+      |   FROM tc_groups g CROSS JOIN tc_bands b),
+      | tc_walk AS (SELECT s.c_nationkey, s.c_mktsegment, s.group_size, s.band,
+      |     CAST(sum(coalesce(c.cnt, 0)) OVER (
+      |       PARTITION BY s.c_nationkey, s.c_mktsegment ORDER BY s.band)
+      |       AS BIGINT) AS cum_p
+      |   FROM tc_spine s LEFT JOIN tc_counts c
+      |     ON s.c_nationkey = c.c_nationkey
+      |     AND s.c_mktsegment = c.c_mktsegment AND s.band = c.band),
+      | tc_steps AS (SELECT w.c_nationkey, w.c_mktsegment, w.group_size,
+      |     abs(CAST(CAST(cum_p AS HUGEINT) * 1000000 // group_size AS BIGINT)
+      |       - cum_q_micro) AS step
+      |   FROM tc_walk w JOIN tc_glc USING (band))
+      |SELECT c_nationkey, c_mktsegment, group_size,
+      |  CAST(sum(step) // (SELECT hi - lo FROM tc_mm) AS BIGINT) AS emd_micro,
+      |  CAST(sum(step) // (SELECT hi - lo FROM tc_mm) AS BIGINT) > 200000
+      |    AS at_risk
+      |FROM tc_steps GROUP BY 1, 2, 3""".stripMargin
+
+  /** q233: Poisson-bootstrap percentile CI — weights from the frozen
+    * Poisson(1) CDF thresholds on the 2⁶⁰ md5 grid, replica means and
+    * rank selection all integer. */
+  private lazy val q233Sql: String = {
+    val ts = graft.operators.TextOps.PoissonCdf60
+    val ladder = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
+    """WITH bq AS (SELECT source, doc_id,
+      |    CAST(round(round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+      |        / len(toks))
+      |      + 0.4 * (1.0 - sw / len(toks))
+      |      + 0.2 * least(len(toks) / 100.0, 1.0), 4) * 10000, 0) AS BIGINT)
+      |      AS q_bp
+      |  FROM (SELECT source, doc_id, string_split(text, ' ') AS toks,
+      |     CAST(len(list_filter(string_split(text, ' '),
+      |       x -> x IN ('the','a','and','of'))) AS DOUBLE) AS sw
+      |   FROM documents)),
+      | reps AS (SELECT source, doc_id, q_bp,
+      |    CAST(unnest(range(0, 200)) AS BIGINT) AS b FROM bq),
+      | hs AS (SELECT source, b, q_bp,
+      |    CAST('0x' || substr(md5('boot-' || CAST(doc_id AS VARCHAR)
+      |      || '-' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM reps),
+      | wts AS (SELECT source, b, q_bp,
+      |    CASE LADDER ELSE 7 END AS w FROM hs),
+      | m AS (SELECT source, b,
+      |    CAST(CAST(sum(w * q_bp) AS HUGEINT) * 100 // sum(w) AS BIGINT)
+      |      AS rep_micro
+      |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+      | r AS (SELECT source, b, rep_micro, row_number() OVER
+      |    (PARTITION BY source ORDER BY rep_micro ASC, b ASC) AS rnk FROM m),
+      | ci AS (SELECT source,
+      |    max(CASE WHEN rnk = 6 THEN rep_micro END) AS ci_lo_micro,
+      |    max(CASE WHEN rnk = 195 THEN rep_micro END) AS ci_hi_micro
+      |  FROM r WHERE rnk IN (6, 195) GROUP BY 1),
+      | pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(CAST(sum(q_bp) AS HUGEINT) * 100 // count(*) AS BIGINT)
+      |      AS mean_micro
+      |  FROM bq GROUP BY 1)
+      |SELECT source, n_docs, mean_micro, ci_lo_micro, ci_hi_micro,
+      |  CAST(ci_hi_micro - ci_lo_micro AS BIGINT) AS ci_width_micro
+      |FROM pt JOIN ci USING (source)""".stripMargin
+      .replace("LADDER", ladder)
+  }
+
+  /** q234: the PRF loop — base retrieval (the q149 chain), expansion
+    * terms by the q66 integer tf·idf proxy over the top-5 feedback
+    * docs, then the same chain re-instantiated for the expanded term
+    * set. */
+  private lazy val q234Sql: String =
+    s"""WITH ${bm25Chain("bm_", s"token IN ($bm25TermList)")},
+       | prf_fb AS (SELECT doc_id FROM bm_ranked WHERE rank <= 5),
+       | prf_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |   FROM documents),
+       | prf_fbtf AS (SELECT token, CAST(count(*) AS BIGINT) AS fb_tf
+       |   FROM prf_tok JOIN prf_fb USING (doc_id)
+       |   WHERE token NOT IN ($bm25TermList) GROUP BY 1),
+       | prf_df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |   FROM prf_tok GROUP BY 1),
+       | prf_exp AS (SELECT token FROM (SELECT token, row_number() OVER
+       |     (ORDER BY fb_tf DESC, df ASC, token ASC) AS rnk
+       |   FROM prf_fbtf JOIN prf_df USING (token)) WHERE rnk <= 3),
+       | prf_terms AS (SELECT token FROM prf_exp
+       |   UNION SELECT unnest([$bm25TermList]) AS token),
+       | ${bm25Chain("p2_", "token IN (SELECT token FROM prf_terms)")}
+       |SELECT rank, doc_id, score_micro FROM p2_ranked
+       |WHERE rank <= 20""".stripMargin
 
   /** q228: daily Fano factor per type — exact-moment variance-to-mean
     * over the q111 zero-filled grid. */

@@ -178,6 +178,81 @@ object DataQuality {
           floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
       Seq("c_nationkey", "c_mktsegment"), "bal_band", l)
 
+  /** t-CLOSENESS audit — the third face of the privacy trio beside
+    * [[kAnonymityProfile]] (group size) and [[lDiversityProfile]]
+    * (sensitive-value variety): a group can be large AND diverse yet
+    * still leak, when its sensitive-value DISTRIBUTION sits far from
+    * the table's (a nation×segment cell where 90% of balances land in
+    * the top band discloses "rich" to anyone who places a person in
+    * the cell, whatever l says). Per QI group: the Earth Mover's
+    * Distance between the group's and the global distribution over
+    * the ORDERED sensitive bands — for an ordinal attribute on a
+    * dense integer spine, EMD = Σᵢ|cum_p(i) − cum_q(i)| / (m−1),
+    * computed entirely in integer micro (each side's cumulative count
+    * ×1e6 div its own total — no float walk to drift cross-engine).
+    * Groups with emd_micro > t·1e6 are flagged.
+    *
+    * Scale: one shuffle on the QI key folds per-(group, band) counts;
+    * the spine explode, the cumulative windows, and the broadcast of
+    * the global distribution all run on the groups×bands frame —
+    * QI-cardinality-bounded, never row-scale. The band spine is
+    * sequence(min, max) from two scalar folds (dense by construction
+    * for a banded ordinal; absent bands MUST participate in the
+    * cumulative walk, which a groups×bands equi-join spine provides
+    * without any cartesian shape). */
+  def tClosenessProfile(df: DataFrame, quasiIds: Seq[String],
+      sensitive: String, t: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qis = quasiIds.map(col).toIndexedSeq
+    val mm = df.agg(min(col(sensitive)).cast("long"),
+      max(col(sensitive)).cast("long")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val denom = math.max(hi - lo, 1L) // single-band table: EMD ≡ 0
+    val counts = df.groupBy(qis :+ col(sensitive).cast("long").as("band"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // dense (group × band) spine: every group row explodes the full
+    // ordinal range, then picks up its observed counts by equi-join
+    val groups = counts.groupBy(qis: _*).agg(sum(col("cnt")).as("group_size"))
+    val spine = groups.select(qis :+ col("group_size") :+
+      explode(sequence(lit(lo), lit(hi))).as("band"): _*)
+    // cumulative counts ride Decimal(38) into the ×1e6 scaling — a
+    // 100 TB table's row counts put cum·1e6 past int64. The global
+    // side densifies onto the same spine (an interior band with zero
+    // global mass must still carry its cumulative value into the join)
+    val global = df.sparkSession.range(lo, hi + 1).select(col("id").as("band"))
+      .join(counts.groupBy(col("band")).agg(sum(col("cnt")).as("gcnt")),
+        Seq("band"), "left")
+      .na.fill(0L, Seq("gcnt"))
+      .withColumn("gtotal", sum(col("gcnt")).over(Window.partitionBy()))
+      .withColumn("gcum", sum(col("gcnt")).over(Window.orderBy(col("band"))))
+      .select(col("band"),
+        expr("CAST(gcum AS DECIMAL(38,0)) * 1000000 div gtotal")
+          .as("cum_q_micro"))
+    val walked = spine
+      .join(counts, quasiIds :+ "band", "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum_p", sum(col("cnt")).over(
+        Window.partitionBy(qis: _*).orderBy(col("band"))))
+      .join(broadcast(global), Seq("band"))
+      .select(qis :+ col("group_size") :+
+        abs(expr("CAST(cum_p AS DECIMAL(38,0)) * 1000000 div group_size")
+          - col("cum_q_micro")).as("step"): _*)
+    walked.groupBy(qis :+ col("group_size"): _*)
+      .agg(expr(s"sum(step) div $denom").as("emd_micro"))
+      .withColumn("at_risk", col("emd_micro") > (t * 1000000).toLong)
+  }
+
+  /** [[tClosenessProfile]] over the customer table — same QIs and
+    * banded sensitive attribute as the k-anonymity / l-diversity
+    * audits, so the three reports describe one sharing decision. */
+  def customerTCloseness(spark: org.apache.spark.sql.SparkSession,
+      dir: String, t: Double = 0.2): DataFrame =
+    tClosenessProfile(
+      graft.Tables(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", t)
+
   /** Benford first-digit expectations log₁₀(1 + 1/d), d = 1..9, as
     * shared integer micro literals (the q192 DCG-weight convention:
     * the transcendental is frozen at authoring time, so neither

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the part co-purchase graph — the engine's
+  * iterative-computation pillar (power iteration, wedge closure)
+  * expressed as plain joins + aggregates so Catalyst owns the physical
+  * plan, no GraphX/RDD detour.
+  *
+  * The graph: parts are nodes; an undirected edge (a, b) with weight w
+  * joins two parts co-purchased in w distinct orders (the q197 basket
+  * machinery, unthresholded — candidate generation is a within-basket
+  * self-join whose fan-out is basket-width², bounded by order width,
+  * never catalog², so the edge list grows LINEARLY with the corpus).
+  * Both operators' iteration state is node-keyed; nothing
+  * corpus-pair-shaped materializes.
+  *
+  * All arithmetic is integer (pico/micro grids, products widened
+  * through Decimal(38) ≙ the oracle's HUGEINT) — iterative float
+  * accumulation would drift cross-engine after five rounds.
+  */
+object Graph {
+
+  /** Undirected co-purchase edges, canonical orientation pa < pb.
+    * Pair expansion happens INSIDE each basket's collected item array
+    * (sorted set → i<j slices) rather than as a basket-keyed self-join:
+    * one shuffle (the basket agg) instead of two join sides plus their
+    * sort, with identical fan-out (basket-width², order-width-bounded —
+    * collect_set is safe here for exactly that reason). */
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("arr"))
+    baskets
+      .select(explode(flatten(transform(col("arr"), (x, i) =>
+        transform(slice(col("arr"), i + 2, size(col("arr"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+  }
+
+  /** Rank scale: picoshares (1e-12 of total mass) — coarser grids lose
+    * too much mass to the per-edge integer division at five rounds. */
+  private[graft] val PrScale = 1000000000000L
+
+  /** PAGERANK over the co-purchase graph — five UNROLLED power
+    * iterations on the integer pico grid: r₀ = SCALE div N;
+    * rₖ₊₁(v) = (15·(SCALE div N)) div 100
+    *           + (85 · Σᵤ (rₖ(u)·w(u,v)) div outw(u)) div 100.
+    * Every node of the (undirected, symmetrized) graph has degree ≥ 1
+    * by construction, so there are no dangling nodes; integer division
+    * leaks bounded mass per step, identically on both engines — the
+    * determinism contract matters more than the conserved-mass nicety
+    * here (both engines walk the same grid).
+    *
+    * Scale: the edge list is persisted once and re-joined five times —
+    * each iteration is one equi-join on the source key plus one
+    * aggregate on the destination key, the canonical shuffle pair of
+    * distributed power iteration (Pregel does the same data movement);
+    * state between iterations is one row per node. Products ride
+    * Decimal(38): rank ≤ SCALE = 1e12 and a 100 TB catalog's pair
+    * weights push r·w past int64. N is a 1-row scalar fold (profiler
+    * convention). Top-k is one TakeOrdered.
+    *
+    * Reference scope: the reference engine has no graph operator — this
+    * extends the training-data-pipeline surface (e.g. ranking canonical
+    * products/documents inside a dedup cluster family). */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
+      k: Int = 25): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    // symmetrize, hash-partition by source, and fold each source's
+    // total out-weight ONTO its edges once — the persisted frame keeps
+    // its HashPartitioning(src), so each of the five iteration joins
+    // shuffles only the node-sized rank frame, never the edge list
+    // (the window reuses the same partitioning: one shuffle total)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val edges = PlanCache.tracked(sym.repartition(col("src"))
+      .withColumn("outw", sum(col("w")).over(Window.partitionBy(col("src")))))
+    val nNodes = edges.select(col("src")).distinct().count()
+    val base = PrScale / nNodes
+    val teleport = 15L * base / 100L
+    var rank = edges.select(col("src").as("part")).distinct()
+      .withColumn("r", lit(base))
+    for (_ <- 0 until iters) {
+      // SHUFFLE_HASH with the node-sized rank frame as build side: SMJ
+      // would re-sort the persisted edge list every iteration, and a
+      // broadcast would cap the node count at driver memory (a 100 TB
+      // catalog's part dimension is shuffle-sized, not broadcast-sized)
+      rank = rank.hint("shuffle_hash")
+        .join(edges, rank("part") === edges("src"))
+        // r ≤ SCALE = 1e12 and a 100 TB catalog's w breaks int64 in
+        // the product — Decimal(38) through the div (returns LONG)
+        .select(col("dst"),
+          expr("CAST(r AS DECIMAL(38,0)) * w div outw").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("inflow"))
+        // inflow ≤ total mass 1e12: the damping product stays int64
+        .select(col("dst").as("part"),
+          (lit(teleport) + expr("85 * inflow div 100")).as("r"))
+    }
+    rank.select(col("part"), col("r").as("score_pico"))
+      .orderBy(col("score_pico").desc, col("part").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_pico").desc, col("part").asc)))
+      .select(col("rank"), col("part"), col("score_pico"))
+  }
+
+  /** TRIANGLE COUNT + local clustering coefficient per part — the
+    * cohesion screen over the co-purchase graph (a part whose
+    * neighborhood closes into triangles sells in stable bundles; a
+    * high-degree, zero-triangle part is a hub crossing unrelated
+    * baskets). Per node: degree, triangles through it, and the local
+    * clustering coefficient 2T·1e6 div (deg·(deg−1)) in integer micro.
+    *
+    * Scale — degree-ordered orientation + edge-iterator intersection:
+    * edges direct from the (degree, id)-SMALLER endpoint, capping
+    * every out-adjacency list at O(√m) regardless of hubs, and each
+    * ORIENTED edge (u, v) finds its triangles as out(u) ∩ out(v) — a
+    * per-row array intersection against the two endpoints' collected
+    * neighbor lists, which never MATERIALIZES the wedge set (the naive
+    * wedge self-join shuffles Σ outdeg² rows — 80M at sf0.1, measured
+    * 19 s — where this form shuffles the edge list twice with bounded
+    * array payloads). Orientation makes each triangle close exactly
+    * once, at the edge between its two orientation-smallest corners;
+    * the 3-row corner explode then credits it to all three nodes. */
+  def triangles(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val und = PlanCache.tracked(coPurchaseEdges(spark, dir))
+    val deg = PlanCache.tracked(
+      und.select(col("pa").as("node")).union(und.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    // orient each edge from the (deg, id)-smaller endpoint
+    val oriented = und
+      .join(deg.select(col("node").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+          .otherwise(col("pb")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+          .otherwise(col("pa")).as("dst"))
+    val o = PlanCache.tracked(oriented)
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tris = o
+      .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), Seq("dst"))
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(array_intersect(col("nbrs_u"), col("nbrs_v"))).as("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    perNode.join(deg, Seq("node"))
+      // 2T·1e6 passes int64 for dense hubs — widen through Decimal(38)
+      .select(col("node").as("part"), col("deg"), col("n_triangles"),
+        expr("2 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000" +
+          " div (deg * (deg - 1))").as("clustering_micro"))
+      .orderBy(col("n_triangles").desc, col("part").asc)
+      .limit(k)
+  }
+}

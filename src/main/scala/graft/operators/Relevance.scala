@@ -175,13 +175,21 @@ object Relevance {
   def bm25Retrieval(spark: SparkSession, dir: String,
       terms: Seq[String] = Bm25Query, k: Int = 20): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms.map(lit): _*))
+    bm25Ranked(docs, tok, k)
+  }
+
+  /** The Okapi scoring core over a pre-filtered (doc_id, token) frame —
+    * shared by [[bm25Retrieval]] (literal term filter, pushdown-friendly)
+    * and [[prfExpansion]]'s second pass (term set only known at run
+    * time, filtered by a broadcast semi-join). */
+  private def bm25Ranked(docs: DataFrame, tok: DataFrame, k: Int): DataFrame = {
     val dl = docs.select(col("doc_id"),
       Text.tokenCount(col("text")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val nDocs = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / nDocs
-    val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-      .filter(col("token").isin(terms.map(lit): _*))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf6 = round(log((lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
@@ -197,6 +205,45 @@ object Relevance {
         .orderBy(col("score_micro").desc, col("doc_id").asc)))
       .filter(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  /** PSEUDO-RELEVANCE-FEEDBACK query expansion (RM3's shape with q66's
+    * integer ranking proxy) — the two-stage retrieval a lexical stack
+    * runs when recall matters: retrieve once with the base query, take
+    * the top `fbDocs` documents AS IF relevant, mine their most
+    * characteristic terms, and retrieve again with the expanded query.
+    * Expansion terms rank by (feedback tf DESC, corpus df ASC, token
+    * ASC) — within-feedback frequency × rarity, the tf·idf ordering
+    * with the float idf replaced by its exact integer proxy so term
+    * choice is bit-deterministic cross-engine; the base terms are
+    * excluded from candidacy and re-join the final term set.
+    *
+    * Scale: pass 1 is [[bm25Retrieval]]; the feedback set is
+    * fbDocs-bounded (broadcast semi-join prunes the token scan);
+    * expansion candidates are vocabulary-sized; pass 2 is the shared
+    * scoring core with the ≤ terms+expTerms term set broadcast into
+    * the token filter. Two corpus scans total — the price of PRF by
+    * definition, nothing quadratic. */
+  def prfExpansion(spark: SparkSession, dir: String,
+      terms: Seq[String] = Bm25Query, fbDocs: Int = 5, expTerms: Int = 3,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val toks = PlanCache.tracked(
+      docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token")))
+    val fb = bm25Retrieval(spark, dir, terms, fbDocs).select(col("doc_id"))
+    val fbTf = toks.join(broadcast(fb), Seq("doc_id"))
+      .filter(!col("token").isin(terms.map(lit): _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("fb_tf"))
+    val dfAll = toks.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    // vocabulary-sized global window — the q61 TakeOrdered convention
+    val expanded = fbTf.join(dfAll, Seq("token"))
+      .withColumn("rnk", row_number().over(Window.partitionBy()
+        .orderBy(col("fb_tf").desc, col("df").asc, col("token").asc)))
+      .filter(col("rnk") <= expTerms).select(col("token"))
+    val termSet = expanded.union(terms.toDF("token")).distinct()
+    bm25Ranked(docs, toks.join(broadcast(termSet), Seq("token"), "left_semi"), k)
   }
 
   /** HYBRID RETRIEVAL by reciprocal-rank fusion: the BM25 lexical

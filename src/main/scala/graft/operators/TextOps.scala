@@ -2064,4 +2064,75 @@ object TextOps {
         array_join(col("ls"), ",").as("langs"))
       .filter(col("n_langs") >= 2)
   }
+
+  /** Poisson(1) CDF thresholds on the 2⁶⁰ grid (P(X≤k)·2⁶⁰, k = 0..6,
+    * floor) — frozen at authoring time like the DCG/Benford literals,
+    * so neither engine evaluates e⁻¹ at query time. The tail past 6
+    * (≈8·10⁻⁵) clamps to weight 7. */
+  private[graft] val PoissonCdf60: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L)
+
+  /** POISSON-BOOTSTRAP confidence intervals for per-source mean
+    * quality — the error bars a curation report needs before anyone
+    * compares two sources' scores: `nReplicas` bootstrap resamples of
+    * each source, each document's multiplicity drawn as Poisson(1)
+    * from a salted md5 hash (the deterministic-replay discipline of
+    * q67's sampler — same corpus, same intervals, forever, on any
+    * engine). Poisson bootstrap IS the big-data bootstrap: weights are
+    * per-row independent, so no replica ever needs the source's row
+    * count, a global index, or any cross-row coordination — the exact
+    * property that lets it run as one scan at 100 TB.
+    *
+    * The interval is the percentile bootstrap: per source, the
+    * replica means' ⌊B/40⌋+1-th and (B−⌊B/40⌋)-th order statistics
+    * (2.5%/97.5% for B = 200). All arithmetic is integer — quality on
+    * the basis-point grid, replica means as ⌊Σwq·100 div Σw⌋ micro,
+    * rank selection instead of float quantiles — so both engines walk
+    * identical grids.
+    *
+    * Scale: the explode inflates the scan CPU ×B, but the per-(source,
+    * replica) sums combine MAP-SIDE, so the shuffle carries
+    * sources × B rows — metadata-bounded however large the corpus;
+    * the rank windows run on that same small frame. */
+  def bootstrapQualityCi(spark: SparkSession, dir: String,
+      nReplicas: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        round(Text.qualityScore(col("text")) * 10000, 0).cast("long").as("q_bp"))
+    // two-step select: quality folds BEFORE the replica explode, or the
+    // Generate plans under the projection and re-scores per replica
+    val reps = qb
+      .withColumn("b", explode(sequence(lit(0), lit(nReplicas - 1))))
+      .withColumn("h",
+        Text.md5Hash60(concat_ws("-", lit("boot"), col("doc_id"), col("b"))))
+      .withColumn("w",
+        PoissonCdf60.zipWithIndex.foldRight(lit(7L): Column) {
+          case ((thr, k), rest) => when(col("h") < thr, lit(k.toLong)).otherwise(rest)
+        })
+    val means = reps.groupBy(col("source"), col("b"))
+      .agg(sum(col("w") * col("q_bp")).as("swq"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0) // an all-zero-weight replica is ~e^(−n): degenerate sources only
+      .select(col("source"), col("b"),
+        expr("CAST(swq AS DECIMAL(38,0)) * 100 div sw").as("rep_micro"))
+    val rnk = row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("rep_micro").asc, col("b").asc))
+    val loIdx = nReplicas / 40 + 1
+    val hiIdx = nReplicas - nReplicas / 40
+    val ci = means.withColumn("rnk", rnk)
+      .filter(col("rnk") === loIdx || col("rnk") === hiIdx)
+      .groupBy(col("source"))
+      .agg(max(when(col("rnk") === loIdx, col("rep_micro"))).as("ci_lo_micro"),
+        max(when(col("rnk") === hiIdx, col("rep_micro"))).as("ci_hi_micro"))
+    val point = qb.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(q_bp) AS DECIMAL(38,0)) * 100 div count(1)")
+          .as("mean_micro"))
+    point.join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"),
+        (col("ci_hi_micro") - col("ci_lo_micro")).as("ci_width_micro"))
+  }
 }

@@ -52,4 +52,29 @@ class DataQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).length <= 2, plan)
   }
+
+  test("t-closeness: hand-computed ordinal EMD, the balanced group reads 0") {
+    // groups X(8:2), Y(2:8), Z(5:5) over bands {0,1}; global = 15:15,
+    // so cum_q = [500000, 1000000] and the one-step EMDs are
+    // |cum_p(0) − 500000| (the band-1 step is always 0): X = Y =
+    // 300000 (at risk at t = 0.2), Z = 0
+    val rows =
+      (Seq.fill(8)(("X", 0L)) ++ Seq.fill(2)(("X", 1L)) ++
+        Seq.fill(2)(("Y", 0L)) ++ Seq.fill(8)(("Y", 1L)) ++
+        Seq.fill(5)(("Z", 0L)) ++ Seq.fill(5)(("Z", 1L)))
+        .toDF("grp", "band")
+    val got = DataQuality.tClosenessProfile(rows, Seq("grp"), "band")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      "X" -> ((10L, 300000L, true)),
+      "Y" -> ((10L, 300000L, true)),
+      "Z" -> ((10L, 0L, false))))
+  }
+
+  test("t-closeness: a group mirroring the global distribution is never at risk, single-band degenerates to 0") {
+    val mono = Seq(("A", 3L), ("A", 3L), ("B", 3L)).toDF("grp", "band")
+    val got = DataQuality.tClosenessProfile(mono, Seq("grp"), "band").collect()
+    assert(got.forall(r => r.getLong(2) == 0L && !r.getBoolean(3)))
+  }
 }

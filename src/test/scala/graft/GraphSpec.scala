@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph-analytics semantics the oracle replay can't see: PageRank
+  * mass accounting and a brute-force triangle recount. */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank: every node scored, mass conserved up to integer truncation, floor = teleport") {
+    val all = Graph.pageRank(spark, sf, k = Int.MaxValue).collect()
+    val edges = Graph.coPurchaseEdges(spark, sf)
+    val nNodes = edges.select(col("pa")).union(edges.select(col("pb")))
+      .distinct().count()
+    assert(all.length == nNodes, "one rank row per co-purchased part")
+    val scores = all.map(_.getLong(2))
+    val base = Graph.PrScale / nNodes
+    val teleport = 15L * base / 100L
+    // every score carries at least the teleport mass; total mass can
+    // only leak DOWN from SCALE (each integer div truncates), and five
+    // rounds over this graph should not shed more than 1%
+    assert(scores.forall(_ >= teleport))
+    assert(scores.sum <= Graph.PrScale)
+    assert(scores.sum >= Graph.PrScale * 99L / 100L,
+      s"mass leaked: ${scores.sum} of ${Graph.PrScale}")
+    // ranks are the (score desc, part asc) order, dense from 1
+    assert(all.map(_.getInt(0)).toSeq == (1 to nNodes.toInt).toSeq)
+    val sorted = all.sortBy(r => (-r.getLong(2), r.getLong(1)))
+    assert(sorted.map(_.getInt(0)).toSeq == (1 to nNodes.toInt).toSeq)
+    graft.operators.PlanCache.release()
+  }
+
+  test("triangles: per-node counts replay a brute-force closure over the edge list") {
+    val got = Graph.triangles(spark, sf, k = Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val edges = Graph.coPurchaseEdges(spark, sf)
+      .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.operators.PlanCache.release()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    // each triangle {a,b,c} has three edges, and walking edge (a,b)
+    // credits the OPPOSITE corner c — so every node of the triangle is
+    // credited exactly once and triCount(x) = triangles containing x
+    val triCount = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).foreach { c => triCount(c) += 1L }
+    }
+    val want = triCount.toMap.filter(_._2 > 0)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (node, (deg, t, cc)) =>
+      assert(t == want(node), s"node $node: got $t want ${want(node)}")
+      assert(deg == adj(node).size.toLong)
+      assert(cc == 2L * t * 1000000L / (deg * (deg - 1)), s"node $node cc")
+      assert(cc <= 1000000L, s"clustering coefficient bounded: $node")
+    }
+  }
+}

@@ -197,4 +197,45 @@ class RelevanceSpec extends SparkSpec {
     val p1 = byPhase(1).sortBy(_._3).map(_._1).toSeq
     assert(p1 != p1.sorted)
   }
+
+  test("prf expansion: zero expansion terms replays plain BM25 exactly; expansion changes the ranking") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = rows(Relevance.bm25Retrieval(spark, sf, k = 20))
+    val noExp = rows(Relevance.prfExpansion(spark, sf, expTerms = 0, k = 20))
+    graft.operators.PlanCache.release()
+    assert(noExp == base,
+      "the frame-filtered scoring core must equal the literal-filtered path")
+    val expanded = rows(Relevance.prfExpansion(spark, sf, k = 20))
+    graft.operators.PlanCache.release()
+    assert(expanded.length == 20)
+    // three expansion terms joined the query: scores strictly grow for
+    // any doc containing them, so the score profile must differ
+    assert(expanded.map(_._3).sum > base.map(_._3).sum,
+      "expanded query adds non-negative term mass and the feedback docs score higher")
+  }
+
+  test("bootstrap CI: constant source collapses to a zero-width interval; varied source brackets its mean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boot").toString
+    val constDoc = "alpha beta gamma delta epsilon"
+    val varied = (1 to 40).map(i => ("mixed", 100L + i,
+      Seq.fill(i % 7 + 2)("the word list grows here").mkString(" ")))
+    val docs = (1 to 40).map(i => ("const", i.toLong, constDoc)) ++ varied
+    docs.toDF("source", "doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.bootstrapQualityCi(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (cMean, cLo, cHi, cW) = got("const")
+    assert(cLo == cMean && cHi == cMean && cW == 0L,
+      "identical docs: every replica mean equals the point estimate")
+    val (mMean, mLo, mHi, mW) = got("mixed")
+    assert(mLo <= mMean && mMean <= mHi && mW > 0L)
+    // deterministic replay: same corpus, same interval
+    val again = graft.operators.TextOps.bootstrapQualityCi(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(again == got)
+  }
 }

@@ -55,6 +55,7 @@ object ConfigReader {
       checksumTasks: Seq[ChecksumSpec] = Nil,
       annEvalTasks: Seq[AnnEvalSpec] = Nil,
       modelEvalTasks: Seq[ModelEvalSpec] = Nil,
+      privacyTasks: Seq[PrivacySpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -133,6 +134,13 @@ object ConfigReader {
         try Some(parseModelEvalTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed modelEval task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      privacyTasks = root.path("privacyTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parsePrivacyTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed privacy task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -418,5 +426,25 @@ object ConfigReader {
       minKappaMicro = n.path("minKappaMicro").asLong(200000L),
       minAucMicro = n.path("minAucMicro").asLong(700000L),
       maxEceMicro = n.path("maxEceMicro").asLong(150000L))
+  }
+
+  private def parsePrivacyTask(n: JsonNode): PrivacySpec = {
+    val schedule = optText(n, "schedule").getOrElse("10 6 * * *")
+    graft.operators.Cron.parse(schedule)
+    val qis = n.path("quasiIds").elements.asScala.map(_.asText).toSeq
+    val spec = PrivacySpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      table = optText(n, "table").getOrElse("customer"),
+      quasiIds = if (qis.nonEmpty) qis else Seq("c_nationkey", "c_mktsegment"),
+      sensitive = optText(n, "sensitive").getOrElse("c_acctbal"),
+      bandWidth = n.path("bandWidth").asLong(1000L),
+      minK = n.path("minK").asLong(5L),
+      minL = n.path("minL").asLong(2L),
+      maxEmdMicro = n.path("maxEmdMicro").asLong(200000L))
+    require(!spec.quasiIds.contains(spec.sensitive),
+      "privacy task: the sensitive column cannot also be a quasi-identifier")
+    spec
   }
 }

@@ -49,6 +49,7 @@ final class GraftEngine(
   @volatile private var checksumSpecs: Seq[graft.model.ChecksumSpec] = Nil
   @volatile private var annEvalSpecs: Seq[graft.model.AnnEvalSpec] = Nil
   @volatile private var modelEvalSpecs: Seq[graft.model.ModelEvalSpec] = Nil
+  @volatile private var privacySpecs: Seq[graft.model.PrivacySpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -189,7 +190,8 @@ final class GraftEngine(
     if (cfg.backupTasks != backupSpecs || cfg.trainingTasks != trainingSpecs ||
         cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs ||
         cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs ||
-        cfg.annEvalTasks != annEvalSpecs || cfg.modelEvalTasks != modelEvalSpecs) {
+        cfg.annEvalTasks != annEvalSpecs || cfg.modelEvalTasks != modelEvalSpecs ||
+        cfg.privacyTasks != privacySpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
@@ -198,13 +200,15 @@ final class GraftEngine(
       checksumSpecs = cfg.checksumTasks
       annEvalSpecs = cfg.annEvalTasks
       modelEvalSpecs = cfg.modelEvalTasks
+      privacySpecs = cfg.privacyTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
         backupSpecs.map(toJob) ++ trainingSpecs.map(toTrainingJob) ++
           optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob) ++
           annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob) ++
-          annEvalSpecs.map(toAnnEvalJob) ++ modelEvalSpecs.map(toModelEvalJob),
+          annEvalSpecs.map(toAnnEvalJob) ++ modelEvalSpecs.map(toModelEvalJob) ++
+          privacySpecs.map(toPrivacyJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -277,6 +281,26 @@ final class GraftEngine(
       }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("model_eval_failed", s"modelEval${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toPrivacyJob(spec: graft.model.PrivacySpec): Cron.Job =
+    Cron.Job(GraftEngine.PrivacyJobIdOffset + spec.id, spec.schedule, () =>
+      try {
+        val a = GraftEngine.runPrivacyAudit(spark, spec)
+        if (a.minGroupSize < spec.minK)
+          alerts.send(Alerts.Alert("privacy_k_low", s"privacy${spec.id}/${spec.table}",
+            s"smallest QI group ${a.minGroupSize} < k=${spec.minK}"))
+        if (a.minLValue < spec.minL)
+          alerts.send(Alerts.Alert("privacy_l_low", s"privacy${spec.id}/${spec.table}",
+            s"least-diverse QI group l=${a.minLValue} < l=${spec.minL}"))
+        if (a.maxEmdMicro > spec.maxEmdMicro)
+          alerts.send(Alerts.Alert("privacy_t_distance_high",
+            s"privacy${spec.id}/${spec.table}",
+            s"furthest QI group EMD ${a.maxEmdMicro}u > t=${spec.maxEmdMicro}u"))
+      }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("privacy_audit_failed", s"privacy${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -718,6 +742,39 @@ object GraftEngine {
     val n = bins.map(_._1).sum
     val ece = if (n == 0) 0L else bins.map { case (nd, g) => nd * g }.sum / n
     ModelEvalResult(kappa, auc, ece)
+  }
+
+  val PrivacyJobIdOffset = 8000000
+
+  /** One privacy audit's worst-case gauges across all QI groups. */
+  final case class PrivacyAuditResult(minGroupSize: Long, minLValue: Long,
+      maxEmdMicro: Long)
+
+  /** Run one privacy-risk audit now: the k-anonymity / l-diversity /
+    * t-closeness profiles over the configured table, folded to their
+    * worst group each (the profile frames are QI-cardinality-bounded,
+    * so the folds are driver-safe scalars). */
+  def runPrivacyAudit(spark: SparkSession,
+      spec: graft.model.PrivacySpec): PrivacyAuditResult = {
+    import org.apache.spark.sql.functions._
+    val dq = graft.operators.DataQuality
+    val cols = (spec.quasiIds :+ spec.sensitive).map(col)
+    val base = graft.Tables(spark, spec.sourceDir, spec.table)
+      .select(cols.toIndexedSeq: _*)
+    val df =
+      if (spec.bandWidth > 0)
+        base.withColumn(spec.sensitive,
+          floor(col(spec.sensitive) / spec.bandWidth).cast("long"))
+      else base
+    val minGroup = dq.kAnonymityProfile(df, spec.quasiIds, spec.minK.toInt)
+      .agg(min(col("group_size"))).head().getLong(0)
+    val minL = dq.lDiversityProfile(df, spec.quasiIds, spec.sensitive,
+        spec.minL.toInt)
+      .agg(min(col("l_value"))).head().getLong(0)
+    val maxEmd = dq.tClosenessProfile(df, spec.quasiIds, spec.sensitive,
+        spec.maxEmdMicro.toDouble / 1000000.0)
+      .agg(max(col("emd_micro"))).head().getLong(0)
+    PrivacyAuditResult(minGroup, minL, maxEmd)
   }
 
   /** Run one checksum reconciliation now: both ends' monthly XOR

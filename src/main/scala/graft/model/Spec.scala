@@ -170,6 +170,31 @@ final case class ModelEvalSpec(
     minAucMicro: Long = 700000L,
     maxEceMicro: Long = 150000L)
 
+/** A scheduled privacy-risk audit over a shared/exported table — the
+  * watchdog face of the k-anonymity / l-diversity / t-closeness trio:
+  * each run profiles the table under the configured quasi-identifiers
+  * and sensitive column and pages when any gauge crosses its bound
+  * (a group smaller than `minK`, a group with fewer than `minL`
+  * distinct sensitive values, or a group whose sensitive distribution
+  * sits further than `maxEmdMicro` from the table's). A sharing
+  * decision reviewed once silently decays as the table grows — new
+  * nations, new segments, drifting balances — and this is the gauge
+  * that says re-generalize before the next export, not after.
+  * `bandWidth` > 0 coarsens a continuous sensitive column to
+  * ⌊value/bandWidth⌋ bands first (the generalization knob the
+  * profile operators leave to the caller). */
+final case class PrivacySpec(
+    id: Int,
+    schedule: String = "10 6 * * *",
+    sourceDir: String = "",
+    table: String = "customer",
+    quasiIds: Seq[String] = Seq("c_nationkey", "c_mktsegment"),
+    sensitive: String = "c_acctbal",
+    bandWidth: Long = 1000L,
+    minK: Long = 5L,
+    minL: Long = 2L,
+    maxEmdMicro: Long = 200000L)
+
 /** A scheduled vector-index maintenance job — the index-ops face of
   * the ANN family, composing the persisted-index operators the way
   * `optimizeTasks` composes the layout ones: found each enabled index

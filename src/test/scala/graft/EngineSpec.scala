@@ -1151,4 +1151,39 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("privacy watchdog: strict bounds page all three gauges; a hot-reloaded lenient config is silent") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // bounds no table can satisfy (group sizes and l-values are >= 1,
+    // EMD is nonnegative): every gauge must page
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "privacyTasks": [
+         |  { "id": 4, "schedule": "10 6 * * *", "sourceDir": "$sf",
+         |    "minK": 1000000000, "minL": 1000000000, "maxEmdMicro": -1 }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T06:10:00")) ==
+        Seq(GraftEngine.PrivacyJobIdOffset + 4))
+      val fired = alerts.drain()
+      assert(fired.exists(_.kind == "privacy_k_low"), s"got $fired")
+      assert(fired.exists(_.kind == "privacy_l_low"), s"got $fired")
+      assert(fired.exists(_.kind == "privacy_t_distance_high"), s"got $fired")
+      assert(!fired.exists(_.kind == "privacy_audit_failed"), s"got $fired")
+      // hot-reload with bounds no table can violate: same sweep, silent
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [], "privacyTasks": [
+           |  { "id": 4, "schedule": "10 6 * * *", "sourceDir": "$sf",
+           |    "minK": -1, "minL": -1, "maxEmdMicro": 2000000 }
+           |] }""".stripMargin)
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T06:10:00")) ==
+        Seq(GraftEngine.PrivacyJobIdOffset + 4))
+      val after = alerts.drain()
+      assert(after.isEmpty, s"lenient bounds paged: $after")
+    } finally engine.stop()
+  }
+
 }

@@ -446,6 +446,7 @@ object SparkEntry {
     "q232_t_closeness" -> ((s, d) => DataQuality.customerTCloseness(s, d)),
     "q233_bootstrap_ci" -> ((s, d) => TextOps.bootstrapQualityCi(s, d)),
     "q234_prf_expansion" -> ((s, d) => Relevance.prfExpansion(s, d)),
+    "q235_communities" -> ((s, d) => Graph.labelPropagation(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -632,7 +633,7 @@ object SparkEntry {
       ("q228_daily_fano" -> q228Sql) +
       ("q230_pagerank" -> q230Sql) + ("q231_triangles" -> q231Sql) +
       ("q232_t_closeness" -> q232Sql) + ("q233_bootstrap_ci" -> q233Sql) +
-      ("q234_prf_expansion" -> q234Sql)
+      ("q234_prf_expansion" -> q234Sql) + ("q235_communities" -> q235Sql)
 
   /** The co-purchase edge list CTEs (shared by q230/q231): distinct
     * (basket, item) pairs self-joined within the basket — q197's
@@ -671,6 +672,29 @@ object SparkEntry {
        |SELECT row_number() OVER (ORDER BY r DESC, part ASC) AS rank,
        |  part, r AS score_pico
        |FROM r5 ORDER BY score_pico DESC, part ASC LIMIT 25""".stripMargin
+  }
+
+  /** q235: four unrolled synchronous label-propagation rounds — each
+    * round one (dst, lbl) vote aggregate + per-node argmax window,
+    * ties to the smallest label (the determinism contract). */
+  private lazy val q235Sql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY votes DESC, lbl ASC) AS rnk
+         |  FROM (SELECT e.dst AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS votes
+         |    FROM l${i - 1} l JOIN lp_edges e ON l.node = e.src
+         |    GROUP BY e.dst, l.lbl)) WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $coPurchaseCtes,
+       | lp_edges AS (SELECT pa AS src, pb AS dst, w FROM cp_und
+       |   UNION ALL SELECT pb, pa, w FROM cp_und),
+       | l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM lp_edges),
+       | $rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(node) AS min_member
+       |FROM l4 GROUP BY lbl
+       |ORDER BY n_members DESC, community ASC LIMIT 25""".stripMargin
   }
 
   /** q231: degree-ordered wedge closure — each triangle found once

@@ -112,6 +112,49 @@ object Graph {
       .select(col("rank"), col("part"), col("score_pico"))
   }
 
+  /** LABEL-PROPAGATION community detection over the co-purchase graph
+    * — the "what sells together as a FAMILY" view that pair lift
+    * (q197) and triangles (q231) only see locally: labels start as
+    * node ids and each SYNCHRONOUS round reassigns every node the
+    * weight-heaviest label among its neighbors (ties break to the
+    * smallest label, so the fixed-round outcome is fully deterministic
+    * — the async/random-order variants converge faster but are
+    * unreplayable, the wrong trade for an oracle-checked engine).
+    * Reported as the community-size table, largest first.
+    *
+    * Scale: per round, one equi-join of the node-sized label frame
+    * against the pre-partitioned edge list and one (dst, label)
+    * aggregate — edge-bounded rows, the PageRank data movement with a
+    * per-node argmax window (partition keys grow with the graph)
+    * instead of the damping fold. Synchronous LPA on a bipartite-ish
+    * region can oscillate rather than converge; a fixed round count
+    * reports the same deterministic snapshot on both engines either
+    * way. */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 4,
+      k: Int = 25): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val edges = PlanCache.tracked(sym.repartition(col("src")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 0 until iters) {
+      // argmax as a second hash aggregate — max(struct(votes, −lbl))
+      // picks (votes DESC, lbl ASC) without the per-round sort a
+      // row_number window would pay on the edge-bounded vote frame
+      labels = labels
+        .join(edges, labels("node") === edges("src"))
+        .groupBy(col("dst"), col("lbl")).agg(sum(col("w")).as("votes"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("votes"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+      .orderBy(col("n_members").desc, col("community").asc)
+      .limit(k)
+  }
+
   /** TRIANGLE COUNT + local clustering coefficient per part — the
     * cohesion screen over the co-purchase graph (a part whose
     * neighborhood closes into triangles sells in stable bundles; a

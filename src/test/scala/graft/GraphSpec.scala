@@ -31,6 +31,33 @@ class GraphSpec extends SparkSpec {
     graft.operators.PlanCache.release()
   }
 
+  test("label propagation: hand-walked path graph (incl. the synchronous period-2 oscillation)") {
+    import spark.implicits._
+    // baskets {10,20} and {20,30} → path 10—20—30, all weights 1.
+    // Synchronous rounds: l1 = {10→20, 20→10(tie, min), 30→20},
+    // l2 = {10→10, 20→20, 30→10}, l3 = l1, l4 = l2 — the deterministic
+    // period-2 snapshot the fixed round count reports
+    val dir = java.nio.file.Files.createTempDirectory("graft_lpa").toString
+    Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.labelPropagation(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.PlanCache.release()
+    assert(got == Seq((10L, 2L, 10L), (20L, 1L, 20L)))
+  }
+
+  test("label propagation: every node lands in exactly one community") {
+    val all = Graph.labelPropagation(spark, sf, k = Int.MaxValue).collect()
+    val edges = Graph.coPurchaseEdges(spark, sf)
+    val nNodes = edges.select(col("pa")).union(edges.select(col("pb")))
+      .distinct().count()
+    graft.operators.PlanCache.release()
+    assert(all.map(_.getLong(1)).sum == nNodes, "memberships partition the node set")
+    assert(all.map(_.getLong(0)).distinct.length == all.length, "one row per community")
+    assert(all.forall(_.getLong(1) >= 1L))
+  }
+
   test("triangles: per-node counts replay a brute-force closure over the edge list") {
     val got = Graph.triangles(spark, sf, k = Int.MaxValue).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

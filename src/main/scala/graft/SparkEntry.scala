@@ -447,6 +447,7 @@ object SparkEntry {
     "q233_bootstrap_ci" -> ((s, d) => TextOps.bootstrapQualityCi(s, d)),
     "q234_prf_expansion" -> ((s, d) => Relevance.prfExpansion(s, d)),
     "q235_communities" -> ((s, d) => Graph.labelPropagation(s, d)),
+    "q236_related_parts" -> ((s, d) => Graph.personalizedPageRank(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -633,7 +634,8 @@ object SparkEntry {
       ("q228_daily_fano" -> q228Sql) +
       ("q230_pagerank" -> q230Sql) + ("q231_triangles" -> q231Sql) +
       ("q232_t_closeness" -> q232Sql) + ("q233_bootstrap_ci" -> q233Sql) +
-      ("q234_prf_expansion" -> q234Sql) + ("q235_communities" -> q235Sql)
+      ("q234_prf_expansion" -> q234Sql) + ("q235_communities" -> q235Sql) +
+      ("q236_related_parts" -> q236Sql)
 
   /** The co-purchase edge list CTEs (shared by q230/q231): distinct
     * (basket, item) pairs self-joined within the basket — q197's
@@ -672,6 +674,39 @@ object SparkEntry {
        |SELECT row_number() OVER (ORDER BY r DESC, part ASC) AS rank,
        |  part, r AS score_pico
        |FROM r5 ORDER BY score_pico DESC, part ASC LIMIT 25""".stripMargin
+  }
+
+  /** q236: personalized PageRank, five unrolled rounds — per-edge
+    * damped contributions unioned with the 3-row seed teleport
+    * re-injection, seeds excluded from the final ranking. */
+  private lazy val q236Sql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""pp$i AS (SELECT part, CAST(sum(c) AS BIGINT) AS r FROM (
+         |    SELECT e.dst AS part,
+         |      85 * (CAST(r.r AS HUGEINT) * e.w // e.outw) // 100 AS c
+         |    FROM pp${i - 1} r JOIN pp_ew e ON r.part = e.src
+         |    UNION ALL
+         |    SELECT node AS part,
+         |      (SELECT (15 * (1000000000000 // ns)) // 100 FROM pp_ns) AS c
+         |    FROM pp_seeds) GROUP BY part)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $coPurchaseCtes,
+       | pp_edges AS (SELECT pa AS src, pb AS dst, w FROM cp_und
+       |   UNION ALL SELECT pb, pa, w FROM cp_und),
+       | pp_ew AS (SELECT src, dst, w,
+       |     CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+       |   FROM pp_edges),
+       | pp_seeds AS (SELECT src AS node FROM
+       |     (SELECT DISTINCT src FROM pp_ew) ORDER BY src ASC LIMIT 3),
+       | pp_ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM pp_seeds),
+       | pp0 AS (SELECT node AS part,
+       |     (SELECT CAST(1000000000000 // ns AS BIGINT) FROM pp_ns) AS r
+       |   FROM pp_seeds),
+       | $iters
+       |SELECT row_number() OVER (ORDER BY r DESC, part ASC) AS rank,
+       |  part, r AS score_pico
+       |FROM pp5 WHERE part NOT IN (SELECT node FROM pp_seeds)
+       |ORDER BY score_pico DESC, part ASC LIMIT 25""".stripMargin
   }
 
   /** q235: four unrolled synchronous label-propagation rounds — each

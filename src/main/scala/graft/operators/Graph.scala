@@ -112,6 +112,55 @@ object Graph {
       .select(col("rank"), col("part"), col("score_pico"))
   }
 
+  /** PERSONALIZED PAGERANK — "parts related to THIS seed set", the
+    * recommendation face of [[pageRank]]: the teleport mass returns to
+    * the seed parts instead of spreading uniformly, so scores measure
+    * proximity to the seeds through the co-purchase structure (the
+    * random walk with restart that item-to-item recommenders run).
+    * Seeds default to the graph's three smallest part keys — a
+    * deterministic, SF-stable choice the oracle replays. Seeds are
+    * excluded from the output (a seed is trivially related to itself).
+    *
+    * Scale: identical data movement to [[pageRank]] — five rounds of
+    * (rank ⋈ pre-partitioned edges) + a dst aggregate — EXCEPT the
+    * rank frame starts seeds-sized and grows with the reachable
+    * frontier, so early rounds ship almost nothing (the sparsity PPR
+    * is loved for); the teleport re-injection is a 3-row union into
+    * the aggregate. Integer pico grid, products through Decimal(38),
+    * same determinism contract as q230. */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+      nSeeds: Int = 3, iters: Int = 5, k: Int = 25): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val edges = PlanCache.tracked(sym.repartition(col("src"))
+      .withColumn("outw", sum(col("w")).over(Window.partitionBy(col("src")))))
+    val seeds: Seq[Long] = edges.select(col("src")).distinct()
+      .orderBy(col("src").asc).limit(nSeeds)
+      .collect().map(_.getLong(0)).toSeq
+    val base = PrScale / seeds.size
+    val teleport = 15L * base / 100L
+    val seedRows = seeds.toDF("part").withColumn("r", lit(base))
+    var rank = seedRows
+    for (_ <- 0 until iters) {
+      val damped = rank.hint("shuffle_hash")
+        .join(edges, rank("part") === edges("src"))
+        .select(col("dst").as("part"),
+          expr("85 * (CAST(r AS DECIMAL(38,0)) * w div outw) div 100").as("c"))
+      rank = damped
+        .union(seeds.toDF("part").withColumn("c", lit(teleport)))
+        .groupBy(col("part")).agg(sum(col("c")).as("r"))
+    }
+    rank.filter(!col("part").isin(seeds.map(lit): _*))
+      .select(col("part"), col("r").as("score_pico"))
+      .orderBy(col("score_pico").desc, col("part").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_pico").desc, col("part").asc)))
+      .select(col("rank"), col("part"), col("score_pico"))
+  }
+
   /** LABEL-PROPAGATION community detection over the co-purchase graph
     * — the "what sells together as a FAMILY" view that pair lift
     * (q197) and triangles (q231) only see locally: labels start as

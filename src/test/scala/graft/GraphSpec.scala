@@ -31,6 +31,21 @@ class GraphSpec extends SparkSpec {
     graft.operators.PlanCache.release()
   }
 
+  test("personalized pagerank: seeds excluded, ranks dense, all mass from the seed walk") {
+    val got = Graph.personalizedPageRank(spark, sf).collect()
+    val edges = Graph.coPurchaseEdges(spark, sf)
+    val seeds = edges.select(col("pa")).union(edges.select(col("pb")))
+      .distinct().orderBy(col("pa").asc).limit(3)
+      .collect().map(_.getLong(0)).toSet
+    graft.operators.PlanCache.release()
+    assert(got.length == 25)
+    assert(got.map(_.getInt(0)).toSeq == (1 to 25))
+    assert(got.forall(r => !seeds(r.getLong(1))), "a seed leaked into the ranking")
+    val scores = got.map(_.getLong(2))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    assert(scores.forall(s => s > 0 && s <= Graph.PrScale))
+  }
+
   test("label propagation: hand-walked path graph (incl. the synchronous period-2 oscillation)") {
     import spark.implicits._
     // baskets {10,20} and {20,30} → path 10—20—30, all weights 1.

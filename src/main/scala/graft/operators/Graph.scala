@@ -31,8 +31,13 @@ object Graph {
     * one shuffle (the basket agg) instead of two join sides plus their
     * sort, with identical fan-out (basket-width², order-width-bounded —
     * collect_set is safe here for exactly that reason). */
-  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables(spark, dir, "lineitem")
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    pairsOf(Tables(spark, dir, "lineitem"))
+
+  /** The pair expansion over an arbitrary lineitem slice — shared by
+    * the in-process graph build and the store's append increments. */
+  private def pairsOf(lineitem: DataFrame): DataFrame = {
+    val baskets = lineitem
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("arr"))
@@ -71,8 +76,15 @@ object Graph {
     * extends the training-data-pipeline surface (e.g. ranking canonical
     * products/documents inside a dedup cluster family). */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
+      k: Int = 25): DataFrame =
+    pageRankOnEdges(coPurchaseEdges(spark, dir), iters, k)
+
+  /** The power iteration over an arbitrary undirected edge list
+    * (pa < pb, weight w) — shared by the in-process build and the
+    * persisted graph store's read face (GraphStoreSpec pins bit
+    * equality between the two). */
+  private[graft] def pageRankOnEdges(und: DataFrame, iters: Int = 5,
       k: Int = 25): DataFrame = {
-    val und = coPurchaseEdges(spark, dir)
     // symmetrize, hash-partition by source, and fold each source's
     // total out-weight ONTO its edges once — the persisted frame keeps
     // its HashPartitioning(src), so each of the five iteration joins
@@ -256,5 +268,69 @@ object Graph {
           " div (deg * (deg - 1))").as("clustering_micro"))
       .orderBy(col("n_triangles").desc, col("part").asc)
       .limit(k)
+  }
+
+  // ---- persisted co-purchase graph store ------------------------------
+
+  /** Found the durable co-purchase graph: one (pa, pb, w) edge-DELTA
+    * table. Co-purchase weights are ADDITIVE over baskets, so the
+    * store is append-only by construction — a crawl of new orders
+    * appends its own within-basket pair counts and no old row is ever
+    * rewritten; readers sum deltas per edge. At 100 TB the pair
+    * expansion (the expensive scan) runs once per order, ever. */
+  def foundGraphStore(spark: SparkSession, dir: String, storeDir: String): Unit =
+    pairsOf(Tables(spark, dir, "lineitem"))
+      .write.mode("overwrite").parquet(s"$storeDir/edges")
+
+  /** Append one increment of COMPLETE new baskets. The contract is
+    * basket-atomicity: pairs form within an order, so every line of an
+    * order must arrive in the same increment — an order split across
+    * two appends would silently miss its cross-append pairs (the
+    * [[Dedup.appendToStoredIndex]] append-the-batch-first discipline,
+    * transposed). An append racing a compaction fails the compaction,
+    * never the append ([[Atomic.publish]]). */
+  def appendToGraphStore(lineitemBatch: DataFrame, storeDir: String): Unit =
+    pairsOf(lineitemBatch).write.mode("append")
+      .parquet(Atomic.resolve(lineitemBatch.sparkSession, storeDir, "edges"))
+
+  /** The store's merged edge view: per-edge delta sum, tombstoned
+    * parts excluded from EITHER endpoint (right-to-be-forgotten blinds
+    * a part's entire neighborhood immediately; [[compactGraphStore]]
+    * erases it physically). */
+  def storedEdges(spark: SparkSession, storeDir: String): DataFrame = {
+    val raw = spark.read.schema("pa LONG, pb LONG, w LONG")
+      .parquet(Atomic.resolve(spark, storeDir, "edges"))
+    Forgotten.exclude(
+        Forgotten.exclude(raw, "pa", spark, storeDir), "pb", spark, storeDir)
+      .groupBy(col("pa"), col("pb")).agg(sum(col("w")).as("w"))
+  }
+
+  /** PageRank read purely from the store — no corpus scan, no pair
+    * re-expansion; semantics equal [[pageRank]] over the same orders
+    * (spec-pinned bit equality). */
+  def pageRankFromStore(spark: SparkSession, storeDir: String,
+      iters: Int = 5, k: Int = 25): DataFrame =
+    pageRankOnEdges(storedEdges(spark, storeDir), iters, k)
+
+  /** O(request) part deletion: tombstone now, erase at compaction —
+    * the [[Forgotten]] contract the band/IVF/code stores share. */
+  def forgetInGraphStore(spark: SparkSession, storeDir: String,
+      partIds: Seq[Long]): Unit =
+    Forgotten.append(spark, storeDir, partIds)
+
+  /** Compact the edge store: collapse append-accumulated deltas to one
+    * row per surviving edge, minus tombstoned parts' edges (the
+    * durable erasure — with tombstones the superseded version purges
+    * rather than grace-retains, the [[Atomic.purge]] erasure-beats-
+    * grace rule). */
+  def compactGraphStore(spark: SparkSession, storeDir: String,
+      numFiles: Int = 8): Unit = {
+    val hadTombstones = Forgotten.read(spark, storeDir).isDefined
+    val merged = storedEdges(spark, storeDir)
+    Atomic.publish(spark, storeDir, "edges") { staged =>
+      merged.repartition(numFiles).write.mode("overwrite").parquet(staged)
+    }
+    if (hadTombstones) Atomic.purge(spark, storeDir, "edges")
+    Forgotten.clear(spark, storeDir)
   }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Atomic, Graph}
+
+/** The persisted co-purchase graph store: additive edge-delta appends,
+  * read-face parity with the in-process build, and the forget
+  * lifecycle the band/IVF/code stores share. */
+class GraphStoreSpec extends SparkSpec {
+
+  private def edgeMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("found + basket-atomic appends reproduce the full-corpus edges; stored pagerank replays in-process") {
+    val storeDir = Files.createTempDirectory("graft_graph").toString
+    val li = Tables(spark, sf, "lineitem")
+    // found on even orders, append odd orders in two batches — each
+    // increment holds COMPLETE baskets (the append contract)
+    val seedDir = Files.createTempDirectory("graft_graph_seed").toString
+    li.filter(col("l_orderkey") % 2 === 0).write.parquet(s"$seedDir/lineitem.parquet")
+    Graph.foundGraphStore(spark, seedDir, storeDir)
+    Graph.appendToGraphStore(li.filter(col("l_orderkey") % 4 === 1), storeDir)
+    Graph.appendToGraphStore(li.filter(col("l_orderkey") % 4 === 3), storeDir)
+    val stored = edgeMap(Graph.storedEdges(spark, storeDir))
+    val full = edgeMap(Graph.coPurchaseEdges(spark, sf))
+    assert(stored == full, "delta sum must equal the one-shot pair expansion")
+    // read-face parity: stored pagerank is bit-equal to in-process
+    val fromStore = Graph.pageRankFromStore(spark, storeDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val inProcess = Graph.pageRank(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.operators.PlanCache.release()
+    assert(fromStore == inProcess)
+  }
+
+  test("forget a part: its whole neighborhood blinds at once, compaction erases and collapses deltas") {
+    val storeDir = Files.createTempDirectory("graft_graph_forget").toString
+    val d = Files.createTempDirectory("graft_graph_src").toString
+    val li = Tables(spark, sf, "lineitem")
+    li.write.parquet(s"$d/lineitem.parquet")
+    Graph.foundGraphStore(spark, d, storeDir)
+    Graph.appendToGraphStore(li.limit(0), storeDir) // no-op append is legal
+    val before = edgeMap(Graph.storedEdges(spark, storeDir))
+    val victim = before.keySet.head._1
+    Graph.forgetInGraphStore(spark, storeDir, Seq(victim))
+    val after = edgeMap(Graph.storedEdges(spark, storeDir))
+    assert(after == before.filterNot { case ((a, b), _) => a == victim || b == victim })
+    Graph.compactGraphStore(spark, storeDir)
+    // physically gone: raw rows (no Forgotten filter) carry no victim,
+    // exactly one physical generation remains, tombstones cleared
+    val raw = spark.read.parquet(Atomic.resolve(spark, storeDir, "edges"))
+    assert(raw.filter(col("pa") === victim || col("pb") === victim).count() == 0)
+    val gens = new java.io.File(storeDir).list().toSeq
+      .filter(n => n == "edges" || n.startsWith("edges_v"))
+    assert(gens.size == 1, s"superseded generation survived erasure: $gens")
+    assert(!new java.io.File(s"$storeDir/forgotten").exists())
+    assert(edgeMap(Graph.storedEdges(spark, storeDir)) == after)
+  }
+}

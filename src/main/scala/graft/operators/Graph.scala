@@ -32,11 +32,11 @@ object Graph {
     * sort, with identical fan-out (basket-width², order-width-bounded —
     * collect_set is safe here for exactly that reason). */
   private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    pairsOf(Tables(spark, dir, "lineitem"))
+    pairDeltas(Tables(spark, dir, "lineitem"))
 
   /** The pair expansion over an arbitrary lineitem slice — shared by
     * the in-process graph build and the store's append increments. */
-  private def pairsOf(lineitem: DataFrame): DataFrame = {
+  private[graft] def pairDeltas(lineitem: DataFrame): DataFrame = {
     val baskets = lineitem
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .groupBy(col("basket"))
@@ -279,7 +279,7 @@ object Graph {
     * rewritten; readers sum deltas per edge. At 100 TB the pair
     * expansion (the expensive scan) runs once per order, ever. */
   def foundGraphStore(spark: SparkSession, dir: String, storeDir: String): Unit =
-    pairsOf(Tables(spark, dir, "lineitem"))
+    pairDeltas(Tables(spark, dir, "lineitem"))
       .write.mode("overwrite").parquet(s"$storeDir/edges")
 
   /** Append one increment of COMPLETE new baskets. The contract is
@@ -290,7 +290,7 @@ object Graph {
     * transposed). An append racing a compaction fails the compaction,
     * never the append ([[Atomic.publish]]). */
   def appendToGraphStore(lineitemBatch: DataFrame, storeDir: String): Unit =
-    pairsOf(lineitemBatch).write.mode("append")
+    pairDeltas(lineitemBatch).write.mode("append")
       .parquet(Atomic.resolve(lineitemBatch.sparkSession, storeDir, "edges"))
 
   /** The store's merged edge view: per-edge delta sum, tombstoned
@@ -298,8 +298,11 @@ object Graph {
     * a part's entire neighborhood immediately; [[compactGraphStore]]
     * erases it physically). */
   def storedEdges(spark: SparkSession, storeDir: String): DataFrame = {
-    val raw = spark.read.schema("pa LONG, pb LONG, w LONG")
+    // no fixed read schema: the streamed layout adds an ingest_batch
+    // partition column, the batch layout does not — select normalizes
+    val raw = spark.read
       .parquet(Atomic.resolve(spark, storeDir, "edges"))
+      .select(col("pa"), col("pb"), col("w"))
     Forgotten.exclude(
         Forgotten.exclude(raw, "pa", spark, storeDir), "pb", spark, storeDir)
       .groupBy(col("pa"), col("pb")).agg(sum(col("w")).as("w"))

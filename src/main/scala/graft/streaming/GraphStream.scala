@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.operators.Graph
+
+/** Streaming ingest for the persisted co-purchase graph — the online
+  * face of [[Graph.appendToGraphStore]]: an order-lines stream keeps
+  * the graph fresh, each micro-batch's baskets pair-expanded and
+  * landed as edge deltas.
+  *
+  * Unlike the stateless IVF assignment, the pair expansion AGGREGATES
+  * within the batch (collect the basket, expand i<j pairs), which the
+  * append-mode file sink cannot express — so this face is a
+  * `foreachBatch` writer with idempotence built from DYNAMIC PARTITION
+  * OVERWRITE: each batch writes its deltas under
+  * `edges/ingest_batch=<id>/` with overwrite mode, so a replayed batch
+  * (crash between sink write and checkpoint commit) REPLACES its own
+  * partition instead of double-counting deltas. This stream owns the
+  * `edges` directory (the IvfStream ownership rule): batch appends
+  * write bare files that break partition discovery under the
+  * partitioned layout — found the store empty and feed it here, or
+  * use the batch appenders, never both.
+  *
+  * Basket-atomicity is the stream's contract too: an order's lines
+  * must arrive in one micro-batch (deliver whole-order files; pairs
+  * form within a batch only). */
+object GraphStream {
+
+  /** Order-line shape: basket key + item key. */
+  val schema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType)))
+
+  def start(spark: SparkSession, sourceDir: String, storeDir: String,
+      checkpoint: String, availableNow: Boolean = true): StreamingQuery =
+    spark.readStream.schema(schema).json(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Graph.pairDeltas(batch)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(s"$storeDir/edges")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("1 second"))
+      .start()
+}

@@ -448,6 +448,8 @@ object SparkEntry {
     "q234_prf_expansion" -> ((s, d) => Relevance.prfExpansion(s, d)),
     "q235_communities" -> ((s, d) => Graph.labelPropagation(s, d)),
     "q236_related_parts" -> ((s, d) => Graph.personalizedPageRank(s, d)),
+    "q237_spearman" -> ((s, d) => TextOps.lengthQualitySpearman(s, d)),
+    "q238_conformal" -> ((s, d) => TextOps.conformalQualityIntervals(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -635,7 +637,8 @@ object SparkEntry {
       ("q230_pagerank" -> q230Sql) + ("q231_triangles" -> q231Sql) +
       ("q232_t_closeness" -> q232Sql) + ("q233_bootstrap_ci" -> q233Sql) +
       ("q234_prf_expansion" -> q234Sql) + ("q235_communities" -> q235Sql) +
-      ("q236_related_parts" -> q236Sql)
+      ("q236_related_parts" -> q236Sql) + ("q237_spearman" -> q237Sql) +
+      ("q238_conformal" -> q238Sql)
 
   /** The co-purchase edge list CTEs (shared by q230/q231): distinct
     * (basket, item) pairs self-joined within the basket — q197's
@@ -675,6 +678,80 @@ object SparkEntry {
        |  part, r AS score_pico
        |FROM r5 ORDER BY score_pico DESC, part ASC LIMIT 25""".stripMargin
   }
+
+  /** The shared quality-in-basis-points CTE body (q233/q237/q238):
+    * round(quality, 4)·10⁴ rounded to an integer. */
+  private lazy val qualityBpCte: String =
+    """SELECT source, doc_id,
+      |    CAST(round(round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+      |        / len(toks))
+      |      + 0.4 * (1.0 - sw / len(toks))
+      |      + 0.2 * least(len(toks) / 100.0, 1.0), 4) * 10000, 0) AS BIGINT)
+      |      AS q_bp,
+      |    CAST(len(toks) AS BIGINT) AS n_toks
+      |  FROM (SELECT source, doc_id, string_split(text, ' ') AS toks,
+      |     CAST(len(list_filter(string_split(text, ' '),
+      |       x -> x IN ('the','a','and','of'))) AS DOUBLE) AS sw
+      |   FROM documents)""".stripMargin
+
+  /** q237: Spearman = Pearson on half-unit midranks, exact HUGEINT
+    * moments, the q195 final-expression discipline. */
+  private lazy val q237Sql: String =
+    s"""WITH b AS ($qualityBpCte),
+       | r AS (SELECT source,
+       |    CAST(2 * rank() OVER (PARTITION BY source ORDER BY n_toks ASC)
+       |      + count(*) OVER (PARTITION BY source, n_toks) - 1 AS BIGINT) AS xr,
+       |    CAST(2 * rank() OVER (PARTITION BY source ORDER BY q_bp ASC)
+       |      + count(*) OVER (PARTITION BY source, q_bp) - 1 AS BIGINT) AS yr
+       |  FROM b),
+       | m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(xr) AS BIGINT) AS sx, CAST(sum(yr) AS BIGINT) AS sy,
+       |    sum(CAST(xr AS HUGEINT) * xr) AS sxx,
+       |    sum(CAST(yr AS HUGEINT) * yr) AS syy,
+       |    sum(CAST(xr AS HUGEINT) * yr) AS sxy
+       |  FROM r GROUP BY 1),
+       | v AS (SELECT source, n,
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+       |  FROM m)
+       |SELECT source, n AS n_docs,
+       |  CASE WHEN vx > 0 AND vy > 0 THEN
+       |    CAST(round(round(cv / sqrt(vx * vy), 6) * 1000000, 0) AS BIGINT)
+       |  END AS spearman_micro
+       |FROM v""".stripMargin
+
+  /** q238: split-conformal quality intervals — rank-selected q̂ on the
+    * calibration split, observed coverage on the test split. */
+  private lazy val q238Sql: String =
+    s"""WITH b AS ($qualityBpCte),
+       | sp AS (SELECT *, CAST('0x' || substr(md5('conf-'
+       |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS h
+       |   FROM b),
+       | cal AS (SELECT * FROM sp WHERE h < 3),
+       | tst AS (SELECT * FROM sp WHERE h >= 3),
+       | mn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cal,
+       |    CAST(CAST(sum(q_bp) AS HUGEINT) // count(*) AS BIGINT) AS mean_bp
+       |  FROM cal GROUP BY 1),
+       | resid AS (SELECT cal.source, n_cal, abs(q_bp - mean_bp) AS r
+       |  FROM cal JOIN mn ON cal.source = mn.source),
+       | qh AS (SELECT source, n_cal, r AS qhat_bp FROM (
+       |    SELECT source, n_cal, r, row_number() OVER
+       |      (PARTITION BY source ORDER BY r ASC) AS rnk FROM resid)
+       |  WHERE rnk = least(((n_cal + 1) * 90 + 99) // 100, n_cal)),
+       | cov AS (SELECT tst.source, qh.n_cal, qhat_bp,
+       |    CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN abs(q_bp - mean_bp) <= qhat_bp
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |  FROM tst JOIN mn ON tst.source = mn.source
+       |  JOIN qh ON tst.source = qh.source
+       |  GROUP BY 1, 2, 3)
+       |SELECT source, n_cal, qhat_bp, n_test, n_covered,
+       |  CAST(n_covered * 1000000 // n_test AS BIGINT) AS coverage_micro
+       |FROM cov""".stripMargin
 
   /** q236: personalized PageRank, five unrolled rounds — per-edge
     * damped contributions unioned with the 3-row seed teleport

@@ -2065,6 +2065,119 @@ object TextOps {
       .filter(col("n_langs") >= 2)
   }
 
+  /** SPEARMAN rank correlation between document length and quality,
+    * per source — the monotone-association screen beside q195's linear
+    * Pearson: quality's length-saturation term guarantees SOME
+    * association, and the rank form answers "is longer monotonically
+    * better here" without assuming linearity, robustly to the heavy
+    * length tail. Ties take MIDRANKS (the q209 exact-AUC discipline),
+    * carried in HALF-UNITS (2·midrank = 2·min_rank + ties − 1, always
+    * integer) so the moment fold is exact; the only floats are the
+    * final Pearson-on-ranks ratio, computed from bit-identical integer
+    * moments with one op order on both engines (the q195 contract).
+    *
+    * Scale: two rank windows partitioned by source (parallelism grows
+    * with sources; within a source the sort is the price of ranking —
+    * Spearman IS a rank statistic) and one exact-moment aggregate;
+    * moments ride Decimal(38) — Σ(2r)² reaches 4n³ per source, far
+    * past int64 at corpus scale. Degenerate sources (constant length
+    * or constant quality) report NULL, never a divide-by-zero. */
+  def lengthQualitySpearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = Tables(spark, dir, "documents")
+      .select(col("source"),
+        Text.tokenCount(col("text")).cast("long").as("x"),
+        round(Text.qualityScore(col("text")) * 10000, 0).cast("long").as("y"))
+    def midrank2(c: String) = {
+      val w = Window.partitionBy(col("source")).orderBy(col(c).asc)
+      val tiesW = Window.partitionBy(col("source"), col(c))
+      lit(2) * rank().over(w) + count(lit(1)).over(tiesW) - 1
+    }
+    val ranked = base
+      .withColumn("xr", midrank2("x").cast("long"))
+      .withColumn("yr", midrank2("y").cast("long"))
+    val (dx, dy) = (col("xr").cast(dec), col("yr").cast(dec))
+    val m = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("xr")).as("sx"), sum(col("yr")).as("sy"),
+      sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"), sum(dx * dy).as("sxy"))
+    val nD = col("n").cast("double")
+    val varX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    // the q195 final-expression discipline: one double ratio from
+    // bit-identical integer moments, reported on the micro grid
+    m.select(col("source"), col("n").as("n_docs"),
+      when(varX > 0 && varY > 0,
+        round(round(cov / sqrt(varX * varY), 6) * 1000000, 0).cast("long"))
+        .as("spearman_micro"))
+  }
+
+  /** SPLIT-CONFORMAL prediction intervals for per-source quality — the
+    * distribution-free error bars for a prediction rule, here the
+    * simplest one (predict each document's quality as its source's
+    * CALIBRATION-mean quality): the calibration split's absolute
+    * residuals are ranked and the ⌈(n+1)(1−α)⌉-th smallest becomes the
+    * radius q̂, which by the exchangeability argument covers a fresh
+    * document's quality with probability ≥ 1−α — no distributional
+    * assumption, the guarantee modern eval pipelines quote. Reported
+    * per source with the TEST split's observed coverage (the honest
+    * empirical check beside the theoretical bound). The split is a
+    * salted-hash draw (the q67 replay convention — doc_id itself
+    * STRIDES by source in this corpus, so a modulo split would pick
+    * whole sources): calibration = hash % 10 < 3, test the rest (a
+    * 30% calibration share — per-source conformal needs the split to
+    * reach every source); α = 0.1. All integer: quality in basis
+    * points, q̂ by rank selection, coverage in micro. A source with no
+    * calibration (or no test) documents reports nothing — strict
+    * conformal has no finite radius to offer it.
+    *
+    * Scale: one scan folds calibration means (sources-sized), one
+    * rank window per source over the calibration split, two
+    * broadcast-joined aggregates — nothing row-scale leaves the first
+    * shuffle. */
+  def conformalQualityIntervals(spark: SparkSession, dir: String,
+      alphaPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = PlanCache.tracked(Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        round(Text.qualityScore(col("text")) * 10000, 0).cast("long").as("q_bp")))
+    val splitHash = pmod(
+      Text.md5Hash60(concat_ws("-", lit("conf"), col("doc_id"))), lit(10L))
+    val cal = docs.filter(splitHash < 3)
+    val test = docs.filter(splitHash >= 3)
+    val mean = cal.groupBy(col("source")).agg(count(lit(1)).as("n_cal"),
+      expr("CAST(sum(q_bp) AS DECIMAL(38,0)) div count(1)").as("mean_bp"))
+    val resid = cal.join(broadcast(mean), Seq("source"))
+      .select(col("source"), col("n_cal"),
+        abs(col("q_bp") - col("mean_bp")).as("r"))
+    // q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration residual (positive
+    // ceil as (x+99) div 100 — identical truncation on both engines),
+    // clamped to the max residual when the calibration set is too
+    // small for the index to exist (the finite-sample degeneracy —
+    // strict conformal would say q̂ = ∞ there)
+    val qhat = resid
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("r").asc)))
+      .filter(col("rnk") === expr(
+        s"least(((n_cal + 1) * (100 - $alphaPct) + 99) div 100, n_cal)"))
+      .select(col("source"), col("n_cal"), col("r").as("qhat_bp"))
+    val covered = test.join(broadcast(mean.select(col("source"), col("mean_bp"))),
+        Seq("source"))
+      .join(broadcast(qhat), Seq("source"))
+      .groupBy(col("source"), col("n_cal"), col("qhat_bp"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("q_bp") - col("mean_bp")) <= col("qhat_bp"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    covered.select(col("source"), col("n_cal"), col("qhat_bp"), col("n_test"),
+      col("n_covered"),
+      expr("n_covered * 1000000 div n_test").as("coverage_micro"))
+  }
+
   /** Poisson(1) CDF thresholds on the 2⁶⁰ grid (P(X≤k)·2⁶⁰, k = 0..6,
     * floor) — frozen at authoring time like the DCG/Benford literals,
     * so neither engine evaluates e⁻¹ at query time. The tail past 6

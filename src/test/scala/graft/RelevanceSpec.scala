@@ -215,6 +215,45 @@ class RelevanceSpec extends SparkSpec {
       "expanded query adds non-negative term mass and the feedback docs score higher")
   }
 
+  test("spearman: a strictly monotone length→quality corpus scores exactly 1e6; bounded everywhere") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spear").toString
+    // all-distinct non-stopword tokens, lengths 2..21 (< the length
+    // saturation point), so quality strictly increases with length
+    val docs = (2 to 21).map(n =>
+      ("mono", n.toLong, (1 to n).map(i => s"tok${n}x$i").mkString(" ")))
+    docs.toDF("source", "doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.lengthQualitySpearman(spark, dir).collect()
+    assert(got.length == 1 && got.head.getLong(2) == 1000000L)
+    // real corpus: every source bounded, none degenerate
+    val corpus = graft.operators.TextOps.lengthQualitySpearman(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(!r.isNullAt(2) && math.abs(r.getLong(2)) <= 1000000L)
+    }
+  }
+
+  test("conformal: a constant source yields a zero radius with full coverage; bounds hold corpus-wide") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conf").toString
+    val constDoc = "alpha beta gamma delta epsilon"
+    val docs = (1 to 60).map(i => ("const", i.toLong, constDoc)) ++
+      (1 to 60).map(i => ("mixed", 100L + i,
+        Seq.fill(i % 9 + 2)("the word list grows here").mkString(" ")))
+    docs.toDF("source", "doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.conformalQualityIntervals(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    graft.operators.PlanCache.release()
+    val (cQhat, cCov) = got("const")
+    assert(cQhat == 0L && cCov == 1000000L,
+      "identical docs: zero residuals, everything covered")
+    val (mQhat, mCov) = got("mixed")
+    assert(mQhat >= 0L && mCov >= 0L && mCov <= 1000000L)
+    // the 1−α conformal guarantee, observed on this deterministic split
+    assert(mCov >= 800000L, s"coverage $mCov below the nominal band")
+  }
+
   test("bootstrap CI: constant source collapses to a zero-width interval; varied source brackets its mean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_boot").toString

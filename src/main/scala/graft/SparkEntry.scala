@@ -450,6 +450,7 @@ object SparkEntry {
     "q236_related_parts" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "q237_spearman" -> ((s, d) => TextOps.lengthQualitySpearman(s, d)),
     "q238_conformal" -> ((s, d) => TextOps.conformalQualityIntervals(s, d)),
+    "q239_graph_summary" -> ((s, d) => Graph.graphSummary(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -638,7 +639,7 @@ object SparkEntry {
       ("q232_t_closeness" -> q232Sql) + ("q233_bootstrap_ci" -> q233Sql) +
       ("q234_prf_expansion" -> q234Sql) + ("q235_communities" -> q235Sql) +
       ("q236_related_parts" -> q236Sql) + ("q237_spearman" -> q237Sql) +
-      ("q238_conformal" -> q238Sql)
+      ("q238_conformal" -> q238Sql) + ("q239_graph_summary" -> q239Sql)
 
   /** The co-purchase edge list CTEs (shared by q230/q231): distinct
     * (basket, item) pairs self-joined within the basket — q197's
@@ -752,6 +753,60 @@ object SparkEntry {
        |SELECT source, n_cal, qhat_bp, n_test, n_covered,
        |  CAST(n_covered * 1000000 // n_test AS BIGINT) AS coverage_micro
        |FROM cov""".stripMargin
+
+  /** q239: the one-row graph datasheet — exact triangle/wedge totals
+    * (the q231 wedge-closure shape), degree moments through HUGEINT,
+    * assortativity on the q195 final-expression discipline. */
+  private lazy val q239Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | gs_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |     (SELECT pa AS node FROM cp_und UNION ALL SELECT pb FROM cp_und)
+       |   GROUP BY 1),
+       | gs_o AS (SELECT
+       |     CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+       |       THEN pa ELSE pb END AS src,
+       |     CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+       |       THEN pb ELSE pa END AS dst
+       |   FROM cp_und JOIN gs_deg d1 ON pa = d1.node
+       |   JOIN gs_deg d2 ON pb = d2.node),
+       | gs_tn AS (SELECT CAST(count(*) AS BIGINT) AS n_tri
+       |   FROM gs_o e1 JOIN gs_o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |   WHERE EXISTS (SELECT 1 FROM cp_und u
+       |     WHERE u.pa = e1.dst AND u.pb = e2.dst)),
+       | gs_ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |     CAST(sum(deg) AS BIGINT) AS sum_deg,
+       |     CAST(sum(CAST(deg AS HUGEINT) * (deg - 1) // 2) AS BIGINT)
+       |       AS n_wedges
+       |   FROM gs_deg),
+       | gs_ends AS (SELECT d1.deg AS dx, d2.deg AS dy
+       |   FROM cp_und JOIN gs_deg d1 ON pa = d1.node
+       |   JOIN gs_deg d2 ON pb = d2.node),
+       | gs_se AS (SELECT dx, dy FROM gs_ends
+       |   UNION ALL SELECT dy, dx FROM gs_ends),
+       | gs_m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+       |    sum(CAST(dy AS HUGEINT) * dy) AS syy,
+       |    sum(CAST(dx AS HUGEINT) * dy) AS sxy FROM gs_se),
+       | gs_v AS (SELECT
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+       |  FROM gs_m)
+       |SELECT n_nodes, CAST(sum_deg // 2 AS BIGINT) AS n_edges,
+       |  n_tri AS n_triangles, n_wedges,
+       |  CAST(CAST(sum_deg AS HUGEINT) * 1000000 // n_nodes AS BIGINT)
+       |    AS mean_degree_micro,
+       |  CASE WHEN n_wedges > 0 THEN
+       |    CAST(CAST(3 AS HUGEINT) * n_tri * 1000000 // n_wedges AS BIGINT)
+       |  END AS clustering_micro,
+       |  CASE WHEN vx > 0 AND vy > 0 THEN
+       |    CAST(round(round(cv / sqrt(vx * vy), 6) * 1000000, 0) AS BIGINT)
+       |  END AS assortativity_micro
+       |FROM gs_ds, gs_tn, gs_v""".stripMargin
 
   /** q236: personalized PageRank, five unrolled rounds — per-edge
     * damped contributions unioned with the 3-row seed teleport

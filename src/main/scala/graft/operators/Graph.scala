@@ -239,6 +239,21 @@ object Graph {
     val deg = PlanCache.tracked(
       und.select(col("pa").as("node")).union(und.select(col("pb").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    val perNode = triangleRows(und, deg)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    perNode.join(deg, Seq("node"))
+      // 2T·1e6 passes int64 for dense hubs — widen through Decimal(38)
+      .select(col("node").as("part"), col("deg"), col("n_triangles"),
+        expr("2 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000" +
+          " div (deg * (deg - 1))").as("clustering_micro"))
+      .orderBy(col("n_triangles").desc, col("part").asc)
+      .limit(k)
+  }
+
+  /** One (a, b, c) row per triangle — the degree-ordered edge-iterator
+    * closure shared by [[triangles]] and [[graphSummary]]. */
+  private def triangleRows(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient each edge from the (deg, id)-smaller endpoint
     val oriented = und
       .join(deg.select(col("node").as("pa"), col("deg").as("da")), Seq("pa"))
@@ -253,21 +268,77 @@ object Graph {
     val o = PlanCache.tracked(oriented)
     val adj = o.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val tris = o
-      .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), Seq("src"))
+    o.join(adj.select(col("src"), col("nbrs").as("nbrs_u")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), Seq("dst"))
       .select(col("src").as("a"), col("dst").as("b"),
         explode(array_intersect(col("nbrs_u"), col("nbrs_v"))).as("c"))
-    val perNode = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    perNode.join(deg, Seq("node"))
-      // 2T·1e6 passes int64 for dense hubs — widen through Decimal(38)
-      .select(col("node").as("part"), col("deg"), col("n_triangles"),
-        expr("2 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000" +
-          " div (deg * (deg - 1))").as("clustering_micro"))
-      .orderBy(col("n_triangles").desc, col("part").asc)
-      .limit(k)
+  }
+
+  /** GRAPH DATASHEET — the one-row structural summary read before
+    * trusting any graph-derived signal: node/edge/weight totals, mean
+    * degree, GLOBAL clustering coefficient (3·triangles / wedges, both
+    * exact integers — wedges = Σ deg·(deg−1)/2), and the degree
+    * assortativity coefficient (Pearson correlation of endpoint
+    * degrees over the directed edge list — positive means hubs link
+    * hubs, negative means hubs fan out to leaves; retail co-purchase
+    * graphs typically read negative). Moments fold exactly through
+    * Decimal(38) and the only float is the final ratio on the q195
+    * op-order contract.
+    *
+    * Scale: the triangle closure is [[triangles]]'s edge-iterator; the
+    * degree joins are node-keyed; everything folds to one row. */
+  def graphSummary(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = PlanCache.tracked(coPurchaseEdges(spark, dir))
+    val deg = PlanCache.tracked(
+      und.select(col("pa").as("node")).union(und.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    val nTri = triangleRows(und, deg).count()
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("deg")).as("sum_deg"),
+      sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1) div 2")).as("n_wedges"))
+      .head()
+    val (nNodes, sumDeg, nWedges) =
+      (degStats.getLong(0), degStats.getLong(1), degStats.getLong(2))
+    // assortativity over the directed edge list (each undirected edge
+    // contributes both orientations, the standard convention)
+    val ends = und
+      .join(deg.select(col("node").as("pa"), col("deg").as("dx")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("dy")), Seq("pb"))
+      .select(col("dx"), col("dy"))
+    val sym = ends.union(ends.select(col("dy").as("dx"), col("dx").as("dy")))
+    val (cx, cy) = (col("dx").cast(dec), col("dy").cast(dec))
+    val m = sym.agg(count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(cx * cx).as("sxx"), sum(cy * cy).as("syy"), sum(cx * cy).as("sxy"))
+      .head()
+    // the q195 final-expression discipline, folded driver-side (the
+    // profiler convention — every input is an exact integer scalar)
+    val n = m.getLong(0).toDouble
+    val sx = m.getLong(1).toDouble; val sy = m.getLong(2).toDouble
+    val sxx = m.getDecimal(3).doubleValue()
+    val syy = m.getDecimal(4).doubleValue()
+    val sxy = m.getDecimal(5).doubleValue()
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val cv = n * sxy - sx * sy
+    val assortMicro: Option[Long] =
+      if (vx > 0 && vy > 0)
+        Some(BigDecimal(cv / math.sqrt(vx * vy))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact)
+      else None
+    import spark.implicits._
+    // ×1e6 folds through BigInt: degree/triangle totals at corpus
+    // scale push the product past int64
+    Seq((nNodes, sumDeg / 2, nTri, nWedges,
+        (BigInt(sumDeg) * 1000000 / nNodes).toLong,
+        if (nWedges > 0) Some((BigInt(3) * nTri * 1000000 / nWedges).toLong)
+        else None,
+        assortMicro))
+      .toDF("n_nodes", "n_edges", "n_triangles", "n_wedges",
+        "mean_degree_micro", "clustering_micro", "assortativity_micro")
   }
 
   // ---- persisted co-purchase graph store ------------------------------

@@ -57,6 +57,32 @@ class PlanSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("Expand")) == 1, p.take(2000))
   }
 
+  test("graph family: iterations re-read the persisted edge list; triangles intersect adjacency, never a wedge join") {
+    // q230/q235/q236: every power/label round must scan the ONE
+    // persisted edge frame (InMemoryTableScan), not re-derive the
+    // pair expansion per round — one InMemory read per iteration
+    Seq("q230_pagerank" -> 5, "q236_related_parts" -> 5,
+        "q235_communities" -> 4).foreach { case (name, iters) =>
+      val p = plan(name)
+      assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= iters,
+        s"$name: iterations re-derive the edge list instead of reading the cache")
+      graft.operators.PlanCache.release()
+    }
+    // q231: the edge-iterator kernel — an array intersection against
+    // collected adjacency, NOT the wedge self-join (which shuffles
+    // Σ outdeg² rows; measured 19 s vs 5 s at sf0.1)
+    val t = plan("q231_triangles")
+    assert(t.contains("array_intersect"),
+      "triangles lost the adjacency-intersection kernel")
+    graft.operators.PlanCache.release()
+  }
+
+  test("the bootstrap CI never plans an Expand: the ×B inflation is one Generate") {
+    val p = plan("q233_bootstrap_ci")
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(p.split("\n").count(_.contains("Generate")) == 1, p.take(2000))
+  }
+
   test("the exact profiler keeps its one documented Expand; the approx twin has none") {
     assert(!plan("q136_profile_approx").contains("Expand"))
   }

@@ -451,6 +451,7 @@ object SparkEntry {
     "q237_spearman" -> ((s, d) => TextOps.lengthQualitySpearman(s, d)),
     "q238_conformal" -> ((s, d) => TextOps.conformalQualityIntervals(s, d)),
     "q239_graph_summary" -> ((s, d) => Graph.graphSummary(s, d)),
+    "q240_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -639,7 +640,22 @@ object SparkEntry {
       ("q232_t_closeness" -> q232Sql) + ("q233_bootstrap_ci" -> q233Sql) +
       ("q234_prf_expansion" -> q234Sql) + ("q235_communities" -> q235Sql) +
       ("q236_related_parts" -> q236Sql) + ("q237_spearman" -> q237Sql) +
-      ("q238_conformal" -> q238Sql) + ("q239_graph_summary" -> q239Sql)
+      ("q238_conformal" -> q238Sql) + ("q239_graph_summary" -> q239Sql) +
+      ("q240_semantic_decontam" ->
+        """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+          | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+          | s AS (SELECT c.vec_id, ev.vec_id AS eval_id,
+          |    round(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(c.embedding[i] AS DOUBLE)
+          |        * CAST(ev.embedding[i] AS DOUBLE))), 6) AS sim
+          |  FROM c CROSS JOIN ev),
+          | b AS (SELECT vec_id, eval_id, sim, row_number() OVER
+          |    (PARTITION BY vec_id ORDER BY sim DESC, eval_id ASC) AS rnk
+          |  FROM s)
+          |SELECT vec_id, CAST(eval_id AS BIGINT) AS eval_id,
+          |  CAST(round(sim * 1000000, 0) AS BIGINT) AS sim_micro
+          |FROM b WHERE rnk = 1
+          |  AND CAST(round(sim * 1000000, 0) AS BIGINT) >= 350000""".stripMargin)
 
   /** The co-purchase edge list CTEs (shared by q230/q231): distinct
     * (basket, item) pairs self-joined within the basket — q197's

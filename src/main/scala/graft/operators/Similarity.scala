@@ -242,6 +242,38 @@ object Similarity {
         lit(-cid).as("negid"))
     }.toIndexedSeq: _*)
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space face of q56's
+    * n-gram scrub: a corpus document whose embedding sits too close to
+    * any EVAL-SET embedding is flagged as benchmark leakage, which
+    * catches the paraphrased/reformatted contamination the exact
+    * n-gram collision test is structurally blind to (and misses the
+    * verbatim-but-differently-tokenized cases n-grams catch — the two
+    * scrubs compose, they don't compete). Reports every corpus vector
+    * at or above the threshold with its closest eval vector and the
+    * similarity (micro grid, deterministic argmax: ties break to the
+    * smaller eval id via the struct(sim, −id) max).
+    *
+    * Scale: an eval benchmark is SMALL by definition, so the eval
+    * vectors fold into the projection as literals (the IVF
+    * literal-codebook convention) and the whole scrub is ONE map-side
+    * corpus scan — no join, no index, no shuffle before the filter;
+    * at eval sets past literal size, the stored-IVF probe
+    * ([[ivfTopKAgainstStoredIndex]]) is the same decision with an
+    * index. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      evalMax: Long = 20L, thresholdMicro: Long = 350000L): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val evalVecs = emb.filter(col("vec_id") < evalMax)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    emb.filter(col("vec_id") >= evalMax)
+      .select(col("vec_id"),
+        array_max(cellSims(evalVecs, col("embedding"))).as("m"))
+      .select(col("vec_id"), (-col("m.negid")).as("eval_id"),
+        round(col("m.sim") * 1000000, 0).cast("long").as("sim_micro"))
+      .filter(col("sim_micro") >= thresholdMicro)
+  }
+
   // ---- persisted IVF index -------------------------------------------
 
   /** Found a PERSISTED IVF index at `indexDir` from the founding

@@ -452,6 +452,7 @@ object SparkEntry {
     "q238_conformal" -> ((s, d) => TextOps.conformalQualityIntervals(s, d)),
     "q239_graph_summary" -> ((s, d) => Graph.graphSummary(s, d)),
     "q240_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
+    "q241_distinct_n_approx" -> ((s, d) => TextOps.distinctNgramApprox(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -634,7 +635,8 @@ object SparkEntry {
       ("q208_label_kappa" -> q208Sql) + ("q209_classifier_auc" -> q209Sql) +
       ("q211_trend_ols" -> q211Sql) + ("q212_calibration" -> q212Sql) +
       ("q214_revenue_acf" -> q214Sql) + ("q215_cusum_shift" -> q215Sql) +
-      ("q218_distinct_n" -> q218Sql) + ("q222_lang_conflicts" -> q222Sql) +
+      ("q218_distinct_n" -> q218Sql) + ("q241_distinct_n_approx" -> q241Sql) +
+      ("q222_lang_conflicts" -> q222Sql) +
       ("q228_daily_fano" -> q228Sql) +
       ("q230_pagerank" -> q230Sql) + ("q231_triangles" -> q231Sql) +
       ("q232_t_closeness" -> q232Sql) + ("q233_bootstrap_ci" -> q233Sql) +
@@ -1132,6 +1134,44 @@ object SparkEntry {
        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
        |  CAST(count(DISTINCT h) * 1000000 // count(*) AS BIGINT) AS distinct_micro
        |FROM pos GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q241: q218's sketch twin — gram STRINGS through the md5-HLL
+    * register replay (q136's CTEs, grouped by (source, n)). */
+  private lazy val q241Sql: String = {
+    val m = graft.operators.Sketches.HllRegisters
+    val rb = graft.operators.Sketches.HllRegisterBits
+    val w1 = graft.operators.Sketches.HllRestBits + 1
+    val num = graft.operators.Sketches.HllNumerator
+    val arms = (1 to 4).map { n =>
+      s"""SELECT source, CAST($n AS BIGINT) AS n,
+         |    array_to_string(ts[i:i+${n - 1}], ' ') AS g
+         |   FROM tok, UNNEST(generate_series(1, len(ts) - ${n - 1})) AS t$n(i)"""
+        .stripMargin
+    }.mkString("\n | UNION ALL ")
+    val raw = s"CAST(sumpow + ($m - m_hit) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)"
+    s"""WITH tok AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+       | pos AS (
+       | $arms),
+       | h AS (SELECT source, n,
+       |    CAST('0x' || substr(md5('hllc-' || g), 1, 15) AS BIGINT) AS h
+       |  FROM pos),
+       | rr AS (SELECT source, n, h % $m AS reg,
+       |    CASE WHEN (h >> $rb) = 0 THEN $w1
+       |         ELSE $w1 - length(bin(h >> $rb)) END AS rho FROM h),
+       | regs AS (SELECT source, n, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2, 3),
+       | s AS (SELECT source, n, CAST(count(*) AS BIGINT) AS m_hit,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (53 - mrho)), 0) AS BIGINT)
+       |      AS sumpow
+       |  FROM regs GROUP BY 1, 2),
+       | np AS (SELECT source, n, CAST(count(*) AS BIGINT) AS n_positions
+       |  FROM pos GROUP BY 1, 2),
+       | est AS (SELECT source, n,
+       |    CASE WHEN ($m - m_hit) > 0 AND $num / $raw <= ${2.5 * m}
+       |      THEN ${m.toDouble} * ln(${m.toDouble} / ($m - m_hit))
+       |      ELSE $num / $raw END AS est FROM s)
+       |SELECT source, n, n_positions, round(est, 2) AS est_distinct
+       |FROM np JOIN est USING (source, n)""".stripMargin
   }
 
   /** q208: Cohen's kappa between the q71 gate and the quality label —

@@ -1997,6 +1997,47 @@ object TextOps {
         expr("n_distinct * 1000000 div n_positions").as("distinct_micro"))
   }
 
+  /** DISTINCT-N APPROX — [[distinctNgramProfile]]'s 100 TB twin (the
+    * q99 → q136 precedent applied to the diversity profile): the exact
+    * form's `count_distinct` keys its shuffle by the gram hash, so the
+    * full gram volume crosses the wire; this form folds each
+    * (source, n)'s grams into one `hll_card` register buffer — ONE
+    * 256-byte row per group reaches the exchange whatever the corpus
+    * size, and the estimate lands within HLL's ~6.5% at m = 256.
+    * Grams feed the registers as STRINGS (the md5 'hllc-' scheme) so
+    * the DuckDB replay is register-identical — the xxhash64 shortcut
+    * the exact form takes is fine there (distinct counts are
+    * hash-agnostic) and fatal here (registers are hash-defined).
+    *
+    * Honest accounting: locally this is only ~1.15× faster than the
+    * exact form (sf0.1 and sf1 both) — the per-gram string build +
+    * md5 costs what the exact form's map-side distinct saves. The
+    * lever is the EXCHANGE: the exact form ships its partition-
+    * distinct gram rows (corpus-growing) where this ships 256 bytes
+    * per (source, n) — the trade a shuffle-bound cluster takes and a
+    * CPU-bound single node doesn't. */
+  def distinctNgramApprox(spark: SparkSession, dir: String,
+      maxN: Int = 4): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    def gramStrs(n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val grams = explode(flatten(array((1 to maxN).map(n =>
+      transform(gramStrs(n),
+        g => struct(lit(n.toLong).as("n"), g.as("g")))): _*)))
+    Tables(spark, dir, "documents")
+      .select(col("source"), grams.as("x"))
+      .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_positions"),
+        graft.functions.HllCard.hllCard(col("g")).as("_hll"))
+      .select(col("source"), col("n"), col("n_positions"),
+        round(Sketches.hllEstimate(col("_hll.m_hit"), col("_hll.sumpow")), 2)
+          .as("est_distinct"))
+  }
+
   /** HELD-OUT PERPLEXITY — the train/test-discipline face of the
     * unigram LM (q65 fits and scores the SAME corpus; a data-quality
     * gate must score unseen text): the LM fits on the training split

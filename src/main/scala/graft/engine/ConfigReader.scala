@@ -56,6 +56,7 @@ object ConfigReader {
       annEvalTasks: Seq[AnnEvalSpec] = Nil,
       modelEvalTasks: Seq[ModelEvalSpec] = Nil,
       privacyTasks: Seq[PrivacySpec] = Nil,
+      graphTasks: Seq[GraphTaskSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -141,6 +142,13 @@ object ConfigReader {
         try Some(parsePrivacyTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed privacy task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      graphTasks = root.path("graphTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseGraphTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed graph task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -446,5 +454,16 @@ object ConfigReader {
     require(!spec.quasiIds.contains(spec.sensitive),
       "privacy task: the sensitive column cannot also be a quasi-identifier")
     spec
+  }
+
+  private def parseGraphTask(n: JsonNode): GraphTaskSpec = {
+    val schedule = optText(n, "schedule").getOrElse("20 5 * * *")
+    graft.operators.Cron.parse(schedule)
+    GraphTaskSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      storeDir = reqText(n, "storeDir"),
+      compact = n.path("compact").asBoolean(false))
   }
 }

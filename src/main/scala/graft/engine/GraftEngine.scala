@@ -50,6 +50,7 @@ final class GraftEngine(
   @volatile private var annEvalSpecs: Seq[graft.model.AnnEvalSpec] = Nil
   @volatile private var modelEvalSpecs: Seq[graft.model.ModelEvalSpec] = Nil
   @volatile private var privacySpecs: Seq[graft.model.PrivacySpec] = Nil
+  @volatile private var graphSpecs: Seq[graft.model.GraphTaskSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
   @volatile private var recorder: Option[(String, Metrics.Recorder)] = None
 
@@ -191,7 +192,7 @@ final class GraftEngine(
         cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs ||
         cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs ||
         cfg.annEvalTasks != annEvalSpecs || cfg.modelEvalTasks != modelEvalSpecs ||
-        cfg.privacyTasks != privacySpecs) {
+        cfg.privacyTasks != privacySpecs || cfg.graphTasks != graphSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
@@ -201,6 +202,7 @@ final class GraftEngine(
       annEvalSpecs = cfg.annEvalTasks
       modelEvalSpecs = cfg.modelEvalTasks
       privacySpecs = cfg.privacyTasks
+      graphSpecs = cfg.graphTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
@@ -208,7 +210,7 @@ final class GraftEngine(
           optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob) ++
           annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob) ++
           annEvalSpecs.map(toAnnEvalJob) ++ modelEvalSpecs.map(toModelEvalJob) ++
-          privacySpecs.map(toPrivacyJob),
+          privacySpecs.map(toPrivacyJob) ++ graphSpecs.map(toGraphJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -301,6 +303,14 @@ final class GraftEngine(
       }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("privacy_audit_failed", s"privacy${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toGraphJob(spec: graft.model.GraphTaskSpec): Cron.Job =
+    Cron.Job(GraftEngine.GraphJobIdOffset + spec.id, spec.schedule, () =>
+      try { GraftEngine.runGraphMaintenance(spark, spec); () }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("graph_maintenance_failed", s"graph${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -745,6 +755,23 @@ object GraftEngine {
   }
 
   val PrivacyJobIdOffset = 8000000
+
+  /** Graph-store maintenance namespace. */
+  val GraphJobIdOffset = 9000000
+
+  /** Run one graph-store maintenance pass now: reconcile the edge
+    * store against the orders of record (O(increment) — the basket
+    * ledger admits only unseen baskets), then optionally compact
+    * (collapse deltas, erase tombstones). Returns the number of
+    * baskets appended. */
+  def runGraphMaintenance(spark: SparkSession,
+      spec: graft.model.GraphTaskSpec): Long = {
+    val n = graft.operators.Graph.reconcileGraphStore(
+      spark, spec.sourceDir, spec.storeDir)
+    if (spec.compact)
+      graft.operators.Graph.compactGraphStore(spark, spec.storeDir)
+    n
+  }
 
   /** One privacy audit's worst-case gauges across all QI groups. */
   final case class PrivacyAuditResult(minGroupSize: Long, minLValue: Long,

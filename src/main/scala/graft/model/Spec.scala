@@ -170,6 +170,19 @@ final case class ModelEvalSpec(
     minAucMicro: Long = 700000L,
     maxEceMicro: Long = 150000L)
 
+/** A scheduled co-purchase-graph maintenance job — `annIndexTasks`'
+  * discipline for the graph store: reconcile the edge store against
+  * the orders of record (the basket ledger admits only baskets the
+  * store lacks — an unchanged corpus is a no-op, work per run is
+  * O(increment)), optionally compacting the accumulated deltas (and
+  * physically erasing right-to-be-forgotten tombstones). */
+final case class GraphTaskSpec(
+    id: Int,
+    schedule: String = "20 5 * * *",
+    sourceDir: String = "",   // orders-of-record root (lineitem table)
+    storeDir: String = "",    // graph store root (edges/ + baskets/)
+    compact: Boolean = false)
+
 /** A scheduled privacy-risk audit over a shared/exported table — the
   * watchdog face of the k-anonymity / l-diversity / t-closeness trio:
   * each run profiles the table under the configured quasi-identifiers

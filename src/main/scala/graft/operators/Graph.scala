@@ -350,19 +350,53 @@ object Graph {
     * rewritten; readers sum deltas per edge. At 100 TB the pair
     * expansion (the expensive scan) runs once per order, ever. */
   def foundGraphStore(spark: SparkSession, dir: String, storeDir: String): Unit =
-    pairDeltas(Tables(spark, dir, "lineitem"))
-      .write.mode("overwrite").parquet(s"$storeDir/edges")
+    writeDeltas(pairDeltas(Tables(spark, dir, "lineitem")),
+      s"$storeDir/edges", "founding")
+
+  /** One shared write convention for EVERY graph-store edge write:
+    * deltas land under `ingest_batch=<key>` with dynamic partition
+    * overwrite, so (a) all ingest faces (found / batch append /
+    * stream / reconcile) and compaction produce ONE parquet layout —
+    * bare files mixed with partition dirs would break discovery — and
+    * (b) a write retried with the same deterministic key REPLACES its
+    * own partition instead of double-counting deltas. */
+  private[graft] def writeDeltas(deltas: DataFrame, target: String,
+      batchKey: String): Unit =
+    deltas.withColumn("ingest_batch", lit(batchKey))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(target)
+
+  /** A deterministic, content-derived partition key for a basket
+    * increment: (count, min, max, id-sum) of its baskets — identical
+    * on exact retry (idempotent rewrite), and distinct across the
+    * disjoint basket sets the append contract guarantees. */
+  private def batchKeyOf(lineitemBatch: DataFrame): (Long, String) = {
+    val s = lineitemBatch
+      .select(col("l_orderkey").as("basket")).distinct()
+      .agg(count(lit(1)), min(col("basket")), max(col("basket")),
+        sum(col("basket"))).head()
+    if (s.getLong(0) == 0) (0L, "empty")
+    else (s.getLong(0),
+      s"${s.getLong(0)}-${s.getLong(1)}-${s.getLong(2)}-${s.getLong(3)}")
+  }
 
   /** Append one increment of COMPLETE new baskets. The contract is
     * basket-atomicity: pairs form within an order, so every line of an
     * order must arrive in the same increment — an order split across
     * two appends would silently miss its cross-append pairs (the
     * [[Dedup.appendToStoredIndex]] append-the-batch-first discipline,
-    * transposed). An append racing a compaction fails the compaction,
-    * never the append ([[Atomic.publish]]). */
-  def appendToGraphStore(lineitemBatch: DataFrame, storeDir: String): Unit =
-    pairDeltas(lineitemBatch).write.mode("append")
-      .parquet(Atomic.resolve(lineitemBatch.sparkSession, storeDir, "edges"))
+    * transposed). An exact retry rewrites its own partition (the
+    * content-derived key); an append racing a compaction fails the
+    * compaction, never the append ([[Atomic.publish]]). */
+  def appendToGraphStore(lineitemBatch: DataFrame, storeDir: String): Unit = {
+    val (n, key) = batchKeyOf(lineitemBatch)
+    if (n > 0)
+      writeDeltas(pairDeltas(lineitemBatch),
+        Atomic.resolve(lineitemBatch.sparkSession, storeDir, "edges"),
+        s"append-$key")
+  }
 
   /** The store's merged edge view: per-edge delta sum, tombstoned
     * parts excluded from EITHER endpoint (right-to-be-forgotten blinds
@@ -392,6 +426,47 @@ object Graph {
       partIds: Seq[Long]): Unit =
     Forgotten.append(spark, storeDir, partIds)
 
+  /** RECONCILE the store against the orders of record — the
+    * maintenance entry point `graphTasks` schedules: a `baskets`
+    * LEDGER beside the edges records every basket already expanded,
+    * so each run appends only the baskets the store lacks (an
+    * anti-join on the basket key — a run over an unchanged corpus is
+    * a no-op and work per run is O(increment), the annIndexTasks
+    * reconcile discipline). Founding is the first reconcile: an empty
+    * ledger admits every basket. Basket-atomicity holds by
+    * construction — a basket is expanded the run it first appears,
+    * whole, and never again.
+    *
+    * Crash safety: the edge deltas and the ledger are two writes, so
+    * the deltas land under the content-derived partition key
+    * (DETERMINISTIC in (corpus, ledger)) and the ledger commits
+    * AFTER. A crash between them makes the rerun recompute the same
+    * increment and OVERWRITE its own partition: no double-counted
+    * delta, no lost basket. Returns the number of baskets appended. */
+  def reconcileGraphStore(spark: SparkSession, dir: String,
+      storeDir: String): Long = {
+    val ledgerPath = new org.apache.hadoop.fs.Path(s"$storeDir/baskets")
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val allBaskets = li.select(col("l_orderkey").as("basket")).distinct()
+    val newBaskets =
+      if (fs.exists(ledgerPath))
+        allBaskets.join(spark.read.parquet(s"$storeDir/baskets"),
+          Seq("basket"), "left_anti")
+      else allBaskets
+    val increment = li.join(
+      newBaskets.withColumnRenamed("basket", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    val (n, key) = batchKeyOf(increment)
+    if (n > 0) {
+      writeDeltas(pairDeltas(increment),
+        Atomic.resolve(spark, storeDir, "edges"), s"recon-$key")
+      newBaskets.write.mode("append").parquet(s"$storeDir/baskets")
+    }
+    n
+  }
+
   /** Compact the edge store: collapse append-accumulated deltas to one
     * row per surviving edge, minus tombstoned parts' edges (the
     * durable erasure — with tombstones the superseded version purges
@@ -402,7 +477,9 @@ object Graph {
     val hadTombstones = Forgotten.read(spark, storeDir).isDefined
     val merged = storedEdges(spark, storeDir)
     Atomic.publish(spark, storeDir, "edges") { staged =>
-      merged.repartition(numFiles).write.mode("overwrite").parquet(staged)
+      // keep the shared partitioned layout: the collapsed deltas are
+      // one "compacted" partition future appends sit beside
+      writeDeltas(merged.repartition(numFiles), staged, "compacted")
     }
     if (hadTombstones) Atomic.purge(spark, storeDir, "edges")
     Forgotten.clear(spark, storeDir)

@@ -17,13 +17,12 @@ import graft.operators.Graph
   * append-mode file sink cannot express — so this face is a
   * `foreachBatch` writer with idempotence built from DYNAMIC PARTITION
   * OVERWRITE: each batch writes its deltas under
-  * `edges/ingest_batch=<id>/` with overwrite mode, so a replayed batch
-  * (crash between sink write and checkpoint commit) REPLACES its own
-  * partition instead of double-counting deltas. This stream owns the
-  * `edges` directory (the IvfStream ownership rule): batch appends
-  * write bare files that break partition discovery under the
-  * partitioned layout — found the store empty and feed it here, or
-  * use the batch appenders, never both.
+  * `edges/ingest_batch=stream-<id>/` with overwrite mode, so a
+  * replayed batch (crash between sink write and checkpoint commit)
+  * REPLACES its own partition instead of double-counting deltas. The
+  * layout is the graph store's shared convention ([[Graph]]'s
+  * writeDeltas), with prefix-disjoint keys per ingest face — stream,
+  * batch append, and reconcile deltas coexist in one store.
   *
   * Basket-atomicity is the stream's contract too: an order's lines
   * must arrive in one micro-batch (deliver whole-order files; pairs
@@ -40,12 +39,8 @@ object GraphStream {
     spark.readStream.schema(schema).json(sourceDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Graph.pairDeltas(batch)
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(s"$storeDir/edges")
+        Graph.writeDeltas(Graph.pairDeltas(batch),
+          s"$storeDir/edges", s"stream-$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)

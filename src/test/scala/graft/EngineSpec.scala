@@ -1186,4 +1186,33 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("graph maintenance: the first tick founds the store, the second reconciles to a no-op") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "graphTasks": [
+         |  { "id": 6, "schedule": "20 5 * * *", "sourceDir": "$sf",
+         |    "storeDir": "$root/graph", "compact": true }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T05:20:00")) ==
+        Seq(GraftEngine.GraphJobIdOffset + 6))
+      assert(alerts.drain().isEmpty, "founding maintenance paged")
+      val full = graft.operators.Graph.coPurchaseEdges(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def stored() = graft.operators.Graph.storedEdges(spark, s"$root/graph")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(stored() == full)
+      // second tick: unchanged corpus, reconcile is a no-op, store intact
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T05:20:00")) ==
+        Seq(GraftEngine.GraphJobIdOffset + 6))
+      assert(alerts.drain().isEmpty)
+      assert(stored() == full)
+      graft.operators.PlanCache.release()
+    } finally engine.stop()
+  }
+
 }

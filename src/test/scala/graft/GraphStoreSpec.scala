@@ -36,6 +36,33 @@ class GraphStoreSpec extends SparkSpec {
     assert(fromStore == inProcess)
   }
 
+  test("reconcile: founding run expands everything, an unchanged corpus is a no-op, an increment is O(increment)") {
+    val storeDir = Files.createTempDirectory("graft_graph_recon").toString
+    val li = Tables(spark, sf, "lineitem")
+    // the "orders of record" start as the even half...
+    val d1 = Files.createTempDirectory("graft_recon_src1").toString
+    li.filter(col("l_orderkey") % 2 === 0).write.parquet(s"$d1/lineitem.parquet")
+    val n1 = Graph.reconcileGraphStore(spark, d1, storeDir)
+    assert(n1 > 0)
+    // ...an unchanged corpus reconciles to a no-op...
+    assert(Graph.reconcileGraphStore(spark, d1, storeDir) == 0L)
+    // ...and the grown corpus appends exactly the new baskets
+    val d2 = Files.createTempDirectory("graft_recon_src2").toString
+    li.write.parquet(s"$d2/lineitem.parquet")
+    val n2 = Graph.reconcileGraphStore(spark, d2, storeDir)
+    val totalBaskets = li.select("l_orderkey").distinct().count()
+    assert(n1 + n2 == totalBaskets)
+    assert(Graph.reconcileGraphStore(spark, d2, storeDir) == 0L)
+    // content equals the one-shot expansion; compaction preserves it
+    val full = edgeMap(Graph.coPurchaseEdges(spark, sf))
+    assert(edgeMap(Graph.storedEdges(spark, storeDir)) == full)
+    Graph.compactGraphStore(spark, storeDir)
+    assert(edgeMap(Graph.storedEdges(spark, storeDir)) == full)
+    // post-compaction reconcile still works over the compacted layout
+    assert(Graph.reconcileGraphStore(spark, d2, storeDir) == 0L)
+    graft.operators.PlanCache.release()
+  }
+
   test("forget a part: its whole neighborhood blinds at once, compaction erases and collapses deltas") {
     val storeDir = Files.createTempDirectory("graft_graph_forget").toString
     val d = Files.createTempDirectory("graft_graph_src").toString

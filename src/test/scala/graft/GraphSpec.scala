@@ -73,6 +73,26 @@ class GraphSpec extends SparkSpec {
     assert(all.forall(_.getLong(1) >= 1L))
   }
 
+  test("triangles: hub skew — a node in every basket closes only its real triangles") {
+    import spark.implicits._
+    // star around part 1 (degree 10) plus the single closing edge
+    // 2—3: exactly ONE triangle {1,2,3}. The degree-ordered
+    // orientation points every star edge INTO the hub, so the hub's
+    // own adjacency list stays size 0 and contributes no wedges —
+    // the skew-robustness the orientation exists for
+    val rows = (2L to 11L).flatMap(k => Seq((k, 1L), (k, k))) :+
+      (100L, 2L) :+ (100L, 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hub").toString
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.triangles(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    graft.operators.PlanCache.release()
+    assert(got == Map(
+      1L -> ((10L, 1L, 2L * 1000000L / (10L * 9L))),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L))))
+  }
+
   test("triangles: per-node counts replay a brute-force closure over the edge list") {
     val got = Graph.triangles(spark, sf, k = Int.MaxValue).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -453,6 +453,7 @@ object SparkEntry {
     "q239_graph_summary" -> ((s, d) => Graph.graphSummary(s, d)),
     "q240_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
     "q241_distinct_n_approx" -> ((s, d) => TextOps.distinctNgramApprox(s, d)),
+    "q242_rec_eval" -> ((s, d) => Graph.recommenderEval(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -643,6 +644,7 @@ object SparkEntry {
       ("q234_prf_expansion" -> q234Sql) + ("q235_communities" -> q235Sql) +
       ("q236_related_parts" -> q236Sql) + ("q237_spearman" -> q237Sql) +
       ("q238_conformal" -> q238Sql) + ("q239_graph_summary" -> q239Sql) +
+      ("q242_rec_eval" -> q242Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -825,6 +827,35 @@ object SparkEntry {
        |    CAST(round(round(cv / sqrt(vx * vy), 6) * 1000000, 0) AS BIGINT)
        |  END AS assortativity_micro
        |FROM gs_ds, gs_tn, gs_v""".stripMargin
+
+  /** q242: held-out hit-rate@k of the most-co-purchased recommender —
+    * basket-level salted-hash split, train-edge ranking, every test
+    * basket's ordered pairs judged against the seed's top-k. */
+  private lazy val q242Sql: String =
+    """WITH li AS (SELECT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      | sp AS (SELECT basket, item, CAST('0x' || substr(md5('receval-'
+      |      || CAST(basket AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS h
+      |   FROM li),
+      | titems AS (SELECT DISTINCT basket, item FROM sp WHERE h < 8),
+      | te AS (SELECT DISTINCT basket, item FROM sp WHERE h >= 8),
+      | und AS (SELECT a.item AS pa, b.item AS pb, CAST(count(*) AS BIGINT) AS w
+      |   FROM titems a JOIN titems b USING (basket)
+      |   WHERE a.item < b.item GROUP BY 1, 2),
+      | rk AS (SELECT src, dst, row_number() OVER
+      |    (PARTITION BY src ORDER BY w DESC, dst ASC) AS rnk
+      |   FROM (SELECT pa AS src, pb AS dst, w FROM und
+      |         UNION ALL SELECT pb, pa, w FROM und)),
+      | pairs AS (SELECT a.item AS seed, b.item AS target
+      |   FROM te a JOIN te b USING (basket) WHERE a.item <> b.item),
+      | j AS (SELECT seed, target, rnk FROM pairs
+      |   LEFT JOIN rk ON seed = rk.src AND target = rk.dst),
+      | ks AS (SELECT unnest([1, 5, 10]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_cases,
+      |  CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hits,
+      |  CAST(CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END)
+      |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS hitrate_micro
+      |FROM j CROSS JOIN ks GROUP BY k""".stripMargin
 
   /** q236: personalized PageRank, five unrolled rounds — per-edge
     * damped contributions unioned with the 3-row seed teleport

@@ -341,6 +341,54 @@ object Graph {
         "mean_degree_micro", "clustering_micro", "assortativity_micro")
   }
 
+  /** RECOMMENDER EVALUATION — hit-rate@k of the "most co-purchased"
+    * item-to-item recommender on HELD-OUT baskets: baskets split by a
+    * salted hash (train ≈ 80%, test the rest — basket-level, so no
+    * test pair ever leaks into the training edges), training edges are
+    * the train split's co-purchase counts, and every ordered
+    * (seed, target) pair inside a test basket asks "does the seed's
+    * top-k co-purchase list contain the target?" — reported per k as
+    * cases, hits, and hit-rate in integer micro. Cold-start seeds
+    * (never purchased in train) count as misses, not exclusions — the
+    * number a production recommender actually lives with.
+    *
+    * Scale: the candidate ranking is one window per seed part
+    * (partition keys grow with the catalog); test pairs are
+    * basket-width²-bounded; the metric join is rank-keyed equi. */
+  def recommenderEval(spark: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    val split = pmod(graft.functions.Text.md5Hash60(
+      concat_ws("-", lit("receval"), col("basket"))), lit(10L))
+    val train = li.filter(split < 8)
+    val test = li.filter(split >= 8).distinct()
+    val und = pairDeltas(train.select(col("basket").as("l_orderkey"),
+      col("item").as("l_partkey")))
+    val ranked = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+    val pairs = test.select(col("basket"), col("item").as("seed"))
+      .join(test.select(col("basket"), col("item").as("target")), Seq("basket"))
+      .filter(col("seed") =!= col("target"))
+      .select(col("seed"), col("target"))
+    val judged = pairs.join(ranked,
+        pairs("seed") === ranked("src") && pairs("target") === ranked("dst"),
+        "left")
+      .select(col("seed"), col("target"), col("rnk"))
+    judged
+      .select(col("rnk"), explode(array(ks.map(k => lit(k)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_cases"),
+        sum(when(col("rnk").isNotNull && col("rnk") <= col("k"), 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("k").cast("long").as("k"), col("n_cases"), col("n_hits"),
+        // test-pair counts at corpus scale push hits·1e6 past int64
+        expr("CAST(n_hits AS DECIMAL(38,0)) * 1000000 div n_cases")
+          .as("hitrate_micro"))
+  }
+
   // ---- persisted co-purchase graph store ------------------------------
 
   /** Found the durable co-purchase graph: one (pa, pb, w) edge-DELTA

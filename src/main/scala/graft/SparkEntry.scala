@@ -454,6 +454,7 @@ object SparkEntry {
     "q240_semantic_decontam" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
     "q241_distinct_n_approx" -> ((s, d) => TextOps.distinctNgramApprox(s, d)),
     "q242_rec_eval" -> ((s, d) => Graph.recommenderEval(s, d)),
+    "q243_markov_eval" -> ((s, d) => EventFlow.markovPredictionEval(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -644,7 +645,7 @@ object SparkEntry {
       ("q234_prf_expansion" -> q234Sql) + ("q235_communities" -> q235Sql) +
       ("q236_related_parts" -> q236Sql) + ("q237_spearman" -> q237Sql) +
       ("q238_conformal" -> q238Sql) + ("q239_graph_summary" -> q239Sql) +
-      ("q242_rec_eval" -> q242Sql) +
+      ("q242_rec_eval" -> q242Sql) + ("q243_markov_eval" -> q243Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -855,6 +856,33 @@ object SparkEntry {
       |    AS BIGINT) AS n_hits,
       |  CAST(CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END)
       |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS hitrate_micro
+      |FROM j CROSS JOIN ks GROUP BY k""".stripMargin
+
+  /** q243: Markov next-event accuracy@k on held-out users — q88's lag
+    * window per split, train-count ranking, the q242 metric fold. */
+  private lazy val q243Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+      |    CAST('0x' || substr(md5('mkv-' || CAST(user_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 10 AS split
+      |  FROM events),
+      | tr AS (SELECT event_type AS next_type, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM ev WHERE split < 8),
+      | rk AS (SELECT prev_type, next_type, row_number() OVER
+      |    (PARTITION BY prev_type ORDER BY n DESC, next_type ASC) AS rnk
+      |  FROM (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |    FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)),
+      | te AS (SELECT event_type AS next_type, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM ev WHERE split >= 8),
+      | j AS (SELECT rnk FROM te LEFT JOIN rk USING (prev_type, next_type)
+      |  WHERE te.prev_type IS NOT NULL),
+      | ks AS (SELECT unnest([1, 2, 3]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_cases,
+      |  CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hits,
+      |  CAST(CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END)
+      |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS accuracy_micro
       |FROM j CROSS JOIN ks GROUP BY k""".stripMargin
 
   /** q236: personalized PageRank, five unrolled rounds — per-edge

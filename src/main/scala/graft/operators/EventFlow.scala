@@ -152,6 +152,49 @@ object EventFlow {
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("CAST((n * CAST(1000000 AS BIGINT)) DIV tot AS BIGINT)").as("prob_u"))
 
+  /** MARKOV-MODEL EVALUATION — next-event prediction accuracy@k on
+    * HELD-OUT users: the q88 transition matrix is the simplest session
+    * model anyone deploys, and this is the report that says whether it
+    * predicts anything. Users split by a salted hash (train ≈ 80%,
+    * test the rest — USER-level, so no test transition's history leaks
+    * into the matrix), next-type candidates rank per previous type by
+    * train count (ties to the lexicographically smaller type), and
+    * every consecutive test-sequence step asks "was the actual next
+    * event in the model's top-k?" — per k, cases / hits / accuracy in
+    * integer micro. A previous type unseen in training predicts
+    * nothing and counts as a miss.
+    *
+    * Scale: one user-window pass per split (q88's plan); the model is
+    * the types²-bounded matrix, broadcast into the test join; the
+    * metric fold is one aggregate. */
+  def markovPredictionEval(spark: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("split", pmod(graft.functions.Text.md5Hash60(
+        concat_ws("-", lit("mkv"), col("user_id"))), lit(10L)))
+    def steps(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+    val ranked = steps(ev.filter(col("split") < 8))
+      .groupBy(col("prev_type"), col("next_type")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("prev_type"))
+          .orderBy(col("n").desc, col("next_type").asc)))
+      .select(col("prev_type"), col("next_type"), col("rnk"))
+    steps(ev.filter(col("split") >= 8))
+      .join(broadcast(ranked), Seq("prev_type", "next_type"), "left")
+      .select(col("rnk"), explode(array(ks.map(k => lit(k)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_cases"),
+        sum(when(col("rnk").isNotNull && col("rnk") <= col("k"), 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("k").cast("long").as("k"), col("n_cases"), col("n_hits"),
+        expr("CAST(n_hits AS DECIMAL(38,0)) * 1000000 div n_cases")
+          .as("accuracy_micro"))
+  }
+
   /** Steady-state traffic share — the stationary distribution of the
     * [[markovTransitions]] chain by fixed-iteration power method: the
     * long-run fraction of events of each type if users keep behaving

@@ -455,6 +455,7 @@ object SparkEntry {
     "q241_distinct_n_approx" -> ((s, d) => TextOps.distinctNgramApprox(s, d)),
     "q242_rec_eval" -> ((s, d) => Graph.recommenderEval(s, d)),
     "q243_markov_eval" -> ((s, d) => EventFlow.markovPredictionEval(s, d)),
+    "q244_ab_readout" -> ((s, d) => EventFlow.abExperimentReadout(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -646,6 +647,7 @@ object SparkEntry {
       ("q236_related_parts" -> q236Sql) + ("q237_spearman" -> q237Sql) +
       ("q238_conformal" -> q238Sql) + ("q239_graph_summary" -> q239Sql) +
       ("q242_rec_eval" -> q242Sql) + ("q243_markov_eval" -> q243Sql) +
+      ("q244_ab_readout" -> q244Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -857,6 +859,47 @@ object SparkEntry {
       |  CAST(CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END)
       |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS hitrate_micro
       |FROM j CROSS JOIN ks GROUP BY k""".stripMargin
+
+  /** q244: the two-arm experiment readout — hash arms, purchase
+    * conversion, Wald interval and 2×2 χ² from exact integer counts
+    * with one double op order per side. */
+  private lazy val q244Sql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS converted,
+      |    CAST('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 2 = 0 AS is_a
+      |  FROM events GROUP BY user_id),
+      | m AS (SELECT
+      |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN is_a THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN NOT is_a THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u),
+      | v AS (SELECT *,
+      |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+      |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+      |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+      |    CAST(conv_a AS DOUBLE) AS cad, CAST(conv_b AS DOUBLE) AS cbd
+      |  FROM m),
+      | w AS (SELECT *, pa - pb AS d,
+      |    sqrt(pa * (1.0 - pa) / nad + pb * (1.0 - pb) / nbd) AS se,
+      |    (nad + nbd) * (cad * (nbd - cbd) - cbd * (nad - cad))
+      |      * (cad * (nbd - cbd) - cbd * (nad - cad)) AS chi_num,
+      |    (cad + cbd) * ((nad + nbd) - cad - cbd) * nad * nbd AS chi_den
+      |  FROM v)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(CAST(conv_a AS HUGEINT) * 1000000 // n_a AS BIGINT) AS rate_a_micro,
+      |  CAST(CAST(conv_b AS HUGEINT) * 1000000 // n_b AS BIGINT) AS rate_b_micro,
+      |  CAST(round(round(d, 6) * 1000000, 0) AS BIGINT) AS diff_micro,
+      |  CAST(round(round(d - 1.959964 * se, 6) * 1000000, 0) AS BIGINT)
+      |    AS ci_lo_micro,
+      |  CAST(round(round(d + 1.959964 * se, 6) * 1000000, 0) AS BIGINT)
+      |    AS ci_hi_micro,
+      |  CASE WHEN chi_den > 0 THEN
+      |    CAST(round(round(chi_num / chi_den, 6) * 1000, 0) AS BIGINT)
+      |  END AS chi2_milli
+      |FROM w""".stripMargin
 
   /** q243: Markov next-event accuracy@k on held-out users — q88's lag
     * window per split, train-count ranking, the q242 metric fold. */

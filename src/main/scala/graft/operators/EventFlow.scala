@@ -152,6 +152,56 @@ object EventFlow {
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("CAST((n * CAST(1000000 AS BIGINT)) DIV tot AS BIGINT)").as("prob_u"))
 
+  /** A/B EXPERIMENT READOUT — the two-arm conversion analysis every
+    * product-analytics surface ships: users assigned to arms by a
+    * salted hash (the deterministic stand-in for a real assignment
+    * column — this corpus carries no experiment, so the expected
+    * readout is a null effect; the operator is the machinery),
+    * conversion = any purchase event. One row: per-arm users /
+    * conversions / rates, the risk difference, its 95% Wald interval
+    * (z frozen at 1.959964 — the Benford/DCG literal convention), and
+    * the 2×2 chi-square statistic. Counts and rates are exact
+    * integers; the interval and χ² are the only doubles, computed
+    * from bit-identical integer inputs with one op order per side
+    * (the q195/q196 discipline).
+    *
+    * Scale: one scan folds per-user conversion (map-side combinable),
+    * one 1-row aggregate over the users frame — nothing row-scale
+    * past the first shuffle. */
+  def abExperimentReadout(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("is_a", pmod(graft.functions.Text.md5Hash60(
+        concat_ws("-", lit("ab"), col("user_id"))), lit(2L)) === 0)
+    val m = users.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("is_a"), col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("is_a"), col("converted")).otherwise(0L)).as("conv_b"))
+    val (na, ca, nb, cb) = (col("n_a").cast("double"), col("conv_a").cast("double"),
+      col("n_b").cast("double"), col("conv_b").cast("double"))
+    val (pa, pb) = (ca / na, cb / nb)
+    val d = pa - pb
+    val se = sqrt(pa * (lit(1.0) - pa) / na + pb * (lit(1.0) - pb) / nb)
+    val z = lit(1.959964)
+    // 2×2 χ²: n(ad−bc)² / (row·col products) — exact rational into one
+    // double division (the q196 shape); a and d are conversions here
+    val n = na + nb
+    val chiNum = n * (ca * (nb - cb) - cb * (na - ca)) *
+      (ca * (nb - cb) - cb * (na - ca))
+    val chiDen = (ca + cb) * (n - ca - cb) * na * nb
+    m.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      expr("CAST(conv_a AS DECIMAL(38,0)) * 1000000 div n_a").as("rate_a_micro"),
+      expr("CAST(conv_b AS DECIMAL(38,0)) * 1000000 div n_b").as("rate_b_micro"),
+      round(round(d, 6) * 1000000, 0).cast("long").as("diff_micro"),
+      round(round(d - z * se, 6) * 1000000, 0).cast("long").as("ci_lo_micro"),
+      round(round(d + z * se, 6) * 1000000, 0).cast("long").as("ci_hi_micro"),
+      when(chiDen > 0, round(round(chiNum / chiDen, 6) * 1000, 0).cast("long"))
+        .as("chi2_milli"))
+  }
+
   /** MARKOV-MODEL EVALUATION — next-event prediction accuracy@k on
     * HELD-OUT users: the q88 transition matrix is the simplest session
     * model anyone deploys, and this is the report that says whether it

@@ -15,12 +15,29 @@ object Bench {
     warm.join(org.apache.spark.sql.functions.broadcast(warm.select("r_regionkey")),
         Seq("r_regionkey"))
       .write.format("noop").mode("overwrite").save()
+    // Durable per-query artifact: the round-10 driver bench artifact
+    // kept only the stdout TAIL, so per-query timings survived for 61
+    // of 241 queries. Every emit also lands the full cumulative JSON
+    // in a FILE (write-temp-then-rename, so a kill mid-write never
+    // leaves a half-written artifact) — the audit trail no longer
+    // depends on how much stdout the harness retains.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json"))
     def emit(results: Seq[(String, Double)]): Unit = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      println(line)
       Console.out.flush()
+      try {
+        val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, line + "\n")
+        java.nio.file.Files.move(tmp, outPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: java.io.IOException => () } // stdout remains the contract
     }
     // Deterministic name order: Map iteration order reshuffles whenever
     // a query is added, which silently reassigns residual-warmup cost to

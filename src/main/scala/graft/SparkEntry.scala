@@ -456,6 +456,11 @@ object SparkEntry {
     "q242_rec_eval" -> ((s, d) => Graph.recommenderEval(s, d)),
     "q243_markov_eval" -> ((s, d) => EventFlow.markovPredictionEval(s, d)),
     "q244_ab_readout" -> ((s, d) => EventFlow.abExperimentReadout(s, d)),
+    "q245_trained_classifier" -> ((s, d) => TextOps.trainedQualityClassifier(s, d)),
+    "q246_components" -> ((s, d) => Graph.connectedComponents(s, d)),
+    "q247_walk_pairs" -> ((s, d) => Graph.randomWalkPairs(s, d)),
+    "q248_seed_bfs" -> ((s, d) => Graph.seedDistances(s, d)),
+    "q249_kcore" -> ((s, d) => Graph.kCorePeel(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -648,6 +653,9 @@ object SparkEntry {
       ("q238_conformal" -> q238Sql) + ("q239_graph_summary" -> q239Sql) +
       ("q242_rec_eval" -> q242Sql) + ("q243_markov_eval" -> q243Sql) +
       ("q244_ab_readout" -> q244Sql) +
+      ("q245_trained_classifier" -> q245Sql) + ("q246_components" -> q246Sql) +
+      ("q247_walk_pairs" -> q247Sql) + ("q248_seed_bfs" -> q248Sql) +
+      ("q249_kcore" -> q249Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -774,7 +782,8 @@ object SparkEntry {
        |  JOIN qh ON tst.source = qh.source
        |  GROUP BY 1, 2, 3)
        |SELECT source, n_cal, qhat_bp, n_test, n_covered,
-       |  CAST(n_covered * 1000000 // n_test AS BIGINT) AS coverage_micro
+       |  CAST(CAST(n_covered AS HUGEINT) * 1000000 // n_test AS BIGINT)
+       |    AS coverage_micro
        |FROM cov""".stripMargin
 
   /** q239: the one-row graph datasheet — exact triangle/wedge totals
@@ -859,6 +868,159 @@ object SparkEntry {
       |  CAST(CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END)
       |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS hitrate_micro
       |FROM j CROSS JOIN ks GROUP BY k""".stripMargin
+
+  /** q245: the fixed-iteration logistic-regression replay — integer
+    * micro features, shifted-positive logit division, sigmoid rounded
+    * to the micro grid, exact HUGEINT gradient sums, truncating
+    * weight update; each iteration is one (gradient, weights) CTE
+    * pair (the q140 unrolled-iteration precedent). */
+  private lazy val q245Sql: String = {
+    val (iters, lr) = (20, 16)
+    val z = "w0 + CAST((CAST(w1 AS HUGEINT) * f1 + CAST(w2 AS HUGEINT) * f2" +
+      " + CAST(w3 AS HUGEINT) * f3 + CAST(w4 AS HUGEINT) * f4" +
+      " + 1000000000000000000) // 1000000 AS BIGINT) - 1000000000000"
+    val rounds = (1 to iters).map { t =>
+      val upd = (0 to 4).map { j =>
+        s"CAST(w$j - $lr * (g$j // (CAST(n AS HUGEINT) * 1000000)) AS BIGINT) AS w$j"
+      }.mkString(",\n    ")
+      s"""gt$t AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(e AS HUGEINT) * 1000000) AS g0,
+         |    sum(CAST(e AS HUGEINT) * f1) AS g1,
+         |    sum(CAST(e AS HUGEINT) * f2) AS g2,
+         |    sum(CAST(e AS HUGEINT) * f3) AS g3,
+         |    sum(CAST(e AS HUGEINT) * f4) AS g4
+         |  FROM (SELECT f1, f2, f3, f4,
+         |      CAST(round(1000000.0 / (1.0 + exp(-(CAST(($z) AS DOUBLE)
+         |        / 1000000.0))), 0) AS BIGINT) - y * 1000000 AS e
+         |    FROM qf CROSS JOIN wt${t - 1})),
+         | wt$t AS MATERIALIZED (SELECT
+         |    $upd
+         |  FROM gt$t CROSS JOIN wt${t - 1})""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH qf AS MATERIALIZED (SELECT
+       |    CAST(CAST(len(list_distinct(toks)) AS HUGEINT) * 1000000
+       |      // len(toks) AS BIGINT) AS f1,
+       |    CAST(CAST(swi AS HUGEINT) * 1000000 // len(toks) AS BIGINT) AS f2,
+       |    least(CAST(len(toks) AS BIGINT) * 10000, 1000000) AS f3,
+       |    CAST(1000000 - CAST(len(list_distinct(shs)) AS HUGEINT) * 1000000
+       |      // len(shs) AS BIGINT) AS f4,
+       |    CASE WHEN round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+       |        / len(toks))
+       |      + 0.4 * (1.0 - CAST(swi AS DOUBLE) / len(toks))
+       |      + 0.2 * least(len(toks) / 100.0, 1.0), 4) >= 0.66
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM (SELECT doc_id, toks, swi, CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(0, len(toks) - 2),
+       |        i -> array_to_string(toks[i+1:i+3], ' '))
+       |      ELSE [array_to_string(toks, ' ')] END AS shs
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |          x -> x IN ('the','a','and','of'))) AS BIGINT) AS swi
+       |      FROM documents))
+       |  WHERE CAST('0x' || substr(md5('qcls-' || CAST(doc_id AS VARCHAR)),
+       |    1, 15) AS BIGINT) % 10 < 8),
+       | wt0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |    CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+       |    CAST(0 AS BIGINT) AS w4),
+       | $rounds
+       |SELECT 'bias' AS feature, w0 AS weight_micro FROM wt$iters
+       |UNION ALL SELECT 'distinct_ratio', w1 FROM wt$iters
+       |UNION ALL SELECT 'stop_ratio', w2 FROM wt$iters
+       |UNION ALL SELECT 'len_sat', w3 FROM wt$iters
+       |UNION ALL SELECT 'dup_frac', w4 FROM wt$iters""".stripMargin
+  }
+
+  /** q246: exact connected components — the q49 transitive-closure
+    * CTEs over the co-purchase edge list, histogrammed (q121 shape). */
+  private lazy val q246Sql: String =
+    s"""WITH RECURSIVE $coPurchaseCtes,
+       | pairs AS (SELECT pa AS doc_a, pb AS doc_b FROM cp_und),
+       | $ccCtes,
+       | cc_sizes AS (SELECT cluster_id, count(*) AS n
+       |   FROM clus GROUP BY cluster_id)
+       |SELECT CAST(n AS BIGINT) AS component_size,
+       |  CAST(count(*) AS BIGINT) AS n_components
+       |FROM cc_sizes GROUP BY n""".stripMargin
+
+  /** q247: the md5-driven walk replay — per-step neighbor index =
+    * hash % outdeg + 1 against the dst-sorted adjacency. */
+  private lazy val q247Sql: String = {
+    val walkLen = 4
+    val steps = (1 to walkLen).map { k =>
+      // NOTE: no continuation line may START with '||' — this builder
+      // is re-stripMargin'd inside the outer template, which would eat
+      // one pipe and leave a binary '|'
+      s"""rw$k AS (SELECT walk_id, a.dst AS cur
+         |  FROM rw${k - 1} JOIN rw_adj a ON rw${k - 1}.cur = a.src
+         |    AND a.idx = CAST('0x' || substr(md5('walk-' ||
+         |      CAST(walk_id AS VARCHAR) || '-$k'), 1, 15) AS BIGINT)
+         |      % a.outdeg + 1)""".stripMargin
+    }.mkString(",\n ")
+    val unions = (1 to walkLen)
+      .map(k => s"SELECT walk_id, cur FROM rw$k").mkString(" UNION ALL ")
+    s"""WITH $coPurchaseCtes,
+       | rw_edges AS (SELECT pa AS src, pb AS dst FROM cp_und
+       |   UNION ALL SELECT pb, pa FROM cp_und),
+       | rw_adj AS (SELECT src, dst,
+       |     CAST(row_number() OVER (PARTITION BY src ORDER BY dst ASC)
+       |       AS BIGINT) AS idx,
+       |     CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+       |   FROM rw_edges),
+       | rw0 AS (SELECT src AS walk_id, src AS cur
+       |   FROM (SELECT DISTINCT src FROM rw_edges)),
+       | $steps
+       |SELECT walk_id AS anchor, cur AS context,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM ($unions) WHERE cur <> walk_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q248: unrolled BFS rounds — each round's new frontier is the
+    * neighbor set minus everything already reached. */
+  private lazy val q248Sql: String = {
+    val maxHops = 4
+    val rounds = (1 to maxHops).map { k =>
+      s"""bn$k AS (SELECT DISTINCT e.dst AS part
+         |  FROM bb${k - 1} b JOIN bf_edges e ON b.part = e.src
+         |  WHERE e.dst NOT IN (SELECT part FROM bb${k - 1})),
+         | bb$k AS (SELECT part, hops FROM bb${k - 1}
+         |  UNION ALL SELECT part, CAST($k AS BIGINT) FROM bn$k)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $coPurchaseCtes,
+       | bf_edges AS (SELECT pa AS src, pb AS dst FROM cp_und
+       |   UNION ALL SELECT pb, pa FROM cp_und),
+       | bf_seeds AS (SELECT src AS part
+       |   FROM (SELECT DISTINCT src FROM bf_edges) ORDER BY src ASC LIMIT 3),
+       | bb0 AS (SELECT part, CAST(0 AS BIGINT) AS hops FROM bf_seeds),
+       | $rounds
+       |SELECT part, hops FROM bb$maxHops""".stripMargin
+  }
+
+  /** q249: unrolled peel rounds — degrees over the surviving edges,
+    * sub-k nodes (and their edges) deleted, census per round.
+    * MATERIALIZED: each round's edge list is referenced by the next
+    * round's degree CTE, both semi-filters, and the census row. */
+  private lazy val q249Sql: String = {
+    val (k, rounds) = (100, 5)
+    val peels = (1 to rounds).map { r =>
+      s"""kd$r AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |   FROM (SELECT pa AS node FROM ke${r - 1}
+         |         UNION ALL SELECT pb FROM ke${r - 1}) GROUP BY 1),
+         | ks$r AS MATERIALIZED (SELECT node FROM kd$r WHERE deg >= $k),
+         | ke$r AS MATERIALIZED (SELECT pa, pb FROM ke${r - 1}
+         |   WHERE pa IN (SELECT node FROM ks$r)
+         |     AND pb IN (SELECT node FROM ks$r))""".stripMargin
+    }.mkString(",\n ")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ks$r) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ke$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coPurchaseCtes,
+       | ke0 AS MATERIALIZED (SELECT pa, pb FROM cp_und),
+       | $peels
+       |$rows""".stripMargin
+  }
 
   /** q244: the two-arm experiment readout — hash arms, purchase
     * conversion, Wald interval and 2×2 χ² from exact integer counts
@@ -1050,9 +1212,10 @@ object SparkEntry {
       |       - cum_q_micro) AS step
       |   FROM tc_walk w JOIN tc_glc USING (band))
       |SELECT c_nationkey, c_mktsegment, group_size,
-      |  CAST(sum(step) // (SELECT hi - lo FROM tc_mm) AS BIGINT) AS emd_micro,
-      |  CAST(sum(step) // (SELECT hi - lo FROM tc_mm) AS BIGINT) > 200000
-      |    AS at_risk
+      |  CAST(sum(step) // (SELECT greatest(hi - lo, 1) FROM tc_mm) AS BIGINT)
+      |    AS emd_micro,
+      |  CAST(sum(step) // (SELECT greatest(hi - lo, 1) FROM tc_mm) AS BIGINT)
+      |    > 200000 AS at_risk
       |FROM tc_steps GROUP BY 1, 2, 3""".stripMargin
 
   /** q233: Poisson-bootstrap percentile CI — weights from the frozen

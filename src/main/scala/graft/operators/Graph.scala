@@ -365,10 +365,17 @@ object Graph {
     val test = li.filter(split >= 8).distinct()
     val und = pairDeltas(train.select(col("basket").as("l_orderkey"),
       col("item").as("l_partkey")))
+    // rnk ≤ max(k) BEFORE the metric join — identical semantics (an
+    // unjoined pair is already a miss; a joined pair with rank past
+    // every k scores as a miss either way), and the bound turns the
+    // window into the bounded-heap TopKPerGroup operator instead of a
+    // full per-seed sort a hub part would pay at catalog scale
+    // (PlanSpec pins the fusion)
     val ranked = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rnk") <= lit(ks.max))
     val pairs = test.select(col("basket"), col("item").as("seed"))
       .join(test.select(col("basket"), col("item").as("target")), Seq("basket"))
       .filter(col("seed") =!= col("target"))
@@ -389,6 +396,185 @@ object Graph {
           .as("hitrate_micro"))
   }
 
+  /** CONNECTED COMPONENTS of the co-purchase graph, reported as the
+    * component-size histogram (the q121 shape) — the global-structure
+    * census beside label propagation's community table: LPA's fixed
+    * synchronous rounds find dense FAMILIES inside a component, while
+    * this is the exact partition into reachability classes (how many
+    * isolated pair-islands exist vs one connected catalog), the same
+    * min-label fixpoint the dedup family's q49 closure computes over
+    * near-dup pairs.
+    *
+    * Scale: delegates to [[Dedup.connectedComponents]] — per
+    * iteration one join of the node-sized label frame against the
+    * cached edge list plus one min-aggregate, converged when the
+    * strictly-decreasing label sum repeats, iteration count bounded
+    * by component diameter (co-purchase graphs are small-world —
+    * single digits). Nothing pair-shaped beyond the edge list itself
+    * ever materializes; the rollup is component-count-sized. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame =
+    componentHistogram(coPurchaseEdges(spark, dir))
+
+  /** The histogram fold over an arbitrary undirected edge list —
+    * shared by the in-process build and the persisted store's read
+    * face (GraphStoreSpec pins equality between the two). */
+  private[graft] def componentHistogram(und: DataFrame): DataFrame =
+    Dedup.connectedComponents(
+        und.select(col("pa").as("doc_a"), col("pb").as("doc_b")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
+
+  /** [[connectedComponents]] read purely from the persisted graph
+    * store — no corpus scan, no pair re-expansion (the
+    * [[pageRankFromStore]] convention). */
+  def connectedComponentsFromStore(spark: SparkSession, storeDir: String): DataFrame =
+    componentHistogram(storedEdges(spark, storeDir))
+
+  /** SEED-SET BFS DISTANCE — "how many co-purchase hops from the
+    * promoted set" as a per-part column: fixed-frontier breadth-first
+    * rounds from the `nSeeds` smallest part keys (the q236 seed
+    * convention, deterministic and SF-stable), each part reported
+    * with its hop distance 0..`maxHops`; parts beyond the horizon are
+    * absent (the fixed-round snapshot is the deterministic contract —
+    * both engines walk the same rounds).
+    *
+    * Scale: the PPR data movement minus the damping arithmetic — per
+    * round the FRONTIER (new nodes only, not the cumulative set)
+    * joins the pre-partitioned edge list shuffle_hash, and the
+    * anti-join that strips already-seen nodes runs against the
+    * node-bounded distance frame; every frame in flight is node-sized
+    * or smaller, and early rounds ship only the seeds' neighborhoods
+    * (the frontier sparsity BFS is loved for). */
+  def seedDistances(spark: SparkSession, dir: String, nSeeds: Int = 3,
+      maxHops: Int = 4): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val edges = PlanCache.tracked(sym.repartition(col("src")))
+    val seeds: Seq[Long] = edges.select(col("src")).distinct()
+      .orderBy(col("src").asc).limit(nSeeds)
+      .collect().map(_.getLong(0)).toSeq // nSeeds-bounded driver fold
+    var dist = PlanCache.tracked(
+      seeds.toDF("part").withColumn("hops", lit(0L)))
+    var frontier = dist.select(col("part"))
+    for (k <- 1 to maxHops) {
+      val next = PlanCache.tracked(
+        frontier.hint("shuffle_hash").join(edges,
+            frontier("part") === edges("src"))
+          .select(col("dst").as("part")).distinct()
+          .join(dist, Seq("part"), "left_anti")
+          .withColumn("hops", lit(k.toLong)))
+      dist = PlanCache.tracked(dist.union(next))
+      frontier = next.select(col("part"))
+    }
+    dist
+  }
+
+  /** K-CORE PEEL CENSUS — the density-stratification read beside the
+    * component census: `rounds` synchronous peeling rounds, each
+    * deleting every node whose CURRENT degree is below `k` (and the
+    * edges it carries), reporting per round how many nodes and edges
+    * survive. The fixed-round snapshot is the determinism contract
+    * (the q235 LPA convention — true k-core is this peel run to a
+    * fixpoint; the census converges visibly when consecutive rows
+    * repeat, and the snapshot is identical on both engines either
+    * way). A collapsing row sequence says the graph is shallow
+    * hub-fringe; a stable one names a dense co-purchase core worth
+    * mining (the q231 triangle family's natural habitat).
+    *
+    * Scale: per round one degree aggregate over the surviving edge
+    * list (exploded endpoints — one edge reference, the CC trick) and
+    * two semi-joins back onto it — edge-bounded data movement,
+    * node-sized survivor frames; the census rows fold from ONE
+    * union-aggregate per round (no 1-row cross joins — the
+    * no-cartesian plan rule holds engine-wide).
+    *
+    * Round boundary: each peeled edge list crosses an RDD boundary
+    * (`createDataFrame(df.rdd, schema)`). Unlike every other iterative
+    * operator here (whose rounds reference the iterated frame ONCE, so
+    * plans grow linearly), the peel references it from the degree
+    * aggregate AND both semi-joins — the Catalyst tree would compound
+    * ~5× per round and round 5's plan explodes (measured: analysis
+    * succeeds but the executor's plan-string rendering alone OOMs).
+    * The RDD boundary resets the plan to a leaf per round while RDD
+    * lineage — and with it fault-tolerant recompute and cache
+    * evictability — stays intact, which is exactly the scale
+    * objection [[PlanCache]] documents against `localCheckpoint`. The
+    * price is one row ser/deser boundary per round on the
+    * already-peeled (shrinking) edge list. */
+  def kCorePeel(spark: SparkSession, dir: String, k: Int = 100,
+      rounds: Int = 5): DataFrame = {
+    var edges = PlanCache.tracked(
+      coPurchaseEdges(spark, dir).select(col("pa"), col("pb")))
+    val censusRows = (1 to rounds).map { r =>
+      val deg = edges.select(explode(array(col("pa"), col("pb"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val surv = PlanCache.tracked(
+        deg.filter(col("deg") >= k).select(col("node")))
+      val peeled = edges
+        .join(surv.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+        .join(surv.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+      edges = PlanCache.tracked(
+        spark.createDataFrame(peeled.rdd, peeled.schema))
+      // nodes and edges counted in ONE aggregate over a tagged union
+      surv.select(lit(1L).as("t")).union(edges.select(lit(0L).as("t")))
+        .agg(coalesce(sum(col("t")), lit(0L)).as("n_nodes"),
+          coalesce(sum(lit(1L) - col("t")), lit(0L)).as("n_edges"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    censusRows.reduce(_ union _)
+  }
+
+  /** RANDOM-WALK POSITIVE-PAIR GENERATION (the node2vec/DeepWalk
+    * sampling stand-in): one fixed-length walk per node over the
+    * co-purchase graph, each step's neighbor chosen by a salted md5
+    * draw over the node's (dst-sorted) adjacency — deterministic
+    * replay on the 2⁶⁰ grid, the q67 sampler discipline, so both
+    * engines walk byte-identical paths. Emits the (anchor, context)
+    * co-occurrence pairs — anchor = walk start, context = each node
+    * the walk visits — that feed a skip-gram/contrastive embedding
+    * trainer (the [[Similarity.contrastiveTriplets]] positives, graph
+    * edition); a walk that returns to its anchor contributes no
+    * self-pair.
+    *
+    * Scale: the adjacency index (per-source neighbor rank + degree,
+    * one window pass over the pre-partitioned edge list) is built
+    * once and cached; each of the `walkLen` steps joins the node-
+    * sized walk frame against it shuffle_hash and keeps the one
+    * md5-selected neighbor, so a step's in-flight volume is bounded
+    * by the edge list and its output by the node count. Nothing
+    * quadratic: total emitted pairs ≤ walkLen · |nodes|. */
+  def randomWalkPairs(spark: SparkSession, dir: String,
+      walkLen: Int = 4): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    // neighbor rank + degree share one window partitioning: one
+    // exchange builds the whole index
+    val bysrc = Window.partitionBy(col("src"))
+    val adj = PlanCache.tracked(sym.repartition(col("src"))
+      .withColumn("idx", row_number().over(bysrc.orderBy(col("dst").asc)))
+      .withColumn("outdeg", count(lit(1)).over(bysrc)))
+    var cur = adj.select(col("src")).distinct()
+      .select(col("src").as("walk_id"), col("src").as("cur"))
+    val steps = (1 to walkLen).map { k =>
+      // join fans out to the node's neighbors, the draw keeps exactly
+      // one: per-step cost is one pass over the edge list
+      cur = PlanCache.tracked(
+        cur.hint("shuffle_hash").join(adj, cur("cur") === adj("src"))
+          .filter(col("idx") === pmod(graft.functions.Text.md5Hash60(
+              concat_ws("-", lit("walk"), col("walk_id"), lit(k))),
+            col("outdeg")) + lit(1))
+          .select(col("walk_id"), col("dst").as("cur")))
+      cur
+    }
+    steps.reduce(_ union _)
+      .filter(col("cur") =!= col("walk_id"))
+      .groupBy(col("walk_id").as("anchor"), col("cur").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---- persisted co-purchase graph store ------------------------------
 
   /** Found the durable co-purchase graph: one (pa, pb, w) edge-DELTA
@@ -396,10 +582,30 @@ object Graph {
     * store is append-only by construction — a crawl of new orders
     * appends its own within-basket pair counts and no old row is ever
     * rewritten; readers sum deltas per edge. At 100 TB the pair
-    * expansion (the expensive scan) runs once per order, ever. */
-  def foundGraphStore(spark: SparkSession, dir: String, storeDir: String): Unit =
-    writeDeltas(pairDeltas(Tables(spark, dir, "lineitem")),
-      s"$storeDir/edges", "founding")
+    * expansion (the expensive scan) runs once per order, ever.
+    *
+    * Founding IS the first reconcile ([[reconcileGraphStore]] on an
+    * empty store): it writes the `baskets` ledger alongside the edge
+    * deltas, so a store founded here and later handed to the
+    * scheduled reconcile job sees every founding basket as already
+    * expanded — the round-10 advice found the ledger-less founding
+    * silently double-counted every edge on the first reconcile. */
+  def foundGraphStore(spark: SparkSession, dir: String, storeDir: String): Unit = {
+    reconcileGraphStore(spark, dir, storeDir); ()
+  }
+
+  /** Append basket keys to the store's expansion ledger — every
+    * ingest face (found/reconcile, batch append, stream) records the
+    * baskets it expanded, so the faces compose: whichever face landed
+    * a basket first, reconcile's anti-join sees it as done. Duplicate
+    * ledger rows are harmless (the anti-join reads presence). Always
+    * called AFTER the delta write: a crash between the two leaves the
+    * basket unclaimed, and the face's retry contract (content-derived
+    * partition key / checkpoint replay) re-lands the same delta
+    * partition idempotently before claiming it. */
+  private[graft] def appendLedger(baskets: DataFrame, storeDir: String): Unit =
+    baskets.write.mode("append")
+      .parquet(Atomic.resolve(baskets.sparkSession, storeDir, "baskets"))
 
   /** One shared write convention for EVERY graph-store edge write:
     * deltas land under `ingest_batch=<key>` with dynamic partition
@@ -440,10 +646,16 @@ object Graph {
     * compaction, never the append ([[Atomic.publish]]). */
   def appendToGraphStore(lineitemBatch: DataFrame, storeDir: String): Unit = {
     val (n, key) = batchKeyOf(lineitemBatch)
-    if (n > 0)
+    if (n > 0) {
       writeDeltas(pairDeltas(lineitemBatch),
         Atomic.resolve(lineitemBatch.sparkSession, storeDir, "edges"),
         s"append-$key")
+      // claim the baskets in the ledger AFTER the deltas land, so a
+      // mixed append+reconcile maintenance schedule never re-expands
+      // them (see [[appendLedger]] for the crash-order contract)
+      appendLedger(lineitemBatch.select(col("l_orderkey").as("basket"))
+        .distinct(), storeDir)
+    }
   }
 
   /** The store's merged edge view: per-edge delta sum, tombstoned
@@ -493,14 +705,15 @@ object Graph {
     * delta, no lost basket. Returns the number of baskets appended. */
   def reconcileGraphStore(spark: SparkSession, dir: String,
       storeDir: String): Long = {
-    val ledgerPath = new org.apache.hadoop.fs.Path(s"$storeDir/baskets")
+    val resolvedLedger = Atomic.resolve(spark, storeDir, "baskets")
+    val ledgerPath = new org.apache.hadoop.fs.Path(resolvedLedger)
     val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
     val allBaskets = li.select(col("l_orderkey").as("basket")).distinct()
     val newBaskets =
       if (fs.exists(ledgerPath))
-        allBaskets.join(spark.read.parquet(s"$storeDir/baskets"),
+        allBaskets.join(spark.read.parquet(resolvedLedger),
           Seq("basket"), "left_anti")
       else allBaskets
     val increment = li.join(
@@ -510,7 +723,7 @@ object Graph {
     if (n > 0) {
       writeDeltas(pairDeltas(increment),
         Atomic.resolve(spark, storeDir, "edges"), s"recon-$key")
-      newBaskets.write.mode("append").parquet(s"$storeDir/baskets")
+      appendLedger(newBaskets, storeDir)
     }
     n
   }
@@ -531,5 +744,18 @@ object Graph {
     }
     if (hadTombstones) Atomic.purge(spark, storeDir, "edges")
     Forgotten.clear(spark, storeDir)
+    // the ledger accumulates one small file per ingest (stream batches
+    // especially) — collapse it on the same maintenance schedule; a
+    // tombstoned part's BASKETS stay in the ledger deliberately (the
+    // baskets happened; only the part's edges are erased)
+    val ledger = Atomic.resolve(spark, storeDir, "baskets")
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(ledger))) {
+      val distinctBaskets = spark.read.parquet(ledger).distinct()
+      Atomic.publish(spark, storeDir, "baskets") { staged =>
+        distinctBaskets.repartition(numFiles).write.parquet(staged)
+      }
+    }
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.operators.Graph
+import graft.operators.{Atomic, Graph}
 
 /** Streaming ingest for the persisted co-purchase graph — the online
   * face of [[Graph.appendToGraphStore]]: an order-lines stream keeps
@@ -39,8 +39,20 @@ object GraphStream {
     spark.readStream.schema(schema).json(sourceDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // resolve the LIVE edge dir per batch (not once at start):
+        // after a compaction publishes edges_v<N>, the legacy `edges`
+        // path is a dead directory the next publish deletes — deltas
+        // written there would be checkpoint-committed yet invisible
+        // and then physically lost (the round-10 advice finding)
+        val spark = batch.sparkSession
         Graph.writeDeltas(Graph.pairDeltas(batch),
-          s"$storeDir/edges", s"stream-$batchId")
+          Atomic.resolve(spark, storeDir, "edges"), s"stream-$batchId")
+        // ledger AFTER deltas (the reconcile crash-order contract): a
+        // replayed batch re-lands its own delta partition idempotently
+        // and at worst duplicates ledger rows, which the reconcile
+        // anti-join reads as mere presence
+        Graph.appendLedger(
+          batch.select(col("l_orderkey").as("basket")).distinct(), storeDir)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -34,6 +34,19 @@ class GraphStoreSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     graft.operators.PlanCache.release()
     assert(fromStore == inProcess)
+    // connected components read face ≡ in-process (the q246 operator)
+    val ccStore = Graph.connectedComponentsFromStore(spark, storeDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.PlanCache.release()
+    val ccLocal = Graph.connectedComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.PlanCache.release()
+    assert(ccStore == ccLocal)
+    // every ingest face maintained the baskets ledger, so a reconcile
+    // against the full corpus is a NO-OP — the round-10 advice found a
+    // ledger-less founding made the first reconcile double-count every
+    // founding edge
+    assert(Graph.reconcileGraphStore(spark, sf, storeDir) == 0L)
   }
 
   test("reconcile: founding run expands everything, an unchanged corpus is a no-op, an increment is O(increment)") {

@@ -461,6 +461,10 @@ object SparkEntry {
     "q247_walk_pairs" -> ((s, d) => Graph.randomWalkPairs(s, d)),
     "q248_seed_bfs" -> ((s, d) => Graph.seedDistances(s, d)),
     "q249_kcore" -> ((s, d) => Graph.kCorePeel(s, d)),
+    "q250_walk_pmi" -> ((s, d) => Graph.walkPmiSimilarity(s, d)),
+    "q251_sampled_anf" -> ((s, d) => Graph.sampledNeighborhood(s, d)),
+    "q252_anf_sketch" -> ((s, d) => Graph.neighborhoodSketch(s, d)),
+    "q253_value_drift" -> ((s, d) => DataQuality.valueDrift(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -655,7 +659,9 @@ object SparkEntry {
       ("q244_ab_readout" -> q244Sql) +
       ("q245_trained_classifier" -> q245Sql) + ("q246_components" -> q246Sql) +
       ("q247_walk_pairs" -> q247Sql) + ("q248_seed_bfs" -> q248Sql) +
-      ("q249_kcore" -> q249Sql) +
+      ("q249_kcore" -> q249Sql) + ("q250_walk_pmi" -> q250Sql) +
+      ("q251_sampled_anf" -> q251Sql) + ("q252_anf_sketch" -> q252Sql) +
+      ("q253_value_drift" -> q253Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -942,9 +948,11 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_components
        |FROM cc_sizes GROUP BY n""".stripMargin
 
-  /** q247: the md5-driven walk replay — per-step neighbor index =
-    * hash % outdeg + 1 against the dst-sorted adjacency. */
-  private lazy val q247Sql: String = {
+  /** Walk-pair CTE chain shared by q247/q250: ends in
+    * `wp(anchor, context, n_pairs)` — the md5-driven walk replay,
+    * per-step neighbor index = hash % outdeg + 1 against the
+    * dst-sorted adjacency. */
+  private lazy val walkPairCtes: String = {
     val walkLen = 4
     val steps = (1 to walkLen).map { k =>
       // NOTE: no continuation line may START with '||' — this builder
@@ -958,8 +966,7 @@ object SparkEntry {
     }.mkString(",\n ")
     val unions = (1 to walkLen)
       .map(k => s"SELECT walk_id, cur FROM rw$k").mkString(" UNION ALL ")
-    s"""WITH $coPurchaseCtes,
-       | rw_edges AS (SELECT pa AS src, pb AS dst FROM cp_und
+    s"""rw_edges AS (SELECT pa AS src, pb AS dst FROM cp_und
        |   UNION ALL SELECT pb, pa FROM cp_und),
        | rw_adj AS (SELECT src, dst,
        |     CAST(row_number() OVER (PARTITION BY src ORDER BY dst ASC)
@@ -968,12 +975,151 @@ object SparkEntry {
        |   FROM rw_edges),
        | rw0 AS (SELECT src AS walk_id, src AS cur
        |   FROM (SELECT DISTINCT src FROM rw_edges)),
-       | $steps
-       |SELECT walk_id AS anchor, cur AS context,
-       |  CAST(count(*) AS BIGINT) AS n_pairs
-       |FROM ($unions) WHERE cur <> walk_id
-       |GROUP BY 1, 2""".stripMargin
+       | $steps,
+       | wp AS (SELECT walk_id AS anchor, cur AS context,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |   FROM ($unions) WHERE cur <> walk_id
+       |   GROUP BY 1, 2)""".stripMargin
   }
+
+  private lazy val q247Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | $walkPairCtes
+       |SELECT anchor, context, n_pairs FROM wp""".stripMargin
+
+  /** q250: the PMI fold over the q247 walk pairs — ln is monotone so
+    * the rank-defining score is the exact rational n_pairs·T/(ca·cb)
+    * in micro-units; HUGEINT ≙ the Scala side's Decimal(38), // ≙
+    * truncating div (all operands positive). */
+  private lazy val q250Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | $walkPairCtes,
+       | wt AS (SELECT CAST(sum(n_pairs) AS HUGEINT) AS t FROM wp),
+       | wa AS (SELECT anchor, CAST(sum(n_pairs) AS HUGEINT) AS ca
+       |   FROM wp GROUP BY 1),
+       | wb AS (SELECT context, CAST(sum(n_pairs) AS HUGEINT) AS cb
+       |   FROM wp GROUP BY 1),
+       | ws AS (SELECT wp.anchor, wp.context, wp.n_pairs,
+       |    CAST(CAST(wp.n_pairs AS HUGEINT) * (SELECT t FROM wt)
+       |      * 1000000 // (wa.ca * wb.cb) AS BIGINT) AS pmi_rate_u
+       |   FROM wp
+       |   JOIN wa ON wp.anchor = wa.anchor
+       |   JOIN wb ON wp.context = wb.context),
+       | wr AS (SELECT anchor, context, n_pairs, pmi_rate_u,
+       |    CAST(row_number() OVER (PARTITION BY anchor
+       |      ORDER BY pmi_rate_u DESC, context ASC) AS BIGINT) AS rnk
+       |   FROM ws)
+       |SELECT anchor, context, n_pairs, pmi_rate_u, rnk
+       |FROM wr WHERE rnk <= 5""".stripMargin
+
+  /** q251: per-sample exact BFS balls — the q248 rounds with a sample
+    * column carried through; EXCEPT is the (distinct) anti-join. */
+  private lazy val q251Sql: String = {
+    val (nSamples, maxHops) = (8, 3)
+    val rounds = (1 to maxHops).map { k =>
+      s"""nbn$k AS MATERIALIZED (
+         |   SELECT b.sample, e.dst AS node
+         |   FROM nb${k - 1} b JOIN nb_edges e ON b.node = e.src
+         |   EXCEPT SELECT sample, node FROM nb${k - 1}),
+         | nb$k AS MATERIALIZED (SELECT sample, node FROM nb${k - 1}
+         |   UNION ALL SELECT sample, node FROM nbn$k)""".stripMargin
+    }.mkString(",\n ")
+    val readout = (1 to maxHops).map { k =>
+      s"""SELECT sample AS part, CAST($k AS BIGINT) AS hops,
+         |  CAST(count(*) AS BIGINT) AS ball_n FROM nb$k GROUP BY 1"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coPurchaseCtes,
+       | nb_edges AS (SELECT pa AS src, pb AS dst FROM cp_und
+       |   UNION ALL SELECT pb, pa FROM cp_und),
+       | nb_samples AS (SELECT src AS sample
+       |   FROM (SELECT DISTINCT src FROM nb_edges)
+       |   ORDER BY md5('anf-' || CAST(src AS VARCHAR)) ASC LIMIT $nSamples),
+       | nb0 AS (SELECT sample, sample AS node FROM nb_samples),
+       | $rounds
+       |$readout""".stripMargin
+  }
+
+  /** q252: the HyperBall register replay — per round each node takes
+    * the element-wise max of its neighbors' (and its own, via the
+    * self-loop) registers; estimates divide the frozen integer
+    * numerator, with the frozen linear-counting table as the
+    * small-range branch. */
+  private lazy val q252Sql: String = {
+    val maxHops = 3
+    val m = graft.operators.Graph.AnfRegisters
+    val rb = graft.operators.Graph.AnfRegisterBits
+    val w1 = graft.operators.Graph.AnfRestBits + 1
+    val num = graft.operators.Graph.AnfNumerator
+    val lc = graft.operators.Graph.anfLcCase("zeros")
+    val scale = 1L << w1 // untouched-register term (M = 0), 2^56
+    val rounds = (1 to maxHops).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT e.src AS node, r.reg,
+         |    max(r.mrho) AS mrho
+         |   FROM ar${k - 1} r JOIN an_edges e ON r.node = e.dst
+         |   GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n ")
+    val folds = (1 to maxHops).map { k =>
+      s"""ap$k AS (SELECT node, CAST($m - count(*) AS BIGINT) AS zeros,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST($w1 - mrho AS INT))
+         |      AS BIGINT) AS sumpow
+         |   FROM ar$k GROUP BY node),
+         | af$k AS (SELECT node,
+         |    CASE WHEN zeros > 0 AND est_raw <= ${(5L * m) / 2}
+         |      THEN $lc ELSE est_raw END AS est_n
+         |   FROM (SELECT node, zeros,
+         |      CAST(CAST('$num' AS HUGEINT) // (sumpow + zeros * $scale)
+         |        AS BIGINT) AS est_raw FROM ap$k))""".stripMargin
+    }.mkString(",\n ")
+    val readout = (1 to maxHops).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS hops,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(CAST(est_n AS HUGEINT)) AS BIGINT) AS anf_total,
+         |  CAST(sum(CAST(est_n AS HUGEINT)) * 1000000 // count(*)
+         |    AS BIGINT) AS mean_ball_u
+         |FROM af$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coPurchaseCtes,
+       | an_sym AS (SELECT pa AS src, pb AS dst FROM cp_und
+       |   UNION ALL SELECT pb, pa FROM cp_und),
+       | an_nodes AS (SELECT DISTINCT src FROM an_sym),
+       | an_edges AS MATERIALIZED (SELECT src, dst FROM an_sym
+       |   UNION ALL SELECT src, src AS dst FROM an_nodes),
+       | ar0 AS (SELECT src AS node, h % $m AS reg,
+       |    CASE WHEN (h >> $rb) = 0 THEN $w1
+       |         ELSE $w1 - length(bin(h >> $rb)) END AS mrho
+       |   FROM (SELECT src, CAST('0x' ||
+       |      substr(md5('anfreg-' || CAST(src AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS h FROM an_nodes)),
+       | $rounds,
+       | $folds
+       |$readout""".stripMargin
+  }
+
+  /** q253: the two-window TVD replay — exact integer micro rates per
+    * (type, bucket), the data-derived micro-epoch midpoint as the
+    * split. */
+  private lazy val q253Sql: String =
+    s"""WITH dm AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+       |   FROM events),
+       | dc AS (SELECT event_type,
+       |    CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+       |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM dm)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM dm)
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+       |   FROM events GROUP BY 1, 2),
+       | dt AS (SELECT event_type, n_ref, n_cur,
+       |    sum(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+       |    sum(n_cur) OVER (PARTITION BY event_type) AS t_cur FROM dc),
+       | dd AS (SELECT event_type, t_ref, t_cur,
+       |    CAST(n_ref AS HUGEINT) * 1000000 // greatest(t_ref, 1)
+       |      - CAST(n_cur AS HUGEINT) * 1000000 // greatest(t_cur, 1) AS d
+       |   FROM dt)
+       |SELECT event_type, CAST(max(t_ref) AS BIGINT) AS n_ref,
+       |  CAST(max(t_cur) AS BIGINT) AS n_cur,
+       |  CAST(sum(abs(d)) // 2 AS BIGINT) AS tvd_micro
+       |FROM dd GROUP BY 1""".stripMargin
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

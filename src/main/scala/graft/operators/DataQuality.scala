@@ -334,4 +334,55 @@ object DataQuality {
         col("benford_micro"),
         abs(col("obs_micro") - col("benford_micro")).as("dev_micro"))
   }
+
+  /** DISTRIBUTION-DRIFT MONITOR: per event type, the total-variation
+    * distance (micro) between the value distribution of the stream's
+    * FIRST time half and its SECOND — the "has the data under my
+    * model moved" gauge a training pipeline checks before trusting
+    * yesterday's thresholds (and the trigger that should precede any
+    * `retrainTasks` schedule tightening). Values band into
+    * fixed-width buckets (⌊value/width⌋ — the privacy profiles'
+    * generalization knob); TVD = Σ|p_ref − p_cur| / 2 over the
+    * buckets, in exact integer micro rates — χ²'s cross-product
+    * numerator would outgrow Decimal(38) near 10¹²-count cells, TVD
+    * never leaves [0, 10⁶]. The split point is the midpoint of the
+    * observed time range: derived from the data (no clock), so both
+    * engines and every re-run cut identically.
+    *
+    * Scale: one min/max scan (2-number driver fold), one
+    * (type, bucket, half) count aggregate — map-side combined, state
+    * bounded by types × buckets — and a types-sized TVD fold. */
+  def valueDrift(spark: org.apache.spark.sql.SparkSession, dir: String,
+      bucketWidth: Double = 5.0): DataFrame = {
+    val ev = graft.Tables(spark, dir, "events")
+    // 2-scalar driver fold (the pmiCollocations convention): the
+    // midpoint that defines "before" vs "after", in epoch MICROS —
+    // unix_micros ≙ the oracle's epoch_us, exact integers (epoch()
+    // is DOUBLE in the oracle dialect and would re-open the float
+    // rounding question this engine spent ten rounds closing)
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val counts = ev.select(col("event_type"),
+        floor(col("value") / lit(bucketWidth)).cast("long").as("bucket"),
+        when(unix_micros(col("ts")) < mid, 1L).otherwise(0L).as("is_ref"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("is_ref")).as("n_ref"),
+        sum(lit(1L) - col("is_ref")).as("n_cur"))
+    counts
+      .withColumn("t_ref", sum(col("n_ref"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .withColumn("t_cur", sum(col("n_cur"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      // a type absent from one half diverges totally; the greatest()
+      // guard keeps the degenerate-window rate at 0 instead of erroring
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("t_ref"), col("t_cur"),
+        (expr("CAST(n_ref AS DECIMAL(38,0)) * 1000000 div greatest(t_ref, 1)") -
+          expr("CAST(n_cur AS DECIMAL(38,0)) * 1000000 div greatest(t_cur, 1)"))
+          .as("d"))
+      .groupBy(col("event_type"))
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        expr("CAST(sum(abs(d)) div 2 AS BIGINT)").as("tvd_micro"))
+  }
 }

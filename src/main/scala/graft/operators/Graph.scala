@@ -575,6 +575,221 @@ object Graph {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** WALK-PAIR PMI NODE SIMILARITY: the embedding-free reading of the
+    * [[randomWalkPairs]] corpus — for each anchor the top-k contexts
+    * by pointwise mutual information over walk co-occurrences, i.e.
+    * the node pairs a skip-gram trainer would pull together hardest.
+    * Factorizing the walk-PMI matrix IS what node2vec/word2vec
+    * converge to (Levy & Goldberg 2014), so this table is the
+    * direct-lookup twin of the embedding pipeline: same positives,
+    * no training step, exact answers.
+    *
+    * PMI ranking stays on the integer grid: `ln` is monotone, so
+    * ordering by pmi ≡ ordering by the exact rational
+    * `n_pairs·T / (ca·cb)`; the score ships as that ratio in
+    * micro-units through Decimal(38) ≙ HUGEINT (no cross-engine
+    * float in sight — the q85 collocation miner rounds a double log
+    * and got away with it; an oracle-checked ranking shouldn't).
+    *
+    * Scale: pair marginals are two node-sized aggregates off the
+    * cached pair frame; T folds driver-side (one row, metadata). The
+    * per-anchor top-k is the `row_number ≤ k` idiom, so the
+    * bounded-heap TopKPerGroup operator fuses (PlanSpec pin) and a
+    * hub anchor never pays a full partition sort. */
+  def walkPmiSimilarity(spark: SparkSession, dir: String,
+      walkLen: Int = 4, topK: Int = 5): DataFrame = {
+    val pairs = PlanCache.tracked(randomWalkPairs(spark, dir, walkLen))
+    // 1-row scalar fold: a crossJoin against a 1-row aggregate plans
+    // the banned BroadcastNestedLoopJoin (the q85 precedent)
+    val t = pairs.agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    val ca = pairs.groupBy(col("anchor")).agg(sum(col("n_pairs")).as("ca"))
+    val cb = pairs.groupBy(col("context")).agg(sum(col("n_pairs")).as("cb"))
+    val scored = pairs
+      .join(ca, Seq("anchor"))
+      .join(cb, Seq("context"))
+      // n_pairs·T·1e6 tops int64 once walks leave toy scale; exact
+      // through Decimal(38), truncating div ≡ DuckDB // (all positive)
+      .select(col("anchor"), col("context"), col("n_pairs"),
+        expr(s"CAST(n_pairs AS DECIMAL(38,0)) * $t * 1000000" +
+            " div (CAST(ca AS DECIMAL(38,0)) * cb)")
+          .as("pmi_rate_u"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("anchor"))
+        .orderBy(col("pmi_rate_u").desc, col("context").asc)))
+      .filter(col("rnk") <= topK)
+      .select(col("anchor"), col("context"), col("n_pairs"),
+        col("pmi_rate_u"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** SAMPLED-SOURCE NEIGHBORHOOD FUNCTION (exact twin of
+    * [[neighborhoodSketch]]): for `nSamples` md5-chosen parts, the
+    * exact ball size |B(v, h)| at each hop h ≤ `maxHops` — the
+    * distance-distribution probe behind "what's the effective
+    * diameter of the co-purchase graph", answered the way ANF-style
+    * estimators validate themselves: exact BFS from a deterministic
+    * source sample. Sampling sources (not sketching all nodes) keeps
+    * the answer exact; the sketch twin covers every node at once.
+    *
+    * Scale: per hop the cumulative reached frame is ≤ samples·nodes
+    * rows and the frontier join ships only the NEW nodes' adjacency
+    * (the q248 BFS shape, one extra sample column); the source pick
+    * is an md5 ORDER BY + LIMIT (TakeOrdered, no global sort). */
+  def sampledNeighborhood(spark: SparkSession, dir: String,
+      nSamples: Int = 8, maxHops: Int = 3): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val edges = PlanCache.tracked(sym.repartition(col("src")))
+    val samples = PlanCache.tracked(
+      edges.select(col("src")).distinct()
+        .orderBy(md5(concat(lit("anf-"), col("src").cast("string"))).asc)
+        .limit(nSamples)
+        .select(col("src").as("sample")))
+    var reached = PlanCache.tracked(
+      samples.select(col("sample"), col("sample").as("node")))
+    var frontier = reached
+    val rows = (1 to maxHops).map { h =>
+      val next = PlanCache.tracked(
+        frontier.hint("shuffle_hash").join(edges,
+            frontier("node") === edges("src"))
+          .select(col("sample"), col("dst").as("node")).distinct()
+          .join(reached, Seq("sample", "node"), "left_anti"))
+      reached = PlanCache.tracked(reached.union(next))
+      frontier = next
+      reached.groupBy(col("sample"))
+        .agg(count(lit(1)).as("ball_n"))
+        .select(col("sample").as("part"), lit(h.toLong).as("hops"),
+          col("ball_n"))
+    }
+    rows.reduce(_ union _)
+  }
+
+  /** Register count for the neighborhood sketch: 2⁵ = 32 registers,
+    * ±18 % per-node standard error — the readout aggregates thousands
+    * of per-node estimates, so the hop totals concentrate far
+    * tighter; the exact twin [[sampledNeighborhood]] is the
+    * ground-truth check. Kept deliberately small because HyperBall's
+    * per-round cost multiplies the edge list by the per-node register
+    * count. */
+  val AnfRegisterBits = 5
+  val AnfRegisters: Int = 1 << AnfRegisterBits // 32
+  val AnfRestBits: Int = 60 - AnfRegisterBits // 55
+
+  /** α·m²·2⁵⁶ — the raw-HLL estimator numerator, frozen as ONE
+    * integer so both engines divide identical integers (the per-node
+    * estimate is `Num div raw` in WHOLE units — micro units would
+    * cross int64 for ~4·10⁸-node balls; whole units hold to 10¹³ —
+    * exact integer division, no cross-engine float anywhere). 2⁵⁶ is
+    * the register-term scale: an untouched register contributes 2⁵⁶,
+    * a register holding rho contributes 2^(56−rho), rho ∈ [1, 56]. */
+  val AnfNumerator: BigInt = {
+    val m = AnfRegisters
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    (BigDecimal(alpha * m * m) * BigDecimal(2).pow(56))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+  }
+
+  /** Linear-counting lookup `round(m·ln(m/z))` for z empty registers
+    * — the small-range branch, frozen as literals so the branch is
+    * integer-only on both engines (whole-unit rounding is far inside
+    * the sketch's ±18 % per-node error). */
+  val AnfLinearCount: IndexedSeq[Long] = {
+    val m = AnfRegisters
+    (1 until m).map(z =>
+      BigDecimal(m * math.log(m.toDouble / z))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  }
+
+  /** The `CASE zeros … END` literal table shared with the oracle. */
+  private[graft] def anfLcCase(zerosCol: String): String =
+    s"CASE $zerosCol " + AnfLinearCount.zipWithIndex.map {
+      case (v, i) => s"WHEN ${i + 1} THEN ${v}"
+    }.mkString(" ") + " ELSE 0 END"
+
+  /** NEIGHBORHOOD-FUNCTION SKETCH (HyperBall, Boldi-Rosa-Vigna
+    * 2011): every node carries a 32-register HLL of its h-hop ball;
+    * one round ORs each node's registers into its neighbors', so
+    * after h rounds register r of node v holds the max rho any node
+    * within distance h hashed into r. Readout per hop: node count,
+    * total estimated ball mass Σ|B(v,h)| (the ANF curve whose knee is
+    * the effective diameter) and the mean ball size in micro-units.
+    * Estimates follow the [[Sketches]] discipline — integer register
+    * sums, the frozen [[AnfNumeratorMicro]] numerator, the frozen
+    * linear-counting table for the small-range branch — so both
+    * engines compute identical integers.
+    *
+    * Scale: state is ≤ nodes·m rows; a round explodes each edge by
+    * its dst's CURRENT register count (≤ m) but the map-side partial
+    * max collapses that fan-out to ≤ nodes·m before the shuffle —
+    * the classic HyperBall trade (m × edge CPU for node-bounded
+    * memory and exactly h rounds, vs exact BFS's frontier²
+    * blow-up). Self-loops ride the cached edge list so each round
+    * references the register frame ONCE (plans stay linear in h —
+    * the kCore lesson). */
+  def neighborhoodSketch(spark: SparkSession, dir: String,
+      maxHops: Int = 3): DataFrame =
+    neighborhoodSketchOnEdges(coPurchaseEdges(spark, dir), maxHops)
+
+  /** The q252 sketch over the persisted store's live edges — the
+    * read-face twin [[pageRankFromStore]]/[[connectedComponentsFromStore]]
+    * established: maintenance appends deltas, analytics read the sum. */
+  def neighborhoodSketchFromStore(spark: SparkSession, storeDir: String,
+      maxHops: Int = 3): DataFrame =
+    neighborhoodSketchOnEdges(storedEdges(spark, storeDir), maxHops)
+
+  private[graft] def neighborhoodSketchOnEdges(und: DataFrame,
+      maxHops: Int): DataFrame = {
+    val m = AnfRegisters
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val nodes = sym.select(col("src")).distinct()
+    // self-loops let the round's single join carry the "keep your own
+    // registers" leg, so each round references the iterated frame once
+    val edges = PlanCache.tracked(
+      sym.union(nodes.select(col("src"), col("src").as("dst")))
+        .repartition(col("dst")))
+    val h0 = graft.functions.Text.md5Hash60(
+      concat(lit("anfreg-"), col("src").cast("string")))
+    var regs = PlanCache.tracked(nodes
+      .select(col("src").as("node"), pmod(h0, lit(m.toLong)).as("reg"),
+        call_function("shiftright", h0, lit(AnfRegisterBits)).as("rest"))
+      .select(col("node"), col("reg"),
+        when(col("rest") === 0, lit(AnfRestBits + 1))
+          .otherwise(lit(AnfRestBits + 1) - length(bin(col("rest"))))
+          .cast("long").as("mrho")))
+    // linear counting when the raw estimate is under 2.5m AND a
+    // register is still empty — integer branch, identical both engines
+    val estN =
+      when(col("zeros") > 0 && col("est_raw") <= lit((5L * m) / 2),
+        expr(anfLcCase("zeros"))).otherwise(col("est_raw")).as("est_n")
+    val rows = (1 to maxHops).map { h =>
+      regs = PlanCache.tracked(
+        regs.hint("shuffle_hash").join(edges, regs("node") === edges("dst"))
+          .groupBy(col("src").as("node2"), col("reg"))
+          .agg(max(col("mrho")).as("mrho"))
+          .select(col("node2").as("node"), col("reg"), col("mrho")))
+      val perNode = regs.groupBy(col("node")).agg(
+        count(lit(1)).as("m_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - mrho AS INT))"))
+          .as("sumpow"))
+        .select(col("node"), (lit(m.toLong) - col("m_hit")).as("zeros"),
+          col("sumpow"))
+        .select(col("node"), col("zeros"),
+          expr(s"CAST('$AnfNumerator' AS DECIMAL(38,0))" +
+            s" div (sumpow + zeros * ${1L << 56})").as("est_raw"))
+        .select(col("node"), estN)
+      perNode.agg(count(lit(1)).as("n_nodes"),
+          // Σ est over 10⁹ nodes × 10⁹-node balls tops int64: widen
+          expr("CAST(sum(CAST(est_n AS DECIMAL(38,0))) div 1" +
+            " AS BIGINT)").as("anf_total"),
+          expr("CAST(sum(CAST(est_n AS DECIMAL(38,0))) * 1000000" +
+            " div count(*) AS BIGINT)").as("mean_ball_u"))
+        .select(lit(h.toLong).as("hops"), col("n_nodes"),
+          col("anf_total"), col("mean_ball_u"))
+    }
+    rows.reduce(_ union _)
+  }
+
   // ---- persisted co-purchase graph store ------------------------------
 
   /** Found the durable co-purchase graph: one (pa, pb, w) edge-DELTA

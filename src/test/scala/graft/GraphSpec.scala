@@ -119,4 +119,62 @@ class GraphSpec extends SparkSpec {
       assert(cc <= 1000000L, s"clustering coefficient bounded: $node")
     }
   }
+
+  test("sampled neighborhood: balls replay a brute-force BFS and grow monotonically") {
+    val got = Graph.sampledNeighborhood(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val edges = Graph.coPurchaseEdges(spark, sf)
+      .select("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.operators.PlanCache.release()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val samples = got.keySet.map(_._1)
+    assert(samples.size == 8)
+    samples.foreach { s =>
+      var ball = Set(s)
+      (1 to 3).foreach { h =>
+        ball = ball ++ ball.flatMap(adj)
+        assert(got((s, h.toLong)) == ball.size.toLong, s"sample $s hop $h")
+      }
+    }
+  }
+
+  test("neighborhood sketch: per-hop means track the exact BFS balls within sketch error") {
+    // All nodes' balls here are similar-sized, so per-node sketch
+    // errors (±18 % s.e. at 32 registers) do NOT average out across
+    // nodes — the bound below is the honest 3σ-ish envelope, and the
+    // oracle pins exact integer replay separately (q252).
+    val sketch = Graph.neighborhoodSketch(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    graft.operators.PlanCache.release()
+    val exact = Graph.sampledNeighborhood(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).sum / xs.length }
+    graft.operators.PlanCache.release()
+    (1 to 3).foreach { h =>
+      val est = sketch(h.toLong).toDouble / 1e6
+      val ex = exact(h.toLong).toDouble
+      assert(est > ex * 0.5 && est < ex * 1.6,
+        s"hop $h: sketch mean $est vs exact sample mean $ex")
+    }
+  }
+
+  test("walk-pair PMI: ranks dense per anchor, scores ordered, contexts reachable") {
+    val got = Graph.walkPmiSimilarity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    graft.operators.PlanCache.release()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (anchor, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to rows.length).map(_.toLong),
+        s"anchor $anchor ranks not dense")
+      // rank order ≡ (score desc, context asc)
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._4 > b._4 || (a._4 == b._4 && a._2 < b._2)
+        case _ => true
+      }, s"anchor $anchor rank/score order")
+      assert(rows.forall(r => r._3 > 0 && r._4 >= 0), s"anchor $anchor values")
+      assert(rows.length <= 5)
+    }
+  }
 }

@@ -42,6 +42,15 @@ class GraphStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     graft.operators.PlanCache.release()
     assert(ccStore == ccLocal)
+    // ANF sketch read face ≡ in-process (the q252 operator): identical
+    // edges → identical registers → bit-equal integer estimates
+    val anfStore = Graph.neighborhoodSketchFromStore(spark, storeDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    graft.operators.PlanCache.release()
+    val anfLocal = Graph.neighborhoodSketch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    graft.operators.PlanCache.release()
+    assert(anfStore == anfLocal)
     // every ingest face maintained the baskets ledger, so a reconcile
     // against the full corpus is a NO-OP — the round-10 advice found a
     // ledger-less founding made the first reconcile double-count every

@@ -63,7 +63,8 @@ class PlanSpec extends SparkSpec {
     // pair expansion per round — one InMemory read per iteration
     Seq("q230_pagerank" -> 5, "q236_related_parts" -> 5,
         "q235_communities" -> 4, "q247_walk_pairs" -> 4,
-        "q248_seed_bfs" -> 4).foreach { case (name, iters) =>
+        "q248_seed_bfs" -> 4, "q251_sampled_anf" -> 3,
+        "q252_anf_sketch" -> 3).foreach { case (name, iters) =>
       val p = plan(name)
       assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= iters,
         s"$name: iterations re-derive the edge list instead of reading the cache")
@@ -114,6 +115,12 @@ class PlanSpec extends SparkSpec {
     // train-edge neighborhood (round-10 verdict finding)
     val p = plan("q242_rec_eval")
     assert(p.contains("TopKPerGroup"), "q242 ranking lost the heap fusion")
+    graft.operators.PlanCache.release()
+    // q250: the per-anchor PMI top-k is the same rnk ≤ k idiom — a
+    // hub anchor must never pay a full partition sort over its
+    // walk-pair candidates
+    val w = plan("q250_walk_pmi")
+    assert(w.contains("TopKPerGroup"), "q250 ranking lost the heap fusion")
     graft.operators.PlanCache.release()
   }
 

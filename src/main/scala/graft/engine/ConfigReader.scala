@@ -57,6 +57,7 @@ object ConfigReader {
       modelEvalTasks: Seq[ModelEvalSpec] = Nil,
       privacyTasks: Seq[PrivacySpec] = Nil,
       graphTasks: Seq[GraphTaskSpec] = Nil,
+      retrainTasks: Seq[RetrainSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -149,6 +150,13 @@ object ConfigReader {
         try Some(parseGraphTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed graph task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      retrainTasks = root.path("retrainTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseRetrainTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed retrain task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -465,5 +473,21 @@ object ConfigReader {
       sourceDir = reqText(n, "sourceDir"),
       storeDir = reqText(n, "storeDir"),
       compact = n.path("compact").asBoolean(false))
+  }
+
+  private def parseRetrainTask(n: JsonNode): RetrainSpec = {
+    val schedule = optText(n, "schedule").getOrElse("40 3 * * *")
+    graft.operators.Cron.parse(schedule)
+    val spec = RetrainSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      storeDir = reqText(n, "storeDir"),
+      iters = n.path("iters").asInt(20),
+      lr = n.path("lr").asLong(16L),
+      minGainMicro = n.path("minGainMicro").asLong(5000L))
+    require(spec.iters > 0 && spec.lr > 0, "retrain task: iters/lr must be positive")
+    require(spec.minGainMicro >= 0, "retrain task: minGainMicro must be non-negative")
+    spec
   }
 }

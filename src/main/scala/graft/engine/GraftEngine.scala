@@ -49,6 +49,7 @@ final class GraftEngine(
   @volatile private var checksumSpecs: Seq[graft.model.ChecksumSpec] = Nil
   @volatile private var annEvalSpecs: Seq[graft.model.AnnEvalSpec] = Nil
   @volatile private var modelEvalSpecs: Seq[graft.model.ModelEvalSpec] = Nil
+  @volatile private var retrainSpecs: Seq[graft.model.RetrainSpec] = Nil
   @volatile private var privacySpecs: Seq[graft.model.PrivacySpec] = Nil
   @volatile private var graphSpecs: Seq[graft.model.GraphTaskSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
@@ -192,7 +193,8 @@ final class GraftEngine(
         cfg.optimizeTasks != optimizeSpecs || cfg.dqTasks != dqSpecs ||
         cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs ||
         cfg.annEvalTasks != annEvalSpecs || cfg.modelEvalTasks != modelEvalSpecs ||
-        cfg.privacyTasks != privacySpecs || cfg.graphTasks != graphSpecs) {
+        cfg.privacyTasks != privacySpecs || cfg.graphTasks != graphSpecs ||
+        cfg.retrainTasks != retrainSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
@@ -203,6 +205,7 @@ final class GraftEngine(
       modelEvalSpecs = cfg.modelEvalTasks
       privacySpecs = cfg.privacyTasks
       graphSpecs = cfg.graphTasks
+      retrainSpecs = cfg.retrainTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
@@ -210,7 +213,8 @@ final class GraftEngine(
           optimizeSpecs.map(toOptimizeJob) ++ dqSpecs.map(toDqJob) ++
           annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob) ++
           annEvalSpecs.map(toAnnEvalJob) ++ modelEvalSpecs.map(toModelEvalJob) ++
-          privacySpecs.map(toPrivacyJob) ++ graphSpecs.map(toGraphJob),
+          privacySpecs.map(toPrivacyJob) ++ graphSpecs.map(toGraphJob) ++
+          retrainSpecs.map(toRetrainJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -311,6 +315,20 @@ final class GraftEngine(
       try { GraftEngine.runGraphMaintenance(spark, spec); () }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("graph_maintenance_failed", s"graph${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toRetrainJob(spec: graft.model.RetrainSpec): Cron.Job =
+    Cron.Job(GraftEngine.RetrainJobIdOffset + spec.id, spec.schedule, () =>
+      try {
+        val r = GraftEngine.runModelRetrain(spark, spec)
+        if (r.promoted)
+          alerts.send(Alerts.Alert("model_promoted", s"retrain${spec.id}",
+            s"candidate AUC ${r.candidateAucMicro}u replaces " +
+              r.incumbentAucMicro.fold("(founding)")(a => s"${a}u")))
+      }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("model_retrain_failed", s"retrain${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -755,6 +773,56 @@ object GraftEngine {
   }
 
   val PrivacyJobIdOffset = 8000000
+
+  /** Model-lifecycle namespace. */
+  val RetrainJobIdOffset = 10000000
+
+  /** One retrain run's readout: the candidate's held-out AUC, the
+    * incumbent's (None on the founding run), and whether the
+    * candidate was published. */
+  final case class RetrainResult(candidateAucMicro: Long,
+      incumbentAucMicro: Option[Long], promoted: Boolean)
+
+  /** Run one promote-if-better retrain now: train candidate weights
+    * on the salted train split (the q245 fixed-iteration loop), score
+    * candidate AND incumbent on the held-out split through the ONE
+    * AUC definition ([[graft.operators.TextOps.weightsAucMicro]]),
+    * and publish to the [[graft.operators.ModelStore]] registry only
+    * when the candidate clears the incumbent by `minGainMicro`
+    * (founding run promotes unconditionally). A degenerate held-out
+    * split (one label class → no AUC) HOLDS the incumbent — a model
+    * must never be replaced on evidence that cannot rank it.
+    *
+    * The incumbent is re-scored each run rather than trusting its
+    * stored admission AUC: the held-out split drifts with the corpus,
+    * and promote-if-better must compare both models on TODAY's
+    * holdout or a stale high-water mark would block every candidate
+    * forever. */
+  def runModelRetrain(spark: SparkSession,
+      spec: graft.model.RetrainSpec): RetrainResult = {
+    val to = graft.operators.TextOps
+    val candidate = to.trainQualityWeights(spark, spec.sourceDir,
+      spec.iters, spec.lr)
+    val candAuc = to.weightsAucMicro(spark, spec.sourceDir, candidate)
+    val incumbent = graft.operators.ModelStore.liveModel(spark, spec.storeDir)
+    val incAuc = incumbent.flatMap { case (w, _) =>
+      to.weightsAucMicro(spark, spec.sourceDir, w)
+    }
+    (candAuc, incumbent) match {
+      case (None, _) =>
+        RetrainResult(-1L, incAuc, promoted = false)
+      case (Some(c), None) =>
+        graft.operators.ModelStore.publishModel(spark, spec.storeDir, candidate, c)
+        RetrainResult(c, None, promoted = true)
+      case (Some(c), Some(_)) =>
+        // an unreadable/degenerate incumbent AUC holds too: promote
+        // needs a comparison it can win, not an absent opponent
+        val promote = incAuc.exists(i => c >= i + spec.minGainMicro)
+        if (promote)
+          graft.operators.ModelStore.publishModel(spark, spec.storeDir, candidate, c)
+        RetrainResult(c, incAuc, promoted = promote)
+    }
+  }
 
   /** Graph-store maintenance namespace. */
   val GraphJobIdOffset = 9000000

@@ -183,6 +183,24 @@ final case class GraphTaskSpec(
     storeDir: String = "",    // graph store root (edges/ + baskets/)
     compact: Boolean = false)
 
+/** A scheduled quality-model retrain — the promote-if-better loop
+  * closing the q245 lifecycle: train candidate weights on the salted
+  * train split, score candidate AND incumbent on the held-out split
+  * through ONE AUC definition, and publish the candidate to the
+  * [[graft.operators.ModelStore]] registry only when it beats the
+  * incumbent by at least `minGainMicro` (hysteresis — a retrain on
+  * unchanged data is a no-op promotion-wise, and noise-sized wobbles
+  * never churn the serving weights). The founding run promotes
+  * unconditionally (there is no incumbent to hold for). */
+final case class RetrainSpec(
+    id: Int,
+    schedule: String = "40 3 * * *",
+    sourceDir: String = "",   // documents corpus root
+    storeDir: String = "",    // model registry root
+    iters: Int = 20,
+    lr: Long = 16L,
+    minGainMicro: Long = 5000L)
+
 /** A scheduled privacy-risk audit over a shared/exported table — the
   * watchdog face of the k-anonymity / l-diversity / t-closeness trio:
   * each run profiles the table under the configured quasi-identifiers

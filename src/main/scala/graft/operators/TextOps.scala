@@ -2336,13 +2336,24 @@ object TextOps {
   /** The integer-micro feature frame (f1..f4, y) over one split of the
     * documents table — train (`heldout = false`) or test. */
   private[graft] def qualityFeatureFrame(spark: SparkSession, dir: String,
-      heldout: Boolean): DataFrame = {
+      heldout: Boolean): DataFrame =
+    qualityFeatures(spark, dir, Some(heldout))
+
+  /** The feature frame over the train split (`Some(false)`), the
+    * held-out split (`Some(true)`) or the whole corpus (`None` — the
+    * registry's scoring face). */
+  private[graft] def qualityFeatures(spark: SparkSession, dir: String,
+      split: Option[Boolean]): DataFrame = {
     val toks = Text.tokens(col("text"))
     val shs = Text.shingles(col("text"), 3)
-    val split = pmod(Text.md5Hash60(
+    val splitCol = pmod(Text.md5Hash60(
       concat_ws("-", lit("qcls"), col("doc_id"))), lit(10L))
     Tables(spark, dir, "documents")
-      .filter(if (heldout) split >= 8 else split < 8)
+      .filter(split match {
+        case Some(true)  => splitCol >= 8
+        case Some(false) => splitCol < 8
+        case None        => lit(true)
+      })
       .select(col("doc_id"),
         size(toks).cast("long").as("nt"),
         size(array_distinct(toks)).cast("long").as("nd"),
@@ -2397,5 +2408,39 @@ object TextOps {
       }
     }
     w.toSeq
+  }
+
+  /** Held-out ROC-AUC (micro) of an ARBITRARY integer weight vector —
+    * the [[classifierAuc]] midrank machinery over the candidate's
+    * integer logit instead of the literal classifier's. The promote-
+    * if-better retrain loop scores both the candidate and the
+    * incumbent through this one function, so the comparison can never
+    * drift onto two different AUC definitions. None when the held-out
+    * split lost a class (a degenerate corpus must HOLD, not promote).
+    *
+    * Scale: the tick frame is distinct-logit-bounded; the midrank
+    * window is the classifierAuc single-partition fold over that
+    * bounded frame (same documented trade). */
+  private[graft] def weightsAucMicro(spark: SparkSession, dir: String,
+      w: Seq[Long]): Option[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val ticks = qualityFeatureFrame(spark, dir, heldout = true)
+      .select(expr(s"(${microLogitExpr(w.toIndexedSeq)})").as("s"), col("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("np"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val row = ticks
+      .withColumn("cum_less", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .withColumn("midrank2", lit(2L) * col("cum_less") + col("cnt") + lit(1L))
+      .agg(sum(col("np")).as("n_pos"),
+        sum(col("cnt") - col("np")).as("n_neg"),
+        sum(expr("CAST(np AS DECIMAL(38,0)) * midrank2")).as("r1_x2"))
+      .select(expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+              ELSE CAST((r1_x2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                   * 1000000 div (2 * n_pos * n_neg) AS BIGINT) END""")
+        .as("auc_micro"))
+      .head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 }

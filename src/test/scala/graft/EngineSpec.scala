@@ -1215,4 +1215,33 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("retrain: the first tick founds the model (promotion alert), the second holds silently") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "retrainTasks": [
+         |  { "id": 7, "schedule": "40 3 * * *", "sourceDir": "$sf",
+         |    "storeDir": "$root/model" }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T03:40:00")) ==
+        Seq(GraftEngine.RetrainJobIdOffset + 7))
+      val fired = alerts.drain()
+      assert(fired.exists(_.kind == "model_promoted"), s"got $fired")
+      assert(!fired.exists(_.kind == "model_retrain_failed"), s"got $fired")
+      val live = graft.operators.ModelStore.liveModel(spark, s"$root/model")
+      assert(live.isDefined)
+      // second tick: unchanged corpus retrains to identical weights —
+      // hysteresis holds, no promotion page, version untouched
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T03:40:00")) ==
+        Seq(GraftEngine.RetrainJobIdOffset + 7))
+      assert(alerts.drain().isEmpty, "a held retrain paged")
+      assert(graft.operators.ModelStore.liveModel(spark, s"$root/model") == live)
+      graft.operators.PlanCache.release()
+    } finally engine.stop()
+  }
+
 }

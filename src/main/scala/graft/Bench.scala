@@ -20,9 +20,16 @@ object Bench {
     // of 241 queries. Every emit also lands the full cumulative JSON
     // in a FILE (write-temp-then-rename, so a kill mid-write never
     // leaves a half-written artifact) — the audit trail no longer
-    // depends on how much stdout the harness retains.
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json"))
+    // depends on how much stdout the harness retains. Subset runs
+    // (SPARK_GRAFT_BENCH_ONLY, the builder's iteration loop) do NOT
+    // touch the default artifact: a debugging run must never clobber
+    // the last full board. Set SPARK_GRAFT_BENCH_OUT to capture one.
+    val outPath = (sys.env.get("SPARK_GRAFT_BENCH_OUT"),
+        sys.env.get("SPARK_GRAFT_BENCH_ONLY")) match {
+      case (Some(p), _) => Some(java.nio.file.Paths.get(p))
+      case (None, Some(_)) => None
+      case (None, None) => Some(java.nio.file.Paths.get("BENCH_LATEST.json"))
+    }
     def emit(results: Seq[(String, Double)]): Unit = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -31,10 +38,10 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
       println(line)
       Console.out.flush()
-      try {
-        val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
+      try outPath.foreach { p =>
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
         java.nio.file.Files.writeString(tmp, line + "\n")
-        java.nio.file.Files.move(tmp, outPath,
+        java.nio.file.Files.move(tmp, p,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch { case _: java.io.IOException => () } // stdout remains the contract

@@ -465,6 +465,7 @@ object SparkEntry {
     "q251_sampled_anf" -> ((s, d) => Graph.sampledNeighborhood(s, d)),
     "q252_anf_sketch" -> ((s, d) => Graph.neighborhoodSketch(s, d)),
     "q253_value_drift" -> ((s, d) => DataQuality.valueDrift(s, d)),
+    "q254_frequent_triples" -> ((s, d) => Relational.frequentTriples(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -661,7 +662,7 @@ object SparkEntry {
       ("q247_walk_pairs" -> q247Sql) + ("q248_seed_bfs" -> q248Sql) +
       ("q249_kcore" -> q249Sql) + ("q250_walk_pmi" -> q250Sql) +
       ("q251_sampled_anf" -> q251Sql) + ("q252_anf_sketch" -> q252Sql) +
-      ("q253_value_drift" -> q253Sql) +
+      ("q253_value_drift" -> q253Sql) + ("q254_frequent_triples" -> q254Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1120,6 +1121,34 @@ object SparkEntry {
        |  CAST(max(t_cur) AS BIGINT) AS n_cur,
        |  CAST(sum(abs(d)) // 2 AS BIGINT) AS tvd_micro
        |FROM dd GROUP BY 1""".stripMargin
+
+  /** q254: the triple replay as a 3-way ordered self-join over the
+    * frequent-item-pruned basket table; lift through HUGEINT. */
+  private lazy val q254Sql: String =
+    s"""WITH ft_it AS (SELECT DISTINCT l_orderkey AS basket,
+       |    l_partkey AS item FROM lineitem),
+       | ft_nb AS (SELECT count(DISTINCT basket) AS n FROM ft_it),
+       | ft_in AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+       |   FROM ft_it GROUP BY 1),
+       | ft_fi AS (SELECT basket, item FROM ft_it
+       |   WHERE item IN (SELECT item FROM ft_in WHERE n >= 2)),
+       | ft_tri AS (SELECT a.item AS pa, b.item AS pb, c.item AS pc,
+       |    CAST(count(*) AS BIGINT) AS triple_n
+       |   FROM ft_fi a
+       |   JOIN ft_fi b ON a.basket = b.basket AND a.item < b.item
+       |   JOIN ft_fi c ON a.basket = c.basket AND b.item < c.item
+       |   GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+       |SELECT pa, pb, pc, triple_n,
+       |  CAST(triple_n * 1000000 // (SELECT n FROM ft_nb) AS BIGINT)
+       |    AS support_micro,
+       |  CAST(CAST(triple_n AS HUGEINT) * (SELECT n FROM ft_nb)
+       |    * (SELECT n FROM ft_nb) * 1000000
+       |    // (CAST(na.n AS HUGEINT) * nb.n * nc.n) AS BIGINT) AS lift_micro
+       |FROM ft_tri
+       |JOIN ft_in na ON pa = na.item
+       |JOIN ft_in nb ON pb = nb.item
+       |JOIN ft_in nc ON pc = nc.item
+       |ORDER BY triple_n DESC, pa, pb, pc LIMIT 20""".stripMargin
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

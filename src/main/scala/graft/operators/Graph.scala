@@ -725,7 +725,12 @@ object Graph {
     * memory and exactly h rounds, vs exact BFS's frontier²
     * blow-up). Self-loops ride the cached edge list so each round
     * references the register frame ONCE (plans stay linear in h —
-    * the kCore lesson). */
+    * the kCore lesson). Measured ≈linear in edges at 10× data
+    * (11.7×, the q231/q239 edge-iterator curve); if hop counts ever
+    * grow past the small-world 3, the next lever is HyperBall's
+    * systolic delta — ship only registers that changed last round
+    * (most stop changing once balls saturate), at the price of one
+    * anti-join per round. */
   def neighborhoodSketch(spark: SparkSession, dir: String,
       maxHops: Int = 3): DataFrame =
     neighborhoodSketchOnEdges(coPurchaseEdges(spark, dir), maxHops)

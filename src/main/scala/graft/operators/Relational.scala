@@ -1305,6 +1305,65 @@ object Relational {
       .limit(k)
   }
 
+  /** FREQUENT ITEM TRIPLES — the A-priori level above
+    * [[partAssociations]]' pairs: top-k (a, b, c) item sets by basket
+    * support, with the 3-way lift against item independence
+    * (`P(abc) / P(a)P(b)P(c)` — micro, exact rationals). Pairs say
+    * "buy together"; the triple level is where bundle/placement
+    * decisions start needing real evidence, and where naive expansion
+    * first goes combinatorial — hence the two A-priori prunes below.
+    *
+    * Scale shape: items below `minSupport` are pruned BEFORE any
+    * expansion (downward closure: an infrequent item can't be in a
+    * frequent triple), then combinations expand INSIDE each basket's
+    * sorted distinct item array (the co-purchase pair-gen discipline:
+    * one shuffle to group baskets, fan-out width³/6 bounded by ORDER
+    * width, never catalog³; the 3-way self-join this replaces would
+    * shuffle the item table three times). Lift numerators/denominators
+    * ride Decimal(38) ≙ HUGEINT: triple_n·N²·10⁶ and n_a·n_b·n_c both
+    * pass int64 well under catalog scale.
+    *
+    * Default threshold is measured, not aspirational: the synthetic
+    * generator's baskets give a MAX triple support of 2 at sf0.01
+    * (parts scale with SF, so triples stay sparse at every SF) — the
+    * oracle row pins the prune/expand/lift mechanics; a real catalog
+    * raises `minSupport` with its basket volume. */
+  def frequentTriples(spark: SparkSession, dir: String,
+      minSupport: Int = 2, k: Int = 20): DataFrame = {
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val nBaskets = items.select(col("basket")).distinct().count()
+    val itemN = PlanCache.tracked(
+      items.groupBy(col("item")).agg(count(lit(1)).as("item_n")))
+    val frequent = itemN.filter(col("item_n") >= minSupport).select(col("item"))
+    val arr = items.join(frequent, Seq("item"), "left_semi")
+      .groupBy(col("basket"))
+      .agg(array_sort(collect_set(col("item"))).as("xs"))
+      .filter(size(col("xs")) >= 3)
+    // one generator per select (Generate-under-projection pitfall):
+    // sorted distinct arrays make "strictly later element" = x > prev
+    val s1 = arr.select(col("xs"), explode(col("xs")).as("pa"))
+    val s2 = s1.select(col("xs"), col("pa"),
+      explode(expr("filter(xs, x -> x > pa)")).as("pb"))
+    val tri = s2.select(col("pa"), col("pb"),
+        explode(expr("filter(xs, x -> x > pb)")).as("pc"))
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("triple_n"))
+      .filter(col("triple_n") >= minSupport)
+    tri
+      .join(itemN.select(col("item").as("pa"), col("item_n").as("n_a")), Seq("pa"))
+      .join(itemN.select(col("item").as("pb"), col("item_n").as("n_b")), Seq("pb"))
+      .join(itemN.select(col("item").as("pc"), col("item_n").as("n_c")), Seq("pc"))
+      .select(col("pa"), col("pb"), col("pc"), col("triple_n"),
+        expr(s"triple_n * 1000000 div $nBaskets").as("support_micro"),
+        expr(s"CAST(triple_n AS DECIMAL(38,0)) * $nBaskets * $nBaskets" +
+          " * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b * n_c)")
+          .as("lift_micro"))
+      .orderBy(col("triple_n").desc, col("pa"), col("pb"), col("pc"))
+      .limit(k)
+  }
+
   /** Exact Pearson correlation between line price and quantity, per
     * return flag — the relationship-screening primitive beside the
     * distribution profilers. Moments fold as EXACT integers (floor

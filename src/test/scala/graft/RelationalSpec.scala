@@ -324,4 +324,25 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._4).sum == orders.map(o => math.floor(o._4 * 100).toLong).sum)
     got.foreach { r => assert(r._5 <= r._4 && r._3 <= r._2) }
   }
+
+  test("frequent triples: a-priori prune, within-basket combos, and exact lift on a hand fixture") {
+    import spark.implicits._
+    // baskets: {1,2,3} three times, {1,2,4} once, {5,6,7} once.
+    // Items 4..7 have support 1 → pruned BEFORE expansion; the only
+    // surviving triple is (1,2,3) with support 3 out of N = 5 baskets
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 3L),
+      (4L, 1L), (4L, 2L), (4L, 4L),
+      (5L, 5L), (5L, 6L), (5L, 7L))
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = Relational.frequentTriples(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    graft.operators.PlanCache.release()
+    // support = 3/5 = 600000u; lift = 3·5²·10⁶ / (4·4·3) = 1562500u
+    assert(got.toSeq == Seq((1L, 2L, 3L, 3L, 600000L, 1562500L)))
+  }
 }

@@ -466,6 +466,7 @@ object SparkEntry {
     "q252_anf_sketch" -> ((s, d) => Graph.neighborhoodSketch(s, d)),
     "q253_value_drift" -> ((s, d) => DataQuality.valueDrift(s, d)),
     "q254_frequent_triples" -> ((s, d) => Relational.frequentTriples(s, d)),
+    "q255_rec_coverage" -> ((s, d) => Graph.recCoverageEval(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -663,6 +664,7 @@ object SparkEntry {
       ("q249_kcore" -> q249Sql) + ("q250_walk_pmi" -> q250Sql) +
       ("q251_sampled_anf" -> q251Sql) + ("q252_anf_sketch" -> q252Sql) +
       ("q253_value_drift" -> q253Sql) + ("q254_frequent_triples" -> q254Sql) +
+      ("q255_rec_coverage" -> q255Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1149,6 +1151,35 @@ object SparkEntry {
        |JOIN ft_in nb ON pb = nb.item
        |JOIN ft_in nc ON pc = nc.item
        |ORDER BY triple_n DESC, pa, pb, pc LIMIT 20""".stripMargin
+
+  /** q255: coverage@k + popularity-bias replay — bounded top-k lists,
+    * dense popularity ranks over graph nodes, exact micro folds. */
+  private lazy val q255Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | rc_sym AS (SELECT pa AS src, pb AS dst, w FROM cp_und
+       |   UNION ALL SELECT pb, pa, w FROM cp_und),
+       | rc_top AS (SELECT src, dst FROM (SELECT src, dst,
+       |     row_number() OVER (PARTITION BY src
+       |       ORDER BY w DESC, dst ASC) AS rnk FROM rc_sym)
+       |   WHERE rnk <= 10),
+       | rc_pop AS (SELECT dst AS part, CAST(sum(w) AS BIGINT) AS strength
+       |   FROM rc_sym GROUP BY 1),
+       | rc_nn AS (SELECT count(*) AS nn FROM rc_pop),
+       | rc_pct AS (SELECT part,
+       |    CAST(CAST(row_number() OVER (ORDER BY strength ASC, part ASC)
+       |      AS HUGEINT) * 1000000 // (SELECT nn FROM rc_nn) AS BIGINT)
+       |      AS pop_pct_micro
+       |   FROM rc_pop),
+       | rc_cat AS (SELECT count(*) AS np FROM part)
+       |SELECT CAST(10 AS BIGINT) AS k,
+       |  CAST(count(*) AS BIGINT) AS n_slots,
+       |  CAST(count(DISTINCT t.dst) AS BIGINT) AS n_rec_distinct,
+       |  CAST((SELECT np FROM rc_cat) AS BIGINT) AS n_catalog,
+       |  CAST(CAST(count(DISTINCT t.dst) AS HUGEINT) * 1000000
+       |    // (SELECT np FROM rc_cat) AS BIGINT) AS coverage_micro,
+       |  CAST(sum(CAST(p.pop_pct_micro AS HUGEINT)) // count(*) AS BIGINT)
+       |    AS mean_pop_pct_micro
+       |FROM rc_top t JOIN rc_pct p ON t.dst = p.part""".stripMargin
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

@@ -58,6 +58,7 @@ object ConfigReader {
       privacyTasks: Seq[PrivacySpec] = Nil,
       graphTasks: Seq[GraphTaskSpec] = Nil,
       retrainTasks: Seq[RetrainSpec] = Nil,
+      driftTasks: Seq[DriftSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -157,6 +158,13 @@ object ConfigReader {
         try Some(parseRetrainTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed retrain task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      driftTasks = root.path("driftTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseDriftTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed drift task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -488,6 +496,19 @@ object ConfigReader {
       minGainMicro = n.path("minGainMicro").asLong(5000L))
     require(spec.iters > 0 && spec.lr > 0, "retrain task: iters/lr must be positive")
     require(spec.minGainMicro >= 0, "retrain task: minGainMicro must be non-negative")
+    spec
+  }
+
+  private def parseDriftTask(n: JsonNode): DriftSpec = {
+    val schedule = optText(n, "schedule").getOrElse("25 6 * * *")
+    graft.operators.Cron.parse(schedule)
+    val spec = DriftSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      bucketWidth = n.path("bucketWidth").asDouble(5.0),
+      maxTvdMicro = n.path("maxTvdMicro").asLong(200000L))
+    require(spec.bucketWidth > 0, "drift task: bucketWidth must be positive")
     spec
   }
 }

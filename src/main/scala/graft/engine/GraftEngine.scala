@@ -50,6 +50,7 @@ final class GraftEngine(
   @volatile private var annEvalSpecs: Seq[graft.model.AnnEvalSpec] = Nil
   @volatile private var modelEvalSpecs: Seq[graft.model.ModelEvalSpec] = Nil
   @volatile private var retrainSpecs: Seq[graft.model.RetrainSpec] = Nil
+  @volatile private var driftSpecs: Seq[graft.model.DriftSpec] = Nil
   @volatile private var privacySpecs: Seq[graft.model.PrivacySpec] = Nil
   @volatile private var graphSpecs: Seq[graft.model.GraphTaskSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
@@ -194,7 +195,7 @@ final class GraftEngine(
         cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs ||
         cfg.annEvalTasks != annEvalSpecs || cfg.modelEvalTasks != modelEvalSpecs ||
         cfg.privacyTasks != privacySpecs || cfg.graphTasks != graphSpecs ||
-        cfg.retrainTasks != retrainSpecs) {
+        cfg.retrainTasks != retrainSpecs || cfg.driftTasks != driftSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
@@ -206,6 +207,7 @@ final class GraftEngine(
       privacySpecs = cfg.privacyTasks
       graphSpecs = cfg.graphTasks
       retrainSpecs = cfg.retrainTasks
+      driftSpecs = cfg.driftTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
@@ -214,7 +216,7 @@ final class GraftEngine(
           annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob) ++
           annEvalSpecs.map(toAnnEvalJob) ++ modelEvalSpecs.map(toModelEvalJob) ++
           privacySpecs.map(toPrivacyJob) ++ graphSpecs.map(toGraphJob) ++
-          retrainSpecs.map(toRetrainJob),
+          retrainSpecs.map(toRetrainJob) ++ driftSpecs.map(toDriftJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -315,6 +317,19 @@ final class GraftEngine(
       try { GraftEngine.runGraphMaintenance(spark, spec); () }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("graph_maintenance_failed", s"graph${spec.id}",
+          String.valueOf(e.getMessage)))
+      })
+
+  private def toDriftJob(spec: graft.model.DriftSpec): Cron.Job =
+    Cron.Job(GraftEngine.DriftJobIdOffset + spec.id, spec.schedule, () =>
+      try GraftEngine.runDriftAudit(spark, spec).foreach {
+        case (eventType, tvd) =>
+          alerts.send(Alerts.Alert("value_drift_high",
+            s"drift${spec.id}/$eventType",
+            s"TVD ${tvd}u > bound ${spec.maxTvdMicro}u"))
+      }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("drift_audit_failed", s"drift${spec.id}",
           String.valueOf(e.getMessage)))
       })
 
@@ -776,6 +791,19 @@ object GraftEngine {
 
   /** Model-lifecycle namespace. */
   val RetrainJobIdOffset = 10000000
+
+  /** Drift-watchdog namespace. */
+  val DriftJobIdOffset = 11000000
+
+  /** Run one drift audit now: the q253 per-type TVD profile, returning
+    * the types whose drift crosses the spec's bound (the profile frame
+    * is types-sized — the fold is driver-safe). */
+  def runDriftAudit(spark: SparkSession,
+      spec: graft.model.DriftSpec): Seq[(String, Long)] =
+    graft.operators.DataQuality.valueDrift(spark, spec.sourceDir, spec.bucketWidth)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+      .filter(_._2 > spec.maxTvdMicro).toSeq
 
   /** One retrain run's readout: the candidate's held-out AUC, the
     * incumbent's (None on the founding run), and whether the

@@ -183,6 +183,20 @@ final case class GraphTaskSpec(
     storeDir: String = "",    // graph store root (edges/ + baskets/)
     compact: Boolean = false)
 
+/** A scheduled distribution-drift audit over the event stream — the
+  * watchdog face of the q253 monitor: each run computes the per-type
+  * total-variation distance between the stream's first and second
+  * time halves and pages every type whose TVD crosses `maxTvdMicro`.
+  * This is the gauge that should fire BEFORE anyone tightens a
+  * [[RetrainSpec]] schedule: thresholds picked under last month's
+  * distribution silently misclassify under this month's. */
+final case class DriftSpec(
+    id: Int,
+    schedule: String = "25 6 * * *",
+    sourceDir: String = "",
+    bucketWidth: Double = 5.0,
+    maxTvdMicro: Long = 200000L)
+
 /** A scheduled quality-model retrain — the promote-if-better loop
   * closing the q245 lifecycle: train candidate weights on the salted
   * train split, score candidate AND incumbent on the held-out split

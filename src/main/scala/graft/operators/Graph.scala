@@ -396,6 +396,55 @@ object Graph {
           .as("hitrate_micro"))
   }
 
+  /** BEYOND-ACCURACY RECOMMENDER EVAL — the two gauges hit-rate
+    * ([[recommenderEval]]) cannot see: CATALOG COVERAGE@k (how much of
+    * the part catalog ever appears in a top-k list — a recommender
+    * can score a high hit-rate while funnelling every user to the
+    * same fifty bestsellers) and POPULARITY BIAS (the mean popularity
+    * percentile of recommended slots — 500000µ ≈ popularity-neutral,
+    * near 10⁶ ≈ pure bestseller loop). One row, all integers: the
+    * percentile is the dense popularity rank scaled by the catalog
+    * (exact micro), the mean a Decimal(38) fold.
+    *
+    * Scale: the top-k lists are the q242 bounded ranking (heap-fused,
+    * never a full per-seed sort); popularity is a node-sized strength
+    * aggregate; both folds are 1-row. */
+  def recCoverageEval(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val ranked = PlanCache.tracked(sym
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst")))
+    // popularity = total co-purchase strength; dense rank ascending so
+    // the strongest part sits at percentile 10⁶·(n−?)…/(n) exactly
+    val pop = PlanCache.tracked(sym.groupBy(col("dst").as("part"))
+      .agg(sum(col("w")).as("strength")))
+    // two 1-number driver folds: catalog size (coverage denominator)
+    // and graph-node count (percentile denominator — a part no one
+    // co-purchased has no popularity to rank)
+    val nParts = Tables(spark, dir, "part").count()
+    val nNodes = pop.count()
+    val pct = pop.withColumn("pop_rank",
+        row_number().over(Window.orderBy(col("strength").asc, col("part").asc)))
+      .select(col("part"),
+        expr(s"CAST(pop_rank AS DECIMAL(38,0)) * 1000000 div $nNodes")
+          .as("pop_pct_micro"))
+    ranked.join(pct, ranked("dst") === pct("part"))
+      .agg(count(lit(1)).as("n_slots"),
+        count_distinct(col("dst")).as("n_rec_distinct"),
+        expr("CAST(sum(CAST(pop_pct_micro AS DECIMAL(38,0))) div count(1)" +
+          " AS BIGINT)").as("mean_pop_pct_micro"))
+      .select(lit(k.toLong).as("k"), col("n_slots"), col("n_rec_distinct"),
+        lit(nParts).as("n_catalog"),
+        expr(s"CAST(n_rec_distinct AS DECIMAL(38,0)) * 1000000 div $nParts")
+          .as("coverage_micro"),
+        col("mean_pop_pct_micro"))
+  }
+
   /** CONNECTED COMPONENTS of the co-purchase graph, reported as the
     * component-size histogram (the q121 shape) — the global-structure
     * census beside label propagation's community table: LPA's fixed

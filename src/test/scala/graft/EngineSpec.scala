@@ -1215,6 +1215,36 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("drift watchdog: an impossible bound pages every type; a hot-reloaded lenient bound is silent") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // TVD is nonnegative → bound -1 pages every event type
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "driftTasks": [
+         |  { "id": 9, "schedule": "25 6 * * *", "sourceDir": "$sf",
+         |    "maxTvdMicro": -1 }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T06:25:00")) ==
+        Seq(GraftEngine.DriftJobIdOffset + 9))
+      val fired = alerts.drain()
+      assert(fired.nonEmpty && fired.forall(_.kind == "value_drift_high"), s"got $fired")
+      // TVD is capped at 10⁶ → bound 2·10⁶ can never page
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [], "driftTasks": [
+           |  { "id": 9, "schedule": "25 6 * * *", "sourceDir": "$sf",
+           |    "maxTvdMicro": 2000000 }
+           |] }""".stripMargin)
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T06:25:00")) ==
+        Seq(GraftEngine.DriftJobIdOffset + 9))
+      assert(alerts.drain().isEmpty, "lenient drift bound paged")
+    } finally engine.stop()
+  }
+
   test("retrain: the first tick founds the model (promotion alert), the second holds silently") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

@@ -122,6 +122,10 @@ class PlanSpec extends SparkSpec {
     val w = plan("q250_walk_pmi")
     assert(w.contains("TopKPerGroup"), "q250 ranking lost the heap fusion")
     graft.operators.PlanCache.release()
+    // q255: the coverage eval's top-k lists ride the same bounded heap
+    val c = plan("q255_rec_coverage")
+    assert(c.contains("TopKPerGroup"), "q255 ranking lost the heap fusion")
+    graft.operators.PlanCache.release()
   }
 
   test("dimension joins broadcast the small side") {

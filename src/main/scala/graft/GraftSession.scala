@@ -22,6 +22,7 @@ object GraftSession {
       .withExtensions { ext =>
         ext.injectFunction(graft.functions.SetCard.injection)
         ext.injectFunction(graft.functions.HllCard.injection)
+        ext.injectFunction(graft.functions.RegsMax.injection)
         graft.functions.PqCodec.injections.foreach(ext.injectFunction)
         ext.injectOptimizerRule(graft.functions.DistinctCard.injection)
         // whole-operator fusion: row_number-≤-k window+filter → the

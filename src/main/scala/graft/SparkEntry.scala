@@ -467,6 +467,7 @@ object SparkEntry {
     "q253_value_drift" -> ((s, d) => DataQuality.valueDrift(s, d)),
     "q254_frequent_triples" -> ((s, d) => Relational.frequentTriples(s, d)),
     "q255_rec_coverage" -> ((s, d) => Graph.recCoverageEval(s, d)),
+    "q256_weighted_distance" -> ((s, d) => Graph.weightedSeedDistances(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -664,7 +665,7 @@ object SparkEntry {
       ("q249_kcore" -> q249Sql) + ("q250_walk_pmi" -> q250Sql) +
       ("q251_sampled_anf" -> q251Sql) + ("q252_anf_sketch" -> q252Sql) +
       ("q253_value_drift" -> q253Sql) + ("q254_frequent_triples" -> q254Sql) +
-      ("q255_rec_coverage" -> q255Sql) +
+      ("q255_rec_coverage" -> q255Sql) + ("q256_weighted_distance" -> q256Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1180,6 +1181,28 @@ object SparkEntry {
        |  CAST(sum(CAST(p.pop_pct_micro AS HUGEINT)) // count(*) AS BIGINT)
        |    AS mean_pop_pct_micro
        |FROM rc_top t JOIN rc_pct p ON t.dst = p.part""".stripMargin
+
+  /** q256: unrolled min-plus rounds — each round relaxes every edge
+    * from the current distance frame and min-folds with it. */
+  private lazy val q256Sql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""wd$k AS MATERIALIZED (SELECT part, min(d) AS d FROM (
+         |   SELECT e.dst AS part, b.d + e.cost AS d
+         |   FROM wd${k - 1} b JOIN wd_edges e ON b.part = e.src
+         |   UNION ALL SELECT part, d FROM wd${k - 1}) GROUP BY part)"""
+        .stripMargin
+    }.mkString(",\n ")
+    s"""WITH $coPurchaseCtes,
+       | wd_edges AS (SELECT pa AS src, pb AS dst,
+       |    CAST(1000000000000 // w AS BIGINT) AS cost FROM cp_und
+       |   UNION ALL SELECT pb, pa, CAST(1000000000000 // w AS BIGINT)
+       |   FROM cp_und),
+       | wd_seeds AS (SELECT src AS part
+       |   FROM (SELECT DISTINCT src FROM wd_edges) ORDER BY src ASC LIMIT 3),
+       | wd0 AS (SELECT part, CAST(0 AS BIGINT) AS d FROM wd_seeds),
+       | $rounds
+       |SELECT part, CAST(d AS BIGINT) AS dist_cost FROM wd4""".stripMargin
+  }
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

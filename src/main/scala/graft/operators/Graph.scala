@@ -520,6 +520,47 @@ object Graph {
     dist
   }
 
+  /** WEIGHTED SEED DISTANCE (min-plus relaxation, the Bellman–Ford
+    * rounds to [[seedDistances]]' BFS): cheapest co-purchase path cost
+    * from the seed set when an edge costs the RECIPROCAL of its
+    * strength (`10¹² div w` — a pair bought together often is a short
+    * hop), so "near the promoted set" weighs tie strength, not just
+    * hop count: two strong hops can beat one weak one, which is
+    * exactly what the hop-BFS cannot see. Fixed `rounds` relaxations
+    * bound path length (the deterministic snapshot contract shared by
+    * every iterative operator here); parts unreachable within them
+    * stay absent.
+    *
+    * Scale: per round the node-sized distance frame joins the
+    * pre-partitioned edge list shuffle_hash and a min-aggregate folds
+    * the relaxed candidates — edge-bounded movement, node-sized
+    * state; min over equal costs is key-free deterministic (no
+    * tie-break column needed, unlike every ranking here). */
+  def weightedSeedDistances(spark: SparkSession, dir: String,
+      nSeeds: Int = 3, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseEdges(spark, dir)
+    val cost = expr("CAST(1000000000000 AS BIGINT) div w")
+    val edges = PlanCache.tracked(
+      und.select(col("pa").as("src"), col("pb").as("dst"), cost.as("cost"))
+        .union(und.select(col("pb").as("src"), col("pa").as("dst"), cost.as("cost")))
+        .repartition(col("src")))
+    val seeds: Seq[Long] = edges.select(col("src")).distinct()
+      .orderBy(col("src").asc).limit(nSeeds)
+      .collect().map(_.getLong(0)).toSeq // nSeeds-bounded driver fold
+    var dist = PlanCache.tracked(
+      seeds.toDF("part").withColumn("dist_cost", lit(0L)))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.hint("shuffle_hash")
+        .join(edges, dist("part") === edges("src"))
+        .select(col("dst").as("part"), (col("dist_cost") + col("cost")).as("dist_cost"))
+      dist = PlanCache.tracked(
+        relaxed.union(dist).groupBy(col("part"))
+          .agg(min(col("dist_cost")).as("dist_cost")))
+    }
+    dist
+  }
+
   /** K-CORE PEEL CENSUS — the density-stratification read beside the
     * component census: `rounds` synchronous peeling rounds, each
     * deleting every node whose CURRENT degree is below `k` (and the
@@ -804,13 +845,33 @@ object Graph {
         .repartition(col("dst")))
     val h0 = graft.functions.Text.md5Hash60(
       concat(lit("anfreg-"), col("src").cast("string")))
+    // PACKED register state: one m-byte blob per node (byte i = max
+    // rho seen by register i). The first, per-register form shipped
+    // m rows per edge per round; the blob form ships ONE — measured
+    // 16.7 s → ~5 s at sf0.1 — with [[graft.functions.RegsMax]]'s
+    // element-wise byte max as the round's merge aggregate. The
+    // founding blob is built with string built-ins (hex pad → unhex),
+    // so everything stays codegen'd; the DuckDB oracle keeps the
+    // (node, reg, rho) grain — identical registers, identical
+    // integers, the packing is invisible to the differential test.
     var regs = PlanCache.tracked(nodes
       .select(col("src").as("node"), pmod(h0, lit(m.toLong)).as("reg"),
         call_function("shiftright", h0, lit(AnfRegisterBits)).as("rest"))
       .select(col("node"), col("reg"),
         when(col("rest") === 0, lit(AnfRestBits + 1))
           .otherwise(lit(AnfRestBits + 1) - length(bin(col("rest"))))
-          .cast("long").as("mrho")))
+          .cast("long").as("mrho"))
+      .select(col("node"), expr(
+        s"unhex(concat(repeat('00', CAST(reg AS INT)), lpad(hex(mrho), 2, '0')," +
+          s" repeat('00', ${m - 1} - CAST(reg AS INT))))").as("regs")))
+    // blob → per-node (zeros, sumpow) via higher-order funcs: rho_i =
+    // byte i of the blob, terms 2^(56−rho) summed over hit registers
+    val rhos = s"transform(sequence(0, ${m - 1})," +
+      " i -> CAST(conv(substr(hex(regs), i * 2 + 1, 2), 16, 10) AS BIGINT))"
+    val sumpowExpr = s"aggregate(filter($rhos, r -> r > 0)," +
+      " CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT)," +
+      " CAST(56 - r AS INT)))"
+    val zerosExpr = s"CAST(size(filter($rhos, r -> r = 0)) AS BIGINT)"
     // linear counting when the raw estimate is under 2.5m AND a
     // register is still empty — integer branch, identical both engines
     val estN =
@@ -819,15 +880,12 @@ object Graph {
     val rows = (1 to maxHops).map { h =>
       regs = PlanCache.tracked(
         regs.hint("shuffle_hash").join(edges, regs("node") === edges("dst"))
-          .groupBy(col("src").as("node2"), col("reg"))
-          .agg(max(col("mrho")).as("mrho"))
-          .select(col("node2").as("node"), col("reg"), col("mrho")))
-      val perNode = regs.groupBy(col("node")).agg(
-        count(lit(1)).as("m_hit"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - mrho AS INT))"))
-          .as("sumpow"))
-        .select(col("node"), (lit(m.toLong) - col("m_hit")).as("zeros"),
-          col("sumpow"))
+          .groupBy(col("src").as("node2"))
+          .agg(graft.functions.RegsMax.regsMax(col("regs")).as("regs"))
+          .select(col("node2").as("node"), col("regs")))
+      val perNode = regs
+        .select(col("node"), expr(zerosExpr).as("zeros"),
+          expr(sumpowExpr).as("sumpow"))
         .select(col("node"), col("zeros"),
           expr(s"CAST('$AnfNumerator' AS DECIMAL(38,0))" +
             s" div (sumpow + zeros * ${1L << 56})").as("est_raw"))

@@ -64,7 +64,8 @@ class PlanSpec extends SparkSpec {
     Seq("q230_pagerank" -> 5, "q236_related_parts" -> 5,
         "q235_communities" -> 4, "q247_walk_pairs" -> 4,
         "q248_seed_bfs" -> 4, "q251_sampled_anf" -> 3,
-        "q252_anf_sketch" -> 3).foreach { case (name, iters) =>
+        "q252_anf_sketch" -> 3,
+        "q256_weighted_distance" -> 4).foreach { case (name, iters) =>
       val p = plan(name)
       assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= iters,
         s"$name: iterations re-derive the edge list instead of reading the cache")
@@ -76,6 +77,12 @@ class PlanSpec extends SparkSpec {
     val t = plan("q231_triangles")
     assert(t.contains("array_intersect"),
       "triangles lost the adjacency-intersection kernel")
+    graft.operators.PlanCache.release()
+    // q252: rounds must merge PACKED register blobs through the
+    // regs_max custom aggregate — the per-register grain ships m rows
+    // per edge per round (measured 16.7 s vs 7.0 s at sf0.1)
+    val a = plan("q252_anf_sketch")
+    assert(a.contains("regs_max"), "ANF sketch lost the packed-register merge")
     graft.operators.PlanCache.release()
   }
 

@@ -829,27 +829,35 @@ object GraftEngine {
   def runModelRetrain(spark: SparkSession,
       spec: graft.model.RetrainSpec): RetrainResult = {
     val to = graft.operators.TextOps
-    val candidate = to.trainQualityWeights(spark, spec.sourceDir,
-      spec.iters, spec.lr)
-    val candAuc = to.weightsAucMicro(spark, spec.sourceDir, candidate)
-    val incumbent = graft.operators.ModelStore.liveModel(spark, spec.storeDir)
-    val incAuc = incumbent.flatMap { case (w, _) =>
-      to.weightsAucMicro(spark, spec.sourceDir, w)
-    }
-    (candAuc, incumbent) match {
-      case (None, _) =>
-        RetrainResult(-1L, incAuc, promoted = false)
-      case (Some(c), None) =>
-        graft.operators.ModelStore.publishModel(spark, spec.storeDir, candidate, c)
-        RetrainResult(c, None, promoted = true)
-      case (Some(c), Some(_)) =>
-        // an unreadable/degenerate incumbent AUC holds too: promote
-        // needs a comparison it can win, not an absent opponent
-        val promote = incAuc.exists(i => c >= i + spec.minGainMicro)
-        if (promote)
+    // scheduled jobs must not accumulate persisted frames tick over
+    // tick — the runTrainingExport discipline
+    try {
+      val candidate = to.trainQualityWeights(spark, spec.sourceDir,
+        spec.iters, spec.lr)
+      // ONE cached holdout frame scores both weight vectors (a second
+      // corpus scan per run bought nothing)
+      val held = graft.operators.PlanCache.tracked(
+        to.qualityFeatureFrame(spark, spec.sourceDir, heldout = true))
+      val candAuc = to.weightsAucMicroOn(held, candidate)
+      val incumbent = graft.operators.ModelStore.liveModel(spark, spec.storeDir)
+      val incAuc = incumbent.flatMap { case (w, _) =>
+        to.weightsAucMicroOn(held, w)
+      }
+      (candAuc, incumbent) match {
+        case (None, _) =>
+          RetrainResult(-1L, incAuc, promoted = false)
+        case (Some(c), None) =>
           graft.operators.ModelStore.publishModel(spark, spec.storeDir, candidate, c)
-        RetrainResult(c, incAuc, promoted = promote)
-    }
+          RetrainResult(c, None, promoted = true)
+        case (Some(c), Some(_)) =>
+          // an unreadable/degenerate incumbent AUC holds too: promote
+          // needs a comparison it can win, not an absent opponent
+          val promote = incAuc.exists(i => c >= i + spec.minGainMicro)
+          if (promote)
+            graft.operators.ModelStore.publishModel(spark, spec.storeDir, candidate, c)
+          RetrainResult(c, incAuc, promoted = promote)
+      }
+    } finally graft.operators.PlanCache.release()
   }
 
   /** Graph-store maintenance namespace. */

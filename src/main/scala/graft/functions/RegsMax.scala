@@ -44,7 +44,14 @@ final case class RegsMaxAgg(
       require(a.length == b.length,
         s"regs_max: register width mismatch (${a.length} vs ${b.length})")
       var i = 0
-      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      // UNSIGNED compare: a register is a 0–255 cell, and JVM bytes
+      // are signed — a signed max would rank 0x80 below 0x01 (q252's
+      // rho ≤ 56 never trips it, but the function is registered
+      // session-wide as a general byte max)
+      while (i < a.length) {
+        if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+        i += 1
+      }
       a
     }
 

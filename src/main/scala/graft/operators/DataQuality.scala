@@ -362,6 +362,12 @@ object DataQuality {
     // rounding question this engine spent ten rounds closing)
     val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).head()
+    // an empty source has no midpoint and no drift — return the empty
+    // profile (the oracle's GROUP BY agrees), not an NPE the watchdog
+    // would page as "drift_audit_failed: null" every tick
+    if (mm.isNullAt(0))
+      return ev.select(col("event_type"), lit(0L).as("n_ref"),
+        lit(0L).as("n_cur"), lit(0L).as("tvd_micro")).limit(0)
     val mid = (mm.getLong(0) + mm.getLong(1)) / 2
     val counts = ev.select(col("event_type"),
         floor(col("value") / lit(bucketWidth)).cast("long").as("bucket"),

@@ -2422,9 +2422,16 @@ object TextOps {
     * window is the classifierAuc single-partition fold over that
     * bounded frame (same documented trade). */
   private[graft] def weightsAucMicro(spark: SparkSession, dir: String,
+      w: Seq[Long]): Option[Long] =
+    weightsAucMicroOn(qualityFeatureFrame(spark, dir, heldout = true), w)
+
+  /** [[weightsAucMicro]] over an already-built (ideally cached)
+    * holdout feature frame — the retrain loop scores candidate AND
+    * incumbent against one frame, one corpus scan. */
+  private[graft] def weightsAucMicroOn(held: DataFrame,
       w: Seq[Long]): Option[Long] = {
     import org.apache.spark.sql.expressions.Window
-    val ticks = qualityFeatureFrame(spark, dir, heldout = true)
+    val ticks = held
       .select(expr(s"(${microLogitExpr(w.toIndexedSeq)})").as("s"), col("y"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("np"))

@@ -22,7 +22,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * never event-sized), and the per-type state is the same bounded
   * bucket map — so once the same events have flowed through, the
   * stream's latest row per type equals the batch TVD bit for bit
-  * (DriftStreamSpec, including across a checkpointed restart).
+  * (DriftStreamSpec, including across a checkpointed restart); a
+  * reference type the stream never delivers gets its row from the
+  * read face (see [[currentDrift]] — a vanished type is drift, not
+  * silence).
   * Replay safety comes from the file source's exactly-once batch
   * semantics (counts are NOT idempotent under replay the way the
   * sketch stream's register maxes are — the checkpoint is the
@@ -108,14 +111,34 @@ object DriftStream {
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
       .start()
 
-  /** Read face: the latest drift row per event type. */
-  def currentDrift(spark: SparkSession, outDir: String): DataFrame = {
+  /** Read face: the latest drift row per event type — INCLUDING
+    * reference types the stream has never (or no longer) delivered.
+    * `flatMapGroupsWithState` only fires for keys present in a batch,
+    * so a type that vanishes outright — the most extreme drift there
+    * is — would otherwise have no row at all and could never page;
+    * the read face synthesizes those rows from the same frozen
+    * reference with the same exact TVD arithmetic (an all-reference
+    * no-current distribution reads as the batch twin's n_cur = 0
+    * rows: ≈500000µ). */
+  def currentDrift(spark: SparkSession, outDir: String,
+      ref: Reference = Map.empty): DataFrame = {
+    import spark.implicits._
     val log = spark.read.schema(
         "event_type STRING, updates LONG, n_cur LONG, tvd_micro LONG")
       .parquet(outDir)
     val latest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("updates").desc)
-    log.withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+    val seen = log.withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
       .select("event_type", "updates", "n_cur", "tvd_micro")
+    if (ref.isEmpty) seen
+    else {
+      // reference is gauge metadata (types × buckets): the driver-side
+      // set difference and TVD folds are bounded by it, never by events
+      val logged = seen.select("event_type").collect().map(_.getString(0)).toSet
+      val missing = ref.keys.filterNot(logged).toSeq.sorted
+        .map(t => (t, 0L, 0L, tvdMicro(ref(t), Map.empty)))
+      seen.union(missing.toDF("event_type", "updates", "n_cur", "tvd_micro"))
+    }
   }
 }

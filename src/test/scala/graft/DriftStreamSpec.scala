@@ -33,7 +33,7 @@ class DriftStreamSpec extends SparkSpec {
     cur.filter(col("event_id") % 2 === 1).write.json(s"$dir/batch2")
     DriftStream.start(spark, s"$dir/*", out, ckpt, ref).awaitTermination()
 
-    val streamed = DriftStream.currentDrift(spark, out).collect()
+    val streamed = DriftStream.currentDrift(spark, out, ref).collect()
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     val batch = DataQuality.valueDrift(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
@@ -41,6 +41,13 @@ class DriftStreamSpec extends SparkSpec {
     batch.foreach { case (t, want) =>
       assert(streamed(t) == want, s"$t: ${streamed(t)} != $want")
     }
+    // a reference type the stream never delivered is the LOUDEST
+    // drift, not a missing row: the read face synthesizes it
+    val refPlus = ref + ("vanished_type" -> Map(0L -> 4L))
+    val withGone = DriftStream.currentDrift(spark, out, refPlus).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(withGone("vanished_type") == 500000L,
+      s"vanished type read ${withGone.get("vanished_type")}")
   }
 
   test("an all-reference stream reads zero drift; a disjoint-bucket stream reads full drift") {

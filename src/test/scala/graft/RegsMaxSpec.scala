@@ -23,6 +23,10 @@ class RegsMaxSpec extends SparkSpec {
     assert(once("b") == Seq[Byte](0, 0, 9, 1))
     // max-merge is idempotent: replayed rows cannot move a register
     assert(fold(rows.union(rows)) == once)
+    // bytes compare UNSIGNED: 0x80 (-128 signed) must beat 0x01
+    val hi = Seq(("h", Array[Byte](0x80.toByte)), ("h", Array[Byte](1)))
+      .toDF("k", "regs")
+    assert(fold(hi)("h") == Seq(0x80.toByte))
   }
 
   test("regs_max fails loudly on mixed register widths") {

@@ -1245,6 +1245,37 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("monitor-to-model loop: drift pages, retrain promotes, the serving face scores — one config") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [],
+         |  "driftTasks": [
+         |   { "id": 1, "schedule": "25 6 * * *", "sourceDir": "$sf",
+         |     "maxTvdMicro": -1 } ],
+         |  "retrainTasks": [
+         |   { "id": 2, "schedule": "40 6 * * *", "sourceDir": "$sf",
+         |     "storeDir": "$root/model" } ] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      // 06:25 — the drift watchdog pages (impossible bound)
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T06:25:00")) ==
+        Seq(GraftEngine.DriftJobIdOffset + 1))
+      assert(alerts.drain().exists(_.kind == "value_drift_high"))
+      // 06:40 — the retrain answers with a founding promotion
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T06:40:00")) ==
+        Seq(GraftEngine.RetrainJobIdOffset + 2))
+      assert(alerts.drain().exists(_.kind == "model_promoted"))
+      // the serving face reads the just-promoted version
+      val scored = graft.operators.ModelStore
+        .scoreWithLiveModel(spark, sf, s"$root/model")
+      assert(scored.count() == Tables(spark, sf, "documents").count())
+      graft.operators.PlanCache.release()
+    } finally engine.stop()
+  }
+
   test("retrain: the first tick founds the model (promotion alert), the second holds silently") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

@@ -468,6 +468,7 @@ object SparkEntry {
     "q254_frequent_triples" -> ((s, d) => Relational.frequentTriples(s, d)),
     "q255_rec_coverage" -> ((s, d) => Graph.recCoverageEval(s, d)),
     "q256_weighted_distance" -> ((s, d) => Graph.weightedSeedDistances(s, d)),
+    "q257_mann_whitney" -> ((s, d) => TextOps.mannWhitneyEffect(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -666,6 +667,7 @@ object SparkEntry {
       ("q251_sampled_anf" -> q251Sql) + ("q252_anf_sketch" -> q252Sql) +
       ("q253_value_drift" -> q253Sql) + ("q254_frequent_triples" -> q254Sql) +
       ("q255_rec_coverage" -> q255Sql) + ("q256_weighted_distance" -> q256Sql) +
+      ("q257_mann_whitney" -> q257Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1203,6 +1205,30 @@ object SparkEntry {
        | $rounds
        |SELECT part, CAST(d AS BIGINT) AS dist_cost FROM wd4""".stripMargin
   }
+
+  /** q257: the midrank replay — half-unit grid (2·cum_less + cnt + 1),
+    * 2U = ΣA midrank2 − m(m+1), CL in micro via HUGEINT. */
+  private lazy val q257Sql: String =
+    s"""WITH mw AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+       |    source = 'src0' AS isa
+       |   FROM documents WHERE source IN ('src0', 'src1')),
+       | mt AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na
+       |   FROM mw GROUP BY 1),
+       | mr AS (SELECT v, cnt, na,
+       |    CAST(coalesce(sum(cnt) OVER (ORDER BY v ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_less
+       |   FROM mt)
+       |SELECT 'src0' AS source_a, 'src1' AS source_b,
+       |  CAST(sum(na) AS BIGINT) AS m,
+       |  CAST(sum(cnt - na) AS BIGINT) AS n,
+       |  CASE WHEN sum(na) = 0 OR sum(cnt - na) = 0 THEN NULL
+       |    ELSE CAST((sum(CAST(na AS HUGEINT) * (2 * cum_less + cnt + 1))
+       |         - CAST(sum(na) AS HUGEINT) * (sum(na) + 1)) * 1000000
+       |         // (2 * CAST(sum(na) AS HUGEINT) * sum(cnt - na))
+       |         AS BIGINT) END AS cl_micro
+       |FROM mr""".stripMargin
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

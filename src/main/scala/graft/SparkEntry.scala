@@ -469,6 +469,7 @@ object SparkEntry {
     "q255_rec_coverage" -> ((s, d) => Graph.recCoverageEval(s, d)),
     "q256_weighted_distance" -> ((s, d) => Graph.weightedSeedDistances(s, d)),
     "q257_mann_whitney" -> ((s, d) => TextOps.mannWhitneyEffect(s, d)),
+    "q258_exposure_gini" -> ((s, d) => Graph.recExposureGini(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -667,7 +668,7 @@ object SparkEntry {
       ("q251_sampled_anf" -> q251Sql) + ("q252_anf_sketch" -> q252Sql) +
       ("q253_value_drift" -> q253Sql) + ("q254_frequent_triples" -> q254Sql) +
       ("q255_rec_coverage" -> q255Sql) + ("q256_weighted_distance" -> q256Sql) +
-      ("q257_mann_whitney" -> q257Sql) +
+      ("q257_mann_whitney" -> q257Sql) + ("q258_exposure_gini" -> q258Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1229,6 +1230,28 @@ object SparkEntry {
        |         // (2 * CAST(sum(na) AS HUGEINT) * sum(cnt - na))
        |         AS BIGINT) END AS cl_micro
        |FROM mr""".stripMargin
+
+  /** q258: the exposure-Gini replay — ascending (count, item) ranks,
+    * G = (Σ2r·cnt − (n+1)·Σcnt) / (n·Σcnt) in micro via HUGEINT. */
+  private lazy val q258Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | eg_sym AS (SELECT pa AS src, pb AS dst, w FROM cp_und
+       |   UNION ALL SELECT pb, pa, w FROM cp_und),
+       | eg_exp AS (SELECT dst AS item, CAST(count(*) AS BIGINT) AS cnt
+       |   FROM (SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src
+       |        ORDER BY w DESC, dst ASC) AS rnk FROM eg_sym)
+       |   WHERE rnk <= 10 GROUP BY 1),
+       | eg_r AS (SELECT cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt ASC, item ASC) AS BIGINT) AS r
+       |   FROM eg_exp)
+       |SELECT CAST(10 AS BIGINT) AS k,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(cnt) AS BIGINT) AS n_slots,
+       |  CAST((sum(CAST(2 * r AS HUGEINT) * cnt)
+       |      - CAST(count(*) + 1 AS HUGEINT) * sum(cnt)) * 1000000
+       |    // (CAST(count(*) AS HUGEINT) * sum(cnt)) AS BIGINT) AS gini_micro
+       |FROM eg_r""".stripMargin
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

@@ -445,6 +445,45 @@ object Graph {
         col("mean_pop_pct_micro"))
   }
 
+  /** RECOMMENDATION-EXPOSURE GINI — the inequality face beside
+    * [[recCoverageEval]]'s coverage/popularity gauges: how unevenly
+    * the top-k slots distribute over the items that do get
+    * recommended (0 = every recommended item appears equally often,
+    * → 10⁶ = a handful of items absorb all exposure). Coverage can
+    * look healthy while exposure is winner-take-all; this is the
+    * gauge that sees it. Exact integers: with exposures sorted
+    * ascending (count, then item — the house tie-break),
+    * `G = Σ(2·rank − n − 1)·cnt / (n·Σcnt)`, in micro through
+    * Decimal(38).
+    *
+    * Scale: top-k lists are the bounded heap ranking; exposures are a
+    * node-sized aggregate; the rank is one single-partition window
+    * over that bounded frame (the classifierAuc trade) and the Gini
+    * is a 1-row fold. */
+  def recExposureGini(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val exposures = sym
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rnk") <= k)
+      .groupBy(col("dst").as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    exposures
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cnt").asc, col("item").asc)))
+      .agg(count(lit(1)).as("n_items"), sum(col("cnt")).as("n_slots"),
+        sum(expr("CAST(2 * r AS DECIMAL(38,0)) * cnt")).as("num2"))
+      .select(lit(k.toLong).as("k"), col("n_items"), col("n_slots"),
+        // G = (Σ2r·cnt − (n+1)·Σcnt) / (n·Σcnt), all positive terms
+        // arranged so no intermediate goes negative
+        expr("""CAST((num2 - CAST(n_items + 1 AS DECIMAL(38,0)) * n_slots)
+                * 1000000 div (CAST(n_items AS DECIMAL(38,0)) * n_slots)
+                AS BIGINT)""").as("gini_micro"))
+  }
+
   /** CONNECTED COMPONENTS of the co-purchase graph, reported as the
     * component-size histogram (the q121 shape) — the global-structure
     * census beside label propagation's community table: LPA's fixed

@@ -470,6 +470,7 @@ object SparkEntry {
     "q256_weighted_distance" -> ((s, d) => Graph.weightedSeedDistances(s, d)),
     "q257_mann_whitney" -> ((s, d) => TextOps.mannWhitneyEffect(s, d)),
     "q258_exposure_gini" -> ((s, d) => Graph.recExposureGini(s, d)),
+    "q259_intra_list_sim" -> ((s, d) => Graph.intraListSimilarity(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -669,6 +670,7 @@ object SparkEntry {
       ("q253_value_drift" -> q253Sql) + ("q254_frequent_triples" -> q254Sql) +
       ("q255_rec_coverage" -> q255Sql) + ("q256_weighted_distance" -> q256Sql) +
       ("q257_mann_whitney" -> q257Sql) + ("q258_exposure_gini" -> q258Sql) +
+      ("q259_intra_list_sim" -> q259Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1252,6 +1254,29 @@ object SparkEntry {
        |      - CAST(count(*) + 1 AS HUGEINT) * sum(cnt)) * 1000000
        |    // (CAST(count(*) AS HUGEINT) * sum(cnt)) AS BIGINT) AS gini_micro
        |FROM eg_r""".stripMargin
+
+  /** q259: within-list pair replay — self-join of the bounded top-k
+    * lists on seed, canonical-pair weight lookup, 1-row micro folds. */
+  private lazy val q259Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | il_sym AS (SELECT pa AS src, pb AS dst, w FROM cp_und
+       |   UNION ALL SELECT pb, pa, w FROM cp_und),
+       | il_top AS (SELECT src, dst FROM (SELECT src, dst,
+       |     row_number() OVER (PARTITION BY src
+       |       ORDER BY w DESC, dst ASC) AS rnk FROM il_sym)
+       |   WHERE rnk <= 10),
+       | il_pairs AS (SELECT a.src, a.dst, b.dst AS dst2
+       |   FROM il_top a JOIN il_top b ON a.src = b.src AND a.dst < b.dst)
+       |SELECT CAST(10 AS BIGINT) AS k,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN e.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_connected,
+       |  CAST(CAST(sum(CASE WHEN e.w IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS connected_micro,
+       |  CAST(CAST(coalesce(sum(e.w), 0) AS HUGEINT) * 1000000 // count(*)
+       |    AS BIGINT) AS mean_w_micro
+       |FROM il_pairs p
+       |LEFT JOIN cp_und e ON p.dst = e.pa AND p.dst2 = e.pb""".stripMargin
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

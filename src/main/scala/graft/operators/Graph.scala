@@ -484,6 +484,47 @@ object Graph {
                 AS BIGINT)""").as("gini_micro"))
   }
 
+  /** INTRA-LIST SIMILARITY — the third beyond-accuracy gauge beside
+    * coverage ([[recCoverageEval]]) and exposure inequality
+    * ([[recExposureGini]]): how alike the items WITHIN one seed's
+    * top-k list are, read as (a) the share of within-list pairs that
+    * are themselves co-purchased and (b) their mean co-purchase
+    * weight — a list of ten near-identical substitutes scores high
+    * here while looking fine on hit-rate, and "accurate but
+    * redundant" is the classic recommender failure this catches.
+    *
+    * Scale: within-list pairs are a self-join of the bounded top-k
+    * frame on the seed key — k²-bounded fan-out per seed, never
+    * catalog-shaped — and the similarity lookup joins the canonical
+    * (pa < pb) edge list once; the readout is a 1-row exact-micro
+    * fold. */
+  def intraListSimilarity(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val und = PlanCache.tracked(coPurchaseEdges(spark, dir))
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val topk = PlanCache.tracked(sym
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst")))
+    val pairs = topk.join(
+        topk.select(col("src"), col("dst").as("dst2")), Seq("src"))
+      .filter(col("dst") < col("dst2"))
+    pairs
+      .join(und.select(col("pa").as("dst"), col("pb").as("dst2"),
+          col("w").as("pw")),
+        Seq("dst", "dst2"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("pw").isNotNull, 1L).otherwise(0L)).as("n_connected"),
+        coalesce(sum(col("pw")), lit(0L)).as("w_sum"))
+      .select(lit(k.toLong).as("k"), col("n_pairs"), col("n_connected"),
+        expr("CAST(n_connected AS DECIMAL(38,0)) * 1000000 div n_pairs")
+          .as("connected_micro"),
+        expr("CAST(w_sum AS DECIMAL(38,0)) * 1000000 div n_pairs")
+          .as("mean_w_micro"))
+  }
+
   /** CONNECTED COMPONENTS of the co-purchase graph, reported as the
     * component-size histogram (the q121 shape) — the global-structure
     * census beside label propagation's community table: LPA's fixed

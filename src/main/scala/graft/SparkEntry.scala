@@ -471,6 +471,7 @@ object SparkEntry {
     "q257_mann_whitney" -> ((s, d) => TextOps.mannWhitneyEffect(s, d)),
     "q258_exposure_gini" -> ((s, d) => Graph.recExposureGini(s, d)),
     "q259_intra_list_sim" -> ((s, d) => Graph.intraListSimilarity(s, d)),
+    "q260_topk_stability" -> ((s, d) => Relational.topKStability(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -670,7 +671,7 @@ object SparkEntry {
       ("q253_value_drift" -> q253Sql) + ("q254_frequent_triples" -> q254Sql) +
       ("q255_rec_coverage" -> q255Sql) + ("q256_weighted_distance" -> q256Sql) +
       ("q257_mann_whitney" -> q257Sql) + ("q258_exposure_gini" -> q258Sql) +
-      ("q259_intra_list_sim" -> q259Sql) +
+      ("q259_intra_list_sim" -> q259Sql) + ("q260_topk_stability" -> q260Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1277,6 +1278,43 @@ object SparkEntry {
        |    AS BIGINT) AS mean_w_micro
        |FROM il_pairs p
        |LEFT JOIN cp_und e ON p.dst = e.pa AND p.dst2 = e.pb""".stripMargin
+
+  /** q260: the rank-stability replay — epoch-day midpoint halves,
+    * cent-percent revenue ranks, Jaccard + footrule over the overlap. */
+  private lazy val q260Sql: String =
+    s"""WITH ts_ord AS (SELECT o_orderkey, epoch_us(o_orderdate) AS d
+       |   FROM orders),
+       | ts_mid AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ts_ord),
+       | ts_rev AS (SELECT p.p_brand, o.d < (SELECT mid FROM ts_mid) AS is_a,
+       |    CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+       |      * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+       |      AS BIGINT) AS cents
+       |   FROM lineitem l
+       |   JOIN part p ON l.l_partkey = p.p_partkey
+       |   JOIN ts_ord o ON l.l_orderkey = o.o_orderkey
+       |   GROUP BY 1, 2),
+       | ts_rank AS (SELECT p_brand, is_a,
+       |    CAST(row_number() OVER (PARTITION BY is_a
+       |      ORDER BY cents DESC, p_brand ASC) AS BIGINT) AS rnk
+       |   FROM ts_rev),
+       | ts_a AS (SELECT p_brand, rnk AS ra FROM ts_rank
+       |   WHERE is_a AND rnk <= 10),
+       | ts_b AS (SELECT p_brand, rnk AS rb FROM ts_rank
+       |   WHERE NOT is_a AND rnk <= 10),
+       | ts_j AS (SELECT a.ra, b.rb
+       |   FROM ts_a a FULL JOIN ts_b b ON a.p_brand = b.p_brand)
+       |SELECT CAST(10 AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |  CAST(CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+       |    // greatest(sum(CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END)
+       |      - sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+       |          THEN 1 ELSE 0 END), 1) AS BIGINT) AS jaccard_micro,
+       |  CAST(coalesce(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+       |    THEN abs(ra - rb) END), 0) AS BIGINT) AS footrule
+       |FROM ts_j""".stripMargin
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

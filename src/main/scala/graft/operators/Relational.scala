@@ -1305,6 +1305,59 @@ object Relational {
       .limit(k)
   }
 
+  /** TOP-K RANK STABILITY over time — "is the bestseller list the
+    * same list it was": the top-k revenue BRANDS of the order
+    * stream's first time half vs its second, read as Jaccard overlap
+    * (micro) and Spearman's footrule Σ|Δrank| over the common
+    * brands. The value-distribution drift monitor (q253) sees shape
+    * moves; this sees LIST moves — a merchandising mix can drift
+    * ranks wholesale while every bucket histogram stays put. Brand
+    * grain is the deliberate choice: a rank over a uniform-revenue
+    * 20k-part catalog is pure noise (measured: zero top-20 overlap),
+    * while the 25-brand rollup is the list a merchandiser actually
+    * watches. Split at the data-derived epoch-micros midpoint (the
+    * q253 convention); revenue on the exact cent-percent grid (q91).
+    *
+    * Scale: one broadcast brand join + one (brand, half) aggregate,
+    * map-side combined; the two rankings window over the brand-sized
+    * frame; the readout is a 1-row fold over ≤ 2k rows. */
+  def topKStability(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate")).as("d"))
+    // 2-scalar driver fold: the midpoint that defines the halves
+    val mm = ord.agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val rev = (round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_cp")
+    val brands = Tables(spark, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val halves = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"), rev)
+      .join(broadcast(brands), Seq("l_partkey"))
+      .join(ord, Seq("o_orderkey"))
+      .groupBy(col("p_brand"), (col("d") < mid).as("is_a"))
+      .agg(sum(col("rev_cp")).as("cents"))
+    val ranked = PlanCache.tracked(halves
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("is_a"))
+        .orderBy(col("cents").desc, col("p_brand").asc)))
+      .filter(col("rnk") <= k))
+    val a = ranked.filter(col("is_a"))
+      .select(col("p_brand"), col("rnk").as("ra"))
+    val b = ranked.filter(!col("is_a"))
+      .select(col("p_brand"), col("rnk").as("rb"))
+    a.join(b, Seq("p_brand"), "full")
+      .agg(sum(when(col("ra").isNotNull, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("rb").isNotNull, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ra").isNotNull && col("rb").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        coalesce(sum(when(col("ra").isNotNull && col("rb").isNotNull,
+          abs(col("ra") - col("rb")))), lit(0L)).as("footrule"))
+      .select(lit(k.toLong).as("k"), col("n_common"),
+        expr("CAST(n_common AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(n_a + n_b - n_common, 1)").as("jaccard_micro"),
+        col("footrule"))
+  }
+
   /** FREQUENT ITEM TRIPLES — the A-priori level above
     * [[partAssociations]]' pairs: top-k (a, b, c) item sets by basket
     * support, with the 3-way lift against item independence

@@ -472,6 +472,11 @@ object SparkEntry {
     "q258_exposure_gini" -> ((s, d) => Graph.recExposureGini(s, d)),
     "q259_intra_list_sim" -> ((s, d) => Graph.intraListSimilarity(s, d)),
     "q260_topk_stability" -> ((s, d) => Relational.topKStability(s, d)),
+    "q261_linkpred_eval" -> ((s, d) => Graph.linkPredictionEval(s, d)),
+    "q262_dp_counts" -> ((s, d) => DataQuality.randomizedResponse(s, d)),
+    "q263_hits" -> ((s, d) => Graph.hits(s, d)),
+    "q264_holt_forecast" -> ((s, d) => Relational.holtForecast(s, d)),
+    "q265_seq_patterns" -> ((s, d) => EventFlow.sequentialPatterns(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -672,6 +677,9 @@ object SparkEntry {
       ("q255_rec_coverage" -> q255Sql) + ("q256_weighted_distance" -> q256Sql) +
       ("q257_mann_whitney" -> q257Sql) + ("q258_exposure_gini" -> q258Sql) +
       ("q259_intra_list_sim" -> q259Sql) + ("q260_topk_stability" -> q260Sql) +
+      ("q261_linkpred_eval" -> q261Sql) + ("q262_dp_counts" -> q262Sql) +
+      ("q263_hits" -> q263Sql) + ("q264_holt_forecast" -> q264Sql) +
+      ("q265_seq_patterns" -> q265Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1315,6 +1323,162 @@ object SparkEntry {
        |  CAST(coalesce(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
        |    THEN abs(ra - rb) END), 0) AS BIGINT) AS footrule
        |FROM ts_j""".stripMargin
+
+  /** q261: the link-prediction replay — edge-level salted split,
+    * top-64-capped train adjacency, 2-hop wedge candidates scored by
+    * integer-micro resource allocation (1e6 // full train degree of
+    * the midpoint), anti-joined against train edges, ranked to the
+    * k bound, then every test edge judged both directed ways. */
+  private lazy val q261Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | lp_sp AS (SELECT pa, pb, w,
+       |    CAST('0x' || substr(md5('linkpred-' || CAST(pa AS VARCHAR) || '-'
+       |      || CAST(pb AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS h
+       |   FROM cp_und),
+       | lp_tr AS (SELECT pa, pb, w FROM lp_sp WHERE h < 8),
+       | lp_te AS (SELECT pa, pb FROM lp_sp WHERE h >= 8),
+       | lp_sym AS (SELECT pa AS src, pb AS dst, w FROM lp_tr
+       |   UNION ALL SELECT pb, pa, w FROM lp_tr),
+       | lp_dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |   FROM lp_sym GROUP BY 1),
+       | lp_cap AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER
+       |      (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn FROM lp_sym)
+       |   WHERE rn <= 64),
+       | lp_wg AS (SELECT x.src AS a, y.dst AS b, x.dst AS z
+       |   FROM lp_cap x JOIN lp_cap y ON x.dst = y.src WHERE x.src <> y.dst),
+       | lp_sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+       |     CAST(sum(1000000 // deg) AS BIGINT) AS ra_micro
+       |   FROM lp_wg JOIN lp_dg ON z = node GROUP BY 1, 2),
+       | lp_nv AS (SELECT s.a, s.b, s.cn, s.ra_micro FROM lp_sc s
+       |   WHERE NOT EXISTS (SELECT 1 FROM lp_sym y
+       |     WHERE y.src = s.a AND y.dst = s.b)),
+       | lp_rk AS (SELECT a, b, rnk FROM (SELECT a, b, row_number() OVER
+       |      (PARTITION BY a ORDER BY ra_micro DESC, cn DESC, b ASC) AS rnk
+       |    FROM lp_nv) WHERE rnk <= 10),
+       | lp_pairs AS (SELECT pa AS seed, pb AS target FROM lp_te
+       |   UNION ALL SELECT pb, pa FROM lp_te),
+       | lp_j AS (SELECT seed, rnk FROM lp_pairs
+       |   LEFT JOIN lp_rk ON seed = lp_rk.a AND target = lp_rk.b),
+       | lp_ks AS (SELECT unnest([1, 5, 10]) AS k)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_cases,
+       |  CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(CAST(sum(CASE WHEN rnk IS NOT NULL AND rnk <= k
+       |      THEN 1 ELSE 0 END)
+       |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS hitrate_micro
+       |FROM lp_j CROSS JOIN lp_ks GROUP BY k""".stripMargin
+
+  /** q263: the HITS replay — three unrolled hub/authority legs on the
+    * integer pico grid, each leg an edge join + HUGEINT mass fold +
+    * scalar-subquery renormalization (≙ the Spark side's broadcast
+    * 1-row total), top-25 per side. */
+  private lazy val q263Sql: String = {
+    val scale = 1000000000000L
+    val iters = (1 to 3).map { t =>
+      s"""ht_h${t}r AS (SELECT cust, sum(CAST(w AS HUGEINT) * a) AS hraw
+         |   FROM ht_ed JOIN ht_a${t - 1} USING (part) GROUP BY 1),
+         | ht_h$t AS (SELECT cust, CAST(hraw * $scale
+         |     // (SELECT sum(hraw) FROM ht_h${t}r) AS BIGINT) AS h
+         |   FROM ht_h${t}r),
+         | ht_a${t}r AS (SELECT part, sum(CAST(w AS HUGEINT) * h) AS araw
+         |   FROM ht_ed JOIN ht_h$t USING (cust) GROUP BY 1),
+         | ht_a$t AS (SELECT part, CAST(araw * $scale
+         |     // (SELECT sum(araw) FROM ht_a${t}r) AS BIGINT) AS a
+         |   FROM ht_a${t}r)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH ht_ed AS (SELECT o_custkey AS cust, l_partkey AS part,
+       |    CAST(count(*) AS BIGINT) AS w
+       |   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |   GROUP BY 1, 2),
+       | ht_a0 AS (SELECT DISTINCT part, CAST($scale AS BIGINT) AS a
+       |   FROM ht_ed),
+       | $iters,
+       | ht_sides AS (SELECT 'hub' AS side, cust AS key, h AS score_pico
+       |   FROM ht_h3
+       |   UNION ALL SELECT 'auth', part, a FROM ht_a3),
+       | ht_rk AS (SELECT side, key, score_pico, row_number() OVER
+       |    (PARTITION BY side ORDER BY score_pico DESC, key ASC) AS rnk
+       |   FROM ht_sides)
+       |SELECT side, CAST(rnk AS BIGINT) AS rnk, CAST(key AS BIGINT) AS key,
+       |  score_pico
+       |FROM ht_rk WHERE rnk <= 25 ORDER BY side, rnk""".stripMargin
+  }
+
+  /** q265: the gapped-pattern replay — first-a, earliest-b-after-it,
+    * last-c boundary aggregates, then the types³ support count. */
+  private lazy val q265Sql: String =
+    """WITH sq_ev AS (SELECT user_id, ts, event_type FROM events),
+      | sq_a AS (SELECT user_id, event_type AS a, min(ts) AS ta
+      |   FROM sq_ev GROUP BY 1, 2),
+      | sq_ab AS (SELECT e.user_id, a, e.event_type AS b, min(e.ts) AS tab
+      |   FROM sq_ev e JOIN sq_a USING (user_id) WHERE e.ts > ta
+      |   GROUP BY 1, 2, 3),
+      | sq_c AS (SELECT user_id, event_type AS c, max(ts) AS tc
+      |   FROM sq_ev GROUP BY 1, 2)
+      |SELECT a AS step1, b AS step2, c AS step3,
+      |  CAST(count(*) AS BIGINT) AS support
+      |FROM sq_ab JOIN sq_c USING (user_id) WHERE tc > tab
+      |GROUP BY 1, 2, 3
+      |ORDER BY support DESC, step1, step2, step3 LIMIT 20""".stripMargin
+
+  /** q264: the Holt replay — a RECURSIVE CTE walks the day spine
+    * carrying (level, trend), truncating `//` ≙ the Spark side's
+    * `div`, then the h = 0..7 forecast ladder off the last state. */
+  private lazy val q264Sql: String =
+    """WITH RECURSIVE hf_daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |   FROM orders GROUP BY 1),
+      | hf_idx AS (SELECT row_number() OVER (ORDER BY d) AS i, cents
+      |   FROM hf_daily),
+      | hf_n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM hf_idx),
+      | hf_st(i, lv, tr) AS (
+      |   SELECT CAST(1 AS BIGINT), cents, CAST(0 AS BIGINT)
+      |   FROM hf_idx WHERE i = 1
+      |   UNION ALL
+      |   SELECT st.i + 1,
+      |     (d.cents + 3 * (st.lv + st.tr)) // 4,
+      |     (((d.cents + 3 * (st.lv + st.tr)) // 4) - st.lv + 3 * st.tr) // 4
+      |   FROM hf_st st JOIN hf_idx d ON d.i = st.i + 1),
+      | hf_fin AS (SELECT lv, tr FROM hf_st ORDER BY i DESC LIMIT 1),
+      | hf_h AS (SELECT unnest(range(0, 8)) AS h)
+      |SELECT CAST(h AS BIGINT) AS h, (SELECT n_days FROM hf_n) AS n_days,
+      |  lv AS level_cents, tr AS trend_cents,
+      |  lv + h * tr AS forecast_cents
+      |FROM hf_fin CROSS JOIN hf_h ORDER BY h""".stripMargin
+
+  /** q262: the randomized-response replay — md5-grid keep/replace
+    * draws, the j ≥ own → j+1 skip, closed-form debias
+    * (96·c − n)/71 clamped at 0 (the clamp doubles as the
+    * truncate-vs-floor determinism guard). */
+  private lazy val q262Sql: String =
+    """WITH rrc AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat
+      |   FROM customer),
+      | rrn AS (SELECT CASE WHEN CAST('0x' || substr(md5('rr-'
+      |      || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 1000000 < 750000 THEN nat
+      |    ELSE CASE WHEN CAST('0x' || substr(md5('rr2-'
+      |        || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 24 >= nat
+      |      THEN CAST('0x' || substr(md5('rr2-'
+      |        || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 24 + 1
+      |      ELSE CAST('0x' || substr(md5('rr2-'
+      |        || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 24 END
+      |    END AS nat FROM rrc),
+      | rro AS (SELECT nat, CAST(count(*) AS BIGINT) AS n_obs
+      |   FROM rrn GROUP BY 1),
+      | rrt AS (SELECT nat, CAST(count(*) AS BIGINT) AS n_true
+      |   FROM rrc GROUP BY 1),
+      | rrj AS (SELECT coalesce(t.nat, o.nat) AS nationkey,
+      |    coalesce(n_true, 0) AS n_true, coalesce(n_obs, 0) AS n_obs
+      |   FROM rrt t FULL JOIN rro o ON t.nat = o.nat),
+      | rrtot AS (SELECT CAST(sum(n_true) AS HUGEINT) AS n_total FROM rrj)
+      |SELECT nationkey, n_true, n_obs,
+      |  CAST(greatest(96 * CAST(n_obs AS HUGEINT)
+      |      - (SELECT n_total FROM rrtot), 0) // 71 AS BIGINT) AS n_est,
+      |  CAST(abs(CAST(greatest(96 * CAST(n_obs AS HUGEINT)
+      |      - (SELECT n_total FROM rrtot), 0) // 71 AS BIGINT) - n_true)
+      |    AS BIGINT) AS abs_err
+      |FROM rrj ORDER BY nationkey""".stripMargin
 
   /** q248: unrolled BFS rounds — each round's new frontier is the
     * neighbor set minus everything already reached. */

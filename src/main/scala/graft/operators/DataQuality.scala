@@ -253,6 +253,65 @@ object DataQuality {
           floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
       Seq("c_nationkey", "c_mktsegment"), "bal_band", t)
 
+  /** LOCAL-DP RANDOMIZED RESPONSE over the customer→nation histogram —
+    * the fourth privacy face beside k-anonymity (group sizes),
+    * l-diversity (sensitive variety) and t-closeness (distribution
+    * distance): those three audit a RELEASED table; this one builds
+    * the release mechanism itself. Each customer's nation is reported
+    * truthfully with probability 3/4, otherwise replaced by a
+    * deterministic pseudo-random OTHER nation (uniform over the 24
+    * alternatives) — generalized randomized response, ε =
+    * ln(p·(k−1)/(1−p)) = ln(72). The per-nation debiased estimate
+    * inverts the mechanism in closed form: with p = 3/4 and
+    * q = (1−p)/(k−1) = 1/96, n̂_v = (c_v − n·q)/(p − q)
+    * = (96·c_v − n)/71 — computed on the integer grid, clamped at 0
+    * (a tiny true count can debias negative; Spark `div` truncates
+    * toward zero while the oracle's `//` floors, so the clamp is
+    * also the cross-engine determinism guard).
+    *
+    * Draws ride the md5 grid (the q67 salted-sample convention):
+    * keep-draw = hash("rr-" ⧺ custkey) mod 10⁶ < 750 000; the
+    * replacement index j = hash("rr2-" ⧺ custkey) mod 24, skipping
+    * the customer's own nation by the shift j ≥ own → j+1 (nation
+    * keys are dense 0..24). Output per nation: true count, observed
+    * noisy count, debiased estimate, |estimate − true| — the
+    * utility-loss readout a privacy engineer reads before shipping ε.
+    *
+    * Scale: one customer scan, two hash evaluations per row, one
+    * 25-group aggregate each for true and noisy counts joined on the
+    * nation key — no per-row state, no shuffle beyond the 25-key
+    * agg. */
+  def randomizedResponse(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val k = 25L
+    val cust = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nat"))
+    val keep = pmod(graft.functions.Text.md5Hash60(
+      concat_ws("-", lit("rr"), col("c_custkey"))), lit(1000000L)) <
+      lit(750000L)
+    val alt = pmod(graft.functions.Text.md5Hash60(
+      concat_ws("-", lit("rr2"), col("c_custkey"))), lit(k - 1))
+    val noisy = cust
+      .select(when(keep, col("nat"))
+        .otherwise(when(alt >= col("nat"), alt + 1).otherwise(alt))
+        .as("nat"))
+      .groupBy(col("nat")).agg(count(lit(1)).as("n_obs"))
+    val truth = cust.groupBy(col("nat")).agg(count(lit(1)).as("n_true"))
+    truth.join(noisy, Seq("nat"), "full")
+      .select(col("nat").as("nationkey"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .withColumn("n_total", sum(col("n_true")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      // counts at corpus scale push 96·c past int64 only beyond
+      // ~9.6e16 rows; the Decimal widening keeps the headroom anyway
+      .select(col("nationkey"), col("n_true"), col("n_obs"),
+        expr("CAST(greatest(96 * CAST(n_obs AS DECIMAL(38,0)) - n_total, 0)" +
+          " div 71 AS BIGINT)").as("n_est"))
+      .withColumn("abs_err", abs(col("n_est") - col("n_true")))
+      .orderBy(col("nationkey").asc)
+  }
+
   /** Benford first-digit expectations log₁₀(1 + 1/d), d = 1..9, as
     * shared integer micro literals (the q192 DCG-weight convention:
     * the transcendental is frozen at authoring time, so neither

@@ -303,6 +303,49 @@ object EventFlow {
       .orderBy(col("n").desc, col("step1").asc, col("step2").asc, col("step3").asc)
       .limit(k)
 
+  /** GAPPED SEQUENTIAL PATTERNS (PrefixSpan's support semantics, depth
+    * 3) — the subsequence twin of [[eventTrigrams]]: the trigram motif
+    * "view→view→purchase" only counts ADJACENT steps, but funnels with
+    * chatter between steps (view … cart … purchase with anything in
+    * the gaps) are invisible to it. A user supports pattern (a, b, c)
+    * iff some a-event precedes some b-event which precedes some
+    * c-event — strictly increasing timestamps, each user counted ONCE
+    * (support = users, not occurrences; simultaneous events don't
+    * chain, by the strict inequality).
+    *
+    * The existence test folds to per-user boundary aggregates instead
+    * of enumerating subsequences (which would be eventsᵏ): an (a,b,c)
+    * chain exists iff the EARLIEST b after the user's first a still
+    * precedes the user's last c — computed as first-a per (user, a)
+    * (one agg), earliest-b-after-it per (user, a, b) (one filtered
+    * re-join + agg), last-c per (user, c) (one agg), then a
+    * types³-bounded count.
+    *
+    * Scale: the re-join fans each event out |types| ways (a fixed
+    * single-digit factor, never corpus²); everything else is
+    * user-keyed aggregation on frames bounded by users × types³. */
+  def sequentialPatterns(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val firstA = ev.groupBy(col("user_id"), col("event_type").as("a"))
+      .agg(min(col("ts")).as("ta"))
+    val firstBAfterA = ev.join(firstA, Seq("user_id"))
+      .filter(col("ts") > col("ta"))
+      .groupBy(col("user_id"), col("a"), col("event_type").as("b"))
+      .agg(min(col("ts")).as("tab"))
+    val lastC = ev.groupBy(col("user_id"), col("event_type").as("c"))
+      .agg(max(col("ts")).as("tc"))
+    firstBAfterA.join(lastC, Seq("user_id"))
+      .filter(col("tc") > col("tab"))
+      .groupBy(col("a").as("step1"), col("b").as("step2"),
+        col("c").as("step3"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(k)
+  }
+
   /** Daily per-event-type value anomalies as z-scores, fully
     * deterministic: daily totals are integer cents (`floor(value·100)`
     * — floor, not round: no cross-engine half-tie), and the variance

@@ -525,6 +525,164 @@ object Graph {
           .as("mean_w_micro"))
   }
 
+  /** LINK-PREDICTION EVALUATION — hit-rate@k of the RESOURCE-ALLOCATION
+    * index (Zhou/Lü/Zhang's RA: Σ_z 1/deg(z) over common neighbors z —
+    * the integer-exact cousin of Adamic–Adar, and the stronger
+    * predictor in their benchmarks) on HELD-OUT edges: the co-purchase
+    * edge list is split by a salted hash (train ≈ 80%, test the rest,
+    * EDGE-level — the structural-hole question "which missing links
+    * close next" needs whole edges hidden, unlike q242's basket-level
+    * interaction split), candidates are 2-hop pairs of the train
+    * graph not already connected in train, scored by RA in exact
+    * micro (1e6 div deg — integer on both engines) with
+    * common-neighbor count as tiebreak, and every test edge asks both
+    * directed ways "is my other endpoint in the seed's top-k
+    * predicted links?". Cold-start endpoints (isolated in train)
+    * count as misses, not exclusions.
+    *
+    * Scale: 2-hop enumeration fans out through each midpoint z as
+    * (capped-adjacency)² — adjacency lists are truncated to the
+    * top-[[capD]] strongest neighbors per node (the triangle family's
+    * degree-bounding discipline), so a hub part contributes O(capD²)
+    * wedges instead of deg² — while the RA DENOMINATOR stays the full
+    * train degree, so capping narrows recall of weak candidates
+    * without biasing scores. The candidate ranking is bounded to
+    * rnk ≤ max(k) before the metric join (the q242 TopKPerGroup heap
+    * fusion); the metric join is rank-keyed equi; the readout is
+    * |ks| rows. */
+  def linkPredictionEval(spark: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(1, 5, 10), capD: Int = 64): DataFrame =
+    linkPredictionOnEdges(coPurchaseEdges(spark, dir), ks, capD)
+
+  /** [[linkPredictionEval]] read purely from the persisted graph
+    * store — no corpus scan, no pair re-expansion (the
+    * [[pageRankFromStore]] convention): the edge-level split needs
+    * only the (pa, pb, w) frame the store already holds. */
+  def linkPredictionFromStore(spark: SparkSession, storeDir: String,
+      ks: Seq[Int] = Seq(1, 5, 10), capD: Int = 64): DataFrame =
+    linkPredictionOnEdges(storedEdges(spark, storeDir), ks, capD)
+
+  private[graft] def linkPredictionOnEdges(und: DataFrame,
+      ks: Seq[Int], capD: Int): DataFrame = {
+    val tagged = und.withColumn("h", pmod(graft.functions.Text.md5Hash60(
+      concat_ws("-", lit("linkpred"), col("pa"), col("pb"))), lit(10L)))
+    val train = tagged.filter(col("h") < 8).select("pa", "pb", "w")
+    val test = tagged.filter(col("h") >= 8).select("pa", "pb")
+    val trainSym = PlanCache.tracked(
+      train.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+        .union(train.select(col("pb").as("src"), col("pa").as("dst"),
+          col("w"))))
+    // full train degree — each undirected pair appears once per
+    // orientation, so count(*) per src IS the distinct-neighbor degree
+    val deg = trainSym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val capped = trainSym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rn") <= capD)
+      .select(col("src"), col("dst"))
+    val wedges = capped.select(col("src").as("a"), col("dst").as("z"))
+      .join(capped.select(col("src").as("z"), col("dst").as("b")), Seq("z"))
+      .filter(col("a") =!= col("b"))
+    // RA in exact micro: Σ 1e6 div deg(z) — per-candidate sum bounded
+    // by capD·1e6, comfortably int64 at any corpus size
+    val scored = wedges
+      .join(deg.select(col("node").as("z"), col("deg")), Seq("z"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg")).as("ra_micro"))
+    val novel = scored.join(trainSym,
+      scored("a") === trainSym("src") && scored("b") === trainSym("dst"),
+      "left_anti")
+    // rnk ≤ max(k) BEFORE the metric join (the q242 precedent): an
+    // unjoined test pair is already a miss, and the bound turns the
+    // per-seed window into the bounded-heap TopKPerGroup operator
+    val ranked = novel.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(
+          col("ra_micro").desc, col("cn").desc, col("b").asc)))
+      .filter(col("rnk") <= lit(ks.max))
+    val cases = test.select(col("pa").as("seed"), col("pb").as("target"))
+      .union(test.select(col("pb").as("seed"), col("pa").as("target")))
+    val judged = cases.join(ranked,
+        cases("seed") === ranked("a") && cases("target") === ranked("b"),
+        "left")
+      .select(col("seed"), col("rnk"))
+    judged
+      .select(col("rnk"), explode(array(ks.map(k => lit(k)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_cases"),
+        sum(when(col("rnk").isNotNull && col("rnk") <= col("k"), 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("k").cast("long").as("k"), col("n_cases"), col("n_hits"),
+        // test-edge counts at corpus scale push hits·1e6 past int64
+        expr("CAST(n_hits AS DECIMAL(38,0)) * 1000000 div n_cases")
+          .as("hitrate_micro"))
+  }
+
+  /** HITS (Kleinberg's hubs-and-authorities) over the BIPARTITE
+    * customer→part purchase graph — the directed-graph face beside
+    * PageRank's undirected one: the co-purchase projection PageRank
+    * walks cannot say WHO concentrates buying power, only which parts
+    * sit central; HITS keeps the two sides distinct and lets them
+    * reinforce (a hub customer is one whose basket concentrates on
+    * authoritative parts; an authoritative part is one hub customers
+    * buy). Fixed unrolled iterations on the integer pico grid:
+    * authorities start at SCALE, each round folds hub mass
+    * h(c) = Σ_p w(c,p)·a(p) then renormalizes to Σh = SCALE by
+    * integer division (same for the authority leg), so both engines
+    * walk the same grid (the q230 discipline — floats would drift by
+    * round three).
+    *
+    * Scale: the edge list (customer, part, w) is persisted once and
+    * re-joined 2·iters times — each leg is one equi-join plus one
+    * node-sized aggregate, PageRank's canonical shuffle pair; the
+    * normalizer is a 1-row fold broadcast back (never a global
+    * window over the node frame); products ride Decimal(38)
+    * (score ≤ 10¹², edge weights corpus-scale). Top-k per side is
+    * the bounded rank idiom (TopKPerGroup-fused). */
+  def hits(spark: SparkSession, dir: String, iters: Int = 3,
+      k: Int = 25): DataFrame = {
+    val edges = PlanCache.tracked(
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("cust"))
+        .join(Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("part")), Seq("o_orderkey"))
+        .groupBy(col("cust"), col("part")).agg(count(lit(1)).as("w")))
+    val scale = PrScale
+    var auth = edges.select(col("part")).distinct()
+      .withColumn("a", lit(scale))
+    var hub: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hubRaw = edges.join(auth, Seq("part"))
+        .groupBy(col("cust"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("a")).as("hraw"))
+      val hTot = hubRaw.agg(sum(col("hraw")).as("htot"))
+      hub = hubRaw.crossJoin(broadcast(hTot))
+        .select(col("cust"),
+          expr(s"CAST(hraw * $scale div htot AS BIGINT)").as("h"))
+      val authRaw = edges.join(hub, Seq("cust"))
+        .groupBy(col("part"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("h")).as("araw"))
+      val aTot = authRaw.agg(sum(col("araw")).as("atot"))
+      auth = authRaw.crossJoin(broadcast(aTot))
+        .select(col("part"),
+          expr(s"CAST(araw * $scale div atot AS BIGINT)").as("a"))
+    }
+    val sides = hub.select(lit("hub").as("side"), col("cust").as("key"),
+        col("h").as("score_pico"))
+      .union(auth.select(lit("auth").as("side"), col("part").as("key"),
+        col("a").as("score_pico")))
+    sides
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("side"))
+          .orderBy(col("score_pico").desc, col("key").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("side"), col("rnk").cast("long").as("rnk"), col("key"),
+        col("score_pico"))
+      .orderBy(col("side").asc, col("rnk").asc)
+  }
+
   /** CONNECTED COMPONENTS of the co-purchase graph, reported as the
     * component-size histogram (the q121 shape) — the global-structure
     * census beside label propagation's community table: LPA's fixed

@@ -746,6 +746,54 @@ object Relational {
           .as("yoy_micro"))
   }
 
+  /** HOLT DOUBLE-EXPONENTIAL SMOOTHING over the daily revenue spine —
+    * the RECURSIVE time-series primitive the window family can't
+    * express: q211's OLS fits one global line and q165's YoY compares
+    * fixed lags, but level/trend smoothing carries STATE day to day
+    * (levelₜ = α·xₜ + (1−α)·(levelₜ₋₁ + trendₜ₋₁); trendₜ =
+    * β·(levelₜ − levelₜ₋₁) + (1−β)·trendₜ₋₁), which no per-row window
+    * frame computes. α = β = 1/4 as exact integer shifts on the cent
+    * grid: level' = (x + 3·(level + trend)) div 4, trend' =
+    * (level' − level + 3·trend) div 4 — `div` truncates toward zero
+    * exactly like the oracle's `//`, so a NEGATIVE trend stays
+    * bit-equal cross-engine (floor semantics would diverge). Output:
+    * h = 0..horizon forecast ladder, levelₜ + h·trendₜ.
+    *
+    * Scale: the only corpus-sized work is the daily rollup (one
+    * map-side-combined aggregate); the fold then runs over the
+    * BOUNDED day spine (≤ a few thousand elements — calendar-sized,
+    * not corpus-sized) collected into ONE array row and folded with
+    * the native `aggregate` higher-order expression — sequential by
+    * nature, sequential in cost, and the sequence it walks cannot be
+    * parallelized without changing the answer. */
+  def holtForecast(spark: SparkSession, dir: String,
+      horizon: Int = 7): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+    val series = daily.agg(
+      count(lit(1)).as("n_days"),
+      // day keys are unique per group, so the struct sort is total
+      transform(sort_array(collect_list(struct(col("d"), col("cents")))),
+        x => x.getField("cents")).as("xs"))
+    val st = series.select(col("n_days"),
+      expr("""aggregate(slice(xs, 2, size(xs) - 1),
+        named_struct('lv', xs[0], 'tr', CAST(0 AS BIGINT)),
+        (acc, x) -> named_struct(
+          'lv', (x + 3 * (acc.lv + acc.tr)) div 4,
+          'tr', ((x + 3 * (acc.lv + acc.tr)) div 4 - acc.lv + 3 * acc.tr)
+            div 4))""").as("st"))
+    st.select(explode(sequence(lit(0), lit(horizon))).as("h"),
+        col("n_days"), col("st.lv").as("level_cents"),
+        col("st.tr").as("trend_cents"))
+      .select(col("h").cast("long").as("h"), col("n_days"),
+        col("level_cents"), col("trend_cents"),
+        (col("level_cents") + col("h") * col("trend_cents"))
+          .as("forecast_cents"))
+      .orderBy(col("h").asc)
+  }
+
   /** TPC-H Q6 shape — forecast revenue change: the revenue that would
     * be gained by eliminating discounts in a band, for one ship year,
     * on small quantities. The canonical single-scan filter+aggregate:

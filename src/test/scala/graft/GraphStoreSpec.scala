@@ -51,6 +51,15 @@ class GraphStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     graft.operators.PlanCache.release()
     assert(anfStore == anfLocal)
+    // link-prediction read face ≡ in-process (the q261 operator):
+    // identical edges → identical split/candidates/ranks → bit-equal
+    val lpStore = Graph.linkPredictionFromStore(spark, storeDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    graft.operators.PlanCache.release()
+    val lpLocal = Graph.linkPredictionEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    graft.operators.PlanCache.release()
+    assert(lpStore == lpLocal)
     // every ingest face maintained the baskets ledger, so a reconcile
     // against the full corpus is a NO-OP — the round-10 advice found a
     // ledger-less founding made the first reconcile double-count every

@@ -477,6 +477,11 @@ object SparkEntry {
     "q263_hits" -> ((s, d) => Graph.hits(s, d)),
     "q264_holt_forecast" -> ((s, d) => Relational.holtForecast(s, d)),
     "q265_seq_patterns" -> ((s, d) => EventFlow.sequentialPatterns(s, d)),
+    "q266_acf" -> ((s, d) => Relational.autocorrelation(s, d)),
+    "q267_modularity" -> ((s, d) => Graph.communityModularity(s, d)),
+    "q268_seq_rules" -> ((s, d) => EventFlow.sequenceRules(s, d)),
+    "q269_holt_winters" -> ((s, d) => Relational.holtWintersForecast(s, d)),
+    "q270_betweenness" -> ((s, d) => Graph.sampledBetweenness(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -679,7 +684,9 @@ object SparkEntry {
       ("q259_intra_list_sim" -> q259Sql) + ("q260_topk_stability" -> q260Sql) +
       ("q261_linkpred_eval" -> q261Sql) + ("q262_dp_counts" -> q262Sql) +
       ("q263_hits" -> q263Sql) + ("q264_holt_forecast" -> q264Sql) +
-      ("q265_seq_patterns" -> q265Sql) +
+      ("q265_seq_patterns" -> q265Sql) + ("q266_acf" -> q266Sql) +
+      ("q267_modularity" -> q267Sql) + ("q268_seq_rules" -> q268Sql) +
+      ("q269_holt_winters" -> q269Sql) + ("q270_betweenness" -> q270Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1056,6 +1063,58 @@ object SparkEntry {
        | nb0 AS (SELECT sample, sample AS node FROM nb_samples),
        | $rounds
        |$readout""".stripMargin
+  }
+
+  /** q270: the Brandes replay — forward levels carry HUGEINT path
+    * counts (NOT EXISTS ≙ the anti-join keeps levels disjoint), the
+    * backward walk folds the pair-dependency rational per edge in
+    * integer micro, left-joined so successor-less nodes keep δ = 0. */
+  private lazy val q270Sql: String = {
+    val (nSamples, maxHops) = (8, 3)
+    val fwd = (1 to maxHops).map { h =>
+      s"""bwl$h AS MATERIALIZED (
+         |   SELECT c.sample, c.node, c.sigma FROM (
+         |     SELECT b.sample, e.dst AS node,
+         |       CAST(sum(b.sigma) AS HUGEINT) AS sigma
+         |     FROM bwl${h - 1} b JOIN bw_edges e ON b.node = e.src
+         |     GROUP BY 1, 2) c
+         |   WHERE NOT EXISTS (SELECT 1 FROM bwr${h - 1} r
+         |     WHERE r.sample = c.sample AND r.node = c.node)),
+         | bwr$h AS MATERIALIZED (SELECT sample, node FROM bwr${h - 1}
+         |   UNION ALL SELECT sample, node FROM bwl$h)""".stripMargin
+    }.mkString(",\n ")
+    val bwd = ((maxHops - 1) to 1 by -1).map { h =>
+      s"""bwd$h AS MATERIALIZED (
+         |   SELECT l.sample, l.node, l.sigma, coalesce(dp.dep, 0) AS delta
+         |   FROM bwl$h l LEFT JOIN (
+         |     SELECT v.sample, v.node,
+         |       CAST(sum(v.sigma * (1000000 + w.delta) // w.sigma)
+         |         AS BIGINT) AS dep
+         |     FROM bwl$h v JOIN bw_edges e ON v.node = e.src
+         |     JOIN bwd${h + 1} w ON w.sample = v.sample AND w.node = e.dst
+         |     GROUP BY 1, 2) dp
+         |   ON dp.sample = l.sample AND dp.node = l.node)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH $coPurchaseCtes,
+       | bw_edges AS (SELECT pa AS src, pb AS dst FROM cp_und
+       |   UNION ALL SELECT pb, pa FROM cp_und),
+       | bw_samples AS (SELECT src AS sample
+       |   FROM (SELECT DISTINCT src FROM bw_edges)
+       |   ORDER BY md5('btw-' || CAST(src AS VARCHAR)) ASC LIMIT $nSamples),
+       | bwl0 AS (SELECT sample, sample AS node, CAST(1 AS HUGEINT) AS sigma
+       |   FROM bw_samples),
+       | bwr0 AS (SELECT sample, node FROM bwl0),
+       | $fwd,
+       | bwd$maxHops AS (SELECT sample, node, sigma, CAST(0 AS BIGINT)
+       |    AS delta FROM bwl$maxHops),
+       | $bwd
+       |SELECT node AS part, CAST(sum(delta) AS BIGINT) AS bc_micro,
+       |  CAST(count(*) AS BIGINT) AS n_source_levels
+       |FROM (${((maxHops - 1) to 1 by -1).map(h =>
+              s"SELECT sample, node, delta FROM bwd$h")
+              .mkString(" UNION ALL ")})
+       |GROUP BY 1 HAVING sum(delta) > 0
+       |ORDER BY bc_micro DESC, part ASC LIMIT 25""".stripMargin
   }
 
   /** q252: the HyperBall register replay — per round each node takes
@@ -1447,6 +1506,109 @@ object SparkEntry {
       |  lv + h * tr AS forecast_cents
       |FROM hf_fin CROSS JOIN hf_h ORDER BY h""".stripMargin
 
+  /** q266: the ACF replay — floored-mean deviations on the indexed day
+    * spine, lag self-join, signed HUGEINT rationals (`//` ≙ `div`
+    * truncation). */
+  private lazy val q266Sql: String =
+    """WITH ac_daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |   FROM orders GROUP BY 1),
+      | ac_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(cents) AS BIGINT) AS s FROM ac_daily),
+      | ac_dev AS (SELECT row_number() OVER (ORDER BY d) AS i,
+      |    cents - (SELECT s // n_days FROM ac_stats) AS dev FROM ac_daily),
+      | ac_den AS (SELECT sum(CAST(dev AS HUGEINT) * dev) AS den
+      |   FROM ac_dev),
+      | ac_num AS (SELECT lag, sum(CAST(a.dev AS HUGEINT) * b.dev) AS num
+      |   FROM ac_dev a
+      |   CROSS JOIN (SELECT unnest(range(1, 15)) AS lag)
+      |   JOIN ac_dev b ON b.i = a.i + lag
+      |   GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag,
+      |  (SELECT n_days FROM ac_stats) AS n_days,
+      |  CAST(num * 1000000 // (SELECT den FROM ac_den) AS BIGINT)
+      |    AS acf_micro
+      |FROM ac_num ORDER BY lag""".stripMargin
+
+  /** q268: the sequence-rule replay — the q265 boundary aggregates
+    * re-folded into confidence/lift exact-micro rationals. */
+  private lazy val q268Sql: String =
+    """WITH sq_ev AS (SELECT user_id, ts, event_type FROM events),
+      | sq_a AS (SELECT user_id, event_type AS a, min(ts) AS ta
+      |   FROM sq_ev GROUP BY 1, 2),
+      | sq_ab AS (SELECT e.user_id, a, e.event_type AS b, min(e.ts) AS tab
+      |   FROM sq_ev e JOIN sq_a USING (user_id) WHERE e.ts > ta
+      |   GROUP BY 1, 2, 3),
+      | sq_c AS (SELECT user_id, event_type AS c, max(ts) AS tc
+      |   FROM sq_ev GROUP BY 1, 2),
+      | sq_n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |   FROM sq_ev),
+      | sq_sab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support_ab
+      |   FROM sq_ab GROUP BY 1, 2),
+      | sq_sc AS (SELECT c, CAST(count(*) AS BIGINT) AS support_c
+      |   FROM sq_c GROUP BY 1),
+      | sq_sabc AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS support_abc
+      |   FROM sq_ab JOIN sq_c USING (user_id) WHERE tc > tab
+      |   GROUP BY 1, 2, 3)
+      |SELECT a AS step1, b AS step2, c AS consequent,
+      |  support_abc, support_ab,
+      |  CAST(CAST(support_abc AS HUGEINT) * 1000000 // support_ab
+      |    AS BIGINT) AS confidence_micro,
+      |  CAST(CAST(support_abc AS HUGEINT) * (SELECT n_users FROM sq_n)
+      |      * 1000000
+      |    // (CAST(support_ab AS HUGEINT) * support_c) AS BIGINT)
+      |    AS lift_micro
+      |FROM sq_sabc JOIN sq_sab USING (a, b) JOIN sq_sc USING (c)
+      |ORDER BY confidence_micro DESC, step1, step2, consequent
+      |LIMIT 20""".stripMargin
+
+  /** q269: the Holt-Winters replay — the q264 RECURSIVE walk widened
+    * to carry seven weekday seasonal slots as explicit columns, the
+    * level' intermediate built in a wrapped subquery. */
+  private lazy val q269Sql: String = {
+    val sCase = "CASE d.dow WHEN 0 THEN st.s0 WHEN 1 THEN st.s1" +
+      " WHEN 2 THEN st.s2 WHEN 3 THEN st.s3 WHEN 4 THEN st.s4" +
+      " WHEN 5 THEN st.s5 ELSE st.s6 END"
+    val sCols = (0 to 6).map(j =>
+      s"CASE WHEN dow = $j THEN (x - nlv + 3 * s$j) // 4 ELSE s$j END")
+      .mkString(",\n      |     ")
+    val hCase = (0 to 5).map(j => s"WHEN $j THEN s$j").mkString(" ")
+    s"""WITH RECURSIVE hw_daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |   FROM orders GROUP BY 1),
+      | hw_idx AS (SELECT row_number() OVER (ORDER BY d) AS i,
+      |    CAST((date_diff('day', DATE '1995-01-02', d) % 7 + 7) % 7
+      |      AS BIGINT) AS dow, cents AS x, d
+      |   FROM hw_daily),
+      | hw_n AS (SELECT CAST(count(*) AS BIGINT) AS n_days, max(d) AS d_max
+      |   FROM hw_idx),
+      | hw_st(i, lv, tr, s0, s1, s2, s3, s4, s5, s6) AS (
+      |   SELECT CAST(1 AS BIGINT), x, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |     CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |     CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |   FROM hw_idx WHERE i = 1
+      |   UNION ALL
+      |   SELECT i, nlv, (nlv - plv + 3 * ptr) // 4,
+      |     $sCols
+      |   FROM (SELECT st.i + 1 AS i, d.x, d.dow, st.lv AS plv,
+      |       st.tr AS ptr, st.s0, st.s1, st.s2, st.s3, st.s4, st.s5, st.s6,
+      |       (d.x - $sCase + 3 * (st.lv + st.tr)) // 4 AS nlv
+      |     FROM hw_st st JOIN hw_idx d ON d.i = st.i + 1)),
+      | hw_fin AS (SELECT * FROM hw_st ORDER BY i DESC LIMIT 1),
+      | hw_h AS (SELECT unnest(range(1, 8)) AS h),
+      | hw_f AS (SELECT h, lv, tr,
+      |    CASE CAST(((date_diff('day', DATE '1995-01-02',
+      |        (SELECT d_max FROM hw_n)) + h) % 7 + 7) % 7 AS BIGINT)
+      |      $hCase ELSE s6 END AS seasonal_cents
+      |   FROM hw_fin CROSS JOIN hw_h)
+      |SELECT CAST(h AS BIGINT) AS h, (SELECT n_days FROM hw_n) AS n_days,
+      |  lv AS level_cents, tr AS trend_cents, seasonal_cents,
+      |  lv + h * tr + seasonal_cents AS forecast_cents
+      |FROM hw_f ORDER BY h""".stripMargin
+  }
+
   /** q262: the randomized-response replay — md5-grid keep/replace
     * draws, the j ≥ own → j+1 skip, closed-form debias
     * (96·c − n)/71 clamped at 0 (the clamp doubles as the
@@ -1631,7 +1793,9 @@ object SparkEntry {
   /** q235: four unrolled synchronous label-propagation rounds — each
     * round one (dst, lbl) vote aggregate + per-node argmax window,
     * ties to the smallest label (the determinism contract). */
-  private lazy val q235Sql: String = {
+  /** The synchronous-LPA rounds (l0..l4 over lp_edges) shared by the
+    * q235 size table and the q267 modularity readout. */
+  private lazy val lpaCtes: String = {
     val rounds = (1 to 4).map { i =>
       s"""l$i AS (SELECT node, lbl FROM (
          |  SELECT node, lbl, row_number() OVER (PARTITION BY node
@@ -1640,16 +1804,43 @@ object SparkEntry {
          |    FROM l${i - 1} l JOIN lp_edges e ON l.node = e.src
          |    GROUP BY e.dst, l.lbl)) WHERE rnk = 1)""".stripMargin
     }.mkString(",\n ")
-    s"""WITH $coPurchaseCtes,
-       | lp_edges AS (SELECT pa AS src, pb AS dst, w FROM cp_und
+    s"""lp_edges AS (SELECT pa AS src, pb AS dst, w FROM cp_und
        |   UNION ALL SELECT pb, pa, w FROM cp_und),
        | l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM lp_edges),
-       | $rounds
+       | $rounds""".stripMargin
+  }
+
+  private lazy val q235Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | $lpaCtes
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
        |  min(node) AS min_member
        |FROM l4 GROUP BY lbl
        |ORDER BY n_members DESC, community ASC LIMIT 25""".stripMargin
-  }
+
+  /** q267: per-community Newman modularity contribution off the l4
+    * labels — (in_c·2m − tot_c²)·10⁶ // (2m)², all HUGEINT. */
+  private lazy val q267Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | $lpaCtes,
+       | md_m2 AS (SELECT CAST(sum(w) AS HUGEINT) AS m2 FROM lp_edges),
+       | md_tot AS (SELECT lbl, CAST(sum(wdeg) AS BIGINT) AS tot_w,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |   FROM (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg
+       |      FROM lp_edges GROUP BY 1) JOIN l4 USING (node)
+       |   GROUP BY 1),
+       | md_in AS (SELECT la.lbl, CAST(sum(e.w) AS BIGINT) AS in_w
+       |   FROM lp_edges e JOIN l4 la ON e.src = la.node
+       |   JOIN l4 lb ON e.dst = lb.node
+       |   WHERE la.lbl = lb.lbl GROUP BY 1)
+       |SELECT lbl AS community, n_members,
+       |  coalesce(in_w, 0) AS in_w, tot_w,
+       |  CAST((CAST(coalesce(in_w, 0) AS HUGEINT) * (SELECT m2 FROM md_m2)
+       |      - CAST(tot_w AS HUGEINT) * tot_w) * 1000000
+       |    // ((SELECT m2 FROM md_m2) * (SELECT m2 FROM md_m2))
+       |    AS BIGINT) AS contrib_micro
+       |FROM md_tot LEFT JOIN md_in USING (lbl)
+       |ORDER BY n_members DESC, community ASC LIMIT 25""".stripMargin
 
   /** q231: degree-ordered wedge closure — each triangle found once
     * from its orientation-smallest corner, credited to all three. */

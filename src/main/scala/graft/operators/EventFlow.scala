@@ -326,6 +326,22 @@ object EventFlow {
     * user-keyed aggregation on frames bounded by users × types³. */
   def sequentialPatterns(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
+    val (firstBAfterA, lastC) = patternBoundaries(spark, dir)
+    firstBAfterA.join(lastC, Seq("user_id"))
+      .filter(col("tc") > col("tab"))
+      .groupBy(col("a").as("step1"), col("b").as("step2"),
+        col("c").as("step3"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(k)
+  }
+
+  /** The boundary-aggregate frames [[sequentialPatterns]] and
+    * [[sequenceRules]] share: earliest-b-after-first-a per
+    * (user, a, b), and last-c per (user, c). */
+  private def patternBoundaries(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_type"))
     val firstA = ev.groupBy(col("user_id"), col("event_type").as("a"))
@@ -336,13 +352,49 @@ object EventFlow {
       .agg(min(col("ts")).as("tab"))
     val lastC = ev.groupBy(col("user_id"), col("event_type").as("c"))
       .agg(max(col("ts")).as("tc"))
-    firstBAfterA.join(lastC, Seq("user_id"))
+    (firstBAfterA, lastC)
+  }
+
+  /** SEQUENCE ASSOCIATION RULES (a, b) → c over the gapped patterns —
+    * the actionable face of [[sequentialPatterns]]: raw support ranks
+    * patterns by POPULARITY, but "of the users who did a then b, what
+    * fraction went on to c, and is that more than c's base rate?" is
+    * the question a growth team asks. Confidence =
+    * support(a,b,c)·10⁶ div support(a,b); lift = confidence / P(c) =
+    * support(a,b,c)·n_users·10⁶ div (support(a,b)·support(c)) — one
+    * exact rational through Decimal(38) ≙ HUGEINT (the triple product
+    * outgrows int64 at corpus user counts), all terms positive so
+    * truncation is floor on both engines.
+    *
+    * Scale: the same |types|-bounded boundary aggregates as q265 plus
+    * three types-cubed-bounded joins — the user-grain frames never
+    * re-expand. */
+  def sequenceRules(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val (fba, lastC) = patternBoundaries(spark, dir)
+    val firstBAfterA = PlanCache.tracked(fba)
+    val lastCt = PlanCache.tracked(lastC)
+    val nUsers = Tables(spark, dir, "events")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val supAB = firstBAfterA.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support_ab"))
+    val supC = lastCt.groupBy(col("c")).agg(count(lit(1)).as("support_c"))
+    val supABC = firstBAfterA.join(lastCt, Seq("user_id"))
       .filter(col("tc") > col("tab"))
-      .groupBy(col("a").as("step1"), col("b").as("step2"),
-        col("c").as("step3"))
-      .agg(count(lit(1)).as("support"))
-      .orderBy(col("support").desc, col("step1").asc, col("step2").asc,
-        col("step3").asc)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support_abc"))
+    supABC.join(supAB, Seq("a", "b"))
+      .join(broadcast(supC), Seq("c"))
+      .transform(Scalars.attach(_, nUsers, col("support_abc"), col("n_users")))
+      .select(col("a").as("step1"), col("b").as("step2"),
+        col("c").as("consequent"), col("support_abc"), col("support_ab"),
+        expr("CAST(CAST(support_abc AS DECIMAL(38,0)) * 1000000" +
+          " div support_ab AS BIGINT)").as("confidence_micro"),
+        expr("CAST(CAST(support_abc AS DECIMAL(38,0)) * n_users * 1000000" +
+          " div (CAST(support_ab AS DECIMAL(38,0)) * support_c) AS BIGINT)")
+          .as("lift_micro"))
+      .orderBy(col("confidence_micro").desc, col("step1").asc,
+        col("step2").asc, col("consequent").asc)
       .limit(k)
   }
 

@@ -192,8 +192,17 @@ object Graph {
     * reports the same deterministic snapshot on both engines either
     * way. */
   def labelPropagation(spark: SparkSession, dir: String, iters: Int = 4,
-      k: Int = 25): DataFrame = {
-    val und = coPurchaseEdges(spark, dir)
+      k: Int = 25): DataFrame =
+    lpaLabels(coPurchaseEdges(spark, dir), iters)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+      .orderBy(col("n_members").desc, col("community").asc)
+      .limit(k)
+
+  /** The fixed-round synchronous LPA walk itself — (node, lbl), every
+    * node labeled. Shared by [[labelPropagation]]'s size table and
+    * [[communityModularity]]'s quality readout. */
+  private[graft] def lpaLabels(und: DataFrame, iters: Int): DataFrame = {
     val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
     val edges = PlanCache.tracked(sym.repartition(col("src")))
@@ -210,8 +219,52 @@ object Graph {
         .agg(max(struct(col("votes"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
     }
-    labels.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+    labels
+  }
+
+  /** NEWMAN MODULARITY of the LPA partition — the quality gauge the
+    * q235 size table can't provide: community COUNTS say nothing about
+    * whether the partition beats chance (a random labeling also has
+    * sizes). Per community c: in_c = weight of intra-community
+    * directed edges, tot_c = Σ weighted degree of members, and the
+    * modularity contribution Q_c = in_c/(2m) − (tot_c/(2m))², folded
+    * exactly on the micro grid as (in_c·2m − tot_c²)·10⁶ div (2m)² —
+    * one rational per community through Decimal(38) ≙ HUGEINT
+    * (tot_c² reaches ~10²⁶ at a 10¹³-weight corpus, far past int64;
+    * the quotient is signed and `div` ≙ `//`, both truncating toward
+    * zero). Global Q = Σ_c Q_c; the per-community rows localize WHICH
+    * families are cohesive vs label-propagation artifacts.
+    *
+    * Scale: the label frame is node-sized and joined twice against
+    * the edge list (the LPA round's own data movement); everything
+    * downstream is community-sized. No window, no all-pairs. */
+  def communityModularity(spark: SparkSession, dir: String,
+      iters: Int = 4, k: Int = 25): DataFrame = {
+    val und = PlanCache.tracked(coPurchaseEdges(spark, dir))
+    val labels = PlanCache.tracked(lpaLabels(und, iters))
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val m2 = sym.agg(sum(col("w")).as("m2")) // 2m: each edge, both ways
+    val tot = sym.groupBy(col("src").as("node")).agg(sum(col("w")).as("wdeg"))
+      .join(labels, Seq("node"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("wdeg")).as("tot_w"), count(lit(1)).as("n_members"))
+    val inW = sym
+      .join(labels.select(col("node").as("src"), col("lbl").as("la")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("lbl").as("lb")),
+        Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(sum(col("w")).as("in_w"))
+    Scalars.attach(tot.join(inW, Seq("lbl"), "left"), m2,
+      col("tot_w"), col("m2"))
+      .select(col("lbl").as("community"), col("n_members"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"), col("tot_w"), col("m2"))
+      .select(col("community"), col("n_members"), col("in_w"), col("tot_w"),
+        expr("CAST((CAST(in_w AS DECIMAL(38,0)) * m2" +
+          " - CAST(tot_w AS DECIMAL(38,0)) * tot_w) * 1000000" +
+          " div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)")
+          .as("contrib_micro"))
       .orderBy(col("n_members").desc, col("community").asc)
       .limit(k)
   }
@@ -658,14 +711,14 @@ object Graph {
         .groupBy(col("cust"))
         .agg(sum(col("w").cast("decimal(38,0)") * col("a")).as("hraw"))
       val hTot = hubRaw.agg(sum(col("hraw")).as("htot"))
-      hub = hubRaw.crossJoin(broadcast(hTot))
+      hub = Scalars.attach(hubRaw, hTot, col("cust"), col("htot"))
         .select(col("cust"),
           expr(s"CAST(hraw * $scale div htot AS BIGINT)").as("h"))
       val authRaw = edges.join(hub, Seq("cust"))
         .groupBy(col("part"))
         .agg(sum(col("w").cast("decimal(38,0)") * col("h")).as("araw"))
       val aTot = authRaw.agg(sum(col("araw")).as("atot"))
-      auth = authRaw.crossJoin(broadcast(aTot))
+      auth = Scalars.attach(authRaw, aTot, col("part"), col("atot"))
         .select(col("part"),
           expr(s"CAST(araw * $scale div atot AS BIGINT)").as("a"))
     }
@@ -962,6 +1015,92 @@ object Graph {
     * rows and the frontier join ships only the NEW nodes' adjacency
     * (the q248 BFS shape, one extra sample column); the source pick
     * is an md5 ORDER BY + LIMIT (TakeOrdered, no global sort). */
+  /** SAMPLED-SOURCE BETWEENNESS (Brandes, hop-bounded) — WHICH nodes
+    * do shortest paths route THROUGH: the brokerage question none of
+    * the existing centralities answer (PageRank rewards being linked,
+    * HITS rewards reinforcement, degree rewards popularity; a
+    * low-degree part bridging two dense families outranks them all
+    * here). Exact Brandes from `nSamples` md5-chosen sources, BFS
+    * truncated at `maxHops` (the q251 distance-probe convention —
+    * exact per source, sampled over sources, the estimator literature's
+    * standard scale posture for betweenness).
+    *
+    * Forward: level h holds (sample, node, σ) with σ = Σ of the
+    * previous level's σ over in-edges — path counts, not visits; a
+    * node claimed by an earlier level is excluded by anti-join, so σ
+    * counts SHORTEST paths only. Backward (the Brandes accumulation):
+    * δ_h(v) = Σ_{w ∈ level h+1, v→w} σ(v)·(10⁶ + δ(w)) div σ(w) in
+    * integer micro — the pair-dependency rational, truncating
+    * identically on both engines; a node with no successors keeps
+    * δ = 0 via the left join. Betweenness(v) = Σ_h Σ_samples δ_h(v),
+    * sources excluded (they sit at level 0, which never accrues).
+    * σ products ride Decimal(38) ≙ HUGEINT — hop-3 path counts
+    * through hubs pass int64 long before the corpus does.
+    *
+    * Scale: each forward level ships only the frontier's adjacency
+    * (≤ samples·edges rows, shuffle_hash against the one persisted
+    * edge list); each backward level joins two adjacent level frames
+    * through the same edge partitioning. Nothing node² anywhere. */
+  def sampledBetweenness(spark: SparkSession, dir: String,
+      nSamples: Int = 8, maxHops: Int = 3, k: Int = 25): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val edges = PlanCache.tracked(sym.repartition(col("src")))
+    val samples = edges.select(col("src")).distinct()
+      .orderBy(md5(concat(lit("btw-"), col("src").cast("string"))).asc)
+      .limit(nSamples)
+      .select(col("src").as("sample"))
+    var reached = PlanCache.tracked(
+      samples.select(col("sample"), col("sample").as("node")))
+    var frontier = PlanCache.tracked(
+      samples.select(col("sample"), col("sample").as("node"),
+        lit(1L).cast("decimal(38,0)").as("sigma")))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to maxHops) {
+      val next = PlanCache.tracked(
+        frontier.hint("shuffle_hash").join(edges,
+            frontier("node") === edges("src"))
+          .groupBy(col("sample"), col("dst").as("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(reached, Seq("sample", "node"), "left_anti"))
+      reached = PlanCache.tracked(
+        reached.union(next.select(col("sample"), col("node"))))
+      frontier = next
+      levels += next
+    }
+    // backward accumulation, deepest level first (δ there = 0)
+    var deltas = List.empty[DataFrame]
+    var below = levels(maxHops).select(col("sample"), col("node"),
+      col("sigma"), lit(0L).as("delta"))
+    for (h <- (maxHops - 1) to 1 by -1) {
+      val dep = levels(h).hint("shuffle_hash")
+        .join(edges, levels(h)("node") === edges("src"))
+        .select(col("sample"), col("node"), col("sigma"),
+          col("dst").as("wnode"))
+        .join(below.select(col("sample"), col("node").as("wnode"),
+          col("sigma").as("wsigma"), col("delta").as("wdelta")),
+          Seq("sample", "wnode"))
+        .groupBy(col("sample"), col("node"))
+        .agg(sum(expr("sigma * (1000000 + wdelta) div wsigma"))
+          .cast("long").as("dep"))
+      below = PlanCache.tracked(levels(h)
+        .join(dep, Seq("sample", "node"), "left")
+        .select(col("sample"), col("node"), col("sigma"),
+          coalesce(col("dep"), lit(0L)).as("delta")))
+      deltas ::= below
+    }
+    deltas.reduce(_ union _)
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_micro"),
+        count(lit(1)).as("n_source_levels"))
+      .filter(col("bc_micro") > 0)
+      .select(col("node").as("part"), col("bc_micro"),
+        col("n_source_levels"))
+      .orderBy(col("bc_micro").desc, col("part").asc)
+      .limit(k)
+  }
+
   def sampledNeighborhood(spark: SparkSession, dir: String,
       nSamples: Int = 8, maxHops: Int = 3): DataFrame = {
     val und = coPurchaseEdges(spark, dir)

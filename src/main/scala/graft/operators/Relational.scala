@@ -794,6 +794,114 @@ object Relational {
       .orderBy(col("h").asc)
   }
 
+  /** HOLT-WINTERS ADDITIVE forecast, weekly period — the seasonal face
+    * of [[holtForecast]]: plain Holt smooths THROUGH the day-of-week
+    * cycle, so its h-step ladder is blind to the fact that a Sunday
+    * forecast should differ from a Tuesday one. The state here is
+    * (level, trend, s[0..6]); at each day with weekday slot
+    * w = daysSinceEpochMonday mod 7 (calendar-convention-free — both
+    * engines derive it as datediff from a fixed Monday, never from
+    * their different dayofweek numberings):
+    * level' = (x − s[w] + 3·(level + trend)) div 4,
+    * trend' = (level' − level + 3·trend) div 4,
+    * s[w]'  = (x − level' + 3·s[w]) div 4 (α = β = γ = 1/4 as exact
+    * integer shifts on the cent grid, `div` ≙ `//` truncation).
+    * Seasonals found at 0 — the first week's observations load the
+    * slots; forecast(h) = level + h·trend + s[(w_last + h) mod 7].
+    *
+    * Scale: identical to [[holtForecast]] — one map-combined daily
+    * rollup is the only corpus-sized work; the fold walks the
+    * calendar-bounded spine inside one `aggregate` expression whose
+    * state is 9 integers. */
+  def holtWintersForecast(spark: SparkSession, dir: String,
+      horizon: Int = 7): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+      // 1995-01-02 is a Monday; pmod keeps pre-epoch dates safe
+      .select(col("d"),
+        pmod(datediff(col("d"), lit("1995-01-02").cast("date")), lit(7))
+          .as("dow"), col("cents"))
+    val series = daily.agg(
+      count(lit(1)).as("n_days"), max(col("d")).as("d_max"),
+      // day keys are unique per group, so the struct sort is total
+      transform(sort_array(collect_list(struct(col("d"), col("dow"),
+          col("cents")))),
+        x => struct(x.getField("dow").as("w"), x.getField("cents").as("x")))
+        .as("xs"))
+    // the lambda can't name an intermediate, so level' repeats inline
+    // in the trend and seasonal updates — same fold, spelled thrice
+    val st = series.select(col("n_days"), col("d_max"),
+      expr("""aggregate(slice(xs, 2, size(xs) - 1),
+        named_struct('lv', xs[0].x, 'tr', CAST(0 AS BIGINT),
+          's', array_repeat(CAST(0 AS BIGINT), 7)),
+        (acc, e) -> named_struct(
+          'lv', (e.x - acc.s[e.w] + 3 * (acc.lv + acc.tr)) div 4,
+          'tr', ((e.x - acc.s[e.w] + 3 * (acc.lv + acc.tr)) div 4
+            - acc.lv + 3 * acc.tr) div 4,
+          's', transform(acc.s, (v, i) -> IF(i = e.w,
+            (e.x - (e.x - acc.s[e.w] + 3 * (acc.lv + acc.tr)) div 4
+              + 3 * v) div 4, v))))""").as("st"))
+    st.select(explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("n_days"), col("d_max"), col("st.lv").as("level_cents"),
+        col("st.tr").as("trend_cents"), col("st.s").as("s"))
+      .select(col("h").cast("long").as("h"), col("n_days"),
+        col("level_cents"), col("trend_cents"),
+        expr("s[CAST(pmod(datediff(d_max, DATE '1995-01-02') + h, 7)" +
+          " AS INT)]").as("seasonal_cents"))
+      .select(col("h"), col("n_days"), col("level_cents"),
+        col("trend_cents"), col("seasonal_cents"),
+        (col("level_cents") + col("h") * col("trend_cents") +
+          col("seasonal_cents")).as("forecast_cents"))
+      .orderBy(col("h").asc)
+  }
+
+  /** AUTOCORRELATION ladder of the daily revenue series, lags 1..14 —
+    * the memory diagnostic read BEFORE trusting any smoother: Holt's
+    * α only makes sense if adjacent days correlate, and the lag-7 rung
+    * is the direct test of the weekly seasonality [[holtWintersForecast]]
+    * models. Exact integer end-to-end: deviations are taken from the
+    * FLOORED mean (m = S div n — a documented sub-cent bias bounded by
+    * 1 cent, the price of never leaving the integer grid), and
+    * acf(L) = Σ devᵗ·devᵗ⁺ᴸ · 10⁶ div Σ dev² — numerators are signed
+    * and `div` ≙ `//` truncate identically. Deviations ride
+    * Decimal(38) ≙ HUGEINT: dev² reaches ~10³⁴ when daily revenue
+    * holds 10¹⁷ cents, past int64 but inside both grids.
+    *
+    * Scale: the daily rollup is the only corpus-sized pass; the
+    * lag join and both folds run on the calendar-bounded spine
+    * (≤ thousands of rows — the one window is over that spine, not
+    * the corpus). */
+  def autocorrelation(spark: SparkSession, dir: String,
+      maxLag: Int = 14): DataFrame = {
+    val daily = PlanCache.tracked(Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents")))
+    val stats = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("cents")).as("s"))
+    val dev = PlanCache.tracked(daily
+      .select(row_number().over(Window.orderBy(col("d"))).as("i"),
+        col("cents"))
+      .transform(Scalars.attach(_, stats, col("cents"), col("n_days")))
+      .select(col("i"), (col("cents") - expr("s div n_days")).as("dev"),
+        col("n_days")))
+    val den = dev.agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev"))
+      .as("den"))
+    dev
+      .select(col("i"), col("dev"), col("n_days"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .join(dev.select(col("i").as("j"), col("dev").as("dev2")),
+        col("j") === col("i") + col("lag"))
+      .groupBy(col("lag"), col("n_days"))
+      .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev2")).as("num"))
+      .transform(Scalars.attach(_, den, col("num"), col("den")))
+      .select(col("lag").cast("long").as("lag"), col("n_days"),
+        expr("CAST(num * 1000000 div den AS BIGINT)").as("acf_micro"))
+      .orderBy(col("lag").asc)
+  }
+
   /** TPC-H Q6 shape — forecast revenue change: the revenue that would
     * be gained by eliminating discounts in a band, for one ship year,
     * on small quantities. The canonical single-scan filter+aggregate:

@@ -31,4 +31,64 @@ class HoltSpec extends SparkSpec {
     assert(got.toSeq == want)
     assert(lv > 0L, "a revenue level can't smooth to nonpositive")
   }
+
+  /** (date-sorted daily cents, weekday slot) — the shared spine. */
+  private def dailySpine(): Array[(Long, Long)] = {
+    val monday = java.time.LocalDate.parse("1995-01-02")
+    Tables(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+      .map { case (d, c) =>
+        val dow = ((java.time.temporal.ChronoUnit.DAYS.between(monday, d)
+          % 7) + 7) % 7
+        (dow, c)
+      }
+  }
+
+  test("holt-winters: seasonal hand fold replays bit-equal") {
+    val got = Relational.holtWintersForecast(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val spine = dailySpine()
+    var lv = spine.head._2
+    var tr = 0L
+    val s = Array.fill(7)(0L)
+    spine.tail.foreach { case (w, x) =>
+      val nl = (x - s(w.toInt) + 3 * (lv + tr)) / 4
+      val nt = (nl - lv + 3 * tr) / 4
+      s(w.toInt) = (x - nl + 3 * s(w.toInt)) / 4
+      lv = nl; tr = nt
+    }
+    val wLast = spine.last._1
+    val want = (1 to 7).map { h =>
+      val sw = s(((wLast + h) % 7).toInt)
+      (h.toLong, spine.length.toLong, lv, tr, sw, lv + h * tr + sw)
+    }
+    assert(got.toSeq == want)
+    assert(s.exists(_ != 0L), "a revenue series must show SOME weekday shape")
+  }
+
+  test("acf ladder: floored-mean BigInt replay, lag-0 sanity, bounded") {
+    val got = Relational.autocorrelation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val xs = dailySpine().map(_._2)
+    val n = xs.length.toLong
+    val m = xs.sum / n // positive sum: / == div == floor here
+    val dev = xs.map(x => BigInt(x - m))
+    val den = dev.map(d => d * d).sum
+    val want = (1 to 14).map { lag =>
+      val num = (0 until xs.length - lag)
+        .map(i => dev(i) * dev(i + lag)).sum
+      // BigInt / truncates toward zero — matches div and //
+      (lag.toLong, n, (num * 1000000 / den).toLong)
+    }
+    assert(got.toSeq == want)
+    got.foreach { case (_, _, acf) =>
+      assert(acf.abs <= 1000000L, "|acf| is bounded by 1 by Cauchy-Schwarz")
+    }
+  }
 }

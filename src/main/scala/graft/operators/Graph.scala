@@ -629,11 +629,12 @@ object Graph {
     // orientation, so count(*) per src IS the distinct-neighbor degree
     val deg = trainSym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val capped = trainSym
+    // cached: the wedge self-join reads this windowed frame twice
+    val capped = PlanCache.tracked(trainSym
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)))
       .filter(col("rn") <= capD)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst")))
     val wedges = capped.select(col("src").as("a"), col("dst").as("z"))
       .join(capped.select(col("src").as("z"), col("dst").as("b")), Seq("z"))
       .filter(col("a") =!= col("b"))
@@ -689,8 +690,10 @@ object Graph {
     * Scale: the edge list (customer, part, w) is persisted once and
     * re-joined 2·iters times — each leg is one equi-join plus one
     * node-sized aggregate, PageRank's canonical shuffle pair; the
-    * normalizer is a 1-row fold broadcast back (never a global
-    * window over the node frame); products ride Decimal(38)
+    * normalizer is a 1-row fold collected driver-side and folded
+    * back as a literal (never a global window over the node frame,
+    * and never a lazy second plan reference — see the loop comment);
+    * products ride Decimal(38)
     * (score ≤ 10¹², edge weights corpus-scale). Top-k per side is
     * the bounded rank idiom (TopKPerGroup-fused). */
   def hits(spark: SparkSession, dir: String, iters: Int = 3,
@@ -707,20 +710,30 @@ object Graph {
       .withColumn("a", lit(scale))
     var hub: DataFrame = null
     for (_ <- 1 to iters) {
-      val hubRaw = edges.join(auth, Seq("part"))
+      // 1-row scalar fold per leg, DRIVER-side (the q250 walk-PMI
+      // precedent): each leg reads its raw mass frame twice — once
+      // for the normalizer, once for the renormalizing join — and a
+      // lazy second reference doubles the logical plan per leg, so
+      // the unrolled loop's ANALYSIS cost turns exponential (measured
+      // 32 s at 3 iters, sf0.01; ~3 s with the fold collected). The
+      // collect is one Decimal row; the persisted frame it folds is
+      // node-sized and every later reference reuses the cache.
+      val hubRaw = PlanCache.tracked(edges.join(auth, Seq("part"))
         .groupBy(col("cust"))
-        .agg(sum(col("w").cast("decimal(38,0)") * col("a")).as("hraw"))
-      val hTot = hubRaw.agg(sum(col("hraw")).as("htot"))
-      hub = Scalars.attach(hubRaw, hTot, col("cust"), col("htot"))
-        .select(col("cust"),
-          expr(s"CAST(hraw * $scale div htot AS BIGINT)").as("h"))
-      val authRaw = edges.join(hub, Seq("cust"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("a")).as("hraw")))
+      val hTot: java.math.BigDecimal =
+        hubRaw.agg(sum(col("hraw"))).collect()(0).getDecimal(0)
+      hub = hubRaw.select(col("cust"),
+        expr(s"CAST(hraw * $scale div CAST('$hTot' AS DECIMAL(38,0))" +
+          " AS BIGINT)").as("h"))
+      val authRaw = PlanCache.tracked(edges.join(hub, Seq("cust"))
         .groupBy(col("part"))
-        .agg(sum(col("w").cast("decimal(38,0)") * col("h")).as("araw"))
-      val aTot = authRaw.agg(sum(col("araw")).as("atot"))
-      auth = Scalars.attach(authRaw, aTot, col("part"), col("atot"))
-        .select(col("part"),
-          expr(s"CAST(araw * $scale div atot AS BIGINT)").as("a"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("h")).as("araw")))
+      val aTot: java.math.BigDecimal =
+        authRaw.agg(sum(col("araw"))).collect()(0).getDecimal(0)
+      auth = authRaw.select(col("part"),
+        expr(s"CAST(araw * $scale div CAST('$aTot' AS DECIMAL(38,0))" +
+          " AS BIGINT)").as("a"))
     }
     val sides = hub.select(lit("hub").as("side"), col("cust").as("key"),
         col("h").as("score_pico"))

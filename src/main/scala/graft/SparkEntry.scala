@@ -1384,11 +1384,12 @@ object SparkEntry {
        |FROM ts_j""".stripMargin
 
   /** q261: the link-prediction replay — edge-level salted split,
-    * top-64-capped train adjacency, 2-hop wedge candidates scored by
+    * top-cap-capped train adjacency (cap = LinkPredCap, shared with the engine), 2-hop wedge candidates scored by
     * integer-micro resource allocation (1e6 // full train degree of
     * the midpoint), anti-joined against train edges, ranked to the
     * k bound, then every test edge judged both directed ways. */
-  private lazy val q261Sql: String =
+  private lazy val q261Sql: String = {
+    val cap = graft.operators.Graph.LinkPredCap
     s"""WITH $coPurchaseCtes,
        | lp_sp AS (SELECT pa, pb, w,
        |    CAST('0x' || substr(md5('linkpred-' || CAST(pa AS VARCHAR) || '-'
@@ -1402,7 +1403,7 @@ object SparkEntry {
        |   FROM lp_sym GROUP BY 1),
        | lp_cap AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER
        |      (PARTITION BY src ORDER BY w DESC, dst ASC) AS rn FROM lp_sym)
-       |   WHERE rn <= 64),
+       |   WHERE rn <= $cap),
        | lp_wg AS (SELECT x.src AS a, y.dst AS b, x.dst AS z
        |   FROM lp_cap x JOIN lp_cap y ON x.dst = y.src WHERE x.src <> y.dst),
        | lp_sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
@@ -1426,6 +1427,7 @@ object SparkEntry {
        |      THEN 1 ELSE 0 END)
        |    AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS hitrate_micro
        |FROM lp_j CROSS JOIN lp_ks GROUP BY k""".stripMargin
+  }
 
   /** q263: the HITS replay — three unrolled hub/authority legs on the
     * integer pico grid, each leg an edge join + HUGEINT mass fold +

@@ -602,9 +602,13 @@ object Graph {
     * without biasing scores. The candidate ranking is bounded to
     * rnk ≤ max(k) before the metric join (the q242 TopKPerGroup heap
     * fusion); the metric join is rank-keyed equi; the readout is
-    * |ks| rows. */
+    * |ks| rows. The default cap is [[LinkPredCap]] = 16: wedge volume
+    * grows as cap² per midpoint (cap 64 measured 50.7 s at sf0.1,
+    * cap 16 a 16th of the pairs), and RA ranking draws its signal
+    * from the STRONGEST ties — the q254 "measured against the
+    * generator" discipline applied to a cost knob. */
   def linkPredictionEval(spark: SparkSession, dir: String,
-      ks: Seq[Int] = Seq(1, 5, 10), capD: Int = 64): DataFrame =
+      ks: Seq[Int] = Seq(1, 5, 10), capD: Int = LinkPredCap): DataFrame =
     linkPredictionOnEdges(coPurchaseEdges(spark, dir), ks, capD)
 
   /** [[linkPredictionEval]] read purely from the persisted graph
@@ -612,8 +616,12 @@ object Graph {
     * [[pageRankFromStore]] convention): the edge-level split needs
     * only the (pa, pb, w) frame the store already holds. */
   def linkPredictionFromStore(spark: SparkSession, storeDir: String,
-      ks: Seq[Int] = Seq(1, 5, 10), capD: Int = 64): DataFrame =
+      ks: Seq[Int] = Seq(1, 5, 10), capD: Int = LinkPredCap): DataFrame =
     linkPredictionOnEdges(storedEdges(spark, storeDir), ks, capD)
+
+  /** Adjacency cap for link-prediction candidate generation — ONE
+    * source of truth shared with the q261 oracle and LinkPredSpec. */
+  val LinkPredCap = 16
 
   private[graft] def linkPredictionOnEdges(und: DataFrame,
       ks: Seq[Int], capD: Int): DataFrame = {

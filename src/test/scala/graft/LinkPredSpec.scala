@@ -48,7 +48,7 @@ class LinkPredSpec extends SparkSpec {
     // .toSeq BEFORE flatMap: flatMapping a Map with a tuple-valued fn
     // rebuilds a Map and silently collapses to one edge per src
     val capped = sym.groupBy(_._1).toSeq.flatMap { case (src, es) =>
-      es.sortBy(e => (-e._3, e._2)).take(64).map(e => (src, e._2))
+      es.sortBy(e => (-e._3, e._2)).take(Graph.LinkPredCap).map(e => (src, e._2))
     }
     val adj = capped.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
     val trainSet = sym.map(e => (e._1, e._2)).toSet

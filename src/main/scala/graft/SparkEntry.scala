@@ -482,6 +482,7 @@ object SparkEntry {
     "q268_seq_rules" -> ((s, d) => EventFlow.sequenceRules(s, d)),
     "q269_holt_winters" -> ((s, d) => Relational.holtWintersForecast(s, d)),
     "q270_betweenness" -> ((s, d) => Graph.sampledBetweenness(s, d)),
+    "q271_scene_changes" -> ((s, d) => Multimodal.sceneChanges(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -687,6 +688,7 @@ object SparkEntry {
       ("q265_seq_patterns" -> q265Sql) + ("q266_acf" -> q266Sql) +
       ("q267_modularity" -> q267Sql) + ("q268_seq_rules" -> q268Sql) +
       ("q269_holt_winters" -> q269Sql) + ("q270_betweenness" -> q270Sql) +
+      ("q271_scene_changes" -> q271Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1610,6 +1612,38 @@ object SparkEntry {
       |  lv + h * tr + seasonal_cents AS forecast_cents
       |FROM hw_f ORDER BY h""".stripMargin
   }
+
+  /** q271: the scene-segmentation replay — q47's frame grid at
+    * stride 1, each frame hash folded to an 8-way bucket (the stub
+    * perceptual feature), lag-compare cuts, prefix-sum runs. */
+  private lazy val q271Sql: String =
+    """WITH sc_f AS (SELECT doc_id AS media_id, text,
+      |    CAST(ceil(length(text) / 256.0) AS INTEGER) AS nf
+      |   FROM documents),
+      | sc_e AS (SELECT media_id, text, unnest(range(0, nf)) AS frame_idx
+      |   FROM sc_f),
+      | sc_b AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |    CAST('0x' || substr(md5(md5(substring(text,
+      |      CAST(frame_idx * 256 + 1 AS INTEGER), 256))), 1, 15) AS BIGINT)
+      |      % 8 AS bucket
+      |   FROM sc_e),
+      | sc_c AS (SELECT media_id, frame_idx,
+      |    CASE WHEN lag(bucket) OVER w IS NULL
+      |      OR lag(bucket) OVER w <> bucket THEN 1 ELSE 0 END AS cut
+      |   FROM sc_b WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+      | sc_s AS (SELECT media_id, sum(cut) OVER
+      |    (PARTITION BY media_id ORDER BY frame_idx) AS scene_seq
+      |   FROM sc_c),
+      | sc_r AS (SELECT media_id, scene_seq,
+      |    CAST(count(*) AS BIGINT) AS run_len
+      |   FROM sc_s GROUP BY 1, 2)
+      |SELECT media_id, CAST(sum(run_len) AS BIGINT) AS n_frames,
+      |  CAST(count(*) AS BIGINT) AS n_scenes,
+      |  CAST(max(run_len) AS BIGINT) AS longest_scene,
+      |  CASE WHEN sum(run_len) > 1
+      |    THEN CAST((count(*) - 1) * 1000000 // (sum(run_len) - 1) AS BIGINT)
+      |  END AS cut_density_micro
+      |FROM sc_r GROUP BY 1 ORDER BY media_id""".stripMargin
 
   /** q262: the randomized-response replay — md5-grid keep/replace
     * draws, the j ≥ own → j+1 skip, closed-form debias

@@ -104,6 +104,66 @@ object Multimodal {
           .as("frame_md5"))
   }
 
+  /** SCENE SEGMENTATION over the sampled frame stream — the TEMPORAL
+    * structure face the per-frame ops miss: [[frameDedup]] asks "is
+    * this frame shared ACROSS media", this asks "where does the
+    * content CHANGE within one medium" (shot boundaries, silence/
+    * speech transitions, chapter cards). Each frame reduces to a
+    * coarse feature bucket — here the stub feature is the frame
+    * hash folded to `buckets` values (swap in a perceptual hash /
+    * audio fingerprint in production; the segmentation logic doesn't
+    * change) — and a scene boundary is any consecutive-frame bucket
+    * change. Per medium: frames sampled, scene count, longest scene
+    * run (in frames), and boundary density in micro (boundaries per
+    * consecutive pair — 10⁶ = every frame a cut, 0 = one still shot).
+    *
+    * Scale: the explode is row-per-frame (never whole-payload rows),
+    * the lag window partitions BY MEDIUM (payload-bounded partitions,
+    * shuffled once on media_id), and the rollup is media-sized. The
+    * scene-run length re-uses the gap-sessionization prefix-sum
+    * idiom (q60) on the frame axis. */
+  def sceneChanges(spark: SparkSession, dir: String, frameSize: Int = 256,
+      stride: Int = 1, buckets: Int = 8): DataFrame =
+    sceneChangesOf(
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text")),
+      frameSize, stride, buckets)
+
+  /** [[sceneChanges]] over an arbitrary `(media_id, text)` frame —
+    * the unit-testable core (the [[sampleFramesOf]] convention). */
+  def sceneChangesOf(media: DataFrame, frameSize: Int = 256,
+      stride: Int = 1, buckets: Int = 8): DataFrame = {
+    val feat = sampleFramesOf(media, frameSize, stride)
+      .select(col("media_id"), col("frame_idx"),
+        pmod(graft.functions.Text.md5Hash60(col("frame_md5")),
+          lit(buckets.toLong)).as("bucket"))
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val runs = feat
+      .withColumn("cut",
+        when(lag(col("bucket"), 1).over(byFrame).isNull ||
+          lag(col("bucket"), 1).over(byFrame) =!= col("bucket"), 1L)
+          .otherwise(0L))
+      .withColumn("scene_seq",
+        sum(col("cut")).over(byFrame.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    runs
+      .groupBy(col("media_id"), col("scene_seq"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("media_id"))
+      .agg(sum(col("run_len")).as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max(col("run_len")).as("longest_scene"))
+      .select(col("media_id"), col("n_frames"), col("n_scenes"),
+        col("longest_scene"),
+        // boundaries = scenes − 1 over n_frames − 1 pairs; one-frame
+        // media have no pairs and read NULL, not 0 — no cut evidence
+        when(col("n_frames") > 1,
+          expr("(n_scenes - 1) * 1000000 div (n_frames - 1)"))
+          .as("cut_density_micro"))
+      .orderBy(col("media_id").asc)
+  }
+
   /** Cross-media duplicate frames: a sampled-frame hash appearing in
     * ≥2 distinct media is shared footage — the multimodal face of
     * [[TextOps.chunkDedup]] (intros, watermark cards, re-uploads).

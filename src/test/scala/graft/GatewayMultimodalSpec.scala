@@ -86,4 +86,48 @@ class GatewayMultimodalSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty, "fixture has shared frames")
   }
+
+  test("scene segmentation: run-length recount over a hand-built payload") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // frameSize 4 over short synthetic payloads: repeated blocks form
+    // scenes, block changes form cuts — plus a sub-frame-size payload
+    val media = Seq(
+      (1L, "aaaaaaaabbbbaaaa"), // frames aaaa,aaaa,bbbb,aaaa
+      (2L, "cccc"), // one frame: no pairs, NULL density
+      (3L, "ddddddddddddeeee")) // dddd×3, eeee
+      .toDF("media_id", "text")
+    val got = graft.operators.Multimodal
+      .sceneChangesOf(media, frameSize = 4, stride = 1, buckets = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val want = Seq((1L, "aaaaaaaabbbbaaaa"), (2L, "cccc"),
+      (3L, "ddddddddddddeeee")).map { case (id, text) =>
+      val bkts = text.grouped(4).toSeq
+        .map(f => h60(md5hex(f)) % 8)
+      // sliding(2) on a 1-frame list yields one size-1 window
+      val cuts = 1 + bkts.sliding(2).count(p => p.size == 2 && p(0) != p(1))
+      val runs = bkts.foldLeft(List.empty[(Long, Int)]) {
+        case (acc, b) if acc.nonEmpty && acc.head._1 == b =>
+          (b, acc.head._2 + 1) :: acc.tail
+        case (acc, b) => (b, 1) :: acc
+      }
+      (id, bkts.length.toLong, cuts.toLong, runs.map(_._2).max.toLong,
+        if (bkts.length > 1)
+          Some((cuts - 1L) * 1000000L / (bkts.length - 1L))
+        else None)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    // the repeated-block payloads must segment into > 1 scene each
+    assert(got(0)._3 >= 2 && got(2)._3 >= 2)
+  }
 }

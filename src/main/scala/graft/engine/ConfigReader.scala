@@ -59,6 +59,7 @@ object ConfigReader {
       graphTasks: Seq[GraphTaskSpec] = Nil,
       retrainTasks: Seq[RetrainSpec] = Nil,
       driftTasks: Seq[DriftSpec] = Nil,
+      graphHealthTasks: Seq[GraphHealthSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -168,6 +169,14 @@ object ConfigReader {
           None
         }
       },
+      graphHealthTasks =
+        root.path("graphHealthTasks").elements.asScala.toSeq.flatMap { n =>
+          try Some(parseGraphHealthTask(n))
+          catch { case e: Exception =>
+            logger.warn(s"skipping malformed graph health task ${n.path("id").asText("?")}: ${e.getMessage}")
+            None
+          }
+        },
       metricsDir = optText(root, "metricsDir"))
   }
 
@@ -496,6 +505,19 @@ object ConfigReader {
       minGainMicro = n.path("minGainMicro").asLong(5000L))
     require(spec.iters > 0 && spec.lr > 0, "retrain task: iters/lr must be positive")
     require(spec.minGainMicro >= 0, "retrain task: minGainMicro must be non-negative")
+    spec
+  }
+
+  private def parseGraphHealthTask(n: JsonNode): GraphHealthSpec = {
+    val schedule = optText(n, "schedule").getOrElse("45 6 * * *")
+    graft.operators.Cron.parse(schedule)
+    val spec = GraphHealthSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      iters = n.path("iters").asInt(4),
+      minQMicro = n.path("minQMicro").asLong(100000L))
+    require(spec.iters > 0, "graph health task: iters must be positive")
     spec
   }
 

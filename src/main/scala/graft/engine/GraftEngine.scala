@@ -51,6 +51,7 @@ final class GraftEngine(
   @volatile private var modelEvalSpecs: Seq[graft.model.ModelEvalSpec] = Nil
   @volatile private var retrainSpecs: Seq[graft.model.RetrainSpec] = Nil
   @volatile private var driftSpecs: Seq[graft.model.DriftSpec] = Nil
+  @volatile private var graphHealthSpecs: Seq[graft.model.GraphHealthSpec] = Nil
   @volatile private var privacySpecs: Seq[graft.model.PrivacySpec] = Nil
   @volatile private var graphSpecs: Seq[graft.model.GraphTaskSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
@@ -195,7 +196,8 @@ final class GraftEngine(
         cfg.annIndexTasks != annIndexSpecs || cfg.checksumTasks != checksumSpecs ||
         cfg.annEvalTasks != annEvalSpecs || cfg.modelEvalTasks != modelEvalSpecs ||
         cfg.privacyTasks != privacySpecs || cfg.graphTasks != graphSpecs ||
-        cfg.retrainTasks != retrainSpecs || cfg.driftTasks != driftSpecs) {
+        cfg.retrainTasks != retrainSpecs || cfg.driftTasks != driftSpecs ||
+        cfg.graphHealthTasks != graphHealthSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
@@ -208,6 +210,7 @@ final class GraftEngine(
       graphSpecs = cfg.graphTasks
       retrainSpecs = cfg.retrainTasks
       driftSpecs = cfg.driftTasks
+      graphHealthSpecs = cfg.graphHealthTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
@@ -216,7 +219,8 @@ final class GraftEngine(
           annIndexSpecs.map(toAnnIndexJob) ++ checksumSpecs.map(toChecksumJob) ++
           annEvalSpecs.map(toAnnEvalJob) ++ modelEvalSpecs.map(toModelEvalJob) ++
           privacySpecs.map(toPrivacyJob) ++ graphSpecs.map(toGraphJob) ++
-          retrainSpecs.map(toRetrainJob) ++ driftSpecs.map(toDriftJob),
+          retrainSpecs.map(toRetrainJob) ++ driftSpecs.map(toDriftJob) ++
+          graphHealthSpecs.map(toGraphHealthJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -331,6 +335,20 @@ final class GraftEngine(
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("drift_audit_failed", s"drift${spec.id}",
           String.valueOf(e.getMessage)))
+      })
+
+  private def toGraphHealthJob(spec: graft.model.GraphHealthSpec): Cron.Job =
+    Cron.Job(GraftEngine.GraphHealthJobIdOffset + spec.id, spec.schedule, () =>
+      try GraftEngine.runGraphHealth(spark, spec).foreach { h =>
+        if (h.qMicro < spec.minQMicro)
+          alerts.send(Alerts.Alert("graph_modularity_low",
+            s"graphHealth${spec.id}",
+            s"Q ${h.qMicro}u < bound ${spec.minQMicro}u over " +
+              s"${h.nCommunities} communities"))
+      }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("graph_health_failed",
+          s"graphHealth${spec.id}", String.valueOf(e.getMessage)))
       })
 
   private def toRetrainJob(spec: graft.model.RetrainSpec): Cron.Job =
@@ -794,6 +812,31 @@ object GraftEngine {
 
   /** Drift-watchdog namespace. */
   val DriftJobIdOffset = 11000000
+
+  /** Graph-health-watchdog namespace. */
+  val GraphHealthJobIdOffset = 12000000
+
+  /** One graph-health readout: the partition's global Newman
+    * modularity in micro (Σ of the q267 per-community contributions —
+    * the fold is community-sized, driver-safe) and the community
+    * count. None for an EMPTY graph: no structure is not bad
+    * structure, and an empty source must never page. */
+  final case class GraphHealth(qMicro: Long, nCommunities: Long)
+
+  def runGraphHealth(spark: SparkSession,
+      spec: graft.model.GraphHealthSpec): Option[GraphHealth] =
+    try {
+      val rows = graft.operators.Graph
+        .communityModularity(spark, spec.sourceDir, spec.iters,
+          k = Int.MaxValue)
+        .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("contrib_micro")),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        .collect()(0)
+      if (rows.isNullAt(0)) None
+      else Some(GraphHealth(rows.getLong(0), rows.getLong(1)))
+    } finally graft.operators.PlanCache.release()
 
   /** Run one drift audit now: the q253 per-type TVD profile, returning
     * the types whose drift crosses the spec's bound (the profile frame

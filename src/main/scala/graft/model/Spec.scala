@@ -183,6 +183,23 @@ final case class GraphTaskSpec(
     storeDir: String = "",    // graph store root (edges/ + baskets/)
     compact: Boolean = false)
 
+/** A scheduled graph-health audit over the co-purchase graph — the
+  * watchdog face of the q239 datasheet / q267 modularity pair: each
+  * run re-partitions the graph with fixed-round LPA and pages when the
+  * partition's global Newman modularity falls below `minQMicro`. A
+  * co-purchase graph whose community structure collapses toward chance
+  * means every family-level signal downstream — related parts,
+  * recommendations, link prediction — is reading noise; this is the
+  * gauge that says so before a dashboard does. An EMPTY graph (no
+  * baskets with ≥2 items yet) reads as no-audit, never an error page
+  * (the drift family's empty-source discipline). */
+final case class GraphHealthSpec(
+    id: Int,
+    schedule: String = "45 6 * * *",
+    sourceDir: String = "",
+    iters: Int = 4,
+    minQMicro: Long = 100000L)
+
 /** A scheduled distribution-drift audit over the event stream — the
   * watchdog face of the q253 monitor: each run computes the per-type
   * total-variation distance between the stream's first and second

@@ -1245,6 +1245,51 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("graph health watchdog: an impossible bound pages; a hot-reloaded lenient bound is silent") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // the corpus graph's Q is far below 2·10⁶ (Q ≤ 10⁶ by definition)
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "graphHealthTasks": [
+         |  { "id": 3, "schedule": "45 6 * * *", "sourceDir": "$sf",
+         |    "minQMicro": 2000000 }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T06:45:00")) ==
+        Seq(GraftEngine.GraphHealthJobIdOffset + 3))
+      val fired = alerts.drain()
+      assert(fired.map(_.kind) == Seq("graph_modularity_low"), s"got $fired")
+      assert(fired.head.message.contains("communities"))
+      // Q ≥ −10⁶ by definition → bound −2·10⁶ can never page
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [], "graphHealthTasks": [
+           |  { "id": 3, "schedule": "45 6 * * *", "sourceDir": "$sf",
+           |    "minQMicro": -2000000 }
+           |] }""".stripMargin)
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T06:45:00")) ==
+        Seq(GraftEngine.GraphHealthJobIdOffset + 3))
+      assert(alerts.drain().isEmpty, "lenient modularity bound paged")
+      // an empty graph is no-audit, never a page or an error
+      val empty = GraftEngine.runGraphHealth(spark,
+        graft.model.GraphHealthSpec(id = 4, sourceDir = emptyGraphDir()))
+      assert(empty.isEmpty)
+    } finally engine.stop()
+  }
+
+  /** A lineitem table with single-item baskets only: zero co-purchase
+    * edges — the empty-graph audit case. */
+  private def emptyGraphDir(): String = {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1L, 10L), (2L, 20L)).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
   test("monitor-to-model loop: drift pages, retrain promotes, the serving face scores — one config") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

@@ -65,7 +65,11 @@ class PlanSpec extends SparkSpec {
         "q235_communities" -> 4, "q247_walk_pairs" -> 4,
         "q248_seed_bfs" -> 4, "q251_sampled_anf" -> 3,
         "q252_anf_sketch" -> 3,
-        "q256_weighted_distance" -> 4).foreach { case (name, iters) =>
+        "q256_weighted_distance" -> 4,
+        // q267 runs the q235 label rounds; q270's forward levels and
+        // backward dependency legs each re-read the persisted frames
+        "q267_modularity" -> 4,
+        "q270_betweenness" -> 5).foreach { case (name, iters) =>
       val p = plan(name)
       assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= iters,
         s"$name: iterations re-derive the edge list instead of reading the cache")
@@ -122,6 +126,11 @@ class PlanSpec extends SparkSpec {
     // train-edge neighborhood (round-10 verdict finding)
     val p = plan("q242_rec_eval")
     assert(p.contains("TopKPerGroup"), "q242 ranking lost the heap fusion")
+    // q261: same discipline — candidates bounded to rnk ≤ max(k)
+    // before the metric join, so the per-seed window fuses
+    val lp = plan("q261_linkpred_eval")
+    assert(lp.contains("TopKPerGroup"), "q261 ranking lost the heap fusion")
+    graft.operators.PlanCache.release()
     graft.operators.PlanCache.release()
     // q250: the per-anchor PMI top-k is the same rnk ≤ k idiom — a
     // hub anchor must never pay a full partition sort over its

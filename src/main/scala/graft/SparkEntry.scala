@@ -483,6 +483,8 @@ object SparkEntry {
     "q269_holt_winters" -> ((s, d) => Relational.holtWintersForecast(s, d)),
     "q270_betweenness" -> ((s, d) => Graph.sampledBetweenness(s, d)),
     "q271_scene_changes" -> ((s, d) => Multimodal.sceneChanges(s, d)),
+    "q272_community_quotient" -> ((s, d) => Graph.communityQuotient(s, d)),
+    "q273_stl_decompose" -> ((s, d) => Relational.stlDecompose(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -689,6 +691,8 @@ object SparkEntry {
       ("q267_modularity" -> q267Sql) + ("q268_seq_rules" -> q268Sql) +
       ("q269_holt_winters" -> q269Sql) + ("q270_betweenness" -> q270Sql) +
       ("q271_scene_changes" -> q271Sql) +
+      ("q272_community_quotient" -> q272Sql) +
+      ("q273_stl_decompose" -> q273Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1118,6 +1122,52 @@ object SparkEntry {
        |GROUP BY 1 HAVING sum(delta) > 0
        |ORDER BY bc_micro DESC, part ASC LIMIT 25""".stripMargin
   }
+
+  /** q272: the quotient replay — l4 labels on both endpoints, canonical
+    * (min, max) community pairs, weight-mass shares in HUGEINT micro. */
+  private lazy val q272Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | $lpaCtes,
+       | qt_tag AS (SELECT least(la.lbl, lb.lbl) AS ca,
+       |    greatest(la.lbl, lb.lbl) AS cb, w
+       |   FROM cp_und JOIN l4 la ON pa = la.node
+       |   JOIN l4 lb ON pb = lb.node),
+       | qt_f AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(sum(w) AS BIGINT) AS w_sum
+       |   FROM qt_tag GROUP BY 1, 2),
+       | qt_t AS (SELECT CAST(sum(w_sum) AS HUGEINT) AS w_total FROM qt_f)
+       |SELECT ca AS community_a, cb AS community_b, n_edges, w_sum,
+       |  CAST(CAST(w_sum AS HUGEINT) * 1000000
+       |    // (SELECT w_total FROM qt_t) AS BIGINT) AS share_micro
+       |FROM qt_f
+       |ORDER BY w_sum DESC, community_a ASC, community_b ASC
+       |LIMIT 25""".stripMargin
+
+  /** q273: the STL-lite replay — centered 7-row window sum/count on the
+    * day spine, per-weekday floored means of the detrended series, and
+    * the exact remainder. */
+  private lazy val q273Sql: String =
+    """WITH st_daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |   FROM orders GROUP BY 1),
+      | st_dow AS (SELECT d,
+      |    CAST((date_diff('day', DATE '1995-01-02', d) % 7 + 7) % 7
+      |      AS INTEGER) AS dow, cents
+      |   FROM st_daily),
+      | st_tr AS (SELECT d, dow, cents,
+      |    CAST(sum(cents) OVER w // count(cents) OVER w AS BIGINT)
+      |      AS trend_cents
+      |   FROM st_dow WINDOW w AS (ORDER BY d
+      |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      | st_se AS (SELECT dow,
+      |    CAST(sum(cents - trend_cents) // count(*) AS BIGINT)
+      |      AS seasonal_cents
+      |   FROM st_tr GROUP BY 1)
+      |SELECT d, cents, trend_cents, seasonal_cents,
+      |  cents - trend_cents - seasonal_cents AS residual_cents
+      |FROM st_tr JOIN st_se USING (dow)
+      |ORDER BY d""".stripMargin
 
   /** q252: the HyperBall register replay — per round each node takes
     * the element-wise max of its neighbors' (and its own, via the

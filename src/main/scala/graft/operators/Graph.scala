@@ -269,6 +269,46 @@ object Graph {
       .limit(k)
   }
 
+  /** COMMUNITY QUOTIENT GRAPH (graph coarsening) — the LPA partition's
+    * mixing matrix: one row per community PAIR that shares an edge
+    * (and per community's internal face), with edge count, weight
+    * mass, and each row's share of total edge weight in micro. This
+    * is the standard multilevel-scale readout: a billion-node graph
+    * folds to a communities²-bounded summary that answers "which
+    * families border which" — the input a merchandiser (or a
+    * multilevel layout/partitioner) actually consumes — without ever
+    * materializing anything larger than the edge list joined to the
+    * node-sized label frame twice.
+    *
+    * Pairs are canonical (min, max), so the matrix is upper-
+    * triangular with the diagonal = q267's in_c mass (counted once
+    * per undirected edge here, vs twice in the symmetrized modularity
+    * fold — this face reads human, that face feeds the 2m algebra). */
+  def communityQuotient(spark: SparkSession, dir: String,
+      iters: Int = 4, k: Int = 25): DataFrame = {
+    val und = PlanCache.tracked(coPurchaseEdges(spark, dir))
+    val labels = PlanCache.tracked(lpaLabels(und, iters))
+    val tagged = und
+      .join(labels.select(col("node").as("pa"), col("lbl").as("la")),
+        Seq("pa"))
+      .join(labels.select(col("node").as("pb"), col("lbl").as("lb")),
+        Seq("pb"))
+      .select(least(col("la"), col("lb")).as("ca"),
+        greatest(col("la"), col("lb")).as("cb"), col("w"))
+    val folded = tagged.groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("w_sum"))
+    val total = folded.agg(sum(col("w_sum")).as("w_total"))
+    Scalars.attach(folded, total, col("w_sum"), col("w_total"))
+      .select(col("ca").as("community_a"), col("cb").as("community_b"),
+        col("n_edges"), col("w_sum"),
+        // weight mass ~corpus-sized: the share product rides Decimal(38)
+        expr("CAST(CAST(w_sum AS DECIMAL(38,0)) * 1000000 div w_total" +
+          " AS BIGINT)").as("share_micro"))
+      .orderBy(col("w_sum").desc, col("community_a").asc,
+        col("community_b").asc)
+      .limit(k)
+  }
+
   /** TRIANGLE COUNT + local clustering coefficient per part — the
     * cohesion screen over the co-purchase graph (a part whose
     * neighborhood closes into triangles sells in stable bundles; a

@@ -902,6 +902,45 @@ object Relational {
       .orderBy(col("lag").asc)
   }
 
+  /** STL-LITE DECOMPOSITION of the daily revenue series — the
+    * DESCRIPTIVE face beside the Holt-Winters FORECASTER (q269 fits a
+    * model forward; this splits history into parts a human reads):
+    * trend = centered 7-day moving average (integer: window-sum div
+    * window-count, edges use the shorter window they actually have),
+    * seasonal = per-weekday mean of the detrended series (sum div
+    * count — the floored-mean discipline of q266, bias ≤ 1 cent),
+    * residual = the exact remainder, so the three parts RECOMPOSE to
+    * the original cents bit-for-bit minus nothing: cents = trend +
+    * seasonal + residual by construction on both engines.
+    *
+    * Scale: one corpus-sized daily rollup; the moving average,
+    * weekday means, and remainder all run on the calendar-bounded
+    * spine (the q264/q266 posture). */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+      .select(col("d"),
+        pmod(datediff(col("d"), lit("1995-01-02").cast("date")), lit(7))
+          .as("dow"), col("cents"))
+    val trended = PlanCache.tracked(daily
+      .withColumn("trend_cents",
+        expr("CAST(sum(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING" +
+          " AND 3 FOLLOWING) div count(cents) OVER (ORDER BY d ROWS" +
+          " BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)"))
+      .withColumn("detr", col("cents") - col("trend_cents")))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(expr("CAST(sum(detr) div count(1) AS BIGINT)")
+        .as("seasonal_cents"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .select(col("d"), col("cents"), col("trend_cents"),
+        col("seasonal_cents"),
+        (col("cents") - col("trend_cents") - col("seasonal_cents"))
+          .as("residual_cents"))
+      .orderBy(col("d").asc)
+  }
+
   /** TPC-H Q6 shape — forecast revenue change: the revenue that would
     * be gained by eliminating discounts in a band, for one ship year,
     * on small quantities. The canonical single-scan filter+aggregate:

@@ -72,6 +72,41 @@ class HoltSpec extends SparkSpec {
     assert(s.exists(_ != 0L), "a revenue series must show SOME weekday shape")
   }
 
+  test("stl decomposition: parts recompose exactly; trend/seasonal replay") {
+    val got = Relational.stlDecompose(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    graft.operators.PlanCache.release()
+    // exact recomposition is the operator's contract
+    got.foreach { case (_, cents, tr, se, res) =>
+      assert(cents == tr + se + res)
+    }
+    // replay: centered 7-row window with shorter edges, floored means
+    val xs = got.map(x => (x._1, x._2)).sortBy(_._1.toEpochDay)
+    val monday = java.time.LocalDate.parse("1995-01-02")
+    val trend = xs.indices.map { i =>
+      val lo = math.max(0, i - 3); val hi = math.min(xs.length - 1, i + 3)
+      val win = (lo to hi).map(j => xs(j)._2)
+      win.sum / win.length // all-positive: / == div
+    }
+    val detr = xs.indices.map(i => xs(i)._2 - trend(i))
+    val byDow = xs.indices.groupBy { i =>
+      (((java.time.temporal.ChronoUnit.DAYS.between(monday, xs(i)._1)
+        % 7) + 7) % 7).toInt
+    }
+    val seas = byDow.map { case (dw, idxs) =>
+      val s = idxs.map(detr).sum
+      // truncation toward zero, matching div
+      dw -> (BigInt(s) / idxs.length).toLong
+    }
+    got.zipWithIndex.foreach { case ((d, _, tr, se, _), i) =>
+      assert(tr == trend(i), s"trend diverged at $d")
+      val dw = (((java.time.temporal.ChronoUnit.DAYS.between(monday, d)
+        % 7) + 7) % 7).toInt
+      assert(se == seas(dw), s"seasonal diverged at $d")
+    }
+  }
+
   test("acf ladder: floored-mean BigInt replay, lag-0 sanity, bounded") {
     val got = Relational.autocorrelation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

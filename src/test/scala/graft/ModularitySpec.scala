@@ -62,6 +62,54 @@ class ModularitySpec extends SparkSpec {
     assert(want.map(_._5).sum > 300000L, "Q must be clearly positive here")
   }
 
+  test("quotient graph: brute-force mixing matrix on the hand-built graph") {
+    import spark.implicits._
+    val baskets: Seq[(Long, Seq[Long])] = Seq(
+      1L -> Seq(10L, 11L, 12L), 2L -> Seq(10L, 11L, 13L),
+      3L -> Seq(11L, 12L, 13L), 4L -> Seq(10L, 12L, 13L),
+      5L -> Seq(13L, 20L),
+      6L -> Seq(20L, 21L, 22L), 7L -> Seq(20L, 21L, 23L),
+      8L -> Seq(21L, 22L, 23L), 9L -> Seq(20L, 22L, 23L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qt").toString
+    baskets.flatMap { case (b, items) => items.map(i => (b, i)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { case (_, items) =>
+      val s = items.distinct.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        w((s(i), s(j))) = w.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val sym = w.toSeq.flatMap { case ((a, b), ww) =>
+      Seq((a, b, ww), (b, a, ww)) }
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 0 until 4) {
+      lbl = sym.groupBy(_._2).map { case (node, in) =>
+        val votes = in.groupBy(e => lbl(e._1))
+          .map { case (l, es) => l -> es.map(_._3).sum }
+        node -> votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1
+      }
+    }
+    val cells = w.toSeq.map { case ((a, b), ww) =>
+      val (ca, cb) = (lbl(a) min lbl(b), lbl(a) max lbl(b))
+      ((ca, cb), ww)
+    }.groupBy(_._1).map { case (p, es) =>
+      p -> (es.size.toLong, es.map(_._2).sum)
+    }
+    val wTot = BigInt(cells.values.map(_._2).sum)
+    val want = cells.toSeq.map { case ((ca, cb), (n, ws)) =>
+      (ca, cb, n, ws, (BigInt(ws) * 1000000 / wTot).toLong)
+    }.sortBy { case (ca, cb, _, ws, _) => (-ws, ca, cb) }.take(25)
+    val got = Graph.communityQuotient(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    graft.operators.PlanCache.release()
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    // the hand-built graph has two families and one bridge cell
+    assert(want.count { case (a, b, _, _, _) => a != b } >= 1,
+      "an off-diagonal (bridge) cell must exist")
+  }
+
   test("modularity: invariants on the real corpus graph") {
     val got = Graph.communityModularity(spark, sf).collect()
     graft.operators.PlanCache.release()

@@ -239,8 +239,18 @@ object Graph {
     * the edge list (the LPA round's own data movement); everything
     * downstream is community-sized. No window, no all-pairs. */
   def communityModularity(spark: SparkSession, dir: String,
-      iters: Int = 4, k: Int = 25): DataFrame = {
-    val und = PlanCache.tracked(coPurchaseEdges(spark, dir))
+      iters: Int = 4, k: Int = 25): DataFrame =
+    modularityOnEdges(coPurchaseEdges(spark, dir), iters, k)
+
+  /** [[communityModularity]] read purely from the persisted graph
+    * store (the [[pageRankFromStore]] convention). */
+  def communityModularityFromStore(spark: SparkSession, storeDir: String,
+      iters: Int = 4, k: Int = 25): DataFrame =
+    modularityOnEdges(storedEdges(spark, storeDir), iters, k)
+
+  private[graft] def modularityOnEdges(undIn: DataFrame,
+      iters: Int, k: Int): DataFrame = {
+    val und = PlanCache.tracked(undIn)
     val labels = PlanCache.tracked(lpaLabels(und, iters))
     val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
@@ -285,8 +295,18 @@ object Graph {
     * per undirected edge here, vs twice in the symmetrized modularity
     * fold — this face reads human, that face feeds the 2m algebra). */
   def communityQuotient(spark: SparkSession, dir: String,
-      iters: Int = 4, k: Int = 25): DataFrame = {
-    val und = PlanCache.tracked(coPurchaseEdges(spark, dir))
+      iters: Int = 4, k: Int = 25): DataFrame =
+    quotientOnEdges(coPurchaseEdges(spark, dir), iters, k)
+
+  /** [[communityQuotient]] read purely from the persisted graph
+    * store (the [[pageRankFromStore]] convention). */
+  def communityQuotientFromStore(spark: SparkSession, storeDir: String,
+      iters: Int = 4, k: Int = 25): DataFrame =
+    quotientOnEdges(storedEdges(spark, storeDir), iters, k)
+
+  private[graft] def quotientOnEdges(undIn: DataFrame,
+      iters: Int, k: Int): DataFrame = {
+    val und = PlanCache.tracked(undIn)
     val labels = PlanCache.tracked(lpaLabels(und, iters))
     val tagged = und
       .join(labels.select(col("node").as("pa"), col("lbl").as("la")),

@@ -51,6 +51,21 @@ class GraphStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     graft.operators.PlanCache.release()
     assert(anfStore == anfLocal)
+    // modularity + quotient read faces ≡ in-process (q267/q272):
+    val modStore = Graph.communityModularityFromStore(spark, storeDir)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.PlanCache.release()
+    val modLocal = Graph.communityModularity(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.PlanCache.release()
+    assert(modStore == modLocal)
+    val qtStore = Graph.communityQuotientFromStore(spark, storeDir)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.PlanCache.release()
+    val qtLocal = Graph.communityQuotient(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.PlanCache.release()
+    assert(qtStore == qtLocal)
     // link-prediction read face ≡ in-process (the q261 operator):
     // identical edges → identical split/candidates/ranks → bit-equal
     val lpStore = Graph.linkPredictionFromStore(spark, storeDir).collect()

@@ -485,6 +485,7 @@ object SparkEntry {
     "q271_scene_changes" -> ((s, d) => Multimodal.sceneChanges(s, d)),
     "q272_community_quotient" -> ((s, d) => Graph.communityQuotient(s, d)),
     "q273_stl_decompose" -> ((s, d) => Relational.stlDecompose(s, d)),
+    "q274_truss_peel" -> ((s, d) => Graph.trussPeel(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -692,7 +693,7 @@ object SparkEntry {
       ("q269_holt_winters" -> q269Sql) + ("q270_betweenness" -> q270Sql) +
       ("q271_scene_changes" -> q271Sql) +
       ("q272_community_quotient" -> q272Sql) +
-      ("q273_stl_decompose" -> q273Sql) +
+      ("q273_stl_decompose" -> q273Sql) + ("q274_truss_peel" -> q274Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1168,6 +1169,33 @@ object SparkEntry {
       |  cents - trend_cents - seasonal_cents AS residual_cents
       |FROM st_tr JOIN st_se USING (dow)
       |ORDER BY d""".stripMargin
+
+  /** q274: the truss replay — per round a wedge join counts each
+    * surviving edge's common neighbors, HAVING ≥ k−2 peels; the
+    * readout is the shrinkage curve. */
+  private lazy val q274Sql: String = {
+    val (k, rounds) = (4, 2)
+    val peels = (1 to rounds).map { r =>
+      s"""ts${r - 1} AS (SELECT pa AS src, pb AS dst FROM tr${r - 1}
+         |   UNION ALL SELECT pb, pa FROM tr${r - 1}),
+         | tr$r AS MATERIALIZED (SELECT e.pa, e.pb FROM tr${r - 1} e
+         |   JOIN ts${r - 1} a ON a.src = e.pa
+         |   JOIN ts${r - 1} b ON b.src = e.pb AND b.dst = a.dst
+         |   GROUP BY e.pa, e.pb HAVING count(*) >= ${k - 2})""".stripMargin
+    }.mkString(",\n ")
+    val readout = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST(count(*) AS BIGINT) AS n_edges,
+         |  (SELECT CAST(count(DISTINCT n) AS BIGINT) FROM
+         |    (SELECT pa AS n FROM tr$r UNION ALL SELECT pb FROM tr$r))
+         |    AS n_nodes
+         |FROM tr$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coPurchaseCtes,
+       | tr0 AS (SELECT pa, pb FROM cp_und),
+       | $peels
+       |$readout""".stripMargin
+  }
 
   /** q252: the HyperBall register replay — per round each node takes
     * the element-wise max of its neighbors' (and its own, via the

@@ -387,6 +387,56 @@ object Graph {
         explode(array_intersect(col("nbrs_u"), col("nbrs_v"))).as("c"))
   }
 
+  /** K-TRUSS PEELING (fixed unrolled rounds) — the EDGE-grain cohesion
+    * hierarchy beside [[kCorePeel]]'s node grain: a k-core keeps nodes
+    * with enough neighbors, a k-truss keeps edges embedded in enough
+    * TRIANGLES (support ≥ k−2), which is the stricter "is this tie
+    * part of a dense bundle or just incident to a hub" test. Each
+    * round recomputes per-edge support over the SURVIVING edge set and
+    * drops weak edges; the readout is the shrinkage curve — (round,
+    * edges, nodes) — the cohesion audit a bundle-detection consumer
+    * reads before trusting q231's triangle census. Fixed rounds keep
+    * the fixed-point deterministic cross-engine (the q235 discipline).
+    *
+    * Scale: support is NOT an adjacency-array intersection over raw
+    * neighbor lists (hub arrays are unbounded) — each round runs the
+    * q231 degree-ordered edge-iterator closure (out-lists O(√m)) and
+    * credits each triangle to its three canonical edges with one
+    * 3-row explode + edge-keyed count; the peel is an equi-join on
+    * the edge key. Every frame is edge-bounded. */
+  def trussPeel(spark: SparkSession, dir: String, k: Int = 4,
+      rounds: Int = 2): DataFrame = {
+    var edges = PlanCache.tracked(
+      coPurchaseEdges(spark, dir).select(col("pa"), col("pb")))
+    val out = (0 to rounds).map { r =>
+      if (r > 0) {
+        val deg = edges.select(col("pa").as("node"))
+          .union(edges.select(col("pb").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val support = triangleRows(edges, deg)
+          .select(explode(array(
+            struct(least(col("a"), col("b")).as("pa"),
+              greatest(col("a"), col("b")).as("pb")),
+            struct(least(col("a"), col("c")).as("pa"),
+              greatest(col("a"), col("c")).as("pb")),
+            struct(least(col("b"), col("c")).as("pa"),
+              greatest(col("b"), col("c")).as("pb")))).as("e"))
+          .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
+          .agg(count(lit(1)).as("support"))
+        // an edge in no triangle has no support row: the inner join
+        // drops it, which IS the k ≥ 3 peel semantics
+        edges = PlanCache.tracked(edges.join(support, Seq("pa", "pb"))
+          .filter(col("support") >= k - 2)
+          .select(col("pa"), col("pb")))
+      }
+      edges.select(explode(array(col("pa"), col("pb"))).as("node"))
+        .agg(expr("count(1) div 2").as("n_edges"),
+          count_distinct(col("node")).as("n_nodes"))
+        .select(lit(r.toLong).as("round"), col("n_edges"), col("n_nodes"))
+    }
+    out.reduce(_ union _)
+  }
+
   /** GRAPH DATASHEET — the one-row structural summary read before
     * trusting any graph-derived signal: node/edge/weight totals, mean
     * degree, GLOBAL clustering coefficient (3·triangles / wedges, both

@@ -110,6 +110,43 @@ class ModularitySpec extends SparkSpec {
       "an off-diagonal (bridge) cell must exist")
   }
 
+  test("truss peel: brute-force shrinkage curve; the bridge edge peels") {
+    import spark.implicits._
+    val baskets: Seq[(Long, Seq[Long])] = Seq(
+      1L -> Seq(10L, 11L, 12L), 2L -> Seq(10L, 11L, 13L),
+      3L -> Seq(11L, 12L, 13L), 4L -> Seq(10L, 12L, 13L),
+      5L -> Seq(13L, 20L),
+      6L -> Seq(20L, 21L, 22L), 7L -> Seq(20L, 21L, 23L),
+      8L -> Seq(21L, 22L, 23L), 9L -> Seq(20L, 22L, 23L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_truss").toString
+    baskets.flatMap { case (b, items) => items.map(i => (b, i)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    var es = scala.collection.mutable.Set.empty[(Long, Long)]
+    baskets.foreach { case (_, items) =>
+      val s = items.distinct.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        es += ((s(i), s(j)))
+    }
+    val k = 4
+    val want = (0 to 2).map { r =>
+      if (r > 0) {
+        val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+        es = es.filter { case (a, b) =>
+          (adj(a) & adj(b)).size >= k - 2 }
+      }
+      val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct
+      (r.toLong, es.size.toLong, nodes.size.toLong)
+    }
+    val got = Graph.trussPeel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    graft.operators.PlanCache.release()
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    // the bridge tie (13, 20) sits in no triangle: round 1 must peel it
+    assert(want(1)._2 == want(0)._2 - 1, "exactly the bridge edge peels")
+  }
+
   test("modularity: invariants on the real corpus graph") {
     val got = Graph.communityModularity(spark, sf).collect()
     graft.operators.PlanCache.release()

@@ -486,6 +486,7 @@ object SparkEntry {
     "q272_community_quotient" -> ((s, d) => Graph.communityQuotient(s, d)),
     "q273_stl_decompose" -> ((s, d) => Relational.stlDecompose(s, d)),
     "q274_truss_peel" -> ((s, d) => Graph.trussPeel(s, d)),
+    "q275_holt_backtest" -> ((s, d) => Relational.holtBacktest(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -694,6 +695,7 @@ object SparkEntry {
       ("q271_scene_changes" -> q271Sql) +
       ("q272_community_quotient" -> q272Sql) +
       ("q273_stl_decompose" -> q273Sql) + ("q274_truss_peel" -> q274Sql) +
+      ("q275_holt_backtest" -> q275Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1722,6 +1724,37 @@ object SparkEntry {
       |    THEN CAST((count(*) - 1) * 1000000 // (sum(run_len) - 1) AS BIGINT)
       |  END AS cut_density_micro
       |FROM sc_r GROUP BY 1 ORDER BY media_id""".stripMargin
+
+  /** q275: the backtest replay — the q264 RECURSIVE walk widened to
+    * carry the two absolute-error accumulators and yesterday's value. */
+  private lazy val q275Sql: String =
+    """WITH RECURSIVE hb_daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |   FROM orders GROUP BY 1),
+      | hb_idx AS (SELECT row_number() OVER (ORDER BY d) AS i, cents
+      |   FROM hb_daily),
+      | hb_n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM hb_idx),
+      | hb_st(i, lv, tr, he, ne, px) AS (
+      |   SELECT CAST(1 AS BIGINT), cents, CAST(0 AS BIGINT),
+      |     CAST(0 AS BIGINT), CAST(0 AS BIGINT), cents
+      |   FROM hb_idx WHERE i = 1
+      |   UNION ALL
+      |   SELECT i, (x + 3 * (plv + ptr)) // 4,
+      |     ((x + 3 * (plv + ptr)) // 4 - plv + 3 * ptr) // 4,
+      |     he + abs(x - (plv + ptr)), ne + abs(x - px), x
+      |   FROM (SELECT st.i + 1 AS i, d.cents AS x, st.lv AS plv,
+      |       st.tr AS ptr, st.he, st.ne, st.px
+      |     FROM hb_st st JOIN hb_idx d ON d.i = st.i + 1)),
+      | hb_fin AS (SELECT * FROM hb_st ORDER BY i DESC LIMIT 1)
+      |SELECT (SELECT n_days FROM hb_n) AS n_days,
+      |  CAST(he // ((SELECT n_days FROM hb_n) - 1) AS BIGINT)
+      |    AS holt_mae_cents,
+      |  CAST(ne // ((SELECT n_days FROM hb_n) - 1) AS BIGINT)
+      |    AS naive_mae_cents,
+      |  CAST((ne - he) * 1000000 // greatest(ne, 1) AS BIGINT)
+      |    AS skill_micro
+      |FROM hb_fin WHERE (SELECT n_days FROM hb_n) > 1""".stripMargin
 
   /** q262: the randomized-response replay — md5-grid keep/replace
     * draws, the j ≥ own → j+1 skip, closed-form debias

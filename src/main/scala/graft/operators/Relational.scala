@@ -902,6 +902,49 @@ object Relational {
       .orderBy(col("lag").asc)
   }
 
+  /** HOLT ONE-STEP BACKTEST — the EVAL face of the forecasting family
+    * (q264 fits, q269 adds seasonality, q273 describes; this one asks
+    * "was the smoother any GOOD"): walk the day spine once, and at
+    * each day score the one-step-ahead forecast made BEFORE seeing it
+    * — Holt's (level + trend) against the naive carry-forward
+    * yesterday's-value baseline — then fold the absolute errors.
+    * Skill = (naive_mae − holt_mae)·10⁶ div naive_mae: positive means
+    * the smoother beats persistence, the first bar any forecaster
+    * must clear (and the one most fail on near-random-walk series).
+    * All integer cents; `div` ≙ `//` truncation.
+    *
+    * Scale: the q264 posture — one corpus-sized daily rollup, then a
+    * single `aggregate` fold over the calendar-bounded spine carrying
+    * five integers of state. */
+  def holtBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+    val series = daily.agg(count(lit(1)).as("n_days"),
+      transform(sort_array(collect_list(struct(col("d"), col("cents")))),
+        x => x.getField("cents")).as("xs"))
+    series.select(col("n_days"),
+        expr("""aggregate(slice(xs, 2, size(xs) - 1),
+          named_struct('lv', xs[0], 'tr', CAST(0 AS BIGINT),
+            'he', CAST(0 AS BIGINT), 'ne', CAST(0 AS BIGINT),
+            'px', xs[0]),
+          (acc, x) -> named_struct(
+            'lv', (x + 3 * (acc.lv + acc.tr)) div 4,
+            'tr', ((x + 3 * (acc.lv + acc.tr)) div 4 - acc.lv + 3 * acc.tr)
+              div 4,
+            'he', acc.he + abs(x - (acc.lv + acc.tr)),
+            'ne', acc.ne + abs(x - acc.px),
+            'px', x))""").as("st"))
+      .filter(col("n_days") > 1)
+      .select(col("n_days"),
+        expr("CAST(st.he div (n_days - 1) AS BIGINT)").as("holt_mae_cents"),
+        expr("CAST(st.ne div (n_days - 1) AS BIGINT)").as("naive_mae_cents"),
+        // mae on the cent grid: the micro ratio needs the raw sums
+        expr("CAST((st.ne - st.he) * 1000000 div greatest(st.ne, 1)" +
+          " AS BIGINT)").as("skill_micro"))
+  }
+
   /** STL-LITE DECOMPOSITION of the daily revenue series — the
     * DESCRIPTIVE face beside the Holt-Winters FORECASTER (q269 fits a
     * model forward; this splits history into parts a human reads):

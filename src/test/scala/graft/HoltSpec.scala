@@ -107,6 +107,25 @@ class HoltSpec extends SparkSpec {
     }
   }
 
+  test("holt backtest: error fold replays; skill is consistent with the maes") {
+    val got = Relational.holtBacktest(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val xs = dailySpine().map(_._2)
+    var lv = xs.head; var tr = 0L; var he = 0L; var ne = 0L; var px = xs.head
+    xs.tail.foreach { x =>
+      he += math.abs(x - (lv + tr)); ne += math.abs(x - px)
+      val nl = (x + 3 * (lv + tr)) / 4
+      tr = (nl - lv + 3 * tr) / 4; lv = nl; px = x
+    }
+    val n = xs.length.toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (n, he / (n - 1), ne / (n - 1),
+        (BigInt(ne - he) * 1000000 / math.max(ne, 1L)).toLong))
+    // the smoother must beat persistence on a trending revenue series
+    assert(r.getLong(3) > 0L, "holt should beat the naive baseline here")
+  }
+
   test("acf ladder: floored-mean BigInt replay, lag-0 sanity, bounded") {
     val got = Relational.autocorrelation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -15,6 +15,41 @@ object Bench {
     warm.join(org.apache.spark.sql.functions.broadcast(warm.select("r_regionkey")),
         Seq("r_regionkey"))
       .write.format("noop").mode("overwrite").save()
+    // Self-defending board (round-11 lesson): the r11 driver board was
+    // taken under sustained host contention and read as a mass 1.6x
+    // regression until the judge proved it environmental. Two defenses:
+    // (1) a fixed CALIBRATION probe — the warmup expression re-timed
+    // after warmup — lands in the JSON as `_calibration`; code never
+    // changes this probe, so a board whose calibration is several times
+    // the reference board's is self-evidently load-inflated. (2) the
+    // 1-minute system load average is recorded per query, so a future
+    // reader can see WHICH spans of the run were contended.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg(): Double =
+      math.round(osBean.getSystemLoadAverage * 100) / 100.0
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000).selectExpr("sum(id * 2)")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibration = calibrate()
+    // Committed quiet-host reference board (BENCH_REFERENCE.json): a
+    // query whose min-of-attempts still exceeds 3x its reference value
+    // gets ONE extra attempt — sustained load covering both normal
+    // attempts (the exact r11 failure mode) gets a third chance to
+    // catch a quiet window, bounded so a genuinely loaded host can at
+    // worst 1.5x the wall time, not loop forever.
+    val reference: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_REFERENCE.json")
+        if (java.nio.file.Files.exists(p)) {
+          val txt = java.nio.file.Files.readString(p)
+          val body = txt.drop(txt.indexOf("\"queries\""))
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } else Map.empty
+      } catch { case _: Exception => Map.empty }
     // Durable per-query artifact: the round-10 driver bench artifact
     // kept only the stdout TAIL, so per-query timings survived for 61
     // of 241 queries. Every emit also lands the full cumulative JSON
@@ -30,12 +65,18 @@ object Bench {
       case (None, Some(_)) => None
       case (None, None) => Some(java.nio.file.Paths.get("BENCH_LATEST.json"))
     }
+    var loads = Vector.empty[(String, Double)]
     def emit(results: Seq[(String, Double)]): Unit = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val ls = loads.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       val total = results.map(_._2).sum
+      val cpus = Runtime.getRuntime.availableProcessors
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""sf":"$sfDir","calibration_sec":$calibration,"cpus":$cpus,""" +
+          s""""load_1m":$ls}"""
       println(line)
       Console.out.flush()
       try outPath.foreach { p =>
@@ -103,9 +144,18 @@ object Bench {
         graft.operators.PlanCache.release()
         (System.nanoTime() - t0) / 1e9
       }
+      val l0 = loadAvg()
       val a = once(); val b = once()
-      val secs = if (math.max(a, b) > 2 * math.min(a, b)) math.min(math.min(a, b), once())
-                 else math.min(a, b)
+      val twoMin = if (math.max(a, b) > 2 * math.min(a, b))
+        math.min(math.min(a, b), once())
+      else math.min(a, b)
+      // reference-board escape hatch: still >3x the committed quiet-host
+      // value after the adaptive attempts → one last try
+      val secs = reference.get(name) match {
+        case Some(ref) if twoMin > 3 * ref => math.min(twoMin, once())
+        case _ => twoMin
+      }
+      loads :+= (name -> math.max(l0, loadAvg()))
       results :+= (name -> secs)
       emit(results)
     }

@@ -406,6 +406,10 @@ object Graph {
     * the edge key. Every frame is edge-bounded. */
   def trussPeel(spark: SparkSession, dir: String, k: Int = 4,
       rounds: Int = 2): DataFrame = {
+    require(k >= 3,
+      s"trussPeel implements k >= 3 semantics (a 2-truss keeps every " +
+        s"edge; the inner join on support drops triangle-free edges, " +
+        s"which is only correct for k >= 3) — got $k")
     var edges = PlanCache.tracked(
       coPurchaseEdges(spark, dir).select(col("pa"), col("pb")))
     val out = (0 to rounds).map { r =>
@@ -816,6 +820,8 @@ object Graph {
     * the bounded rank idiom (TopKPerGroup-fused). */
   def hits(spark: SparkSession, dir: String, iters: Int = 3,
       k: Int = 25): DataFrame = {
+    require(iters >= 1,
+      s"hits needs at least one iteration to define hub scores (got $iters)")
     val edges = PlanCache.tracked(
       Tables(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("cust"))

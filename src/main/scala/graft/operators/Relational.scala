@@ -898,7 +898,12 @@ object Relational {
       .agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev2")).as("num"))
       .transform(Scalars.attach(_, den, col("num"), col("den")))
       .select(col("lag").cast("long").as("lag"), col("n_days"),
-        expr("CAST(num * 1000000 div den AS BIGINT)").as("acf_micro"))
+        // greatest(den, 1): a constant daily series has den = 0 and
+        // every num = 0 — the guard keeps both engines at 0 instead of
+        // Spark NULL vs DuckDB division-by-zero error (holtBacktest's
+        // naive_mae discipline)
+        expr("CAST(num * 1000000 div greatest(den, 1) AS BIGINT)")
+          .as("acf_micro"))
       .orderBy(col("lag").asc)
   }
 

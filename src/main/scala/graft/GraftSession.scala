@@ -23,6 +23,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.SetCard.injection)
         ext.injectFunction(graft.functions.HllCard.injection)
         ext.injectFunction(graft.functions.RegsMax.injection)
+        ext.injectFunction(graft.functions.DHash.injection)
         graft.functions.PqCodec.injections.foreach(ext.injectFunction)
         ext.injectOptimizerRule(graft.functions.DistinctCard.injection)
         // whole-operator fusion: row_number-≤-k window+filter → the

@@ -487,6 +487,7 @@ object SparkEntry {
     "q273_stl_decompose" -> ((s, d) => Relational.stlDecompose(s, d)),
     "q274_truss_peel" -> ((s, d) => Graph.trussPeel(s, d)),
     "q275_holt_backtest" -> ((s, d) => Relational.holtBacktest(s, d)),
+    "q276_frame_signatures" -> ((s, d) => Multimodal.frameSignatures(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -696,6 +697,7 @@ object SparkEntry {
       ("q272_community_quotient" -> q272Sql) +
       ("q273_stl_decompose" -> q273Sql) + ("q274_truss_peel" -> q274Sql) +
       ("q275_holt_backtest" -> q275Sql) +
+      ("q276_frame_signatures" -> q276Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1611,8 +1613,8 @@ object SparkEntry {
       |   GROUP BY 1)
       |SELECT CAST(lag AS BIGINT) AS lag,
       |  (SELECT n_days FROM ac_stats) AS n_days,
-      |  CAST(num * 1000000 // (SELECT den FROM ac_den) AS BIGINT)
-      |    AS acf_micro
+      |  CAST(num * 1000000 // (SELECT greatest(den, 1) FROM ac_den)
+      |    AS BIGINT) AS acf_micro
       |FROM ac_num ORDER BY lag""".stripMargin
 
   /** q268: the sequence-rule replay — the q265 boundary aggregates
@@ -1693,24 +1695,49 @@ object SparkEntry {
       |FROM hw_f ORDER BY h""".stripMargin
   }
 
-  /** q271: the scene-segmentation replay — q47's frame grid at
-    * stride 1, each frame hash folded to an 8-way bucket (the stub
-    * perceptual feature), lag-compare cuts, prefix-sum runs. */
+  /** The dhash60 replay (shared by q118/q271/q276): q47's frame grid
+    * at the given stride, each frame's chars folded into 61
+    * equal-measure cell sums (cell of byte p = p·61 // L — the
+    * integer partition the Scala kernel walks; the corpus is ASCII so
+    * `ord` per char ≡ the kernel's unsigned byte), one gradient bit
+    * per adjacent cell pair, summed as shifted BIGINT weights. */
+  private def dhashCtes(stride: Int): String =
+    s"""dh_f AS (SELECT doc_id AS media_id, text,
+       |    CAST(ceil(length(text) / 256.0) AS INTEGER) AS nf FROM documents),
+       | dh_e AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |    substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256) AS fr
+       |   FROM (SELECT media_id, text, unnest(range(0, nf)) AS frame_idx
+       |         FROM dh_f)
+       |   WHERE frame_idx % $stride = 0),
+       | dh_p AS (SELECT media_id, frame_idx, fr, length(fr) AS l,
+       |    unnest(range(0, length(fr))) AS p FROM dh_e),
+       | dh_cs AS (SELECT media_id, frame_idx, (p * 61) // l AS c,
+       |    CAST(sum(ord(substr(fr, CAST(p + 1 AS INTEGER), 1))) AS BIGINT) AS s
+       |   FROM dh_p GROUP BY 1, 2, 3),
+       | dh_sp AS (SELECT media_id, frame_idx, unnest(range(0, 61)) AS c
+       |   FROM dh_e),
+       | dh_cell AS (SELECT media_id, frame_idx, c, coalesce(s, 0) AS s
+       |   FROM dh_sp LEFT JOIN dh_cs USING (media_id, frame_idx, c)),
+       | dh_b AS (SELECT media_id, frame_idx, c, s,
+       |    lead(s) OVER (PARTITION BY media_id, frame_idx ORDER BY c) AS s2
+       |   FROM dh_cell),
+       | dh AS (SELECT media_id, frame_idx,
+       |    CAST(sum(CASE WHEN s2 > s
+       |      THEN CAST(1 AS BIGINT) << CAST(c AS INTEGER) ELSE 0 END)
+       |      AS BIGINT) AS frame_dhash
+       |   FROM dh_b GROUP BY 1, 2)""".stripMargin
+
+  /** q271: the scene-segmentation replay — the dhash60 frame
+    * signatures at stride 1, Hamming-thresholded lag-compare cuts
+    * (>16 of 60 gradient bits = a content change), prefix-sum runs. */
   private lazy val q271Sql: String =
-    """WITH sc_f AS (SELECT doc_id AS media_id, text,
-      |    CAST(ceil(length(text) / 256.0) AS INTEGER) AS nf
-      |   FROM documents),
-      | sc_e AS (SELECT media_id, text, unnest(range(0, nf)) AS frame_idx
-      |   FROM sc_f),
-      | sc_b AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-      |    CAST('0x' || substr(md5(md5(substring(text,
-      |      CAST(frame_idx * 256 + 1 AS INTEGER), 256))), 1, 15) AS BIGINT)
-      |      % 8 AS bucket
-      |   FROM sc_e),
+    s"""WITH ${dhashCtes(1)},
+      | sc_d AS (SELECT media_id, frame_idx,
+      |    bit_count(xor(frame_dhash, lag(frame_dhash) OVER w)) AS db
+      |   FROM dh WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
       | sc_c AS (SELECT media_id, frame_idx,
-      |    CASE WHEN lag(bucket) OVER w IS NULL
-      |      OR lag(bucket) OVER w <> bucket THEN 1 ELSE 0 END AS cut
-      |   FROM sc_b WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+      |    CASE WHEN db IS NULL OR db > 16 THEN 1 ELSE 0 END AS cut
+      |   FROM sc_d),
       | sc_s AS (SELECT media_id, sum(cut) OVER
       |    (PARTITION BY media_id ORDER BY frame_idx) AS scene_seq
       |   FROM sc_c),
@@ -1724,6 +1751,16 @@ object SparkEntry {
       |    THEN CAST((count(*) - 1) * 1000000 // (sum(run_len) - 1) AS BIGINT)
       |  END AS cut_density_micro
       |FROM sc_r GROUP BY 1 ORDER BY media_id""".stripMargin
+
+  /** q276: the signature-table replay — dhash60 per sampled frame
+    * plus the Hamming delta to the previous frame of the medium. */
+  private lazy val q276Sql: String =
+    s"""WITH ${dhashCtes(4)}
+      |SELECT media_id, frame_idx, frame_dhash,
+      |  CAST(bit_count(xor(frame_dhash, lag(frame_dhash) OVER
+      |    (PARTITION BY media_id ORDER BY frame_idx))) AS BIGINT)
+      |    AS delta_bits
+      |FROM dh""".stripMargin
 
   /** q275: the backtest replay — the q264 RECURSIVE walk widened to
     * carry the two absolute-error accumulators and yesterday's value. */
@@ -3940,18 +3977,15 @@ object SparkEntry {
          |SELECT day, m_hit, round(est, 2) AS est_dau, true_dau
          |FROM est JOIN t USING (day)""".stripMargin
     },
-    // q118: q47's frame hashes grouped corpus-wide — shared footage
+    // q118: the dhash60 frame signatures grouped corpus-wide — shared
+    // (possibly lightly-retouched) footage
     "q118_frame_dedup" ->
-      """WITH f AS (SELECT doc_id AS media_id, text,
-        |    CAST(ceil(length(text) / 256.0) AS INTEGER) AS nf FROM documents),
-        | e AS (SELECT media_id, text, unnest(range(0, nf)) AS frame_idx FROM f),
-        | fr AS (SELECT media_id,
-        |    md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_md5
-        |  FROM e WHERE frame_idx % 4 = 0)
-        |SELECT frame_md5, CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+      s"""WITH ${dhashCtes(4)}
+        |SELECT frame_dhash, CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
         |  CAST(count(*) AS BIGINT) AS n_occ,
         |  CAST(min(media_id) AS BIGINT) AS first_media
-        |FROM fr GROUP BY frame_md5 HAVING count(DISTINCT media_id) >= 2""".stripMargin,
+        |FROM dh GROUP BY frame_dhash
+        |HAVING count(DISTINCT media_id) >= 2""".stripMargin,
     // q119: every DQ rule as a violation count; one aggregate, unpivoted
     "q119_dq_report" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,

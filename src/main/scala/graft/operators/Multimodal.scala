@@ -104,18 +104,70 @@ object Multimodal {
           .as("frame_md5"))
   }
 
+  /** PERCEPTUAL FRAME SIGNATURES — each sampled frame reduced to its
+    * [[graft.functions.DHash60 dhash60]] gradient signature plus the
+    * Hamming distance to the previous sampled frame of the same
+    * medium (`delta_bits`, NULL on the first frame — no predecessor,
+    * no evidence). This is the signature table every perceptual
+    * consumer reads: [[sceneChangesOf]] thresholds `delta_bits` for
+    * shot boundaries, [[frameDedup]] groups on `frame_dhash` for
+    * cross-media near-dup footage. Near-identical payloads land
+    * within a few bits (usually 0 — small edits rarely cross a
+    * cell-sum comparison); unrelated payloads sit near the 30/60-bit
+    * random expectation.
+    *
+    * Scale: row-per-frame explode (never whole-payload rows), the
+    * signature kernel is one codegen'd primitive loop per row, and
+    * the lag window partitions by medium — payload-bounded
+    * partitions, shuffled once on media_id. */
+  def frameSignatures(spark: SparkSession, dir: String,
+      frameSize: Int = 256, stride: Int = 4): DataFrame =
+    frameSignaturesOf(
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text")),
+      frameSize, stride)
+
+  /** [[frameSignatures]] over an arbitrary `(media_id, text)` frame —
+    * the unit-testable core (the [[sampleFramesOf]] convention). */
+  def frameSignaturesOf(media: DataFrame, frameSize: Int = 256,
+      stride: Int = 4): DataFrame = {
+    val docs = media.select(
+      col("media_id"), col("text"),
+      ceil(length(col("text")) / frameSize.toDouble).cast("int").as("nf"))
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    docs
+      .filter(col("nf") > 0) // the sampleFramesOf nf=0 guard
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(0), col("nf") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      // project the slice first, hash second: a Generate under a
+      // fused projection re-runs the kernel per exploded row (the
+      // q79 lesson) — here the explode is already separated, but the
+      // two-step select keeps the kernel out of the Generate anyway
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        graft.functions.DHash.dhash60(
+          col("text").substr(col("frame_idx") * frameSize + 1,
+            lit(frameSize))).as("frame_dhash"))
+      .withColumn("delta_bits",
+        bit_count(col("frame_dhash")
+          .bitwiseXOR(lag(col("frame_dhash"), 1).over(byFrame)))
+          .cast("long"))
+  }
+
   /** SCENE SEGMENTATION over the sampled frame stream — the TEMPORAL
     * structure face the per-frame ops miss: [[frameDedup]] asks "is
     * this frame shared ACROSS media", this asks "where does the
     * content CHANGE within one medium" (shot boundaries, silence/
-    * speech transitions, chapter cards). Each frame reduces to a
-    * coarse feature bucket — here the stub feature is the frame
-    * hash folded to `buckets` values (swap in a perceptual hash /
-    * audio fingerprint in production; the segmentation logic doesn't
-    * change) — and a scene boundary is any consecutive-frame bucket
-    * change. Per medium: frames sampled, scene count, longest scene
-    * run (in frames), and boundary density in micro (boundaries per
-    * consecutive pair — 10⁶ = every frame a cut, 0 = one still shot).
+    * speech transitions, chapter cards). Each frame carries its
+    * [[frameSignaturesOf dhash60]] perceptual signature, and a scene
+    * boundary is any consecutive pair whose signatures disagree in
+    * more than `tauBits` of 60 gradient bits — small in-scene motion
+    * (a few flipped comparisons) survives, a content change (~30-bit
+    * random distance) cuts. Per medium: frames sampled, scene count,
+    * longest scene run (in frames), and boundary density in micro
+    * (boundaries per consecutive pair — 10⁶ = every frame a cut,
+    * 0 = one still shot).
     *
     * Scale: the explode is row-per-frame (never whole-payload rows),
     * the lag window partitions BY MEDIUM (payload-bounded partitions,
@@ -123,26 +175,22 @@ object Multimodal {
     * scene-run length re-uses the gap-sessionization prefix-sum
     * idiom (q60) on the frame axis. */
   def sceneChanges(spark: SparkSession, dir: String, frameSize: Int = 256,
-      stride: Int = 1, buckets: Int = 8): DataFrame =
+      stride: Int = 1, tauBits: Int = 16): DataFrame =
     sceneChangesOf(
       graft.Tables(spark, dir, "documents")
         .select(col("doc_id").as("media_id"), col("text")),
-      frameSize, stride, buckets)
+      frameSize, stride, tauBits)
 
   /** [[sceneChanges]] over an arbitrary `(media_id, text)` frame —
     * the unit-testable core (the [[sampleFramesOf]] convention). */
   def sceneChangesOf(media: DataFrame, frameSize: Int = 256,
-      stride: Int = 1, buckets: Int = 8): DataFrame = {
-    val feat = sampleFramesOf(media, frameSize, stride)
-      .select(col("media_id"), col("frame_idx"),
-        pmod(graft.functions.Text.md5Hash60(col("frame_md5")),
-          lit(buckets.toLong)).as("bucket"))
+      stride: Int = 1, tauBits: Int = 16): DataFrame = {
     val byFrame = org.apache.spark.sql.expressions.Window
       .partitionBy(col("media_id")).orderBy(col("frame_idx"))
-    val runs = feat
+    val runs = frameSignaturesOf(media, frameSize, stride)
       .withColumn("cut",
-        when(lag(col("bucket"), 1).over(byFrame).isNull ||
-          lag(col("bucket"), 1).over(byFrame) =!= col("bucket"), 1L)
+        when(col("delta_bits").isNull ||
+          col("delta_bits") > tauBits, 1L)
           .otherwise(0L))
       .withColumn("scene_seq",
         sum(col("cut")).over(byFrame.rowsBetween(
@@ -164,16 +212,20 @@ object Multimodal {
       .orderBy(col("media_id").asc)
   }
 
-  /** Cross-media duplicate frames: a sampled-frame hash appearing in
-    * ≥2 distinct media is shared footage — the multimodal face of
-    * [[TextOps.chunkDedup]] (intros, watermark cards, re-uploads).
-    * One shuffle keyed by frame hash (cardinality ∝ total frames, no
-    * hot key), counts map-side combined; at 100 TB this is exactly
-    * the chunk-dedup shape with a perceptual hash swapped in for md5. */
+  /** Cross-media duplicate frames: a sampled-frame PERCEPTUAL
+    * signature ([[frameSignatures dhash60]]) appearing in ≥2 distinct
+    * media is shared footage — the multimodal face of
+    * [[TextOps.chunkDedup]] (intros, watermark cards, re-uploads),
+    * upgraded from byte-exact md5 to the gradient hash: re-encoded or
+    * lightly-retouched frames whose edits don't cross a cell-sum
+    * comparison collapse into one group, which md5 could never see.
+    * One shuffle keyed by signature (cardinality ∝ total frames, no
+    * hot key), counts map-side combined — the exact chunk-dedup shape
+    * at 100 TB, now with the production hash in place. */
   def frameDedup(spark: SparkSession, dir: String, frameSize: Int = 256,
       stride: Int = 4): DataFrame =
-    sampleFrames(spark, dir, frameSize, stride)
-      .groupBy(col("frame_md5"))
+    frameSignatures(spark, dir, frameSize, stride)
+      .groupBy(col("frame_dhash"))
       .agg(count_distinct(col("media_id")).as("n_media"),
         count(lit(1)).as("n_occ"), min(col("media_id")).as("first_media"))
       .filter(col("n_media") >= 2)

@@ -74,60 +74,107 @@ class GatewayMultimodalSpec extends SparkSpec {
     } finally spark.streams.removeListener(rec)
   }
 
-  test("frame dedup flags exactly the frame hashes shared across media") {
-    val frames = graft.operators.Multimodal.sampleFrames(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(2)))
-    val got = graft.operators.Multimodal.frameDedup(spark, sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val expected = frames.groupBy(_._2).collect {
-      case (h, occ) if occ.map(_._1).distinct.length >= 2 =>
-        h -> ((occ.map(_._1).distinct.length.toLong, occ.length.toLong, occ.map(_._1).min))
-    }.toMap
-    assert(got == expected)
-    assert(got.nonEmpty, "fixture has shared frames")
+  private def dh(s: String): Long =
+    graft.functions.DHash.hash(s.getBytes("UTF-8"))
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // Textured 64-char blocks for the perceptual fixtures: a gradient
+  // signature over a CONSTANT payload is all-zeros (dHash's flat-image
+  // property), so fixtures must carry byte-level texture.
+  private val blockA: String =
+    (0 until 64).map(i => ('a' + (i * 7) % 26).toChar).mkString
+  private val blockB: String = blockA.reverse
+  // one-char retouch of A: +1 on a byte whose cell-sum comparisons
+  // have slack, so the gradient signature moves by at most a few bits
+  private val blockA2: String =
+    blockA.updated(10, (blockA(10) + 1).toChar)
+
+  test("dhash60: near-identical payloads land close, distinct ones far") {
+    // kernel sanity against a by-hand fold
+    val bytes = blockA.getBytes("UTF-8")
+    val cells = new Array[Long](61)
+    bytes.zipWithIndex.foreach { case (b, p) => cells(p * 61 / 64) += b & 0xff }
+    val wantBits = (0 until 60).filter(c => cells(c + 1) > cells(c))
+      .map(1L << _).sum
+    assert(dh(blockA) == wantBits)
+    // perceptual contract: a one-char retouch moves ≤ a few gradient
+    // bits; unrelated texture sits near the ~30-bit random distance
+    assert(ham(dh(blockA), dh(blockA2)) <= 4)
+    assert(ham(dh(blockA), dh(blockB)) > 16)
+    // the codegen'd expression computes the same kernel
+    import spark.implicits._
+    val got = Seq(blockA, blockA2, blockB).toDF("s")
+      .select(graft.functions.DHash.dhash60(col("s"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(dh(blockA), dh(blockA2), dh(blockB)))
   }
 
-  test("scene segmentation: run-length recount over a hand-built payload") {
+  test("frame dedup groups near-identical frames by perceptual signature") {
+    // corpus-level recount: expected groups recomputed locally from the
+    // raw text via the kernel
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val frames = docs.flatMap { case (id, text) =>
+      text.grouped(256).zipWithIndex.collect {
+        case (f, i) if i % 4 == 0 => (id, dh(f))
+      }
+    }
+    val expected = frames.groupBy(_._2).collect {
+      case (h, occ) if occ.map(_._1).distinct.length >= 2 =>
+        h -> ((occ.map(_._1).distinct.length.toLong, occ.length.toLong,
+          occ.map(_._1).min))
+    }.toMap
+    val got = graft.operators.Multimodal.frameDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture has shared frames")
+    // and the perceptual upgrade does what md5 can't: a retouched frame
+    // in a second medium still groups with the original
     import spark.implicits._
-    def h60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
-    def md5hex(s: String): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
-    // frameSize 4 over short synthetic payloads: repeated blocks form
-    // scenes, block changes form cuts — plus a sub-frame-size payload
+    val media = Seq((1L, blockA), (2L, blockA2), (3L, blockB))
+      .toDF("media_id", "text")
+    val near = graft.operators.Multimodal
+      .frameSignaturesOf(media, frameSize = 64, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    if (dh(blockA) == dh(blockA2)) // the usual case: edit inside slack
+      assert(near.find(_._1 == 1L).map(_._2) == near.find(_._1 == 2L).map(_._2))
+    assert(near.find(_._1 == 1L).map(_._2) != near.find(_._1 == 3L).map(_._2))
+  }
+
+  test("scene segmentation: Hamming-threshold cuts over a hand-built payload") {
+    import spark.implicits._
+    // frames of 64 chars: [A, A', B, B] — the retouch is in-scene
+    // motion (≤ 4 bits), the texture change is a cut (> 16 bits)
     val media = Seq(
-      (1L, "aaaaaaaabbbbaaaa"), // frames aaaa,aaaa,bbbb,aaaa
-      (2L, "cccc"), // one frame: no pairs, NULL density
-      (3L, "ddddddddddddeeee")) // dddd×3, eeee
+      (1L, blockA + blockA2 + blockB + blockB),
+      (2L, blockA), // one frame: no pairs, NULL density
+      (3L, blockB + blockB + blockA2))
       .toDF("media_id", "text")
     val got = graft.operators.Multimodal
-      .sceneChangesOf(media, frameSize = 4, stride = 1, buckets = 8)
+      .sceneChangesOf(media, frameSize = 64, stride = 1, tauBits = 16)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4))))
-    val want = Seq((1L, "aaaaaaaabbbbaaaa"), (2L, "cccc"),
-      (3L, "ddddddddddddeeee")).map { case (id, text) =>
-      val bkts = text.grouped(4).toSeq
-        .map(f => h60(md5hex(f)) % 8)
-      // sliding(2) on a 1-frame list yields one size-1 window
-      val cuts = 1 + bkts.sliding(2).count(p => p.size == 2 && p(0) != p(1))
-      val runs = bkts.foldLeft(List.empty[(Long, Int)]) {
-        case (acc, b) if acc.nonEmpty && acc.head._1 == b =>
-          (b, acc.head._2 + 1) :: acc.tail
-        case (acc, b) => (b, 1) :: acc
+    val want = Seq(
+      (1L, Seq(blockA, blockA2, blockB, blockB)),
+      (2L, Seq(blockA)),
+      (3L, Seq(blockB, blockB, blockA2))).map { case (id, fs) =>
+      val hs = fs.map(dh)
+      val cuts = 1 + hs.sliding(2).count(p =>
+        p.size == 2 && ham(p(0), p(1)) > 16)
+      // run lengths via the same cut positions
+      val runLens = hs.indices.foldLeft(List.empty[Int]) {
+        case (acc, 0) => 1 :: acc
+        case (acc, i) if ham(hs(i - 1), hs(i)) > 16 => 1 :: acc
+        case (h :: t, _) => (h + 1) :: t
+        case (acc, _) => acc
       }
-      (id, bkts.length.toLong, cuts.toLong, runs.map(_._2).max.toLong,
-        if (bkts.length > 1)
-          Some((cuts - 1L) * 1000000L / (bkts.length - 1L))
+      (id, hs.length.toLong, cuts.toLong, runLens.max.toLong,
+        if (hs.length > 1) Some((cuts - 1L) * 1000000L / (hs.length - 1L))
         else None)
     }
     assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
-    // the repeated-block payloads must segment into > 1 scene each
-    assert(got(0)._3 >= 2 && got(2)._3 >= 2)
+    // near-identical frames stay in ONE scene, distinct ones split
+    assert(want.head._3 == 2L && got(0)._3 == 2L)
+    assert(got(2)._3 == 2L)
   }
 }

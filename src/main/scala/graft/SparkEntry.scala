@@ -488,6 +488,7 @@ object SparkEntry {
     "q274_truss_peel" -> ((s, d) => Graph.trussPeel(s, d)),
     "q275_holt_backtest" -> ((s, d) => Relational.holtBacktest(s, d)),
     "q276_frame_signatures" -> ((s, d) => Multimodal.frameSignatures(s, d)),
+    "q277_hw_backtest" -> ((s, d) => Relational.holtWintersBacktest(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -698,6 +699,7 @@ object SparkEntry {
       ("q273_stl_decompose" -> q273Sql) + ("q274_truss_peel" -> q274Sql) +
       ("q275_holt_backtest" -> q275Sql) +
       ("q276_frame_signatures" -> q276Sql) +
+      ("q277_hw_backtest" -> q277Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1693,6 +1695,63 @@ object SparkEntry {
       |  lv AS level_cents, tr AS trend_cents, seasonal_cents,
       |  lv + h * tr + seasonal_cents AS forecast_cents
       |FROM hw_f ORDER BY h""".stripMargin
+  }
+
+  /** q277: the HW-backtest replay — the q269 RECURSIVE seasonal walk
+    * and the q275 Holt walk fused into one spine pass, each carrying
+    * its pre-update one-step absolute error, plus the naive
+    * carry-forward accumulator. */
+  private lazy val q277Sql: String = {
+    val sCase = "CASE d.dow WHEN 0 THEN st.s0 WHEN 1 THEN st.s1" +
+      " WHEN 2 THEN st.s2 WHEN 3 THEN st.s3 WHEN 4 THEN st.s4" +
+      " WHEN 5 THEN st.s5 ELSE st.s6 END"
+    val sCols = (0 to 6).map(j =>
+      s"CASE WHEN dow = $j THEN (x - nlv + 3 * s$j) // 4 ELSE s$j END")
+      .mkString(",\n      |     ")
+    s"""WITH RECURSIVE wb_daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |   FROM orders GROUP BY 1),
+      | wb_idx AS (SELECT row_number() OVER (ORDER BY d) AS i,
+      |    CAST((date_diff('day', DATE '1995-01-02', d) % 7 + 7) % 7
+      |      AS BIGINT) AS dow, cents AS x
+      |   FROM wb_daily),
+      | wb_n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM wb_idx),
+      | wb_st(i, lv, tr, s0, s1, s2, s3, s4, s5, s6,
+      |       hlv, htr, he, we, ne, px) AS (
+      |   SELECT CAST(1 AS BIGINT), x, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |     CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |     CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |     x, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |     CAST(0 AS BIGINT), x
+      |   FROM wb_idx WHERE i = 1
+      |   UNION ALL
+      |   SELECT i, nlv, (nlv - plv + 3 * ptr) // 4,
+      |     $sCols,
+      |     nhlv, (nhlv - phlv + 3 * phtr) // 4,
+      |     he + abs(x - (phlv + phtr)),
+      |     we + abs(x - (plv + ptr + sw)),
+      |     ne + abs(x - px), x
+      |   FROM (SELECT st.i + 1 AS i, d.x, d.dow, st.lv AS plv,
+      |       st.tr AS ptr, st.s0, st.s1, st.s2, st.s3, st.s4, st.s5, st.s6,
+      |       st.hlv AS phlv, st.htr AS phtr, st.he, st.we, st.ne, st.px,
+      |       $sCase AS sw,
+      |       (d.x - $sCase + 3 * (st.lv + st.tr)) // 4 AS nlv,
+      |       (d.x + 3 * (st.hlv + st.htr)) // 4 AS nhlv
+      |     FROM wb_st st JOIN wb_idx d ON d.i = st.i + 1)),
+      | wb_fin AS (SELECT * FROM wb_st ORDER BY i DESC LIMIT 1)
+      |SELECT (SELECT n_days FROM wb_n) AS n_days,
+      |  CAST(we // ((SELECT n_days FROM wb_n) - 1) AS BIGINT)
+      |    AS hw_mae_cents,
+      |  CAST(he // ((SELECT n_days FROM wb_n) - 1) AS BIGINT)
+      |    AS holt_mae_cents,
+      |  CAST(ne // ((SELECT n_days FROM wb_n) - 1) AS BIGINT)
+      |    AS naive_mae_cents,
+      |  CAST((ne - we) * 1000000 // greatest(ne, 1) AS BIGINT)
+      |    AS hw_skill_micro,
+      |  CAST((he - we) * 1000000 // greatest(he, 1) AS BIGINT)
+      |    AS hw_vs_holt_micro
+      |FROM wb_fin WHERE (SELECT n_days FROM wb_n) > 1""".stripMargin
   }
 
   /** The dhash60 replay (shared by q118/q271/q276): q47's frame grid

@@ -950,6 +950,70 @@ object Relational {
           " AS BIGINT)").as("skill_micro"))
   }
 
+  /** HOLT-WINTERS ONE-STEP BACKTEST — q275's eval face widened to the
+    * SEASONAL forecaster: walk the day spine once carrying BOTH
+    * smoothers (plain Holt level+trend and Holt-Winters level+trend+
+    * 7-slot weekly seasonals, q269's exact integer grid) plus the
+    * naive carry-forward, scoring each model's one-step-ahead
+    * forecast BEFORE the day lands. Readout: the three MAEs,
+    * HW-vs-naive skill, and HW-vs-Holt skill — the "did seasonality
+    * buy anything" row a forecaster consumer reads before preferring
+    * q269 over q264 (on a weekly-cycled revenue series HW should
+    * claim most of what Holt leaves on the table; on a cycle-free
+    * series the two converge and the second skill reads ~0).
+    *
+    * Scale: the q264 posture — one map-combined corpus-sized daily
+    * rollup, then a single `aggregate` fold over the calendar-bounded
+    * spine carrying fourteen integers of state. */
+  def holtWintersBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("cents"))
+      .select(col("d"),
+        pmod(datediff(col("d"), lit("1995-01-02").cast("date")), lit(7))
+          .as("dow"), col("cents"))
+    val series = daily.agg(count(lit(1)).as("n_days"),
+      transform(sort_array(collect_list(struct(col("d"), col("dow"),
+          col("cents")))),
+        x => struct(x.getField("dow").as("w"), x.getField("cents").as("x")))
+        .as("xs"))
+    // the lambda can't name an intermediate, so HW's level' repeats
+    // inline in its trend/seasonal updates (the q269 spelling); the
+    // error terms read the PRE-update state — a forecast must be
+    // scored on what the model knew yesterday
+    val st = series.select(col("n_days"),
+      expr("""aggregate(slice(xs, 2, size(xs) - 1),
+        named_struct('lv', xs[0].x, 'tr', CAST(0 AS BIGINT),
+          's', array_repeat(CAST(0 AS BIGINT), 7),
+          'hlv', xs[0].x, 'htr', CAST(0 AS BIGINT),
+          'he', CAST(0 AS BIGINT), 'we', CAST(0 AS BIGINT),
+          'ne', CAST(0 AS BIGINT), 'px', xs[0].x),
+        (acc, e) -> named_struct(
+          'lv', (e.x - acc.s[e.w] + 3 * (acc.lv + acc.tr)) div 4,
+          'tr', ((e.x - acc.s[e.w] + 3 * (acc.lv + acc.tr)) div 4
+            - acc.lv + 3 * acc.tr) div 4,
+          's', transform(acc.s, (v, i) -> IF(i = e.w,
+            (e.x - (e.x - acc.s[e.w] + 3 * (acc.lv + acc.tr)) div 4
+              + 3 * v) div 4, v)),
+          'hlv', (e.x + 3 * (acc.hlv + acc.htr)) div 4,
+          'htr', ((e.x + 3 * (acc.hlv + acc.htr)) div 4
+            - acc.hlv + 3 * acc.htr) div 4,
+          'he', acc.he + abs(e.x - (acc.hlv + acc.htr)),
+          'we', acc.we + abs(e.x - (acc.lv + acc.tr + acc.s[e.w])),
+          'ne', acc.ne + abs(e.x - acc.px),
+          'px', e.x))""").as("st"))
+    st.filter(col("n_days") > 1)
+      .select(col("n_days"),
+        expr("CAST(st.we div (n_days - 1) AS BIGINT)").as("hw_mae_cents"),
+        expr("CAST(st.he div (n_days - 1) AS BIGINT)").as("holt_mae_cents"),
+        expr("CAST(st.ne div (n_days - 1) AS BIGINT)").as("naive_mae_cents"),
+        expr("CAST((st.ne - st.we) * 1000000 div greatest(st.ne, 1)" +
+          " AS BIGINT)").as("hw_skill_micro"),
+        expr("CAST((st.he - st.we) * 1000000 div greatest(st.he, 1)" +
+          " AS BIGINT)").as("hw_vs_holt_micro"))
+  }
+
   /** STL-LITE DECOMPOSITION of the daily revenue series — the
     * DESCRIPTIVE face beside the Holt-Winters FORECASTER (q269 fits a
     * model forward; this splits history into parts a human reads):

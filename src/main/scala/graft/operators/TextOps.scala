@@ -114,6 +114,60 @@ object TextOps {
       .select("doc_id", "source", "quality")
   }
 
+  /** LIVE-MODEL CURATION — [[curate]]'s quality gate served from the
+    * [[ModelStore]] registry once a model has been founded: keep iff
+    * the live weights' logit ≥ 0 (the q245/serving keep contract);
+    * the language and near-dup gates are unchanged. Before the
+    * founding promotion it falls back to the literal
+    * `Text.qualityScore ≥ minQuality` bar — the declared q53
+    * semantics — so the oracle-checked queries stay frozen while a
+    * production engine curates with whatever the promote-if-better
+    * retrain loop last admitted. `logit_micro` rides along (NULL on
+    * the literal fallback) so a consumer can see WHICH gate decided.
+    *
+    * Scale: the live weights are a 6-row registry collect folded into
+    * the scan as literal arithmetic (never a join against a
+    * corpus-sized keep set); quality features, language guess, and
+    * the logit all compute in ONE pass over `documents`, and the
+    * near-dup losers anti-join is the [[curate]] broadcast shape. */
+  def curateWithLiveModel(spark: SparkSession, dir: String,
+      storeDir: String, minQuality: Double = 0.66): DataFrame =
+    ModelStore.liveModel(spark, storeDir) match {
+      case None =>
+        curate(spark, dir, minQuality)
+          .withColumn("logit_micro", lit(null).cast("long"))
+      case Some((w, _)) =>
+        val losers = Dedup.dedupClusters(spark, dir)
+          .filter(!col("is_canonical")).select(col("doc_id"))
+        val toks = Text.tokens(col("text"))
+        val shs = Text.shingles(col("text"), 3)
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Text.qualityScore(col("text")).as("quality"),
+            Text.langId(col("text")).as("guess"),
+            size(toks).cast("long").as("nt"),
+            size(array_distinct(toks)).cast("long").as("nd"),
+            Text.stopwordCount(col("text")).cast("long").as("ns"),
+            size(shs).cast("long").as("nsh"),
+            size(array_distinct(shs)).cast("long").as("ndsh"))
+          // the qualityFeatures micro grid, inlined so the whole gate
+          // is one scan (a features⋈documents join would shuffle the
+          // corpus twice for columns the same rows already carry)
+          .select(col("doc_id"), col("source"), col("quality"),
+            col("guess"),
+            expr("CAST(nd AS DECIMAL(38,0)) * 1000000 div nt").as("f1"),
+            expr("CAST(ns AS DECIMAL(38,0)) * 1000000 div nt").as("f2"),
+            least(col("nt") * lit(10000L), lit(1000000L)).as("f3"),
+            expr("1000000 - CAST(ndsh AS DECIMAL(38,0)) * 1000000 div nsh")
+              .as("f4"))
+          .select(col("doc_id"), col("source"), col("quality"),
+            col("guess"),
+            expr(s"(${microLogitExpr(w.toIndexedSeq)})").as("logit_micro"))
+          .filter(col("guess") === "en" && col("logit_micro") >= 0L)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "source", "quality", "logit_micro")
+    }
+
   /** Per-source quality cap: the best `n` documents of each source by
     * quality score (ties broken by doc_id for cross-engine
     * determinism) — the "keep the best K per domain" curation rule.

@@ -84,6 +84,98 @@ object ForecastStream {
         else Trigger.ProcessingTime("1 second"))
       .start()
 
+  // ---- Holt-Winters (weekly-seasonal) live face ----------------------
+
+  /** Monday of the q269 calendar: seasonal slot = days since
+    * 1995-01-02 mod 7, the batch operator's exact dow grid. */
+  private val DowEpoch: Long = java.time.LocalDate.of(1995, 1, 2).toEpochDay
+
+  private def dowOf(epochDay: Long): Int =
+    (((epochDay - DowEpoch) % 7 + 7) % 7).toInt
+
+  final case class HwState(lastDay: Long, nDays: Long, lv: Long, tr: Long,
+      s: Seq[Long])
+  final case class HwRow(series_key: String, day: java.sql.Date,
+      n_days: Long, level_cents: Long, trend_cents: Long,
+      seasonal_next_cents: Long, next_cents: Long)
+
+  /** The Holt-Winters recursion on q269's integer grid, carried as
+    * 9 longs of group state per series (level, trend, 7 weekly
+    * seasonal slots): founding day loads (lv = x, tr = 0, s = 0⁷);
+    * then lv' = (x − s[w] + 3·(lv + tr)) div 4, tr' = (lv' − lv +
+    * 3·tr) div 4, s[w]' = (x − lv' + 3·s[w]) div 4. Same append-only
+    * walk contract as [[fold]] (day-grain rows, stale days skipped),
+    * so after the same days have flowed the state equals the batch
+    * q269 fold bit for bit, including across a checkpointed restart.
+    * The emitted one-step forecast pairs with q269's h = 1 row:
+    * lv + tr + s[dow(day + 1)]. */
+  private def hwFold(key: String, rows: Iterator[DayRow],
+      state: GroupState[HwState]): Iterator[HwRow] = {
+    var st = state.getOption.getOrElse(
+      HwState(Long.MinValue, 0L, 0L, 0L, Seq.fill(7)(0L)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[HwRow]
+    rows.toSeq.sortBy(_.day.getTime).foreach { r =>
+      val epochDay = r.day.toLocalDate.toEpochDay
+      if (epochDay > st.lastDay) {
+        val w = dowOf(epochDay)
+        val (lv, tr, s) =
+          if (st.nDays == 0L) (r.cents, 0L, st.s)
+          else {
+            val nl = (r.cents - st.s(w) + 3 * (st.lv + st.tr)) / 4
+            val nt = (nl - st.lv + 3 * st.tr) / 4
+            (nl, nt, st.s.updated(w, (r.cents - nl + 3 * st.s(w)) / 4))
+          }
+        st = HwState(epochDay, st.nDays + 1, lv, tr, s)
+        val sNext = s(dowOf(epochDay + 1))
+        out += HwRow(key, r.day, st.nDays, lv, tr, sNext, lv + tr + sNext)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Stateful Holt-Winters fold over (series_key, day, cents) rows;
+    * exposed for batch-mode unit tests of the same code path. */
+  def hwForecastStream(days: DataFrame): Dataset[HwRow] = {
+    val spark = days.sparkSession
+    import spark.implicits._
+    days.select(col("series_key"), col("day"), col("cents"))
+      .as[DayRow]
+      .groupByKey(_.series_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        hwFold)
+  }
+
+  /** Start the seasonal forecaster over a JSONL day-total stream into
+    * a parquet snapshot log (the [[start]] sink contract). */
+  def startHw(spark: SparkSession, sourceDir: String, outDir: String,
+      checkpoint: String, availableNow: Boolean = true): StreamingQuery =
+    hwForecastStream(spark.readStream
+        .schema("series_key STRING, day DATE, cents LONG")
+        .json(sourceDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("1 second"))
+      .start()
+
+  /** Read face: the freshest seasonal forecast per series. */
+  def currentHwForecast(spark: SparkSession, outDir: String): DataFrame = {
+    val log = spark.read.schema("series_key STRING, day DATE, n_days LONG," +
+        " level_cents LONG, trend_cents LONG, seasonal_next_cents LONG," +
+        " next_cents LONG")
+      .parquet(outDir)
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_key")).orderBy(col("n_days").desc)
+    log.withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select("series_key", "day", "n_days", "level_cents", "trend_cents",
+        "seasonal_next_cents", "next_cents")
+  }
+
   /** Read face: the freshest forecast per series. */
   def currentForecast(spark: SparkSession, outDir: String): DataFrame = {
     val log = spark.read.schema("series_key STRING, day DATE, n_days LONG," +

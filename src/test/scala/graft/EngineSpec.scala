@@ -1350,4 +1350,33 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("curation serves the registry: a promotion changes the curated set") {
+    val root = tmp()
+    val store = s"$root/model"
+    val to = graft.operators.TextOps
+    // before founding: the live-model face IS the literal q53 gate
+    val literal = to.curate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(literal.nonEmpty)
+    val before = to.curateWithLiveModel(spark, sf, store).collect()
+    assert(before.map(r => (r.getLong(0), r.getString(1))).toSet == literal)
+    assert(before.forall(_.isNullAt(3)), "fallback rows carry no logit")
+    // a founding promotion with reject-everything weights flips the
+    // gate: same corpus, EMPTY curated set — the promotion visibly
+    // changed the curation output
+    graft.operators.ModelStore.publishModel(spark, store,
+      Seq(-1000000000L, 0L, 0L, 0L, 0L), aucMicro = 500000L)
+    assert(to.curateWithLiveModel(spark, sf, store).count() == 0L)
+    // promote an admit-everything model: the quality bar is fully
+    // delegated, so the curated set is every English non-loser doc —
+    // a superset of the literal-bar set, each row carrying the logit
+    graft.operators.ModelStore.publishModel(spark, store,
+      Seq(1000000000L, 0L, 0L, 0L, 0L), aucMicro = 600000L)
+    val after = to.curateWithLiveModel(spark, sf, store).collect()
+    assert(after.forall(r => r.getLong(3) == 1000000000L))
+    val afterIds = after.map(_.getLong(0)).toSet
+    assert(literal.map(_._1).subsetOf(afterIds))
+    graft.operators.PlanCache.release()
+  }
+
 }

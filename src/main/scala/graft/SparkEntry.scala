@@ -489,6 +489,7 @@ object SparkEntry {
     "q275_holt_backtest" -> ((s, d) => Relational.holtBacktest(s, d)),
     "q276_frame_signatures" -> ((s, d) => Multimodal.frameSignatures(s, d)),
     "q277_hw_backtest" -> ((s, d) => Relational.holtWintersBacktest(s, d)),
+    "q278_graph_evolution" -> ((s, d) => Graph.communityEvolution(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -700,6 +701,7 @@ object SparkEntry {
       ("q275_holt_backtest" -> q275Sql) +
       ("q276_frame_signatures" -> q276Sql) +
       ("q277_hw_backtest" -> q277Sql) +
+      ("q278_graph_evolution" -> q278Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1754,6 +1756,89 @@ object SparkEntry {
       |FROM wb_fin WHERE (SELECT n_days FROM wb_n) > 1""".stripMargin
   }
 
+  /** One time-half's structural gauges for q278: edge/weight totals
+    * off the half's undirected list, per-community tot/in masses off
+    * its l4 labels, the size histogram, and global modularity as ONE
+    * truncated rational on the summed masses. */
+  private def evoHalfCtes(p: String): String =
+    s"""${p}m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(coalesce(sum(w), 0) AS BIGINT) AS w_total FROM ${p}und),
+       | ${p}tot AS (SELECT lbl, CAST(sum(wdeg) AS BIGINT) AS tot_w
+       |   FROM (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg
+       |      FROM ${p}edges GROUP BY 1) JOIN ${p}l4 USING (node)
+       |   GROUP BY 1),
+       | ${p}in AS (SELECT la.lbl, CAST(sum(e.w) AS BIGINT) AS in_w
+       |   FROM ${p}edges e JOIN ${p}l4 la ON e.src = la.node
+       |   JOIN ${p}l4 lb ON e.dst = lb.node
+       |   WHERE la.lbl = lb.lbl GROUP BY 1),
+       | ${p}cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+       |   FROM ${p}l4 GROUP BY 1),
+       | ${p}h AS (SELECT sz, CAST(count(*) AS BIGINT) AS cnt
+       |   FROM ${p}cs GROUP BY 1),
+       | ${p}g AS (SELECT
+       |    (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) FROM ${p}cs)
+       |      AS n_nodes,
+       |    (SELECT n_edges FROM ${p}m) AS n_edges,
+       |    (SELECT w_total FROM ${p}m) AS w_total,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}cs) AS n_comms,
+       |    (SELECT CAST(coalesce(max(sz), 0) AS BIGINT) FROM ${p}cs)
+       |      AS top_size,
+       |    CAST(CASE WHEN (SELECT w_total FROM ${p}m) = 0 THEN 0 ELSE
+       |      ((SELECT CAST(coalesce(sum(coalesce(in_w, 0)), 0) AS HUGEINT)
+       |          FROM ${p}tot LEFT JOIN ${p}in USING (lbl))
+       |        * (2 * CAST((SELECT w_total FROM ${p}m) AS HUGEINT))
+       |       - (SELECT CAST(coalesce(sum(CAST(tot_w AS HUGEINT) * tot_w),
+       |           0) AS HUGEINT) FROM ${p}tot)) * 1000000
+       |      // ((2 * CAST((SELECT w_total FROM ${p}m) AS HUGEINT))
+       |        * (2 * CAST((SELECT w_total FROM ${p}m) AS HUGEINT)))
+       |    END AS BIGINT) AS q_micro)""".stripMargin
+
+  /** q278: the evolution replay — the q260 midpoint halves, the
+    * shared LPA walk instantiated once per half, the per-half gauge
+    * CTEs, and the cross-half TVD on exact cross-multiplied
+    * rationals. */
+  private lazy val q278Sql: String =
+    s"""WITH ge_ord AS (SELECT o_orderkey, epoch_us(o_orderdate) AS d
+       |   FROM orders),
+       | ge_mid AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ge_ord),
+       | ge_li AS (SELECT l_orderkey, l_partkey, d FROM lineitem
+       |   JOIN ge_ord ON l_orderkey = o_orderkey),
+       | ga_items AS (SELECT DISTINCT l_orderkey AS basket,
+       |    l_partkey AS item
+       |   FROM ge_li WHERE d < (SELECT mid FROM ge_mid)),
+       | ga_und AS (SELECT a.item AS pa, c.item AS pb,
+       |     CAST(count(*) AS BIGINT) AS w
+       |   FROM ga_items a JOIN ga_items c USING (basket)
+       |   WHERE a.item < c.item GROUP BY 1, 2),
+       | gb_items AS (SELECT DISTINCT l_orderkey AS basket,
+       |    l_partkey AS item
+       |   FROM ge_li WHERE d >= (SELECT mid FROM ge_mid)),
+       | gb_und AS (SELECT a.item AS pa, c.item AS pb,
+       |     CAST(count(*) AS BIGINT) AS w
+       |   FROM gb_items a JOIN gb_items c USING (basket)
+       |   WHERE a.item < c.item GROUP BY 1, 2),
+       | ${lpaCtesOn("ga_und", "ga_edges", "ga_l")},
+       | ${lpaCtesOn("gb_und", "gb_edges", "gb_l")},
+       | ${evoHalfCtes("ga_")},
+       | ${evoHalfCtes("gb_")},
+       | ge_tvd AS (SELECT CAST(coalesce(sum(abs(
+       |      CAST(coalesce(a.cnt, 0) AS HUGEINT)
+       |        * (SELECT n_comms FROM gb_g)
+       |      - CAST(coalesce(b.cnt, 0) AS HUGEINT)
+       |        * (SELECT n_comms FROM ga_g))), 0) * 1000000
+       |    // greatest(2 * CAST((SELECT n_comms FROM ga_g) AS HUGEINT)
+       |      * (SELECT n_comms FROM gb_g), 1) AS BIGINT) AS tvd
+       |   FROM ga_h a FULL JOIN gb_h b USING (sz))
+       |SELECT a.n_nodes AS n_nodes_a, a.n_edges AS n_edges_a,
+       |  a.w_total AS w_total_a, a.n_comms AS n_communities_a,
+       |  a.top_size AS top_size_a, a.q_micro AS modularity_a_micro,
+       |  b.n_nodes AS n_nodes_b, b.n_edges AS n_edges_b,
+       |  b.w_total AS w_total_b, b.n_comms AS n_communities_b,
+       |  b.top_size AS top_size_b, b.q_micro AS modularity_b_micro,
+       |  b.q_micro - a.q_micro AS modularity_drift_micro,
+       |  (SELECT tvd FROM ge_tvd) AS size_tvd_micro
+       |FROM ga_g a CROSS JOIN gb_g b""".stripMargin
+
   /** The dhash60 replay (shared by q118/q271/q276): q47's frame grid
     * at the given stride, each frame's chars folded into 61
     * equal-measure cell sums (cell of byte p = p·61 // L — the
@@ -2038,20 +2123,25 @@ object SparkEntry {
     * ties to the smallest label (the determinism contract). */
   /** The synchronous-LPA rounds (l0..l4 over lp_edges) shared by the
     * q235 size table and the q267 modularity readout. */
-  private lazy val lpaCtes: String = {
+  /** The fixed-round LPA replay over an arbitrary undirected-edge CTE
+    * — parameterized names so q278 can run it once per time half
+    * beside the canonical `cp_und` instance. */
+  private def lpaCtesOn(und: String, edges: String, lp: String): String = {
     val rounds = (1 to 4).map { i =>
-      s"""l$i AS (SELECT node, lbl FROM (
+      s"""$lp$i AS (SELECT node, lbl FROM (
          |  SELECT node, lbl, row_number() OVER (PARTITION BY node
          |      ORDER BY votes DESC, lbl ASC) AS rnk
          |  FROM (SELECT e.dst AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS votes
-         |    FROM l${i - 1} l JOIN lp_edges e ON l.node = e.src
+         |    FROM $lp${i - 1} l JOIN $edges e ON l.node = e.src
          |    GROUP BY e.dst, l.lbl)) WHERE rnk = 1)""".stripMargin
     }.mkString(",\n ")
-    s"""lp_edges AS (SELECT pa AS src, pb AS dst, w FROM cp_und
-       |   UNION ALL SELECT pb, pa, w FROM cp_und),
-       | l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM lp_edges),
+    s"""$edges AS (SELECT pa AS src, pb AS dst, w FROM $und
+       |   UNION ALL SELECT pb, pa, w FROM $und),
+       | ${lp}0 AS (SELECT DISTINCT src AS node, src AS lbl FROM $edges),
        | $rounds""".stripMargin
   }
+
+  private lazy val lpaCtes: String = lpaCtesOn("cp_und", "lp_edges", "l")
 
   private lazy val q235Sql: String =
     s"""WITH $coPurchaseCtes,

@@ -329,6 +329,118 @@ object Graph {
       .limit(k)
   }
 
+  /** COMMUNITY EVOLUTION across time halves — the q260/q253 drift
+    * posture applied to the graph pillar: the co-purchase graph is
+    * rebuilt from each half of the order history (epoch-microsecond
+    * midpoint split, the q260 convention), each half runs the SAME
+    * fixed-round LPA walk, and the readout is one row of paired
+    * structural gauges plus two drift numbers — the global-modularity
+    * delta (did the catalog get more or less community-structured?)
+    * and the total-variation distance between the halves' community-
+    * SIZE distributions (did the SHAPE of the families change —
+    * q253's TVD, with community sizes as the type axis). Community
+    * LABELS are half-local (LPA labels are node ids), so the
+    * distributional gauges are the honest comparands; a label-matched
+    * membership diff would compare accidents of propagation order.
+    *
+    * Scale: each half is one corpus-sized pair expansion + the LPA
+    * family's own node-sized joins; everything after the label frame
+    * is community-sized, the size histogram is distinct-sizes-sized,
+    * and the final algebra folds 1-row gauges driver-side (the HITS
+    * convention — each gauge is a scalar; BigInt keeps Σtot² exact
+    * past int64 and BigInteger/`div`/`//` all truncate toward zero).
+    *
+    * Integer grid: global Q_micro = (Σin·2m − Σtot²)·10⁶ div (2m)²
+    * (ONE truncation on the summed rationals, unlike q267's
+    * per-community rows); TVD_micro = Σ_s |cA(s)·nB − cB(s)·nA|·10⁶
+    * div (2·nA·nB). */
+  def communityEvolution(spark: SparkSession, dir: String,
+      iters: Int = 4): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"),
+        unix_micros(col("o_orderdate")).as("d"))
+    // 2-scalar driver fold: the midpoint that defines the halves
+    val mm = ord.agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val li = PlanCache.tracked(Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(ord, Seq("l_orderkey")))
+    def gauges(isA: Boolean): HalfGauges =
+      halfGauges(pairDeltas(
+        li.filter(if (isA) col("d") < mid else col("d") >= mid)
+          .select(col("l_orderkey"), col("l_partkey"))), iters)
+    val a = gauges(isA = true)
+    val b = gauges(isA = false)
+    def qMicro(g: HalfGauges): Long = {
+      val m2 = BigInt(2) * g.wTotal
+      if (m2 == 0) 0L
+      else ((g.sumIn * m2 - g.sumTotSq) * 1000000 / (m2 * m2)).toLong
+    }
+    val (qa, qb) = (qMicro(a), qMicro(b))
+    val tvd: Long = {
+      val (na, nb) = (BigInt(a.nComms), BigInt(b.nComms))
+      // empty-half degenerate: both cross-multipliers vanish, the
+      // numerator is 0 on either engine — keep the shared algebra
+      if (na == 0 || nb == 0) 0L
+      else {
+        val num = (a.sizeHist.keySet ++ b.sizeHist.keySet).toSeq.map { s =>
+          (BigInt(a.sizeHist.getOrElse(s, 0L)) * nb -
+            BigInt(b.sizeHist.getOrElse(s, 0L)) * na).abs
+        }.sum
+        (num * 1000000 / (2 * na * nb)).toLong
+      }
+    }
+    spark.range(1).select(
+      lit(a.nNodes).as("n_nodes_a"), lit(a.nEdges).as("n_edges_a"),
+      lit(a.wTotal).as("w_total_a"), lit(a.nComms).as("n_communities_a"),
+      lit(a.topSize).as("top_size_a"), lit(qa).as("modularity_a_micro"),
+      lit(b.nNodes).as("n_nodes_b"), lit(b.nEdges).as("n_edges_b"),
+      lit(b.wTotal).as("w_total_b"), lit(b.nComms).as("n_communities_b"),
+      lit(b.topSize).as("top_size_b"), lit(qb).as("modularity_b_micro"),
+      lit(qb - qa).as("modularity_drift_micro"),
+      lit(tvd).as("size_tvd_micro"))
+  }
+
+  private[graft] final case class HalfGauges(nNodes: Long, nEdges: Long,
+      wTotal: Long, nComms: Long, topSize: Long, sumIn: BigInt,
+      sumTotSq: BigInt, sizeHist: Map[Long, Long])
+
+  /** One half's structural gauges — every collect here is a 1-row
+    * fold or the distinct-community-sizes histogram (tens of rows);
+    * the corpus-sized work is the pair expansion and LPA's own
+    * node-frame joins. */
+  private def halfGauges(und0: DataFrame, iters: Int): HalfGauges = {
+    val und = PlanCache.tracked(und0)
+    val labels = PlanCache.tracked(lpaLabels(und, iters))
+    val e = und.agg(count(lit(1)).as("ne"),
+      coalesce(sum(col("w")), lit(0L)).as("wt")).head()
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val tot = sym.groupBy(col("src").as("node")).agg(sum(col("w")).as("wdeg"))
+      .join(labels, Seq("node"))
+      .groupBy(col("lbl")).agg(sum(col("wdeg")).as("tot_w"))
+    val inW = sym
+      .join(labels.select(col("node").as("src"), col("lbl").as("la")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("lbl").as("lb")),
+        Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(sum(col("w")).as("in_w"))
+    val sums = tot.join(inW, Seq("lbl"), "left")
+      .agg(coalesce(sum(coalesce(col("in_w"), lit(0L))), lit(0L)).as("sin"),
+        coalesce(sum(expr("CAST(tot_w AS DECIMAL(38,0)) * tot_w")),
+          lit(0L).cast("decimal(38,0)")).as("stot2")).head()
+    val hist = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nComms = hist.values.sum
+    val nNodes = hist.map { case (s, c) => s * c }.sum
+    val topSize = if (hist.isEmpty) 0L else hist.keys.max
+    HalfGauges(nNodes, e.getLong(0), e.getLong(1), nComms, topSize,
+      BigInt(sums.getLong(0)), BigInt(sums.getDecimal(1).toBigInteger),
+      hist)
+  }
+
   /** TRIANGLE COUNT + local clustering coefficient per part — the
     * cohesion screen over the co-purchase graph (a part whose
     * neighborhood closes into triangles sells in stable bundles; a
@@ -1508,6 +1620,36 @@ object Graph {
     // partition column, the batch layout does not — select normalizes
     val raw = spark.read
       .parquet(Atomic.resolve(spark, storeDir, "edges"))
+      .select(col("pa"), col("pb"), col("w"))
+    Forgotten.exclude(
+        Forgotten.exclude(raw, "pa", spark, storeDir), "pb", spark, storeDir)
+      .groupBy(col("pa"), col("pb")).agg(sum(col("w")).as("w"))
+  }
+
+  /** The store's ingest epochs: one row per `ingest_batch` partition
+    * with its edge-delta count — the axis [[storedEdgesWhere]] windows
+    * over. Listing is partition-directory-sized. */
+  def ingestBatches(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(Atomic.resolve(spark, storeDir, "edges"))
+      .groupBy(col("ingest_batch")).agg(count(lit(1)).as("n_deltas"))
+
+  /** EPOCH-WINDOWED read face: [[storedEdges]] restricted to the
+    * ingest batches `pred` admits — "the graph as of those ingest
+    * epochs", the time axis the evolution gauges compare over.
+    * `ingest_batch` is the delta layout's PARTITION column, so the
+    * predicate prunes at the directory level: a two-epoch window over
+    * a thousand-epoch store reads two directories, never the store.
+    * Tombstones still apply (a forgotten part is blind in EVERY
+    * window — RTBF has no as-of exemption). Compaction collapses all
+    * prior epochs into one `compacted` partition: the store keeps
+    * epoch resolution only SINCE the last compaction, by design —
+    * retention of the full epoch axis is a compaction-schedule
+    * decision, not a read-face one. */
+  def storedEdgesWhere(spark: SparkSession, storeDir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val raw = spark.read
+      .parquet(Atomic.resolve(spark, storeDir, "edges"))
+      .filter(pred)
       .select(col("pa"), col("pb"), col("w"))
     Forgotten.exclude(
         Forgotten.exclude(raw, "pa", spark, storeDir), "pb", spark, storeDir)

@@ -132,4 +132,55 @@ class GraphStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$storeDir/forgotten").exists())
     assert(edgeMap(Graph.storedEdges(spark, storeDir)) == after)
   }
+
+  test("epoch-windowed read face: an ingest-batch window reads only its epochs' graph") {
+    val storeDir = Files.createTempDirectory("graft_graph_epoch").toString
+    val li = Tables(spark, sf, "lineitem")
+    // two ingest epochs with a time-like split on the basket axis
+    val early = li.filter(col("l_orderkey") % 2 === 0)
+    val late = li.filter(col("l_orderkey") % 2 === 1)
+    Graph.appendToGraphStore(early, storeDir)
+    Graph.appendToGraphStore(late, storeDir)
+    val batches = Graph.ingestBatches(spark, storeDir).collect()
+      .map(_.getString(0)).sorted
+    assert(batches.length == 2 && batches.forall(_.startsWith("append-")))
+    // window = the first epoch only → exactly that increment's graph,
+    // never the store (partition pruning is the layout's whole point)
+    val earlyKey = {
+      // the window key is whichever batch holds the even baskets: probe
+      // one even-basket edge's partition via the raw layout
+      val raw = spark.read.parquet(
+        Atomic.resolve(spark, storeDir, "edges"))
+      raw.select(col("ingest_batch")).distinct().collect()
+        .map(_.getString(0)).find { k =>
+          edgeMap(Graph.storedEdgesWhere(spark, storeDir,
+            col("ingest_batch") === k)) ==
+            edgeMap(Graph.pairDeltas(early))
+        }
+    }
+    assert(earlyKey.isDefined,
+      "one ingest window must reproduce the early increment's graph")
+    // both windows together ≡ the unwindowed merge
+    assert(edgeMap(Graph.storedEdgesWhere(spark, storeDir, lit(true))) ==
+      edgeMap(Graph.storedEdges(spark, storeDir)))
+    // windowed evolution gauge: modularity over one epoch's window
+    // equals the in-process build on that increment (read-face parity,
+    // the pageRankFromStore convention applied to the time axis)
+    val modWindow = Graph.modularityOnEdges(
+      Graph.storedEdgesWhere(spark, storeDir,
+        col("ingest_batch") === earlyKey.get), 4, 25)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.PlanCache.release()
+    val modLocal = Graph.modularityOnEdges(Graph.pairDeltas(early), 4, 25)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.PlanCache.release()
+    assert(modWindow == modLocal)
+    // a forgotten part is blind in every window — RTBF has no as-of
+    val victim = edgeMap(Graph.pairDeltas(early)).keySet.head._1
+    Graph.forgetInGraphStore(spark, storeDir, Seq(victim))
+    val blinded = edgeMap(Graph.storedEdgesWhere(spark, storeDir,
+      col("ingest_batch") === earlyKey.get))
+    assert(blinded.keySet.forall { case (a, b) =>
+      a != victim && b != victim })
+  }
 }

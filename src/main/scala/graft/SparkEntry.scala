@@ -490,6 +490,17 @@ object SparkEntry {
     "q276_frame_signatures" -> ((s, d) => Multimodal.frameSignatures(s, d)),
     "q277_hw_backtest" -> ((s, d) => Relational.holtWintersBacktest(s, d)),
     "q278_graph_evolution" -> ((s, d) => Graph.communityEvolution(s, d)),
+    "q279_textrank" -> ((s, d) => TextOps.textRank(s, d)),
+    "q280_theil_sen" -> ((s, d) => Relational.theilSen(s, d)),
+    "q281_entity_clusters" -> ((s, d) => Dedup.entityClusters(s, d)),
+    "q282_jl_ann" -> ((s, d) => Similarity.jlProjectionTopK(s, d)),
+    "q283_ivm_view" -> ((s, d) => Cdc.incrementalView(s, d)),
+    "q284_ccf" -> ((s, d) => Relational.crossCorrelation(s, d)),
+    "q285_trimmed_stats" -> ((s, d) => Relational.trimmedSegmentStats(s, d)),
+    "q286_harmonic" -> ((s, d) => Graph.sampledHarmonic(s, d)),
+    "q287_kaplan_meier" -> ((s, d) => Relational.kaplanMeier(s, d)),
+    "q288_pr_curve" -> ((s, d) => TextOps.prCurve(s, d)),
+    "q289_degree_histogram" -> ((s, d) => Graph.degreeHistogram(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -702,6 +713,12 @@ object SparkEntry {
       ("q276_frame_signatures" -> q276Sql) +
       ("q277_hw_backtest" -> q277Sql) +
       ("q278_graph_evolution" -> q278Sql) +
+      ("q279_textrank" -> q279Sql) + ("q280_theil_sen" -> q280Sql) +
+      ("q281_entity_clusters" -> q281Sql) + ("q282_jl_ann" -> q282Sql) +
+      ("q283_ivm_view" -> q283Sql) + ("q284_ccf" -> q284Sql) +
+      ("q285_trimmed_stats" -> q285Sql) + ("q286_harmonic" -> q286Sql) +
+      ("q287_kaplan_meier" -> q287Sql) + ("q288_pr_curve" -> q288Sql) +
+      ("q289_degree_histogram" -> q289Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -1838,6 +1855,343 @@ object SparkEntry {
        |  b.q_micro - a.q_micro AS modularity_drift_micro,
        |  (SELECT tvd FROM ge_tvd) AS size_tvd_micro
        |FROM ga_g a CROSS JOIN gb_g b""".stripMargin
+
+  /** q279: TextRank — the q230 unrolled-power-iteration replay over
+    * the token co-occurrence graph (adjacent surviving tokens per
+    * document, canonical pair order, corpus-wide counts). */
+  private lazy val q279Sql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""tr_r$i AS (SELECT e.dst AS token,
+         |    CAST((SELECT (15 * (1000000000000 // nn)) // 100 FROM tr_n)
+         |      + 85 * sum(CAST(r.r AS HUGEINT) * e.w // e.outw) // 100
+         |      AS BIGINT) AS r
+         |  FROM tr_r${i - 1} r JOIN tr_ew e ON r.token = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH tr_toks AS (SELECT list_filter(string_split(text, ' '),
+       |     t -> len(t) >= 2 AND t NOT IN ('the', 'a', 'and', 'of')) AS ts
+       |   FROM documents),
+       | tr_z AS (SELECT unnest(list_zip(ts, ts[2:])) AS z FROM tr_toks),
+       | tr_p AS (SELECT least(z[1], z[2]) AS pa, greatest(z[1], z[2]) AS pb
+       |   FROM tr_z WHERE z[2] IS NOT NULL AND z[1] <> z[2]),
+       | tr_und AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS w
+       |   FROM tr_p GROUP BY 1, 2),
+       | tr_edges AS (SELECT pa AS src, pb AS dst, w FROM tr_und
+       |   UNION ALL SELECT pb, pa, w FROM tr_und),
+       | tr_ew AS (SELECT src, dst, w,
+       |     CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+       |   FROM tr_edges),
+       | tr_n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS nn
+       |   FROM tr_ew),
+       | tr_r0 AS (SELECT DISTINCT src AS token,
+       |     (SELECT CAST(1000000000000 // nn AS BIGINT) FROM tr_n) AS r
+       |   FROM tr_ew),
+       | $iters
+       |SELECT row_number() OVER (ORDER BY r DESC, token ASC) AS rank,
+       |  token, r AS score_pico
+       |FROM tr_r5 ORDER BY score_pico DESC, token ASC LIMIT 25""".stripMargin
+  }
+
+  /** q280: Theil–Sen — the median-of-pairwise-slopes replay; every
+    * median is the floored midrank average, sum // count over the one
+    * or two midrank rows ≡ the engine's (lo + hi) div 2. */
+  private lazy val q280Sql: String =
+    """WITH ts_d AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS t,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      | ts_p AS (SELECT (CAST(b.y AS HUGEINT) - a.y) * 1000000 // (b.t - a.t)
+      |     AS s
+      |   FROM ts_d a JOIN ts_d b ON a.t < b.t),
+      | ts_pr AS (SELECT s, row_number() OVER (ORDER BY s) AS rn,
+      |     count(*) OVER () AS n FROM ts_p),
+      | ts_sl AS (SELECT sum(s) // count(*) AS slope FROM ts_pr
+      |   WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+      | ts_r AS (SELECT CAST(y AS HUGEINT) * 1000000
+      |     - (SELECT slope FROM ts_sl) * t AS resid FROM ts_d),
+      | ts_rr AS (SELECT resid, row_number() OVER (ORDER BY resid) AS rn,
+      |     count(*) OVER () AS n FROM ts_r),
+      | ts_ic AS (SELECT sum(resid) // count(*) AS med_resid FROM ts_rr
+      |   WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+      | ts_ar AS (SELECT abs(resid - (SELECT med_resid FROM ts_ic)) AS ad
+      |   FROM ts_r),
+      | ts_am AS (SELECT ad, row_number() OVER (ORDER BY ad) AS rn,
+      |     count(*) OVER () AS n FROM ts_ar),
+      | ts_mad AS (SELECT sum(ad) // count(*) AS mad FROM ts_am
+      |   WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ts_d) AS n_days,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ts_p) AS n_pairs,
+      |  CAST((SELECT slope FROM ts_sl) AS BIGINT) AS slope_micro,
+      |  CAST((SELECT med_resid FROM ts_ic) // 1000000 AS BIGINT)
+      |    AS intercept_cents,
+      |  CAST((SELECT mad FROM ts_mad) // 1000000 AS BIGINT) AS mad_cents""".stripMargin
+
+  /** q281: entity resolution — q186's deletion-variant candidates
+    * verified at levenshtein ≤ 1 become `pairs`, then the shared
+    * recursive closure (ccCtes) and a per-cluster rollup. */
+  private lazy val q281Sql: String =
+    s"""WITH RECURSIVE names AS (SELECT c_custkey AS id, c_name AS name
+       |   FROM customer),
+       | vars AS (
+       |   SELECT id, CAST('0x' || substr(md5(variant), 1, 15) AS BIGINT) AS vh
+       |   FROM (
+       |     SELECT id, name AS variant FROM names
+       |     UNION ALL
+       |     SELECT id, substr(name, 1, i - 1) || substr(name, i + 1) AS variant
+       |     FROM (SELECT id, name, unnest(range(1, length(name) + 1)) AS i
+       |           FROM names))),
+       | cids AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |   FROM vars a JOIN vars b ON a.vh = b.vh AND a.id < b.id),
+       | pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM cids
+       |   JOIN names na ON id_a = na.id
+       |   JOIN names nb ON id_b = nb.id
+       |   WHERE levenshtein(na.name, nb.name) <= 1),
+       | $ccCtes,
+       | ec_g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |   FROM clus GROUP BY 1)
+       |SELECT cluster_id, n_members, name AS canonical_name
+       |FROM ec_g JOIN names ON cluster_id = names.id""".stripMargin
+
+  /** q282: JL projection — md5 hyperplane signs ('j-d', & 1, the LSH
+    * family), 10⁻⁶ tick grid, exact int64 sums; both rankings replayed
+    * with the house tie-break and agreement read off a left join. */
+  private lazy val q282Sql: String =
+    """WITH jl_mi AS (SELECT vec_id, list_transform(embedding,
+      |     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mi
+      |   FROM embeddings),
+      | jl_sgn AS (SELECT j, d,
+      |     CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '-'
+      |         || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) & 1 = 0
+      |       THEN 1 ELSE -1 END AS s
+      |   FROM (SELECT unnest(range(0, 16)) AS j),
+      |        (SELECT unnest(range(0, 64)) AS d)),
+      | jl_pr AS (SELECT vec_id, j, CAST(sum(s * mi[CAST(d + 1 AS INTEGER)])
+      |     AS BIGINT) AS pj
+      |   FROM jl_mi, jl_sgn GROUP BY 1, 2),
+      | jl_pl AS (SELECT vec_id, list(pj ORDER BY j) AS p FROM jl_pr
+      |   GROUP BY 1),
+      | jl_q AS (SELECT vec_id AS query_id, p AS qp FROM jl_pl
+      |   WHERE vec_id < 10),
+      | jl_qm AS (SELECT vec_id AS query_id, mi AS qmi FROM jl_mi
+      |   WHERE vec_id < 10),
+      | jl_sc AS (SELECT query_id, c.vec_id AS cand_id,
+      |     CAST(list_sum(list_transform(range(1, 17),
+      |       i -> c.p[i] * qp[i])) AS BIGINT) AS sim
+      |   FROM jl_pl c JOIN jl_q ON c.vec_id <> query_id),
+      | jl_se AS (SELECT query_id, c.vec_id AS cand_id,
+      |     CAST(list_sum(list_transform(range(1, 65),
+      |       i -> c.mi[i] * qmi[i])) AS BIGINT) AS esim
+      |   FROM jl_mi c JOIN jl_qm ON c.vec_id <> query_id),
+      | jl_rp AS (SELECT query_id, cand_id, sim,
+      |     row_number() OVER (PARTITION BY query_id
+      |       ORDER BY sim DESC, cand_id ASC) AS rank FROM jl_sc),
+      | jl_re AS (SELECT query_id, cand_id,
+      |     row_number() OVER (PARTITION BY query_id
+      |       ORDER BY esim DESC, cand_id ASC) AS er FROM jl_se)
+      |SELECT rp.query_id, rp.rank, rp.cand_id, rp.sim AS proj_sim,
+      |  re.er IS NOT NULL AS in_exact
+      |FROM jl_rp rp LEFT JOIN (SELECT * FROM jl_re WHERE er <= 5) re
+      |  ON rp.query_id = re.query_id AND rp.cand_id = re.cand_id
+      |WHERE rp.rank <= 5""".stripMargin
+
+  /** q283: IVM — the oracle is deliberately the NAIVE full recompute
+    * (q31's LWW fold + one group-by), so a green row proves the
+    * engine's retraction algebra converges to it. */
+  private lazy val q283Sql: String =
+    """WITH log AS (
+      |  SELECT CASE event_type WHEN 'signup' THEN 'insert'
+      |                         WHEN 'error' THEN 'delete'
+      |                         ELSE 'update' END AS op,
+      |    user_id, value,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    ts, event_id AS off
+      |  FROM events),
+      | st AS (SELECT user_id, value, k FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, off DESC) AS rn FROM log)
+      |  WHERE rn = 1 AND op <> 'delete')
+      |SELECT CASE WHEN k IS NULL THEN -1 ELSE k % 8 END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(coalesce(CAST(floor(value * 100) AS BIGINT), 0))
+      |    AS BIGINT) AS cents
+      |FROM st GROUP BY 1""".stripMargin
+
+  /** q284: CCF — hourly click/purchase spine, exact HUGEINT moments
+    * per lag, the q195 final-expression discipline. */
+  private lazy val q284Sql: String =
+    """WITH cc_h AS (SELECT epoch_us(ts) // 3600000000 AS h,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+      | cc_l AS (SELECT CAST(unnest(range(-12, 13)) AS BIGINT) AS lag),
+      | cc_j AS (SELECT lag, a.x AS x, b.y AS y
+      |   FROM cc_l CROSS JOIN cc_h a JOIN cc_h b ON b.h = a.h + lag),
+      | cc_m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_ticks,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM cc_j GROUP BY 1),
+      | cc_v AS (SELECT lag, n_ticks,
+      |    CAST(n_ticks AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n_ticks AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+      |    CAST(n_ticks AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+      |  FROM cc_m)
+      |SELECT lag, n_ticks,
+      |  CASE WHEN vx > 0 AND vy > 0
+      |    THEN CAST(round(round(cv / sqrt(vx * vy), 6) * 1000000, 0)
+      |      AS BIGINT) END AS r_micro
+      |FROM cc_v""".stripMargin
+
+  /** q285: trimmed/winsorized means — rank windows per segment, the
+    * same lo = n·5 div 100 cut, every mean sum // count. */
+  private lazy val q285Sql: String =
+    """WITH tw_r AS (SELECT c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(floor(c_acctbal * 100) AS BIGINT) ASC,
+      |        c_custkey ASC) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      |  FROM customer),
+      | tw_l AS (SELECT *, n * 5 // 100 AS lo FROM tw_r)
+      |SELECT segment, max(n) AS n_rows,
+      |  CAST(sum(cents) // max(n) AS BIGINT) AS mean_cents,
+      |  CAST(sum(CASE WHEN rn > lo AND rn <= n - lo THEN cents END)
+      |    // greatest(max(n) - 2 * max(lo), 1) AS BIGINT) AS trimmed_cents,
+      |  CAST((sum(CASE WHEN rn > lo AND rn <= n - lo THEN cents END)
+      |    + max(lo) * max(CASE WHEN rn = lo + 1 THEN cents END)
+      |    + max(lo) * max(CASE WHEN rn = n - lo THEN cents END))
+      |    // max(n) AS BIGINT) AS winsorized_cents
+      |FROM tw_l GROUP BY 1""".stripMargin
+
+  /** q286: sampled harmonic centrality — the q251 per-sample BFS
+    * chain with first-reach hops kept, then the 10⁶ div hops fold. */
+  private lazy val q286Sql: String = {
+    val (nSamples, maxHops, k) = (8, 3, 25)
+    val rounds = (1 to maxHops).map { h =>
+      s"""hcn$h AS MATERIALIZED (
+         |   SELECT b.sample, e.dst AS node
+         |   FROM hc${h - 1} b JOIN hc_edges e ON b.node = e.src
+         |   EXCEPT SELECT sample, node FROM hc${h - 1}),
+         | hc$h AS MATERIALIZED (SELECT sample, node FROM hc${h - 1}
+         |   UNION ALL SELECT sample, node FROM hcn$h)""".stripMargin
+    }.mkString(",\n ")
+    val unions = (1 to maxHops)
+      .map(h => s"SELECT sample, node, CAST($h AS BIGINT) AS hops FROM hcn$h")
+      .mkString(" UNION ALL ")
+    s"""WITH $coPurchaseCtes,
+       | hc_edges AS (SELECT pa AS src, pb AS dst FROM cp_und
+       |   UNION ALL SELECT pb, pa FROM cp_und),
+       | hc_samples AS (SELECT src AS sample
+       |   FROM (SELECT DISTINCT src FROM hc_edges)
+       |   ORDER BY md5('anf-' || CAST(src AS VARCHAR)) ASC LIMIT $nSamples),
+       | hc0 AS (SELECT sample, sample AS node FROM hc_samples),
+       | $rounds,
+       | hc_d AS ($unions),
+       | hc_g AS (SELECT node AS part, CAST(count(*) AS BIGINT) AS n_sources,
+       |     CAST(sum(1000000 // hops) AS BIGINT) AS h_micro
+       |   FROM hc_d GROUP BY 1)
+       |SELECT row_number() OVER (ORDER BY h_micro DESC, part ASC) AS rank,
+       |  part, n_sources, h_micro
+       |FROM hc_g ORDER BY h_micro DESC, part ASC LIMIT $k""".stripMargin
+  }
+
+  /** q287: Kaplan–Meier — gap/censoring counts via windows, risk set
+    * as a cumulative on the day spine, and the product limit as the
+    * q275-style RECURSIVE accumulator (s′ = s·(n−d) // n). */
+  private lazy val q287Sql: String =
+    """WITH RECURSIVE km_o AS (SELECT o_custkey, o_orderkey,
+      |    CAST(o_orderdate AS DATE) AS d FROM orders),
+      | km_h AS (SELECT max(d) AS h FROM km_o),
+      | km_s AS (SELECT CAST(CASE WHEN nxt IS NOT NULL
+      |      THEN date_diff('day', d, nxt)
+      |      ELSE date_diff('day', d, (SELECT h FROM km_h)) END AS BIGINT) AS t,
+      |     CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |   FROM (SELECT d, lead(d) OVER (PARTITION BY o_custkey
+      |       ORDER BY d ASC, o_orderkey ASC) AS nxt FROM km_o)),
+      | km_c AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+      |     CAST(sum(1 - ev) AS BIGINT) AS c_censored
+      |   FROM km_s GROUP BY 1),
+      | km_sp AS (SELECT t, d_events, c_censored,
+      |     CAST((SELECT sum(d_events + c_censored) FROM km_c)
+      |       - coalesce(sum(d_events + c_censored) OVER (ORDER BY t ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |       AS BIGINT) AS n_risk,
+      |     CAST(row_number() OVER (ORDER BY t ASC) AS BIGINT) AS rn
+      |   FROM km_c),
+      | km_f(rn, t, d_events, c_censored, n_risk, s) AS (
+      |   SELECT rn, t, d_events, c_censored, n_risk,
+      |     CAST(1000000 AS HUGEINT) * (n_risk - d_events) // n_risk
+      |   FROM km_sp WHERE rn = 1
+      |   UNION ALL
+      |   SELECT p.rn, p.t, p.d_events, p.c_censored, p.n_risk,
+      |     (f.s * (p.n_risk - p.d_events)) // p.n_risk
+      |   FROM km_f f JOIN km_sp p ON p.rn = f.rn + 1)
+      |SELECT t AS t_days, n_risk, d_events, c_censored,
+      |  CAST(s AS BIGINT) AS s_micro
+      |FROM km_f""".stripMargin
+
+  /** q288: PR curve — q209's logit-tick/positive-label frame, walked
+    * from the top score down with cumulative windows; AP numerator on
+    * HUGEINT. */
+  private lazy val q288Sql: String =
+    s"""WITH cls AS (
+       |${oracleBase("q71_quality_classifier")}
+       |),
+       | $docMetricsCte,
+       | f AS (SELECT CAST(round(cls.logit * 10000) AS BIGINT) AS s,
+       |    m.quality >= 0.66 AS pos
+       |   FROM cls JOIN m ON cls.doc_id = m.doc_id),
+       | t AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |   FROM f GROUP BY s),
+       | r AS (SELECT *,
+       |    CAST(sum(np) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS tp,
+       |    CAST(sum(cnt) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS pp,
+       |    CAST(sum(np) OVER () AS BIGINT) AS p_total
+       |   FROM t),
+       | pr AS (SELECT *, CAST(tp * 1000000 // pp AS BIGINT)
+       |     AS precision_micro FROM r),
+       | ap AS (SELECT *, sum(CAST(np AS HUGEINT) * precision_micro)
+       |     OVER (ORDER BY s DESC
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ap_num
+       |   FROM pr)
+       |SELECT s AS s_tick, tp, CAST(pp - tp AS BIGINT) AS fp,
+       |  CAST(p_total - tp AS BIGINT) AS fn, precision_micro,
+       |  CAST(tp * 1000000 // greatest(p_total, 1) AS BIGINT)
+       |    AS recall_micro,
+       |  CAST(ap_num // greatest(p_total, 1) AS BIGINT) AS ap_micro
+       |FROM ap""".stripMargin
+
+  /** q289: degree histogram — bit-length log₂ buckets, top-down
+    * cumulative CCDF. */
+  private lazy val q289Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | dg_d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |    (SELECT pa AS node FROM cp_und UNION ALL SELECT pb FROM cp_und)
+       |   GROUP BY 1),
+       | dg_b AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_nodes FROM dg_d GROUP BY 1),
+       | dg_c AS (SELECT *, CAST(sum(n_nodes) OVER () AS BIGINT) AS total,
+       |    CAST(sum(n_nodes) OVER (ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS at_or_above
+       |  FROM dg_b)
+       |SELECT bucket, CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)
+       |    AS lo_degree,
+       |  n_nodes, CAST(at_or_above * 1000000 // total AS BIGINT)
+       |    AS ccdf_micro
+       |FROM dg_c""".stripMargin
 
   /** The dhash60 replay (shared by q118/q271/q276): q47's frame grid
     * at the given stride, each frame's chars folded into 61

@@ -54,4 +54,86 @@ object Cdc {
       .select(col("key").as("user_id"), col("after.value").as("value"),
         col("after.k").as("k"), col("ts").as("updated_at"))
   }
+
+  /** INCREMENTAL VIEW MAINTENANCE with retractions — the missing piece
+    * between the CDC state fold (q31: the TABLE stays fresh) and the
+    * monitoring rollups (q13: recomputed from scratch): keep an
+    * AGGREGATE view (per-bucket row count + cents sum over the live
+    * state) fresh by applying only the DELTA. The log splits at the
+    * midpoint offset into "yesterday's materialized view" and "today's
+    * delta batch"; the delta is applied as retraction algebra — for
+    * each TOUCHED key, −1/−cents of its old state row, +1/+cents of
+    * its new winner — and merged into the base view with one
+    * delta-sized aggregate. The result must equal (and the oracle IS)
+    * the naive full recompute over the whole log, which makes the
+    * oracle row a genuine IVM-correctness proof, not an echo.
+    *
+    * The touched key's new winner folds its BASE STATE ROW (carrying
+    * the base winner's ts/offset) together with its delta events —
+    * last-writer-wins is associative over that pair, so a key whose
+    * base row still out-timestamps every delta event keeps it, without
+    * the maintenance path ever re-reading untouched base rows.
+    *
+    * Scale: this is THE pattern that makes a 100 TB view affordable —
+    * per batch, work is bounded by the delta: one LWW window over the
+    * delta, one semi-join of the (key-partitioned, in production
+    * persisted) base state against the touched keys, and a
+    * buckets-sized merge. Nothing rescans the base table. Here the
+    * base state derives in-plan from the read-only testdata (the
+    * quantizedTopK caveat); production persists it, which is exactly
+    * the [[graft.operators.Upsert]] target table.
+    *
+    * Null discipline: a null payload value contributes 0 cents (both
+    * engines coalesce before summing); a null bucket key lands in
+    * bucket −1. A bucket whose membership empties nets to zero rows
+    * and is dropped, matching the recompute's absent group. */
+  def incrementalView(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame =
+    incrementalViewOf(ChangeEvents.fromEvents(spark, dir), buckets)
+
+  /** [[incrementalView]] over any change log with
+    * (op, key, after(value, k), ts, offset) — the fixture-parametric
+    * core the differential spec replays hostile logs through. */
+  def incrementalViewOf(log: DataFrame, buckets: Int = 8): DataFrame = {
+    val logCols: Seq[org.apache.spark.sql.Column] = Seq(
+      col("op"), col("key"), col("after"), col("ts"), col("offset"))
+    val changes = PlanCache.tracked(log.select(logCols: _*))
+    // deterministic "snapshot vs delta" boundary (1-row fold,
+    // profiler convention); an empty log folds to cut 0 and an empty
+    // view instead of an NPE
+    val maxOff = changes.agg(max(col("offset"))).first()
+    val cut = if (maxOff.isNullAt(0)) 0L else maxOff.getLong(0) / 2
+    def lww(log: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("ts").desc, col("offset").desc)
+      log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("op"), col("key"), col("after"), col("ts"),
+          col("offset"))
+    }
+    def contrib(state: DataFrame, sign: Int) = state.select(
+      coalesce(pmod(col("after.k"), lit(buckets.toLong)), lit(-1L))
+        .as("bucket"),
+      lit(sign.toLong).as("dn"),
+      (lit(sign.toLong) * coalesce(floor(col("after.value") * 100)
+        .cast("long"), lit(0L))).as("dcents"))
+    // ---- yesterday: the materialized view (persisted in production)
+    val base = PlanCache.tracked(lww(changes.filter(col("offset") <= cut)))
+    val baseState = base.filter(col("op") =!= "delete")
+    val baseView = contrib(baseState, 1).groupBy(col("bucket"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dcents")).as("dcents"))
+    // ---- today: delta-bounded maintenance
+    val delta = changes.filter(col("offset") > cut)
+    val touched = delta.select(col("key")).distinct()
+    val oldRows = baseState.join(touched, Seq("key"), "left_semi")
+    val newState = lww(base.join(touched, Seq("key"), "left_semi")
+        .unionByName(delta))
+      .filter(col("op") =!= "delete")
+    baseView
+      .unionByName(contrib(oldRows, -1))
+      .unionByName(contrib(newState, 1))
+      .groupBy(col("bucket"))
+      .agg(sum(col("dn")).as("n_rows"), sum(col("dcents")).as("cents"))
+      .filter(col("n_rows") > 0)
+      .orderBy(col("bucket").asc)
+  }
 }

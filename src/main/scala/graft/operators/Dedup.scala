@@ -1013,9 +1013,14 @@ object Dedup {
     nameNearMatchReport(Tables(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name")))
 
-  /** [[nameNearMatches]] over any (id, name) frame — the
-    * fixture-parametric core. */
-  def nameNearMatchReport(names: DataFrame): DataFrame = {
+  /** The 1-deletion-neighborhood blocking shared by [[nameNearMatches]]
+    * and [[entityClusters]]: each name emits itself + its length(name)
+    * single-character deletions, candidates are the variant-hash
+    * equijoin (two names within edit distance 1 always share a
+    * variant), and each candidate pair carries its exact levenshtein.
+    * Never all-pairs — the candidate population is bucket-bounded by
+    * construction. */
+  private[graft] def nameCandidatePairs(names: DataFrame): DataFrame = {
     val variants = names.select(col("id"), explode(concat(
         array(col("name")),
         expr("transform(sequence(1, length(name)), i -> " +
@@ -1027,10 +1032,16 @@ object Dedup {
         col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val cand = candIds
+    candIds
       .join(names.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
       .join(names.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+  }
+
+  /** [[nameNearMatches]] over any (id, name) frame — the
+    * fixture-parametric core. */
+  def nameNearMatchReport(names: DataFrame): DataFrame = {
+    val cand = nameCandidatePairs(names)
     cand.agg(
       count(lit(1)).as("n_candidates"),
       sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("n_verified"),
@@ -1040,5 +1051,41 @@ object Dedup {
       sum(when(col("dist") === 1 &&
         length(col("name_a")) =!= length(col("name_b")), 1L).otherwise(0L))
         .as("n_indels"))
+  }
+
+  /** ENTITY RESOLUTION over customer names — q186's pair report taken
+    * to its fixpoint: the near-match pairs become edges, transitive
+    * closure merges them into entity CLUSTERS (A~B, B~C ⇒ one entity
+    * even when A/C differ by 2 edits — the chain semantics record
+    * linkage needs and a pair report can't express), and each cluster
+    * elects the min-id member as its canonical survivor — the same
+    * blocking → verify → components → survivor chain the text dedup
+    * pillar runs (q49), instantiated on the identity column. Emits one
+    * row per multi-member entity: cluster id, member count, and the
+    * canonical (min-id) name. Singletons are implicitly clean — every
+    * node in the pair graph has ≥ 1 verified edge, so every emitted
+    * cluster has ≥ 2 members.
+    *
+    * Scale: candidates come from the 1-deletion-variant equijoin
+    * (linear ×(len+1) inflation, bucket-bounded — never all-pairs);
+    * verification is per-candidate levenshtein; the min-label closure
+    * is [[connectedComponents]] — near-dup entity components are tiny
+    * and dense, so it converges in a few node-sized rounds. */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame =
+    entityClustersOf(Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name")))
+
+  /** [[entityClusters]] over any (id, name) frame — the
+    * fixture-parametric core. */
+  def entityClustersOf(names: DataFrame): DataFrame = {
+    val pairs = nameCandidatePairs(names).filter(col("dist") <= 1)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(names.select(col("id").as("cluster_id"),
+        col("name").as("canonical_name")), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("canonical_name"))
+      .orderBy(col("cluster_id").asc)
   }
 }

@@ -1350,6 +1350,89 @@ object Graph {
       .limit(k)
   }
 
+  /** DEGREE DISTRIBUTION in log₂ buckets with the CCDF — the
+    * one-glance structure readout run before ANY of the iterative
+    * operators here is sized: a heavy power-law tail says "salt the
+    * hub keys" (the AQE skew posture), a truncated tail says the
+    * shuffle_hash joins stay balanced as-is. Buckets are
+    * floor(log₂ deg) via the bit-length identity (length(bin(d)) − 1 —
+    * pure integer on both engines, no log()); ccdf_micro at bucket b =
+    * nodes with deg ≥ 2ᵇ · 10⁶ div total (every member of a bucket
+    * ≥ b clears the 2ᵇ boundary by construction, so the cumulative
+    * sum from the top IS the boundary CCDF exactly).
+    *
+    * Scale: one pass over the edge list to degrees (map-side
+    * combined), then everything runs on the ≤ 64-row bucket spine. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    und.select(col("pa").as("node"))
+      .union(und.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .select((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_nodes"))
+      .withColumn("total", sum(col("n_nodes")).over(Window.partitionBy()))
+      .withColumn("at_or_above", sum(col("n_nodes")).over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bucket"),
+        expr("CAST(1 AS BIGINT) << CAST(bucket AS INT)").as("lo_degree"),
+        col("n_nodes"),
+        expr("at_or_above * 1000000 div total").as("ccdf_micro"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** SAMPLED HARMONIC CENTRALITY — "which nodes are CLOSE to
+    * everything": H(v) = Σₛ 1/d(s,v) over the q251 md5-chosen source
+    * sample, truncated at the same hop horizon — the closeness face
+    * the centrality family still lacked (PageRank scores mass, HITS
+    * scores endorsement, betweenness scores brokerage; harmonic
+    * scores REACH, and unlike classic closeness it is defined on
+    * disconnected graphs because unreached pairs contribute 0, not
+    * ∞). Per (source, node) the first-reach hop is recorded by the
+    * same anti-join BFS [[sampledNeighborhood]] runs; the readout
+    * folds 10⁶ div hops per node. Self-distances are excluded.
+    *
+    * Scale: identical data movement to q251 — per hop one
+    * frontier⋈edges shuffle_hash against the pre-partitioned edge
+    * list, frontiers carry only sampled neighborhoods; the readout is
+    * one node-sized aggregate and a TopKPerGroup-shaped rank. */
+  def sampledHarmonic(spark: SparkSession, dir: String,
+      nSamples: Int = 8, maxHops: Int = 3, k: Int = 25): DataFrame = {
+    val und = coPurchaseEdges(spark, dir)
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val edges = PlanCache.tracked(sym.repartition(col("src")))
+    val samples = PlanCache.tracked(
+      edges.select(col("src")).distinct()
+        .orderBy(md5(concat(lit("anf-"), col("src").cast("string"))).asc)
+        .limit(nSamples)
+        .select(col("src").as("sample")))
+    var reached = PlanCache.tracked(
+      samples.select(col("sample"), col("sample").as("node"))
+        .withColumn("hops", lit(0L)))
+    var frontier = reached.select(col("sample"), col("node"))
+    for (h <- 1 to maxHops) {
+      val next = PlanCache.tracked(
+        frontier.hint("shuffle_hash").join(edges,
+            frontier("node") === edges("src"))
+          .select(col("sample"), col("dst").as("node")).distinct()
+          .join(reached, Seq("sample", "node"), "left_anti")
+          .withColumn("hops", lit(h.toLong)))
+      reached = PlanCache.tracked(reached.union(next))
+      frontier = next.select(col("sample"), col("node"))
+    }
+    reached.filter(col("hops") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr("1000000 div hops")).as("h_micro"))
+      .select(col("node").as("part"), col("n_sources"), col("h_micro"))
+      .orderBy(col("h_micro").desc, col("part").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("h_micro").desc, col("part").asc)))
+      .select(col("rank"), col("part"), col("n_sources"), col("h_micro"))
+  }
+
   def sampledNeighborhood(spark: SparkSession, dir: String,
       nSamples: Int = 8, maxHops: Int = 3): DataFrame = {
     val und = coPurchaseEdges(spark, dir)

@@ -2004,4 +2004,228 @@ object Relational {
         when(col("ng") > 1, expr("(rg - 1) * 1000000 div (ng - 1)"))
           .as("global_pct_micro"))
   }
+
+  /** THEIL–SEN robust trend of the daily revenue series — the
+    * breakdown-resistant twin of q211's OLS (slope survives up to ~29%
+    * of days being corrupted, where one bad backfill day drags a
+    * least-squares line arbitrarily): slope = EXACT median of all
+    * pairwise day-to-day slopes, intercept = exact median of per-day
+    * residuals at that slope, spread = exact median absolute deviation
+    * of those residuals. Integer micro grid end-to-end:
+    * slope_micro = Δcents·10⁶ div Δday (`div` ≙ `//` truncate toward
+    * zero identically on signed values); residuals ride
+    * Decimal(38) ≙ HUGEINT (cents·10⁶ passes int64 at warehouse
+    * scale); every median is the floored midrank average
+    * (lo + hi) div 2 over the sorted values — n odd degrades to the
+    * middle element on both engines.
+    *
+    * Scale: the only corpus-sized work is ONE map-side-combined daily
+    * rollup; the pair population is CALENDAR²-bounded (~2400 days →
+    * ~3M slope values REGARDLESS of row count — constant in SF, the
+    * q232 fixed-spine posture), folded inside array expressions on a
+    * 1-row frame exactly like holtBacktest, so no shuffle, window, or
+    * join ever sees a pair. The micro grid holds while daily revenue
+    * stays under ~9·10¹² cents/day (int64 ÷ 10⁶); rescale the grid
+    * constant for a corpus beyond that. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("t"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("t")).agg(sum(col("cents")).as("y"))
+    val series = daily.agg(count(lit(1)).as("n_days"),
+      sort_array(collect_list(struct(col("t"), col("y")))).as("pts"))
+    // all C(n,2) pairwise slopes, in-array (coPurchaseEdges' combo
+    // idiom); `div` of two int64-safe operands (Δcents·10⁶ rides
+    // Decimal through the product, the quotient lands back in int64)
+    val slopes = series.select(col("n_days"), col("pts"),
+      expr("""sort_array(flatten(transform(pts, (p, i) ->
+          transform(slice(pts, i + 2, size(pts)), q ->
+            CAST((CAST(q.y AS DECIMAL(38,0)) - p.y) * 1000000
+              div (q.t - p.t) AS BIGINT)))))""").as("sl"))
+    val withSlope = slopes.select(col("n_days"), col("pts"),
+      size(col("sl")).cast("long").as("n_pairs"),
+      expr("""(element_at(sl, CAST((size(sl) + 1) div 2 AS INT))
+          + element_at(sl, CAST((size(sl) + 2) div 2 AS INT))) div 2""")
+        .as("slope_micro"))
+    // residual grid: cents·10⁶ − slope·t, Decimal(38) (≈10²³ at 100 TB)
+    val withResid = withSlope.select(col("n_days"), col("n_pairs"),
+      col("slope_micro"),
+      expr("""sort_array(transform(pts, p ->
+          CAST(p.y AS DECIMAL(38,0)) * 1000000
+            - CAST(slope_micro AS DECIMAL(38,0)) * p.t))""").as("resid"))
+    val withIntercept = withResid.select(col("n_days"), col("n_pairs"),
+      col("slope_micro"), col("resid"),
+      expr("""(element_at(resid, CAST((n_days + 1) div 2 AS INT))
+          + element_at(resid, CAST((n_days + 2) div 2 AS INT))) div 2""")
+        .as("med_resid"))
+    withIntercept.select(col("n_days"), col("n_pairs"), col("slope_micro"),
+      expr("CAST(med_resid AS DECIMAL(38,0)) div 1000000")
+        .as("intercept_cents"),
+      expr("""((element_at(sort_array(transform(resid, r ->
+            abs(r - CAST(med_resid AS DECIMAL(38,0))))),
+          CAST((n_days + 1) div 2 AS INT))
+        + element_at(sort_array(transform(resid, r ->
+            abs(r - CAST(med_resid AS DECIMAL(38,0))))),
+          CAST((n_days + 2) div 2 AS INT))) div 2) div 1000000""")
+        .cast("long").as("mad_cents"))
+  }
+
+  /** TRIMMED + WINSORIZED segment means — the grouped robust-location
+    * family beside [[theilSen]]'s trend: per market segment, the
+    * account-balance mean three ways — exact, 5 %-trimmed (drop the
+    * tails), and 5 %-winsorized (clamp the tails to the cut values) —
+    * so one report shows how much of a segment's "average balance" is
+    * tail artifact. All integer cents: ranks use the house
+    * (value, key) total order per segment, the trim width is
+    * lo = n·5 div 100 rows per side, and every mean is sum div count
+    * (`div` ≙ `//`). A segment too small to trim (n ≤ 2·lo+… degenerate
+    * lo = 0) degrades to the exact mean on both engines by the same
+    * formula.
+    *
+    * Scale: one customer scan, one rank window per segment (the
+    * segment space is bounded), and a segments-sized readout. */
+  def trimmedSegmentStats(spark: SparkSession, dir: String,
+      trimPct: Int = 5): DataFrame = {
+    val ranked = Tables(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"),
+        col("c_custkey"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("segment"))
+        .orderBy(col("cents").asc, col("c_custkey").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .withColumn("lo", expr(s"n * $trimPct div 100"))
+    ranked.groupBy(col("segment"))
+      .agg(max(col("n")).as("n_rows"),
+        expr("sum(cents) div max(n)").as("mean_cents"),
+        expr("""sum(CASE WHEN rn > lo AND rn <= n - lo THEN cents END)
+            div greatest(max(n) - 2 * max(lo), 1)""").as("trimmed_cents"),
+        // winsorize: rows at rank ≤ lo take the value AT rank lo+1,
+        // rows above n−lo take the value AT rank n−lo
+        (expr("sum(CASE WHEN rn > lo AND rn <= n - lo THEN cents END)")
+          + expr("max(lo) * max(CASE WHEN rn = lo + 1 THEN cents END)")
+          + expr("max(lo) * max(CASE WHEN rn = n - lo THEN cents END)"))
+          .as("wsum"))
+      .select(col("segment"), col("n_rows"), col("mean_cents"),
+        col("trimmed_cents"),
+        expr("wsum div n_rows").as("winsorized_cents"))
+      .orderBy(col("segment").asc)
+  }
+
+  /** KAPLAN–MEIER survival curve of the repurchase gap — "given a
+    * customer ordered, how long until they order AGAIN", with the
+    * right-censoring the naive gap histogram (q168's family) silently
+    * throws away: a customer's time since their LAST order is a
+    * censored observation ("survived at least this long"), and
+    * dropping it biases every retention estimate optimistic. Per
+    * event-time t (days): risk set n(t) (subjects with observed or
+    * censored time ≥ t), deaths d(t) (gaps that ended at t), and the
+    * product-limit survivor Ŝ(t) = Π(1 − dᵢ/nᵢ) walked as an integer
+    * micro fold — s′ = s·(n−d) div n — so both engines step the same
+    * grid (the q275 accumulator discipline; s·n ≤ 10⁶·subjects holds
+    * int64 to ~10¹² subjects).
+    *
+    * Scale: one orders scan + a per-customer lead window build the gap
+    * population; everything after folds on the calendar-bounded day
+    * spine (counts per distinct gap length, cumulative windows for the
+    * risk set, one array fold for the product limit). */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+    val horizon = orders.agg(max(col("d")).as("h"))
+    val spans = orders
+      .withColumn("nxt", lead(col("d"), 1).over(byCust))
+      .transform(Scalars.attach(_, horizon, col("o_custkey"), datediff(col("h"), lit("1970-01-01"))))
+      .select(
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("d")))
+          .otherwise(datediff(col("h"), col("d"))).cast("long").as("t"),
+        when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
+    val counts = spans.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d_events"),
+        sum(lit(1L) - col("ev")).as("c_censored"))
+    // risk set: subjects whose time ≥ t — total minus everything that
+    // left strictly before t (cumulative window on the bounded spine)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = counts
+      .withColumn("gone_before",
+        coalesce(sum(col("d_events") + col("c_censored")).over(wCum), lit(0L)))
+      .withColumn("total",
+        sum(col("d_events") + col("c_censored")).over(Window.partitionBy()))
+      .select(col("t"), col("d_events"), col("c_censored"),
+        (col("total") - col("gone_before")).as("n_risk"))
+    // product-limit fold over the sorted spine (1-row array fold)
+    val folded = spine
+      .agg(sort_array(collect_list(struct(col("t"), col("d_events"),
+        col("c_censored"), col("n_risk")))).as("pts"))
+      .select(expr("""aggregate(pts,
+          named_struct('s', CAST(1000000 AS BIGINT),
+            'out', CAST(array() AS
+              ARRAY<STRUCT<t: BIGINT, d_events: BIGINT, c_censored: BIGINT,
+                           n_risk: BIGINT, s_micro: BIGINT>>)),
+          (acc, x) -> named_struct(
+            's', (acc.s * (x.n_risk - x.d_events)) div x.n_risk,
+            'out', concat(acc.out, array(named_struct(
+              't', x.t, 'd_events', x.d_events, 'c_censored', x.c_censored,
+              'n_risk', x.n_risk,
+              's_micro', (acc.s * (x.n_risk - x.d_events)) div x.n_risk)))),
+          acc -> acc.out)""").as("rows"))
+    folded.select(explode(col("rows")).as("r"))
+      .select(col("r.t").as("t_days"), col("r.n_risk"), col("r.d_events"),
+        col("r.c_censored"), col("r.s_micro"))
+      .orderBy(col("t_days").asc)
+  }
+
+  /** CROSS-CORRELATION ladder between the hourly click and purchase
+    * event series, lags −12..+12 — the lead/lag diagnostic beside
+    * q266's single-series ACF: a peak at positive lag L reads "clicks
+    * lead purchases by L hours", the first question any
+    * conversion-attribution or capacity model asks of two activity
+    * streams. r(L) is Pearson over the matched ticks (x at hour h,
+    * y at hour h+L), exact HUGEINT ≙ Decimal(38) moments, and only the
+    * final normalization touches doubles — identical operand order
+    * cross-engine, rounded to the 10⁻⁶ grid (the q237 discipline).
+    *
+    * Scale: one events scan folds to the hour spine (map-side
+    * combined); the lag explode and self-join run on the
+    * calendar-bounded spine (≤ thousands of ticks), never the corpus. */
+  def crossCorrelation(spark: SparkSession, dir: String,
+      maxLag: Int = 12): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = PlanCache.tracked(Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(expr("unix_timestamp(ts) div 3600").as("h"),
+        col("event_type"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y")))
+    val lagged = hourly
+      .select(col("h"), col("x"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .join(hourly.select(col("h").as("h2"), col("y").as("y2")),
+        col("h2") === col("h") + col("lag"))
+    val m = lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("x")).as("sx"), sum(col("y2")).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y2").cast(dec) * col("y2")).as("syy"),
+        sum(col("x").cast(dec) * col("y2")).as("sxy"))
+    m.select(col("lag").cast("long").as("lag"), col("n_ticks"),
+        (col("n_ticks").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")).as("vx"),
+        (col("n_ticks").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")).as("vy"),
+        (col("n_ticks").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")).as("cv"))
+      .select(col("lag"), col("n_ticks"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(round(col("cv") / sqrt(col("vx") * col("vy")), 6)
+            * 1000000, 0).cast("long")).as("r_micro"))
+      .orderBy(col("lag").asc)
+  }
 }

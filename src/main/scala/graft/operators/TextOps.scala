@@ -2548,4 +2548,96 @@ object TextOps {
       .head()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
+
+  /** PRECISION–RECALL curve + average precision for the quality
+    * classifier — the imbalance-honest eval face beside
+    * [[classifierAuc]]'s ROC (ROC-AUC flatters a classifier when
+    * positives are rare because false positives drown in the huge
+    * negative denominator; the PR curve charges every false positive
+    * against precision directly, which is the regime corpus filtering
+    * actually lives in). One row per distinct published-logit
+    * threshold, walked from the highest score down: cumulative
+    * TP/FP/FN, precision and recall in integer micro, and the running
+    * average precision (Σ Δtp·precision div P — the last row is the
+    * full AP). All integer: the score grid is q209's 4-decimal logit
+    * tick, divisions truncate identically, the AP numerator rides
+    * Decimal(38) ≙ HUGEINT.
+    *
+    * Scale: one corpus scan folds to the tick spine (bounded by the
+    * published 4-decimal logit grid); every window runs on that
+    * spine. */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir, "documents")
+      .select(round(round(classifierLogit, 4) * 10000).cast("long").as("s"),
+        (Text.qualityScore(col("text")) >= 0.66).as("pos"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+      .withColumn("tp", sum(col("np")).over(wDesc))
+      .withColumn("pp", sum(col("cnt")).over(wDesc))
+      .withColumn("p_total", sum(col("np")).over(Window.partitionBy()))
+      .withColumn("precision_micro", expr("tp * 1000000 div pp"))
+      .withColumn("ap_num",
+        sum(col("np").cast(dec) * col("precision_micro")).over(wDesc))
+      .select(col("s").as("s_tick"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("p_total") - col("tp")).as("fn"),
+        col("precision_micro"),
+        expr("tp * 1000000 div greatest(p_total, 1)").as("recall_micro"),
+        expr("CAST(ap_num div greatest(p_total, 1) AS BIGINT)")
+          .as("ap_micro"))
+      .orderBy(col("s_tick").desc)
+  }
+
+  /** TEXTRANK keyword ranking — PageRank over the token co-occurrence
+    * graph (Mihalcea & Tarau 2004), the graph-centrality face of the
+    * keyword family: q66 ranks tokens by tf-idf mass, q85 scores PAIRS
+    * by PMI; this one asks which tokens sit at the CENTER of the
+    * corpus' co-occurrence structure — a token ranks high when its
+    * neighbors rank high, recursively, which surfaces connective
+    * vocabulary tf-idf misses. Nodes are tokens (≥ 2 chars, the four
+    * corpus stopwords dropped), edges join ADJACENT survivors inside
+    * each document weighted by corpus-wide co-occurrence count, and
+    * the ranking is [[Graph.pageRankOnEdges]] verbatim — the same five
+    * unrolled power iterations on the integer pico grid the
+    * co-purchase graph uses (one declared iteration algebra, two
+    * pillars consuming it).
+    *
+    * Scale: tokenize + zip-adjacent is one corpus scan (the pair
+    * explode is ≤ tokens-per-doc linear); the edge list folds to the
+    * vocab²-bounded co-occurrence support, and the PR iterations ship
+    * only the vocab-sized rank frame against the once-partitioned
+    * edge list (q230's posture — string keys instead of int64, same
+    * data movement). */
+  def textRank(spark: SparkSession, dir: String, iters: Int = 5,
+      k: Int = 25): DataFrame =
+    textRankOf(Tables(spark, dir, "documents"), iters, k)
+
+  /** [[textRank]] over any frame with a `text` column — the
+    * fixture-parametric core. */
+  def textRankOf(docs: DataFrame, iters: Int = 5, k: Int = 25): DataFrame =
+    Graph.pageRankOnEdges(cooccurrenceEdges(docs), iters, k)
+      .select(col("rank"), col("part").as("token"), col("score_pico"))
+
+  /** The undirected token co-occurrence support: adjacent surviving
+    * tokens (≥ 2 chars, stopwords dropped) inside each document,
+    * canonical (pa < pb) order, corpus-wide counts. */
+  private[graft] def cooccurrenceEdges(docs: DataFrame): DataFrame = {
+    docs
+      .select(expr("""filter(split(text, ' '), t ->
+          length(t) >= 2 AND NOT t IN ('the', 'a', 'and', 'of'))""")
+        .as("ts"))
+      .select(explode(expr(
+        // zip each surviving token with its successor; the trailing
+        // null-padded struct and self-pairs fall out in the filter
+        """filter(zip_with(ts, slice(ts, 2, size(ts)), (a, b) ->
+             named_struct('pa', least(a, b), 'pb', greatest(a, b))),
+           p -> p.pb IS NOT NULL AND p.pa <> p.pb)""")).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+  }
 }

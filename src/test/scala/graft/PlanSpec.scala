@@ -21,7 +21,11 @@ class PlanSpec extends SparkSpec {
   // q80 (PQ ANN) is NOT exempt: its ADC pass is a join-free kernel
   // scan — the query tables ride a literal, so no product, no
   // nested loop, and in-flight rows carry 16 code bytes per candidate.
-  private val bruteForceBaseline = Set("q29_ann_topk", "q62_quantized_ann")
+  // q282's candidate scoring is the same declared 10-query broadcast
+  // brute force as q29/q62 — the JL projection changes the dimension
+  // count, not the join shape
+  private val bruteForceBaseline =
+    Set("q29_ann_topk", "q62_quantized_ann", "q282_jl_ann")
 
   test("no query plans a cartesian product; only the brute-force baseline nested-loops") {
     SparkEntry.queries.keys.foreach { name =>

@@ -501,6 +501,9 @@ object SparkEntry {
     "q287_kaplan_meier" -> ((s, d) => Relational.kaplanMeier(s, d)),
     "q288_pr_curve" -> ((s, d) => TextOps.prCurve(s, d)),
     "q289_degree_histogram" -> ((s, d) => Graph.degreeHistogram(s, d)),
+    "q290_brier_decomposition" -> ((s, d) => TextOps.brierDecomposition(s, d)),
+    "q291_edge_embeddedness" -> ((s, d) => Graph.edgeEmbeddedness(s, d)),
+    "q292_rolling_wau" -> ((s, d) => Sketches.rollingActiveUsers(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -719,6 +722,9 @@ object SparkEntry {
       ("q285_trimmed_stats" -> q285Sql) + ("q286_harmonic" -> q286Sql) +
       ("q287_kaplan_meier" -> q287Sql) + ("q288_pr_curve" -> q288Sql) +
       ("q289_degree_histogram" -> q289Sql) +
+      ("q290_brier_decomposition" -> q290Sql) +
+      ("q291_edge_embeddedness" -> q291Sql) +
+      ("q292_rolling_wau" -> q292Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -2192,6 +2198,119 @@ object SparkEntry {
        |  n_nodes, CAST(at_or_above * 1000000 // total AS BIGINT)
        |    AS ccdf_micro
        |FROM dg_c""".stripMargin
+
+  /** q290: Murphy decomposition — q212's tick/bin frame, floored bin
+    * means, squares in the 10⁻⁸ grid on HUGEINT. */
+  private lazy val q290Sql: String =
+    s"""WITH cls AS (
+       |${oracleBase("q71_quality_classifier")}
+       |),
+       | $docMetricsCte,
+       | f AS (SELECT
+       |    CAST(round(round(1.0 / (1.0 + exp(-cls.logit)), 4) * 10000)
+       |      AS BIGINT) AS tick,
+       |    CASE WHEN m.quality >= 0.66 THEN 1 ELSE 0 END AS o
+       |   FROM cls JOIN m ON cls.doc_id = m.doc_id),
+       | b AS (SELECT least(tick // 1000, 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(tick) AS BIGINT) AS st,
+       |    CAST(sum(o) AS BIGINT) AS np,
+       |    sum(CAST(tick - o * 10000 AS HUGEINT) * (tick - o * 10000))
+       |      AS sd2
+       |   FROM f GROUP BY 1),
+       | g AS (SELECT n, sd2,
+       |    CAST((SELECT sum(n) FROM b) AS BIGINT) AS n_total,
+       |    st // n AS pbar,
+       |    np * 10000 // n AS obar,
+       |    CAST((SELECT sum(np) FROM b) * 10000 // (SELECT sum(n) FROM b)
+       |      AS BIGINT) AS obase
+       |   FROM b),
+       | agg AS (SELECT max(n_total) AS n_docs,
+       |    CAST(sum(sd2) // max(n_total) AS BIGINT) AS brier_e8,
+       |    CAST(sum(n * CAST(pbar - obar AS HUGEINT) * (pbar - obar))
+       |      // max(n_total) AS BIGINT) AS rel_e8,
+       |    CAST(sum(n * CAST(obar - obase AS HUGEINT) * (obar - obase))
+       |      // max(n_total) AS BIGINT) AS res_e8,
+       |    CAST(max(obase) * (10000 - max(obase)) AS BIGINT) AS unc_e8
+       |   FROM g)
+       |SELECT n_docs, brier_e8, rel_e8, res_e8, unc_e8,
+       |  CAST(brier_e8 - (rel_e8 - res_e8 + unc_e8) AS BIGINT)
+       |    AS grid_residual_e8
+       |FROM agg""".stripMargin
+
+  /** q291: edge embeddedness — the q231 triangle census credited to
+    * canonical edges, LEFT-joined back so support-0 bridges count. */
+  private lazy val q291Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | ee_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |     (SELECT pa AS node FROM cp_und UNION ALL SELECT pb FROM cp_und)
+       |   GROUP BY 1),
+       | ee_o AS (SELECT
+       |     CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+       |       THEN pa ELSE pb END AS src,
+       |     CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+       |       THEN pb ELSE pa END AS dst
+       |   FROM cp_und JOIN ee_deg d1 ON pa = d1.node
+       |   JOIN ee_deg d2 ON pb = d2.node),
+       | ee_t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |   FROM ee_o e1 JOIN ee_o e2
+       |     ON e1.src = e2.src AND e1.dst < e2.dst
+       |   WHERE EXISTS (SELECT 1 FROM cp_und u
+       |     WHERE u.pa = e1.dst AND u.pb = e2.dst)),
+       | ee_s AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS support FROM
+       |     (SELECT least(a, b) AS pa, greatest(a, b) AS pb FROM ee_t
+       |      UNION ALL SELECT least(a, c), greatest(a, c) FROM ee_t
+       |      UNION ALL SELECT least(b, c), greatest(b, c) FROM ee_t)
+       |   GROUP BY 1, 2),
+       | ee_e AS (SELECT coalesce(s.support, 0) AS support
+       |   FROM cp_und e LEFT JOIN ee_s s ON e.pa = s.pa AND e.pb = s.pb),
+       | ee_h AS (SELECT support, CAST(count(*) AS BIGINT) AS n_edges
+       |   FROM ee_e GROUP BY 1)
+       |SELECT support, n_edges,
+       |  CAST(n_edges * 1000000 // (SELECT sum(n_edges) FROM ee_h)
+       |    AS BIGINT) AS share_micro,
+       |  support = 0 AS is_local_bridge
+       |FROM ee_h""".stripMargin
+
+  /** q292: rolling WAU — q151's register scheme fanned over the 7
+    * report days it covers (q187's idiom), re-maxed per report day;
+    * the exact twin rides the same fan over the presence frame. */
+  private lazy val q292Sql: String = {
+    val m = graft.operators.Sketches.HllRegisters
+    val rb = graft.operators.Sketches.HllRegisterBits
+    val w1 = graft.operators.Sketches.HllRestBits + 1
+    s"""WITH u AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+       | h AS (SELECT day, user_id,
+       |    CAST('0x' || substr(md5('dau-' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      AS h FROM u),
+       | rr AS (SELECT day, h % $m AS reg,
+       |    CASE WHEN (h >> $rb) = 0 THEN $w1
+       |         ELSE $w1 - length(bin(h >> $rb)) END AS rho FROM h),
+       | daily AS (SELECT day, reg, max(rho) AS mrho FROM rr GROUP BY day, reg),
+       | fan AS (SELECT day + CAST(off AS INTEGER) AS report_day, reg, mrho
+       |   FROM (SELECT day, reg, mrho, unnest(range(0, 7)) AS off FROM daily)),
+       | rm AS (SELECT report_day, reg, max(mrho) AS mrho
+       |   FROM fan GROUP BY 1, 2),
+       | s AS (SELECT report_day, CAST(count(*) AS BIGINT) AS m_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (53 - mrho)) AS BIGINT) AS sumpow
+       |   FROM rm GROUP BY 1),
+       | e AS (SELECT report_day, m_hit, $m - m_hit AS zeros,
+       |    sumpow + ($m - m_hit) * (CAST(1 AS BIGINT) << 53) AS raw FROM s),
+       | est AS (SELECT report_day, m_hit,
+       |    CASE WHEN zeros > 0
+       |           AND ${graft.operators.Sketches.HllNumerator} / CAST(raw AS DOUBLE) <= ${2.5 * m}
+       |      THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+       |      ELSE ${graft.operators.Sketches.HllNumerator} / CAST(raw AS DOUBLE) END AS est
+       |   FROM e),
+       | presence AS (SELECT DISTINCT user_id, day FROM u),
+       | exfan AS (SELECT user_id, day + CAST(off AS INTEGER) AS report_day
+       |   FROM (SELECT user_id, day, unnest(range(0, 7)) AS off FROM presence)),
+       | ex AS (SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT)
+       |     AS true_wau
+       |   FROM exfan GROUP BY 1)
+       |SELECT report_day, m_hit, round(est, 2) AS est_wau, true_wau
+       |FROM est JOIN ex USING (report_day)""".stripMargin
+  }
 
   /** The dhash60 replay (shared by q118/q271/q276): q47's frame grid
     * at the given stride, each frame's chars folded into 61

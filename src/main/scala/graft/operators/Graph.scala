@@ -1350,6 +1350,47 @@ object Graph {
       .limit(k)
   }
 
+  /** EDGE EMBEDDEDNESS census — how many triangles run through each
+    * edge (Granovetter's tie strength at the structural grain), rolled
+    * to a histogram with the LOCAL BRIDGES called out: support-0 edges
+    * close no triangle, so they are the only local route between their
+    * endpoints' neighborhoods — the ties whose loss fragments a
+    * recommendation graph, and (dually) the cross-community edges LPA
+    * misassigns first. This is the COMPLEMENT of [[trussPeel]]'s
+    * readout: the peel keeps high-support edges and deliberately
+    * drops support-0 rows (its k ≥ 3 contract); the census LEFT-joins
+    * support back onto every edge with coalesce 0 so the bridge
+    * population is counted, not discarded.
+    *
+    * Scale: one q231 degree-ordered triangle census credited to each
+    * triangle's three canonical edges, one edge-keyed left join, then
+    * a support-bounded histogram. */
+  def edgeEmbeddedness(spark: SparkSession, dir: String): DataFrame = {
+    val edges = PlanCache.tracked(
+      coPurchaseEdges(spark, dir).select(col("pa"), col("pb")))
+    val deg = edges.select(col("pa").as("node"))
+      .union(edges.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val support = triangleRows(edges, deg)
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("pa"),
+          greatest(col("a"), col("b")).as("pb")),
+        struct(least(col("a"), col("c")).as("pa"),
+          greatest(col("a"), col("c")).as("pb")),
+        struct(least(col("b"), col("c")).as("pa"),
+          greatest(col("b"), col("c")).as("pb")))).as("e"))
+      .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .agg(count(lit(1)).as("support"))
+    edges.join(support, Seq("pa", "pb"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .withColumn("total", sum(col("n_edges")).over(Window.partitionBy()))
+      .select(col("support"), col("n_edges"),
+        expr("n_edges * 1000000 div total").as("share_micro"),
+        (col("support") === 0).as("is_local_bridge"))
+      .orderBy(col("support").asc)
+  }
+
   /** DEGREE DISTRIBUTION in log₂ buckets with the CCDF — the
     * one-glance structure readout run before ANY of the iterative
     * operators here is sized: a heavy power-law tail says "salt the

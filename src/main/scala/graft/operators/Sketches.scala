@@ -137,6 +137,64 @@ object Sketches {
       .select(col("day"), col("m_hit"), round(est, 2).as("est_dau"), col("true_dau"))
   }
 
+  /** ROLLING weekly-active-user sketch — the SLIDING merge completing
+    * the register-algebra triptych: [[dailyActiveUsers]] merges
+    * nothing, [[cumulativeActiveUsers]] merges all history forward,
+    * and this one re-merges a moving 7-day window — the shape every
+    * "WAU" dashboard needs, and the one a cumulative sketch CANNOT
+    * answer because registers don't subtract (max is not invertible).
+    * Instead each day's 256 registers fan to the ≤ 7 report days they
+    * cover (q187's WAU fan idiom — ×7 on a days-bounded frame, never
+    * a dense day×register grid) and re-max per report day; the exact
+    * WAU twin rides the same fan over the deduped presence frame as
+    * the truth anchor. Same 'dau-' register scheme as the other two,
+    * so a 1-day window degrades to the daily report by construction.
+    *
+    * Scale: the corpus-sized work is the one register fold and one
+    * presence dedup; everything downstream is (days × 256) × 7 at
+    * most. At 100 TB the exact leg is the one you drop. */
+  def rollingActiveUsers(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val m = HllRegisters
+    val base = PlanCache.tracked(Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")))
+    val h = Text.md5Hash60(concat(lit("dau-"), col("user_id").cast("string")))
+    val daily = base
+      .select(col("day"), pmod(h, lit(m)).as("reg"),
+        call_function("shiftright", h, lit(HllRegisterBits)).as("rest"))
+      .withColumn("rho",
+        when(col("rest") === 0, lit(HllRestBits + 1))
+          .otherwise(lit(HllRestBits + 1) - length(bin(col("rest")))))
+      .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("mrho"))
+    val windowed = daily
+      .select(col("day"), col("reg"), col("mrho"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(expr("date_add(day, CAST(off AS INT))").as("report_day"),
+        col("reg"), col("mrho"))
+      .groupBy(col("report_day"), col("reg")).agg(max(col("mrho")).as("mrho"))
+    val sums = windowed.groupBy(col("report_day")).agg(
+      count(lit(1)).as("m_hit"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(53 - mrho AS INT))"))
+        .as("sumpow"))
+    val exact = base.distinct()
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(expr("date_add(day, CAST(off AS INT))").as("report_day"),
+        col("user_id"))
+      .groupBy(col("report_day"))
+      .agg(count_distinct(col("user_id")).as("true_wau"))
+    val zeros = lit(m) - col("m_hit")
+    val raw = col("sumpow") + zeros * lit(1L << 53)
+    val estRaw = lit(HllNumerator) / raw.cast("double")
+    val est = when(zeros > 0 && estRaw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(estRaw)
+    sums.join(exact, Seq("report_day"))
+      .select(col("report_day"), col("m_hit"), round(est, 2).as("est_wau"),
+        col("true_wau"))
+      .orderBy(col("report_day").asc)
+  }
+
   /** CUMULATIVE distinct-user curve — [[dailyActiveUsers]]' running
     * twin: per day, the distinct users seen SO FAR, exact (first-seen
     * fold) beside the HLL estimate from an element-wise running

@@ -2593,6 +2593,56 @@ object TextOps {
       .orderBy(col("s_tick").desc)
   }
 
+  /** MURPHY (Brier) DECOMPOSITION — splits the classifier's mean
+    * squared probability error into the three terms practitioners act
+    * on differently: RELIABILITY (calibration error — fix with
+    * recalibration, q212's table is the per-bin view of this term),
+    * RESOLUTION (how far bin outcomes spread from the base rate —
+    * fix with better features; subtracts from the score), and
+    * UNCERTAINTY (the base rate's own variance — the floor no model
+    * beats without new information). Brier = REL − RES + UNC up to
+    * the floored-mean grid bias, which is emitted as its own column
+    * so the identity is auditable instead of asserted. Everything
+    * rides the q212 probability tick (10⁻⁴) and bins; squares are in
+    * the 10⁻⁸ grid (`_e8` columns), sums on Decimal(38) ≙ HUGEINT.
+    *
+    * Scale: one corpus scan folds to the 10-bin spine; every term is
+    * a bins-sized aggregate. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val p4 = round(lit(1.0) / (lit(1.0) + exp(-round(classifierLogit, 4))), 4)
+    val tick = round(p4 * 10000).cast("long")
+    val rows = Tables(spark, dir, "documents")
+      .select(tick.as("tick"),
+        when(Text.qualityScore(col("text")) >= 0.66, 1L).otherwise(0L)
+          .as("o"))
+      .select(least(expr("tick div 1000"), lit(9L)).as("bin"),
+        col("tick"), col("o"),
+        ((col("tick") - col("o") * 10000).cast(dec)
+          * (col("tick") - col("o") * 10000)).as("d2"))
+    val bins = rows.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("tick")).as("st"),
+        sum(col("o")).as("np"), sum(col("d2")).as("sd2"))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("p_total", sum(col("np")).over(Window.partitionBy()))
+      .select(col("n"), col("sd2"), col("n_total"),
+        expr("st div n").as("pbar"),
+        expr("np * 10000 div n").as("obar"),
+        expr("p_total * 10000 div n_total").as("obase"))
+    bins.agg(
+        max(col("n_total")).as("n_docs"),
+        expr("CAST(sum(sd2) div max(n_total) AS BIGINT)").as("brier_e8"),
+        expr("""CAST(sum(n * CAST(pbar - obar AS DECIMAL(38,0))
+            * (pbar - obar)) div max(n_total) AS BIGINT)""").as("rel_e8"),
+        expr("""CAST(sum(n * CAST(obar - obase AS DECIMAL(38,0))
+            * (obar - obase)) div max(n_total) AS BIGINT)""").as("res_e8"),
+        expr("CAST(max(obase) * (10000 - max(obase)) AS BIGINT)")
+          .as("unc_e8"))
+      .withColumn("grid_residual_e8",
+        col("brier_e8") - (col("rel_e8") - col("res_e8") + col("unc_e8")))
+  }
+
   /** TEXTRANK keyword ranking — PageRank over the token co-occurrence
     * graph (Mihalcea & Tarau 2004), the graph-centrality face of the
     * keyword family: q66 ranks tokens by tf-idf mass, q85 scores PAIRS

@@ -27,6 +27,45 @@ class EvalCurvesSpec extends SparkSpec {
     assert(rows.last._6 == 1000000L && rows.last._4 == 0L)
   }
 
+  test("brier decomposition: identity holds within the floored-mean grid bias") {
+    val r = TextOps.brierDecomposition(spark, sf).collect()(0)
+    val (n, brier, rel, res, unc, resid) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(n > 0)
+    // every term lives on the e8 probability² grid
+    Seq(brier, rel, res, unc).foreach(v => assert(v >= 0 && v <= 100000000L))
+    assert(resid == brier - (rel - res + unc))
+    // the floored bin means bias each mean by < 1 tick; the identity's
+    // residual is bounded by a few ticks of slack per term (10⁻⁴ grid →
+    // cross terms ≤ ~3·10⁴ on the e8 grid, far under any real signal)
+    assert(math.abs(resid) <= 100000L, s"grid residual $resid out of bound")
+    // resolution can never exceed uncertainty (Murphy's inequality)
+    assert(res <= unc)
+  }
+
+  test("edge embeddedness: census conserves edges and matches the truss support view") {
+    val rows = Graph.edgeEmbeddedness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // bridges flagged exactly at support 0; histogram shares sum to ~1
+    rows.foreach { case (s, n, share, bridge) =>
+      assert(bridge == (s == 0) && n > 0 && share >= 0)
+    }
+    // edge conservation: census total equals the undirected edge count
+    val total = rows.map(_._2).sum
+    val edges = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    import org.apache.spark.sql.functions._
+    val nEdges = edges.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("s"))
+      .select(explode(expr(
+        "flatten(transform(sort_array(s), (x, i) -> " +
+          "transform(slice(sort_array(s), i + 2, size(s)), y -> struct(x, y))))"))
+        .as("p"))
+      .distinct().count()
+    assert(total == nEdges)
+  }
+
   test("degree histogram: bucket boundaries, node conservation, ccdf anchors") {
     val rows = Graph.degreeHistogram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -504,6 +504,9 @@ object SparkEntry {
     "q290_brier_decomposition" -> ((s, d) => TextOps.brierDecomposition(s, d)),
     "q291_edge_embeddedness" -> ((s, d) => Graph.edgeEmbeddedness(s, d)),
     "q292_rolling_wau" -> ((s, d) => Sketches.rollingActiveUsers(s, d)),
+    "q293_permutation_test" -> ((s, d) => EventFlow.permutationTest(s, d)),
+    "q294_rich_club" -> ((s, d) => Graph.richClub(s, d)),
+    "q295_seasonal_strength" -> ((s, d) => Relational.seasonalStrength(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -725,6 +728,9 @@ object SparkEntry {
       ("q290_brier_decomposition" -> q290Sql) +
       ("q291_edge_embeddedness" -> q291Sql) +
       ("q292_rolling_wau" -> q292Sql) +
+      ("q293_permutation_test" -> q293Sql) +
+      ("q294_rich_club" -> q294Sql) +
+      ("q295_seasonal_strength" -> q295Sql) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
@@ -2311,6 +2317,110 @@ object SparkEntry {
        |SELECT report_day, m_hit, round(est, 2) AS est_wau, true_wau
        |FROM est JOIN ex USING (report_day)""".stripMargin
   }
+
+  /** q293: permutation test — per-user conversion, B md5 relabelings,
+    * floored micro rates, add-one p. */
+  private lazy val q293Sql: String = {
+    val b = 200
+    s"""WITH pt_u AS (SELECT user_id,
+       |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS converted
+       |   FROM events GROUP BY 1),
+       | pt_obs AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS n_users,
+       |    abs(CAST(sum(CASE WHEN arm_a THEN converted ELSE 0 END) AS HUGEINT)
+       |        * 1000000
+       |        // greatest(sum(CASE WHEN arm_a THEN 1 ELSE 0 END), 1)
+       |      - CAST(sum(CASE WHEN arm_a THEN 0 ELSE converted END) AS HUGEINT)
+       |        * 1000000
+       |        // greatest(sum(CASE WHEN arm_a THEN 0 ELSE 1 END), 1))
+       |      AS obs_diff
+       |   FROM (SELECT converted,
+       |      CAST('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)), 1, 15)
+       |        AS BIGINT) % 2 = 0 AS arm_a
+       |     FROM pt_u)),
+       | pt_p AS (SELECT b,
+       |    abs(CAST(sum(CASE WHEN arm_a THEN converted ELSE 0 END) AS HUGEINT)
+       |        * 1000000
+       |        // greatest(sum(CASE WHEN arm_a THEN 1 ELSE 0 END), 1)
+       |      - CAST(sum(CASE WHEN arm_a THEN 0 ELSE converted END) AS HUGEINT)
+       |        * 1000000
+       |        // greatest(sum(CASE WHEN arm_a THEN 0 ELSE 1 END), 1))
+       |      AS diff
+       |   FROM (SELECT u.converted, f.b,
+       |      CAST('0x' || substr(md5('perm-' || CAST(f.b AS VARCHAR) || '-'
+       |          || CAST(u.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+       |        AS arm_a
+       |     FROM pt_u u, (SELECT unnest(range(1, ${b + 1})) AS b) f)
+       |   GROUP BY 1)
+       |SELECT (SELECT n_users FROM pt_obs) AS n_users,
+       |  CAST(count(*) AS BIGINT) AS b_perms,
+       |  CAST((SELECT obs_diff FROM pt_obs) AS BIGINT) AS obs_diff_micro,
+       |  CAST(sum(CASE WHEN diff >= (SELECT obs_diff FROM pt_obs)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       |  CAST((1 + sum(CASE WHEN diff >= (SELECT obs_diff FROM pt_obs)
+       |      THEN 1 ELSE 0 END)) * 1000000 // (count(*) + 1) AS BIGINT)
+       |    AS p_micro
+       |FROM pt_p""".stripMargin
+  }
+
+  /** q294: rich club — min-endpoint-degree edge census, the bounded
+    * power-of-two ladder exploded over both spines. */
+  private lazy val q294Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | rc_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |     (SELECT pa AS node FROM cp_und UNION ALL SELECT pb FROM cp_und)
+       |   GROUP BY 1),
+       | rc_n AS (SELECT t, CAST(sum(n) AS BIGINT) AS n_rich FROM
+       |     (SELECT n, unnest(list_filter(
+       |        [1, 2, 4, 8, 16, 32, 64, 128, 256], t -> t < deg)) AS t
+       |      FROM (SELECT deg, CAST(count(*) AS BIGINT) AS n
+       |            FROM rc_deg GROUP BY 1))
+       |   GROUP BY 1),
+       | rc_e AS (SELECT t, CAST(sum(e) AS BIGINT) AS e_rich FROM
+       |     (SELECT e, unnest(list_filter(
+       |        [1, 2, 4, 8, 16, 32, 64, 128, 256], t -> t < m)) AS t
+       |      FROM (SELECT least(d1.deg, d2.deg) AS m,
+       |              CAST(count(*) AS BIGINT) AS e
+       |            FROM cp_und JOIN rc_deg d1 ON pa = d1.node
+       |            JOIN rc_deg d2 ON pb = d2.node
+       |            GROUP BY 1))
+       |   GROUP BY 1)
+       |SELECT CAST(rc_n.t AS BIGINT) AS threshold, n_rich,
+       |  CAST(coalesce(e_rich, 0) AS BIGINT) AS e_rich,
+       |  CASE WHEN n_rich >= 2 THEN
+       |    CAST(2 * CAST(coalesce(e_rich, 0) AS HUGEINT) * 1000000
+       |      // (n_rich * (n_rich - 1)) AS BIGINT) END AS phi_micro
+       |FROM rc_n LEFT JOIN rc_e ON rc_n.t = rc_e.t""".stripMargin
+
+  /** q295: seasonality/trend strength — q273's decomposition as a CTE,
+    * dollar-grid moments on HUGEINT, one exact integer division. */
+  private lazy val q295Sql: String =
+    s"""WITH stl AS (
+       |$q273Sql
+       |),
+       | ss_p AS (SELECT residual_cents // 100 AS r,
+       |    (seasonal_cents + residual_cents) // 100 AS sr,
+       |    (trend_cents + residual_cents) // 100 AS tr
+       |   FROM stl),
+       | ss_m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(r) AS BIGINT) AS s_r,
+       |    sum(CAST(r AS HUGEINT) * r) AS q_r,
+       |    CAST(sum(sr) AS BIGINT) AS s_sr,
+       |    sum(CAST(sr AS HUGEINT) * sr) AS q_sr,
+       |    CAST(sum(tr) AS BIGINT) AS s_tr,
+       |    sum(CAST(tr AS HUGEINT) * tr) AS q_tr
+       |   FROM ss_p)
+       |SELECT n AS n_days,
+       |  greatest(CAST(0 AS BIGINT),
+       |    1000000 - CAST((n * q_r - CAST(s_r AS HUGEINT) * s_r) * 1000000
+       |      // greatest(n * q_sr - CAST(s_sr AS HUGEINT) * s_sr, 1)
+       |      AS BIGINT)) AS f_seasonal_micro,
+       |  greatest(CAST(0 AS BIGINT),
+       |    1000000 - CAST((n * q_r - CAST(s_r AS HUGEINT) * s_r) * 1000000
+       |      // greatest(n * q_tr - CAST(s_tr AS HUGEINT) * s_tr, 1)
+       |      AS BIGINT)) AS f_trend_micro
+       |FROM ss_m""".stripMargin
 
   /** The dhash60 replay (shared by q118/q271/q276): q47's frame grid
     * at the given stride, each frame's chars folded into 61

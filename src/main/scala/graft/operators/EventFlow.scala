@@ -1040,4 +1040,58 @@ object EventFlow {
       .select(col("lifetime"), col("n_at_risk"), col("n_churned"),
         col("n_censored"), col("h_micro"), col("cum_h_micro"))
   }
+  /** PERMUTATION TEST for the A/B conversion difference — the exact
+    * resampling companion to [[abExperimentReadout]]'s Wald interval
+    * and χ² (both lean on normal approximations; the permutation
+    * p-value assumes nothing but exchangeability, which is the right
+    * tool at the small-cell sizes real experiment slices hit). Under
+    * the null the arm labels are arbitrary, so B md5-derived
+    * relabelings of the SAME users rebuild the |rate difference|
+    * distribution, and p = (1 + #{b : diff_b ≥ observed}) / (B + 1) —
+    * the add-one form that never reports an impossible p = 0. All
+    * integer: rates are floored micro divisions (identical truncation
+    * both engines), the comparison is long-vs-long.
+    *
+    * Scale: one scan folds per-user conversion (map-side combinable);
+    * the ×B fan rides the USERS frame (q233's replica-explode
+    * contract — pure map CPU, the shuffle carries 2·B aggregate
+    * rows). */
+  def permutationTest(spark: SparkSession, dir: String,
+      perms: Int = 200): DataFrame = {
+    val users = PlanCache.tracked(Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted")))
+    def armDiff(assigned: DataFrame, keys: Seq[String]): DataFrame =
+      assigned.groupBy(keys.map(col): _*)
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a"), col("converted")).otherwise(0L)).as("conv_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("is_a"), col("converted")).otherwise(0L)).as("conv_b"))
+        .withColumn("diff_micro", abs(
+          expr("CAST(conv_a AS DECIMAL(38,0)) * 1000000 div greatest(n_a, 1)")
+            - expr("CAST(conv_b AS DECIMAL(38,0)) * 1000000 div greatest(n_b, 1)")))
+    val observed = armDiff(users.withColumn("is_a",
+        pmod(graft.functions.Text.md5Hash60(
+          concat_ws("-", lit("ab"), col("user_id"))), lit(2L)) === 0),
+      Seq.empty)
+      .select(col("diff_micro").as("obs_diff_micro"),
+        (col("n_a") + col("n_b")).as("n_users"))
+    val permuted = armDiff(
+      users.select(col("user_id"), col("converted"),
+          explode(sequence(lit(1), lit(perms))).as("b"))
+        .withColumn("is_a", pmod(graft.functions.Text.md5Hash60(
+          concat_ws("-", lit("perm"), col("b").cast("string"),
+            col("user_id"))), lit(2L)) === 0),
+      Seq("b"))
+    permuted
+      .transform(Scalars.attach(_, observed, col("b"), col("n_users")))
+      .agg(max(col("n_users")).as("n_users"),
+        count(lit(1)).as("b_perms"),
+        max(col("obs_diff_micro")).as("obs_diff_micro"),
+        sum(when(col("diff_micro") >= col("obs_diff_micro"), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .withColumn("p_micro",
+        expr("(1 + n_ge) * 1000000 div (b_perms + 1)"))
+  }
 }

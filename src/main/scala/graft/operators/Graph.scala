@@ -1350,6 +1350,57 @@ object Graph {
       .limit(k)
   }
 
+  /** RICH-CLUB coefficient ladder — do the hubs preferentially trade
+    * with EACH OTHER? φ(k) = actual edges among nodes of degree > k
+    * over the possible N_k·(N_k−1)/2, reported at the power-of-two
+    * threshold ladder (the q289 bucket boundaries): a rising φ says
+    * the top of the catalog is an interlocked clique (one promoted
+    * hub drags the rest; a hub-partition failure is a correlated
+    * failure), a flat φ says hub-to-hub edges are just what their
+    * degrees force. The assortativity coefficient (q239) is this ladder's
+    * one-number shadow; the ladder shows WHERE the mixing turns.
+    *
+    * Integer exactness: an edge counts at every threshold below
+    * min(deg(u), deg(v)), so the census groups edges by that min once
+    * and EXPLODES the bounded threshold ladder per spine row — no
+    * threshold×edges join (and no nested-loop product); φ rides
+    * Decimal(38) through 2·E·10⁶ div (N·(N−1)), NULL below two club
+    * members on both engines.
+    *
+    * Scale: degrees are one edge-list pass; the min-degree census is
+    * edge-keyed map work; everything after runs on the ≤ 9-row
+    * ladder. */
+  def richClub(spark: SparkSession, dir: String): DataFrame = {
+    val ladder = "array(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L)"
+    val edges = PlanCache.tracked(
+      coPurchaseEdges(spark, dir).select(col("pa"), col("pb")))
+    val deg = PlanCache.tracked(edges.select(col("pa").as("node"))
+      .union(edges.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    // nodes with deg > t, per ladder threshold: explode the ladder
+    // over the bounded degree spine
+    val nodesAbove = deg.groupBy(col("deg")).agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(expr(
+        s"filter($ladder, t -> t < deg)")).as("t"))
+      .groupBy(col("t")).agg(sum(col("n")).as("n_rich"))
+    // edges whose BOTH endpoints clear t: group by min(deg_u, deg_v)
+    val edgesAbove = edges
+      .join(deg.select(col("node").as("pa"), col("deg").as("dx")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("dy")), Seq("pb"))
+      .select(least(col("dx"), col("dy")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("e"))
+      .select(col("e"), explode(expr(
+        s"filter($ladder, t -> t < m)")).as("t"))
+      .groupBy(col("t")).agg(sum(col("e")).as("e_rich"))
+    nodesAbove.join(edgesAbove, Seq("t"), "left")
+      .select(col("t").as("threshold"), col("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+        when(col("n_rich") >= 2, expr(
+          """CAST(2 * CAST(coalesce(e_rich, 0) AS DECIMAL(38,0)) * 1000000
+             div (n_rich * (n_rich - 1)) AS BIGINT)""")).as("phi_micro"))
+      .orderBy(col("threshold").asc)
+  }
+
   /** EDGE EMBEDDEDNESS census — how many triangles run through each
     * edge (Granovetter's tie strength at the structural grain), rolled
     * to a histogram with the LOCAL BRIDGES called out: support-0 edges

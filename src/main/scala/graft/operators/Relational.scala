@@ -1053,6 +1053,46 @@ object Relational {
       .orderBy(col("d").asc)
   }
 
+  /** SEASONALITY / TREND STRENGTH — Hyndman's F-measures over the q273
+    * decomposition, the one-row diagnostic that says whether the
+    * weekly forecaster (q269) and the trend smoothers (q264/q280) have
+    * anything to model: F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) — near 10⁶ micro means the
+    * component explains almost everything, near 0 means fitting noise.
+    * Fully integer: variances use the n·Σx² − (Σx)² moment form on
+    * Decimal(38) ≙ HUGEINT and the ratio is ONE exact integer division
+    * — no doubles anywhere. Moments fold on the DOLLAR grid
+    * (cents div 100, truncation identical cross-engine), which keeps
+    * n·Σx²·10⁶ inside Decimal(38) up to ~10¹² dollars/day.
+    *
+    * Scale: q273's posture — one daily rollup, then folds on the
+    * calendar-bounded spine. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val parts = stlDecompose(spark, dir)
+      .select(expr("residual_cents div 100").as("r"),
+        expr("(seasonal_cents + residual_cents) div 100").as("sr"),
+        expr("(trend_cents + residual_cents) div 100").as("tr"))
+    parts.agg(count(lit(1)).as("n"),
+        sum(col("r")).as("s_r"),
+        sum(col("r").cast(dec) * col("r")).as("q_r"),
+        sum(col("sr")).as("s_sr"),
+        sum(col("sr").cast(dec) * col("sr")).as("q_sr"),
+        sum(col("tr")).as("s_tr"),
+        sum(col("tr").cast(dec) * col("tr")).as("q_tr"))
+      .select(col("n").as("n_days"),
+        expr("""greatest(CAST(0 AS BIGINT),
+            1000000 - CAST((n * q_r - CAST(s_r AS DECIMAL(38,0)) * s_r)
+              * 1000000
+              div greatest(n * q_sr - CAST(s_sr AS DECIMAL(38,0)) * s_sr, 1)
+              AS BIGINT))""").as("f_seasonal_micro"),
+        expr("""greatest(CAST(0 AS BIGINT),
+            1000000 - CAST((n * q_r - CAST(s_r AS DECIMAL(38,0)) * s_r)
+              * 1000000
+              div greatest(n * q_tr - CAST(s_tr AS DECIMAL(38,0)) * s_tr, 1)
+              AS BIGINT))""").as("f_trend_micro"))
+  }
+
   /** TPC-H Q6 shape — forecast revenue change: the revenue that would
     * be gained by eliminating discounts in a band, for one ship year,
     * on small quantities. The canonical single-scan filter+aggregate:

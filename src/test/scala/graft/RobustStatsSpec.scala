@@ -92,6 +92,28 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("seasonal strength: BigInt moment fold over the decomposition") {
+    val got = Relational.seasonalStrength(spark, sf).collect()(0)
+    val stl = Relational.stlDecompose(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    def varN(xs: Seq[Long]): BigInt = {
+      val n = BigInt(xs.length)
+      val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      n * q - s * s
+    }
+    val r = stl.toSeq.map(x => x._3 / 100)
+    val sr = stl.toSeq.map(x => (x._2 + x._3) / 100)
+    val tr = stl.toSeq.map(x => (x._1 + x._3) / 100)
+    def f(denom: BigInt): Long =
+      (BigInt(1000000) - varN(r) * 1000000 / denom.max(1)).max(0).toLong
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      (stl.length.toLong, f(varN(sr)), f(varN(tr))))
+    // the corpus carries a genuine weekly cycle: seasonality should
+    // explain a visible share
+    assert(got.getLong(1) > 0L)
+  }
+
   test("ccf: lag 0 matches direct Pearson; ladder bounded and complete") {
     val rows = Relational.crossCorrelation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1),

@@ -507,6 +507,7 @@ object SparkEntry {
     "q293_permutation_test" -> ((s, d) => EventFlow.permutationTest(s, d)),
     "q294_rich_club" -> ((s, d) => Graph.richClub(s, d)),
     "q295_seasonal_strength" -> ((s, d) => Relational.seasonalStrength(s, d)),
+    "q296_simpson_diversity" -> ((s, d) => TextOps.simpsonDiversity(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -731,6 +732,23 @@ object SparkEntry {
       ("q293_permutation_test" -> q293Sql) +
       ("q294_rich_club" -> q294Sql) +
       ("q295_seasonal_strength" -> q295Sql) +
+      ("q296_simpson_diversity" ->
+        """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+          |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+          |         FROM documents)
+          |   GROUP BY 1, 2),
+          | sd_m AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+          |    CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |    sum(CAST(tf AS HUGEINT) * (tf - 1)) AS coll,
+          |    sum(CAST(tf AS HUGEINT) * tf) AS sq
+          |   FROM sd_tf GROUP BY 1)
+          |SELECT source, vocab, n_tokens,
+          |  CAST(1000000 - coll * 1000000
+          |    // greatest(CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 1)
+          |    AS BIGINT) AS diversity_micro,
+          |  CAST(CAST(n_tokens AS HUGEINT) * n_tokens // greatest(sq, 1)
+          |    AS BIGINT) AS effective_vocab
+          |FROM sd_m""".stripMargin) +
       ("q240_semantic_decontam" ->
         """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
           | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),

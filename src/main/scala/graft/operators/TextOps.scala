@@ -2593,6 +2593,39 @@ object TextOps {
       .orderBy(col("s_tick").desc)
   }
 
+  /** SIMPSON DIVERSITY of each source's token distribution — the
+    * EXACT-integer counterpart to q126's entropy (entropy needs logs
+    * and therefore rides a micro-probability grid; Simpson's
+    * λ = Σ n(n−1) / N(N−1) is a pure count ratio, so this row is the
+    * diversity readout with NO grid approximation at all): the
+    * probability two tokens drawn without replacement coincide.
+    * Reported as diversity 1−λ (micro) plus the EFFECTIVE VOCABULARY
+    * 1/λ-with-replacement — "this source behaves like K equally-common
+    * token types", the number mixing plans actually reason with. The
+    * collision mass rides Decimal(38) ≙ HUGEINT (Σn² passes int64 at
+    * corpus scale).
+    *
+    * Scale: one (source, token) hash-agg (map-side combined), then a
+    * sources-sized fold — the q126 plan with a cheaper readout. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables(spark, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast(dec) * (col("tf") - 1)).as("coll"),
+        sum(col("tf").cast(dec) * col("tf")).as("sq"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        expr("""CAST(1000000 - coll * 1000000
+            div greatest(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1), 1)
+            AS BIGINT)""").as("diversity_micro"),
+        // effective vocabulary: N²/Σn² (with-replacement 1/λ), floored
+        expr("""CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens
+            div greatest(sq, 1) AS BIGINT)""").as("effective_vocab"))
+      .orderBy(col("source").asc)
+  }
+
   /** MURPHY (Brier) DECOMPOSITION — splits the classifier's mean
     * squared probability error into the three terms practitioners act
     * on differently: RELIABILITY (calibration error — fix with

@@ -66,6 +66,27 @@ class EvalCurvesSpec extends SparkSpec {
     assert(total == nEdges)
   }
 
+  test("simpson diversity: BigInt count-fold replay") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.simpsonDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val toks = Tables(spark, sf, "documents")
+      .select(col("source"),
+        explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val want = toks.groupBy(_._1).map { case (src, ts) =>
+      val counts = ts.groupBy(_._2).map(_._2.length.toLong)
+      val n = BigInt(counts.sum)
+      val coll = counts.map(c => BigInt(c) * (c - 1)).sum
+      val sq = counts.map(c => BigInt(c) * c).sum
+      (src, counts.size.toLong, n.toLong,
+        (BigInt(1000000) - coll * 1000000 / (n * (n - 1)).max(1)).toLong,
+        (n * n / sq.max(1)).toLong)
+    }.toSet
+    assert(got == want)
+  }
+
   test("degree histogram: bucket boundaries, node conservation, ccdf anchors") {
     val rows = Graph.degreeHistogram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -146,6 +146,13 @@ class PlanSpec extends SparkSpec {
     val c = plan("q255_rec_coverage")
     assert(c.contains("TopKPerGroup"), "q255 ranking lost the heap fusion")
     graft.operators.PlanCache.release()
+    // q282: BOTH rankings (projected and exact) filter row_number ≤ k
+    // directly above their windows, so each fuses — the JL readout
+    // must never pay two full per-query sorts over the candidate set
+    val jl = plan("q282_jl_ann")
+    assert(jl.split("TopKPerGroup").length >= 3,
+      "q282 lost a heap fusion (needs one per ranking)")
+    graft.operators.PlanCache.release()
   }
 
   test("dimension joins broadcast the small side") {

@@ -1958,10 +1958,24 @@ object SparkEntry {
       |  CAST((SELECT mad FROM ts_mad) // 1000000 AS BIGINT) AS mad_cents""".stripMargin
 
   /** q281: entity resolution — q186's deletion-variant candidates
-    * verified at levenshtein ≤ 1 become `pairs`, then the shared
-    * recursive closure (ccCtes) and a per-cluster rollup. */
-  private lazy val q281Sql: String =
-    s"""WITH RECURSIVE names AS (SELECT c_custkey AS id, c_name AS name
+    * verified at levenshtein ≤ 1 become the edge set, then UNROLLED
+    * min-label rounds (NOT the shared recursive closure: sequential
+    * customer names chain into one giant component, and a transitive
+    * closure over it is O(n²) rows — quadratic oracle cost at sf0.1+.
+    * The engine's connectedComponents THROWS if it hasn't reached the
+    * fixpoint within its 25-round cap, so a SUCCESSFUL engine run
+    * guarantees 26 unrolled min-label rounds land on the same
+    * fixpoint; extra rounds are no-ops). */
+  private lazy val q281Sql: String = {
+    val rounds = (1 to 26).map { i =>
+      s"""cc$i AS MATERIALIZED (SELECT x.doc_id,
+         |    least(x.cluster_id, coalesce(nb.m, x.cluster_id)) AS cluster_id
+         |  FROM cc${i - 1} x LEFT JOIN (
+         |    SELECT e.a AS doc_id, min(l.cluster_id) AS m
+         |    FROM edges e JOIN cc${i - 1} l ON e.b = l.doc_id
+         |    GROUP BY 1) nb USING (doc_id))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH names AS (SELECT c_custkey AS id, c_name AS name
        |   FROM customer),
        | vars AS (
        |   SELECT id, CAST('0x' || substr(md5(variant), 1, 15) AS BIGINT) AS vh
@@ -1977,11 +1991,16 @@ object SparkEntry {
        |   JOIN names na ON id_a = na.id
        |   JOIN names nb ON id_b = nb.id
        |   WHERE levenshtein(na.name, nb.name) <= 1),
-       | $ccCtes,
+       | edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+       | cc0 AS MATERIALIZED (SELECT a AS doc_id,
+       |    least(a, min(b)) AS cluster_id FROM edges GROUP BY a),
+       | $rounds,
        | ec_g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
-       |   FROM clus GROUP BY 1)
+       |   FROM cc26 GROUP BY 1)
        |SELECT cluster_id, n_members, name AS canonical_name
        |FROM ec_g JOIN names ON cluster_id = names.id""".stripMargin
+  }
 
   /** q282: JL projection — md5 hyperplane signs ('j-d', & 1, the LSH
     * family), 10⁻⁶ tick grid, exact int64 sums; both rankings replayed

@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average above which a timing row is flagged
+    * `suspect` — between the quiet builder board's observed ceiling
+    * (~3.8) and the known-contended r12 driver board (up to 16.9). */
+  val SuspectLoad = 8.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -66,17 +71,19 @@ object Bench {
       case (None, None) => Some(java.nio.file.Paths.get("BENCH_LATEST.json"))
     }
     var loads = Vector.empty[(String, Double)]
+    var suspects = Vector.empty[String]
     def emit(results: Seq[(String, Double)]): Unit = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val ls = loads.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val ss = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).sum
       val cpus = Runtime.getRuntime.availableProcessors
       val line =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
           s""""sf":"$sfDir","calibration_sec":$calibration,"cpus":$cpus,""" +
-          s""""load_1m":$ls}"""
+          s""""load_1m":$ls,"suspect":$ss,"n_suspect":${suspects.size}}"""
       println(line)
       Console.out.flush()
       try outPath.foreach { p =>
@@ -155,7 +162,18 @@ object Bench {
         case Some(ref) if twoMin > 3 * ref => math.min(twoMin, once())
         case _ => twoMin
       }
-      loads :+= (name -> math.max(l0, loadAvg()))
+      val load = math.max(l0, loadAvg())
+      // Self-adjudicating rows (the r12 lesson's last mile): a row is
+      // SUSPECT — read it with its environment, not as a regression —
+      // when its min still exceeds 3x the committed quiet-host
+      // reference, or when the load average around it exceeds
+      // SuspectLoad (the quiet builder board never passes 4; the
+      // load-inflated r12 driver board ran at up to 16.9). The board
+      // then carries its own verdict: n_suspect 0 = trust every row.
+      val suspect = reference.get(name).exists(ref => secs > 3 * ref) ||
+        load > SuspectLoad
+      if (suspect) suspects :+= name
+      loads :+= (name -> load)
       results :+= (name -> secs)
       emit(results)
     }

@@ -2060,7 +2060,7 @@ object SparkEntry {
       |    SELECT *, row_number() OVER (PARTITION BY user_id
       |        ORDER BY ts DESC, off DESC) AS rn FROM log)
       |  WHERE rn = 1 AND op <> 'delete')
-      |SELECT CASE WHEN k IS NULL THEN -1 ELSE k % 8 END AS bucket,
+      |SELECT CASE WHEN k IS NULL THEN -1 ELSE ((k % 8) + 8) % 8 END AS bucket,
       |  CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(coalesce(CAST(floor(value * 100) AS BIGINT), 0))
       |    AS BIGINT) AS cents
@@ -2352,7 +2352,8 @@ object SparkEntry {
        |     AS true_wau
        |   FROM exfan GROUP BY 1)
        |SELECT report_day, m_hit, round(est, 2) AS est_wau, true_wau
-       |FROM est JOIN ex USING (report_day)""".stripMargin
+       |FROM est JOIN ex USING (report_day)
+       |WHERE report_day <= (SELECT max(day) FROM u)""".stripMargin
   }
 
   /** q293: permutation test — per-user conversion, B md5 relabelings,

@@ -69,6 +69,13 @@ object Compiler {
   final case class DecontamDef(name: String, spec: graft.model.DecontamSpec)
       extends PipelineDef
 
+  /** A resident incremental-view-maintenance pipeline
+    * ([[graft.streaming.IvmStream]]): the change log at
+    * `spec.sourceDir` keeps the configured aggregate view fresh with
+    * delta work only, under the supervisor like any sync pipeline. */
+  final case class IvmDef(name: String, spec: graft.model.IvmTaskSpec)
+      extends PipelineDef
+
   /** The task-level `anomalyMonitor` opt-in runs an
     * [[graft.streaming.AnomalyStream]] per table beside its CDC
     * pipeline — daily op-count z-score alerts off the same
@@ -189,9 +196,11 @@ object Compiler {
     * previous running set (the engine treats this like a config load
     * failure). */
   def compileAll(specs: Seq[SyncTaskSpec],
-      decontam: Seq[graft.model.DecontamSpec] = Nil): Map[String, PipelineDef] = {
+      decontam: Seq[graft.model.DecontamSpec] = Nil,
+      ivm: Seq[graft.model.IvmTaskSpec] = Nil): Map[String, PipelineDef] = {
     val defs = specs.flatMap(compile) ++
-      decontam.filter(_.enabled).map(d => DecontamDef(s"decontam${d.id}", d))
+      decontam.filter(_.enabled).map(d => DecontamDef(s"decontam${d.id}", d)) ++
+      ivm.filter(_.enabled).map(s => IvmDef(s"ivm${s.id}", s))
     val dupNames = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dupNames.isEmpty, s"pipeline name collision: ${dupNames.mkString(", ")}")
     // rollup queryNames are sanitized ([^A-Za-z0-9_] → _), which can
@@ -217,6 +226,8 @@ object Compiler {
       // corpus + crawl source are read-only; it owns its log + checkpoint
       case DecontamDef(n, s) => Seq(s.outDir, s.checkpointDir).map((n, _))
       case AnomalyDef(n, _, hist, ckpt) => Seq(hist, ckpt).map((n, _))
+      // change log is read-only; it owns its view store + checkpoint
+      case IvmDef(n, s) => Seq(s.storeDir, s.checkpointDir).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)
     roots.sliding(2).foreach {
       case Seq((na, a), (nb, b)) =>

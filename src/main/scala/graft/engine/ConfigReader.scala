@@ -51,6 +51,7 @@ object ConfigReader {
       optimizeTasks: Seq[OptimizeSpec] = Nil,
       dqTasks: Seq[DqSpec] = Nil,
       decontamTasks: Seq[DecontamSpec] = Nil,
+      ivmTasks: Seq[graft.model.IvmTaskSpec] = Nil,
       annIndexTasks: Seq[graft.model.AnnIndexSpec] = Nil,
       checksumTasks: Seq[ChecksumSpec] = Nil,
       annEvalTasks: Seq[AnnEvalSpec] = Nil,
@@ -110,6 +111,13 @@ object ConfigReader {
         try Some(parseAnnIndexTask(n))
         catch { case e: Exception =>
           logger.warn(s"skipping malformed annIndex task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
+      ivmTasks = root.path("ivmTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseIvmTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed ivm task ${n.path("id").asText("?")}: ${e.getMessage}")
           None
         }
       },
@@ -360,6 +368,36 @@ object ConfigReader {
         val f = n.path("numFiles").asInt(8)
         require(f > 0, "numFiles must be positive"); f
       })
+  }
+
+  private val IvmAggTokens = Set("n_rows", "cents")
+
+  private def parseIvmTask(n: JsonNode): graft.model.IvmTaskSpec = {
+    val aggsIn = n.path("aggs").elements.asScala.toSeq.map(_.asText)
+    val view = graft.model.IvmView(
+      buckets = n.path("buckets").asInt(8),
+      keyField = optText(n, "keyField").getOrElse("key"),
+      bucketField = optText(n, "bucketField").getOrElse("k"),
+      valueField = optText(n, "valueField").getOrElse("value"),
+      aggs = if (aggsIn.isEmpty) Seq("n_rows", "cents") else aggsIn)
+    require(view.buckets >= 1, "ivm task: buckets must be >= 1")
+    // honor-or-reject: IVM retraction algebra supports abelian-group
+    // aggregates only — a max/min cannot be retracted without full
+    // per-group state, so an unknown token is an error, not a no-op
+    val unknown = view.aggs.filterNot(IvmAggTokens)
+    require(unknown.isEmpty,
+      s"ivm task: unsupported aggregate(s) ${unknown.mkString(", ")} — " +
+        "retraction algebra supports n_rows and cents only")
+    require(view.aggs.contains("n_rows"),
+      "ivm task: n_rows is required — it is the liveness counter the " +
+        "empty-bucket drop rides on")
+    graft.model.IvmTaskSpec(
+      id = n.path("id").asInt(0),
+      enabled = n.path("enabled").asBoolean(true),
+      sourceDir = reqText(n, "sourceDir"),
+      storeDir = reqText(n, "storeDir"),
+      checkpointDir = reqText(n, "checkpointDir"),
+      view = view)
   }
 
   private def parseDecontamTask(n: JsonNode): DecontamSpec = {

@@ -138,6 +138,12 @@ final class GraftEngine(
       // the engine's sink; replays are anti-join idempotent
       guarded(() => graft.streaming.AnomalyStream.startChangeEvents(spark,
         sourceDir, hist, ckpt, alerts, availableNow = availableNow))
+    case Compiler.IvmDef(_, s) =>
+      // incremental view maintenance under the supervisor: delta-only
+      // work per batch, Atomic-versioned publishes with a batch-id
+      // replay guard — restarts resume exactly-once from the checkpoint
+      guarded(() => graft.streaming.IvmStream.start(spark, s.sourceDir,
+        s.storeDir, s.checkpointDir, s.view, availableNow))
   }
 
   /** Guardian envelope on the START path: a recoverable failure (e.g. a
@@ -171,7 +177,7 @@ final class GraftEngine(
     // to a colliding/nesting pipeline set must also keep the old state
     val (cfg, defs) = try {
       val c = ConfigReader.load(configPath)
-      (c, Compiler.compileAll(c.syncTasks, c.decontamTasks))
+      (c, Compiler.compileAll(c.syncTasks, c.decontamTasks, c.ivmTasks))
     } catch {
       case e: Exception =>
         alerts.send(Alerts.Alert("config_error", configPath, String.valueOf(e.getMessage)))
@@ -572,6 +578,7 @@ final class GraftEngine(
     case _: Compiler.RateMonitorDef => false // append-only file sink, no DLQ
     case _: Compiler.DecontamDef => false    // append-only file sink, no DLQ
     case _: Compiler.AnomalyDef => false     // idempotent history append, no DLQ
+    case _: Compiler.IvmDef => false         // replay-idempotent publish, no DLQ
   }
 
   private def targetDirOf(d: Compiler.PipelineDef): Option[String] = d match {
@@ -582,6 +589,7 @@ final class GraftEngine(
     case _: Compiler.RateMonitorDef => None // append-only log: no tombstones to sweep
     case _: Compiler.DecontamDef => None    // append-only log: no tombstones to sweep
     case _: Compiler.AnomalyDef => None     // append-only history: no tombstones to sweep
+    case _: Compiler.IvmDef => None         // Atomic-versioned view: no tombstones to sweep
   }
 
   /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
@@ -683,6 +691,16 @@ final class GraftEngine(
         graft.streaming.DecontamStream.currentScores(spark, s.outDir)
       case other => throw new IllegalArgumentException(
         s"$name is not a decontam pipeline (got $other)")
+    }
+
+  /** Snapshot face of an `ivmTasks` pipeline's live view — bucket +
+    * the view's configured aggregate columns. */
+  def ivmView(name: String): org.apache.spark.sql.DataFrame =
+    pipelineDefs.get(name) match {
+      case Some(Compiler.IvmDef(_, s)) =>
+        graft.streaming.IvmStream.currentView(spark, s.storeDir, s.view)
+      case other => throw new IllegalArgumentException(
+        s"$name is not an ivm pipeline (got $other)")
     }
 
   def activeQueries: Map[String, StreamingQuery] = supervisor.activeQueries

@@ -285,6 +285,36 @@ final case class AnnIndexSpec(
   * `contaminated` column) in `outDir` under the supervisor — hot
   * reload, restart-on-death, and guarded starts like any sync
   * pipeline. */
+/** The view an IVM pipeline maintains ([[graft.streaming.IvmStream]],
+  * batch twin [[graft.operators.Cdc.incrementalViewOf]]): group rows
+  * by `pmod(payload.bucketField, buckets)` (null key → bucket −1) and
+  * keep the configured aggregate columns fresh under last-writer-wins
+  * change semantics. Only ABELIAN-GROUP aggregates can ride retraction
+  * algebra (a max cannot be un-maxed without full per-group state), so
+  * the supported tokens are `n_rows` (live-row count — required: it is
+  * the liveness counter the empty-bucket drop needs) and `cents`
+  * (sum of floor(payload.valueField · 100)). */
+final case class IvmView(
+    buckets: Int = 8,
+    keyField: String = "key",
+    bucketField: String = "k",
+    valueField: String = "value",
+    aggs: Seq[String] = Seq("n_rows", "cents"))
+
+/** A resident incremental-view-maintenance pipeline: the CDC change
+  * log at `sourceDir` keeps the [[IvmView]] aggregate view fresh with
+  * delta work only, publishing Atomic-versioned replacements under
+  * `storeDir` with a batch-id replay guard — under the supervisor
+  * like any sync pipeline (hot reload, restart-on-death, guarded
+  * starts). */
+final case class IvmTaskSpec(
+    id: Int,
+    enabled: Boolean = true,
+    sourceDir: String = "",
+    storeDir: String = "",
+    checkpointDir: String = "",
+    view: IvmView = IvmView())
+
 final case class DecontamSpec(
     id: Int,
     enabled: Boolean = true,

@@ -94,15 +94,31 @@ object Cdc {
   /** [[incrementalView]] over any change log with
     * (op, key, after(value, k), ts, offset) — the fixture-parametric
     * core the differential spec replays hostile logs through. */
-  def incrementalViewOf(log: DataFrame, buckets: Int = 8): DataFrame = {
+  def incrementalViewOf(log: DataFrame, buckets: Int = 8): DataFrame =
+    incrementalViewOf(log, graft.model.IvmView(buckets = buckets))
+
+  /** [[incrementalViewOf]] for a CONFIGURED view — the batch twin of
+    * the `ivmTasks` stream face, sharing its
+    * [[graft.model.IvmView]] bucket/value/aggregate contract so a
+    * parity check between the two is meaningful on any view spec. The
+    * log's key column is `view.keyField`; bucket/value fields are
+    * looked up inside the `after` payload struct. */
+  def incrementalViewOf(log: DataFrame,
+      view: graft.model.IvmView): DataFrame = {
+    val buckets = view.buckets
     val logCols: Seq[org.apache.spark.sql.Column] = Seq(
-      col("op"), col("key"), col("after"), col("ts"), col("offset"))
-    val changes = PlanCache.tracked(log.select(logCols: _*))
-    // deterministic "snapshot vs delta" boundary (1-row fold,
-    // profiler convention); an empty log folds to cut 0 and an empty
-    // view instead of an NPE
-    val maxOff = changes.agg(max(col("offset"))).first()
-    val cut = if (maxOff.isNullAt(0)) 0L else maxOff.getLong(0) / 2
+      col("op"), col(view.keyField).as("key"), col("after"), col("ts"),
+      col("offset"))
+    val changes0 = PlanCache.tracked(log.select(logCols: _*))
+    // deterministic "snapshot vs delta" boundary, derived IN-PLAN via
+    // Scalars.attach so building the DataFrame stays lazy (no scan at
+    // construction time); an empty log folds to cut 0 and an empty view
+    val cutFrame = changes0.agg(
+      (coalesce(max(col("offset")), lit(0L)) / lit(2L)).cast("long")
+        .as("__cut"))
+    val changes = Scalars.attach(changes0, cutFrame,
+      col("offset"), col("__cut"))
+    val cut = col("__cut")
     def lww(log: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("key"))
         .orderBy(col("ts").desc, col("offset").desc)
@@ -111,18 +127,19 @@ object Cdc {
           col("offset"))
     }
     def contrib(state: DataFrame, sign: Int) = state.select(
-      coalesce(pmod(col("after.k"), lit(buckets.toLong)), lit(-1L))
-        .as("bucket"),
+      coalesce(pmod(col(s"after.${view.bucketField}"), lit(buckets.toLong)),
+        lit(-1L)).as("bucket"),
       lit(sign.toLong).as("dn"),
-      (lit(sign.toLong) * coalesce(floor(col("after.value") * 100)
-        .cast("long"), lit(0L))).as("dcents"))
+      (lit(sign.toLong) *
+        coalesce(floor(col(s"after.${view.valueField}") * 100)
+          .cast("long"), lit(0L))).as("dcents"))
     // ---- yesterday: the materialized view (persisted in production)
     val base = PlanCache.tracked(lww(changes.filter(col("offset") <= cut)))
     val baseState = base.filter(col("op") =!= "delete")
     val baseView = contrib(baseState, 1).groupBy(col("bucket"))
       .agg(sum(col("dn")).as("dn"), sum(col("dcents")).as("dcents"))
     // ---- today: delta-bounded maintenance
-    val delta = changes.filter(col("offset") > cut)
+    val delta = changes.filter(col("offset") > cut).drop("__cut")
     val touched = delta.select(col("key")).distinct()
     val oldRows = baseState.join(touched, Seq("key"), "left_semi")
     val newState = lww(base.join(touched, Seq("key"), "left_semi")
@@ -134,6 +151,7 @@ object Cdc {
       .groupBy(col("bucket"))
       .agg(sum(col("dn")).as("n_rows"), sum(col("dcents")).as("cents"))
       .filter(col("n_rows") > 0)
+      .select((col("bucket") +: view.aggs.distinct.map(col)): _*)
       .orderBy(col("bucket").asc)
   }
 }

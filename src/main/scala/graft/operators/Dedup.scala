@@ -1080,6 +1080,15 @@ object Dedup {
   def entityClustersOf(names: DataFrame): DataFrame = {
     val pairs = nameCandidatePairs(names).filter(col("dist") <= 1)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    entityClusterReadout(pairs, names)
+  }
+
+  /** Shared readout: verified pair edges → CC closure → min-id
+    * canonical name — the tail both the full-run face and the stored
+    * face converge through, so store-probe ≡ full-run is a statement
+    * about the EDGE SET only. */
+  private def entityClusterReadout(pairs: DataFrame,
+      names: DataFrame): DataFrame =
     connectedComponents(pairs)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
@@ -1087,5 +1096,119 @@ object Dedup {
         col("name").as("canonical_name")), Seq("cluster_id"))
       .select(col("cluster_id"), col("n_members"), col("canonical_name"))
       .orderBy(col("cluster_id").asc)
+
+  // ---- persisted entity-resolution store -------------------------------
+
+  /** Append an (id, name) batch to a PERSISTED entity-resolution store
+    * at `storeDir` — [[entityClusters]]' steady-state face, closing
+    * the one dedup pillar that still re-paired the whole corpus every
+    * run (every sibling family — band index, postings, IVF, codes —
+    * already has an append/probe shape). Three append-only parquet
+    * tables: `names` (id, name — the verify + canonical readout side),
+    * `variants` (id, vh — the 1-deletion-variant hash index), and
+    * `edges` (id_a, id_b — VERIFIED near-match pairs). Each append
+    * writes the batch's names and variants, then probes the full
+    * variant index with the BATCH SIDE ONLY (batch included, so
+    * batch↔batch pairs candidate through the index like everything
+    * else — the [[pairsAgainstStoredIndex]] contract), verifies each
+    * candidate with one codegen'd `levenshtein`, and appends the new
+    * edges. Cost per increment: O(batch × (len+1)) variant rows +
+    * batch-side bucket-mate candidates — old ids are only ever PROBED,
+    * never re-expanded or re-paired, which at 100 TB is the entire
+    * point. Contract: each id is appended exactly once (re-appending
+    * an id would duplicate its edges).
+    *
+    * Tombstoned ids ([[forgetInEntityStore]]) neither candidate nor
+    * verify; an append racing a compaction fails the compaction,
+    * never the append ([[Atomic.publish]]). */
+  def appendToEntityStore(names: DataFrame, storeDir: String): Unit = {
+    val spark = names.sparkSession
+    val batchVariants = names.select(col("id"), explode(concat(
+        array(col("name")),
+        expr("transform(sequence(1, length(name)), i -> " +
+          "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")))
+      .as("variant"))
+      .select(col("id"), Text.md5Hash60(col("variant")).as("vh"))
+      .persist()
+    try {
+      names.select(col("id"), col("name")).write.mode("append")
+        .parquet(Atomic.resolve(spark, storeDir, "names"))
+      batchVariants.write.mode("append")
+        .parquet(Atomic.resolve(spark, storeDir, "variants"))
+      val stored = Forgotten.exclude(
+        spark.read.parquet(Atomic.resolve(spark, storeDir, "variants")),
+        "id", spark, storeDir)
+      val cand = batchVariants.as("x").join(stored.as("y"),
+          col("x.vh") === col("y.vh") && col("x.id") =!= col("y.id"))
+        .select(least(col("x.id"), col("y.id")).as("id_a"),
+          greatest(col("x.id"), col("y.id")).as("id_b"))
+        .distinct()
+      val storedNames = Forgotten.exclude(
+        spark.read.parquet(Atomic.resolve(spark, storeDir, "names")),
+        "id", spark, storeDir)
+      cand
+        .join(storedNames.select(col("id").as("id_a"),
+          col("name").as("name_a")), Seq("id_a"))
+        .join(storedNames.select(col("id").as("id_b"),
+          col("name").as("name_b")), Seq("id_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select(col("id_a"), col("id_b"))
+        .write.mode("append")
+        .parquet(Atomic.resolve(spark, storeDir, "edges"))
+    } finally batchVariants.unpersist()
+  }
+
+  /** Entity clusters from the PERSISTED store — the CC closure +
+    * min-id canonical readout over the accumulated verified edges
+    * (edge-set-sized work: near-match edges are tiny relative to the
+    * corpus, so the read face never touches variants). Equals
+    * [[entityClusters]] over the union of all appended batches
+    * (spec-pinned on a two-append fixture). A tombstoned id drops out
+    * of the closure entirely — chains THROUGH it split, the correct
+    * right-to-be-forgotten semantics for record linkage. */
+  def entityClustersFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val edges = Forgotten.exclude(Forgotten.exclude(
+        spark.read.parquet(Atomic.resolve(spark, storeDir, "edges")),
+        "id_a", spark, storeDir), "id_b", spark, storeDir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val names = Forgotten.exclude(
+      spark.read.parquet(Atomic.resolve(spark, storeDir, "names")),
+      "id", spark, storeDir)
+    entityClusterReadout(edges, names)
+  }
+
+  /** Tombstone ids in the entity store — effective immediately at
+    * probe and read time; physical erasure happens at
+    * [[compactEntityStore]]. */
+  def forgetInEntityStore(spark: SparkSession, storeDir: String,
+      ids: Seq[Long]): Unit =
+    Forgotten.append(spark, storeDir, ids)
+
+  /** Compact the entity store: rewrite all three tables minus
+    * tombstoned ids (edges drop when EITHER endpoint is tombstoned —
+    * a forgotten entity's name must not survive as the other side of
+    * an edge row) and collapse append-accumulated small files; purge
+    * superseded versions and clear tombstones once rows are
+    * physically gone — the [[compactStoredIndex]] erasure contract. */
+  def compactEntityStore(spark: SparkSession, storeDir: String,
+      numFiles: Int = 8): Unit = {
+    val hadTombstones = Forgotten.read(spark, storeDir).isDefined
+    Seq("names", "variants").foreach { t =>
+      val live = Forgotten.exclude(
+        spark.read.parquet(Atomic.resolve(spark, storeDir, t)),
+        "id", spark, storeDir)
+      Atomic.publish(spark, storeDir, t) { staged =>
+        live.repartition(numFiles).write.mode("overwrite").parquet(staged)
+      }
+    }
+    val liveEdges = Forgotten.exclude(Forgotten.exclude(
+        spark.read.parquet(Atomic.resolve(spark, storeDir, "edges")),
+        "id_a", spark, storeDir), "id_b", spark, storeDir)
+    Atomic.publish(spark, storeDir, "edges") { staged =>
+      liveEdges.repartition(numFiles).write.mode("overwrite").parquet(staged)
+    }
+    if (hadTombstones)
+      Seq("names", "variants", "edges").foreach(Atomic.purge(spark, storeDir, _))
+    Forgotten.clear(spark, storeDir)
   }
 }

@@ -189,7 +189,15 @@ object Sketches {
     val est = when(zeros > 0 && estRaw <= lit(2.5 * m),
       lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
       .otherwise(estRaw)
+    // cap the report spine at the last DATA day (the kaplanMeier
+    // horizon attach): the unconditional 7-day fan otherwise emits
+    // trailing "future" report days whose windows only shrink
+    val lastDay = base.agg(max(col("day")).as("last_day"))
     sums.join(exact, Seq("report_day"))
+      .transform(Scalars.attach(_, lastDay,
+        datediff(col("report_day"), lit("1970-01-01")),
+        datediff(col("last_day"), lit("1970-01-01"))))
+      .filter(col("report_day") <= col("last_day"))
       .select(col("report_day"), col("m_hit"), round(est, 2).as("est_wau"),
         col("true_wau"))
       .orderBy(col("report_day").asc)

@@ -139,34 +139,46 @@ object TextOps {
       case Some((w, _)) =>
         val losers = Dedup.dedupClusters(spark, dir)
           .filter(!col("is_canonical")).select(col("doc_id"))
-        val toks = Text.tokens(col("text"))
-        val shs = Text.shingles(col("text"), 3)
-        Tables(spark, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            Text.qualityScore(col("text")).as("quality"),
-            Text.langId(col("text")).as("guess"),
-            size(toks).cast("long").as("nt"),
-            size(array_distinct(toks)).cast("long").as("nd"),
-            Text.stopwordCount(col("text")).cast("long").as("ns"),
-            size(shs).cast("long").as("nsh"),
-            size(array_distinct(shs)).cast("long").as("ndsh"))
-          // the qualityFeatures micro grid, inlined so the whole gate
-          // is one scan (a features⋈documents join would shuffle the
-          // corpus twice for columns the same rows already carry)
-          .select(col("doc_id"), col("source"), col("quality"),
-            col("guess"),
-            expr("CAST(nd AS DECIMAL(38,0)) * 1000000 div nt").as("f1"),
-            expr("CAST(ns AS DECIMAL(38,0)) * 1000000 div nt").as("f2"),
-            least(col("nt") * lit(10000L), lit(1000000L)).as("f3"),
-            expr("1000000 - CAST(ndsh AS DECIMAL(38,0)) * 1000000 div nsh")
-              .as("f4"))
-          .select(col("doc_id"), col("source"), col("quality"),
-            col("guess"),
-            expr(s"(${microLogitExpr(w.toIndexedSeq)})").as("logit_micro"))
+        liveGateScan(spark, dir, w)
           .filter(col("guess") === "en" && col("logit_micro") >= 0L)
           .join(losers, Seq("doc_id"), "left_anti")
           .select("doc_id", "source", "quality", "logit_micro")
     }
+
+  /** The live-model gate computed IN the documents scan: one pass
+    * yielding (doc_id, source, quality, guess, logit_micro) with the
+    * registry weights folded in as literal arithmetic — shared by
+    * every registry-served curation face ([[curateWithLiveModel]],
+    * [[jointCurateWithLiveModel]], [[cleanSplitWithLiveModel]]) so
+    * none of them ever joins the corpus against a corpus-sized keep
+    * set. */
+  private def liveGateScan(spark: SparkSession, dir: String,
+      w: Seq[Long]): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val shs = Text.shingles(col("text"), 3)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.langId(col("text")).as("guess"),
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        Text.stopwordCount(col("text")).cast("long").as("ns"),
+        size(shs).cast("long").as("nsh"),
+        size(array_distinct(shs)).cast("long").as("ndsh"))
+      // the qualityFeatures micro grid, inlined so the whole gate
+      // is one scan (a features⋈documents join would shuffle the
+      // corpus twice for columns the same rows already carry)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("guess"),
+        expr("CAST(nd AS DECIMAL(38,0)) * 1000000 div nt").as("f1"),
+        expr("CAST(ns AS DECIMAL(38,0)) * 1000000 div nt").as("f2"),
+        least(col("nt") * lit(10000L), lit(1000000L)).as("f3"),
+        expr("1000000 - CAST(ndsh AS DECIMAL(38,0)) * 1000000 div nsh")
+          .as("f4"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("guess"),
+        expr(s"(${microLogitExpr(w.toIndexedSeq)})").as("logit_micro"))
+  }
 
   /** Per-source quality cap: the best `n` documents of each source by
     * quality score (ties broken by doc_id for cross-engine
@@ -1442,6 +1454,49 @@ object TextOps {
           .otherwise("train").as("split"))
   }
 
+  /** REGISTRY-SERVED [[cleanSplit]] — once a model is founded, the
+    * TRAIN side is additionally gated by the live quality model: a
+    * would-be train document that fails the live gate (non-English or
+    * logit < 0) is labeled `filtered` instead of `train`, so the
+    * training corpus the split feeds is exactly the registry-curated
+    * one. Test and leakage-excluded labels are model-independent and
+    * unchanged (an eval member stays an eval member across
+    * promotions — re-labeling test on a model change would silently
+    * change the benchmark). Before the founding promotion this IS
+    * [[cleanSplit]] (declared q116 semantics) with a NULL
+    * `logit_micro` riding along.
+    *
+    * Scale: the live weights fold into the one documents scan as
+    * literal arithmetic ([[liveGateScan]]); test and excluded sets
+    * stay sample-sized broadcasts — no corpus-sized keep-set join. */
+  def cleanSplitWithLiveModel(spark: SparkSession, dir: String,
+      storeDir: String, testPerSource: Int = 12): DataFrame =
+    ModelStore.liveModel(spark, storeDir) match {
+      case None =>
+        cleanSplit(spark, dir, testPerSource)
+          .withColumn("logit_micro", lit(null).cast("long"))
+      case Some((w, _)) =>
+        val test = stratifiedSample(spark, dir, testPerSource).select("doc_id")
+        val clusters = PlanCache.tracked(
+          Dedup.dedupClusters(spark, dir).select("doc_id", "cluster_id"))
+        val testClusters = clusters.join(test, Seq("doc_id"), "left_semi")
+          .select("cluster_id").distinct()
+        val excluded = clusters
+          .join(broadcast(testClusters), Seq("cluster_id"), "left_semi")
+          .select("doc_id")
+        liveGateScan(spark, dir, w)
+          .join(broadcast(test.withColumn("t", lit(1))), Seq("doc_id"), "left")
+          .join(broadcast(excluded.withColumn("x", lit(1))), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"), col("source"),
+            when(col("t").isNotNull, "test")
+              .when(col("x").isNotNull, "excluded")
+              .when(col("guess") =!= "en" || col("logit_micro") < 0L,
+                "filtered")
+              .otherwise("train").as("split"),
+            col("logit_micro"))
+    }
+
   /** Joint lexical + semantic curation — the full modern filter chain
     * in one declarative plan: the [[curate]] bar (quality ∧ langID ∧
     * MinHash near-dup survivor) intersected with the
@@ -1455,6 +1510,18 @@ object TextOps {
     * already verify. */
   def jointCurate(spark: SparkSession, dir: String): DataFrame =
     curate(spark, dir)
+      .join(Similarity.semDedup(spark, dir).filter(!col("is_kept"))
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+
+  /** REGISTRY-SERVED [[jointCurate]] — the lexical leg's quality bar
+    * comes from the live [[ModelStore]] weights once a model is
+    * founded ([[curateWithLiveModel]]'s contract, literal q114
+    * semantics before the founding promotion); the semantic anti-join
+    * leg is model-independent and unchanged. Same scale shape as the
+    * literal face: one gated corpus scan + two small anti-joins. */
+  def jointCurateWithLiveModel(spark: SparkSession, dir: String,
+      storeDir: String): DataFrame =
+    curateWithLiveModel(spark, dir, storeDir)
       .join(Similarity.semDedup(spark, dir).filter(!col("is_kept"))
         .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
 

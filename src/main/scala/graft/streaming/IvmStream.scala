@@ -32,15 +32,20 @@ import graft.operators.Atomic
   * whole point of maintaining the view incrementally. */
 object IvmStream {
 
-  final case class ChangeRow(key: Long, op: String, value: java.lang.Double,
-      k: java.lang.Long, tsMicros: Long, offset: Long)
+  final case class ChangeRow(key: java.lang.Long, op: String,
+      value: java.lang.Double, k: java.lang.Long, tsMicros: Long, offset: Long)
   /** Per-key LWW state; `present = false` is a remembered tombstone. */
   final case class KeyState(present: Boolean, bucket: Long, cents: Long,
       tsMicros: Long, offset: Long)
   final case class DeltaRow(bucket: Long, dn: Long, dcents: Long)
 
-  val schema: String =
-    "op STRING, key LONG, value DOUBLE, k LONG, ts TIMESTAMP, offset LONG"
+  val schema: String = schemaFor(graft.model.IvmView())
+
+  /** The change-log read schema for a configured view — field names
+    * follow the view's key/bucket/value columns. */
+  def schemaFor(view: graft.model.IvmView): String =
+    s"op STRING, ${view.keyField} LONG, ${view.valueField} DOUBLE, " +
+      s"${view.bucketField} LONG, ts TIMESTAMP, offset LONG"
 
   /** The batch operator's contribution algebra, element-at-a-time:
     * null bucket key → −1, null payload → 0 cents. */
@@ -54,7 +59,7 @@ object IvmStream {
     KeyState(r.op != "delete", b, cents, r.tsMicros, r.offset)
   }
 
-  private def foldKey(buckets: Int)(key: Long, rows: Iterator[ChangeRow],
+  private def foldKey(buckets: Int)(key: String, rows: Iterator[ChangeRow],
       state: GroupState[KeyState]): Iterator[DeltaRow] = {
     val winner = rows.maxBy(r => (r.tsMicros, r.offset))
     val prev = state.getOption
@@ -74,24 +79,42 @@ object IvmStream {
 
   /** Stateful retraction fold over change rows; exposed for batch-mode
     * unit tests of the same code path. */
-  def deltaStream(changes: DataFrame, buckets: Int = 8): Dataset[DeltaRow] = {
+  def deltaStream(changes: DataFrame, buckets: Int = 8): Dataset[DeltaRow] =
+    deltaStream(changes, graft.model.IvmView(buckets = buckets))
+
+  /** [[deltaStream]] over a CONFIGURED view — field names map into the
+    * fixed fold shape at the select, so one stateful fold serves every
+    * `ivmTasks` entry. */
+  def deltaStream(changes: DataFrame,
+      view: graft.model.IvmView): Dataset[DeltaRow] = {
     val spark = changes.sparkSession
     import spark.implicits._
-    changes.select(col("key"), col("op"), col("value"), col("k"),
+    changes.select(col(view.keyField).as("key"), col("op"),
+        col(view.valueField).as("value"), col(view.bucketField).as("k"),
         unix_micros(col("ts")).as("tsMicros"), col("offset"))
       .as[ChangeRow]
-      .groupByKey(_.key)
+      // string key so a NULL-key change event forms its own group
+      // (the batch face's Window.partitionBy null semantics) instead
+      // of crashing the primitive-Long encoder
+      .groupByKey(r => String.valueOf(r.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        foldKey(buckets))
+        foldKey(view.buckets))
   }
 
   def start(spark: SparkSession, sourceDir: String, storeDir: String,
       checkpoint: String, buckets: Int = 8,
       availableNow: Boolean = true): StreamingQuery =
-    deltaStream(spark.readStream.schema(schema).json(sourceDir), buckets)
+    start(spark, sourceDir, storeDir, checkpoint,
+      graft.model.IvmView(buckets = buckets), availableNow)
+
+  /** [[start]] for a CONFIGURED view — the `ivmTasks` engine face. */
+  def start(spark: SparkSession, sourceDir: String, storeDir: String,
+      checkpoint: String, view: graft.model.IvmView,
+      availableNow: Boolean): StreamingQuery =
+    deltaStream(spark.readStream.schema(schemaFor(view)).json(sourceDir), view)
       .writeStream
       .foreachBatch { (batch: Dataset[DeltaRow], batchId: Long) =>
-        applyDeltas(batch.toDF(), storeDir, batchId)
+        applyDeltas(batch.toDF(), storeDir, batchId, view)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -103,34 +126,50 @@ object IvmStream {
     * replacement version — skipping batches the view has already
     * absorbed (crash replay). */
   private[graft] def applyDeltas(deltas: DataFrame, storeDir: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      view: graft.model.IvmView = graft.model.IvmView()): Unit = {
     val spark = deltas.sparkSession
-    if (deltas.isEmpty) return
-    if (lastBatch(spark, storeDir).exists(_ >= batchId)) return
-    val agg = deltas.groupBy(col("bucket"))
+    import spark.implicits._
+    // one action over the batch frame: the stateful fold runs exactly
+    // once and the buckets-sized aggregate is collected, so the
+    // emptiness branch and the merge never re-execute the source scan
+    val aggRows = deltas.groupBy(col("bucket"))
       .agg(sum(col("dn")).as("dn"), sum(col("dcents")).as("dcents"))
-    val merged = currentView(spark, storeDir)
-      .select(col("bucket"), col("n_rows").as("dn"), col("cents").as("dcents"))
+      .collect()
+    if (aggRows.isEmpty) return
+    if (lastBatch(spark, storeDir).exists(_ >= batchId)) return
+    val agg = aggRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("bucket", "dn", "dcents")
+    val withCents = view.aggs.contains("cents")
+    val merged = currentView(spark, storeDir, view)
+      .select(col("bucket"), col("n_rows").as("dn"),
+        (if (withCents) col("cents") else lit(0L)).as("dcents"))
       .unionByName(agg)
       .groupBy(col("bucket"))
       .agg(sum(col("dn")).as("n_rows"), sum(col("dcents")).as("cents"))
       .filter(col("n_rows") > 0)
+    val projected = merged
+      .select((col("bucket") +: view.aggs.distinct.map(col)): _*)
       .withColumn("last_batch", lit(batchId))
     Atomic.publish(spark, storeDir, "view") { path =>
-      merged.write.parquet(path)
+      projected.write.parquet(path)
     }
   }
 
-  /** Read face: the live view (bucket, n_rows, cents) — empty before
-    * the first publish. */
-  def currentView(spark: SparkSession, storeDir: String): DataFrame = {
+  /** Read face: the live view (bucket + the view's aggregate columns)
+    * — empty before the first publish. */
+  def currentView(spark: SparkSession, storeDir: String,
+      view: graft.model.IvmView = graft.model.IvmView()): DataFrame = {
     val live = Atomic.resolve(spark, storeDir, "view")
-    val viewSchema = "bucket LONG, n_rows LONG, cents LONG"
+    val aggCols = view.aggs.distinct
+    val viewSchema =
+      ("bucket LONG" +: aggCols.map(a => s"$a LONG")).mkString(", ")
     val p = new org.apache.hadoop.fs.Path(live)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(p))
       spark.read.schema(viewSchema + ", last_batch LONG").parquet(live)
-        .select("bucket", "n_rows", "cents")
+        .select("bucket", aggCols: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(viewSchema))

@@ -870,6 +870,76 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("config ivm: a non-default view spec matches the batch recompute; reload-drop stops the pipeline") {
+    import spark.implicits._
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // a change log with NON-DEFAULT field names (uid/v/g), 5 buckets,
+    // and the full hostile shape: null payload value, null bucket key,
+    // negative bucket key, update retraction, delete tombstone
+    val raw = Seq(
+      ("insert", 1L, Option(10.0), Option(2L), 1L),
+      ("insert", 2L, Option(20.5), Option(7L), 2L),
+      ("insert", 3L, Option.empty[Double], Option(3L), 3L),
+      ("insert", 4L, Option(5.25), Option.empty[Long], 4L),
+      ("insert", 5L, Option(-3.7), Option(-2L), 5L),
+      ("update", 1L, Option(11.0), Option(9L), 6L),
+      ("delete", 2L, Option.empty[Double], Option.empty[Long], 7L),
+      ("update", 4L, Option(6.5), Option(0L), 8L),
+      ("insert", 6L, Option(100.0), Option(12L), 9L)
+    ).toDF("op", "uid", "v", "g", "offset")
+      .withColumn("ts", expr(
+        "timestampadd(SECOND, CAST(offset AS INT), timestamp'2024-01-01 00:00:00')"))
+    raw.select("op", "uid", "v", "g", "ts", "offset")
+      .coalesce(1).write.mode("append").json(s"$root/changes")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "ivmTasks": [
+         |  { "id": 44, "sourceDir": "$root/changes",
+         |    "storeDir": "$root/ivmstore", "checkpointDir": "$root/ivmckpt",
+         |    "buckets": 5, "keyField": "uid", "bucketField": "g",
+         |    "valueField": "v", "aggs": ["n_rows", "cents"] } ] }""".stripMargin)
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false)
+    try {
+      val r = engine.pollOnce()
+      assert(r.started == Set("ivm44"))
+      engine.processAllAvailable()
+      val view = graft.model.IvmView(buckets = 5, keyField = "uid",
+        bucketField = "g", valueField = "v")
+      val got = engine.ivmView("ivm44").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      // parity: the streamed view equals the batch face's recompute of
+      // the SAME view spec over the same log
+      val batchLog = raw.select(col("op"), col("uid"),
+        struct(col("v"), col("g")).as("after"), col("ts"), col("offset"))
+      val want = Cdc.incrementalViewOf(batchLog, view).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      graft.operators.PlanCache.release()
+      assert(want.size == 4, s"fixture sanity: got $want")
+      assert(got == want, "config-driven IVM view must equal the batch twin")
+      // reload with the task removed: the reconcile stops it
+      writeConfig(cfgPath, """{ "syncTasks": [] }""")
+      val r2 = engine.pollOnce()
+      assert(r2.stopped == Set("ivm44"))
+    } finally engine.stop()
+  }
+
+  test("config ivm: honor-or-reject on non-abelian aggregates, fault-isolated") {
+    val cfg = ConfigReader.parse(
+      """{ "ivmTasks": [
+        |  { "id": 1, "sourceDir": "/s", "storeDir": "/v", "checkpointDir": "/c",
+        |    "aggs": ["n_rows", "max_cents"] },
+        |  { "id": 2, "sourceDir": "/s2", "storeDir": "/v2", "checkpointDir": "/c2",
+        |    "aggs": ["cents"] },
+        |  { "id": 3, "sourceDir": "/s3", "storeDir": "/v3", "checkpointDir": "/c3",
+        |    "buckets": 3 } ] }""".stripMargin)
+    // #1 (unsupported aggregate) and #2 (missing the n_rows liveness
+    // counter) are rejected; #3 parses with defaults — one bad task
+    // never takes down its siblings
+    assert(cfg.ivmTasks.map(_.id) == Seq(3))
+    assert(cfg.ivmTasks.head.view.buckets == 3)
+    assert(cfg.ivmTasks.head.view.aggs == Seq("n_rows", "cents"))
+  }
+
   test("scheduled training export: fires at its minute, manifest equals the operator, reload drops the job") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"
@@ -1376,6 +1446,71 @@ class EngineSpec extends SparkSpec {
     assert(after.forall(r => r.getLong(3) == 1000000000L))
     val afterIds = after.map(_.getLong(0)).toSet
     assert(literal.map(_._1).subsetOf(afterIds))
+    graft.operators.PlanCache.release()
+  }
+
+  test("joint curation serves the registry: a promotion changes the joint-curated set") {
+    val root = tmp()
+    val store = s"$root/model"
+    val to = graft.operators.TextOps
+    // pre-founding: the live face IS the literal q114 gate
+    val literal = to.jointCurate(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(literal.nonEmpty)
+    val before = to.jointCurateWithLiveModel(spark, sf, store).collect()
+    assert(before.map(_.getLong(0)).toSet == literal)
+    assert(before.forall(_.isNullAt(3)), "fallback rows carry no logit")
+    // reject-everything weights: the promotion empties the joint set
+    graft.operators.ModelStore.publishModel(spark, store,
+      Seq(-1000000000L, 0L, 0L, 0L, 0L), aucMicro = 500000L)
+    assert(to.jointCurateWithLiveModel(spark, sf, store).count() == 0L)
+    // admit-everything weights: the lexical bar is fully delegated,
+    // but the SEMANTIC leg still bites — every known embedding-space
+    // duplicate stays out even though the model admits everything
+    graft.operators.ModelStore.publishModel(spark, store,
+      Seq(1000000000L, 0L, 0L, 0L, 0L), aucMicro = 600000L)
+    val semDropped = graft.operators.Similarity.semDedup(spark, sf)
+      .filter(!org.apache.spark.sql.functions.col("is_kept"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(semDropped.nonEmpty, "fixture has no semantic duplicates")
+    val after = to.jointCurateWithLiveModel(spark, sf, store).collect()
+      .map(_.getLong(0)).toSet
+    assert(literal.subsetOf(after))
+    assert(after.intersect(semDropped).isEmpty,
+      "a semantic duplicate leaked past the joint live gate")
+    graft.operators.PlanCache.release()
+  }
+
+  test("clean split serves the registry: a promotion changes the train side only") {
+    val root = tmp()
+    val store = s"$root/model"
+    val to = graft.operators.TextOps
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val literal = splits(to.cleanSplit(spark, sf))
+    val before = to.cleanSplitWithLiveModel(spark, sf, store)
+    assert(splits(before) == literal)
+    assert(before.collect().forall(_.isNullAt(3)),
+      "fallback rows carry no logit")
+    // reject-everything weights: every would-be train row flips to
+    // `filtered`; test and leakage-excluded labels are untouched
+    graft.operators.ModelStore.publishModel(spark, store,
+      Seq(-1000000000L, 0L, 0L, 0L, 0L), aucMicro = 500000L)
+    val rejected = splits(to.cleanSplitWithLiveModel(spark, sf, store))
+    assert(rejected.keySet == literal.keySet)
+    literal.foreach { case (id, s) =>
+      if (s == "train")
+        assert(rejected(id) == "filtered", s"doc $id: ${rejected(id)}")
+      else assert(rejected(id) == s, s"doc $id label changed: ${rejected(id)}")
+    }
+    // admit-everything weights: train = the English would-be-train set
+    graft.operators.ModelStore.publishModel(spark, store,
+      Seq(1000000000L, 0L, 0L, 0L, 0L), aucMicro = 600000L)
+    val admitted = splits(to.cleanSplitWithLiveModel(spark, sf, store))
+    literal.foreach { case (id, s) =>
+      if (s != "train") assert(admitted(id) == s)
+      else assert(admitted(id) == "train" || admitted(id) == "filtered")
+    }
+    assert(admitted.values.count(_ == "train") > 0)
     graft.operators.PlanCache.release()
   }
 

@@ -508,6 +508,7 @@ object SparkEntry {
     "q294_rich_club" -> ((s, d) => Graph.richClub(s, d)),
     "q295_seasonal_strength" -> ((s, d) => Relational.seasonalStrength(s, d)),
     "q296_simpson_diversity" -> ((s, d) => TextOps.simpsonDiversity(s, d)),
+    "q297_jl_ivf_ann" -> ((s, d) => Similarity.jlIvfTopK(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -2044,6 +2045,59 @@ object SparkEntry {
       |  ON rp.query_id = re.query_id AND rp.cand_id = re.cand_id
       |WHERE rp.rank <= 5""".stripMargin
 
+  /** q297: JL + IVF composition — q282's projection feeding an IVF
+    * probe with shortlist-then-exact-rerank; every stage (projection,
+    * argmax assignment, probe ranks, shortlist, tick rerank) replays
+    * as integer math. */
+  private lazy val q297Sql: String =
+    """WITH ji_mi AS (SELECT vec_id, list_transform(embedding,
+      |     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mi
+      |   FROM embeddings),
+      | ji_sgn AS (SELECT j, d,
+      |     CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) ||
+      |         '-' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) & 1 = 0
+      |       THEN 1 ELSE -1 END AS s
+      |   FROM (SELECT unnest(range(0, 16)) AS j),
+      |        (SELECT unnest(range(0, 64)) AS d)),
+      | ji_pr AS (SELECT vec_id, j, CAST(sum(s * mi[CAST(d + 1 AS INTEGER)])
+      |     AS BIGINT) AS pj
+      |   FROM ji_mi, ji_sgn GROUP BY 1, 2),
+      | ji_pl AS (SELECT vec_id, list(pj ORDER BY j) AS p FROM ji_pr
+      |   GROUP BY 1),
+      | ji_ct AS (SELECT vec_id AS cid, p AS cp FROM ji_pl
+      |   WHERE vec_id < 16),
+      | ji_ad AS (SELECT c.vec_id AS vid, cid,
+      |     CAST(list_sum(list_transform(range(1, 17),
+      |       i -> c.p[i] * cp[i])) AS BIGINT) AS csim
+      |   FROM ji_pl c CROSS JOIN ji_ct),
+      | ji_as AS (SELECT vid AS cand_id, cid AS centroid_id FROM (
+      |     SELECT vid, cid, row_number() OVER (PARTITION BY vid
+      |       ORDER BY csim DESC, cid ASC) AS rn FROM ji_ad) WHERE rn = 1),
+      | ji_pb AS (SELECT vid AS query_id, cid AS centroid_id FROM (
+      |     SELECT vid, cid, row_number() OVER (PARTITION BY vid
+      |       ORDER BY csim DESC, cid ASC) AS rn FROM ji_ad WHERE vid < 10)
+      |   WHERE rn <= 4),
+      | ji_sc AS (SELECT pb.query_id, a.cand_id,
+      |     CAST(list_sum(list_transform(range(1, 17),
+      |       i -> cv.p[i] * qv.p[i])) AS BIGINT) AS psim
+      |   FROM ji_pb pb JOIN ji_as a USING (centroid_id)
+      |     JOIN ji_pl cv ON cv.vec_id = a.cand_id
+      |     JOIN ji_pl qv ON qv.vec_id = pb.query_id
+      |   WHERE a.cand_id <> pb.query_id),
+      | ji_sl AS (SELECT query_id, cand_id FROM (
+      |     SELECT query_id, cand_id, row_number() OVER (
+      |       PARTITION BY query_id ORDER BY psim DESC, cand_id ASC) AS rn
+      |     FROM ji_sc) WHERE rn <= 100),
+      | ji_ex AS (SELECT sl.query_id, sl.cand_id,
+      |     CAST(list_sum(list_transform(range(1, 65),
+      |       i -> c.mi[i] * q.mi[i])) AS BIGINT) AS sim_ticks
+      |   FROM ji_sl sl JOIN ji_mi c ON c.vec_id = sl.cand_id
+      |     JOIN ji_mi q ON q.vec_id = sl.query_id)
+      |SELECT query_id, cand_id, sim_ticks, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim_ticks DESC, cand_id ASC) AS rank FROM ji_ex)
+      |WHERE rank <= 5""".stripMargin
+
   /** q283: IVM — the oracle is deliberately the NAIVE full recompute
     * (q31's LWW fold + one group-by), so a green row proves the
     * engine's retraction algebra converges to it. */
@@ -3257,7 +3311,7 @@ object SparkEntry {
     val methods = Seq(
       "lsh" -> "q30_lsh_ann", "ivf" -> "q46_ivf_ann",
       "int8" -> "q62_quantized_ann", "pq" -> "q80_pq_ann",
-      "hamming" -> "q123_hamming_ann")
+      "hamming" -> "q123_hamming_ann", "jl+ivf" -> "q297_jl_ivf_ann")
     s"""WITH brute AS (SELECT query_id, cand_id FROM (
        |${oracleBase("q29_ann_topk")}
        |)),
@@ -3271,7 +3325,8 @@ object SparkEntry {
        |SELECT ms.method, coalesce(h.hits, 0) AS hits, t.total,
        |  CAST(coalesce(h.hits, 0) * 1000000 // t.total AS BIGINT)
        |    AS recall_micro
-       |FROM (SELECT unnest(['lsh','ivf','int8','pq','hamming']) AS method) ms
+       |FROM (SELECT unnest(['lsh','ivf','int8','pq','hamming','jl+ivf'])
+       |      AS method) ms
        |LEFT JOIN hit h ON h.method = ms.method
        |CROSS JOIN tot t""".stripMargin
   }
@@ -4806,6 +4861,7 @@ object SparkEntry {
         |FROM orders WHERE o_totalprice > 150000.0
         |GROUP BY o_orderstatus""".stripMargin,
     "q123_hamming_ann" -> q123Sql,
+    "q297_jl_ivf_ann" -> q297Sql,
     // q124: HLL inclusion–exclusion replay — union sums derived from
     // the per-source sums + the common-register join (max-merge means
     // the union keeps max(rho), so subtract the 2^(53−min) terms)

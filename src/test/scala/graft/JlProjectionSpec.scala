@@ -45,4 +45,36 @@ class JlProjectionSpec extends SparkSpec {
     }
     assert(got.toSeq == want)
   }
+
+  test("jl+ivf composition: structure holds and recall vs exact clears the floor") {
+    val got = Similarity.jlIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // structure: 10 queries × 5 ranked rows, ranks dense 1..5
+    assert(got.map(_._1).distinct.length == 10)
+    assert(got.length == 50)
+    assert(got.groupBy(_._1).values.forall(_.map(_._4).sorted.toSeq == (1 to 5)))
+    // recall floor vs the EXACT tick-dot top-5 (the same baseline the
+    // q282 readout ranks against): measured 29/50 at this fixture with
+    // the defaults — the floor at 25/50 catches a broken composition
+    // (random cells ≈ 1/100) without pinning the measured value
+    val ticks = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    val exactTop = ticks.keys.filter(_ < 10).map { q =>
+      q -> ticks.keys.filter(_ != q).toSeq
+        .sortBy(c => (-(0 until 64).map(d => ticks(c)(d) * ticks(q)(d)).sum, c))
+        .take(5).toSet
+    }.toMap
+    val hits = got.count { case (q, c, _, _) => exactTop(q).contains(c) }
+    assert(hits * 2 >= got.length, s"recall ${hits}/${got.length} below the 0.5 floor")
+    // the exact rerank really is exact: each returned sim_ticks equals
+    // the driver-side tick dot
+    got.foreach { case (q, c, s, _) =>
+      val want = (0 until 64).map(d => ticks(c)(d) * ticks(q)(d)).sum
+      assert(s == want, s"sim_ticks mismatch for ($q,$c)")
+    }
+  }
 }

@@ -509,6 +509,8 @@ object SparkEntry {
     "q295_seasonal_strength" -> ((s, d) => Relational.seasonalStrength(s, d)),
     "q296_simpson_diversity" -> ((s, d) => TextOps.simpsonDiversity(s, d)),
     "q297_jl_ivf_ann" -> ((s, d) => Similarity.jlIvfTopK(s, d)),
+    "q298_graph_evolution_series" ->
+      ((s, d) => Graph.communityEvolutionSeries(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -733,6 +735,7 @@ object SparkEntry {
       ("q293_permutation_test" -> q293Sql) +
       ("q294_rich_club" -> q294Sql) +
       ("q295_seasonal_strength" -> q295Sql) +
+      ("q298_graph_evolution_series" -> q298Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -1840,6 +1843,42 @@ object SparkEntry {
        |      // ((2 * CAST((SELECT w_total FROM ${p}m) AS HUGEINT))
        |        * (2 * CAST((SELECT w_total FROM ${p}m) AS HUGEINT)))
        |    END AS BIGINT) AS q_micro)""".stripMargin
+
+  /** q298: the N-epoch evolution series — q278's per-slice gauge
+    * machinery instantiated once per epoch over the integer epoch
+    * grid, with the drift as a lag over the epochs-sized rows. */
+  private lazy val q298Sql: String = {
+    val n = 4
+    val epochs = (0 until n).map { e =>
+      s"""gs${e}_items AS (SELECT DISTINCT l_orderkey AS basket,
+         |    l_partkey AS item
+         |   FROM gs_li WHERE ep = $e),
+         | gs${e}_und AS (SELECT a.item AS pa, c.item AS pb,
+         |     CAST(count(*) AS BIGINT) AS w
+         |   FROM gs${e}_items a JOIN gs${e}_items c USING (basket)
+         |   WHERE a.item < c.item GROUP BY 1, 2),
+         | ${lpaCtesOn(s"gs${e}_und", s"gs${e}_edges", s"gs${e}_l")},
+         | ${evoHalfCtes(s"gs${e}_")}""".stripMargin
+    }.mkString(",\n ")
+    val rows = (0 until n)
+      .map(e => s"SELECT CAST($e AS BIGINT) AS epoch, * FROM gs${e}_g")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH gs_ord AS (SELECT o_orderkey, epoch_us(o_orderdate) AS d
+       |   FROM orders),
+       | gs_rng AS (SELECT min(d) AS lo, max(d) - min(d) + 1 AS span
+       |   FROM gs_ord),
+       | gs_li AS (SELECT l_orderkey, l_partkey,
+       |     CAST(((d - (SELECT lo FROM gs_rng)) * $n)
+       |       // (SELECT span FROM gs_rng) AS BIGINT) AS ep
+       |   FROM lineitem JOIN gs_ord ON l_orderkey = o_orderkey),
+       | $epochs,
+       | gs_rows AS ($rows)
+       |SELECT epoch, n_nodes, n_edges, w_total,
+       |  n_comms AS n_communities, top_size, q_micro AS modularity_micro,
+       |  q_micro - lag(q_micro) OVER (ORDER BY epoch)
+       |    AS modularity_drift_micro
+       |FROM gs_rows ORDER BY epoch""".stripMargin
+  }
 
   /** q278: the evolution replay — the q260 midpoint halves, the
     * shared LPA walk instantiated once per half, the per-half gauge

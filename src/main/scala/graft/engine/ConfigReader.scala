@@ -554,8 +554,11 @@ object ConfigReader {
       schedule = schedule,
       sourceDir = reqText(n, "sourceDir"),
       iters = n.path("iters").asInt(4),
-      minQMicro = n.path("minQMicro").asLong(100000L))
+      minQMicro = n.path("minQMicro").asLong(100000L),
+      epochs = n.path("epochs").asInt(4),
+      maxDriftMicro = n.path("maxDriftMicro").asLong(Long.MaxValue))
     require(spec.iters > 0, "graph health task: iters must be positive")
+    require(spec.epochs >= 2, "graph health task: epochs must be >= 2")
     spec
   }
 

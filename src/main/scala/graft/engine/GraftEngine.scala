@@ -345,12 +345,24 @@ final class GraftEngine(
 
   private def toGraphHealthJob(spec: graft.model.GraphHealthSpec): Cron.Job =
     Cron.Job(GraftEngine.GraphHealthJobIdOffset + spec.id, spec.schedule, () =>
-      try GraftEngine.runGraphHealth(spark, spec).foreach { h =>
-        if (h.qMicro < spec.minQMicro)
-          alerts.send(Alerts.Alert("graph_modularity_low",
-            s"graphHealth${spec.id}",
-            s"Q ${h.qMicro}u < bound ${spec.minQMicro}u over " +
-              s"${h.nCommunities} communities"))
+      try {
+        GraftEngine.runGraphHealth(spark, spec).foreach { h =>
+          if (h.qMicro < spec.minQMicro)
+            alerts.send(Alerts.Alert("graph_modularity_low",
+              s"graphHealth${spec.id}",
+              s"Q ${h.qMicro}u < bound ${spec.minQMicro}u over " +
+                s"${h.nCommunities} communities"))
+        }
+        // drift watch (q298, opt-in): a structure that DECAYS epoch
+        // over epoch pages even while absolute Q still clears the bar
+        if (spec.maxDriftMicro != Long.MaxValue)
+          GraftEngine.runGraphEvolution(spark, spec).foreach {
+            case (epoch, drop) =>
+              alerts.send(Alerts.Alert("graph_modularity_drift",
+                s"graphHealth${spec.id}",
+                s"epoch $epoch dropped ${drop}u > bound " +
+                  s"${spec.maxDriftMicro}u"))
+          }
       }
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("graph_health_failed",
@@ -854,6 +866,23 @@ object GraftEngine {
         .collect()(0)
       if (rows.isNullAt(0)) None
       else Some(GraphHealth(rows.getLong(0), rows.getLong(1)))
+    } finally graft.operators.PlanCache.release()
+
+  /** Run one modularity-drift audit now: the q298 epoch series over
+    * the task's source, returning (epoch, drop-in-micro) for every
+    * epoch whose modularity FELL more than the spec's bound versus
+    * the previous epoch (the series frame is epochs-sized — the fold
+    * is driver-safe). */
+  def runGraphEvolution(spark: SparkSession,
+      spec: graft.model.GraphHealthSpec): Seq[(Long, Long)] =
+    try {
+      graft.operators.Graph
+        .communityEvolutionSeries(spark, spec.sourceDir, spec.epochs,
+          spec.iters)
+        .select("epoch", "modularity_drift_micro")
+        .collect()
+        .filter(r => !r.isNullAt(1) && -r.getLong(1) > spec.maxDriftMicro)
+        .map(r => (r.getLong(0), -r.getLong(1))).toSeq
     } finally graft.operators.PlanCache.release()
 
   /** Run one drift audit now: the q253 per-type TVD profile, returning

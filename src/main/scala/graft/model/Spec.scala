@@ -198,7 +198,12 @@ final case class GraphHealthSpec(
     schedule: String = "45 6 * * *",
     sourceDir: String = "",
     iters: Int = 4,
-    minQMicro: Long = 100000L)
+    minQMicro: Long = 100000L,
+    // modularity-DRIFT watch (q298): page when any epoch-over-epoch
+    // modularity DROP exceeds this bound. Long.MaxValue = off (the
+    // N-LPA series is only paid for when a bound is configured).
+    epochs: Int = 4,
+    maxDriftMicro: Long = Long.MaxValue)
 
 /** A scheduled distribution-drift audit over the event stream — the
   * watchdog face of the q253 monitor: each run computes the per-type

@@ -371,11 +371,6 @@ object Graph {
           .select(col("l_orderkey"), col("l_partkey"))), iters)
     val a = gauges(isA = true)
     val b = gauges(isA = false)
-    def qMicro(g: HalfGauges): Long = {
-      val m2 = BigInt(2) * g.wTotal
-      if (m2 == 0) 0L
-      else ((g.sumIn * m2 - g.sumTotSq) * 1000000 / (m2 * m2)).toLong
-    }
     val (qa, qb) = (qMicro(a), qMicro(b))
     val tvd: Long = {
       val (na, nb) = (BigInt(a.nComms), BigInt(b.nComms))
@@ -404,6 +399,58 @@ object Graph {
   private[graft] final case class HalfGauges(nNodes: Long, nEdges: Long,
       wTotal: Long, nComms: Long, topSize: Long, sumIn: BigInt,
       sumTotSq: BigInt, sizeHist: Map[Long, Long])
+
+  /** Exact modularity in integer micro from a slice's gauge moments:
+    * (Σin·2m − Σtot²)·10⁶ / (2m)², BigInt throughout. */
+  private def qMicro(g: HalfGauges): Long = {
+    val m2 = BigInt(2) * g.wTotal
+    if (m2 == 0) 0L
+    else ((g.sumIn * m2 - g.sumTotSq) * 1000000 / (m2 * m2)).toLong
+  }
+
+  /** N-EPOCH community evolution — [[communityEvolution]] generalized
+    * from two halves to a SERIES: the order-date range splits into
+    * `epochs` equal time slices, each slice's co-purchase graph gets
+    * the full gauge treatment (LPA labels → nodes/edges/weight/
+    * community census/exact modularity), and each epoch carries its
+    * modularity DRIFT against the previous epoch — the trend face a
+    * `graphHealthTasks` bound can watch (a community structure that
+    * decays epoch over epoch is the real alarm; one low absolute Q on
+    * a young graph is not). Epoch of a row: (d − lo)·N div span —
+    * integer-exact on both engines, last day lands in epoch N−1.
+    *
+    * Scale: one corpus-sized pair expansion and one LPA per epoch
+    * (each over its SLICE only — the q278 shape ×N/2); the final
+    * algebra folds 1-row scalars driver-side with BigInt exactness,
+    * and the output is an epochs-sized frame. */
+  def communityEvolutionSeries(spark: SparkSession, dir: String,
+      epochs: Int = 4, iters: Int = 4): DataFrame = {
+    require(epochs >= 2, "a series needs at least 2 epochs")
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"),
+        unix_micros(col("o_orderdate")).as("d"))
+    val mm = ord.agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val li = PlanCache.tracked(Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(ord, Seq("l_orderkey"))
+      .withColumn("ep",
+        expr(s"CAST(((d - ${lo}L) * ${epochs}L) DIV ${span}L AS BIGINT)")))
+    val series = (0 until epochs).map { e =>
+      val g = halfGauges(pairDeltas(li.filter(col("ep") === e.toLong)
+        .select(col("l_orderkey"), col("l_partkey"))), iters)
+      (e.toLong, g.nNodes, g.nEdges, g.wTotal, g.nComms, g.topSize, qMicro(g))
+    }
+    import spark.implicits._
+    series.zipWithIndex.map { case ((e, nn, ne, wt, nc, ts, q), i) =>
+      val drift: Option[Long] =
+        if (i == 0) None else Some(q - series(i - 1)._7)
+      (e, nn, ne, wt, nc, ts, q, drift)
+    }.toDF("epoch", "n_nodes", "n_edges", "w_total", "n_communities",
+      "top_size", "modularity_micro", "modularity_drift_micro")
+      .orderBy(col("epoch").asc)
+  }
 
   /** One half's structural gauges — every collect here is a 1-row
     * fold or the distinct-community-sizes histogram (tens of rows);

@@ -90,8 +90,22 @@ object ForecastStream {
     * 1995-01-02 mod 7, the batch operator's exact dow grid. */
   private val DowEpoch: Long = java.time.LocalDate.of(1995, 1, 2).toEpochDay
 
-  private def dowOf(epochDay: Long): Int =
+  private[streaming] def dowOf(epochDay: Long): Int =
     (((epochDay - DowEpoch) % 7 + 7) % 7).toInt
+
+  /** One Holt-Winters step on q269's integer grid — shared by the
+    * stateful stream fold and the residual-anomaly replay
+    * ([[ForecastAnomalyStream]]) so the recursion lives in exactly one
+    * place. Returns (level, trend, seasonal slots) after absorbing
+    * day-total `x` at weekly slot `w`; `founding` loads (x, 0, 0⁷). */
+  private[streaming] def hwStep(lv: Long, tr: Long, s: Seq[Long], w: Int,
+      x: Long, founding: Boolean): (Long, Long, Seq[Long]) =
+    if (founding) (x, 0L, s)
+    else {
+      val nl = (x - s(w) + 3 * (lv + tr)) / 4
+      val nt = (nl - lv + 3 * tr) / 4
+      (nl, nt, s.updated(w, (x - nl + 3 * s(w)) / 4))
+    }
 
   final case class HwState(lastDay: Long, nDays: Long, lv: Long, tr: Long,
       s: Seq[Long])
@@ -119,12 +133,7 @@ object ForecastStream {
       if (epochDay > st.lastDay) {
         val w = dowOf(epochDay)
         val (lv, tr, s) =
-          if (st.nDays == 0L) (r.cents, 0L, st.s)
-          else {
-            val nl = (r.cents - st.s(w) + 3 * (st.lv + st.tr)) / 4
-            val nt = (nl - st.lv + 3 * st.tr) / 4
-            (nl, nt, st.s.updated(w, (r.cents - nl + 3 * st.s(w)) / 4))
-          }
+          hwStep(st.lv, st.tr, st.s, w, r.cents, founding = st.nDays == 0L)
         st = HwState(epochDay, st.nDays + 1, lv, tr, s)
         val sNext = s(dowOf(epochDay + 1))
         out += HwRow(key, r.day, st.nDays, lv, tr, sNext, lv + tr + sNext)

@@ -1350,6 +1350,51 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("graph drift watchdog: an impossible drop bound pages per epoch; lenient and unconfigured stay silent") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    // drop ∈ (−2·10⁶, 2·10⁶) by Q's range, so a −2·10⁶ bound pages on
+    // EVERY epoch with a drift row (epochs − 1 of them), and a +2·10⁶
+    // bound can never page; minQMicro −2·10⁶ keeps the absolute-Q
+    // alert out of the way
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "graphHealthTasks": [
+         |  { "id": 5, "schedule": "45 6 * * *", "sourceDir": "$sf",
+         |    "minQMicro": -2000000, "epochs": 4, "maxDriftMicro": -2000000 }
+         |] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T06:45:00")) ==
+        Seq(GraftEngine.GraphHealthJobIdOffset + 5))
+      val fired = alerts.drain()
+      assert(fired.map(_.kind) == Seq.fill(3)("graph_modularity_drift"),
+        s"got $fired")
+      assert(fired.forall(_.message.contains("bound")), s"got $fired")
+      // lenient bound: silent
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [], "graphHealthTasks": [
+           |  { "id": 5, "schedule": "45 6 * * *", "sourceDir": "$sf",
+           |    "minQMicro": -2000000, "maxDriftMicro": 2000000 }
+           |] }""".stripMargin)
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T06:45:00")) ==
+        Seq(GraftEngine.GraphHealthJobIdOffset + 5))
+      assert(alerts.drain().isEmpty, "lenient drift bound paged")
+      // no maxDriftMicro: the series is never run, never pages
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [], "graphHealthTasks": [
+           |  { "id": 5, "schedule": "45 6 * * *", "sourceDir": "$sf",
+           |    "minQMicro": -2000000 }
+           |] }""".stripMargin)
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-03T06:45:00")) ==
+        Seq(GraftEngine.GraphHealthJobIdOffset + 5))
+      assert(alerts.drain().isEmpty, "unconfigured drift watch paged")
+    } finally engine.stop()
+  }
+
   /** A lineitem table with single-item baskets only: zero co-purchase
     * edges — the empty-graph audit case. */
   private def emptyGraphDir(): String = {

@@ -511,6 +511,12 @@ object SparkEntry {
     "q297_jl_ivf_ann" -> ((s, d) => Similarity.jlIvfTopK(s, d)),
     "q298_graph_evolution_series" ->
       ((s, d) => Graph.communityEvolutionSeries(s, d)),
+    "q299_roc_curve" -> ((s, d) => TextOps.rocCurve(s, d)),
+    "q300_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    "q301_changepoint" -> ((s, d) => Relational.changePoint(s, d)),
+    "q302_good_turing" -> ((s, d) => TextOps.goodTuring(s, d)),
+    "q303_heaps_law" -> ((s, d) => TextOps.heapsLaw(s, d)),
+    "q304_fleiss_kappa" -> ((s, d) => TextOps.fleissKappa(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -736,6 +742,12 @@ object SparkEntry {
       ("q294_rich_club" -> q294Sql) +
       ("q295_seasonal_strength" -> q295Sql) +
       ("q298_graph_evolution_series" -> q298Sql) +
+      ("q299_roc_curve" -> q299Sql) +
+      ("q300_assortativity" -> q300Sql) +
+      ("q301_changepoint" -> q301Sql) +
+      ("q302_good_turing" -> q302Sql) +
+      ("q303_heaps_law" -> q303Sql) +
+      ("q304_fleiss_kappa" -> q304Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -2314,6 +2326,191 @@ object SparkEntry {
        |    AS recall_micro,
        |  CAST(ap_num // greatest(p_total, 1) AS BIGINT) AS ap_micro
        |FROM ap""".stripMargin
+
+  /** q299: ROC curve — q288's tick walk with the tpr/fpr axis pair
+    * and Youden's J. */
+  private lazy val q299Sql: String =
+    s"""WITH cls AS (
+       |${oracleBase("q71_quality_classifier")}
+       |),
+       | $docMetricsCte,
+       | f AS (SELECT CAST(round(cls.logit * 10000) AS BIGINT) AS s,
+       |    m.quality >= 0.66 AS pos
+       |   FROM cls JOIN m ON cls.doc_id = m.doc_id),
+       | t AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |   FROM f GROUP BY s),
+       | r AS (SELECT *,
+       |    CAST(sum(np) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS tp,
+       |    CAST(sum(cnt) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS pp,
+       |    CAST(sum(np) OVER () AS BIGINT) AS p_total,
+       |    CAST(sum(cnt - np) OVER () AS BIGINT) AS n_total
+       |   FROM t),
+       | roc AS (SELECT s AS s_tick, tp, CAST(pp - tp AS BIGINT) AS fp,
+       |    CAST(tp * 1000000 // greatest(p_total, 1) AS BIGINT)
+       |      AS tpr_micro,
+       |    CAST((pp - tp) * 1000000 // greatest(n_total, 1) AS BIGINT)
+       |      AS fpr_micro
+       |   FROM r)
+       |SELECT s_tick, tp, fp, tpr_micro, fpr_micro,
+       |  tpr_micro - fpr_micro AS youden_micro
+       |FROM roc ORDER BY s_tick DESC""".stripMargin
+
+  /** q300: degree assortativity — exact integer moments over the
+    * symmetrized edge list, the q284 one-double-expression finish. */
+  private lazy val q300Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | as_sym AS (SELECT pa AS src, pb AS dst FROM cp_und
+       |   UNION ALL SELECT pb, pa FROM cp_und),
+       | as_deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |   FROM as_sym GROUP BY 1),
+       | as_m AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+       |    CAST(sum(dx.deg) AS BIGINT) AS sx,
+       |    CAST(sum(dy.deg) AS BIGINT) AS sy,
+       |    sum(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx,
+       |    sum(CAST(dy.deg AS HUGEINT) * dy.deg) AS syy,
+       |    sum(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy
+       |   FROM as_sym e JOIN as_deg dx ON e.src = dx.node
+       |   JOIN as_deg dy ON e.dst = dy.node)
+       |SELECT m2 AS n_directed_edges,
+       |  CASE WHEN (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+       |      AND (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       |    THEN CAST(round(round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       |      * 1000000, 0) AS BIGINT)
+       |  END AS assortativity_micro
+       |FROM as_m""".stripMargin
+
+  /** q301: single changepoint — floored-rational gain comparison over
+    * the prefix-sum spine, day tie-break, exact R². */
+  private lazy val q301Sql: String =
+    """WITH cpd AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      | cps AS (SELECT day, y,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+      |    CAST(sum(y) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS s1,
+      |    CAST(count(*) OVER () AS BIGINT) AS n,
+      |    CAST(sum(y) OVER () AS BIGINT) AS st,
+      |    sum(CAST(y AS HUGEINT) * y) OVER () AS sq
+      |  FROM cpd),
+      | cpg AS (SELECT *,
+      |    (CAST(s1 AS HUGEINT) * s1 * (n - i)
+      |      + CAST(st - s1 AS HUGEINT) * (st - s1) * i)
+      |      // (CAST(i AS HUGEINT) * (n - i) * 1000000000) AS gain
+      |  FROM cps WHERE i < n)
+      |SELECT day AS split_day, i AS n_left,
+      |  CAST(n - i AS BIGINT) AS n_right,
+      |  CAST(s1 // i AS BIGINT) AS mean_left_cents,
+      |  CAST((st - s1) // (n - i) AS BIGINT) AS mean_right_cents,
+      |  CAST(((CAST(s1 AS HUGEINT) * s1 * (n - i)
+      |      + CAST(st - s1 AS HUGEINT) * (st - s1) * i) * n
+      |    - CAST(st AS HUGEINT) * st * i * (n - i)) * 1000000
+      |    // greatest((CAST(sq AS HUGEINT) * n
+      |        - CAST(st AS HUGEINT) * st) * i * (n - i), 1)
+      |    AS BIGINT) AS r2_micro
+      |FROM cpg ORDER BY gain DESC, day ASC LIMIT 1""".stripMargin
+
+  /** q302: Good–Turing bigram census per source — exact integer
+    * frequency-of-frequencies ratios. */
+  private lazy val q302Sql: String =
+    """WITH gt_t AS (SELECT source, string_split(text, ' ') AS ts
+      |   FROM documents),
+      | gt_z AS (SELECT source, unnest(list_zip(ts, ts[2:])) AS z FROM gt_t),
+      | gt_b AS (SELECT source, z[1] || ' ' || z[2] AS bg FROM gt_z
+      |   WHERE z[2] IS NOT NULL),
+      | gt_f AS (SELECT source, bg, CAST(count(*) AS BIGINT) AS tf
+      |   FROM gt_b GROUP BY 1, 2),
+      | gt_m AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM gt_f GROUP BY 1)
+      |SELECT source, n_bigrams, vocab, f1, f2,
+      |  CAST(f1 * 1000000 // greatest(n_bigrams, 1) AS BIGINT)
+      |    AS unseen_mass_micro,
+      |  CAST(2 * f2 * 1000000 // greatest(f1, 1) AS BIGINT)
+      |    AS r1_star_micro
+      |FROM gt_m""".stripMargin
+
+  /** q303: Heaps'-law fit — trigram vocab growth at 10 doc-prefix
+    * checkpoints, exact integer OLS on the 1e-6 log grid. */
+  private lazy val q303Sql: String =
+    """WITH hl_d AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |   FROM documents),
+      | hl_g AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+      |      i -> ts[CAST(i AS INTEGER)] || ' '
+      |        || ts[CAST(i + 1 AS INTEGER)] || ' '
+      |        || ts[CAST(i + 2 AS INTEGER)])) AS g
+      |   FROM hl_d),
+      | hl_max AS (SELECT max(doc_id) AS mx FROM documents),
+      | hl_cut AS (SELECT CAST(k AS BIGINT) AS checkpoint,
+      |    (SELECT (mx + 1) * k // 10 - 1 FROM hl_max) AS cut
+      |   FROM (SELECT unnest(range(1, 11)) AS k)),
+      | hl_first AS (SELECT g, min(doc_id) AS first_doc FROM hl_g
+      |   GROUP BY 1),
+      | hl_n AS (SELECT checkpoint, CAST(count(*) AS BIGINT) AS n_grams
+      |   FROM hl_cut JOIN hl_g ON doc_id <= cut GROUP BY 1),
+      | hl_v AS (SELECT checkpoint, CAST(count(*) AS BIGINT) AS vocab
+      |   FROM hl_cut JOIN hl_first ON first_doc <= cut GROUP BY 1),
+      | hl_l AS (SELECT checkpoint, n_grams, vocab,
+      |    CAST(round(ln(CAST(n_grams AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      |      AS lxu,
+      |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      |      AS lyu
+      |   FROM hl_n JOIN hl_v USING (checkpoint)),
+      | hl_m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(lxu) AS BIGINT) AS sx, CAST(sum(lyu) AS BIGINT) AS sy,
+      |    sum(CAST(lxu AS HUGEINT) * lxu) AS sxx,
+      |    sum(CAST(lxu AS HUGEINT) * lyu) AS sxy
+      |   FROM hl_l)
+      |SELECT checkpoint, n_grams, vocab,
+      |  CAST((SELECT (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+      |      * 10000 // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |    FROM hl_m) AS BIGINT) AS beta_e4
+      |FROM hl_l ORDER BY checkpoint""".stripMargin
+
+  /** q304: Fleiss' kappa across the three deterministic rater gates —
+    * exact rational P̄/P̄ₑ/κ in micro. */
+  private lazy val q304Sql: String =
+    s"""WITH $docMetricsCte,
+       | fk AS (SELECT (CASE WHEN m.quality >= 0.66 THEN 1 ELSE 0 END
+       |      + CASE WHEN m.guess = 'en' THEN 1 ELSE 0 END
+       |      + CASE WHEN len(string_split(d.text, ' ')) >= 30
+       |          THEN 1 ELSE 0 END) AS keeps
+       |   FROM m JOIN documents d USING (doc_id)),
+       | fm AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+       |    CAST(sum(keeps) AS BIGINT) AS total_keeps,
+       |    sum(CAST(keeps * keeps + (3 - keeps) * (3 - keeps) AS HUGEINT))
+       |      AS sq
+       |   FROM fk),
+       | fp AS (SELECT n_subjects, total_keeps,
+       |    CAST((sq - 3 * n_subjects) * 1000000 // (6 * n_subjects)
+       |      AS BIGINT) AS p_bar_micro,
+       |    CAST((CAST(total_keeps AS HUGEINT) * total_keeps
+       |       + CAST(3 * n_subjects - total_keeps AS HUGEINT)
+       |         * (3 * n_subjects - total_keeps)) * 1000000
+       |      // (CAST(3 * n_subjects AS HUGEINT) * (3 * n_subjects))
+       |      AS BIGINT) AS p_e_micro
+       |   FROM fm)
+       |SELECT n_subjects, total_keeps, p_bar_micro, p_e_micro,
+       |  CAST(CASE WHEN p_e_micro = 1000000 THEN 0
+       |    ELSE (CAST(p_bar_micro AS HUGEINT) - p_e_micro) * 1000000
+       |      // (1000000 - p_e_micro) END AS BIGINT) AS kappa_micro
+       |FROM fp""".stripMargin
 
   /** q289: degree histogram — bit-length log₂ buckets, top-down
     * cumulative CCDF. */

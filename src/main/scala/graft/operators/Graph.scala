@@ -400,6 +400,60 @@ object Graph {
       wTotal: Long, nComms: Long, topSize: Long, sumIn: BigInt,
       sumTotSq: BigInt, sizeHist: Map[Long, Long])
 
+  /** DEGREE ASSORTATIVITY of the co-purchase graph — the one-number
+    * mixing gauge the community pillar lacked: the Pearson correlation
+    * of endpoint degrees over the (symmetrized) edge list. Positive =
+    * hubs prefer hubs (a core-periphery mesh), negative = hubs fan out
+    * to leaves (star-like, the typical retail shape), near-zero =
+    * degree-neutral wiring — the number that says WHICH kind of graph
+    * the LPA/k-core/rich-club results should be read against (a
+    * rich-club coefficient on a disassortative graph means something
+    * different than on an assortative one, q294's caveat quantified).
+    *
+    * Exactness: degrees and all five moments are exact integers
+    * (Decimal(38) ≙ HUGEINT through the squares — both endpoint
+    * moments coincide by symmetry, but the full Pearson form is kept
+    * so the algebra is auditably the q195/q211 one); the final r is
+    * the q284 discipline — one double expression with identical
+    * operand order, rounded to 6 decimals, reported in micro.
+    *
+    * Scale: one degree aggregate (node-sized), two broadcast-shaped
+    * joins of degrees onto the edge list, one 1-row moment fold. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = PlanCache.tracked(
+      pairDeltas(Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))))
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx").cast(dec) * col("dx")).as("sxx"),
+        sum(col("dy").cast(dec) * col("dy")).as("syy"),
+        sum(col("dx").cast(dec) * col("dy")).as("sxy"))
+      .select(col("m2").as("n_directed_edges"),
+        when(
+          (col("m2").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) > 0 &&
+          (col("m2").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double")) > 0,
+          round(round(
+            (col("m2").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt(
+              (col("m2").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              (col("m2").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            * 1000000, 0).cast("long"))
+          .as("assortativity_micro"))
+  }
+
   /** Exact modularity in integer micro from a slice's gauge moments:
     * (Σin·2m − Σtot²)·10⁶ / (2m)², BigInt throughout. */
   private def qMicro(g: HalfGauges): Long = {

@@ -2268,4 +2268,67 @@ object Relational {
             * 1000000, 0).cast("long")).as("r_micro"))
       .orderBy(col("lag").asc)
   }
+
+  /** SINGLE-CHANGEPOINT detection over the daily revenue series — the
+    * binary-segmentation primitive (its recursive application is this
+    * operator re-run on each side): the split that MAXIMIZES the
+    * between-segment sum-of-squares S₁²/n₁ + S₂²/n₂ (equivalently
+    * minimizes the two-segment SSE, since Σy² is split-invariant),
+    * reported with both segment means and the variance-explained R²
+    * in micro — the "did the level actually shift, and where"
+    * readout that complements q215's CUSUM (which needs a reference
+    * mean) and q280's Theil–Sen (which assumes one trend).
+    *
+    * Exactness: candidate gains are compared as FLOORED integer
+    * rationals — (S₁²·n₂ + S₂²·n₁) div (n₁·n₂) on Decimal(38) ≙
+    * HUGEINT — with the day as the deterministic tie-break, so both
+    * engines pick the same split; means and R² are integer
+    * divisions on the same grid.
+    *
+    * Scale: one day-grain aggregate, then every candidate split reads
+    * off ONE prefix-sum window over the days-bounded spine — no
+    * per-split rescan. */
+  def changePoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+    val wAsc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    daily
+      .withColumn("i", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("s1", sum(col("y")).over(wAsc))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("st", sum(col("y")).over(all))
+      .withColumn("sq", sum(col("y").cast(dec) * col("y")).over(all))
+      .filter(col("i") < col("n"))
+      // the gain ORDER KEY floors to GIGA-cents² (div returns int64,
+      // and the raw rational tops 1e23 at sf1): ties this coarse
+      // resolve by day identically on both engines
+      .withColumn("gain", expr(
+        """(CAST(s1 AS DECIMAL(38,0)) * s1 * (n - i)
+           + CAST(st - s1 AS DECIMAL(38,0)) * (st - s1) * i)
+          div (CAST(i AS DECIMAL(38,0)) * (n - i) * 1000000000)"""))
+      .orderBy(col("gain").desc, col("day").asc).limit(1)
+      .select(col("day").as("split_day"), col("i").as("n_left"),
+        (col("n") - col("i")).as("n_right"),
+        expr("s1 div i").as("mean_left_cents"),
+        expr("(st - s1) div (n - i)").as("mean_right_cents"),
+        // R² = (between-SS)/(total-SS) cleared of divisions:
+        // (num·n − S²·n₁·n₂)·10⁶ div ((Σy²·n − S²)·n₁·n₂). The day
+        // spine is CALENDAR-bounded, so the numerator stays inside
+        // Decimal(38) through sf1 (≈7e36); `div`'s RESULT must fit
+        // int64 (it does: ≤10⁶) — a div whose quotient exceeds int64
+        // silently wraps on decimals, the trap the gain key avoids by
+        // flooring to giga-units first
+        expr("""CAST(((CAST(s1 AS DECIMAL(38,0)) * s1 * (n - i)
+              + CAST(st - s1 AS DECIMAL(38,0)) * (st - s1) * i) * n
+            - CAST(st AS DECIMAL(38,0)) * st * i * (n - i)) * 1000000
+          div greatest((CAST(sq AS DECIMAL(38,0)) * n
+              - CAST(st AS DECIMAL(38,0)) * st) * i * (n - i), 1)
+          AS BIGINT)""").as("r2_micro"))
+  }
 }

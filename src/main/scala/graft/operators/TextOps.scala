@@ -2633,6 +2633,188 @@ object TextOps {
     * Scale: one corpus scan folds to the tick spine (bounded by the
     * published 4-decimal logit grid); every window runs on that
     * spine. */
+  /** ROC CURVE of the quality classifier — q288's PR walk with the
+    * other axis pair: per published-logit tick (descending), the
+    * cumulative true/false-positive counts and the tpr/fpr pair in
+    * integer micro, plus Youden's J (tpr − fpr) — the
+    * threshold-picking readout a deployment uses where the PR curve
+    * answers ranking quality. q209's one-number AUC is the integral
+    * of exactly this walk, so the three rows triangulate each other.
+    * Same discipline as [[prCurve]]: the corpus folds to the
+    * 4-decimal-logit tick spine, all counts exact, divisions truncate
+    * identically cross-engine. */
+  def rocCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir, "documents")
+      .select(round(round(classifierLogit, 4) * 10000).cast("long").as("s"),
+        (Text.qualityScore(col("text")) >= 0.66).as("pos"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+      .withColumn("tp", sum(col("np")).over(wDesc))
+      .withColumn("pp", sum(col("cnt")).over(wDesc))
+      .withColumn("p_total", sum(col("np")).over(Window.partitionBy()))
+      .withColumn("n_total",
+        sum(col("cnt") - col("np")).over(Window.partitionBy()))
+      .select(col("s").as("s_tick"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        expr("tp * 1000000 div greatest(p_total, 1)").as("tpr_micro"),
+        expr("(pp - tp) * 1000000 div greatest(n_total, 1)").as("fpr_micro"))
+      .withColumn("youden_micro", col("tpr_micro") - col("fpr_micro"))
+      .orderBy(col("s_tick").desc)
+  }
+
+  /** GOOD–TURING census of each source's BIGRAM distribution — the
+    * unseen-mass estimate an LM pipeline reads before trusting a
+    * held-out perplexity: per source, the bigram token/type counts,
+    * the singleton/doubleton frequencies-of-frequencies f1/f2, the
+    * Good–Turing unseen probability mass p₀ = f1/N, and the
+    * discounted true-count estimate for a singleton r₁* = 2·f2/f1 —
+    * all exact integer ratios in micro. Bigrams, not unigrams, by
+    * MEASUREMENT: the synthetic corpus has 31 unigram types (f1 ≈ 0,
+    * a degenerate tail) but ~700 bigram types with f1 ≈ 300 per
+    * source. A source with no singletons reports p₀ = 0 — nothing
+    * unseen is the correct claim, not a division error.
+    *
+    * Scale: one scan explodes adjacent token pairs (the q279 zip
+    * idiom), one (source, bigram) hash-agg, then a sources-sized
+    * frequency-of-frequencies fold. */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"), Text.tokens(col("text")).as("ts"))
+      .select(col("source"),
+        explode(zip_with(col("ts"), slice(col("ts"), 2, 1000000),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+      .filter(col("z.w2").isNotNull)
+      .select(col("source"),
+        concat(col("z.w1"), lit(" "), col("z.w2")).as("bg"))
+      .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_bigrams"), col("vocab"), col("f1"),
+        col("f2"),
+        expr("f1 * 1000000 div greatest(n_bigrams, 1)")
+          .as("unseen_mass_micro"),
+        expr("2 * f2 * 1000000 div greatest(f1, 1)").as("r1_star_micro"))
+
+  /** HEAPS'-LAW fit over the corpus's TRIGRAM vocabulary growth —
+    * V(n) ≈ K·nᵝ, the exponent that says how fast new types keep
+    * appearing as the corpus grows (β ≈ 1 = every batch is novel,
+    * β ≈ 0 = saturated; the number a crawl-sizing plan extrapolates
+    * with). Cumulative distinct trigrams at 10 doc-id-prefix
+    * checkpoints, then the q211 OLS on the (ln n_grams, ln vocab)
+    * pairs — logs quantized to the 1e-6 grid first (the q126
+    * log-grid convention). Trigrams by measurement: ~16k types with
+    * over half singletons — a live growth curve where unigrams
+    * saturate in the first document.
+    *
+    * Scale: the explode is one scan; each checkpoint's distinct-count
+    * is a prefix semi-aggregation (10 fixed cuts, not per-doc), and
+    * the OLS runs on 10 rows. */
+  def heapsLaw(spark: SparkSession, dir: String, checkpoints: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = PlanCache.tracked(Tables(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(ts) - 2, 0)), i -> " +
+            "concat(ts[i-1], ' ', ts[i], ' ', ts[i+1]))")).as("g")))
+    // the max doc_id is a 1-row fold (profiler convention); cuts are
+    // doc_id <= (k+1)·(max+1)/K − 1 for k = 0..K−1
+    val maxId = grams.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = (1 to checkpoints)
+      .map(k => (maxId + 1) * k / checkpoints - 1)
+    // per trigram, its FIRST doc — every checkpoint's vocab then
+    // reads off ONE conditional-aggregate pass over the types frame
+    // (and the token mass off one pass over grams), not K re-distincts
+    val firstSeen = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    def prefixCounts(df: DataFrame, idCol: String) = {
+      val aggs = cuts.map(c =>
+        sum(when(col(idCol) <= c, 1L).otherwise(0L)))
+      df.agg(aggs.head, aggs.tail: _*).head()
+    }
+    val nRow = prefixCounts(grams, "doc_id")
+    val vRow = prefixCounts(firstSeen, "first_doc")
+    import spark.implicits._
+    val pts = (0 until checkpoints)
+      .map(i => ((i + 1).toLong, nRow.getLong(i), vRow.getLong(i)))
+      .toDF("checkpoint", "n_grams", "vocab")
+      // both axes quantized to the 1e-6 log grid (the q126 log-grid
+      // convention) so the OLS below is EXACT integer arithmetic
+      .select(col("checkpoint"), col("n_grams"), col("vocab"),
+        round(log(col("n_grams").cast("double")) * 1000000, 0)
+          .cast("long").as("lxu"),
+        round(log(col("vocab").cast("double")) * 1000000, 0)
+          .cast("long").as("lyu"))
+    val all = Window.partitionBy()
+    pts
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("sx", sum(col("lxu")).over(all))
+      .withColumn("sy", sum(col("lyu")).over(all))
+      .withColumn("sxx", sum(col("lxu") * col("lxu")).over(all))
+      .withColumn("sxy", sum(col("lxu") * col("lyu")).over(all))
+      .select(col("checkpoint"), col("n_grams"), col("vocab"),
+        // β to 4 decimals as an exact integer rational (tick units
+        // cancel between the axes); Decimal(38) headroom — n·Σxy·10⁴
+        // brushes the int64 ceiling
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * sxy
+              - CAST(sx AS DECIMAL(38,0)) * sy) * 10000
+            div (CAST(n AS DECIMAL(38,0)) * sxx
+              - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""").as("beta_e4"))
+      .orderBy(col("checkpoint").asc)
+  }
+
+  /** FLEISS' KAPPA across three deterministic raters — q208's Cohen
+    * kappa generalized past two raters, the agreement screen a
+    * labeling pipeline runs before trusting consensus labels: each
+    * document is "rated" keep/drop by three independent gates
+    * (quality ≥ 0.66, language-ID = en, token count ≥ 30), and kappa
+    * measures their agreement beyond chance. All algebra exact:
+    * per-subject agreement Pᵢ = (Σⱼ nᵢⱼ² − r) / (r(r−1)) with r = 3
+    * raters, P̄ and P̄ₑ as integer rationals over the corpus,
+    * κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) in micro via one BigInt-safe
+    * cross-multiplication.
+    *
+    * Scale: one scan computes all three gates per row (shared
+    * subexpressions), then a 1-row moment fold. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rated = Tables(spark, dir, "documents")
+      .select(
+        ((Text.qualityScore(col("text")) >= 0.66).cast("long") +
+          (Text.langId(col("text")) === "en").cast("long") +
+          (Text.tokenCount(col("text")) >= 30).cast("long")).as("keeps"))
+    rated
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("keeps")).as("total_keeps"),
+        // Σ subjects' (n_keep² + n_drop²): with r = 3, n_drop = 3 − k
+        sum((col("keeps") * col("keeps") +
+          (lit(3L) - col("keeps")) * (lit(3L) - col("keeps"))).cast(dec))
+          .as("sq"))
+      .select(col("n_subjects"), col("total_keeps"),
+        // P̄ micro: Σ(Σnᵢⱼ² − r) / (N·r·(r−1)) = (sq − 3N)·10⁶ / (6N)
+        expr("CAST((sq - 3 * n_subjects) * 1000000 div (6 * n_subjects) AS BIGINT)")
+          .as("p_bar_micro"),
+        // P̄ₑ micro: p² + q² with p = keeps/(3N) — one exact rational
+        expr("""CAST((CAST(total_keeps AS DECIMAL(38,0)) * total_keeps
+             + CAST(3 * n_subjects - total_keeps AS DECIMAL(38,0))
+               * (3 * n_subjects - total_keeps)) * 1000000
+            div (CAST(3 * n_subjects AS DECIMAL(38,0)) * (3 * n_subjects))
+            AS BIGINT)""").as("p_e_micro"))
+      .select(col("n_subjects"), col("total_keeps"), col("p_bar_micro"),
+        col("p_e_micro"),
+        expr("""CAST(CASE WHEN p_e_micro = 1000000 THEN 0
+            ELSE (p_bar_micro - p_e_micro) * 1000000
+              div (1000000 - p_e_micro) END AS BIGINT)""")
+          .as("kappa_micro"))
+  }
+
   def prCurve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)

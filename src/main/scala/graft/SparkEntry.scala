@@ -517,6 +517,8 @@ object SparkEntry {
     "q302_good_turing" -> ((s, d) => TextOps.goodTuring(s, d)),
     "q303_heaps_law" -> ((s, d) => TextOps.heapsLaw(s, d)),
     "q304_fleiss_kappa" -> ((s, d) => TextOps.fleissKappa(s, d)),
+    "q305_mutual_information" -> ((s, d) => EventFlow.mutualInformation(s, d)),
+    "q306_entropy_rate" -> ((s, d) => EventFlow.entropyRate(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -748,6 +750,8 @@ object SparkEntry {
       ("q302_good_turing" -> q302Sql) +
       ("q303_heaps_law" -> q303Sql) +
       ("q304_fleiss_kappa" -> q304Sql) +
+      ("q305_mutual_information" -> q305Sql) +
+      ("q306_entropy_rate" -> q306Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -2511,6 +2515,55 @@ object SparkEntry {
        |    ELSE (CAST(p_bar_micro AS HUGEINT) - p_e_micro) * 1000000
        |      // (1000000 - p_e_micro) END AS BIGINT) AS kappa_micro
        |FROM fp""".stripMargin
+
+  /** q305: mutual information between event type and hour-of-day —
+    * exact contingency counts, per-cell ln on the 1e-6 grid, integer
+    * fold. */
+  private lazy val q305Sql: String =
+    """WITH mi_c AS (SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+      |    CAST(count(*) AS BIGINT) AS nxy
+      |  FROM events GROUP BY 1, 2),
+      | mi_m AS (SELECT *,
+      |    CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+      |    CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+      |    CAST(sum(nxy) OVER () AS BIGINT) AS n FROM mi_c),
+      | mi_l AS (SELECT *,
+      |    CAST(round(ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+      |        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1000000, 0)
+      |      AS BIGINT) AS l_micro,
+      |    CAST(round(ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * 1000000, 0) AS BIGINT) AS hx_micro
+      |   FROM mi_m)
+      |SELECT max(n) AS n_events,
+      |  CAST(count(DISTINCT x) AS BIGINT) AS n_types,
+      |  CAST(count(DISTINCT y) AS BIGINT) AS n_hours,
+      |  CAST(sum(CAST(nxy AS HUGEINT) * l_micro) // max(n) AS BIGINT)
+      |    AS mi_micro,
+      |  CAST(sum(CAST(nxy AS HUGEINT) * -hx_micro) // max(n) AS BIGINT)
+      |    AS h_type_micro
+      |FROM mi_l""".stripMargin
+
+  /** q306: empirical entropy rate — q88's transition counts, plug-in
+    * conditional entropy on the 1e-6 log grid. */
+  private lazy val q306Sql: String =
+    """WITH er_l AS (SELECT event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      | er_c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |   FROM er_l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      | er_t AS (SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS tot
+      |   FROM er_c),
+      | er_m AS (SELECT *,
+      |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+      |        * 1000000, 0) AS BIGINT) AS l_micro
+      |   FROM er_t)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+      |  CAST(count(DISTINCT prev_type) AS BIGINT) AS n_states,
+      |  CAST(sum(CAST(n AS HUGEINT) * -l_micro) // sum(n) AS BIGINT)
+      |    AS h_cond_micro
+      |FROM er_m""".stripMargin
 
   /** q289: degree histogram — bit-length log₂ buckets, top-down
     * cumulative CCDF. */

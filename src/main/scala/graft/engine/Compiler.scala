@@ -83,6 +83,14 @@ object Compiler {
   final case class AnomalyDef(name: String, sourceDir: String,
       historyDir: String, checkpointDir: String) extends PipelineDef
 
+  /** Seasonal forecast-residual alarm rider
+    * ([[graft.streaming.ForecastAnomalyStream]]): daily op counts
+    * scored against their one-step Holt-Winters forecast, so a
+    * weekly-cycle volume peak does not page while a genuine break
+    * does. */
+  final case class ForecastAnomalyDef(name: String, sourceDir: String,
+      historyDir: String, checkpointDir: String) extends PipelineDef
+
   /** Namespace + storage-path derivation. A table whose mapping-level
     * sourceDb DIFFERS from the task default gets db-prefixed paths and
     * a db-qualified pipeline name, so a multi-database task's tables
@@ -143,7 +151,13 @@ object Compiler {
           Seq(AnomalyDef(s"$name#anomalies", s"${spec.sourceDir}/$src",
             s"${spec.targetDir}/$tgt#anomalies", s"${spec.checkpointDir}/$src#anomalies"))
         else Nil
-      rollup ++ sessions ++ rateMonitors ++ anomalyMonitors :+ (spec.taskType match {
+      val forecastMonitors =
+        if (spec.forecastMonitor && spec.taskType != "redis")
+          Seq(ForecastAnomalyDef(s"$name#forecast", s"${spec.sourceDir}/$src",
+            s"${spec.targetDir}/$tgt#forecast", s"${spec.checkpointDir}/$src#forecast"))
+        else Nil
+      rollup ++ sessions ++ rateMonitors ++ anomalyMonitors ++
+        forecastMonitors :+ (spec.taskType match {
         case "redis" =>
           KvDef(name, KvPipeline.Config(
             sourceDir = s"${spec.sourceDir}/$src",
@@ -226,6 +240,7 @@ object Compiler {
       // corpus + crawl source are read-only; it owns its log + checkpoint
       case DecontamDef(n, s) => Seq(s.outDir, s.checkpointDir).map((n, _))
       case AnomalyDef(n, _, hist, ckpt) => Seq(hist, ckpt).map((n, _))
+      case ForecastAnomalyDef(n, _, hist, ckpt) => Seq(hist, ckpt).map((n, _))
       // change log is read-only; it owns its view store + checkpoint
       case IvmDef(n, s) => Seq(s.storeDir, s.checkpointDir).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)

@@ -61,6 +61,7 @@ object ConfigReader {
       retrainTasks: Seq[RetrainSpec] = Nil,
       driftTasks: Seq[DriftSpec] = Nil,
       graphHealthTasks: Seq[GraphHealthSpec] = Nil,
+      erTasks: Seq[graft.model.ErTaskSpec] = Nil,
       metricsDir: Option[String] = None)
 
   private val mapper = new ObjectMapper()
@@ -185,7 +186,25 @@ object ConfigReader {
             None
           }
         },
+      erTasks = root.path("erTasks").elements.asScala.toSeq.flatMap { n =>
+        try Some(parseErTask(n))
+        catch { case e: Exception =>
+          logger.warn(s"skipping malformed er task ${n.path("id").asText("?")}: ${e.getMessage}")
+          None
+        }
+      },
       metricsDir = optText(root, "metricsDir"))
+  }
+
+  private def parseErTask(n: JsonNode): graft.model.ErTaskSpec = {
+    val schedule = optText(n, "schedule").getOrElse("15 5 * * *")
+    graft.operators.Cron.parse(schedule)
+    graft.model.ErTaskSpec(
+      id = n.path("id").asInt(0),
+      schedule = schedule,
+      sourceDir = reqText(n, "sourceDir"),
+      storeDir = reqText(n, "storeDir"),
+      compact = n.path("compact").asBoolean(false))
   }
 
   private def reqText(n: JsonNode, field: String): String = {
@@ -254,6 +273,9 @@ object ConfigReader {
     require(!(n.path("anomalyMonitor").asBoolean(false) && taskType == "redis"),
       "anomalyMonitor requires a change-event (CDC) task: the KV op log has " +
         "no change events to score")
+    require(!(n.path("forecastMonitor").asBoolean(false) && taskType == "redis"),
+      "forecastMonitor requires a change-event (CDC) task: the KV op log has " +
+        "no change events to forecast")
     SyncTaskSpec(
       id = n.path("id").asInt(0),
       taskType = taskType,
@@ -269,7 +291,8 @@ object ConfigReader {
       dailyRollup = n.path("dailyRollup").asBoolean(false),
       sessionize = n.path("sessionize").asBoolean(false),
       rateMonitor = n.path("rateMonitor").asBoolean(false),
-      anomalyMonitor = n.path("anomalyMonitor").asBoolean(false))
+      anomalyMonitor = n.path("anomalyMonitor").asBoolean(false),
+      forecastMonitor = n.path("forecastMonitor").asBoolean(false))
   }
 
   private def parseTable(n: JsonNode, securityEnabled: Boolean): TableMapping = {

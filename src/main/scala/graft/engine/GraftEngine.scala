@@ -52,6 +52,7 @@ final class GraftEngine(
   @volatile private var retrainSpecs: Seq[graft.model.RetrainSpec] = Nil
   @volatile private var driftSpecs: Seq[graft.model.DriftSpec] = Nil
   @volatile private var graphHealthSpecs: Seq[graft.model.GraphHealthSpec] = Nil
+  @volatile private var erSpecs: Seq[graft.model.ErTaskSpec] = Nil
   @volatile private var privacySpecs: Seq[graft.model.PrivacySpec] = Nil
   @volatile private var graphSpecs: Seq[graft.model.GraphTaskSpec] = Nil
   @volatile private var scheduler = new Cron.Scheduler(Nil)
@@ -144,6 +145,12 @@ final class GraftEngine(
       // replay guard — restarts resume exactly-once from the checkpoint
       guarded(() => graft.streaming.IvmStream.start(spark, s.sourceDir,
         s.storeDir, s.checkpointDir, s.view, availableNow))
+    case Compiler.ForecastAnomalyDef(_, sourceDir, hist, ckpt) =>
+      // seasonal HW-residual alarm under the supervisor: the weekday
+      // CDC-volume cycle is absorbed by the forecast, genuine breaks
+      // page; replays are anti-join idempotent like the plain-z rider
+      guarded(() => graft.streaming.ForecastAnomalyStream.startChangeEvents(
+        spark, sourceDir, hist, ckpt, alerts, availableNow = availableNow))
   }
 
   /** Guardian envelope on the START path: a recoverable failure (e.g. a
@@ -203,7 +210,7 @@ final class GraftEngine(
         cfg.annEvalTasks != annEvalSpecs || cfg.modelEvalTasks != modelEvalSpecs ||
         cfg.privacyTasks != privacySpecs || cfg.graphTasks != graphSpecs ||
         cfg.retrainTasks != retrainSpecs || cfg.driftTasks != driftSpecs ||
-        cfg.graphHealthTasks != graphHealthSpecs) {
+        cfg.graphHealthTasks != graphHealthSpecs || cfg.erTasks != erSpecs) {
       backupSpecs = cfg.backupTasks
       trainingSpecs = cfg.trainingTasks
       optimizeSpecs = cfg.optimizeTasks
@@ -217,6 +224,7 @@ final class GraftEngine(
       retrainSpecs = cfg.retrainTasks
       driftSpecs = cfg.driftTasks
       graphHealthSpecs = cfg.graphHealthTasks
+      erSpecs = cfg.erTasks
       // carry the fired-this-minute state forward: a config edit landing
       // during a job's fire minute must not double-run surviving jobs
       scheduler = new Cron.Scheduler(
@@ -226,7 +234,7 @@ final class GraftEngine(
           annEvalSpecs.map(toAnnEvalJob) ++ modelEvalSpecs.map(toModelEvalJob) ++
           privacySpecs.map(toPrivacyJob) ++ graphSpecs.map(toGraphJob) ++
           retrainSpecs.map(toRetrainJob) ++ driftSpecs.map(toDriftJob) ++
-          graphHealthSpecs.map(toGraphHealthJob),
+          graphHealthSpecs.map(toGraphHealthJob) ++ erSpecs.map(toErJob),
         scheduler.firedState)
     }
     pipelineDefs = defs
@@ -367,6 +375,14 @@ final class GraftEngine(
       catch { case e: Exception =>
         alerts.send(Alerts.Alert("graph_health_failed",
           s"graphHealth${spec.id}", String.valueOf(e.getMessage)))
+      })
+
+  private def toErJob(spec: graft.model.ErTaskSpec): Cron.Job =
+    Cron.Job(GraftEngine.ErJobIdOffset + spec.id, spec.schedule, () =>
+      try { GraftEngine.runErMaintenance(spark, spec); () }
+      catch { case e: Exception =>
+        alerts.send(Alerts.Alert("er_maintenance_failed", s"er${spec.id}",
+          String.valueOf(e.getMessage)))
       })
 
   private def toRetrainJob(spec: graft.model.RetrainSpec): Cron.Job =
@@ -591,6 +607,7 @@ final class GraftEngine(
     case _: Compiler.DecontamDef => false    // append-only file sink, no DLQ
     case _: Compiler.AnomalyDef => false     // idempotent history append, no DLQ
     case _: Compiler.IvmDef => false         // replay-idempotent publish, no DLQ
+    case _: Compiler.ForecastAnomalyDef => false // idempotent history append, no DLQ
   }
 
   private def targetDirOf(d: Compiler.PipelineDef): Option[String] = d match {
@@ -602,6 +619,7 @@ final class GraftEngine(
     case _: Compiler.DecontamDef => None    // append-only log: no tombstones to sweep
     case _: Compiler.AnomalyDef => None     // append-only history: no tombstones to sweep
     case _: Compiler.IvmDef => None         // Atomic-versioned view: no tombstones to sweep
+    case _: Compiler.ForecastAnomalyDef => None // append-only history: no tombstones to sweep
   }
 
   /** Maintenance DLQ sweep, safe while the engine serves: a pipeline
@@ -846,6 +864,9 @@ object GraftEngine {
   /** Graph-health-watchdog namespace. */
   val GraphHealthJobIdOffset = 12000000
 
+  /** ER-store maintenance ids live in their own namespace. */
+  val ErJobIdOffset = 13000000
+
   /** One graph-health readout: the partition's global Newman
     * modularity in micro (Σ of the q267 per-community contributions —
     * the fold is community-sized, driver-safe) and the community
@@ -867,6 +888,30 @@ object GraftEngine {
       if (rows.isNullAt(0)) None
       else Some(GraphHealth(rows.getLong(0), rows.getLong(1)))
     } finally graft.operators.PlanCache.release()
+
+  /** Run one entity-resolution store maintenance pass now: append the
+    * source's NEW (id, name) rows (anti-joined against the store — a
+    * founding run appends everything), probe with the increment only,
+    * optionally compact. Returns "er +N [compacted]". */
+  def runErMaintenance(spark: SparkSession,
+      spec: graft.model.ErTaskSpec): String = {
+    val names = graft.Tables(spark, spec.sourceDir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").as("id"),
+        org.apache.spark.sql.functions.col("c_name").as("name"))
+    val namesPath = graft.operators.Atomic.resolve(spark, spec.storeDir, "names")
+    val p = new org.apache.hadoop.fs.Path(namesPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(p))
+        names.join(spark.read.parquet(namesPath).select("id"),
+          Seq("id"), "left_anti")
+      else names
+    val n = fresh.count()
+    if (n > 0) graft.operators.Dedup.appendToEntityStore(fresh, spec.storeDir)
+    if (spec.compact)
+      graft.operators.Dedup.compactEntityStore(spark, spec.storeDir)
+    s"er +$n" + (if (spec.compact) " compacted" else "")
+  }
 
   /** Run one modularity-drift audit now: the q298 epoch series over
     * the task's source, returning (epoch, drop-in-micro) for every

@@ -66,7 +66,22 @@ final case class SyncTaskSpec(
     dailyRollup: Boolean = false,  // A6: run a per-table daily-counter rollup stream
     sessionize: Boolean = false,   // ST14/ST15: per-key activity sessions off the change stream
     rateMonitor: Boolean = false,  // sliding-window per-op rate log off the change stream
-    anomalyMonitor: Boolean = false) // daily op-count z-score alerts off the change stream
+    anomalyMonitor: Boolean = false, // daily op-count z-score alerts off the change stream
+    forecastMonitor: Boolean = false) // seasonal HW-residual alerts off the change stream
+
+/** A scheduled entity-resolution store maintenance task — the
+  * append/probe steady state of [[graft.operators.Dedup.appendToEntityStore]]
+  * under the engine's cron discipline: each run appends the source's
+  * NEW (id, name) rows (anti-joined against the store), probes the
+  * variant index with the increment only, and optionally compacts —
+  * the `annIndexTasks` lifecycle instantiated on the identity
+  * column. */
+final case class ErTaskSpec(
+    id: Int,
+    schedule: String = "15 5 * * *",
+    sourceDir: String = "",   // table root holding `customer`
+    storeDir: String = "",    // entity store root
+    compact: Boolean = false)
 
 /** Backup/export task spec (reference pkg/backup/executor.go:157-271). */
 final case class BackupTableSpec(

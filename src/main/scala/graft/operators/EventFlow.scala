@@ -152,6 +152,79 @@ object EventFlow {
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("CAST((n * CAST(1000000 AS BIGINT)) DIV tot AS BIGINT)").as("prob_u"))
 
+  /** MUTUAL INFORMATION between event type and hour-of-day — the
+    * dependence screen that answers "does WHEN predict WHAT" in one
+    * number (q196's chi-square tests the null; MI measures the
+    * effect in nats, the units feature-selection reasons in):
+    * I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the
+    * types × 24-hour contingency grid. Per-cell log terms ride the
+    * 1e-6 log grid (the q126 convention — counts are exact, ln is
+    * the one double, its operand a single division with one op
+    * order); the final sum is Σ n_xy·l_micro div N, exact integer.
+    * Entropy of the type marginal rides along so the reader gets the
+    * normalized ratio for free.
+    *
+    * Scale: one scan → the (types × 24) hash-agg; everything after
+    * runs on that bounded grid. */
+  def mutualInformation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = Tables(spark, dir, "events")
+      .select(col("event_type").as("x"), hour(col("ts")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("x"))))
+      .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nxy")).over(all))
+      .withColumn("l_micro",
+        round(log(col("nxy").cast("double") * col("n").cast("double") /
+          (col("nx").cast("double") * col("ny").cast("double"))) * 1000000,
+          0).cast("long"))
+      .withColumn("hx_micro",
+        round(log(col("nx").cast("double") / col("n").cast("double")) *
+          1000000, 0).cast("long"))
+      .agg(max(col("n")).as("n_events"),
+        count_distinct(col("x")).as("n_types"),
+        count_distinct(col("y")).as("n_hours"),
+        sum(col("nxy").cast(dec) * col("l_micro")).as("mi_num"),
+        // H(X): each (x,y) cell contributes nxy·(−ln p(x)) — summing
+        // over the grid reuses the joint frame without a second scan
+        sum(col("nxy").cast(dec) * -col("hx_micro")).as("hx_num"))
+      .select(col("n_events"), col("n_types"), col("n_hours"),
+        expr("CAST(mi_num div n_events AS BIGINT)").as("mi_micro"),
+        expr("CAST(hx_num div n_events AS BIGINT)").as("h_type_micro"))
+  }
+
+  /** EMPIRICAL ENTROPY RATE of the per-user event chain — the plug-in
+    * conditional entropy H(next | prev) over q88's transition counts:
+    * how many nats of surprise each step carries once the previous
+    * step is known. Read beside [[mutualInformation]]'s H(X): their
+    * gap is what first-order history buys a sequence model — the
+    * one-number screen run before training one. Same exact-integer
+    * discipline: counts exact, per-transition ln(c_ij/c_i·) on the
+    * 1e-6 grid, final fold Σ c_ij·(−l) div C.
+    *
+    * Scale: the q88 window shuffle, then a |types|²-bounded fold. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("l_micro",
+        round(log(col("n").cast("double") / col("tot").cast("double")) *
+          1000000, 0).cast("long"))
+      .agg(sum(col("n")).as("n_transitions"),
+        count_distinct(col("prev_type")).as("n_states"),
+        sum(col("n").cast(dec) * -col("l_micro")).as("h_num"))
+      .select(col("n_transitions"), col("n_states"),
+        expr("CAST(h_num div n_transitions AS BIGINT)").as("h_cond_micro"))
+  }
+
   /** A/B EXPERIMENT READOUT — the two-arm conversion analysis every
     * product-analytics surface ships: users assigned to arms by a
     * salted hash (the deterministic stand-in for a real assignment

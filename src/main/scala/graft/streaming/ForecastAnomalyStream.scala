@@ -126,10 +126,33 @@ object ForecastAnomalyStream {
       checkpoint: String, alerts: Alerts.Sink = Alerts.Log,
       threshold: Double = 3.0, minHistory: Int = 14,
       late: String = "1 day", availableNow: Boolean = true): StreamingQuery =
-    AnomalyStream.dailyTotals(
-        spark.readStream.schema(RateStream.schema)
-          .option("timestampFormat", SessionStream.TsFormat).json(sourceDir),
-        late)
+    startFrom(spark,
+      spark.readStream.schema(RateStream.schema)
+        .option("timestampFormat", SessionStream.TsFormat).json(sourceDir),
+      historyDir, checkpoint, alerts, threshold, minHistory, late,
+      availableNow)
+
+  /** Engine face (the `forecastMonitor` config opt-in): daily
+    * OP-COUNT seasonal alarm over a change-event stream — each op
+    * kind plays the event type at unit value, so the weekday cycle in
+    * CDC volume (the op-log pattern [[AnomalyStream.startChangeEvents]]
+    * pages on every week) is absorbed by the seasonal slots and only
+    * a genuine volume break fires `forecast_anomaly`. */
+  def startChangeEvents(spark: SparkSession, sourceDir: String,
+      historyDir: String, checkpoint: String,
+      alerts: Alerts.Sink = Alerts.Log, threshold: Double = 3.0,
+      minHistory: Int = 14, availableNow: Boolean = true): StreamingQuery =
+    startFrom(spark,
+      spark.readStream.schema(ChangeEvents.schema).json(sourceDir)
+        .select(col("op").as("event_type"), col("ts"), lit(1.0).as("value")),
+      historyDir, checkpoint, alerts, threshold, minHistory,
+      late = "1 day", availableNow = availableNow)
+
+  private def startFrom(spark: SparkSession, stream: DataFrame,
+      historyDir: String, checkpoint: String, alerts: Alerts.Sink,
+      threshold: Double, minHistory: Int, late: String,
+      availableNow: Boolean): StreamingQuery =
+    AnomalyStream.dailyTotals(stream, late)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -839,6 +839,94 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("config forecastMonitor: the weekly op-volume cycle stays silent, a genuine break pages, reload drops the rider") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    import org.apache.spark.sql.Row
+    var off = 0L
+    def ev(ts: String): Row = {
+      off += 1
+      Row("insert", off, Row(off.toDouble, off), "graft", "events",
+        java.sql.Timestamp.valueOf(ts), off)
+    }
+    // 9 weeks from Monday 2024-01-01: 2/3 ops alternating, Fridays
+    // 8/9 ops (the weekly CDC-volume cycle the plain-z rider pages
+    // on), one GENUINE break — Tuesday 2024-02-27 at Friday volume —
+    // plus a far pusher day that finalizes everything
+    val stamps = (0 until 63).flatMap { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val ops =
+        if (d.toString == "2024-02-27") 8
+        else if (d.getDayOfWeek == java.time.DayOfWeek.FRIDAY) 8 + (i % 2)
+        else 2 + (i % 2)
+      Seq.fill(ops)(s"$d 10:00:00")
+    } ++ Seq.fill(3)("2024-03-20 10:00:00")
+    spark.createDataFrame(
+        java.util.Arrays.asList(stamps.map(ev): _*), ChangeEvents.schema)
+      .coalesce(1).write.mode("append").json(s"$root/src/events")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [
+         |  { "id": 16, "type": "mongodb", "enabled": true, "forecastMonitor": true,
+         |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+         |    "checkpointDir": "$root/ckpt",
+         |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ] }""".stripMargin)
+    val alerts = new Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      val r = engine.pollOnce()
+      assert(r.started == Set("task16/events", "task16/events#forecast"))
+      engine.processAllAvailable()
+      engine.processAllAvailable()
+      val fired = alerts.drain().filter(_.kind == "forecast_anomaly")
+      assert(fired.map(_.source) == Seq("insert"), s"got $fired")
+      assert(fired.head.message.contains("2024-02-27"), fired.head.message)
+      // reload with the rider off: only the monitor stops
+      writeConfig(cfgPath,
+        s"""{ "syncTasks": [
+           |  { "id": 16, "type": "mongodb", "enabled": true,
+           |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+           |    "checkpointDir": "$root/ckpt",
+           |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ] }""".stripMargin)
+      val r2 = engine.pollOnce()
+      assert(r2.stopped == Set("task16/events#forecast"))
+    } finally engine.stop()
+  }
+
+  test("config erTasks: scheduled store maintenance founds then appends; store clusters equal the full run") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [], "erTasks": [
+         |  { "id": 6, "schedule": "15 5 * * *", "sourceDir": "$sf",
+         |    "storeDir": "$root/erstore" } ] }""".stripMargin)
+    val alerts = new graft.streaming.Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      engine.pollOnce()
+      // founding run appends the whole customer table
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-01T05:15:00")) ==
+        Seq(GraftEngine.ErJobIdOffset + 6))
+      val got = graft.operators.Dedup.entityClustersFromStore(spark, s"$root/erstore")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = graft.operators.Dedup.entityClusters(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(want.nonEmpty && got == want)
+      // steady state: an unchanged source appends nothing and the
+      // readout is stable (no duplicate edges from a re-run)
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-02T05:15:00")) ==
+        Seq(GraftEngine.ErJobIdOffset + 6))
+      val again = graft.operators.Dedup.entityClustersFromStore(spark, s"$root/erstore")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(again == want)
+      assert(!alerts.drain().exists(_.kind == "er_maintenance_failed"))
+      // reload with the task removed: the job leaves the schedule
+      writeConfig(cfgPath, """{ "syncTasks": [] }""")
+      engine.pollOnce()
+      assert(engine.tickCron(LocalDateTime.parse("2024-03-03T05:15:00")).isEmpty)
+      graft.operators.PlanCache.release()
+    } finally engine.stop()
+  }
+
   test("config decontam: crawl docs scored at ingest equal the batch sweep; reload-drop stops the pipeline") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"

@@ -350,7 +350,8 @@ class TextDedupSpec extends SparkSpec {
   test("ann bakeoff: per-method recalls replay their own definitions") {
     val got = Similarity.annBakeoff(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(got.keySet == Set("lsh", "ivf", "int8", "pq", "hamming"))
+    assert(got.keySet ==
+      Set("lsh", "ivf", "int8", "pq", "hamming", "jl+ivf"))
     got.values.foreach { case (hits, total, micro) =>
       assert(total == 50 && hits >= 0 && hits <= total)
       assert(micro == hits * 1000000L / total)

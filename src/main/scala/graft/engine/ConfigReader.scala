@@ -449,10 +449,11 @@ object ConfigReader {
       indexDir = reqText(n, "indexDir"),
       ivf = n.path("ivf").asBoolean(true),
       codes = n.path("codes").asBoolean(true),
+      jl = n.path("jl").asBoolean(false),
       trainPq = n.path("trainPq").asBoolean(false),
       compact = n.path("compact").asBoolean(false))
-    require(spec.ivf || spec.codes || spec.trainPq,
-      "annIndex task maintains nothing: enable ivf, codes, or trainPq")
+    require(spec.ivf || spec.codes || spec.jl || spec.trainPq,
+      "annIndex task maintains nothing: enable ivf, codes, jl, or trainPq")
     spec
   }
 

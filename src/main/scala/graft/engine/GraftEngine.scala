@@ -1133,6 +1133,19 @@ object GraftEngine {
       }
       if (spec.compact) { Similarity.compactCodeIndex(spark, codesRoot); parts += "codes compacted" }
     }
+    if (spec.jl) {
+      val jlRoot = s"${spec.indexDir}/jl"
+      if (!exists(s"$jlRoot/jlcents")) {
+        Similarity.foundJlIndex(emb, jlRoot)
+        parts += "jl founded"
+      } else {
+        val (fresh, n) = increment(
+          graft.operators.Atomic.resolve(spark, jlRoot, "jlproj"))
+        if (n > 0) Similarity.appendToJlIndex(fresh, jlRoot)
+        parts += s"jl +$n"
+      }
+      if (spec.compact) { Similarity.compactJlIndex(spark, jlRoot); parts += "jl compacted" }
+    }
     if (spec.trainPq) {
       Similarity.storePqCodebook(spark, Similarity.trainPqCodebooks(emb), spec.indexDir)
       parts += "pq trained"

@@ -295,6 +295,7 @@ final case class AnnIndexSpec(
     indexDir: String = "",     // index root (ivf/ and codes/ beneath)
     ivf: Boolean = true,
     codes: Boolean = true,
+    jl: Boolean = false,
     trainPq: Boolean = false,
     compact: Boolean = false)
 

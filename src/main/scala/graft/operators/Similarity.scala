@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1316,43 +1316,44 @@ object Similarity {
     * every cell), bought for 4× cheaper candidate scoring. The q130
     * bakeoff row records it per corpus so the dial is measured, not
     * asserted. */
-  def jlIvfTopK(spark: SparkSession, dir: String, outDims: Int = 16,
-      k: Int = 5, numCentroids: Int = 16, nprobe: Int = 4,
-      shortlist: Int = 100): DataFrame = {
-    val ticks = transform(col("embedding"),
-      x => round(x.cast("double") * 1000000).cast("long"))
-    val base = PlanCache.tracked(Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), ticks.as("mi")))
-    val projCols = (0 until outDims).map { j =>
+  /** 1e-6 tick quantization of the embedding column — the JL tier's
+    * shared integer grid. */
+  private def jlTicks: Column = transform(col("embedding"),
+    x => round(x.cast("double") * 1000000).cast("long"))
+
+  /** The signed-random-projection columns over a tick column `mi`. */
+  private def jlProjCols(outDims: Int): Seq[Column] =
+    (0 until outDims).map { j =>
       val signs = array((0 until 64).map(d =>
         lit(Vectors.hyperplaneSign(j, d).toLong)): _*)
       aggregate(zip_with(col("mi"), signs, (m, s) => m * s),
         lit(0L), (acc, x) => acc + x)
     }
-    val proj = PlanCache.tracked(
-      base.select(col("vec_id"), array(projCols: _*).as("p")))
-    // coarse codebook IN PROJECTED SPACE (numCentroids × outDims
-    // longs): collected once, folded into the scan as literals — the
-    // ivfTopK shuffle-free assignment discipline
-    val cents: Array[(Long, Array[Long])] =
-      proj.filter(col("vec_id") < numCentroids)
-        .select("vec_id", "p").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    def cellDots(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array(cents.map { case (id, cp) =>
+
+  /** Literal-codebook cell dots in projected space — (sim, negid)
+    * structs, the cellSims convention on the integer grid. */
+  private def jlCellDots(cents: Array[(Long, Array[Long])],
+      p: Column): Column =
+    array(cents.map { case (id, cp) =>
       struct(
         aggregate(zip_with(p, array(cp.map(lit(_)): _*), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("sim"),
         lit(-id).as("negid"))
     }: _*)
-    val assigned = proj.select(col("vec_id").as("cand_id"),
-      col("p"),
-      (-array_max(cellDots(col("p"))).getField("negid")).as("centroid_id"))
-    val probes = proj.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("p").as("qp"),
-        explode(slice(reverse(array_sort(cellDots(col("p")))), 1, nprobe))
-          .as("cell"))
-      .select(col("query_id"), col("qp"), (-col("cell.negid")).as("centroid_id"))
+
+  /** The probe → shortlist → exact-rerank tail shared by the
+    * in-process [[jlIvfTopK]] and the stored-index face: `assigned`
+    * is (cand_id, p, centroid_id), `queryProj` is (query_id, qp) with
+    * tick vectors reachable through `ticks` (vec_id, mi). */
+  private def jlProbeRerank(assigned: DataFrame, queryProj: DataFrame,
+      cents: Array[(Long, Array[Long])], ticks: DataFrame, k: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    val probes = queryProj
+      .select(col("query_id"), col("qp"),
+        explode(slice(reverse(array_sort(jlCellDots(cents, col("qp")))),
+          1, nprobe)).as("cell"))
+      .select(col("query_id"), col("qp"),
+        (-col("cell.negid")).as("centroid_id"))
     val scored = broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -1363,10 +1364,11 @@ object Similarity {
     val short = scored.withColumn("slr", row_number().over(slWin))
       .filter(col("slr") <= shortlist).select("query_id", "cand_id")
     val reranked = short
-      .join(base.select(col("vec_id").as("cand_id"), col("mi").as("cmi")),
+      .join(ticks.select(col("vec_id").as("cand_id"), col("mi").as("cmi")),
         Seq("cand_id"))
-      .join(broadcast(base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("mi").as("qmi"))),
+      .join(broadcast(queryProj.select(col("query_id"))
+        .join(ticks.select(col("vec_id").as("query_id"),
+          col("mi").as("qmi")), Seq("query_id"))),
         Seq("query_id"))
       .select(col("query_id"), col("cand_id"),
         aggregate(zip_with(col("cmi"), col("qmi"), (a, b) => a * b),
@@ -1378,4 +1380,123 @@ object Similarity {
       .select("query_id", "cand_id", "sim_ticks", "rank")
       .orderBy(col("query_id").asc, col("rank").asc)
   }
+
+  def jlIvfTopK(spark: SparkSession, dir: String, outDims: Int = 16,
+      k: Int = 5, numCentroids: Int = 16, nprobe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    val base = PlanCache.tracked(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), jlTicks.as("mi")))
+    val proj = PlanCache.tracked(
+      base.select(col("vec_id"), array(jlProjCols(outDims): _*).as("p")))
+    // coarse codebook IN PROJECTED SPACE (numCentroids × outDims
+    // longs): collected once, folded into the scan as literals — the
+    // ivfTopK shuffle-free assignment discipline
+    val cents: Array[(Long, Array[Long])] =
+      proj.filter(col("vec_id") < numCentroids)
+        .select("vec_id", "p").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val assigned = proj.select(col("vec_id").as("cand_id"), col("p"),
+      (-array_max(jlCellDots(cents, col("p"))).getField("negid"))
+        .as("centroid_id"))
+    val queryProj = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"))
+    jlProbeRerank(assigned, queryProj, cents, base, k, nprobe, shortlist)
+  }
+
+  // ---- persisted JL projection index -----------------------------------
+
+  /** Found the durable JL index — q297's corpus-sized artifacts made
+    * real: the `jlproj` table holds one (vec_id, p[outDims] longs,
+    * centroid_id) row per vector — 8·outDims B/vector, the compressed
+    * serving tier — and `jlcents` the projected coarse codebook fixed
+    * at founding (numCentroids × outDims longs; like the IVF store's
+    * centroids it derives from founding members and survives
+    * compaction — the codebook is the index's model, rebuilt only by
+    * re-founding). */
+  def foundJlIndex(emb: DataFrame, indexDir: String, outDims: Int = 16,
+      numCentroids: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val proj = emb.select(col("vec_id"), jlTicks.as("mi"))
+      .select(col("vec_id"), array(jlProjCols(outDims): _*).as("p"))
+      .persist()
+    try {
+      val cents = proj.filter(col("vec_id") < numCentroids)
+        .select("vec_id", "p").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      cents.toSeq.map { case (id, cp) => (id, cp.toSeq) }
+        .toDF("cid", "cp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/jlcents")
+      proj.select(col("vec_id"), col("p"),
+        (-array_max(jlCellDots(cents, col("p"))).getField("negid"))
+          .as("centroid_id"))
+        .write.mode("overwrite").parquet(s"$indexDir/jlproj")
+    } finally { proj.unpersist(); () }
+  }
+
+  /** Append a corpus increment: project under the index's dimensions,
+    * assign under the STORED codebook (map-side literal argmax — no
+    * shuffle, no old row touched), append. The
+    * [[appendToStoredIvf]] concurrency contract. */
+  def appendToJlIndex(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = loadJlCentroids(spark, indexDir)
+    batch.select(col("vec_id"), jlTicks.as("mi"))
+      .select(col("vec_id"), array(jlProjCols(cents.head._2.length): _*)
+        .as("p"))
+      .select(col("vec_id"), col("p"),
+        (-array_max(jlCellDots(cents, col("p"))).getField("negid"))
+          .as("centroid_id"))
+      .write.mode("append")
+      .parquet(Atomic.resolve(spark, indexDir, "jlproj"))
+  }
+
+  /** Top-k against the stored JL index: queries project in-plan, the
+    * probe and shortlist read ONLY the 8·outDims-byte `jlproj` rows
+    * (tombstones excluded), and only shortlist×queries rows touch
+    * `rowStore` for the exact tick rerank — semantics equal
+    * [[jlIvfTopK]] over the same corpus and codebook (spec-pinned). */
+  def jlIvfAgainstStoredIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, rowStore: DataFrame, k: Int = 5,
+      nprobe: Int = 4, shortlist: Int = 100): DataFrame = {
+    val cents = loadJlCentroids(spark, indexDir)
+    val assigned = Forgotten.exclude(
+        spark.read.parquet(Atomic.resolve(spark, indexDir, "jlproj")),
+        "vec_id", spark, indexDir)
+      .select(col("vec_id").as("cand_id"), col("p"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val queryProj = queries.select(col("vec_id"), jlTicks.as("mi"))
+      .select(col("vec_id").as("query_id"),
+        array(jlProjCols(cents.head._2.length): _*).as("qp"))
+    val ticks = rowStore.select(col("vec_id"), jlTicks.as("mi"))
+    jlProbeRerank(assigned, queryProj, cents, ticks, k, nprobe, shortlist)
+  }
+
+  /** Tombstone now, erase at compaction — the shared store contract. */
+  def forgetInJlIndex(spark: SparkSession, indexDir: String,
+      vecIds: Seq[Long]): Unit =
+    Forgotten.append(spark, indexDir, vecIds)
+
+  /** Rewrite `jlproj` minus tombstones behind a staged swap; purge
+    * superseded versions when erasure demanded it and clear the
+    * tombstones — [[compactStoredIvf]]'s contract. */
+  def compactJlIndex(spark: SparkSession, indexDir: String): Unit = {
+    val hadTombstones = Forgotten.read(spark, indexDir).isDefined
+    val live = Forgotten.exclude(
+      spark.read.parquet(Atomic.resolve(spark, indexDir, "jlproj")),
+      "vec_id", spark, indexDir)
+    Atomic.publish(spark, indexDir, "jlproj") { staged =>
+      live.coalesce(1).write.mode("overwrite").parquet(staged)
+    }
+    if (hadTombstones) Atomic.purge(spark, indexDir, "jlproj")
+    Forgotten.clear(spark, indexDir)
+  }
+
+  /** The stored projected codebook — numCentroids rows. */
+  private def loadJlCentroids(spark: SparkSession,
+      indexDir: String): Array[(Long, Array[Long])] =
+    spark.read.parquet(s"$indexDir/jlcents")
+      .select("cid", "cp").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
 }

@@ -1119,7 +1119,8 @@ class EngineSpec extends SparkSpec {
     writeConfig(cfgPath,
       s"""{ "syncTasks": [], "annIndexTasks": [
          |  { "id": 4, "schedule": "10 5 * * *",
-         |    "sourceDir": "$corpus", "indexDir": "$root/idx", "trainPq": true } ] }""".stripMargin)
+         |    "sourceDir": "$corpus", "indexDir": "$root/idx",
+         |    "jl": true, "trainPq": true } ] }""".stripMargin)
     val alerts = new graft.streaming.Alerts.Buffer
     val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
     try {
@@ -1138,6 +1139,12 @@ class EngineSpec extends SparkSpec {
       val stored = Similarity.ivfTopKAgainstStoredIndex(spark, s"$root/idx/ivf", queries)
         .collect().map(_.toSeq).toSet
       assert(stored == Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSet)
+      // the JL leg founded alongside and its stored probe ≡ q297
+      assert(spark.read.parquet(s"$root/idx/jl/jlproj").count() == n0)
+      val jlStored = Similarity.jlIvfAgainstStoredIndex(spark, s"$root/idx/jl",
+          queries, Tables(spark, sf, "embeddings"))
+        .collect().map(_.toSeq).toSet
+      assert(jlStored == Similarity.jlIvfTopK(spark, sf).collect().map(_.toSeq).toSet)
       // day 2, unchanged corpus: the reconcile is a no-op (no dup rows)
       assert(engine.tickCron(LocalDateTime.parse("2024-03-02T05:10:00")).nonEmpty)
       assert(spark.read.parquet(s"$root/idx/ivf/cells").count() == n0)
@@ -1153,6 +1160,7 @@ class EngineSpec extends SparkSpec {
       assert(engine.tickCron(LocalDateTime.parse("2024-03-03T05:10:00")).nonEmpty)
       assert(spark.read.parquet(s"$root/idx/ivf/cells").count() == n0 + 5)
       assert(spark.read.parquet(s"$root/idx/codes_idx/codes").count() == n0 + 5)
+      assert(spark.read.parquet(s"$root/idx/jl/jlproj").count() == n0 + 5)
       assert(alerts.drain().forall(_.kind != "ann_index_failed"))
     } finally engine.stop()
   }

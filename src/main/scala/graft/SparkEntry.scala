@@ -519,6 +519,9 @@ object SparkEntry {
     "q304_fleiss_kappa" -> ((s, d) => TextOps.fleissKappa(s, d)),
     "q305_mutual_information" -> ((s, d) => EventFlow.mutualInformation(s, d)),
     "q306_entropy_rate" -> ((s, d) => EventFlow.entropyRate(s, d)),
+    "q307_pareto_docs" -> ((s, d) => TextOps.paretoDocs(s, d)),
+    "q308_purchase_reachability" ->
+      ((s, d) => EventFlow.purchaseReachability(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -752,6 +755,8 @@ object SparkEntry {
       ("q304_fleiss_kappa" -> q304Sql) +
       ("q305_mutual_information" -> q305Sql) +
       ("q306_entropy_rate" -> q306Sql) +
+      ("q307_pareto_docs" -> q307Sql) +
+      ("q308_purchase_reachability" -> q308Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -2564,6 +2569,59 @@ object SparkEntry {
       |  CAST(sum(CAST(n AS HUGEINT) * -l_micro) // sum(n) AS BIGINT)
       |    AS h_cond_micro
       |FROM er_m""".stripMargin
+
+  /** q307: Pareto skyline on (quality tick, token count) — the 2-D
+    * sweep replay: per quality group the max length, kept iff it
+    * beats the running max over strictly higher quality. */
+  private lazy val q307Sql: String =
+    s"""WITH $docMetricsCte,
+       | pd AS (SELECT m.doc_id,
+       |    CAST(round(m.quality * 10000) AS BIGINT) AS q,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS t
+       |   FROM m JOIN documents d USING (doc_id)),
+       | pg AS (SELECT q, max(t) AS gmax FROM pd GROUP BY 1),
+       | ph AS (SELECT q, gmax, max(gmax) OVER (ORDER BY q DESC
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hmax
+       |   FROM pg),
+       | sk AS (SELECT q, gmax AS t FROM ph
+       |   WHERE hmax IS NULL OR gmax > hmax)
+       |SELECT doc_id, q AS quality_tick, t AS n_tokens
+       |FROM pd JOIN sk USING (q, t)
+       |ORDER BY quality_tick DESC, doc_id ASC""".stripMargin
+
+  /** q308: 5-step absorption reachability — unrolled value iteration
+    * on the micro grid over q88's kernel, target absorbing. */
+  private lazy val q308Sql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""pr_p$i AS (SELECT s.state,
+         |    CAST(CASE WHEN s.state = 'purchase' THEN 1000000
+         |      ELSE coalesce(x.pr, 0) END AS BIGINT) AS p
+         |   FROM pr_s s LEFT JOIN (
+         |     SELECT prev_type AS state,
+         |       CAST(sum(CAST(n AS HUGEINT) * p) // max(tot) AS BIGINT) AS pr
+         |     FROM pr_t JOIN pr_p${i - 1} ON next_type = pr_p${i - 1}.state
+         |     GROUP BY 1) x USING (state))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH pr_l AS (SELECT event_type AS next_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_type
+       |  FROM events),
+       | pr_c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |   FROM pr_l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       | pr_t AS (SELECT *,
+       |    CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS tot
+       |   FROM pr_c),
+       | pr_s AS (SELECT DISTINCT state FROM (
+       |   SELECT prev_type AS state FROM pr_c
+       |   UNION ALL SELECT next_type FROM pr_c)),
+       | pr_p0 AS (SELECT state,
+       |    CAST(CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END
+       |      AS BIGINT) AS p
+       |   FROM pr_s),
+       | $rounds
+       |SELECT state AS event_type, p AS p5_micro FROM pr_p5
+       |ORDER BY event_type""".stripMargin
+  }
 
   /** q289: degree histogram — bit-length log₂ buckets, top-down
     * cumulative CCDF. */

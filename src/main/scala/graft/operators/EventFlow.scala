@@ -225,6 +225,51 @@ object EventFlow {
         expr("CAST(h_num div n_transitions AS BIGINT)").as("h_cond_micro"))
   }
 
+  /** k-STEP ABSORPTION REACHABILITY of the event chain — per starting
+    * event type, the probability of hitting `target` (purchase)
+    * within `steps` transitions under q88's empirical kernel, with
+    * the target absorbing: the "how close is each state to
+    * converting" readout value iteration gives without a linear
+    * solve. p₀ = 1 on the target; each round folds
+    * pₖ₊₁(s) = Σ_t P(s→t)·pₖ(t) on the integer micro grid (one
+    * floored division per state per round — deterministic on both
+    * engines, the q230 unrolled-iteration discipline).
+    *
+    * Scale: the kernel is |types|²-bounded; each round is one join +
+    * one aggregate on that metadata-sized frame. */
+  def purchaseReachability(spark: SparkSession, dir: String,
+      steps: Int = 5, target: String = "purchase"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val trans = PlanCache.tracked(
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot",
+          sum(col("n")).over(Window.partitionBy(col("prev_type")))))
+    val states = PlanCache.tracked(
+      trans.select(col("prev_type").as("state"))
+        .union(trans.select(col("next_type"))).distinct())
+    var p = states.select(col("state"),
+      when(col("state") === target, 1000000L).otherwise(0L).as("p"))
+    for (_ <- 0 until steps) {
+      val step = trans
+        .join(p.select(col("state").as("next_type"), col("p")),
+          Seq("next_type"))
+        .groupBy(col("prev_type").as("state"))
+        .agg(expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * p) div max(tot) AS BIGINT)")
+          .as("pr"))
+      p = states.join(step, Seq("state"), "left")
+        .select(col("state"),
+          when(col("state") === target, 1000000L)
+            .otherwise(coalesce(col("pr"), lit(0L))).as("p"))
+    }
+    p.select(col("state").as("event_type"), col("p").as(s"p${steps}_micro"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** A/B EXPERIMENT READOUT — the two-arm conversion analysis every
     * product-analytics surface ships: users assigned to arms by a
     * salted hash (the deterministic stand-in for a real assignment

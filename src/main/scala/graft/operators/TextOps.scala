@@ -2633,6 +2633,40 @@ object TextOps {
     * Scale: one corpus scan folds to the tick spine (bounded by the
     * published 4-decimal logit grid); every window runs on that
     * spine. */
+  /** PARETO SKYLINE of documents on (quality, length) — the
+    * non-dominated set: a document survives iff NO other document is
+    * ≥ on both axes and strictly better on one. This is the curation
+    * frontier ("the best quality at every length budget") — a
+    * different operator CLASS from top-k or thresholds, served with
+    * the classic 2-D sweep instead of the O(n²) dominance join: on
+    * the exact integer grid (quality ticks ×10⁴, token count), a
+    * document is on the skyline iff its length equals its
+    * quality-group's max AND beats the running max length over all
+    * STRICTLY higher quality groups. Duplicated (q, t) points are all
+    * kept — neither dominates the other (no strict axis).
+    *
+    * Scale: one scan → a (quality-tick)-grouped aggregate (grid-
+    * bounded), one ordered window over that bounded spine, and one
+    * semi-join back — never a pairwise dominance test. */
+  def paretoDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = PlanCache.tracked(Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(Text.qualityScore(col("text")) * 10000).cast("long").as("q"),
+        Text.tokenCount(col("text")).cast("long").as("t")))
+    val groups = docs.groupBy(col("q")).agg(max(col("t")).as("gmax"))
+    val wDesc = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val skyline = groups
+      .withColumn("hmax", max(col("gmax")).over(wDesc))
+      .filter(col("hmax").isNull || col("gmax") > col("hmax"))
+      .select(col("q"), col("gmax").as("t"))
+    docs.join(skyline, Seq("q", "t"), "left_semi")
+      .select(col("doc_id"), col("q").as("quality_tick"),
+        col("t").as("n_tokens"))
+      .orderBy(col("quality_tick").desc, col("doc_id").asc)
+  }
+
   /** ROC CURVE of the quality classifier — q288's PR walk with the
     * other axis pair: per published-logit tick (descending), the
     * cumulative true/false-positive counts and the tpr/fpr pair in

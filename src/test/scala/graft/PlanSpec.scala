@@ -153,6 +153,14 @@ class PlanSpec extends SparkSpec {
     assert(jl.split("TopKPerGroup").length >= 3,
       "q282 lost a heap fusion (needs one per ranking)")
     graft.operators.PlanCache.release()
+    // q297: the projected SHORTLIST and the exact RERANK are both the
+    // row_number ≤ k idiom — each must fuse, or a hub cell pays a full
+    // per-query sort over its candidates (and the rerank over the
+    // shortlist)
+    val ji = plan("q297_jl_ivf_ann")
+    assert(ji.split("TopKPerGroup").length >= 3,
+      "q297 lost a heap fusion (shortlist + rerank)")
+    graft.operators.PlanCache.release()
   }
 
   test("dimension joins broadcast the small side") {

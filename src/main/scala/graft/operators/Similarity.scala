@@ -1434,19 +1434,41 @@ object Similarity {
     } finally { proj.unpersist(); () }
   }
 
-  /** Append a corpus increment: project under the index's dimensions,
-    * assign under the STORED codebook (map-side literal argmax — no
-    * shuffle, no old row touched), append. The
-    * [[appendToStoredIvf]] concurrency contract. */
-  def appendToJlIndex(batch: DataFrame, indexDir: String): Unit = {
-    val spark = batch.sparkSession
+  /** Found the CODEBOOK only — [[foundCodebook]]'s JL twin for the
+    * streaming-owned layout: [[graft.streaming.JlStream]] then owns
+    * `jlproj` through its file-sink commit log. */
+  def foundJlCodebook(emb: DataFrame, indexDir: String, outDims: Int = 16,
+      numCentroids: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id"), jlTicks.as("mi"))
+      .select(col("vec_id"), array(jlProjCols(outDims): _*).as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .toSeq.toDF("cid", "cp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/jlcents")
+  }
+
+  /** Project + assign an embedding frame under the STORED codebook
+    * (map-side literal argmax — no shuffle, no old row touched) —
+    * shared by the batch append and the streaming ingest face. */
+  private[graft] def jlAssignUnderStored(spark: SparkSession,
+      df: DataFrame, indexDir: String): DataFrame = {
     val cents = loadJlCentroids(spark, indexDir)
-    batch.select(col("vec_id"), jlTicks.as("mi"))
+    df.select(col("vec_id"), jlTicks.as("mi"))
       .select(col("vec_id"), array(jlProjCols(cents.head._2.length): _*)
         .as("p"))
       .select(col("vec_id"), col("p"),
         (-array_max(jlCellDots(cents, col("p"))).getField("negid"))
           .as("centroid_id"))
+  }
+
+  /** Append a corpus increment under the stored codebook — the
+    * [[appendToStoredIvf]] concurrency contract. */
+  def appendToJlIndex(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    jlAssignUnderStored(spark, batch, indexDir)
       .write.mode("append")
       .parquet(Atomic.resolve(spark, indexDir, "jlproj"))
   }

@@ -33,6 +33,34 @@ class JlStoreSpec extends SparkSpec {
     graft.operators.PlanCache.release()
   }
 
+  test("streamed jlproj probes exactly like the in-process operator; restart never double-assigns") {
+    val emb = Tables(spark, sf, "embeddings")
+    val src = Files.createTempDirectory("graft_jlstream_src").toString
+    val idx = Files.createTempDirectory("graft_jlstream_idx").toString
+    val ckpt = Files.createTempDirectory("graft_jlstream_ckpt").toString
+    // found the codebook only — the stream owns jlproj
+    Similarity.foundJlCodebook(emb, idx)
+    emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+      .coalesce(1).write.mode("append").json(src)
+    val q1 = graft.streaming.JlStream.start(spark, src, idx, ckpt)
+    try q1.awaitTermination() finally q1.stop()
+    // restart with the rest appended: only the new files process
+    emb.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+      .coalesce(1).write.mode("append").json(src)
+    val q2 = graft.streaming.JlStream.start(spark, src, idx, ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    val proj = spark.read.parquet(s"$idx/jlproj")
+    assert(proj.count() == emb.count(), "every vector assigned exactly once")
+    assert(proj.select("vec_id").distinct().count() == emb.count())
+    val got = rows(Similarity.jlIvfAgainstStoredIndex(spark, idx,
+      emb.filter(col("vec_id") < 10), emb))
+    val want = rows(Similarity.jlIvfTopK(spark, sf))
+    graft.operators.PlanCache.release()
+    assert(got == want,
+      "JSON float round-trip + streamed projection must replay the batch tier")
+    assert(want.nonEmpty)
+  }
+
   test("forget blinds the stored probe at once; compaction erases and probes are unchanged") {
     val indexDir = Files.createTempDirectory("graft_jl_forget").toString
     val emb = Tables(spark, sf, "embeddings")

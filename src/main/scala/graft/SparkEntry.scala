@@ -522,6 +522,7 @@ object SparkEntry {
     "q307_pareto_docs" -> ((s, d) => TextOps.paretoDocs(s, d)),
     "q308_purchase_reachability" ->
       ((s, d) => EventFlow.purchaseReachability(s, d)),
+    "q309_rolling_bands" -> ((s, d) => Relational.rollingRevenueBands(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -757,6 +758,7 @@ object SparkEntry {
       ("q306_entropy_rate" -> q306Sql) +
       ("q307_pareto_docs" -> q307Sql) +
       ("q308_purchase_reachability" -> q308Sql) +
+      ("q309_rolling_bands" -> q309Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -2622,6 +2624,27 @@ object SparkEntry {
        |SELECT state AS event_type, p AS p5_micro FROM pr_p5
        |ORDER BY event_type""".stripMargin
   }
+
+  /** q309: trailing 28-day revenue quantile bands — the q292 fan over
+    * the day spine, house ceil-rank positions, partial leading
+    * windows carried with their width. */
+  private lazy val q309Sql: String =
+    """WITH rb_d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      | rb_f AS (SELECT day + CAST(off AS INTEGER) AS report_day, day, y
+      |   FROM (SELECT day, y, unnest(range(0, 28)) AS off FROM rb_d)
+      |   WHERE day + CAST(off AS INTEGER) <= (SELECT max(day) FROM rb_d)),
+      | rb_r AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY report_day
+      |      ORDER BY y ASC, day ASC) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY report_day) AS BIGINT) AS n
+      |   FROM rb_f)
+      |SELECT report_day, max(n) AS n_days,
+      |  max(CASE WHEN rn = (10 * n + 99) // 100 THEN y END) AS p10_cents,
+      |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN y END) AS p50_cents,
+      |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN y END) AS p90_cents
+      |FROM rb_r GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q289: degree histogram — bit-length log₂ buckets, top-down
     * cumulative CCDF. */

@@ -2288,6 +2288,51 @@ object Relational {
     * Scale: one day-grain aggregate, then every candidate split reads
     * off ONE prefix-sum window over the days-bounded spine — no
     * per-split rescan. */
+  /** TRAILING-WINDOW revenue quantile bands — per day, the
+    * p10/p50/p90 of the last `windowDays` daily totals: the control
+    * band an ops dashboard draws under today's number ([[changePoint]]
+    * answers "did the level shift", this answers "where inside its
+    * recent distribution does today sit"). Exact integers throughout:
+    * each day's total fans to the ≤ `windowDays` report days it
+    * belongs to (q292's WAU fan — ×28 on a CALENDAR-bounded spine,
+    * never a corpus-sized blowup), ranks use the house
+    * ceil(p·n/100) position over (cents, day), leading partial
+    * windows are emitted with their width (`n_days`) rather than
+    * silently mixed in, and the spine caps at the last data day. */
+  def rollingRevenueBands(spark: SparkSession, dir: String,
+      windowDays: Int = 28): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = PlanCache.tracked(Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y")))
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    val fan = daily
+      .select(col("day"), col("y"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(expr("date_add(day, CAST(off AS INT))").as("report_day"),
+        col("day"), col("y"))
+      .transform(Scalars.attach(_, lastDay,
+        datediff(col("report_day"), lit("1970-01-01")),
+        datediff(col("last_day"), lit("1970-01-01"))))
+      .filter(col("report_day") <= col("last_day"))
+    val w = Window.partitionBy(col("report_day"))
+      .orderBy(col("y").asc, col("day").asc)
+    fan
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("report_day"))))
+      .groupBy(col("report_day"))
+      .agg(max(col("n")).as("n_days"),
+        max(when(col("rn") === expr("(10 * n + 99) div 100"), col("y")))
+          .as("p10_cents"),
+        max(when(col("rn") === expr("(50 * n + 99) div 100"), col("y")))
+          .as("p50_cents"),
+        max(when(col("rn") === expr("(90 * n + 99) div 100"), col("y")))
+          .as("p90_cents"))
+      .orderBy(col("report_day").asc)
+  }
+
   def changePoint(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)

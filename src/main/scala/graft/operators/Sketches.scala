@@ -149,6 +149,9 @@ object Sketches {
     * WAU twin rides the same fan over the deduped presence frame as
     * the truth anchor. Same 'dau-' register scheme as the other two,
     * so a 1-day window degrades to the daily report by construction.
+    * The report spine caps at the last DATA day (r13): the fan would
+    * otherwise emit trailing "future" report days whose windows only
+    * shrink — dashboard noise, not information.
     *
     * Scale: the corpus-sized work is the one register fold and one
     * presence dedup; everything downstream is (days × 256) × 7 at

@@ -523,6 +523,9 @@ object SparkEntry {
     "q308_purchase_reachability" ->
       ((s, d) => EventFlow.purchaseReachability(s, d)),
     "q309_rolling_bands" -> ((s, d) => Relational.rollingRevenueBands(s, d)),
+    "q310_market_hhi" -> ((s, d) => Relational.marketConcentration(s, d)),
+    "q311_retention_half_life" ->
+      ((s, d) => EventFlow.retentionHalfLife(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -759,6 +762,8 @@ object SparkEntry {
       ("q307_pareto_docs" -> q307Sql) +
       ("q308_purchase_reachability" -> q308Sql) +
       ("q309_rolling_bands" -> q309Sql) +
+      ("q310_market_hhi" -> q310Sql) +
+      ("q311_retention_half_life" -> q311Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -2645,6 +2650,69 @@ object SparkEntry {
       |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN y END) AS p50_cents,
       |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN y END) AS p90_cents
       |FROM rb_r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q310: HHI market concentration per order year — floored micro
+    * shares, Σs² on HUGEINT, effective nation count via one exact
+    * division. */
+  private lazy val q310Sql: String =
+    """WITH mc_r AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)
+      |      AS yr, n_name,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      | mc_s AS (SELECT *,
+      |    CAST(sum(rev) OVER (PARTITION BY yr) AS BIGINT) AS tot
+      |   FROM mc_r),
+      | mc_h AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_nations,
+      |    max(tot) AS revenue_cents,
+      |    CAST(sum(CAST(rev * 1000000 // tot AS HUGEINT)
+      |        * (rev * 1000000 // tot)) // 1000000 AS BIGINT) AS hhi_micro
+      |  FROM mc_s GROUP BY 1)
+      |SELECT yr, n_nations, revenue_cents, hhi_micro,
+      |  CAST(1000000000 // greatest(hhi_micro, 1) AS BIGINT)
+      |    AS effective_nations_milli
+      |FROM mc_h ORDER BY yr""".stripMargin
+
+  /** q311: retention half-life — q74's curve collapsed to the global
+    * offset series, log-grid integer OLS, t½ = ln2/(−slope) exact. */
+  private lazy val q311Sql: String =
+    """WITH rh_d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |   FROM events),
+      | rh_c AS (SELECT user_id, day,
+      |    min(day) OVER (PARTITION BY user_id) AS cohort_day FROM rh_d),
+      | rh_n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+      |   FROM rh_d),
+      | rh_o AS (SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', cohort_day, day) AS BIGINT) AS off
+      |   FROM rh_c
+      |   WHERE date_diff('day', cohort_day, day) BETWEEN 1 AND 30),
+      | rh_r AS (SELECT off, CAST(count(*) AS BIGINT) AS n_active
+      |   FROM rh_o GROUP BY 1),
+      | rh_m AS (SELECT off,
+      |    CAST(n_active * 1000000 // (SELECT nu FROM rh_n) AS BIGINT)
+      |      AS rate
+      |   FROM rh_r),
+      | rh_l AS (SELECT off AS x,
+      |    CAST(round(ln(CAST(rate AS DOUBLE) / 1000000.0) * 1000000, 0)
+      |      AS BIGINT) AS lyu
+      |   FROM rh_m WHERE rate > 0),
+      | rh_f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(lyu) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * lyu) AS sxy
+      |   FROM rh_l),
+      | rh_s AS (SELECT n,
+      |    CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+      |      // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |      AS BIGINT) AS slope
+      |   FROM rh_f)
+      |SELECT (SELECT nu FROM rh_n) AS n_users, n AS n_offsets,
+      |  slope AS slope_micro,
+      |  CASE WHEN slope < 0 THEN CAST(69314718 // -slope AS BIGINT) END
+      |    AS half_life_days_centi
+      |FROM rh_s""".stripMargin
 
   /** q289: degree histogram — bit-length log₂ buckets, top-down
     * cumulative CCDF. */

@@ -225,6 +225,61 @@ object EventFlow {
         expr("CAST(h_num div n_transitions AS BIGINT)").as("h_cond_micro"))
   }
 
+  /** RETENTION HALF-LIFE — the exponential-decay fit over q74's
+    * cohort curve collapsed to one global series: per day-offset
+    * 1..`maxOffset`, the fraction of ALL users active that many days
+    * after their own first day; a log-linear OLS over the positive-
+    * rate offsets gives the decay slope and t½ = ln 2 / (−slope) —
+    * the single number a growth model plugs in where the raw q74
+    * grid has hundreds of cells. Day 0 is excluded by construction
+    * (100% by definition — including the anchor biases the slope);
+    * zero-rate offsets drop (no log), their absence visible in
+    * `n_offsets`. Same exactness recipe as q303: integer counts,
+    * per-offset ln on the 1e-6 grid, integer OLS, half-life as one
+    * exact division in centi-days (NULL when the slope is not
+    * negative — no decay, no half-life).
+    *
+    * Scale: one events scan → per-user first day (one shuffle) →
+    * distinct (user, offset) presence → an offsets-bounded spine. */
+  def retentionHalfLife(spark: SparkSession, dir: String,
+      maxOffset: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = PlanCache.tracked(Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id")))))
+    val nUsers = d.select(col("user_id")).distinct().count()
+    val rates = d
+      .select(col("user_id"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("off"))
+      .filter(col("off") >= 1 && col("off") <= maxOffset)
+      .distinct()
+      .groupBy(col("off")).agg(count(lit(1)).as("n_active"))
+      .select(col("off"),
+        expr(s"n_active * 1000000 div ${nUsers}L").as("rate_micro"))
+      .filter(col("rate_micro") > 0)
+      .withColumn("lyu",
+        round(log(col("rate_micro").cast("double") / 1000000.0) * 1000000,
+          0).cast("long"))
+    val all = Window.partitionBy()
+    rates
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("sx", sum(col("off")).over(all))
+      .withColumn("sy", sum(col("lyu")).over(all))
+      .withColumn("sxx", sum(col("off") * col("off")).over(all))
+      .withColumn("sxy", sum(col("off") * col("lyu")).over(all))
+      .agg(max(col("n")).as("n_offsets"),
+        max(expr("""(CAST(n AS DECIMAL(38,0)) * sxy
+            - CAST(sx AS DECIMAL(38,0)) * sy)
+          div (CAST(n AS DECIMAL(38,0)) * sxx
+            - CAST(sx AS DECIMAL(38,0)) * sx)""")).as("slope_micro"))
+      .select(lit(nUsers).as("n_users"), col("n_offsets"),
+        col("slope_micro"),
+        when(col("slope_micro") < 0,
+          expr("CAST(69314718 div -slope_micro AS BIGINT)"))
+          .as("half_life_days_centi"))
+  }
+
   /** k-STEP ABSORPTION REACHABILITY of the event chain — per starting
     * event type, the probability of hitting `target` (purchase)
     * within `steps` transitions under q88's empirical kernel, with

@@ -2288,6 +2288,42 @@ object Relational {
     * Scale: one day-grain aggregate, then every candidate split reads
     * off ONE prefix-sum window over the days-bounded spine — no
     * per-split rescan. */
+  /** MARKET CONCENTRATION (Herfindahl–Hirschman) per order year —
+    * each nation's revenue share squared and summed: the one-number
+    * "is this market a monopoly or a melee" gauge beside q182's raw
+    * share table, with the EFFECTIVE NATION COUNT 1/HHI riding along
+    * (the q296 effective-vocabulary idea on the business pillar).
+    * Exact integers: cents-exact revenue, floored micro shares, HHI
+    * as Σs² div 10⁶ on Decimal(38) ≙ HUGEINT, effective count in
+    * milli via one more exact division.
+    *
+    * Scale: one orders scan joins two broadcast dims, folds to the
+    * years × nations grid; everything after runs there. */
+  def marketConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rev = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(year(col("o_orderdate")).cast("long").as("yr"), col("n_name"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("yr"), col("n_name"))
+      .agg(sum(col("cents")).as("rev"))
+    rev
+      .withColumn("tot", sum(col("rev")).over(Window.partitionBy(col("yr"))))
+      .withColumn("s", expr("rev * 1000000 div tot"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_nations"),
+        max(col("tot")).as("revenue_cents"),
+        expr("CAST(sum(CAST(s AS DECIMAL(38,0)) * s) div 1000000 AS BIGINT)")
+          .as("hhi_micro"))
+      .withColumn("effective_nations_milli",
+        expr("CAST(1000000000 div greatest(hhi_micro, 1) AS BIGINT)"))
+      .orderBy(col("yr").asc)
+  }
+
   /** TRAILING-WINDOW revenue quantile bands — per day, the
     * p10/p50/p90 of the last `windowDays` daily totals: the control
     * band an ops dashboard draws under today's number ([[changePoint]]

@@ -526,6 +526,7 @@ object SparkEntry {
     "q310_market_hhi" -> ((s, d) => Relational.marketConcentration(s, d)),
     "q311_retention_half_life" ->
       ((s, d) => EventFlow.retentionHalfLife(s, d)),
+    "q312_transitivity" -> ((s, d) => Graph.transitivity(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -764,6 +765,7 @@ object SparkEntry {
       ("q309_rolling_bands" -> q309Sql) +
       ("q310_market_hhi" -> q310Sql) +
       ("q311_retention_half_life" -> q311Sql) +
+      ("q312_transitivity" -> q312Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -2713,6 +2715,34 @@ object SparkEntry {
       |  CASE WHEN slope < 0 THEN CAST(69314718 // -slope AS BIGINT) END
       |    AS half_life_days_centi
       |FROM rh_s""".stripMargin
+
+  /** q312: global transitivity — 3·triangles over wedges, the q231
+    * closure + one degree fold, exact micro ratio. */
+  private lazy val q312Sql: String =
+    s"""WITH $coPurchaseCtes,
+       | tv_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |     (SELECT pa AS node FROM cp_und UNION ALL SELECT pb FROM cp_und)
+       |   GROUP BY 1),
+       | tv_o AS (SELECT
+       |     CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+       |       THEN pa ELSE pb END AS src,
+       |     CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND pa < pb)
+       |       THEN pb ELSE pa END AS dst
+       |   FROM cp_und JOIN tv_deg d1 ON pa = d1.node
+       |   JOIN tv_deg d2 ON pb = d2.node),
+       | tv_t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |   FROM tv_o e1 JOIN tv_o e2
+       |     ON e1.src = e2.src AND e1.dst < e2.dst
+       |   WHERE EXISTS (SELECT 1 FROM cp_und u
+       |     WHERE u.pa = e1.dst AND u.pb = e2.dst)),
+       | tv_w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    sum(CAST(deg AS HUGEINT) * (deg - 1)) // 2 AS n_wedges
+       |   FROM tv_deg)
+       |SELECT n_nodes, CAST(n_wedges AS BIGINT) AS n_wedges,
+       |  (SELECT n_triangles FROM tv_t) AS n_triangles,
+       |  CAST(3 * CAST((SELECT n_triangles FROM tv_t) AS HUGEINT) * 1000000
+       |    // greatest(n_wedges, 1) AS BIGINT) AS transitivity_micro
+       |FROM tv_w""".stripMargin
 
   /** q289: degree histogram — bit-length log₂ buckets, top-down
     * cumulative CCDF. */

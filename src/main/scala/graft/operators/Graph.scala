@@ -577,6 +577,38 @@ object Graph {
       .limit(k)
   }
 
+  /** GLOBAL TRANSITIVITY — 3·triangles / wedges, the one-number "do
+    * ties close" companion to q231's per-node census and the local
+    * coefficients it ranks by: local C averages treat a 2-degree node
+    * and a hub equally, transitivity weights by wedge mass — reading
+    * them TOGETHER is the standard diagnosis for hub-dominated
+    * closure. Wedges Σ deg·(deg−1)/2 from the one degree frame,
+    * triangles from the shared degree-ordered edge-iterator closure;
+    * the ratio exact in micro on Decimal(38) ≙ HUGEINT (3T·10⁶
+    * clears int64 on dense graphs).
+    *
+    * Scale: the census is the q231 plan (out-lists O(√m)); the
+    * readout folds two 1-row scalars. */
+  def transitivity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = PlanCache.tracked(coPurchaseEdges(spark, dir))
+    val deg = PlanCache.tracked(
+      und.select(col("pa").as("node")).union(und.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    val tri = triangleRows(und, deg).agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(
+      (sum(col("deg").cast(dec) * (col("deg") - 1)) / lit(2))
+        .cast(dec).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    wedges.transform(Scalars.attach(_, tri,
+        col("n_nodes"), col("n_triangles")))
+      .select(col("n_nodes"), col("n_wedges").cast("long").as("n_wedges"),
+        col("n_triangles"),
+        expr("""CAST(3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000
+            div greatest(CAST(n_wedges AS DECIMAL(38,0)), 1) AS BIGINT)""")
+          .as("transitivity_micro"))
+  }
+
   /** One (a, b, c) row per triangle — the degree-ordered edge-iterator
     * closure shared by [[triangles]] and [[graphSummary]]. */
   private def triangleRows(und: DataFrame, deg: DataFrame): DataFrame = {

@@ -527,6 +527,7 @@ object SparkEntry {
     "q311_retention_half_life" ->
       ((s, d) => EventFlow.retentionHalfLife(s, d)),
     "q312_transitivity" -> ((s, d) => Graph.transitivity(s, d)),
+    "q313_scene_lengths" -> ((s, d) => Multimodal.sceneLengths(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -766,6 +767,7 @@ object SparkEntry {
       ("q310_market_hhi" -> q310Sql) +
       ("q311_retention_half_life" -> q311Sql) +
       ("q312_transitivity" -> q312Sql) +
+      ("q313_scene_lengths" -> q313Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -3038,6 +3040,38 @@ object SparkEntry {
       |    THEN CAST((count(*) - 1) * 1000000 // (sum(run_len) - 1) AS BIGINT)
       |  END AS cut_density_micro
       |FROM sc_r GROUP BY 1 ORDER BY media_id""".stripMargin
+
+  /** q313: scene-length distribution per source — q271's runs joined
+    * to the source dim, house ceil-rank percentiles. */
+  private lazy val q313Sql: String =
+    s"""WITH ${dhashCtes(1)},
+      | sl_d AS (SELECT media_id, frame_idx,
+      |    bit_count(xor(frame_dhash, lag(frame_dhash) OVER w)) AS db
+      |   FROM dh WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+      | sl_c AS (SELECT media_id, frame_idx,
+      |    CASE WHEN db IS NULL OR db > 16 THEN 1 ELSE 0 END AS cut
+      |   FROM sl_d),
+      | sl_s AS (SELECT media_id, sum(cut) OVER
+      |    (PARTITION BY media_id ORDER BY frame_idx) AS scene_seq
+      |   FROM sl_c),
+      | sl_r AS (SELECT media_id, scene_seq,
+      |    CAST(count(*) AS BIGINT) AS run_len
+      |   FROM sl_s GROUP BY 1, 2),
+      | sl_j AS (SELECT r.*, d.source FROM sl_r r
+      |   JOIN documents d ON r.media_id = d.doc_id),
+      | sl_w AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY run_len ASC, media_id ASC, scene_seq ASC) AS BIGINT)
+      |      AS rn,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |   FROM sl_j)
+      |SELECT source, max(n) AS n_scenes,
+      |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN run_len END)
+      |    AS p50_len,
+      |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN run_len END)
+      |    AS p90_len,
+      |  max(run_len) AS max_len
+      |FROM sl_w GROUP BY 1 ORDER BY source""".stripMargin
 
   /** q276: the signature-table replay — dhash60 per sampled frame
     * plus the Hamming delta to the previous frame of the medium. */

@@ -184,20 +184,8 @@ object Multimodal {
   /** [[sceneChanges]] over an arbitrary `(media_id, text)` frame —
     * the unit-testable core (the [[sampleFramesOf]] convention). */
   def sceneChangesOf(media: DataFrame, frameSize: Int = 256,
-      stride: Int = 1, tauBits: Int = 16): DataFrame = {
-    val byFrame = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
-    val runs = frameSignaturesOf(media, frameSize, stride)
-      .withColumn("cut",
-        when(col("delta_bits").isNull ||
-          col("delta_bits") > tauBits, 1L)
-          .otherwise(0L))
-      .withColumn("scene_seq",
-        sum(col("cut")).over(byFrame.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    runs
-      .groupBy(col("media_id"), col("scene_seq"))
-      .agg(count(lit(1)).as("run_len"))
+      stride: Int = 1, tauBits: Int = 16): DataFrame =
+    sceneRunsOf(media, frameSize, stride, tauBits)
       .groupBy(col("media_id"))
       .agg(sum(col("run_len")).as("n_frames"),
         count(lit(1)).as("n_scenes"),
@@ -210,6 +198,58 @@ object Multimodal {
           expr("(n_scenes - 1) * 1000000 div (n_frames - 1)"))
           .as("cut_density_micro"))
       .orderBy(col("media_id").asc)
+
+  /** One (media_id, scene_seq, run_len) row per scene — the cut +
+    * prefix-sum run derivation shared by [[sceneChangesOf]] and
+    * [[sceneLengths]]. */
+  private def sceneRunsOf(media: DataFrame, frameSize: Int,
+      stride: Int, tauBits: Int): DataFrame = {
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameSignaturesOf(media, frameSize, stride)
+      .withColumn("cut",
+        when(col("delta_bits").isNull ||
+          col("delta_bits") > tauBits, 1L)
+          .otherwise(0L))
+      .withColumn("scene_seq",
+        sum(col("cut")).over(byFrame.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("media_id"), col("scene_seq"))
+      .agg(count(lit(1)).as("run_len"))
+  }
+
+  /** SCENE-LENGTH DISTRIBUTION per source — the corpus-level readout
+    * over [[sceneChanges]]' per-medium runs: how long does content
+    * HOLD before it changes, per source (an encoder's chunking and a
+    * sampler's stride are tuned against exactly this curve). House
+    * ceil-rank percentiles over (run_len, media, scene) — exact,
+    * tie-stable cross-engine — plus the max run.
+    *
+    * Scale: the runs frame is scenes-sized (≤ frames); the rank
+    * window partitions by source. */
+  def sceneLengths(spark: SparkSession, dir: String, frameSize: Int = 256,
+      stride: Int = 1, tauBits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables(spark, dir, "documents")
+    val runs = sceneRunsOf(
+        docs.select(col("doc_id").as("media_id"), col("text")),
+        frameSize, stride, tauBits)
+      .join(docs.select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("run_len").asc, col("media_id").asc, col("scene_seq").asc)
+    runs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_scenes"),
+        max(when(col("rn") === expr("(50 * n + 99) div 100"),
+          col("run_len"))).as("p50_len"),
+        max(when(col("rn") === expr("(90 * n + 99) div 100"),
+          col("run_len"))).as("p90_len"),
+        max(col("run_len")).as("max_len"))
+      .orderBy(col("source").asc)
   }
 
   /** Cross-media duplicate frames: a sampled-frame PERCEPTUAL

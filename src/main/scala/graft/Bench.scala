@@ -6,6 +6,32 @@ object Bench {
     * (~3.8) and the known-contended r12 driver board (up to 16.9). */
   val SuspectLoad = 8.0
 
+  /** Parse the committed quiet-host reference board into name → seconds.
+    * Bounded to the `"queries"` object (so scalar fields like `cpus`
+    * never masquerade as query rows) and whitespace-tolerant after the
+    * colon — the committed BENCH_REFERENCE.json is pretty-printed
+    * (`"q100_semdedup": 1.888`), which the round-13 parser's
+    * no-space regex silently rejected, loading an EMPTY reference map
+    * and leaving the >3x-reference suspect rule dead code. */
+  def parseReference(txt: String): Map[String, Double] = {
+    val qIdx = txt.indexOf("\"queries\"")
+    if (qIdx < 0) return Map.empty
+    val open = txt.indexOf('{', qIdx)
+    val close = txt.indexOf('}', open)
+    if (open < 0 || close < 0) return Map.empty
+    val body = txt.substring(open, close + 1)
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** A row is suspect when its min still exceeds 3x the committed
+    * quiet-host reference, or the ambient load around it exceeded
+    * [[SuspectLoad]]. Factored out so the spec can drive it with a
+    * synthetic >3x row. */
+  def isSuspect(name: String, secs: Double, load: Double,
+      reference: Map[String, Double]): Boolean =
+    reference.get(name).exists(ref => secs > 3 * ref) || load > SuspectLoad
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -48,12 +74,8 @@ object Bench {
     val reference: Map[String, Double] =
       try {
         val p = java.nio.file.Paths.get("BENCH_REFERENCE.json")
-        if (java.nio.file.Files.exists(p)) {
-          val txt = java.nio.file.Files.readString(p)
-          val body = txt.drop(txt.indexOf("\"queries\""))
-          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } else Map.empty
+        if (java.nio.file.Files.exists(p)) parseReference(java.nio.file.Files.readString(p))
+        else Map.empty
       } catch { case _: Exception => Map.empty }
     // Durable per-query artifact: the round-10 driver bench artifact
     // kept only the stdout TAIL, so per-query timings survived for 61
@@ -83,7 +105,8 @@ object Bench {
       val line =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
           s""""sf":"$sfDir","calibration_sec":$calibration,"cpus":$cpus,""" +
-          s""""load_1m":$ls,"suspect":$ss,"n_suspect":${suspects.size}}"""
+          s""""load_1m":$ls,"suspect":$ss,"n_suspect":${suspects.size},""" +
+          s""""reference_rows":${reference.size}}"""
       println(line)
       Console.out.flush()
       try outPath.foreach { p =>
@@ -170,9 +193,7 @@ object Bench {
       // SuspectLoad (the quiet builder board never passes 4; the
       // load-inflated r12 driver board ran at up to 16.9). The board
       // then carries its own verdict: n_suspect 0 = trust every row.
-      val suspect = reference.get(name).exists(ref => secs > 3 * ref) ||
-        load > SuspectLoad
-      if (suspect) suspects :+= name
+      if (isSuspect(name, secs, load, reference)) suspects :+= name
       loads :+= (name -> load)
       results :+= (name -> secs)
       emit(results)

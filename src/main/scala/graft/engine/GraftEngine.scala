@@ -145,12 +145,19 @@ final class GraftEngine(
       // replay guard — restarts resume exactly-once from the checkpoint
       guarded(() => graft.streaming.IvmStream.start(spark, s.sourceDir,
         s.storeDir, s.checkpointDir, s.view, availableNow))
-    case Compiler.ForecastAnomalyDef(_, sourceDir, hist, ckpt) =>
+    case Compiler.ForecastAnomalyDef(_, sourceDir, hist, ckpt, watchValues) =>
       // seasonal HW-residual alarm under the supervisor: the weekday
       // CDC-volume cycle is absorbed by the forecast, genuine breaks
-      // page; replays are anti-join idempotent like the plain-z rider
-      guarded(() => graft.streaming.ForecastAnomalyStream.startChangeEvents(
-        spark, sourceDir, hist, ckpt, alerts, availableNow = availableNow))
+      // page; replays are anti-join idempotent like the plain-z rider.
+      // `watchValues` swaps the series from daily op counts to the
+      // after-image's daily cent mass (`value_forecast_anomaly`)
+      guarded(() =>
+        if (watchValues)
+          graft.streaming.ForecastAnomalyStream.startChangeValues(
+            spark, sourceDir, hist, ckpt, alerts, availableNow = availableNow)
+        else
+          graft.streaming.ForecastAnomalyStream.startChangeEvents(
+            spark, sourceDir, hist, ckpt, alerts, availableNow = availableNow))
   }
 
   /** Guardian envelope on the START path: a recoverable failure (e.g. a
@@ -890,22 +897,36 @@ object GraftEngine {
     } finally graft.operators.PlanCache.release()
 
   /** Run one entity-resolution store maintenance pass now: append the
-    * source's NEW (id, name) rows (anti-joined against the store — a
-    * founding run appends everything), probe with the increment only,
-    * optionally compact. Returns "er +N [compacted]". */
+    * source's NEW (id, name) rows, probe with the increment only,
+    * optionally compact. Returns "er +N [compacted]".
+    *
+    * Freshness keys off the store's `absorbed` table — the per-id
+    * marker [[graft.operators.Dedup.appendToEntityStore]] commits
+    * only AFTER the batch's edges are durably appended — not off
+    * `names` (written first): a crash mid-append leaves its ids
+    * un-absorbed, so the next pass REPLAYS them and the idempotent
+    * append derives the missing edges instead of silently skipping
+    * the batch forever. A store founded before the marker protocol
+    * falls back to `names` (its batches predate crash-replay). */
   def runErMaintenance(spark: SparkSession,
       spec: graft.model.ErTaskSpec): String = {
     val names = graft.Tables(spark, spec.sourceDir, "customer")
       .select(org.apache.spark.sql.functions.col("c_custkey").as("id"),
         org.apache.spark.sql.functions.col("c_name").as("name"))
+    val absorbedPath =
+      graft.operators.Atomic.resolve(spark, spec.storeDir, "absorbed")
     val namesPath = graft.operators.Atomic.resolve(spark, spec.storeDir, "names")
-    val p = new org.apache.hadoop.fs.Path(namesPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (fs.exists(p))
-        names.join(spark.read.parquet(namesPath).select("id"),
-          Seq("id"), "left_anti")
-      else names
+    val fs = new org.apache.hadoop.fs.Path(namesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val donePath =
+      if (fs.exists(new org.apache.hadoop.fs.Path(absorbedPath))) Some(absorbedPath)
+      else if (fs.exists(new org.apache.hadoop.fs.Path(namesPath))) Some(namesPath)
+      else None
+    val fresh = donePath match {
+      case Some(dp) =>
+        names.join(spark.read.parquet(dp).select("id"), Seq("id"), "left_anti")
+      case None => names
+    }
     val n = fresh.count()
     if (n > 0) graft.operators.Dedup.appendToEntityStore(fresh, spec.storeDir)
     if (spec.compact)
@@ -921,9 +942,20 @@ object GraftEngine {
   def runGraphEvolution(spark: SparkSession,
       spec: graft.model.GraphHealthSpec): Seq[(Long, Long)] =
     try {
-      graft.operators.Graph
-        .communityEvolutionSeries(spark, spec.sourceDir, spec.epochs,
-          spec.iters)
+      // with a gauge store configured, each audit first persists any
+      // newly-closed epochs (one slice LPA per new epoch, zero on an
+      // unchanged axis) and then reads the series THROUGH the store —
+      // one open-epoch slice per run instead of the full N-LPA sweep
+      val series =
+        if (spec.storeDir.nonEmpty) {
+          graft.operators.Graph.appendEpochGauges(spark, spec.sourceDir,
+            spec.storeDir, spec.epochs, spec.iters)
+          graft.operators.Graph.evolutionSeriesFromStore(spark,
+            spec.sourceDir, spec.storeDir, spec.iters)
+        } else
+          graft.operators.Graph.communityEvolutionSeries(spark,
+            spec.sourceDir, spec.epochs, spec.iters)
+      series
         .select("epoch", "modularity_drift_micro")
         .collect()
         .filter(r => !r.isNullAt(1) && -r.getLong(1) > spec.maxDriftMicro)

@@ -74,7 +74,7 @@ class EntityStoreSpec extends SparkSpec {
     // compaction: physical erasure from all three tables + tombstone
     // clear; the readout is unchanged afterwards
     Dedup.compactEntityStore(spark, storeDir)
-    Seq("names", "variants").foreach { t =>
+    Seq("names", "variants", "absorbed").foreach { t =>
       assert(!spark.read
         .parquet(graft.operators.Atomic.resolve(spark, storeDir, t))
         .select("id").collect().map(_.getLong(0)).contains(2L),
@@ -87,5 +87,51 @@ class EntityStoreSpec extends SparkSpec {
     assert(graft.operators.Forgotten.read(spark, storeDir).isEmpty)
     assert(clusters(Dedup.entityClustersFromStore(spark, storeDir)) ==
       Set((1L, 2L, "alice"), (20L, 2L, "carol")))
+  }
+
+  test("a crash between the names append and the edges append replays clean") {
+    val storeDir = Files.createTempDirectory("graft_er_crash").toString
+    val batch1 = Seq((1L, "alice"), (2L, "alicx")).toDF("id", "name")
+    val batch2 = Seq((3L, "alicxe"), (4L, "alicxz")).toDF("id", "name")
+    Dedup.appendToEntityStore(batch1, storeDir)
+    // simulate the crashed batch-2 append: names landed, then the
+    // process died before variants/edges/absorbed — the exact window
+    // the round-13 protocol marked "done" forever
+    batch2.write.mode("append")
+      .parquet(graft.operators.Atomic.resolve(spark, storeDir, "names"))
+    // the absorbed marker does NOT contain the crashed batch, so a
+    // maintenance pass re-offers it; the replay must derive the
+    // missing edges without duplicating the names rows
+    val absorbed = spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, storeDir, "absorbed"))
+      .collect().map(_.getLong(0)).toSet
+    assert(absorbed == Set(1L, 2L))
+    Dedup.appendToEntityStore(batch2, storeDir)
+    val got = clusters(Dedup.entityClustersFromStore(spark, storeDir))
+    val want = clusters(Dedup.entityClustersOf(batch1.unionByName(batch2)))
+    assert(got == want)
+    assert(got == Set((1L, 4L, "alice")))
+    val nameRows = spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, storeDir, "names"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(nameRows.sorted == Seq(1L, 2L, 3L, 4L), "names rows duplicated")
+  }
+
+  test("re-appending an absorbed batch is a no-op (idempotent replay)") {
+    val storeDir = Files.createTempDirectory("graft_er_idem").toString
+    val batch = Seq((1L, "alice"), (2L, "alicx"), (9L, "zed")).toDF("id", "name")
+    Dedup.appendToEntityStore(batch, storeDir)
+    val before = clusters(Dedup.entityClustersFromStore(spark, storeDir))
+    Dedup.appendToEntityStore(batch, storeDir)
+    assert(clusters(Dedup.entityClustersFromStore(spark, storeDir)) == before)
+    Seq("names" -> 3, "absorbed" -> 3).foreach { case (t, n) =>
+      val c = spark.read
+        .parquet(graft.operators.Atomic.resolve(spark, storeDir, t)).count()
+      assert(c == n, s"$t has $c rows after double append, want $n")
+    }
+    val edgeRows = spark.read
+      .parquet(graft.operators.Atomic.resolve(spark, storeDir, "edges"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edgeRows.sorted == Seq((1L, 2L)), "edges duplicated on replay")
   }
 }

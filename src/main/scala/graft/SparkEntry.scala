@@ -528,6 +528,9 @@ object SparkEntry {
       ((s, d) => EventFlow.retentionHalfLife(s, d)),
     "q312_transitivity" -> ((s, d) => Graph.transitivity(s, d)),
     "q313_scene_lengths" -> ((s, d) => Multimodal.sceneLengths(s, d)),
+    "q314_entity_probe" -> ((s, d) => Dedup.entityProbeClusters(s, d)),
+    "q315_epoch_series_stored" ->
+      ((s, d) => Graph.evolutionSeriesStored(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -768,6 +771,17 @@ object SparkEntry {
       ("q311_retention_half_life" -> q311Sql) +
       ("q312_transitivity" -> q312Sql) +
       ("q313_scene_lengths" -> q313Sql) +
+      // q314 is the ER store's steady-state probe face: the corpus
+      // slice's names/variants/edges are persisted and only the
+      // id % 10 = 0 increment is re-expanded, but the RESULT equals
+      // the full-run clustering by construction — so the q281 oracle
+      // replays it verbatim while the bench row prices the probe
+      ("q314_entity_probe" -> q281Sql) +
+      // q315 is q298 read through the persisted epoch-gauge store:
+      // closed epochs come off disk, only the open newest epoch runs
+      // its LPA — the result is identical by construction, so the
+      // q298 oracle replays it while the bench row prices one slice
+      ("q315_epoch_series_stored" -> q298Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -2671,8 +2685,9 @@ object SparkEntry {
       |   FROM mc_r),
       | mc_h AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_nations,
       |    max(tot) AS revenue_cents,
-      |    CAST(sum(CAST(rev * 1000000 // tot AS HUGEINT)
-      |        * (rev * 1000000 // tot)) // 1000000 AS BIGINT) AS hhi_micro
+      |    CAST(sum((CAST(rev AS HUGEINT) * 1000000 // tot)
+      |        * (CAST(rev AS HUGEINT) * 1000000 // tot)) // 1000000
+      |      AS BIGINT) AS hhi_micro
       |  FROM mc_s GROUP BY 1)
       |SELECT yr, n_nations, revenue_cents, hhi_micro,
       |  CAST(1000000000 // greatest(hhi_micro, 1) AS BIGINT)

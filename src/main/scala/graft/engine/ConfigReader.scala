@@ -276,6 +276,9 @@ object ConfigReader {
     require(!(n.path("forecastMonitor").asBoolean(false) && taskType == "redis"),
       "forecastMonitor requires a change-event (CDC) task: the KV op log has " +
         "no change events to forecast")
+    require(!(n.path("valueForecastMonitor").asBoolean(false) && taskType == "redis"),
+      "valueForecastMonitor requires a change-event (CDC) task: the KV op " +
+        "log has no after-image value mass to forecast")
     SyncTaskSpec(
       id = n.path("id").asInt(0),
       taskType = taskType,
@@ -292,7 +295,8 @@ object ConfigReader {
       sessionize = n.path("sessionize").asBoolean(false),
       rateMonitor = n.path("rateMonitor").asBoolean(false),
       anomalyMonitor = n.path("anomalyMonitor").asBoolean(false),
-      forecastMonitor = n.path("forecastMonitor").asBoolean(false))
+      forecastMonitor = n.path("forecastMonitor").asBoolean(false),
+      valueForecastMonitor = n.path("valueForecastMonitor").asBoolean(false))
   }
 
   private def parseTable(n: JsonNode, securityEnabled: Boolean): TableMapping = {
@@ -414,6 +418,18 @@ object ConfigReader {
     require(view.aggs.contains("n_rows"),
       "ivm task: n_rows is required — it is the liveness counter the " +
         "empty-bucket drop rides on")
+    // honor-or-reject at LOAD time, like every other malformed task: a
+    // key/bucket/value field colliding with another or with the fixed
+    // changelog columns (op/ts/offset) yields a duplicate-column stream
+    // schema that otherwise fails only at stream start
+    val fields = Seq(view.keyField, view.bucketField, view.valueField)
+    require(fields.distinct.size == 3,
+      s"ivm task: keyField/bucketField/valueField must be mutually " +
+        s"distinct, got ${fields.mkString(", ")}")
+    val reserved = fields.filter(Set("op", "ts", "offset"))
+    require(reserved.isEmpty,
+      s"ivm task: field name(s) ${reserved.mkString(", ")} collide with " +
+        "the fixed changelog columns op/ts/offset")
     graft.model.IvmTaskSpec(
       id = n.path("id").asInt(0),
       enabled = n.path("enabled").asBoolean(true),
@@ -580,7 +596,8 @@ object ConfigReader {
       iters = n.path("iters").asInt(4),
       minQMicro = n.path("minQMicro").asLong(100000L),
       epochs = n.path("epochs").asInt(4),
-      maxDriftMicro = n.path("maxDriftMicro").asLong(Long.MaxValue))
+      maxDriftMicro = n.path("maxDriftMicro").asLong(Long.MaxValue),
+      storeDir = optText(n, "storeDir").getOrElse(""))
     require(spec.iters > 0, "graph health task: iters must be positive")
     require(spec.epochs >= 2, "graph health task: epochs must be >= 2")
     spec

@@ -67,7 +67,8 @@ final case class SyncTaskSpec(
     sessionize: Boolean = false,   // ST14/ST15: per-key activity sessions off the change stream
     rateMonitor: Boolean = false,  // sliding-window per-op rate log off the change stream
     anomalyMonitor: Boolean = false, // daily op-count z-score alerts off the change stream
-    forecastMonitor: Boolean = false) // seasonal HW-residual alerts off the change stream
+    forecastMonitor: Boolean = false, // seasonal HW-residual alerts off the change stream
+    valueForecastMonitor: Boolean = false) // seasonal HW-residual alerts on the after-image CENT MASS
 
 /** A scheduled entity-resolution store maintenance task — the
   * append/probe steady state of [[graft.operators.Dedup.appendToEntityStore]]
@@ -218,7 +219,11 @@ final case class GraphHealthSpec(
     // modularity DROP exceeds this bound. Long.MaxValue = off (the
     // N-LPA series is only paid for when a bound is configured).
     epochs: Int = 4,
-    maxDriftMicro: Long = Long.MaxValue)
+    maxDriftMicro: Long = Long.MaxValue,
+    // optional persisted epoch-gauge store: when set, each audit
+    // appends newly-closed epochs' gauges and reads the series
+    // through the store — one open-epoch LPA per run instead of N
+    storeDir: String = "")
 
 /** A scheduled distribution-drift audit over the event stream — the
   * watchdog face of the q253 monitor: each run computes the per-type

@@ -89,7 +89,10 @@ object Compiler {
     * weekly-cycle volume peak does not page while a genuine break
     * does. */
   final case class ForecastAnomalyDef(name: String, sourceDir: String,
-      historyDir: String, checkpointDir: String) extends PipelineDef
+      historyDir: String, checkpointDir: String,
+      // false: daily op COUNTS; true: the after-image's daily CENT
+      // MASS (`value_forecast_anomaly` — the q90/q155 revenue series)
+      watchValues: Boolean = false) extends PipelineDef
 
   /** Namespace + storage-path derivation. A table whose mapping-level
     * sourceDb DIFFERS from the task default gets db-prefixed paths and
@@ -156,8 +159,14 @@ object Compiler {
           Seq(ForecastAnomalyDef(s"$name#forecast", s"${spec.sourceDir}/$src",
             s"${spec.targetDir}/$tgt#forecast", s"${spec.checkpointDir}/$src#forecast"))
         else Nil
+      val valueForecastMonitors =
+        if (spec.valueForecastMonitor && spec.taskType != "redis")
+          Seq(ForecastAnomalyDef(s"$name#vforecast", s"${spec.sourceDir}/$src",
+            s"${spec.targetDir}/$tgt#vforecast",
+            s"${spec.checkpointDir}/$src#vforecast", watchValues = true))
+        else Nil
       rollup ++ sessions ++ rateMonitors ++ anomalyMonitors ++
-        forecastMonitors :+ (spec.taskType match {
+        forecastMonitors ++ valueForecastMonitors :+ (spec.taskType match {
         case "redis" =>
           KvDef(name, KvPipeline.Config(
             sourceDir = s"${spec.sourceDir}/$src",
@@ -240,7 +249,7 @@ object Compiler {
       // corpus + crawl source are read-only; it owns its log + checkpoint
       case DecontamDef(n, s) => Seq(s.outDir, s.checkpointDir).map((n, _))
       case AnomalyDef(n, _, hist, ckpt) => Seq(hist, ckpt).map((n, _))
-      case ForecastAnomalyDef(n, _, hist, ckpt) => Seq(hist, ckpt).map((n, _))
+      case ForecastAnomalyDef(n, _, hist, ckpt, _) => Seq(hist, ckpt).map((n, _))
       // change log is read-only; it owns its view store + checkpoint
       case IvmDef(n, s) => Seq(s.storeDir, s.checkpointDir).map((n, _))
     }.map { case (n, r) => (n, r + "/") }.sortBy(_._2)

@@ -149,6 +149,23 @@ object AnomalyStream {
       historyDir, checkpoint, alerts, threshold, minHistory,
       late = "1 day", availableNow = availableNow)
 
+  /** The CENT-MASS twin of [[startChangeEvents]]: daily value z-scores
+    * over the after-image's value (deletes carry zero mass). On a
+    * seasonal revenue series this face pages every cycle peak — which
+    * is exactly why [[ForecastAnomalyStream.startChangeValues]]
+    * exists; keep this one for series without a weekly cycle, where
+    * plain z needs no 14-day seasonal warmup. */
+  def startChangeValues(spark: SparkSession, sourceDir: String,
+      historyDir: String, checkpoint: String,
+      alerts: Alerts.Sink = Alerts.Log, threshold: Double = 2.0,
+      minHistory: Int = 3, availableNow: Boolean = true): StreamingQuery =
+    startFrom(spark,
+      spark.readStream.schema(ChangeEvents.schema).json(sourceDir)
+        .select(col("op").as("event_type"), col("ts"),
+          coalesce(col("after.value"), lit(0.0)).as("value")),
+      historyDir, checkpoint, alerts, threshold, minHistory,
+      late = "1 day", availableNow = availableNow)
+
   private def startFrom(spark: SparkSession, stream: DataFrame,
       historyDir: String, checkpoint: String, alerts: Alerts.Sink,
       threshold: Double, minHistory: Int, late: String,

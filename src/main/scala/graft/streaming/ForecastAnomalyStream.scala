@@ -70,7 +70,8 @@ object ForecastAnomalyStream {
     * exactly-once history via the (type, day) anti-join). */
   private[streaming] def scoreBatch(spark: SparkSession, batch: DataFrame,
       historyDir: String, threshold: Double, minHistory: Int,
-      alerts: Alerts.Sink = Alerts.Log): Seq[Alerts.Alert] = {
+      alerts: Alerts.Sink = Alerts.Log,
+      kind: String = "forecast_anomaly"): Seq[Alerts.Alert] = {
     val hPath = new org.apache.hadoop.fs.Path(historyDir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val history: Option[DataFrame] =
@@ -109,7 +110,7 @@ object ForecastAnomalyStream {
         val sd = math.sqrt(varNum / (n * (n - 1.0)))
         val mean = st.sRes.toDouble / n
         if (sd > 0 && math.abs((r.toDouble - mean) / sd) >= threshold)
-          Some(Alerts.Alert("forecast_anomaly", tpe,
+          Some(Alerts.Alert(kind, tpe,
             s"day $day cents $x residual $r z=" +
               s"${math.round((r.toDouble - mean) / sd * 100) / 100.0}"))
         else None
@@ -148,16 +149,39 @@ object ForecastAnomalyStream {
       historyDir, checkpoint, alerts, threshold, minHistory,
       late = "1 day", availableNow = availableNow)
 
+  /** Engine face #2 (the `valueForecastMonitor` config opt-in): daily
+    * CENT-MASS seasonal alarm over a change-event stream — each op
+    * kind plays the event type with the after-image's value as the
+    * mass (deletes carry no after image → zero mass), so a weekly
+    * REVENUE cycle — the exact series the batch q90/q155 family
+    * watches — is absorbed by the seasonal slots and only a genuine
+    * value break fires `value_forecast_anomaly`. The plain-z value
+    * monitor pages every cycle peak on this series; this face is why
+    * it no longer has to. */
+  def startChangeValues(spark: SparkSession, sourceDir: String,
+      historyDir: String, checkpoint: String,
+      alerts: Alerts.Sink = Alerts.Log, threshold: Double = 3.0,
+      minHistory: Int = 14, availableNow: Boolean = true): StreamingQuery =
+    startFrom(spark,
+      spark.readStream.schema(ChangeEvents.schema).json(sourceDir)
+        .select(col("op").as("event_type"), col("ts"),
+          coalesce(col("after.value"), lit(0.0)).as("value")),
+      historyDir, checkpoint, alerts, threshold, minHistory,
+      late = "1 day", availableNow = availableNow,
+      kind = "value_forecast_anomaly")
+
   private def startFrom(spark: SparkSession, stream: DataFrame,
       historyDir: String, checkpoint: String, alerts: Alerts.Sink,
       threshold: Double, minHistory: Int, late: String,
-      availableNow: Boolean): StreamingQuery =
+      availableNow: Boolean,
+      kind: String = "forecast_anomaly"): StreamingQuery =
     AnomalyStream.dailyTotals(stream, late)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        scoreBatch(spark, batch, historyDir, threshold, minHistory, alerts)
+        scoreBatch(spark, batch, historyDir, threshold, minHistory, alerts,
+          kind)
         ()
       }
       .trigger(if (availableNow) Trigger.AvailableNow()

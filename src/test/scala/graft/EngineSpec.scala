@@ -892,6 +892,50 @@ class EngineSpec extends SparkSpec {
     } finally engine.stop()
   }
 
+  test("config valueForecastMonitor: the weekly REVENUE cycle stays silent, a genuine value break pages") {
+    val root = tmp()
+    val cfgPath = s"$root/engine.json"
+    import org.apache.spark.sql.Row
+    var off = 0L
+    def ev(ts: String, v: Double): Row = {
+      off += 1
+      Row("insert", off, Row(v, off), "graft", "events",
+        java.sql.Timestamp.valueOf(ts), off)
+    }
+    // one op per day — the COUNT faces see a flat series — while the
+    // after-image value carries the weekly revenue cycle (Fridays 3x)
+    // and one genuine break: Tuesday 2024-02-27 at Friday value
+    val rows = (0 until 63).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val v =
+        if (d.toString == "2024-02-27") 30.0
+        else if (d.getDayOfWeek == java.time.DayOfWeek.FRIDAY)
+          30.0 + (i % 3) * 0.25
+        else 10.0 + (i % 3) * 0.25
+      ev(s"$d 10:00:00", v)
+    } :+ ev("2024-03-20 10:00:00", 10.0)
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ChangeEvents.schema)
+      .coalesce(1).write.mode("append").json(s"$root/src/events")
+    writeConfig(cfgPath,
+      s"""{ "syncTasks": [
+         |  { "id": 17, "type": "mongodb", "enabled": true, "valueForecastMonitor": true,
+         |    "sourceDir": "$root/src", "targetDir": "$root/tgt",
+         |    "checkpointDir": "$root/ckpt",
+         |    "tables": [ { "sourceTable": "events", "keyColumns": ["key"] } ] } ] }""".stripMargin)
+    val alerts = new Alerts.Buffer
+    val engine = new GraftEngine(spark, cfgPath, availableNow = false, alerts = alerts)
+    try {
+      val r = engine.pollOnce()
+      assert(r.started == Set("task17/events", "task17/events#vforecast"))
+      engine.processAllAvailable()
+      engine.processAllAvailable()
+      val fired = alerts.drain().filter(_.kind == "value_forecast_anomaly")
+      assert(fired.map(_.source) == Seq("insert"), s"got $fired")
+      assert(fired.head.message.contains("2024-02-27"), fired.head.message)
+    } finally engine.stop()
+  }
+
   test("config erTasks: scheduled store maintenance founds then appends; store clusters equal the full run") {
     val root = tmp()
     val cfgPath = s"$root/engine.json"
@@ -925,6 +969,33 @@ class EngineSpec extends SparkSpec {
       assert(engine.tickCron(LocalDateTime.parse("2024-03-03T05:15:00")).isEmpty)
       graft.operators.PlanCache.release()
     } finally engine.stop()
+  }
+
+  test("er maintenance replays a crash-torn batch: freshness keys off absorbed, not names") {
+    val root = tmp()
+    val storeDir = s"$root/erstore"
+    val names = Tables(spark, sf, "customer")
+      .selectExpr("c_custkey AS id", "c_name AS name")
+    val mid = names.agg(expr("percentile_approx(id, 0.5)")).first().getLong(0)
+    graft.operators.Dedup.appendToEntityStore(
+      names.filter(col("id") <= mid), storeDir)
+    // crash simulation: the second batch's names landed but the process
+    // died before its edges — under the r13 names-keyed anti-join this
+    // batch would read as absorbed and its near-match edges would be
+    // lost forever
+    names.filter(col("id") > mid).write.mode("append")
+      .parquet(graft.operators.Atomic.resolve(spark, storeDir, "names"))
+    val msg = GraftEngine.runErMaintenance(spark,
+      graft.model.ErTaskSpec(id = 7, sourceDir = sf, storeDir = storeDir))
+    val replayed = names.filter(col("id") > mid).count()
+    assert(msg == s"er +$replayed", s"maintenance saw '$msg', " +
+      s"want the crashed batch ($replayed rows) re-offered")
+    val got = graft.operators.Dedup.entityClustersFromStore(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = graft.operators.Dedup.entityClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    graft.operators.PlanCache.release()
+    assert(want.nonEmpty && got == want)
   }
 
   test("config decontam: crawl docs scored at ingest equal the batch sweep; reload-drop stops the pipeline") {
@@ -1026,6 +1097,23 @@ class EngineSpec extends SparkSpec {
     assert(cfg.ivmTasks.map(_.id) == Seq(3))
     assert(cfg.ivmTasks.head.view.buckets == 3)
     assert(cfg.ivmTasks.head.view.aggs == Seq("n_rows", "cents"))
+  }
+
+  test("config ivm: colliding or reserved field names are rejected at load, fault-isolated") {
+    val cfg = ConfigReader.parse(
+      """{ "ivmTasks": [
+        |  { "id": 1, "sourceDir": "/s", "storeDir": "/v", "checkpointDir": "/c",
+        |    "keyField": "k", "bucketField": "k" },
+        |  { "id": 2, "sourceDir": "/s2", "storeDir": "/v2", "checkpointDir": "/c2",
+        |    "valueField": "op" },
+        |  { "id": 3, "sourceDir": "/s3", "storeDir": "/v3", "checkpointDir": "/c3",
+        |    "keyField": "uid", "bucketField": "g", "valueField": "v" } ] }""".stripMargin)
+    // #1 (keyField == bucketField) and #2 (valueField shadows the fixed
+    // changelog column `op`) would produce a duplicate-column stream
+    // schema that previously failed only at stream START — honor-or-
+    // reject demands the config load reject them like any other
+    // malformed task, leaving the well-formed sibling intact
+    assert(cfg.ivmTasks.map(_.id) == Seq(3))
   }
 
   test("scheduled training export: fires at its minute, manifest equals the operator, reload drops the job") {

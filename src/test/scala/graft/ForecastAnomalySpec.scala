@@ -78,4 +78,52 @@ class ForecastAnomalySpec extends SparkSpec {
     assert(hwBuf.drain().isEmpty)
     assert(ForecastAnomalyStream.currentHistory(spark, hist).count() == 63)
   }
+
+  test("CDC cent mass: plain z pages the revenue cycle, the HW value face pages the true break only") {
+    import graft.streaming.ChangeEvents
+    val src = Files.createTempDirectory("graft_fav_src").toString
+    var off = 0L
+    def ev(ts: String, v: Double): org.apache.spark.sql.Row = {
+      off += 1
+      org.apache.spark.sql.Row("insert", off, org.apache.spark.sql.Row(v, off),
+        "graft", "events", java.sql.Timestamp.valueOf(ts), off)
+    }
+    // one op per day (flat count series) with the weekly revenue
+    // cycle riding the after-image value — q90/q155's failure mode
+    // transplanted onto the change stream
+    val rows = (0 until 63).map { i =>
+      val d = LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val v =
+        if (d.toString == AnomalyDay) 30.0
+        else if (d.getDayOfWeek == java.time.DayOfWeek.FRIDAY)
+          30.0 + (i % 3) * 0.25
+        else 10.0 + (i % 3) * 0.25
+      ev(s"$d 10:00:00", v)
+    } :+ ev("2024-03-20 10:00:00", 10.0)
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ChangeEvents.schema)
+      .coalesce(1).write.mode("append").json(src)
+
+    // plain causal z on the cent mass: the cycle is a page storm
+    val plainBuf = new Alerts.Buffer
+    val q1 = AnomalyStream.startChangeValues(spark, src,
+      Files.createTempDirectory("graft_fav_h1").toString + "/history",
+      Files.createTempDirectory("graft_fav_c1").toString, plainBuf)
+    try q1.awaitTermination() finally q1.stop()
+    val plainDays = plainBuf.drain().map(_.message.split(" ")(1))
+    assert(plainDays.count(d =>
+      LocalDate.parse(d).getDayOfWeek == java.time.DayOfWeek.FRIDAY) >= 8,
+      s"expected the Friday revenue page storm, got $plainDays")
+
+    // HW residual on the same series: only the true break pages,
+    // under its own alert kind
+    val hwBuf = new Alerts.Buffer
+    val q2 = ForecastAnomalyStream.startChangeValues(spark, src,
+      Files.createTempDirectory("graft_fav_h2").toString + "/history",
+      Files.createTempDirectory("graft_fav_c2").toString, hwBuf)
+    try q2.awaitTermination() finally q2.stop()
+    val hw = hwBuf.drain()
+    assert(hw.map(_.kind) == Seq("value_forecast_anomaly"), s"got $hw")
+    assert(hw.head.message.contains(AnomalyDay), hw.head.message)
+  }
 }

@@ -2313,7 +2313,7 @@ object Relational {
       .agg(sum(col("cents")).as("rev"))
     rev
       .withColumn("tot", sum(col("rev")).over(Window.partitionBy(col("yr"))))
-      .withColumn("s", expr("rev * 1000000 div tot"))
+      .withColumn("s", expr("CAST(rev AS DECIMAL(38, 0)) * 1000000 div tot"))
       .groupBy(col("yr"))
       .agg(count(lit(1)).as("n_nations"),
         max(col("tot")).as("revenue_cents"),

@@ -1464,10 +1464,30 @@ object Similarity {
           .as("centroid_id"))
   }
 
+  /** Fail fast when `jlproj` is stream-owned: [[graft.streaming
+    * .JlStream]]'s file sink tracks its rows through a
+    * `_spark_metadata` commit log at a FIXED resolved path — a batch
+    * append would write rows the log never lists (invisible to any
+    * metadata-log reader), and a compaction would publish a fresh
+    * version dir WITHOUT the log while the stream keeps writing its
+    * stale path, silently losing every subsequent streamed row. The
+    * ownership contract is all-batch or all-stream per index; enforce
+    * it at runtime instead of by doc comment alone. */
+  private def requireBatchOwnedJl(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      Atomic.resolve(spark, indexDir, "jlproj"), "_spark_metadata")
+    require(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"jlproj under $indexDir is owned by a streaming ingest " +
+        "(_spark_metadata present): a JL index is all-batch or " +
+        "all-stream, never mixed — stop the stream and drop its commit " +
+        "log before batch appends or compaction")
+  }
+
   /** Append a corpus increment under the stored codebook — the
     * [[appendToStoredIvf]] concurrency contract. */
   def appendToJlIndex(batch: DataFrame, indexDir: String): Unit = {
     val spark = batch.sparkSession
+    requireBatchOwnedJl(spark, indexDir)
     jlAssignUnderStored(spark, batch, indexDir)
       .write.mode("append")
       .parquet(Atomic.resolve(spark, indexDir, "jlproj"))
@@ -1503,6 +1523,7 @@ object Similarity {
     * superseded versions when erasure demanded it and clear the
     * tombstones — [[compactStoredIvf]]'s contract. */
   def compactJlIndex(spark: SparkSession, indexDir: String): Unit = {
+    requireBatchOwnedJl(spark, indexDir)
     val hadTombstones = Forgotten.read(spark, indexDir).isDefined
     val live = Forgotten.exclude(
       spark.read.parquet(Atomic.resolve(spark, indexDir, "jlproj")),

@@ -89,4 +89,23 @@ class JlStoreSpec extends SparkSpec {
     assert(compacted == after)
     graft.operators.PlanCache.release()
   }
+
+  test("batch append/compact fail fast on a stream-owned jlproj") {
+    val indexDir = Files.createTempDirectory("graft_jl_owned").toString
+    val emb = Tables(spark, sf, "embeddings")
+    Similarity.foundJlCodebook(emb, indexDir)
+    // simulate JlStream ownership: the file sink's commit log marks
+    // the directory — batch mutation would write rows the log never
+    // lists (append) or publish a version without the log (compact)
+    Files.createDirectories(java.nio.file.Paths
+      .get(indexDir, "jlproj", "_spark_metadata"))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendToJlIndex(emb.limit(4), indexDir)
+    }
+    assert(e1.getMessage.contains("all-batch or all-stream"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.compactJlIndex(spark, indexDir)
+    }
+    assert(e2.getMessage.contains("all-batch or all-stream"))
+  }
 }

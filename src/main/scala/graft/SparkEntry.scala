@@ -531,6 +531,9 @@ object SparkEntry {
     "q314_entity_probe" -> ((s, d) => Dedup.entityProbeClusters(s, d)),
     "q315_epoch_series_stored" ->
       ((s, d) => Graph.evolutionSeriesStored(s, d)),
+    "q316_kendall_concordance" ->
+      ((s, d) => Relational.kendallConcordance(s, d)),
+    "q317_lorenz_deciles" -> ((s, d) => Relational.lorenzDeciles(s, d)),
   )
 
   /** The deterministic subject set q224 exercises — keys present at
@@ -782,6 +785,8 @@ object SparkEntry {
       // its LPA — the result is identical by construction, so the
       // q298 oracle replays it while the bench row prices one slice
       ("q315_epoch_series_stored" -> q298Sql) +
+      ("q316_kendall_concordance" -> q316Sql) +
+      ("q317_lorenz_deciles" -> q317Sql) +
       ("q296_simpson_diversity" ->
         """WITH sd_tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
           |   FROM (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -3087,6 +3092,61 @@ object SparkEntry {
       |    AS p90_len,
       |  max(run_len) AS max_len
       |FROM sl_w GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** q316: Kendall concordance between early- and late-period nation
+    * revenue — sign comparisons only; τ-a truncates toward zero on
+    * both engines (the CASE split mirrors Spark's `div`, DuckDB's
+    * `//` floors negatives). */
+  private lazy val q316Sql: String =
+    """WITH kc_r AS (SELECT n_name,
+      |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      | kc_m AS (SELECT (min(yr) + max(yr)) // 2 AS midyr FROM kc_r),
+      | kc_g AS (SELECT n_name,
+      |    CAST(sum(CASE WHEN yr <= midyr THEN cents ELSE 0 END) AS BIGINT)
+      |      AS x,
+      |    CAST(sum(CASE WHEN yr > midyr THEN cents ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM kc_r, kc_m GROUP BY 1),
+      | kc_p AS (SELECT
+      |    CASE WHEN (a.x > b.x AND a.y > b.y) OR (a.x < b.x AND a.y < b.y)
+      |      THEN 1 ELSE 0 END AS c,
+      |    CASE WHEN (a.x > b.x AND a.y < b.y) OR (a.x < b.x AND a.y > b.y)
+      |      THEN 1 ELSE 0 END AS d
+      |  FROM kc_g a JOIN kc_g b ON a.n_name < b.n_name),
+      | kc_s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(c) AS BIGINT) AS concordant,
+      |    CAST(sum(d) AS BIGINT) AS discordant FROM kc_p)
+      |SELECT n_pairs, concordant, discordant,
+      |  n_pairs - concordant - discordant AS ties,
+      |  CAST(CASE WHEN concordant >= discordant
+      |    THEN (concordant - discordant) * 1000000 // n_pairs
+      |    ELSE -((discordant - concordant) * 1000000 // n_pairs)
+      |  END AS BIGINT) AS tau_a_micro
+      |FROM kc_s""".stripMargin
+
+  /** q317: Lorenz deciles of customer revenue — ntile over the exact
+    * (cents, key) order, floored-micro cumulative shares. */
+  private lazy val q317Sql: String =
+    """WITH lz_c AS (SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      | lz_n AS (SELECT *, ntile(10) OVER
+      |    (ORDER BY cents ASC, o_custkey ASC) AS decile FROM lz_c),
+      | lz_g AS (SELECT CAST(decile AS BIGINT) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(cents) AS BIGINT) AS decile_cents
+      |  FROM lz_n GROUP BY 1),
+      | lz_w AS (SELECT *, CAST(sum(decile_cents) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents FROM lz_g)
+      |SELECT decile, n_customers, decile_cents, cum_cents,
+      |  CAST(CAST(cum_cents AS HUGEINT) * 1000000
+      |    // (max(cum_cents) OVER ()) AS BIGINT) AS cum_share_micro
+      |FROM lz_w ORDER BY decile""".stripMargin
 
   /** q276: the signature-table replay — dhash60 per sampled frame
     * plus the Hamming delta to the previous frame of the medium. */

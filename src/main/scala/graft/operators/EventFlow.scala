@@ -1267,4 +1267,5 @@ object EventFlow {
       .withColumn("p_micro",
         expr("(1 + n_ge) * 1000000 div (b_perms + 1)"))
   }
+
 }

@@ -2412,4 +2412,99 @@ object Relational {
               - CAST(st AS DECIMAL(38,0)) * st) * i * (n - i), 1)
           AS BIGINT)""").as("r2_micro"))
   }
+
+  /** KENDALL CONCORDANCE between a nation's early-period and
+    * late-period revenue — "did the market's pecking order survive the
+    * era change?", the rank-stability gauge beside q237's Spearman on
+    * values (Kendall counts INVERSIONS, so one nation teleporting
+    * across the table costs O(n) pair flips rather than distorting a
+    * single squared rank gap). Periods split the order-year range at
+    * its midpoint ((min+max) div 2 — replayed exactly in the oracle).
+    * No ranks and no products: a pair is concordant when both periods
+    * order the two nations the same way (sign comparisons only — the
+    * value-product form overflows int64 at cents scale), and τ-a =
+    * (C − D)·10⁶ div pairs stays a pure integer. Output is the 1-row
+    * census: nations, pairs, concordant, discordant, ties, tau.
+    *
+    * Scale: one orders scan folds to the nations grid; the pair
+    * expansion is dims² on that grid (≤ 25² rows), never data-sized. */
+  def kendallConcordance(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    // the year-range midpoint rides a Scalars.attach broadcast — a
+    // global window here would drag the whole orders join through one
+    // task
+    val mid = rev.agg(expr("(min(yr) + max(yr)) div 2").as("midyr"))
+    val grid = rev
+      .transform(Scalars.attach(_, mid, col("yr"), col("midyr")))
+      .groupBy(col("n_name"))
+      .agg(sum(when(col("yr") <= col("midyr"), col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("yr") > col("midyr"), col("cents"))
+          .otherwise(0L)).as("y"))
+    // the pair expansion joins on an opaque constant key and filters
+    // the orientation AFTER: a bare `<` join predicate plans the
+    // BroadcastNestedLoopJoin the plan suite bans, while this stays a
+    // BroadcastHashJoin over the dims-sized grid (the Scalars.attach
+    // trick, both sides grid-sized)
+    def keyed(df: DataFrame): DataFrame = df.withColumn("__k",
+      coalesce(pmod(length(col("n_name")), lit(1)), lit(0)))
+    keyed(grid.as("a"))
+      .join(broadcast(keyed(grid.as("b")).select(
+        col("n_name").as("bn"), col("x").as("bx"), col("y").as("by"),
+        col("__k"))), Seq("__k"))
+      .filter(col("a.n_name") < col("bn"))
+      .select(col("a.x").as("ax"), col("a.y").as("ay"),
+        col("bx"), col("by"))
+      .select(
+        when((col("ax") > col("bx") && col("ay") > col("by")) ||
+             (col("ax") < col("bx") && col("ay") < col("by")), 1L)
+          .otherwise(0L).as("c"),
+        when((col("ax") > col("bx") && col("ay") < col("by")) ||
+             (col("ax") < col("bx") && col("ay") > col("by")), 1L)
+          .otherwise(0L).as("d"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("concordant"),
+        sum(col("d")).as("discordant"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        (col("n_pairs") - col("concordant") - col("discordant")).as("ties"),
+        expr("(concordant - discordant) * 1000000 div n_pairs")
+          .as("tau_a_micro"))
+  }
+
+  /** LORENZ DECILES of customer revenue — the concentration TABLE
+    * under q258's single-number Gini: customers with orders rank by
+    * lifetime cents (ties broken by key — deterministic on both
+    * engines), split into ntile(10) deciles, and each row carries its
+    * member count, its cents, and the CUMULATIVE share in micro —
+    * "the top decile holds 40% of revenue" read straight off row 10.
+    * Exact integers: cents throughout, shares floored micro via
+    * Decimal(38).
+    *
+    * Scale: one orders scan folds to the customer grid; the decile
+    * window runs on that fold. */
+  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    perCust
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("cents").asc, col("o_custkey").asc)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("decile_cents"))
+      .withColumn("cum_cents", sum(col("decile_cents")).over(
+        Window.orderBy(col("decile").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_share_micro", expr(
+        "CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000 " +
+          "div (max(cum_cents) OVER ()) AS BIGINT)"))
+      .select(col("decile").cast("long").as("decile"), col("n_customers"),
+        col("decile_cents"), col("cum_cents"), col("cum_share_micro"))
+      .orderBy(col("decile").asc)
+  }
 }

@@ -24,6 +24,21 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** The reference board's own `sf` field — rows are only comparable
+    * to a run at the SAME scale factor. */
+  def parseReferenceSf(txt: String): Option[String] =
+    "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+
+  /** The committed reference rows applicable to a run over `sfDir` —
+    * EMPTY when the scale factors differ. The fixed whitespace parse
+    * exposed this: an sf1 linearity sweep compared against the sf0.1
+    * reference flags nearly every row suspect (10× data IS >3× time)
+    * and burns the escape-hatch extra attempt on each, inflating the
+    * sweep ~1.5×. A mismatched reference is no reference. */
+  def referenceFor(txt: String, sfDir: String): Map[String, Double] =
+    if (parseReferenceSf(txt).contains(sfDir)) parseReference(txt)
+    else Map.empty
+
   /** A row is suspect when its min still exceeds 3x the committed
     * quiet-host reference, or the ambient load around it exceeded
     * [[SuspectLoad]]. Factored out so the spec can drive it with a
@@ -74,7 +89,8 @@ object Bench {
     val reference: Map[String, Double] =
       try {
         val p = java.nio.file.Paths.get("BENCH_REFERENCE.json")
-        if (java.nio.file.Files.exists(p)) parseReference(java.nio.file.Files.readString(p))
+        if (java.nio.file.Files.exists(p))
+          referenceFor(java.nio.file.Files.readString(p), sfDir)
         else Map.empty
       } catch { case _: Exception => Map.empty }
     // Durable per-query artifact: the round-10 driver bench artifact

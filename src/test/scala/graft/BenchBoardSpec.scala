@@ -52,4 +52,12 @@ class BenchBoardSpec extends AnyFunSuite {
     val q189 = ref.getOrElse("q189_monthly_checksums", fail("q189 row missing"))
     assert(Bench.isSuspect("q189_monthly_checksums", q189 * 13.97, load = 1.0, ref))
   }
+
+  test("the reference applies only at its own scale factor") {
+    assert(Bench.parseReferenceSf(committed).contains("/root/testdata/sf0.1"))
+    assert(Bench.referenceFor(committed, "/root/testdata/sf0.1").size >= 300)
+    // an sf1 linearity sweep must NOT be judged against sf0.1 rows —
+    // 10x data legitimately exceeds the 3x suspect bar on most queries
+    assert(Bench.referenceFor(committed, "/tmp/sf1").isEmpty)
+  }
 }

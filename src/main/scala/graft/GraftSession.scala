@@ -35,6 +35,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let the planner pick shuffled-hash over sort-merge when its
+      // size conditions hold (optimization guide §3.1/§9): the
+      // iterative operators join a node-sized frame against a cached
+      // pre-partitioned edge list every round, and SMJ would re-sort
+      // the big side per round; SHJ keeps it sort-free. AQE's skew
+      // split handles SHJ the same as SMJ, so the skew posture is
+      // unchanged.
+      .config("spark.sql.join.preferSortMergeJoin", sys.props.getOrElse("graft.psmj", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // testdata timestamps are parquet timestamp[us] with
       // isAdjustedToUTC=false (pyarrow default); without this they'd

@@ -735,10 +735,16 @@ object Dedup {
     // and a self-union roots two copies of it — everything past the last
     // exchange (candidate join, dedup, the verify joins) would run twice
     // on first materialization
+    // hash-partitioned by the join key b ONCE, so each iteration's
+    // neighbor-label join reuses the cached partitioning and only the
+    // node-sized label frame moves (guide §2.4 — the pageRankOnEdges
+    // pattern); without this the cached edge list re-shuffles (and,
+    // under sort-merge, re-sorts) every round
     val edges = PlanCache.tracked(pairs.select(explode(array(
         struct(col("doc_a").as("a"), col("doc_b").as("b")),
         struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b")))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .repartition(col("b")))
     var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
       .select(col("a").as("doc_id"), least(col("a"), col("mn")).as("cluster_id"))
       .persist()
@@ -768,6 +774,14 @@ object Dedup {
         // neighbor labels and take the group min — the label-refresh
         // join the naive form runs afterwards is a third shuffle of the
         // node set per iteration that this shape never pays
+        // no join-strategy hint: dedup/ER closures run over anything
+        // from a 3-edge quotient graph (q314's merge step) to a
+        // corpus-sized pair graph, and a forced SHUFFLE_HASH costs a
+        // tiny closure two exchanges a broadcast avoids (measured
+        // q314 4.3 s → 6.6 s). The planner broadcasts while the label
+        // frame is provably small; past the threshold the session's
+        // preferSortMergeJoin=false picks shuffled-hash, where the
+        // b-partitioned cached edge list sits shuffle-free
         val nbr = edges
           .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("lbl")), "b")
           .select(col("a").as("doc_id"), col("lbl"))
@@ -1036,12 +1050,15 @@ object Dedup {
   /** The (id, vh) 1-deletion-variant hash index of an (id, name)
     * frame — the blocking substrate every ER face shares. */
   private[graft] def nameVariants(names: DataFrame): DataFrame =
-    names.select(col("id"), explode(concat(
-        array(col("name")),
-        expr("transform(sequence(1, length(name)), i -> " +
-          "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")))
-      .as("variant"))
-      .select(col("id"), Text.md5Hash60(col("variant")).as("vh"))
+    // deletion-position explode FIRST, variant string + hash as plain
+    // codegen'd expressions per exploded row — the transform-lambda
+    // form built every variant inside an interpreted CodegenFallback
+    // HOF. i = 0 keeps the full name; i >= 1 deletes character i.
+    names.select(col("id"), col("name"),
+        explode(sequence(lit(0), length(col("name")))).as("i"))
+      .select(col("id"), Text.md5Hash60(expr(
+        "CASE WHEN i = 0 THEN name ELSE concat(substring(name, 1, i - 1), " +
+          "substring(name, i + 1, length(name))) END")).as("vh"))
 
   /** [[nameNearMatches]] over any (id, name) frame — the
     * fixture-parametric core. */

@@ -41,11 +41,17 @@ object Graph {
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("arr"))
+    // pair expansion as two codegen'd Generates instead of one nested
+    // higher-order transform (HOFs are CodegenFallback — every pair
+    // emission ran interpreted): baskets are order-width-bounded
+    // (~4 items), so carrying the sorted array through the first
+    // explode costs a few dozen bytes per row and every emission now
+    // runs inside a WholeStageCodegen span. Same i<j slices, same
+    // pair set (posexplode's i is 0-based exactly like transform's)
     baskets
-      .select(explode(flatten(transform(col("arr"), (x, i) =>
-        transform(slice(col("arr"), i + 2, size(col("arr"))),
-          y => struct(x.as("pa"), y.as("pb")))))).as("p"))
-      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .select(col("arr"), posexplode(col("arr")).as(Seq("i", "pa")))
+      .select(col("pa"), explode(
+        slice(col("arr"), col("i") + lit(2), size(col("arr")))).as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
   }
 
@@ -211,9 +217,16 @@ object Graph {
     for (_ <- 0 until iters) {
       // argmax as a second hash aggregate — max(struct(votes, −lbl))
       // picks (votes DESC, lbl ASC) without the per-round sort a
-      // row_number window would pay on the edge-bounded vote frame
+      // row_number window would pay on the edge-bounded vote frame.
+      // ONE exchange per round for both aggregates: the explicit
+      // dst-repartition satisfies the clustering of BOTH groupBys
+      // (HashPartitioning(dst) clusters (dst, lbl) and (dst) alike),
+      // where the bare groupBy pair paid two exchanges — by (dst, lbl)
+      // for the votes, then by (dst) for the argmax (guide §2.4,
+      // "two operations keyed the same way can share one exchange")
       labels = labels
         .join(edges, labels("node") === edges("src"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("lbl")).agg(sum(col("w")).as("votes"))
         .groupBy(col("dst"))
         .agg(max(struct(col("votes"), (-col("lbl")).as("nl"))).as("m"))
@@ -369,8 +382,9 @@ object Graph {
       halfGauges(pairDeltas(
         li.filter(if (isA) col("d") < mid else col("d") >= mid)
           .select(col("l_orderkey"), col("l_partkey"))), iters)
-    val a = gauges(isA = true)
-    val b = gauges(isA = false)
+    // the two halves are independent pipelines over disjoint slices:
+    // overlap their driver actions (guide §2.6); assembly order fixed
+    val Seq(a, b) = Par.mapOrdered(Seq(true, false))(gauges)
     val (qa, qb) = (qMicro(a), qMicro(b))
     val tvd: Long = {
       val (na, nb) = (BigInt(a.nComms), BigInt(b.nComms))
@@ -482,7 +496,12 @@ object Graph {
     require(epochs >= 2, "a series needs at least 2 epochs")
     val (lo, span) = epochAxisOf(spark, dir)
     val li = epochTaggedLineitem(spark, dir, lo, span, epochs)
-    val series = (0 until epochs).map(e => epochGaugeRow(li, e, iters))
+    // epochs are mutually independent slice pipelines: overlap their
+    // driver actions (guide §2.6) so one epoch's straggler/fold tail
+    // back-fills with the next epoch's tasks; assembly stays in epoch
+    // order, so the series frame is unchanged
+    val series = Par.mapOrdered((0 until epochs).toSeq)(e =>
+      epochGaugeRow(li, e, iters))
     gaugeSeriesDf(spark, series)
   }
 
@@ -575,7 +594,7 @@ object Graph {
       val li = epochTaggedLineitem(spark, dir, lo, span, n)
       try {
         import spark.implicits._
-        missing.map(e => epochGaugeRow(li, e.toInt, iters))
+        Par.mapOrdered(missing)(e => epochGaugeRow(li, e.toInt, iters))
           .toDF("epoch", "n_nodes", "n_edges", "w_total", "n_communities",
             "top_size", "modularity_micro")
           .coalesce(1).write.mode("append").parquet(gaugesPath)
@@ -618,7 +637,7 @@ object Graph {
       if (liveEpochs.isEmpty) Nil
       else {
         val li = epochTaggedLineitem(spark, dir, lo, span, n)
-        liveEpochs.map(e => epochGaugeRow(li, e.toInt, iters))
+        Par.mapOrdered(liveEpochs)(e => epochGaugeRow(li, e.toInt, iters))
       }
     val all = (stored.collect { case (k, v) if k < (n - 1).toLong => v }.toSeq
       ++ live).sortBy(_._1)
@@ -653,8 +672,6 @@ object Graph {
   private def halfGauges(und0: DataFrame, iters: Int): HalfGauges = {
     val und = PlanCache.tracked(und0)
     val labels = PlanCache.tracked(lpaLabels(und, iters))
-    val e = und.agg(count(lit(1)).as("ne"),
-      coalesce(sum(col("w")), lit(0L)).as("wt")).head()
     val sym = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
     val tot = sym.groupBy(col("src").as("node")).agg(sum(col("w")).as("wdeg"))
@@ -667,13 +684,23 @@ object Graph {
         Seq("dst"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("lbl")).agg(sum(col("w")).as("in_w"))
-    val sums = tot.join(inW, Seq("lbl"), "left")
-      .agg(coalesce(sum(coalesce(col("in_w"), lit(0L))), lit(0L)).as("sin"),
-        coalesce(sum(expr("CAST(tot_w AS DECIMAL(38,0)) * tot_w")),
-          lit(0L).cast("decimal(38,0)")).as("stot2")).head()
-    val hist = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
-      .groupBy(col("sz")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the three gauge folds are independent actions over the shared
+    // cached und/labels frames: overlap them (guide §2.6) — the block
+    // manager's get-or-compute lock keeps a shared cached block
+    // computed once even when two folds first-touch it concurrently
+    val Seq(eAny, sumsAny, histAny) = Par.mapOrdered(Seq[() => Any](
+      () => und.agg(count(lit(1)).as("ne"),
+        coalesce(sum(col("w")), lit(0L)).as("wt")).head(),
+      () => tot.join(inW, Seq("lbl"), "left")
+        .agg(coalesce(sum(coalesce(col("in_w"), lit(0L))), lit(0L)).as("sin"),
+          coalesce(sum(expr("CAST(tot_w AS DECIMAL(38,0)) * tot_w")),
+            lit(0L).cast("decimal(38,0)")).as("stot2")).head(),
+      () => labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap))(_())
+    val e = eAny.asInstanceOf[org.apache.spark.sql.Row]
+    val sums = sumsAny.asInstanceOf[org.apache.spark.sql.Row]
+    val hist = histAny.asInstanceOf[Map[Long, Long]]
     val nComms = hist.values.sum
     val nNodes = hist.map { case (s, c) => s * c }.sum
     val topSize = if (hist.isEmpty) 0L else hist.keys.max
@@ -845,14 +872,6 @@ object Graph {
     val deg = PlanCache.tracked(
       und.select(col("pa").as("node")).union(und.select(col("pb").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg")))
-    val nTri = triangleRows(und, deg).count()
-    val degStats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      sum(col("deg")).as("sum_deg"),
-      sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1) div 2")).as("n_wedges"))
-      .head()
-    val (nNodes, sumDeg, nWedges) =
-      (degStats.getLong(0), degStats.getLong(1), degStats.getLong(2))
     // assortativity over the directed edge list (each undirected edge
     // contributes both orientations, the standard convention)
     val ends = und
@@ -861,10 +880,24 @@ object Graph {
       .select(col("dx"), col("dy"))
     val sym = ends.union(ends.select(col("dy").as("dx"), col("dx").as("dy")))
     val (cx, cy) = (col("dx").cast(dec), col("dy").cast(dec))
-    val m = sym.agg(count(lit(1)).as("n"),
-      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-      sum(cx * cx).as("sxx"), sum(cy * cy).as("syy"), sum(cx * cy).as("sxy"))
-      .head()
+    // three independent folds over the shared cached und/deg frames:
+    // overlap their actions (guide §2.6)
+    val Seq(nTriAny, degStatsAny, mAny) = Par.mapOrdered(Seq[() => Any](
+      () => triangleRows(und, deg).count(),
+      () => deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("sum_deg"),
+        sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1) div 2")).as("n_wedges"))
+        .head(),
+      () => sym.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(cx * cx).as("sxx"), sum(cy * cy).as("syy"), sum(cx * cy).as("sxy"))
+        .head()))(_())
+    val nTri = nTriAny.asInstanceOf[Long]
+    val degStats = degStatsAny.asInstanceOf[org.apache.spark.sql.Row]
+    val m = mAny.asInstanceOf[org.apache.spark.sql.Row]
+    val (nNodes, sumDeg, nWedges) =
+      (degStats.getLong(0), degStats.getLong(1), degStats.getLong(2))
     // the q195 final-expression discipline, folded driver-side (the
     // profiler convention — every input is an exact integer scalar)
     val n = m.getLong(0).toDouble

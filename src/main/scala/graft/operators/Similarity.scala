@@ -1084,9 +1084,6 @@ object Similarity {
     * first release unpersist intermediates later methods still
     * reference, silently recomputing them uncached. */
   def annBakeoff(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val brute = bruteForceTopK(spark, dir, k)
-      .select("query_id", "cand_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val methods: Seq[(String, () => DataFrame)] = Seq(
       "lsh" -> (() => lshTopK(spark, dir, k)),
       "ivf" -> (() => ivfTopK(spark, dir, k)),
@@ -1094,11 +1091,20 @@ object Similarity {
       "pq" -> (() => pqTopK(spark, dir, k)),
       "hamming" -> (() => hammingTopK(spark, dir, k)),
       "jl+ivf" -> (() => jlIvfTopK(spark, dir, k = k)))
-    val rows = methods.map { case (name, mk) =>
-      val hits = mk().select("query_id", "cand_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-        .count(brute.contains)
-      PlanCache.release()
+    // all seven arms (ground truth + six methods) are independent
+    // pipelines over the same read-only table: overlap their driver
+    // actions (guide §2.6). The per-arm PlanCache.release() moves to
+    // the caller (the bench releases between executions anyway) —
+    // releasing inside the loop would unpersist a concurrent arm's
+    // in-flight intermediates and recompute them.
+    val arms: Seq[(String, () => DataFrame)] =
+      ("brute" -> (() => bruteForceTopK(spark, dir, k))) +: methods
+    val sets = Par.mapOrdered(arms)(a =>
+      a._2().select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val brute = sets.head
+    val rows = methods.zip(sets.tail).map { case ((name, _), cands) =>
+      val hits = cands.count(brute.contains)
       (name, hits.toLong, brute.size.toLong,
         hits.toLong * 1000000L / brute.size)
     }

@@ -147,9 +147,25 @@ object Dedup {
       // too: a self-join (x/y) over uncached bands runs the signature
       // aggregate twice, once per side. Both persists are lazy —
       // lineage intact, evictable, recomputable.
+      //
+      // Built position-first (the q218 lesson): one explode over the
+      // shingle positions with the md5 grid hash as a codegen'd
+      // per-row expression, folded back to the sorted-distinct array
+      // with collect_set — elementHashes(shingles(...)) evaluated
+      // every shingle build + hash inside interpreted CodegenFallback
+      // HOFs. Position range 0..max(size-k, 0) reproduces shingles'
+      // short-doc branch exactly (slice clamps, one whole-doc
+      // shingle), so hs is bit-identical per doc.
+      val toks = Text.tokens(col("text"))
       val hashed = Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          elementHashes(array_distinct(Text.shingles(col("text"), k))).as("hs"))
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), col("t"), explode(
+          sequence(lit(0), greatest(size(col("t")) - k, lit(0)))).as("i"))
+        .select(col("doc_id"), pmod(Text.md5Hash60(
+          array_join(slice(col("t"), col("i") + lit(1), lit(k)), " ")),
+          lit(P)).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
         .persist()
       val docs = minhashSignatures(hashed.withColumn("n", size(col("hs"))),
         carry = Seq("n"))

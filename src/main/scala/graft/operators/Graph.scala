@@ -1971,14 +1971,20 @@ object Graph {
       .select(col("node"), expr(
         s"unhex(concat(repeat('00', CAST(reg AS INT)), lpad(hex(mrho), 2, '0')," +
           s" repeat('00', ${m - 1} - CAST(reg AS INT))))").as("regs")))
-    // blob → per-node (zeros, sumpow) via higher-order funcs: rho_i =
-    // byte i of the blob, terms 2^(56−rho) summed over hit registers
-    val rhos = s"transform(sequence(0, ${m - 1})," +
-      " i -> CAST(conv(substr(hex(regs), i * 2 + 1, 2), 16, 10) AS BIGINT))"
-    val sumpowExpr = s"aggregate(filter($rhos, r -> r > 0)," +
-      " CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT)," +
-      " CAST(56 - r AS INT)))"
-    val zerosExpr = s"CAST(size(filter($rhos, r -> r = 0)) AS BIGINT)"
+    // blob → per-node (zeros, sumpow) as UNROLLED plain expressions —
+    // the transform/filter/aggregate lambda form evaluated every
+    // register walk inside interpreted CodegenFallback HOFs (the q218
+    // lesson); m is a compile-time constant, so the 32 byte terms
+    // unroll into one codegen'd sum. hex(regs) is projected once and
+    // the per-register rho is substr(hx, i*2+1, 2) exactly as before.
+    def rhoAt(i: Int) =
+      s"CAST(conv(substr(hx, ${i * 2 + 1}, 2), 16, 10) AS BIGINT)"
+    val sumpowExpr = (0 until m).map(i =>
+      s"IF(${rhoAt(i)} > 0, shiftleft(CAST(1 AS BIGINT)," +
+        s" CAST(56 - ${rhoAt(i)} AS INT)), CAST(0 AS BIGINT))")
+      .mkString("(", " + ", ")")
+    val zerosExpr = "CAST(" + (0 until m).map(i =>
+      s"IF(${rhoAt(i)} = 0, 1, 0)").mkString("(", " + ", ")") + " AS BIGINT)"
     // linear counting when the raw estimate is under 2.5m AND a
     // register is still empty — integer branch, identical both engines
     val estN =
@@ -1991,6 +1997,7 @@ object Graph {
           .agg(graft.functions.RegsMax.regsMax(col("regs")).as("regs"))
           .select(col("node2").as("node"), col("regs")))
       val perNode = regs
+        .select(col("node"), hex(col("regs")).as("hx"))
         .select(col("node"), expr(zerosExpr).as("zeros"),
           expr(sumpowExpr).as("sumpow"))
         .select(col("node"), col("zeros"),

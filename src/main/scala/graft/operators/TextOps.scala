@@ -1712,12 +1712,25 @@ object TextOps {
     * The 16-hex-char md5 prefix keeps the census shuffle rows
     * narrow (8 B of entropy vs a ~30-char gram string) and is
     * reproducible in the DuckDB oracle, unlike xxhash64. */
-  private def ngramHashes(text: Column, w: Int): Column = {
-    val toks = Text.tokens(text)
-    when(size(toks) >= w,
-      transform(sequence(lit(1), size(toks) - (w - 1)),
-        i => substring(md5(array_join(slice(toks, i, lit(w)), " ")), 1, 16)))
-      .otherwise(array().cast("array<string>"))
+  /** The exploded (doc_id, h) gram-position rows both census faces
+    * consume — position-first (one posexplode, the hash as a plain
+    * codegen'd expression per position) instead of exploding a
+    * per-document transform lambda, which evaluated every
+    * md5(array_join(slice(...))) inside an interpreted
+    * CodegenFallback HOF (the q218 lesson). Same grams (strict: docs
+    * under w tokens contribute nothing), same 16-hex-char md5
+    * prefixes. */
+  private def ngramHashRows(spark: SparkSession, dir: String,
+      w: Int): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(col("t")).as(Seq("i", "tok")))
+      .filter(size(col("t")) - col("i") >= w)
+      .select(col("doc_id"), substring(
+        md5(array_join(slice(col("t"), col("i") + lit(1), lit(w)), " ")),
+        1, 16).as("h"))
   }
 
   /** Cross-document duplicated n-gram COVERAGE (the RefinedWeb /
@@ -1743,8 +1756,7 @@ object TextOps {
     * design (it grows with the corpus). */
   def dupNgramCoverage(spark: SparkSession, dir: String,
       width: Int = 5): DataFrame = {
-    val perDoc = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(ngramHashes(col("text"), width)).as("h"))
+    val perDoc = ngramHashRows(spark, dir, width)
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("occ"))
     val census = perDoc.groupBy(col("h"))
@@ -1774,8 +1786,7 @@ object TextOps {
     * corpus-sized shuffles. */
   def ngramDecontaminate(spark: SparkSession, dir: String,
       width: Int = 5): DataFrame = {
-    val pos = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(ngramHashes(col("text"), width)).as("h"))
+    val pos = ngramHashRows(spark, dir, width)
     val evalPos = pos.filter(col("doc_id") % 97 === 0)
     val evalGrams = evalPos.select(col("h")).distinct()
     val hitGrams = pos.filter(col("doc_id") % 97 =!= 0)
@@ -2100,16 +2111,23 @@ object TextOps {
   def distinctNgramProfile(spark: SparkSession, dir: String,
       maxN: Int = 4): DataFrame = {
     val toks = Text.tokens(col("text"))
-    def gramHashes(n: Int) =
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => xxhash64(slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<long>"))
-    val grams = explode(flatten(array((1 to maxN).map(n =>
-      transform(gramHashes(n),
-        h => struct(lit(n.toLong).as("n"), h.as("h")))): _*)))
+    // position-first expansion: one posexplode of the token array,
+    // then each width's gram hash as a PLAIN codegen'd expression per
+    // (position, n) — the transform-lambda form evaluated ~4M
+    // xxhash64(slice(...)) calls inside interpreted CodegenFallback
+    // HOFs. Identical gram multiset (slice start i+1 on the 0-based
+    // posexplode index ≡ the 1-based transform index; widths past the
+    // tail null out and drop), identical hashes, identical counts.
     Tables(spark, dir, "documents")
-      .select(col("source"), grams.as("g"))
+      .select(col("source"), toks.as("t"))
+      .select(col("source"), col("t"),
+        posexplode(col("t")).as(Seq("i", "tok")))
+      .select(col("source"), explode(array((1 to maxN).map(n =>
+        struct(lit(n.toLong).as("n"),
+          when(size(col("t")) - col("i") >= n,
+            xxhash64(slice(col("t"), col("i") + lit(1), lit(n)))).as("h"))): _*))
+        .as("g"))
+      .filter(col("g.h").isNotNull)
       .select(col("source"), col("g.n").as("n"), col("g.h").as("h"))
       .groupBy(col("source"), col("n"))
       .agg(count(lit(1)).as("n_positions"),
@@ -2140,16 +2158,20 @@ object TextOps {
   def distinctNgramApprox(spark: SparkSession, dir: String,
       maxN: Int = 4): DataFrame = {
     val toks = Text.tokens(col("text"))
-    def gramStrs(n: Int) =
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    val grams = explode(flatten(array((1 to maxN).map(n =>
-      transform(gramStrs(n),
-        g => struct(lit(n.toLong).as("n"), g.as("g")))): _*)))
+    // position-first expansion (the q218 rewrite): one posexplode,
+    // gram strings as codegen'd expressions — NOT interpreted
+    // transform lambdas. Register inputs (the md5 'hllc-' scheme
+    // downstream) are byte-identical: same joined gram strings.
     Tables(spark, dir, "documents")
-      .select(col("source"), grams.as("x"))
+      .select(col("source"), toks.as("t"))
+      .select(col("source"), col("t"),
+        posexplode(col("t")).as(Seq("i", "tok")))
+      .select(col("source"), explode(array((1 to maxN).map(n =>
+        struct(lit(n.toLong).as("n"),
+          when(size(col("t")) - col("i") >= n,
+            array_join(slice(col("t"), col("i") + lit(1), lit(n)), " "))
+            .as("g"))): _*)).as("x"))
+      .filter(col("x.g").isNotNull)
       .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
       .groupBy(col("source"), col("n"))
       .agg(count(lit(1)).as("n_positions"),

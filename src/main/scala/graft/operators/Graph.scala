@@ -793,8 +793,18 @@ object Graph {
     val o = PlanCache.tracked(oriented)
     val adj = o.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    o.join(adj.select(col("src"), col("nbrs").as("nbrs_u")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), Seq("dst"))
+    // SHUFFLE_HASH with the node-sized adjacency as build side: the
+    // planner's sort-merge choice (array payloads blow the broadcast
+    // estimate) sorted BOTH edge-sized sides per census — twice per
+    // truss round (guide §3.1: prefer hash when one side is
+    // moderately small per partition; out-lists are O(√m)-bounded).
+    // Measured q274 16.5 s → 13.7 s; unlike the frontier loops, the
+    // adjacency is never small enough to broadcast, so the hint
+    // forfeits nothing.
+    o.join(adj.select(col("src"), col("nbrs").as("nbrs_u"))
+        .hint("shuffle_hash"), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v"))
+        .hint("shuffle_hash"), Seq("dst"))
       .select(col("src").as("a"), col("dst").as("b"),
         explode(array_intersect(col("nbrs_u"), col("nbrs_v"))).as("c"))
   }

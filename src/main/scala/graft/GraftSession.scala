@@ -35,14 +35,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // let the planner pick shuffled-hash over sort-merge when its
-      // size conditions hold (optimization guide §3.1/§9): the
-      // iterative operators join a node-sized frame against a cached
-      // pre-partitioned edge list every round, and SMJ would re-sort
-      // the big side per round; SHJ keeps it sort-free. AQE's skew
-      // split handles SHJ the same as SMJ, so the skew posture is
-      // unchanged.
-      .config("spark.sql.join.preferSortMergeJoin", sys.props.getOrElse("graft.psmj", "true"))
+      // join posture (round-14 measurement): Spark's DEFAULT
+      // preferSortMergeJoin=true, deliberately not overridden — the
+      // global preferSortMergeJoin=false experiment was 12% WORSE on the
+      // dedup family (it forfeits broadcasts of tiny closure frames).
+      // Joins whose build side provably never broadcasts (triangle
+      // adjacency arrays, the BFS frontier loops) carry explicit
+      // per-join shuffle_hash hints at the call site instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // testdata timestamps are parquet timestamp[us] with
       // isAdjustedToUTC=false (pyarrow default); without this they'd

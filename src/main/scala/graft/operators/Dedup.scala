@@ -744,8 +744,18 @@ object Dedup {
     * small-star map-reduce CC algorithm, specialised to min-label
     * because near-dup components are tiny and dense.
     *
-    * Input columns: `doc_a`, `doc_b`. Output: (`doc_id`, `cluster_id`). */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    * Input columns: `doc_a`, `doc_b`. Output: (`doc_id`, `cluster_id`).
+    *
+    * `prePartitionEdges = false` skips the founding hash-partition of the
+    * edge cache: correct for closures whose label frame is KNOWN to stay
+    * broadcast-sized (the incremental-merge quotient graphs, which are
+    * increment-bounded by construction) — there every round's join
+    * broadcasts the labels and the edge side never shuffles at all, so
+    * the founding exchange is a pure tax (measured +0.15-0.18 s on the
+    * tiny-closure bench rows in round 14). Corpus-scale closures keep the
+    * default. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      prePartitionEdges: Boolean = true): DataFrame = {
     // both edge orientations from ONE pass over the pair plan (explode,
     // not self-union): pairs is typically an UNCACHED near-dup pipeline,
     // and a self-union roots two copies of it — everything past the last
@@ -756,11 +766,12 @@ object Dedup {
     // node-sized label frame moves (guide §2.4 — the pageRankOnEdges
     // pattern); without this the cached edge list re-shuffles (and,
     // under sort-merge, re-sorts) every round
-    val edges = PlanCache.tracked(pairs.select(explode(array(
+    val both = pairs.select(explode(array(
         struct(col("doc_a").as("a"), col("doc_b").as("b")),
         struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .repartition(col("b")))
+    val edges = PlanCache.tracked(
+      if (prePartitionEdges) both.repartition(col("b")) else both)
     var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
       .select(col("a").as("doc_id"), least(col("a"), col("mn")).as("cluster_id"))
       .persist()
@@ -785,24 +796,41 @@ object Dedup {
       var converged = false
       var i = 0
       while (!converged && i < maxIters) {
-        // next(x) = min(label(x), min over neighbors b of label(b)) in
-        // ONE join + ONE aggregate: union the node's own label under the
-        // neighbor labels and take the group min — the label-refresh
-        // join the naive form runs afterwards is a third shuffle of the
-        // node set per iteration that this shape never pays
-        // no join-strategy hint: dedup/ER closures run over anything
-        // from a 3-edge quotient graph (q314's merge step) to a
-        // corpus-sized pair graph, and a forced SHUFFLE_HASH costs a
-        // tiny closure two exchanges a broadcast avoids (measured
+        // next(x) = min(label(x), min over neighbors b of label(b),
+        // label(label(x))) in TWO joins + ONE aggregate: union the
+        // node's own label and the POINTER-JUMPED label under the
+        // neighbor labels and take the group min. The jump term is the
+        // classic path-halving shortcut — label(x) names a same-component
+        // node whose own label is already ≤ it, so following one hop of
+        // the label chain per round makes the propagation radius grow
+        // multiplicatively instead of one hop per round: a diameter-D
+        // chain converges in O(log D) rounds instead of D (round 15,
+        // guide §1.2 "the distributed algorithm" — fewer passes). Each
+        // candidate label is always the id of a same-component node, so
+        // the fixpoint is unchanged: labels decrease monotonically to
+        // the component min, and the label-sum convergence probe is
+        // untouched. The jump join reads the PREVIOUS generation's
+        // cached labels (no extra persist, no recompute).
+        // No join-strategy hint on either join: dedup/ER closures run
+        // over anything from a 3-edge quotient graph (q314's merge step)
+        // to a corpus-sized pair graph, and a forced SHUFFLE_HASH costs
+        // a tiny closure two exchanges a broadcast avoids (measured
         // q314 4.3 s → 6.6 s). The planner broadcasts while the label
-        // frame is provably small; past the threshold the session's
-        // preferSortMergeJoin=false picks shuffled-hash, where the
-        // b-partitioned cached edge list sits shuffle-free
+        // frame is provably small; past the broadcast threshold the
+        // b-partitioned cached edge list sits shuffle-free under the
+        // planner's shuffled join (the shipped session keeps Spark's
+        // default preferSortMergeJoin=true — per-join hints only where
+        // the build side provably never broadcasts).
         val nbr = edges
           .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("lbl")), "b")
           .select(col("a").as("doc_id"), col("lbl"))
+        val jump = labels.select(col("doc_id"), col("cluster_id").as("j"))
+          .join(labels.select(col("doc_id").as("j"), col("cluster_id").as("lbl")),
+            Seq("j"))
+          .select(col("doc_id"), col("lbl"))
         val next = labels.select(col("doc_id"), col("cluster_id").as("lbl"))
           .union(nbr)
+          .union(jump)
           .groupBy("doc_id").agg(min(col("lbl")).as("cluster_id"))
           .persist()
         val s = try probe(next) catch { case t: Throwable => next.unpersist(); throw t }
@@ -1051,30 +1079,43 @@ object Dedup {
     * Never all-pairs — the candidate population is bucket-bounded by
     * construction. */
   private[graft] def nameCandidatePairs(names: DataFrame): DataFrame = {
-    val variants = nameVariants(names)
-    val candIds = variants.as("a")
+    // names ride the variant rows THROUGH the vh equijoin (a few tens of
+    // bytes per row on the one variant-sized exchange) so the verify side
+    // needs no id→name re-attach joins afterwards — round 15, guide §2.3
+    // "shuffle keys and metadata instead of payloads" inverted: here the
+    // payload IS the join key's metadata and carrying it once is cheaper
+    // than two corpus-sized joins to fetch it back. The distinct dedups
+    // bucket-mate pairs exactly as before — (id_a, id_b) determine
+    // (name_a, name_b), so distinct over the four columns is the same
+    // pair multiset.
+    val variants = nameVariants(names, keepName = true)
+    variants.as("a")
       .join(variants.as("b"),
         col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
-    candIds
-      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
-      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
   }
 
   /** The (id, vh) 1-deletion-variant hash index of an (id, name)
-    * frame — the blocking substrate every ER face shares. */
-  private[graft] def nameVariants(names: DataFrame): DataFrame =
+    * frame — the blocking substrate every ER face shares. With
+    * `keepName` the source name rides along (the in-process candidate
+    * join wants it; the persisted variants table does not store it). */
+  private[graft] def nameVariants(names: DataFrame,
+      keepName: Boolean = false): DataFrame = {
     // deletion-position explode FIRST, variant string + hash as plain
     // codegen'd expressions per exploded row — the transform-lambda
     // form built every variant inside an interpreted CodegenFallback
     // HOF. i = 0 keeps the full name; i >= 1 deletes character i.
-    names.select(col("id"), col("name"),
+    val expanded = names.select(col("id"), col("name"),
         explode(sequence(lit(0), length(col("name")))).as("i"))
-      .select(col("id"), Text.md5Hash60(expr(
-        "CASE WHEN i = 0 THEN name ELSE concat(substring(name, 1, i - 1), " +
-          "substring(name, i + 1, length(name))) END")).as("vh"))
+    val vh = Text.md5Hash60(expr(
+      "CASE WHEN i = 0 THEN name ELSE concat(substring(name, 1, i - 1), " +
+        "substring(name, i + 1, length(name))) END")).as("vh")
+    if (keepName) expanded.select(col("id"), col("name"), vh)
+    else expanded.select(col("id"), vh)
+  }
 
   /** [[nameNearMatches]] over any (id, name) frame — the
     * fixture-parametric core. */
@@ -1169,7 +1210,10 @@ object Dedup {
         Seq("doc_b"))
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("doc_a"), col("lb").as("doc_b"))
-    val roots = connectedComponents(qedges)
+    // quotient graphs are increment-bounded by construction — the label
+    // frame broadcasts every round, so the founding edge repartition
+    // would be a pure tax (round-14 measurement: +0.5 s on q314)
+    val roots = connectedComponents(qedges, prePartitionEdges = false)
       .select(col("doc_id").as("lbl"), col("cluster_id").as("root"))
     def reroot(withLbl: DataFrame): DataFrame = withLbl
       .join(roots, Seq("lbl"), "left")

@@ -821,11 +821,20 @@ object Graph {
     * the fixed-point deterministic cross-engine (the q235 discipline).
     *
     * Scale: support is NOT an adjacency-array intersection over raw
-    * neighbor lists (hub arrays are unbounded) — each round runs the
-    * q231 degree-ordered edge-iterator closure (out-lists O(√m)) and
-    * credits each triangle to its three canonical edges with one
-    * 3-row explode + edge-keyed count; the peel is an equi-join on
-    * the edge key. Every frame is edge-bounded. */
+    * neighbor lists (hub arrays are unbounded) — the q231
+    * degree-ordered edge-iterator closure (out-lists O(√m)) runs ONCE
+    * over the founding edge set, its triangles are cached with their
+    * three canonical edges, and every later round's census is the
+    * founding triangles filtered to those whose edges all survive
+    * (triangles of a subgraph ARE exactly the founding triangles whose
+    * three edges lie in it — removing edges never creates triangles).
+    * That replaces each round's degree pass + adjacency build + two
+    * edge-sized hash joins + per-edge array intersection with three
+    * triangle-sized equi-joins against the cached surviving edge frame
+    * (round 15, guide §2.4 — remove recomputation across rounds).
+    * Support is the 3-row explode + edge-keyed count as before; the
+    * peel is an equi-join on the edge key. Every frame is edge- or
+    * triangle-bounded. */
   def trussPeel(spark: SparkSession, dir: String, k: Int = 4,
       rounds: Int = 2): DataFrame = {
     require(k >= 3,
@@ -834,19 +843,29 @@ object Graph {
         s"which is only correct for k >= 3) — got $k")
     var edges = PlanCache.tracked(
       coPurchaseEdges(spark, dir).select(col("pa"), col("pb")))
+    val deg0 = edges.select(col("pa").as("node"))
+      .union(edges.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // the founding census, one row per triangle with its three
+    // canonical (min, max) edges — cached once, filtered every round
+    val tri0 = PlanCache.tracked(triangleRows(edges, deg0)
+      .select(
+        least(col("a"), col("b")).as("e1a"), greatest(col("a"), col("b")).as("e1b"),
+        least(col("a"), col("c")).as("e2a"), greatest(col("a"), col("c")).as("e2b"),
+        least(col("b"), col("c")).as("e3a"), greatest(col("b"), col("c")).as("e3b")))
     val out = (0 to rounds).map { r =>
       if (r > 0) {
-        val deg = edges.select(col("pa").as("node"))
-          .union(edges.select(col("pb").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        val support = triangleRows(edges, deg)
+        // round 1 censuses the founding set (no filter); later rounds
+        // keep the founding triangles whose three edges all survive
+        val live = if (r == 1) tri0 else tri0
+          .join(edges.select(col("pa").as("e1a"), col("pb").as("e1b")), Seq("e1a", "e1b"))
+          .join(edges.select(col("pa").as("e2a"), col("pb").as("e2b")), Seq("e2a", "e2b"))
+          .join(edges.select(col("pa").as("e3a"), col("pb").as("e3b")), Seq("e3a", "e3b"))
+        val support = live
           .select(explode(array(
-            struct(least(col("a"), col("b")).as("pa"),
-              greatest(col("a"), col("b")).as("pb")),
-            struct(least(col("a"), col("c")).as("pa"),
-              greatest(col("a"), col("c")).as("pb")),
-            struct(least(col("b"), col("c")).as("pa"),
-              greatest(col("b"), col("c")).as("pb")))).as("e"))
+            struct(col("e1a").as("pa"), col("e1b").as("pb")),
+            struct(col("e2a").as("pa"), col("e2b").as("pb")),
+            struct(col("e3a").as("pa"), col("e3b").as("pb")))).as("e"))
           .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
           .agg(count(lit(1)).as("support"))
         // an edge in no triangle has no support row: the inner join

@@ -47,6 +47,18 @@ class BenchBoardSpec extends AnyFunSuite {
     assert(Bench.isSuspect("q_new", 0.1, load = Bench.SuspectLoad + 1, ref))
   }
 
+  test("the load bar scales with the run's own Spark thread count") {
+    // the r14 driver failure mode: a healthy local[32] run drives the
+    // 1-minute load toward 32 and the FIXED bar of 8 branded 117/315
+    // rows suspect — a run's own threads are expected load
+    assert(Bench.suspectLoad(4) === 8.0)   // quiet-host floor holds
+    assert(Bench.suspectLoad(8) === 12.0)
+    assert(Bench.suspectLoad(32) === 48.0)
+    val ref = Map.empty[String, Double]
+    assert(!Bench.isSuspect("q", 1.0, load = 30.0, ref, Bench.suspectLoad(32)))
+    assert(Bench.isSuspect("q", 1.0, load = 50.0, ref, Bench.suspectLoad(32)))
+  }
+
   test("the real r13 failure mode: 13.97x the committed q189 row is suspect") {
     val ref = Bench.parseReference(committed)
     val q189 = ref.getOrElse("q189_monthly_checksums", fail("q189 row missing"))

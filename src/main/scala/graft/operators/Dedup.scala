@@ -735,14 +735,14 @@ object Dedup {
     * edge list — both orders of magnitude smaller than the corpus (only
     * docs with at least one near-dup appear). The driver loop is over
     * per-iteration AGGREGATE actions (a one-row convergence probe),
-    * never rows; iteration count is bounded by the component diameter
-    * (near-dup clusters are dense — low single digits in practice) and
-    * hard-capped by `maxIters`. Labels persist per iteration via
-    * [[PlanCache]] with lineage intact, so iteration i+1 reads cached
-    * labels instead of recomputing the whole chain; the caller owns
-    * release. The same alternating shape as the classic large-star /
-    * small-star map-reduce CC algorithm, specialised to min-label
-    * because near-dup components are tiny and dense.
+    * never rows; iteration count is bounded by the LOG of the component
+    * diameter (each round also folds in the pointer-jumped label
+    * label(label(x)) — path halving) and hard-capped by `maxIters`.
+    * Each generation is lineage-truncated via a lazy localCheckpoint so
+    * iteration i+1 reads the previous generation's materialized blocks
+    * through a constant-size plan — without truncation the
+    * self-referencing plan grows 3^rounds and driver-side analysis
+    * dominates the runtime (the round-14 failure mode).
     *
     * Input columns: `doc_a`, `doc_b`. Output: (`doc_id`, `cluster_id`).
     *
@@ -772,9 +772,24 @@ object Dedup {
       .select(col("e.a").as("a"), col("e.b").as("b"))
     val edges = PlanCache.tracked(
       if (prePartitionEdges) both.repartition(col("b")) else both)
+    // Every generation is lineage-TRUNCATED (lazy localCheckpoint, so
+    // nothing materializes before the convergence probe runs anyway).
+    // A self-referencing loop like this one references the previous
+    // generation's plan 3× per round (own label ∪ neighbor labels ∪
+    // pointer jump), so without truncation the ANALYZED logical plan
+    // grows 3^rounds — analysis, canonicalization, and cache lookup all
+    // walk that tree, which turned the round-14 q281 closure into
+    // seconds of pure driver planning per round (its committed plan
+    // dump was 235 K lines) and OOM'd the driver once the jump term
+    // landed. Truncation makes every round's plan constant-size. The
+    // trade (checkpoint blocks are the only copy — a lost executor
+    // fails the job instead of recomputing) is the standard iterative-
+    // graph posture: recompute-from-lineage of an exponentially deep
+    // label chain was never a real recovery story, and the blocks are
+    // disk-backed node-sized rows.
     var labels = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
       .select(col("a").as("doc_id"), least(col("a"), col("mn")).as("cluster_id"))
-      .persist()
+      .localCheckpoint(false)
     // labels only ever DECREASE, so the label sum strictly decreases
     // until the fixpoint: an iteration whose sum equals the previous
     // generation's IS convergence (decimal(38,0) — a Long sum could
@@ -788,10 +803,10 @@ object Dedup {
           "connectedComponents: label-sum overflow in the convergence probe")
       r.getDecimal(0)
     }
-    try {
+    {
       // baseline from the initial labels (this also materializes the
-      // cache), so an already-converged graph is detected on its FIRST
-      // iteration rather than needing two probes to see a repeat
+      // first checkpoint), so an already-converged graph is detected on
+      // its FIRST iteration rather than needing two probes to see a repeat
       var prevSum = probe(labels)
       var converged = false
       var i = 0
@@ -832,17 +847,22 @@ object Dedup {
           .union(nbr)
           .union(jump)
           .groupBy("doc_id").agg(min(col("lbl")).as("cluster_id"))
-          .persist()
-        val s = try probe(next) catch { case t: Throwable => next.unpersist(); throw t }
+          .localCheckpoint(false)
+        val t0 = System.nanoTime()
+        val s = probe(next)
         converged = (s == null && prevSum == null) ||
           (s != null && prevSum != null && s.compareTo(prevSum) == 0)
         prevSum = s
-        // the probe just materialized `next`, so the superseded
-        // generation is dead weight — release it now instead of pinning
-        // maxIters label snapshots until the caller's PlanCache.release
-        // (an evicted `next` recomputes through lineage back to the
-        // cached edges)
-        labels.unpersist()
+        // builder-side visibility into the round ladder (never set by
+        // the driver): per-round wall time tells plan-bound from
+        // execution-bound apart
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(f"[cc] round ${i + 1} ${(System.nanoTime() - t0) / 1e9}%.2fs" +
+            s" sum=$s converged=$converged")
+        // superseded generations are checkpointed RDD blocks, not
+        // CacheManager entries: the context cleaner reclaims them as
+        // soon as the loop's reference drops (node-sized, disk-backed
+        // in the meantime)
         labels = next
         i += 1
       }
@@ -852,12 +872,10 @@ object Dedup {
       if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations — " +
           "a component's diameter exceeds the cap; raise maxIters")
-      PlanCache.tracked(labels) // same frame, caller-released like `edges`
-    } catch {
-      // error paths (probe failure, non-convergence) must not strand the
-      // current generation in the block manager where the caller's
-      // PlanCache.release cannot reach it
-      case t: Throwable => labels.unpersist(); throw t
+      // already materialized by the final probe, plan already a leaf —
+      // no extra PlanCache persist layer needed on top of the
+      // checkpoint blocks
+      labels
     }
   }
 
@@ -1079,43 +1097,41 @@ object Dedup {
     * Never all-pairs — the candidate population is bucket-bounded by
     * construction. */
   private[graft] def nameCandidatePairs(names: DataFrame): DataFrame = {
-    // names ride the variant rows THROUGH the vh equijoin (a few tens of
-    // bytes per row on the one variant-sized exchange) so the verify side
-    // needs no id→name re-attach joins afterwards — round 15, guide §2.3
-    // "shuffle keys and metadata instead of payloads" inverted: here the
-    // payload IS the join key's metadata and carrying it once is cheaper
-    // than two corpus-sized joins to fetch it back. The distinct dedups
-    // bucket-mate pairs exactly as before — (id_a, id_b) determine
-    // (name_a, name_b), so distinct over the four columns is the same
-    // pair multiset.
-    val variants = nameVariants(names, keepName = true)
-    variants.as("a")
+    // Deliberately SLIM through the blocking join, verify strictly after
+    // the distinct: ids-only pairs through the vh equijoin and the
+    // distinct, names re-attached afterwards, levenshtein once per
+    // DISTINCT pair. The round-15 "carry names through the join"
+    // experiment was measured 3.3× WORSE (4.0 s → 13.2 s at sf0.1):
+    // with names available inside the join, the optimizer folds the
+    // downstream dist ≤ 1 filter INTO the join condition and levenshtein
+    // runs per vh-bucket pairing (~6× the distinct pair count, before
+    // the id < id guard), and the distinct's hash keys widen from two
+    // longs to two longs + two strings. Expensive verify predicates
+    // belong above the dedup, not in the join.
+    val variants = nameVariants(names)
+    val candIds = variants.as("a")
       .join(variants.as("b"),
         col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    candIds
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
   }
 
   /** The (id, vh) 1-deletion-variant hash index of an (id, name)
-    * frame — the blocking substrate every ER face shares. With
-    * `keepName` the source name rides along (the in-process candidate
-    * join wants it; the persisted variants table does not store it). */
-  private[graft] def nameVariants(names: DataFrame,
-      keepName: Boolean = false): DataFrame = {
+    * frame — the blocking substrate every ER face shares. */
+  private[graft] def nameVariants(names: DataFrame): DataFrame =
     // deletion-position explode FIRST, variant string + hash as plain
     // codegen'd expressions per exploded row — the transform-lambda
     // form built every variant inside an interpreted CodegenFallback
     // HOF. i = 0 keeps the full name; i >= 1 deletes character i.
-    val expanded = names.select(col("id"), col("name"),
+    names.select(col("id"), col("name"),
         explode(sequence(lit(0), length(col("name")))).as("i"))
-    val vh = Text.md5Hash60(expr(
-      "CASE WHEN i = 0 THEN name ELSE concat(substring(name, 1, i - 1), " +
-        "substring(name, i + 1, length(name))) END")).as("vh")
-    if (keepName) expanded.select(col("id"), col("name"), vh)
-    else expanded.select(col("id"), vh)
-  }
+      .select(col("id"), Text.md5Hash60(expr(
+        "CASE WHEN i = 0 THEN name ELSE concat(substring(name, 1, i - 1), " +
+          "substring(name, i + 1, length(name))) END")).as("vh"))
 
   /** [[nameNearMatches]] over any (id, name) frame — the
     * fixture-parametric core. */

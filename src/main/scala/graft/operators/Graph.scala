@@ -869,10 +869,16 @@ object Graph {
           .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
           .agg(count(lit(1)).as("support"))
         // an edge in no triangle has no support row: the inner join
-        // drops it, which IS the k ≥ 3 peel semantics
-        edges = PlanCache.tracked(edges.join(support, Seq("pa", "pb"))
+        // drops it, which IS the k ≥ 3 peel semantics.
+        // Lineage-truncated per round (lazy localCheckpoint): round r's
+        // peel references round r−1's edges four times (three live-
+        // triangle joins + the peel join), so an untruncated plan grows
+        // 4^rounds copies of the whole co-purchase pipeline and driver
+        // analysis swamps execution — the same pathology the CC loop hit
+        edges = edges.join(support, Seq("pa", "pb"))
           .filter(col("support") >= k - 2)
-          .select(col("pa"), col("pb")))
+          .select(col("pa"), col("pb"))
+          .localCheckpoint(false)
       }
       edges.select(explode(array(col("pa"), col("pb"))).as("node"))
         .agg(expr("count(1) div 2").as("n_edges"),

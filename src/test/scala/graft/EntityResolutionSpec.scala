@@ -20,6 +20,22 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got == Set((1L, 3L, "alice"), (20L, 2L, "carol")))
   }
 
+  test("empty names block, verify, and cluster like any other name") {
+    // round-14 verdict nit: the position-first variant rewrite changed
+    // the DEGENERATE empty-name expansion (the old descending-sequence
+    // form emitted two variant rows for "", the new form one) — oracle-
+    // invisible after distinct blocking, pinned here so a future rewrite
+    // can't silently change ER behavior on empty input. "" is edit
+    // distance 1 from "a": they must candidate and cluster together.
+    val names = Seq((1L, ""), (2L, ""), (3L, "a")).toDF("id", "name")
+    val variants = Dedup.nameVariants(names)
+    // one variant row per empty name (the name itself at i = 0)
+    assert(variants.filter($"id" === 1L).count() === 1L)
+    val got = Dedup.entityClustersOf(names).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 3L, "")))
+  }
+
   test("near-match pair report and clusters agree on the verified set") {
     val names = Tables(spark, sf, "customer")
       .selectExpr("c_custkey AS id", "c_name AS name")

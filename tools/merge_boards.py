@@ -9,6 +9,10 @@ import sys
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 ref = json.load(open(sys.argv[3]))["queries"] if len(sys.argv) > 3 else {}
+# refuse asymmetric boards: iterating only a's keys would silently drop
+# queries present in b alone and KeyError on ones missing from b
+diff = set(a["queries"]) ^ set(b["queries"])
+assert not diff, f"boards disagree on query sets: {sorted(diff)}"
 qs = {k: min(a["queries"][k], b["queries"][k]) for k in a["queries"]}
 over = sorted((round(qs[k] / ref[k], 2), k) for k in qs
               if k in ref and qs[k] > 2 * ref[k])
